@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only plan/skew probe (not part of the driver contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, dir)
+    val sig = operators.Dedup.minhashSig(
+      operators.Dedup.normText($"text"), 5, 16)
+    val t0 = System.nanoTime()
+    val signed = docs.select($"doc_id", sig.as("sig")).cache()
+    println(s"n_docs=${signed.count()} sig_time=${(System.nanoTime()-t0)/1e9}")
+    val bandHashes = array((0 until 4).map(b =>
+      xxhash64(lit(b), slice($"sig", b * 4 + 1, 4))): _*)
+    val banded = signed.select($"doc_id",
+      posexplode(bandHashes).as(Seq("band", "bucket"))).cache()
+    banded.groupBy($"band", $"bucket").count()
+      .select(sum($"count" * ($"count" - 1) / 2).as("cand_pairs"),
+        max($"count").as("max_bucket")).show()
+    spark.stop()
+  }
+}

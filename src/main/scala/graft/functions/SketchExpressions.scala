@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass sketch kernels as Catalyst expressions.
+  *
+  * Why expressions and not higher-order-function compositions: Spark's
+  * lambda functions (`transform`/`aggregate`) evaluate interpreted, one
+  * boxed element at a time, and a nested `transform(seeds, transform(
+  * shingles, …))` recomputes the shingle stream per seed — measured
+  * 228 s for 5 000 docs at sf0.1. These kernels do the same math in a
+  * tight JVM loop over the UTF-8 bytes: signature build is ~ms per
+  * thousand docs and the operator stays embarrassingly map-side, which
+  * is the property that matters at 100 TB (signature cost scales with
+  * executors; no shuffle until the band explode).
+  */
+object SketchFunctions {
+
+  def minhash(c: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k, numHashes))
+
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+}
+
+/** MinHash signature over k-byte shingles of the input string.
+  *
+  * sig[j] = min over shingles x of mix64(fnv1a64(x) + GOLDEN·j).
+  * Duplicated shingles don't affect a min, so no distinct pass is
+  * needed. Strings shorter than k contribute one whole-string shingle
+  * (mirrors `substr(norm, i, k)` truncation semantics).
+  */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && numHashes > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val n = b.length
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = math.max(n - k + 1, 1)
+    var i = 0
+    while (i < nShingles) {
+      val h = HashFunctions.fnv1a64Bytes(b, i, math.min(i + k, n))
+      var j = 0
+      while (j < numHashes) {
+        val m = HashFunctions.mix64(h + 0x9e3779b97f4a7c15L * j)
+        if (m < sig(j)) sig(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** 64-bit SimHash over whitespace-delimited tokens: bit j of the
+  * output is set iff the sum over tokens of ±1 (sign chosen by bit j
+  * of the token's fnv1a64) is positive. Frequency-weighted (each
+  * occurrence votes). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      while (i < n && isSpace(b(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(b(i))) i += 1
+      if (i > start) {
+        val h = HashFunctions.fnv1a64Bytes(b, start, i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+  private def isSpace(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}

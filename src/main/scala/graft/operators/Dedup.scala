@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (builder prompt):
+  * exact, MinHash-LSH, SimHash, and n-gram Jaccard — each designed so the
+  * expensive comparison is confined to hash-equal buckets, never an
+  * all-pairs product.
+  *
+  * Scale analysis (100 TB):
+  *  - exact: one hash-shuffle on a 32-byte digest; partial-agg friendly.
+  *  - MinHash-LSH: signatures are built map-side in one pass per doc;
+  *    candidate generation shuffles (band, bucket, doc_id) triples —
+  *    O(docs × bands) small rows; verification joins only inside equal
+  *    buckets. The O(n²) all-pairs product never materializes.
+  *  - SimHash: 64 bit-sums via partial aggregation (64 longs per doc per
+  *    partition cross the shuffle); near-dup candidates would band the
+  *    64-bit signature into 16-bit chunks (Hamming ≤ 3 ⇒ ≥1 chunk equal).
+  *  - n-gram Jaccard: the exact verifier for LSH candidates; exposed
+  *    standalone only over a bounded id range.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase text — the canonical form all
+    * fuzzy-dedup ops hash. */
+  def normText(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
+
+  /** 64-bit content fingerprint of the normalized text. */
+  def normHash(c: Column): Column = xxhash64(normText(c))
+
+  /** Exact dedup by content digest: keep the smallest doc_id per sha256
+    * group, report group size. Deterministic survivor choice. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(sha2($"text", 256).as("digest"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  /** Distinct k-character shingles of the normalized text, as an array
+    * column. substr with Column offsets keeps this one codegen'd
+    * expression — no UDF, no explode until the caller asks. */
+  def shingleArray(norm: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - k, lit(0))),
+      i => norm.substr(i + lit(1), lit(k))))
+
+  /** MinHash signature of the normalized text: one-pass custom
+    * Catalyst kernel ([[graft.functions.MinHashSig]]). The previous
+    * higher-order-function composition (nested transform/array_min)
+    * evaluated interpreted and re-built the shingle stream per seed —
+    * 228 s for 5k docs; the kernel does it in ~1 s. */
+  def minhashSig(norm: Column, k: Int, numHashes: Int): Column =
+    SketchFunctions.minhash(norm, k, numHashes)
+
+  /** MinHash + LSH banding: docs sharing any band bucket are candidate
+    * near-duplicates; candidates are verified by minhash agreement rate
+    * (an unbiased Jaccard estimate). numHashes=16, 4 bands × 4 rows. */
+  def minhashLsh(s: SparkSession, dir: String,
+                 k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val rows = numHashes / bands
+    val signed = Tables.documents(s, dir)
+      .select($"doc_id", minhashSig(normText($"text"), k, numHashes).as("sig"))
+    // band hashes: static Scala loop → one array column of `bands` buckets
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice($"sig", b * rows + 1, rows))): _*)
+    val banded = signed.select($"doc_id",
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .where($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2"))
+      .distinct()
+    val sigs1 = signed.select($"doc_id".as("id1"), $"sig".as("sig1"))
+    val sigs2 = signed.select($"doc_id".as("id2"), $"sig".as("sig2"))
+    cand.join(sigs1, "id1").join(sigs2, "id2")
+      .select($"id1", $"id2",
+        (size(filter(zip_with($"sig1", $"sig2", (a, b) => a === b), v => v))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** SimHash: 64-bit near-dup signature via the one-pass map-side
+    * kernel ([[graft.functions.SimHash64]]) — zero shuffle for the
+    * signature itself (the explode+64-conditional-sums formulation
+    * shuffles 64 longs per doc; the kernel shuffles nothing). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", SketchFunctions.simhash64(normText($"text")).as("simhash64"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four
+    * 16-bit chunks; Hamming distance ≤ 3 guarantees at least one equal
+    * chunk (pigeonhole), so the bucket join finds all such pairs
+    * without an all-pairs product. */
+  def simhashNearDup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val sig = Tables.documents(s, dir)
+      .select($"doc_id", SketchFunctions.simhash64(normText($"text")).as("sh"))
+    val banded = sig.select($"doc_id", $"sh",
+      posexplode(array((0 until 4).map(b =>
+        shiftright($"sh", b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "chunk")))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "chunk"))
+      .where($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2"),
+        $"x.sh".as("sh1"), $"y.sh".as("sh2"))
+      .distinct()
+    cand.select($"id1", $"id2", bit_count($"sh1".bitwiseXOR($"sh2")).cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** n-gram Jaccard similarity over a bounded id range (the standalone
+    * exact verifier; in the full pipeline it runs only on LSH candidate
+    * pairs). Non-equi join stays tiny by construction. */
+  def ngramJaccard(s: SparkSession, dir: String, k: Int = 3, maxId: Long = 50,
+                   threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val g = Tables.documents(s, dir).filter($"doc_id" < maxId)
+      .select($"doc_id", shingleArray(normText($"text"), k).as("grams"))
+    val a = g.select($"doc_id".as("id1"), $"grams".as("g1"))
+    val b = g.select($"doc_id".as("id2"), $"grams".as("g2"))
+    a.join(b, $"id1" < $"id2")
+      .select($"id1", $"id2",
+        round(size(array_intersect($"g1", $"g2")).cast("double") /
+          size(array_union($"g1", $"g2")), 4).as("jaccard"))
+      .filter($"jaccard" > threshold)
+      .orderBy($"id1", $"id2")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder prompt): media as opaque `binary`
+  * payloads with typed metadata, decoded/feature-extracted in
+  * partition-local batches.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked DETERMINISTIC STUB ([[FakeCodec]]); everything Spark-
+  * side — binary schema, partition-batched decode shape, metadata
+  * struct, pushdown-friendly projections — is real and tested. On a
+  * real cluster the stub body is replaced by a JNI/codec call; the plan
+  * shape (mapPartitions over binary, no shuffle) is unchanged, which is
+  * what matters at 100 TB: decode is pure map-side work that scales
+  * with executors and never touches the driver.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata, the schema a media lake
+    * table would carry. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  final case class DecodedRow(media_id: Long, kind: String, n_bytes: Long,
+                              width: Int, height: Int, n_frames: Int,
+                              payload_sha: String)
+
+  /** ======= STUB ======= Deterministic fake codec: derives "decoded"
+    * properties purely from payload bytes. Replace `decode` with a real
+    * codec (e.g. libjpeg/ffmpeg via JNI) in production — signature and
+    * batch shape stay identical. */
+  object FakeCodec extends Serializable {
+    def decode(r: MediaRow): DecodedRow = {
+      val n = r.payload.length
+      val b0 = if (n > 0) r.payload(0) & 0xff else 0
+      val b1 = if (n > 1) r.payload(1) & 0xff else 0
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(r.payload).take(8).map("%02x".format(_)).mkString
+      DecodedRow(r.media_id, r.kind, n.toLong,
+        width = 16 * (1 + b0 % 64), height = 16 * (1 + b1 % 64),
+        n_frames = if (r.kind == "video") 1 + n % 300 else 1,
+        payload_sha = sha)
+    }
+  }
+
+  /** Synthesize a media table from `documents` (no binary fixture table
+    * exists): payload = UTF-8 bytes of text, kind cycles image/audio/
+    * video. Deterministic, schema-faithful. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        encode($"text", "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Partition-batched decode: the Scala twin of a `mapInPandas` batch
+    * UDF — one codec instance per partition, streaming through rows
+    * without materializing the partition. */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it => it.map(FakeCodec.decode) }
+  }
+
+  /** Frame sampling: keep every `stride`-th 1 KiB chunk of the payload
+    * — the plan shape of video frame-sampling (explode to frames,
+    * filter by stride, re-group) with the stub codec. */
+  def frameSample(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(1024).zipWithIndex.collect {
+        case (chunk, i) if i % stride == 0 =>
+          (r.media_id, i, chunk.length)
+      }
+    }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** Oracle-checkable projection of the binary plumbing: byte length +
+    * first-byte-derived fake dimensions, all expressible on the SQL
+    * side from the same source column. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        length(encode($"text", "UTF-8")).cast("long").as("n_bytes"),
+        (lit(16) * (lit(1) + ascii($"text") % 64)).cast("long").as("fake_width"))
+      .orderBy($"media_id")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings.embedding: array<float>`
+  * (builder prompt: ANN is a first-class component).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k via a blocked cross join +
+  *    per-query window head. Correctness baseline; O(n·q) comparisons.
+  *  - [[lshTopK]]: random-hyperplane (sign-LSH) bucketing — each vector
+  *    maps to a small bit signature; candidates share a signature
+  *    bucket, so comparisons are O(n·q / 2^bits) expected. This is the
+  *    100 TB path: bucket ids shuffle-partition the corpus, queries
+  *    probe only their bucket. An IVF variant would swap the hash for
+  *    learned centroids; the plumbing (bucket → co-partitioned join →
+  *    window top-k) is identical.
+  *
+  * Dot products use `zip_with` + `aggregate` — pure codegen'd Catalyst
+  * expressions, no UDF in the hot path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a single codegen'd expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact cosine top-k: `numQueries` probe vectors against the whole
+    * corpus. Row-wise window head with full tie-break (score desc,
+    * vec_id) keeps output deterministic. */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val corpus = emb.select($"vec_id", $"embedding")
+    val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(cosine($"q", $"embedding"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Sign-LSH bucket id: bit b of the signature is the sign of the dot
+    * product with a pseudo-random hyperplane. Hyperplanes are derived
+    * deterministically from (seed=b, dimension index) via xxhash64 →
+    * [-1, 1) — reproducible with zero stored model state. */
+  def lshBucket(v: Column, dim: Int, bits: Int): Column = {
+    val planes = (0 until bits).map { b =>
+      val plane = (0 until dim).map { d =>
+        // deterministic pseudo-random coefficient in [-1, 1)
+        (java.lang.Long.hashCode(xxhashLong(b * 1009 + d)) / Int.MaxValue.toDouble)
+      }
+      val proj = (0 until dim).map(d =>
+        element_at(v, d + 1) * lit(plane(d))).reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Deterministic driver-side 64-bit mix (xxhash-style avalanche) used
+    * to derive hyperplane coefficients. */
+  private def xxhashLong(x: Long): Long = {
+    var h = x * -7046029254386353131L
+    h = java.lang.Long.rotateLeft(h, 31) * -4417276706812531889L
+    h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 29
+    h
+  }
+
+  /** LSH-bucketed approximate top-k: queries only compare against
+    * corpus vectors in the same bucket. Recall < 1.0 by design; a scale
+    * deployment multi-probes neighboring buckets to trade cost for
+    * recall. */
+  def lshTopK(s: SparkSession, dir: String, dim: Int = 64,
+              bits: Int = 4, numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .select($"vec_id", $"embedding", lshBucket($"embedding", dim, bits).as("bucket"))
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"bucket")
+    val scored = emb.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(cosine($"q", $"embedding"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Embedding-cosine near-duplicate detection: pairs above a high
+    * cosine threshold, found inside LSH buckets (bucket-equality join,
+    * never all-pairs). */
+  def embeddingNearDup(s: SparkSession, dir: String, dim: Int = 64,
+                       bits: Int = 4, threshold: Double = 0.95): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .select($"vec_id", $"embedding", lshBucket($"embedding", dim, bits).as("bucket"))
+    val a = emb.select($"bucket", $"vec_id".as("id1"), $"embedding".as("e1"))
+    val b = emb.select($"bucket", $"vec_id".as("id2"), $"embedding".as("e2"))
+    a.join(b, Seq("bucket")).where($"id1" < $"id2")
+      .select($"id1", $"id2", round(cosine($"e1", $"e2"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+      .orderBy($"id1", $"id2")
+  }
+}

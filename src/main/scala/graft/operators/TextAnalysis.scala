@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder prompt /
+  * SURVEY.md §7.3 M2): per-document statistics, token counting, quality
+  * scoring, a language-ID heuristic, and content fingerprinting.
+  *
+  * All per-document ops are embarrassingly parallel map-side work — no
+  * shuffle at all — so they scale linearly; the only shuffles below are
+  * the final oracle-determinism ORDER BYs (which a 100 TB run would
+  * drop: sinks don't need global order).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count, codegen'd. size(split()) == Go
+    * strings.Fields count only after dropping empties, so count
+    * non-empty tokens via a filtered aggregate over the split array.
+    * Cast to long so the schema matches the oracle's BIGINT. */
+  private def wsTokens(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => t =!= "")).cast("long")
+
+  /** BPE-ish subword proxy: alphanumeric runs plus single non-space
+    * symbols — a deterministic, RE2-safe (no lookaround) stand-in for a
+    * real tokenizer's piece count. */
+  private def bpeTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Per-document statistics: chars, whitespace tokens, distinct-ish
+    * measures, punctuation/digit/upper ratios. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        wsTokens($"text").as("n_tokens"),
+        length(regexp_replace($"text", "[^.,!?;:]", "")).cast("long").as("n_punct"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("n_digits"),
+        length(regexp_replace($"text", "\\s", "")).cast("long").as("n_nonspace"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish pieces + mean token
+    * length (rounded for cross-engine float determinism). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        wsTokens($"text").as("ws_tokens"),
+        bpeTokens($"text").as("bpe_tokens"),
+        round(length(regexp_replace($"text", "\\s", "")).cast("double") /
+          greatest(wsTokens($"text"), lit(1)), 4).as("mean_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length / punctuation-density / stopword-ratio
+    * heuristics combined into one score in [0,1]. Pure arithmetic on
+    * single values — bit-identical across engines. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTok = wsTokens($"text").cast("double")
+    val stop = size(filter(split(lower($"text"), "\\s+"),
+      t => t.isin("the", "a", "of", "to", "and", "is", "in", "that"))).cast("double")
+    val punct = length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double")
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val stopRatio = stop / greatest(nTok, lit(1.0))
+    val punctRatio = punct / greatest(length($"text").cast("double"), lit(1.0))
+    // floor-truncation instead of round(): identical double inputs give
+    // identical floors in every engine, while round-half direction on
+    // the weighted blend's frequent .00005 boundaries is engine-specific
+    def trunc4(c: Column): Column = floor(c * 10000.0) / 10000.0
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        trunc4(lenScore).as("len_score"),
+        trunc4(stopRatio).as("stop_ratio"),
+        trunc4(punctRatio).as("punct_ratio"),
+        trunc4(lenScore * 0.5 + least(stopRatio * 4.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic: score each candidate language by counting
+    * its marker stopwords among the document's tokens; argmax wins,
+    * ties broken by fixed language order (en < de < es < fr). A real
+    * pipeline would swap in character-n-gram profiles; the *shape*
+    * (map-side scoring, no shuffle) is the scale-relevant part. */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def score(words: Seq[String]): Column =
+      size(filter(split(lower($"text"), "\\s+"), t => t.isin(words: _*))).cast("long")
+    val en = score(Seq("the", "and", "of", "to", "is", "in"))
+    val de = score(Seq("der", "die", "das", "und", "ist", "nicht"))
+    val es = score(Seq("el", "la", "de", "que", "y", "es"))
+    val fr = score(Seq("le", "la", "de", "et", "est", "les"))
+    val best = greatest(en, de, es, fr)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+        when(best === 0, "und")
+          .when(en === best, "en")
+          .when(de === best, "de")
+          .when(es === best, "es")
+          .otherwise("fr").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprinting: full-content hashes (md5/sha2 built-ins,
+    * codegen'd) — the exact-dedup join keys. A 64-bit xxhash64 over
+    * whitespace-normalized text (not ANSI-expressible, used by Dedup)
+    * lives in [[Dedup.normHash]]. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        md5($"text").as("md5_hex"),
+        sha2($"text", 256).as("sha256_hex"))
+      .orderBy($"doc_id")
+  }
+}
