@@ -13,6 +13,19 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("streaming")) {
+      val staged = streaming.StreamingOps.stageEventsDir(spark, dir,
+        java.nio.file.Files.createTempDirectory("probe-stream").toString + "/events")
+      val out = streaming.StreamingOps.runToMemory(
+        streaming.StreamingOps.tumblingCounts(
+          streaming.StreamingOps.eventsStream(spark, staged)),
+        "probe_tumbling",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      println(s"streaming_windows=${out.count()}")
+      out.orderBy($"win_start", $"event_type").show(5)
+      spark.stop()
+      return
+    }
     val docs = Tables.documents(spark, dir)
     val sig = operators.Dedup.minhashSig(
       operators.Dedup.normText($"text"), 5, 16)

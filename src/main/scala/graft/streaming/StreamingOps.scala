@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §7.3 M3 stretch goal — the
+  * reference is strictly batch, §2.2, so this is pure extension).
+  *
+  * The aggregations mirror graft.operators.Events: the same logical
+  * window computations run identically over `readStream` with a
+  * watermark bounding state. State stores are per-key and partitioned
+  * by the grouping key, so at 100 TB/day the stateful operators scale
+  * horizontally; the watermark is what keeps total state bounded.
+  */
+object StreamingOps {
+
+  /** Schema of a normalized events ingest directory (ts already at
+    * micro precision — what graft.Tables.events produces). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events ingest DIRECTORY (the
+    * file-stream source tails a directory, appending files become new
+    * micro-batches — the production shape for a landing zone). Stage
+    * single-file fixtures into a directory first; see
+    * [[stageEventsDir]]. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Materialize the batch events table into a streaming ingest dir
+    * (test/fixture helper — the testdata tables are single files). */
+  def stageEventsDir(spark: SparkSession, sfDir: String, outDir: String): String = {
+    graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
+  /** Tumbling 10-minute event-time counts with a 30-minute watermark —
+    * late data beyond the watermark is dropped, state is pruned. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Event-time session windows (30-minute gap) via the built-in
+    * session_window — the streaming twin of Events.sessionize. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: per-user running totals via
+    * mapGroupsWithState — the escape hatch for state machines the
+    * built-in windows can't express. Update-mode output; state is one
+    * small case class per user. */
+  def runningTotals(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(userId, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drain a streaming DataFrame through the in-memory sink and return
+    * the materialized table — the synchronous harness batch tests use. */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

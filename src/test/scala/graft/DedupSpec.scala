@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = Seq(
+      (0L, "same text here"), (1L, "same text here"),
+      (2L, "different"), (3L, "same text here"))
+      .toDF("doc_id", "text")
+    val got = df.groupBy(sha2($"text", 256).as("digest"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 3L, 2L -> 1L))
+  }
+
+  test("minhash est_jaccard ≈ 1 for identical, high for near-dup, low for unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base + " tail"
+    val far = "completely unrelated content about database query planning"
+    val df = Seq((0L, base), (1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sig = df.select($"doc_id",
+      Dedup.minhashSig(Dedup.normText($"text"), 5, 64).as("sig"))
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 64
+    assert(est(0L, 1L) == 1.0)
+    assert(est(0L, 2L) > 0.6)
+    assert(est(0L, 3L) < 0.3)
+  }
+
+  test("minhashLsh surfaces planted near-duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh").toString
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans with codegen"
+    val rows = (0L until 40L).map(i => (i, s"unrelated document number $i about topic ${i * 31}")) ++
+      Seq((100L, base), (101L, base + " stage"), (102L, base))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 102L)))
+    assert(pairs.contains((100L, 101L)) || pairs.contains((101L, 102L)))
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming") {
+    val base = "large scale data processing with resilient distributed datasets and dags"
+    val df = Seq((0L, base), (1L, base), (2L, base + " extra"), (3L, "zzz qqq www"))
+      .toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", SketchFunctions.simhash64(Dedup.normText($"text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 1L) == 0)
+    assert(ham(0L, 2L) <= 8)
+    assert(ham(0L, 3L) > 8)
+  }
+
+  test("simhashNearDup finds planted pair via 16-bit banding") {
+    val dir = java.nio.file.Files.createTempDirectory("sh").toString
+    val base = "streaming watermarks bound state growth for event time aggregation in spark"
+    val rows = (0L until 30L).map(i =>
+      (i, s"document $i with words ${i * 7} ${i * 13} ${i * 17} about other things")) ++
+      Seq((200L, base), (201L, base))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.simhashNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((200L, 201L)))
+  }
+
+  test("ngram jaccard: identical=1.0, disjoint filtered out") {
+    val dir = java.nio.file.Files.createTempDirectory("ng").toString
+    Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((0L, 1L) -> 1.0))
+  }
+}

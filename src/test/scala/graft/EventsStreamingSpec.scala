@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-batch equivalence: the same event-time logic must produce
+  * the same aggregates whether it runs over readStream or a batch scan
+  * (Spark's unified semantics — and our M3 design claim). */
+class EventsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val streamDir: String = StreamingOps.stageEventsDir(
+    spark, sfDir,
+    java.nio.file.Files.createTempDirectory("events-stream").toString + "/events")
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(StreamingOps.eventsStream(spark, streamDir)),
+      // complete mode: append would (correctly) hold back windows the
+      // watermark hasn't closed; for a full equality check emit all
+      "tumbling_mem", OutputMode.Complete)
+      .select(unix_timestamp($"win_start").as("win_start_s"), $"event_type", $"n")
+      .orderBy($"win_start_s", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = operators.Events.tumbling(spark, sfDir)
+      .select($"win_start_s", $"event_type", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming session windows cover every event exactly once") {
+    val sessions = StreamingOps.runToMemory(
+      StreamingOps.sessionWindows(StreamingOps.eventsStream(spark, streamDir)),
+      "sessions_mem", OutputMode.Complete)
+    val totalEvents = sessions.agg(sum($"n_events")).as[Long].head()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(totalEvents == nEvents)
+    // session bounds are consistent
+    val bad = sessions.filter($"session_end" < $"session_start").count()
+    assert(bad == 0)
+  }
+
+  test("mapGroupsWithState running totals match batch groupBy") {
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "ts", "value").as[StreamingOps.UserEvent]
+    val got = StreamingOps.runningTotals(spark, events)
+      .collect().map(r => r.user_id -> ((r.n_events, r.total_value))).toMap
+    val expected = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, (n, t)) =>
+      assert(n == expected(u)._1, s"user $u count")
+      assert(math.abs(t - expected(u)._2) < 1e-6, s"user $u total")
+    }
+  }
+
+  test("batch sessionization: gaps within sessions ≤ 30min, between sessions > 30min") {
+    val sessions = operators.Events.sessionize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    sessions.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, prevEnd), (_, _, nextStart, _)) =>
+          assert(nextStart - prevEnd > 1800L)
+        case _ =>
+      }
+    }
+  }
+}

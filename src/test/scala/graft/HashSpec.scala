@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.functions.col
+
+/** FNV-1a pinned against published test vectors (public-domain FNV
+  * reference constants) — guarantees bit-parity with the reference's
+  * partitioner (`/root/reference/distributed/worker.go:170-174`,
+  * Go fnv.New32a). Exercises BOTH the interpreted eval path and the
+  * generated-code path. */
+class HashSpec extends SparkSpec {
+  import spark.implicits._
+
+  val vectors32: Seq[(String, Int)] = Seq(
+    "" -> 0x811c9dc5,
+    "a" -> 0xe40c292c,
+    "foobar" -> 0xbf9cf968)
+
+  val vectors64: Seq[(String, Long)] = Seq(
+    "" -> 0xcbf29ce484222325L,
+    "a" -> 0xaf63dc4c8601ec8cL,
+    "foobar" -> 0x85944171f73967e8L)
+
+  test("fnv1a32 matches published vectors (scala kernel)") {
+    vectors32.foreach { case (s, h) =>
+      val b = s.getBytes("UTF-8")
+      assert(HashFunctions.fnv1a32Bytes(b, 0, b.length) == h, s)
+    }
+  }
+
+  test("fnv1a64 matches published vectors (scala kernel)") {
+    vectors64.foreach { case (s, h) =>
+      val b = s.getBytes("UTF-8")
+      assert(HashFunctions.fnv1a64Bytes(b, 0, b.length) == h, s)
+    }
+  }
+
+  test("fnv expressions agree with kernel through codegen") {
+    val df = (vectors32.map(_._1) ++ Seq("hello", "Spark", "züricher"))
+      .toDF("s")
+    val rows = df.select(col("s"),
+      HashFunctions.fnv1a32(col("s")).as("h32"),
+      HashFunctions.fnv1a64(col("s")).as("h64")).collect()
+    rows.foreach { r =>
+      val b = r.getString(0).getBytes("UTF-8")
+      assert(r.getInt(1) == HashFunctions.fnv1a32Bytes(b, 0, b.length))
+      assert(r.getLong(2) == HashFunctions.fnv1a64Bytes(b, 0, b.length))
+    }
+  }
+
+  test("referencePartition reproduces ihash routing: non-negative, < nReduce, deterministic") {
+    val words = Seq("the", "quick", "brown", "fox", "hello", "world")
+    val df = words.toDF("w")
+      .select(col("w"), HashFunctions.referencePartition(col("w"), 5).as("p"))
+    val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      val b = w.getBytes("UTF-8")
+      val expected = (HashFunctions.fnv1a32Bytes(b, 0, b.length) & 0x7fffffff) % 5
+      assert(got(w) == expected, w)
+      assert(got(w) >= 0 && got(w) < 5)
+    }
+  }
+}

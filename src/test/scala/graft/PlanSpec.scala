@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Relational, WordCount}
+
+/** Plan-shape assertions: the properties that matter at 100 TB must be
+  * visible in the physical plan, not assumed — filter/projection
+  * pushdown to the parquet scan, explicit broadcast of dimension
+  * tables, map-side partial aggregation, and top-k without a global
+  * sort. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2 pushes predicates and prunes columns at the parquet scan") {
+    val p = plan(Relational.q2FilterProject(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,45.0"), p)
+    // pruned read schema: none of the 7 untouched columns are read
+    assert(!p.contains("l_extendedprice"), "scan should not read l_extendedprice")
+    assert(!p.contains("l_returnflag"), "scan should not read l_returnflag")
+  }
+
+  test("q3 broadcasts the customer dimension") {
+    val p = plan(Relational.q3JoinBroadcast(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("word count plans a map-side partial aggregate before the shuffle") {
+    val p = plan(WordCount.wordCount(Tables.documents(spark, sfDir)))
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.q15TopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("word count stays inside whole-stage codegen") {
+    // AQE finalizes the plan lazily; execute first, then inspect.
+    // Codegen'd operators are marked "*(n)" in the final plan string.
+    val df = WordCount.wordCount(Tables.documents(spark, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("*("), p)
+  }
+}

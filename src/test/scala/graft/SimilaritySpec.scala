@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side exact cosine for the golden comparison. */
+  private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  test("brute-force top-k matches driver-side exact computation") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = Similarity.bruteForceTopK(spark, sfDir, numQueries = 3, topK = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val expected = emb.toSeq.filter(_._1 != q)
+        .map { case (id, e) =>
+          (id, BigDecimal(cos(emb(q), e)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(4)
+      val gotQ = rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(gotQ == expected, s"query $q")
+    }
+  }
+
+  test("lsh bucket ids are deterministic and bounded") {
+    val df = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val buckets = df.select(
+      Similarity.lshBucket($"embedding", 64, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 16))
+    val again = df.select(Similarity.lshBucket($"embedding", 64, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.toSeq == again.toSeq)
+  }
+
+  test("lsh top-k candidates are true cosine scores (subset of brute force domain)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = Similarity.lshTopK(spark, sfDir, numQueries = 5, topK = 3).collect()
+    got.foreach { r =>
+      val (q, id, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val expected = BigDecimal(cos(emb(q), emb(id)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sim - expected) < 1e-9, s"($q,$id)")
+    }
+  }
+}
