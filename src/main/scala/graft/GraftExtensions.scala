@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL front-door for the engine's custom expressions: register once,
+  * then `SELECT graft_fnv1a32(word), graft_minhash(text), …` works in
+  * plain `spark.sql`. Two registration paths:
+  *
+  *  - `.withExtensions(new GraftExtensions)` at session build (the
+  *    SparkSessionExtensions route, also loadable via
+  *    `spark.sql.extensions=graft.GraftExtensions`);
+  *  - [[GraftExtensions.register]] on a live session (tests, REPL).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, (info, builder)) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
+    "graft_fnv1a32" -> ((info("graft_fnv1a32",
+      "fnv1a32(str) - FNV-1a 32-bit hash, bit-exact with the reference partitioner"),
+      (es: Seq[Expression]) => Fnv1a32(es.head))),
+    "graft_fnv1a64" -> ((info("graft_fnv1a64", "fnv1a64(str) - FNV-1a 64-bit hash"),
+      (es: Seq[Expression]) => Fnv1a64(es.head))),
+    "graft_simhash64" -> ((info("graft_simhash64",
+      "simhash64(str) - 64-bit SimHash over whitespace tokens"),
+      (es: Seq[Expression]) => SimHash64(es.head))),
+    "graft_minhash" -> ((info("graft_minhash",
+      "minhash(str) - 16-hash MinHash signature over 5-byte shingles"),
+      (es: Seq[Expression]) => MinHashSig(es.head, 5, 16))),
+    "graft_cosine" -> ((info("graft_cosine",
+      "cosine(arr, arr) - cosine similarity of two double arrays"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1)))),
+    "graft_dot" -> ((info("graft_dot", "dot(arr, arr) - dot product"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1)))),
+  )
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (i, b)) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, b)
+    }
+}

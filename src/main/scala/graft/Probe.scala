@@ -26,6 +26,15 @@ object Probe {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("sql")) {
+      GraftExtensions.register(spark)
+      Tables.documents(spark, dir).createOrReplaceTempView("docs")
+      spark.sql(
+        """SELECT graft_fnv1a32(text) AS h, graft_simhash64(text) AS sh,
+          |  graft_minhash(text)[0] AS mh0 FROM docs LIMIT 3""".stripMargin).show()
+      spark.stop()
+      return
+    }
     val docs = Tables.documents(spark, dir)
     val sig = operators.Dedup.minhashSig(
       operators.Dedup.normText($"text"), 5, 16)

@@ -32,6 +32,8 @@ object SparkEntry {
         .select($"doc_id".cast("string"), $"text").as[(String, String)]
       mr.MapReduce.run(s, docs, mr.WordCountMapper, mr.WordCountReducer)
     }),
+    "wc_salted" -> ((s, dir) => Skew.saltedWordCount(s, dir)),
+    "wc_partitions" -> ((s, dir) => Skew.wordCountWithPartition(s, dir)),
     // ---- M1: relational breadth ----
     "q1_pricing" -> Relational.q1PricingSummary _,
     "q2_filter_project" -> Relational.q2FilterProject _,
@@ -51,6 +53,8 @@ object SparkEntry {
     "q16_having" -> Relational.q16Having _,
     "q17_subquery_agg" -> Relational.q17SubqueryAgg _,
     "q18_nulls" -> Relational.q18Nulls _,
+    "q19_grouping_sets" -> Relational.q19GroupingSets _,
+    "q20_sketches" -> Relational.q20Sketches _,
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
@@ -71,6 +75,7 @@ object SparkEntry {
     "ev_session" -> Events.sessionize _,
     "ev_json" -> Events.jsonExtract _,
     "ev_top_users" -> Events.hourlyTopUsers _,
+    "ev_asof" -> Events.asofPurchaseClick _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -89,6 +94,9 @@ object SparkEntry {
       "wc_typed" ->
         s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($tokenized) u
            |WHERE word <> '' GROUP BY word ORDER BY key""".stripMargin,
+      "wc_salted" ->
+        s"""SELECT word, count(*) AS cnt FROM ($tokenized) u
+           |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,
           |  round(sum(l_quantity), 2) AS sum_qty,
@@ -205,6 +213,23 @@ object SparkEntry {
           |        CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END AS big_price
           |      FROM orders) t
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q19_grouping_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  round(sum(l_extendedprice), 2) AS total, count(1) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+          |ORDER BY returnflag, linestatus""".stripMargin,
+      "ev_asof" ->
+        """WITH e AS (SELECT user_id, event_id, ts, event_type,
+          |    CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END AS click_s
+          |  FROM events),
+          |w AS (SELECT user_id, event_id, ts, event_type,
+          |    last_value(click_s IGNORE NULLS) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_s
+          |  FROM e)
+          |SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s, prior_click_s
+          |FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
       "tx_stats" ->
         """SELECT doc_id, length(text) AS n_chars,
           |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,

@@ -258,6 +258,38 @@ object Relational {
       .orderBy($"l_orderkey", $"l_partkey", $"l_linenumber")
   }
 
+  /** SQL front-door + GROUPING SETS (the explicit form behind
+    * rollup/cube): the engine's tables work as temp views for users
+    * who speak SQL rather than the DataFrame API. */
+  def q19GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             round(sum(l_extendedprice), 2) AS total,
+             count(1) AS n
+      FROM graft_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      ORDER BY returnflag, linestatus""")
+  }
+
+  /** Mergeable sketches — the 100 TB substitutes for exact holistic
+    * aggregates: HLL approximate distinct and approximate quantiles,
+    * both fixed-memory, single-pass, partition-mergeable. No SQL
+    * oracle (sketch internals are engine-specific); the exact
+    * counterparts are oracle-checked in q10. */
+  def q20Sketches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Null-handling semantics: conditional NULL injection, coalesce,
     * null-safe equality, count(col) vs count(*) divergence. */
   def q18Nulls(s: SparkSession, dir: String): DataFrame = {

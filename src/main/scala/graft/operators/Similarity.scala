@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Embedding similarity search over `embeddings.embedding: array<float>`
   * (builder prompt: ANN is a first-class component).
   *
@@ -24,14 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a single codegen'd expression. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ. The HOF (`zip_with`+`aggregate`) formulation evaluates
+    * interpreted — one boxed call per element per pair — so the hot
+    * paths use the fused [[graft.functions.CosineSim]] kernel instead;
+    * accumulation order is identical, results bit-equal. */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dotProduct(a, b)
 
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
   /** Exact cosine top-k: `numQueries` probe vectors against the whole
     * corpus. Row-wise window head with full tie-break (score desc,

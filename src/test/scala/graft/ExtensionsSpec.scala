@@ -1,0 +1,27 @@
+package graft
+
+/** SQL registration of the custom expressions. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft functions callable from plain SQL after register()") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fnv1a32('a') AS h32, graft_fnv1a64('a') AS h64,
+        |  graft_simhash64('hello world') AS sh,
+        |  size(graft_minhash('hello world hello')) AS sig_len,
+        |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos_same,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 0xe40c292c)
+    assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
+    assert(r.getInt(3) == 16)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 11.0)
+  }
+
+  test("extensions class registers the same builders") {
+    assert(GraftExtensions.builders.keySet == Set(
+      "graft_fnv1a32", "graft_fnv1a64", "graft_simhash64",
+      "graft_minhash", "graft_cosine", "graft_dot"))
+  }
+}
