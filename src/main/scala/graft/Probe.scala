@@ -26,6 +26,14 @@ object Probe {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("plans")) {
+      args.drop(2).foreach { q =>
+        println(s"===== $q =====")
+        SparkEntry.queries(q)(spark, dir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("sql")) {
       GraftExtensions.register(spark)
       Tables.documents(spark, dir).createOrReplaceTempView("docs")

@@ -55,6 +55,7 @@ object SparkEntry {
     "q18_nulls" -> Relational.q18Nulls _,
     "q19_grouping_sets" -> Relational.q19GroupingSets _,
     "q20_sketches" -> Relational.q20Sketches _,
+    "q21_pivot" -> Relational.q21Pivot _,
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
@@ -213,6 +214,14 @@ object SparkEntry {
           |        CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END AS big_price
           |      FROM orders) t
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q21_pivot" ->
+        """SELECT o_orderstatus,
+          |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+          |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+          |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+          |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+          |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "q19_grouping_sets" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           |  coalesce(l_linestatus, 'ALL') AS linestatus,

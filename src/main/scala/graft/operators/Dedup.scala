@@ -70,16 +70,18 @@ object Dedup {
     // band hashes: static Scala loop → one array column of `bands` buckets
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit(b), slice($"sig", b * rows + 1, rows))): _*)
-    val banded = signed.select($"doc_id",
+    // carry the signature through the band explode: signatures are
+    // computed once per doc and candidates need no join-back (the
+    // join-back formulation scanned documents 4× and recomputed every
+    // signature 3×). Shuffle cost: bands × (16 longs + key) per doc.
+    val banded = signed.select($"doc_id", $"sig",
       posexplode(bandHashes).as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .where($"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2"))
-      .distinct()
-    val sigs1 = signed.select($"doc_id".as("id1"), $"sig".as("sig1"))
-    val sigs2 = signed.select($"doc_id".as("id2"), $"sig".as("sig2"))
-    cand.join(sigs1, "id1").join(sigs2, "id2")
-      .select($"id1", $"id2",
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2"),
+        $"x.sig".as("sig1"), $"y.sig".as("sig2"))
+      .dropDuplicates("id1", "id2")
+    cand.select($"id1", $"id2",
         (size(filter(zip_with($"sig1", $"sig2", (a, b) => a === b), v => v))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)

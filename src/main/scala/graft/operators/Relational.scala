@@ -290,6 +290,24 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Pivot (columns from data values): order counts per status,
+    * pivoted by priority. Fixed value list so the pivot needs no extra
+    * values-discovery job and the output schema is static — the only
+    * form that's sane at scale. */
+  def q21Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select($"o_orderstatus",
+        $"1-URGENT".as("p1_urgent"), $"2-HIGH".as("p2_high"),
+        $"3-MEDIUM".as("p3_medium"), $"4-NOT SPECIFIED".as("p4_notspec"),
+        $"5-LOW".as("p5_low"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Null-handling semantics: conditional NULL injection, coalesce,
     * null-safe equality, count(col) vs count(*) divergence. */
   def q18Nulls(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the reference's two formats (whole text
+  * files in, tab-separated text out — worker.go:126,225-239): the
+  * formats a Spark-native engine gets declaratively, wrapped with the
+  * options that matter for correctness and scale.
+  *
+  * Scale notes: every reader here is splittable (parquet/orc row
+  * groups, line-oriented csv/json) except multiline json/csv — avoid
+  * those at 100 TB. Writers partition output one file per task;
+  * `partitionByCols` adds hive-style directory partitioning so
+  * downstream reads prune entire directories.
+  */
+object Sources {
+
+  def readParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, sep: String = ","): DataFrame =
+    s.read.schema(schema) // explicit schema: inference is a full extra pass
+      .option("header", header).option("sep", sep)
+      .csv(path)
+
+  def readJsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path) // JSON-lines: splittable; no multiline
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  /** Line-oriented text (one row per line, column `value`). */
+  def readText(s: SparkSession, paths: String*): DataFrame =
+    s.read.text(paths: _*)
+
+  def write(df: DataFrame, path: String, format: String,
+            partitionByCols: Seq[String] = Nil,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format(format)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .save(path)
+  }
+
+  /** The reference's sink: tab-separated `key\tvalue` text files
+    * (`mr-out-N`). */
+  def writeTsv(df: DataFrame, path: String, partitions: Int = 1): Unit =
+    graft.operators.WordCount.writeTsv(df, path, partitions)
+}
