@@ -23,6 +23,14 @@ object Probe {
         org.apache.spark.sql.streaming.OutputMode.Complete)
       println(s"streaming_windows=${out.count()}")
       out.orderBy($"win_start", $"event_type").show(5)
+      val dup = java.nio.file.Files.createTempDirectory("probe-dup").toString + "/events"
+      val ev = Tables.events(spark, dir)
+      ev.union(ev).write.mode("overwrite").parquet(dup)
+      val deduped = streaming.StreamingOps.runToMemory(
+        streaming.StreamingOps.streamingDedup(
+          streaming.StreamingOps.eventsStream(spark, dup), Seq("event_id"), "10 days"),
+        "probe_dedup")
+      println(s"dedup: in=${ev.count() * 2} out=${deduped.count()}")
       spark.stop()
       return
     }

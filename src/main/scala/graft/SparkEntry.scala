@@ -62,6 +62,7 @@ object SparkEntry {
     "tx_quality" -> TextAnalysis.qualityScore _,
     "tx_langid" -> TextAnalysis.languageId _,
     "tx_fingerprint" -> TextAnalysis.fingerprint _,
+    "tx_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
@@ -286,6 +287,9 @@ object SparkEntry {
           |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
           |       ELSE 'fr' END AS pred_lang
           |FROM sc ORDER BY doc_id""".stripMargin,
+      "tx_heavy_hitters" ->
+        s"""SELECT word, count(*) AS cnt FROM ($tokenized) u
+           |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
       "tx_fingerprint" ->
         """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
           |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.HeavyHitters
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,6 +108,22 @@ object TextAnalysis {
           .when(es === best, "es")
           .otherwise("fr").as("pred_lang"))
       .orderBy($"doc_id")
+  }
+
+  /** Approximate heavy hitters: the top-k most frequent tokens via the
+    * Misra-Gries sketch ([[graft.functions.MisraGries]]) — fixed
+    * O(capacity) memory per partition, one mergeable sketch per
+    * partition crosses the shuffle. capacity=64 exceeds this corpus's
+    * vocabulary, so the sketch is exact here and the SQL oracle can
+    * hash-check it; at 100 TB the same plan holds with bounded error. */
+  def heavyHitters(s: SparkSession, dir: String,
+                   capacity: Int = 64, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val toks = WordCount.tokenize(Tables.documents(s, dir), "text")
+    toks.agg(HeavyHitters.sketch($"word", capacity).as("sketch"))
+      .select(explode($"sketch").as(Seq("word", "cnt")))
+      .orderBy($"cnt".desc, $"word")
+      .limit(topK)
   }
 
   /** Document fingerprinting: full-content hashes (md5/sha2 built-ins,

@@ -84,6 +84,15 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen,
+    * with state bounded by the watermark (dropDuplicatesWithinWatermark
+    * — keys older than the watermark are pruned; exactly the shape of
+    * a continuous training-data ingest dedup). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drain a streaming DataFrame through the in-memory sink and return
     * the materialized table — the synchronous harness batch tests use. */
   def runToMemory(df: DataFrame, name: String,

@@ -57,6 +57,19 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops exact duplicate events within the watermark") {
+    // stage a dir containing the events twice (simulated re-delivery)
+    val dup = java.nio.file.Files.createTempDirectory("events-dup").toString + "/events"
+    val ev = Tables.events(spark, sfDir)
+    ev.union(ev).write.mode("overwrite").parquet(dup)
+    val deduped = StreamingOps.runToMemory(
+      StreamingOps.streamingDedup(
+        StreamingOps.eventsStream(spark, dup), Seq("event_id"), "10 days"),
+      "dedup_mem")
+    assert(deduped.count() == ev.count())
+    assert(deduped.select("event_id").distinct().count() == ev.count())
+  }
+
   test("batch sessionization: gaps within sessions ≤ 30min, between sessions > 30min") {
     val sessions = operators.Events.sessionize(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.HashFunctions
+import graft.operators.{Dedup, WordCount}
+import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5 test strategy):
+  * count == input multiplicity, tokenizer postconditions, hash
+  * streaming composition, sketch error bounds. Plain scalacheck Gen
+  * with fixed seeds (the scalatest bridge artifact isn't in the
+  * offline cache) — deterministic across runs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val docGen: Gen[List[String]] = Gen.listOfN(60, wordGen)
+
+  test("word count equals input multiplicity for arbitrary docs") {
+    samples(docGen, 8).foreach { words =>
+      val df = Seq(words.mkString(" ")).toDF("text")
+      val got = WordCount.wordCount(df).collect()
+        .map { case Row(w: String, c: Long) => w -> c }.toMap
+      val expected = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      assert(got == expected)
+    }
+  }
+
+  test("tokenizer postconditions: lowercase, non-empty, no cutset at ends") {
+    val cutset = ".,!?\"':;()".toSet
+    val messy = Gen.listOfN(30, Gen.oneOf(
+      wordGen, wordGen.map(w => s"..$w!!"), Gen.const("?!."), wordGen.map(w => s"($w)")))
+    samples(messy, 8).foreach { words =>
+      val df = Seq(words.mkString(" ")).toDF("text")
+      val toks = WordCount.tokenize(df, "text").as[String].collect()
+      toks.foreach { t =>
+        assert(t.nonEmpty)
+        assert(t == t.toLowerCase)
+        assert(!cutset.contains(t.head) && !cutset.contains(t.last), t)
+      }
+    }
+  }
+
+  test("fnv1a64 is a left fold: hashing a concatenation continues the state") {
+    samples(Gen.zip(wordGen, wordGen), 20).foreach { case (a, b) =>
+      val ab = (a + b).getBytes("UTF-8")
+      val full = HashFunctions.fnv1a64Bytes(ab, 0, ab.length)
+      var h = HashFunctions.fnv1a64Bytes(a.getBytes("UTF-8"), 0, a.getBytes("UTF-8").length)
+      b.getBytes("UTF-8").foreach { byte =>
+        h ^= (byte & 0xffL); h *= 0x100000001b3L
+      }
+      assert(full == h)
+    }
+  }
+
+  test("misra-gries is exact when distinct <= capacity, bounded otherwise") {
+    samples(docGen, 5).foreach { words =>
+      val truth = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val df = words.toDF("word")
+      val exact = df.agg(graft.functions.HeavyHitters.sketch($"word", 1000).as("m"))
+        .selectExpr("explode(m)").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(exact == truth)
+      val cap = 5
+      val approx = df.agg(graft.functions.HeavyHitters.sketch($"word", cap).as("m"))
+        .selectExpr("explode(m)").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bound = words.size.toLong / (cap + 1)
+      approx.foreach { case (w, c) =>
+        assert(c <= truth(w), s"over-count $w")
+        assert(c >= truth(w) - bound, s"under bound $w")
+      }
+    }
+  }
+
+  test("minhash agreement estimates jaccard sanely across overlap levels") {
+    Seq(0, 10, 25, 40).foreach { overlap =>
+      val a = (0 until 50).map(i => s"tokena$i").mkString(" ")
+      val b = ((0 until overlap).map(i => s"tokena$i") ++
+        (overlap until 50).map(i => s"tokenb$i")).mkString(" ")
+      val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+      val sigs = df.select($"doc_id",
+        Dedup.minhashSig(Dedup.normText($"text"), 5, 128).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(0L).zip(sigs(1L)).count { case (x, y) => x == y } / 128.0
+      assert(est >= 0.0 && est <= 1.0)
+      if (overlap == 0) assert(est < 0.45, s"overlap=0 est=$est")
+      if (overlap == 40) assert(est > 0.3, s"overlap=40 est=$est")
+    }
+    // identical docs → estimate exactly 1
+    val df = Seq((0L, "same doc twice"), (1L, "same doc twice")).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id",
+      Dedup.minhashSig(Dedup.normText($"text"), 5, 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+  }
+}
