@@ -13,10 +13,13 @@ object Bench {
     // Warm up the JVM/codegen/shuffle machinery so the first timed
     // query doesn't absorb session initialization (~4 s otherwise).
     SparkEntry.queries.get("q1_pricing")
-      .foreach(fn => fn(spark, sfDir).count())
+      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: evaluates every output column and row (count() would
+      // let Catalyst prune computed columns and measure a cheaper plan)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -78,6 +78,7 @@ object SparkEntry {
     "ev_json" -> Events.jsonExtract _,
     "ev_top_users" -> Events.hourlyTopUsers _,
     "ev_asof" -> Events.asofPurchaseClick _,
+    "ev_interval_join" -> Events.intervalJoinSessions _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -354,6 +355,27 @@ object SparkEntry {
           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
           |  count(*) AS n_events, round(sum(value), 2) AS session_value
           |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      "ev_interval_join" ->
+        """WITH e AS (SELECT user_id, event_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |  FROM events),
+          |f AS (SELECT user_id, event_id, ts,
+          |    CASE WHEN prev_ts IS NULL OR
+          |      CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+          |      THEN 1 ELSE 0 END AS new_session
+          |  FROM e),
+          |g AS (SELECT user_id, ts,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM f),
+          |sess AS (SELECT user_id, session_id,
+          |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s_s,
+          |    CAST(floor(epoch(max(ts))) AS BIGINT) AS e_s
+          |  FROM g GROUP BY user_id, session_id),
+          |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+          |SELECT s.user_id, s.session_id, count(*) AS n_joined
+          |FROM sess s JOIN p ON p.user_id = s.user_id AND p.ts_s BETWEEN s.s_s AND s.e_s
+          |GROUP BY s.user_id, s.session_id ORDER BY s.user_id, s.session_id""".stripMargin,
       "ev_json" ->
         """SELECT event_type, count(*) AS n,
           |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

@@ -36,6 +36,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("interval join plans as an equi-join, not a nested loop") {
+    val p = plan(graft.operators.Events.intervalJoinSessions(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
   test("word count stays inside whole-stage codegen") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     // Codegen'd operators are marked "*(n)" in the final plan string.
