@@ -69,6 +69,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_near_dup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     // ---- M3: event-time semantics ----

@@ -107,6 +107,51 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** IVF (inverted-file) ANN — the data-adaptive scale path beside
+    * sign-LSH: vectors are assigned to their nearest of `nLists` seed
+    * centroids (argmax cosine, broadcast centroids, one map-side pass);
+    * a query probes only its `nProbe` nearest centroid lists. At 100 TB
+    * the corpus is hash-partitioned by list id, so a probe touches
+    * nProbe/nLists of the data. Centroids here are deterministic seed
+    * vectors (vec_id < nLists) — swap in trained k-means centroids
+    * without changing the plan. Recall is data-dependent (isotropic
+    * test vectors give no clustering win); the *plumbing* — assign,
+    * invert, probe, rescore — is the operator. */
+  def ivfTopK(s: SparkSession, dir: String, nLists: Int = 16, nProbe: Int = 4,
+              numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val centroids = emb.filter($"vec_id" < nLists)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    // assign every vector to its nearest centroid list
+    val assignW = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"cid")
+    val assigned = emb.join(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"cid", cosine($"embedding", $"cvec").as("c_sim"))
+      .withColumn("rk", row_number().over(assignW))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"cid")
+    // queries probe their nProbe nearest lists
+    val probeW = Window.partitionBy($"query_id").orderBy($"c_sim".desc, $"cid")
+    val probes = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+      .join(broadcast(centroids))
+      .select($"query_id", $"q", $"cid", cosine($"q", $"cvec").as("c_sim"))
+      .withColumn("rk", row_number().over(probeW))
+      .filter($"rk" <= nProbe)
+      .select($"query_id", $"q", $"cid")
+    // rescore exactly within probed lists only
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    assigned.join(probes, Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"),
+        $"cid".cast("long").as("probed_list"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Embedding-cosine near-duplicate detection: pairs above a high
     * cosine threshold, found inside LSH buckets (bucket-equality join,
     * never all-pairs). */

@@ -43,6 +43,23 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.toSeq == again.toSeq)
   }
 
+  test("ivf top-k: scores are true cosines, ranks dense per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = Similarity.ivfTopK(spark, sfDir, numQueries = 5, topK = 3).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length))
+    }
+    got.foreach { r =>
+      val (q, id, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val expected = BigDecimal(cos(emb(q), emb(id)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sim - expected) < 1e-9, s"($q,$id)")
+    }
+  }
+
   test("lsh top-k candidates are true cosine scores (subset of brute force domain)") {
     val emb = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) as e")
