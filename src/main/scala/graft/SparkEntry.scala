@@ -219,11 +219,11 @@ object SparkEntry {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "q21_pivot" ->
         """SELECT o_orderstatus,
-          |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
-          |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
-          |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
-          |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
-          |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+          |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+          |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+          |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+          |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+          |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "q19_grouping_sets" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -47,4 +47,19 @@ object Sources {
     * (`mr-out-N`). */
   def writeTsv(df: DataFrame, path: String, partitions: Int = 1): Unit =
     graft.operators.WordCount.writeTsv(df, path, partitions)
+
+  /** Bucketed managed table: rows are hash-partitioned into
+    * `numBuckets` files per partition by `bucketCols` and sorted
+    * within buckets. Two tables bucketed the same way join WITHOUT any
+    * exchange — at 100 TB this converts the fact-fact shuffle
+    * (SCALING.md) into a storage-time cost paid once. Requires
+    * saveAsTable (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

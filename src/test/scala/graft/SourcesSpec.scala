@@ -37,6 +37,44 @@ class SourcesSpec extends SparkSpec {
       nation.orderBy($"n_nationkey").collect().toSeq)
   }
 
+  test("co-bucketed tables join without an exchange") {
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+    val ord = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_totalprice")
+    // clear any orphaned warehouse locations from prior failed runs
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sources.writeBucketed(li, "b_lineitem", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    Sources.writeBucketed(ord, "b_orders", Seq("o_orderkey"), 4, Seq("o_orderkey"))
+    // disable auto-broadcast so the planner must consider the shuffle
+    // it would need — and then elide it because both sides are
+    // co-bucketed on the join key
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      joined.collect() // finalize AQE plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p)     // bucketing removed the shuffle
+      assert(joined.count() == li.count())   // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
   test("partitioned parquet write prunes directories on read") {
     val dir = tmp() + "/part"
     Sources.write(nation, dir, "parquet", partitionByCols = Seq("n_regionkey"))
