@@ -48,6 +48,27 @@ class HashSpec extends SparkSpec {
     }
   }
 
+  test("kernels propagate null inputs as null") {
+    val df = Seq(Some("text"), None).toDF("s")
+    val r = df.select(
+      HashFunctions.fnv1a32(col("s")).as("a"),
+      HashFunctions.fnv1a64(col("s")).as("b"),
+      graft.functions.SketchFunctions.simhash64(col("s")).as("c"),
+      graft.functions.SketchFunctions.minhash(col("s"), 5, 4).as("d"))
+      .collect()
+    assert(r.forall(row => (0 to 3).forall(i => !row.isNullAt(i)) || row.anyNull))
+    val nullRow = r.find(_.anyNull).get
+    (0 to 3).foreach(i => assert(nullRow.isNullAt(i), s"col $i"))
+  }
+
+  test("cosine kernel: self-similarity is exactly 1 within fp tolerance") {
+    GraftExtensions.register(spark)
+    val sim = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d, 3.0d))")
+      .collect().head.getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
   test("referencePartition reproduces ihash routing: non-negative, < nReduce, deterministic") {
     val words = Seq("the", "quick", "brown", "fox", "hello", "world")
     val df = words.toDF("w")
