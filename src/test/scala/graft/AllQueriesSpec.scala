@@ -1,0 +1,43 @@
+package graft
+
+/** Registry-wide guardrails: every declared query must (a) execute and
+  * return rows at sf0.001 (protects the driver's rows-only checks) and
+  * (b) avoid unbounded cross products — nested-loop joins are allowed
+  * only where the query intentionally bounds its domain. */
+class AllQueriesSpec extends SparkSpec {
+
+  // intentionally-bounded non-equi joins: explicit domain limits
+  // (dd_ngram_jaccard: doc_id < 50; ann_brute_topk: numQueries probe
+  // rows) or a broadcast cross against a constant-size side
+  // (ann_ivf_topk: nLists centroids)
+  private val nestedLoopAllowed =
+    Set("dd_ngram_jaccard", "ann_brute_topk", "ann_ivf_topk")
+
+  test("every registered query returns rows at sf0.001") {
+    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"empty results: $empty")
+  }
+
+  test("no unbounded nested-loop joins in declared query plans") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!nestedLoopAllowed(name)) {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unbounded nested-loop join")
+      }
+    }
+  }
+
+  test("every oracleSql key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
