@@ -25,6 +25,64 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def signLsh(v: Column, dim: Int, bits: Int, tables: Int): Column =
+    ColumnBridge.column(SignLshBuckets(ColumnBridge.expression(v), dim, bits, tables))
+}
+
+/** Sign-LSH bucket ids for `tables` independent hash tables in one
+  * pass: bucket bit b of table t is the sign of the dot product with a
+  * deterministic pseudo-random hyperplane. The Column-expression
+  * formulation of this (tables × bits × dim literal terms) produced a
+  * ~4096-node tree whose codegen/compile dominated the query; here the
+  * planes are precomputed once per executor and the eval is a tight
+  * triple loop. */
+case class SignLshBuckets(child: Expression, dim: Int, bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "graft_sign_lsh"
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    def mix(x: Long): Long = {
+      var h = x * -7046029254386353131L
+      h = java.lang.Long.rotateLeft(h, 31) * -4417276706812531889L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 29
+      h
+    }
+    Array.tabulate(tables * bits) { tb =>
+      val t = tb / bits; val b = tb % bits
+      Array.tabulate(dim) { d =>
+        java.lang.Long.hashCode(
+          mix(t * 7919L * dim * bits + b * 1009 + d)) / Int.MaxValue.toDouble
+      }
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t * bits + b)
+        var proj = 0.0
+        var d = 0
+        while (d < n) { proj += arr.getDouble(d) * plane(d); d += 1 }
+        if (proj > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SignLshBuckets =
+    copy(child = c)
 }
 
 case class DotProduct(left: Expression, right: Expression)

@@ -58,39 +58,18 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
-  /** Sign-LSH bucket id: bit b of the signature is the sign of the dot
-    * product with a pseudo-random hyperplane. Hyperplanes are derived
-    * deterministically from (table, bit, dimension) via an avalanche
-    * mix → [-1, 1) — reproducible with zero stored model state.
-    * Distinct `table` values give independent hash tables (standard
+  /** Sign-LSH bucket id for one table: computed by the
+    * [[graft.functions.SignLshBuckets]] kernel (precomputed planes,
+    * tight loop). The equivalent Column-expression tree (bits × dim
+    * literal terms, ×4 tables ≈ 4096 nodes) spent its time in codegen
+    * compilation — the kernel is the same math in one pass. */
+  def lshBucket(v: Column, dim: Int, bits: Int, table: Int = 0): Column =
+    element_at(VectorFunctions.signLsh(v, dim, bits, table + 1), table + 1)
+
+  /** Bucket ids for `tables` independent hash tables (standard
     * multi-table LSH: candidate recall 1-(1-p^bits)^tables). */
-  def lshBucket(v: Column, dim: Int, bits: Int, table: Int = 0): Column = {
-    val planes = (0 until bits).map { b =>
-      val plane = (0 until dim).map { d =>
-        // deterministic pseudo-random coefficient in [-1, 1)
-        (java.lang.Long.hashCode(xxhashLong(table * 7919L * dim * bits + b * 1009 + d))
-          / Int.MaxValue.toDouble)
-      }
-      val proj = (0 until dim).map(d =>
-        element_at(v, d + 1) * lit(plane(d))).reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
-
-  /** (table, bucket) pairs for multi-table LSH, as one generator
-    * column for posexplode. */
   private def lshBuckets(v: Column, dim: Int, bits: Int, tables: Int): Column =
-    array((0 until tables).map(t => lshBucket(v, dim, bits, t)): _*)
-
-  /** Deterministic driver-side 64-bit mix (xxhash-style avalanche) used
-    * to derive hyperplane coefficients. */
-  private def xxhashLong(x: Long): Long = {
-    var h = x * -7046029254386353131L
-    h = java.lang.Long.rotateLeft(h, 31) * -4417276706812531889L
-    h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 29
-    h
-  }
+    VectorFunctions.signLsh(v, dim, bits, tables)
 
   /** Multi-table LSH approximate top-k: candidates are corpus vectors
     * sharing ANY of `tables` bucket ids with the query (recall
@@ -106,12 +85,15 @@ object Similarity {
       posexplode(lshBuckets($"embedding", dim, bits, tables)).as(Seq("tbl", "bucket")))
     val queries = banded.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q"), $"tbl", $"bucket")
-    val cand = banded.join(broadcast(queries), Seq("tbl", "bucket"))
+    // score BEFORE dedup: a table-collision duplicate recomputes a
+    // 64-dim kernel (cheap, map-side) but the dedup then shuffles
+    // 24-byte (query, vec, score) rows instead of ~1 KB embedding
+    // pairs — the wide-row dedup was 10× slower at sf0.1
+    val scored = banded.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"q", $"vec_id", $"embedding")
+      .select($"query_id", $"vec_id",
+        round(cosine($"q", $"embedding"), 6).as("cos_sim"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = cand.select($"query_id", $"vec_id",
-      round(cosine($"q", $"embedding"), 6).as("cos_sim"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)
@@ -180,10 +162,12 @@ object Similarity {
         posexplode(lshBuckets($"embedding", dim, bits, tables)).as(Seq("tbl", "bucket")))
     val a = banded.select($"tbl", $"bucket", $"vec_id".as("id1"), $"embedding".as("e1"))
     val b = banded.select($"tbl", $"bucket", $"vec_id".as("id2"), $"embedding".as("e2"))
+    // score + threshold-filter inside the bucket join, dedup the
+    // surviving narrow rows (see lshTopK: wide-row dedup is the trap)
     a.join(b, Seq("tbl", "bucket")).where($"id1" < $"id2")
-      .dropDuplicates("id1", "id2")
       .select($"id1", $"id2", round(cosine($"e1", $"e2"), 6).as("cos_sim"))
       .filter($"cos_sim" >= threshold)
+      .dropDuplicates("id1", "id2")
       .orderBy($"id1", $"id2")
   }
 }
