@@ -84,6 +84,30 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream join: purchases joined to the same user's clicks
+    * within the preceding hour. Both sides are watermarked so the join
+    * state (buffered unmatched rows) is pruned once the watermark
+    * passes the time bound — without the range condition + watermarks
+    * this state would grow forever. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Streaming exact dedup: drop events whose key was already seen,
     * with state bounded by the watermark (dropDuplicatesWithinWatermark
     * — keys older than the watermark are pruned; exactly the shape of

@@ -70,6 +70,34 @@ class EventsStreamingSpec extends SparkSpec {
     assert(deduped.select("event_id").distinct().count() == ev.count())
   }
 
+  test("stream-stream purchase-click join matches batch range join") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.purchaseClickJoin(StreamingOps.eventsStream(spark, streamDir)),
+      "ssjoin_mem")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("pid"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"), $"event_id".as("cid"))
+    val batch = p.join(c, $"pu" === $"cu" && $"cts" <= $"pts" &&
+        $"cts" >= $"pts" - expr("INTERVAL 1 HOUR"))
+      .select($"pid", $"cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("typed cogroup combines two corpora per key") {
+    val a = Seq(("w1", "1"), ("w1", "1"), ("w2", "1")).toDS()
+    val b = Seq(("w1", "1"), ("w3", "1")).toDS()
+    val diff = graft.mr.MapReduce.cogroup(spark, a, b) { (k, ls, rs) =>
+      Iterator.single(k -> (ls.size.toLong - rs.size.toLong))
+    }.collect().toMap
+    assert(diff == Map("w1" -> 1L, "w2" -> 1L, "w3" -> -1L))
+  }
+
   test("batch sessionization: gaps within sessions ≤ 30min, between sessions > 30min") {
     val sessions = operators.Events.sessionize(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
