@@ -285,8 +285,13 @@ object Relational {
       .agg(
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
         approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95_price"))
+        // one sketch serves both quantiles — half the buffer work of
+        // two separate percentile_approx aggregates
+        percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)), lit(1000))
+          .as("price_quantiles"))
+      .select($"l_returnflag", $"approx_parts", $"approx_orders",
+        element_at($"price_quantiles", 1).as("p50_price"),
+        element_at($"price_quantiles", 2).as("p95_price"))
       .orderBy($"l_returnflag")
   }
 
