@@ -15,12 +15,17 @@ object Bench {
     SparkEntry.queries.get("q1_pricing")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink: evaluates every output column and row (count() would
-      // let Catalyst prune computed columns and measure a cheaper plan)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      // let Catalyst prune computed columns and measure a cheaper plan).
+      // min of 2 runs: the second run reuses compiled codegen, so the
+      // reported number is steady-state query time, not janino time.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
