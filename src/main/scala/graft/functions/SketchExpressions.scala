@@ -27,6 +27,38 @@ object SketchFunctions {
 
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** |A ∩ B| / |A ∪ B| over two string arrays (inputs assumed distinct,
+  * as shingle arrays are). Set-semantics identical to
+  * `size(array_intersect)/size(array_union)`, but one hash-set pass per
+  * pair instead of interpreted HOF evaluation — this sits inside an
+  * all-candidate-pairs join, the hottest loop of the verify stage. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_jaccard"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
 }
 
 /** MinHash signature over k-byte shingles of the input string.

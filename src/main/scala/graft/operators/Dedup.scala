@@ -132,8 +132,7 @@ object Dedup {
     val b = g.select($"doc_id".as("id2"), $"grams".as("g2"))
     a.join(b, $"id1" < $"id2")
       .select($"id1", $"id2",
-        round(size(array_intersect($"g1", $"g2")).cast("double") /
-          size(array_union($"g1", $"g2")), 4).as("jaccard"))
+        round(SketchFunctions.jaccard($"g1", $"g2"), 4).as("jaccard"))
       .filter($"jaccard" > threshold)
       .orderBy($"id1", $"id2")
   }

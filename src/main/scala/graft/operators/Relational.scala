@@ -283,8 +283,8 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
         // one sketch serves both quantiles — half the buffer work of
         // two separate percentile_approx aggregates
         percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95)), lit(1000))
