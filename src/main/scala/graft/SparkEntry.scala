@@ -56,6 +56,7 @@ object SparkEntry {
     "q19_grouping_sets" -> Relational.q19GroupingSets _,
     "q20_sketches" -> Relational.q20Sketches _,
     "q21_pivot" -> Relational.q21Pivot _,
+    "q22_listagg" -> Relational.q22ListAgg _,
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
@@ -217,6 +218,11 @@ object SparkEntry {
           |        CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END AS big_price
           |      FROM orders) t
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q22_listagg" ->
+        """SELECT o_orderstatus,
+          |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+          |  count(*) AS n
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "q21_pivot" ->
         """SELECT o_orderstatus,
           |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,

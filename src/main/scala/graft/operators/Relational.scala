@@ -313,6 +313,21 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Holistic aggregation: per-group ordered distinct concatenation
+    * (listagg). collect_set is the one agg here whose buffer grows with
+    * group cardinality — bounded (≤2 statuses, ≤5 priorities), which is
+    * the only regime where holistic aggs are scale-safe; unbounded
+    * cases belong to sketches (q20) or explicit salting (wc_salted). */
+  def q22ListAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        array_join(sort_array(collect_set($"o_orderpriority")), ",").as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Null-handling semantics: conditional NULL injection, coalesce,
     * null-safe equality, count(col) vs count(*) divergence. */
   def q18Nulls(s: SparkSession, dir: String): DataFrame = {
