@@ -64,6 +64,7 @@ object SparkEntry {
     "tx_langid" -> TextAnalysis.languageId _,
     "tx_fingerprint" -> TextAnalysis.fingerprint _,
     "tx_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
+    "tx_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
@@ -81,6 +82,7 @@ object SparkEntry {
     "ev_top_users" -> Events.hourlyTopUsers _,
     "ev_asof" -> Events.asofPurchaseClick _,
     "ev_interval_join" -> Events.intervalJoinSessions _,
+    "ev_funnel" -> Events.funnel _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -298,6 +300,14 @@ object SparkEntry {
       "tx_heavy_hitters" ->
         s"""SELECT word, count(*) AS cnt FROM ($tokenized) u
            |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+      "tx_bigrams" ->
+        """WITH t AS (SELECT list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+          |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
+          |SELECT bigram, count(*) AS cnt FROM b
+          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
       "tx_fingerprint" ->
         """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
           |FROM documents ORDER BY doc_id""".stripMargin,
@@ -383,6 +393,14 @@ object SparkEntry {
           |SELECT s.user_id, s.session_id, count(*) AS n_joined
           |FROM sess s JOIN p ON p.user_id = s.user_id AND p.ts_s BETWEEN s.s_s AND s.e_s
           |GROUP BY s.user_id, s.session_id ORDER BY s.user_id, s.session_id""".stripMargin,
+      "ev_funnel" ->
+        """WITH u AS (SELECT user_id,
+          |    min(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,
+          |    min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase
+          |  FROM events GROUP BY user_id)
+          |SELECT count(*) AS n_users, count(first_signup) AS n_signed_up,
+          |  count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+          |FROM u""".stripMargin,
       "ev_json" ->
         """SELECT event_type, count(*) AS n,
           |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

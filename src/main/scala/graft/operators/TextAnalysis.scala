@@ -126,6 +126,26 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Top bigrams (consecutive token pairs) across the corpus — the
+    * n-gram counting backbone of LM data work. Bigram generation is
+    * map-side (transform over the token array, no UDF); counting gets
+    * partial aggregation like the unigram path. */
+  def topBigrams(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import s.implicits._
+    val toks = filter(split(lower(regexp_replace($"text", "\\s+", " ")), " "),
+      t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bigram")
+      .limit(topK)
+  }
+
   /** Document fingerprinting: full-content hashes (md5/sha2 built-ins,
     * codegen'd) — the exact-dedup join keys. A 64-bit xxhash64 over
     * whitespace-normalized text (not ANSI-expressible, used by Dedup)
