@@ -66,6 +66,40 @@ object Multimodal {
     media.mapPartitions { it => it.map(FakeCodec.decode) }
   }
 
+  final case class MediaFeatures(media_id: Long, kind: String,
+                                 features: Array[Double])
+
+  /** Feature extraction: payload → fixed-width feature vector, one
+    * codec instance per partition. The STUB computes a 16-bin byte
+    * histogram (deterministic, unit-normalized); a real pipeline swaps
+    * in an image/audio encoder producing an embedding — identical
+    * signature, identical plan (map-side, fixed output width, ready
+    * for the ANN operators downstream). */
+  def extractFeatures(media: Dataset[MediaRow], bins: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val hist = new Array[Double](bins)
+        r.payload.foreach(b => hist((b & 0xff) * bins / 256) += 1.0)
+        val n = math.max(r.payload.length, 1).toDouble
+        MediaFeatures(r.media_id, r.kind, hist.map(_ / n))
+      }
+    }
+  }
+
+  /** Resize: re-target the fake decode dimensions and subsample the
+    * payload proportionally (STUB for a real scaler — the plan shape,
+    * a pure map with bounded output size, is what carries over). */
+  def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val d = FakeCodec.decode(r)
+      val scale = math.min(targetWidth.toDouble / d.width, 1.0)
+      val keep = math.max((r.payload.length * scale).toInt, 1)
+      r.copy(payload = r.payload.take(keep))
+    }
+  }
+
   /** Frame sampling: keep every `stride`-th 1 KiB chunk of the payload
     * — the plan shape of video frame-sampling (explode to frames,
     * filter by stride, re-group) with the stub codec. */

@@ -33,6 +33,33 @@ class MultimodalSpec extends SparkSpec {
     assert(again == decoded)
   }
 
+  test("feature extraction yields unit-normalized fixed-width vectors") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val feats = Multimodal.extractFeatures(media, bins = 16).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9, f.media_id)
+      assert(f.features.forall(_ >= 0.0))
+    }
+    // deterministic
+    val again = Multimodal.extractFeatures(media, bins = 16).collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("resize bounds payloads to the target scale") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val orig = media.collect().map(m => m.media_id -> m.payload.length).toMap
+    val small = Multimodal.resize(media, targetWidth = 64).collect()
+    small.foreach { r =>
+      assert(r.payload.length <= orig(r.media_id))
+      assert(r.payload.nonEmpty)
+      // prefix subsample: content is a prefix of the original
+      val d = Multimodal.FakeCodec.decode(r)
+      assert(d.n_bytes == r.payload.length.toLong)
+    }
+  }
+
   test("frame sampling keeps every stride-th chunk") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val frames = Multimodal.frameSample(media, stride = 2).collect()
