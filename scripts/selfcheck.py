@@ -44,6 +44,19 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         got, exp = got[gcols], exp[ecols]
+        # dtype-strict: the driver hashes typed values, so int64-vs-float64
+        # (e.g. DuckDB HUGEINT surfacing as float) must fail here too.
+        dtype_bad = []
+        for c in gcols:
+            ka, kb = got[c].dtype.kind, exp[c].dtype.kind
+            ka = "i" if ka == "u" else ka
+            kb = "i" if kb == "u" else kb
+            if ka != kb:
+                dtype_bad.append(f"{c}: spark={got[c].dtype} duck={exp[c].dtype}")
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {'; '.join(dtype_bad)}")
+            failures += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
             failures += 1

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central session factory: every engine entry point (Verify, Bench,
+  * WordCountMain, tests) builds its SparkSession here so semantic confs and
+  * the fault-tolerance envelope are uniform and set once at build time —
+  * never mutated later as a side effect of a table loader.
+  */
+object GraftSession {
+
+  /** The reference's scheduler fault-tolerance envelope, re-expressed as
+    * Spark config (SURVEY.md §4.2). Reference constants from
+    * `/root/reference/distributed/task.go:11-14`: task timeout 10 s with
+    * maxAttempts 3 → `spark.task.maxFailures`; speculative re-execution
+    * when runtime > 1.5× the mean of completed tasks →
+    * `spark.speculation.multiplier = 1.5` (the same constant). Spark's
+    * quantile gate (fraction of tasks done before speculating) replaces the
+    * reference's "≥3 completed samples" rule (task.go:307).
+    */
+  val faultToleranceConf: Map[String, String] = Map(
+    "spark.speculation"            -> "true",
+    "spark.speculation.multiplier" -> "1.5",
+    "spark.speculation.quantile"   -> "0.75",
+    "spark.task.maxFailures"       -> "3"
+  )
+
+  /** Semantic confs every graft session needs.
+    * `nanosAsLong`: events.parquet carries INT64 TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects; read nanos as long and let
+    * `Tables.events` truncate to micros (the same truncation DuckDB applies
+    * loading nanos into its micro-precision TIMESTAMP). Set here, at session
+    * build, so table loaders stay side-effect free and order-independent.
+    */
+  val sqlConf: Map[String, String] = Map(
+    "spark.sql.session.timeZone"             -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong"   -> "true",
+    "spark.ui.enabled"                       -> "false"
+  )
+
+  def build(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
+    var b = SparkSession.builder().master(master).appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    (sqlConf ++ faultToleranceConf).foreach { case (k, v) => b = b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -364,8 +364,8 @@ object SparkEntry {
           |      THEN 1 ELSE 0 END AS new_session
           |  FROM e),
           |g AS (SELECT user_id, event_id, ts, value,
-          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |  FROM f)
           |SELECT user_id, session_id,
           |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
@@ -382,8 +382,8 @@ object SparkEntry {
           |      THEN 1 ELSE 0 END AS new_session
           |  FROM e),
           |g AS (SELECT user_id, ts,
-          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |  FROM f),
           |sess AS (SELECT user_id, session_id,
           |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s_s,

@@ -25,12 +25,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Read nanos as long (legacy conf) and
-    * truncate to microseconds — the same truncation DuckDB applies when
-    * it loads nanos into its micro-precision TIMESTAMP, so both engines
-    * see identical `ts` values. */
+    * parquet reader rejects. The session is built with
+    * `spark.sql.legacy.parquet.nanosAsLong` (GraftSession.sqlConf) so the
+    * read sees a long column; truncate it to microseconds — the same
+    * truncation DuckDB applies when it loads nanos into its micro-precision
+    * TIMESTAMP, so both engines see identical `ts` values. The loader
+    * itself is side-effect free. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -26,13 +26,9 @@ object WordCountMain {
     // stop only a session this main itself created
     val preexisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-      .appName("graft-wordcount")
-      .config("spark.sql.shuffle.partitions", math.max(nReduce, 8))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(
+      sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"),
+      math.max(nReduce, 8), "graft-wordcount")
     val wc = WordCount.wordCountText(spark.read.text(inputs: _*))
       .withColumn("bucket", HashFunctions.referencePartition(col("word"), nReduce))
     wc.repartition(nReduce, col("bucket"))

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass tokenization kernels.
+  *
+  * Same rationale as [[SketchFunctions]]: Spark's lambda higher-order
+  * functions (`transform`/`filter` with `element_at`) evaluate interpreted —
+  * one boxed call per token — which made the bigram build the single most
+  * expensive query in the round-1 bench (10 s of a 36 s total at sf0.1,
+  * for what is pure map-side work). These kernels tokenize the UTF-8 bytes
+  * once in a tight loop and emit exactly what the query needs.
+  *
+  * Tokenization contract (shared by every kernel here): a token is a
+  * maximal run of bytes not in Java regex `\s` = [ \t\n\x0B\f\r] — i.e.
+  * identical to `filter(split(col, "\\s+"), t => t =!= "")`, which both
+  * the round-1 Spark queries and the DuckDB oracles
+  * (`list_filter(regexp_split_to_array(...), x -> x <> '')`) use. All the
+  * `\s` class members are single-byte ASCII, so byte scanning is exact on
+  * UTF-8 input.
+  */
+object TextFunctions {
+
+  /** `array(long)`: element 0 is the total token count; element i+1 is the
+    * number of tokens contained in `sets(i)`. One pass for what was
+    * previously 1 + sets.length interpreted `filter(split(...))` scans. */
+  def tokenSetCounts(c: Column, sets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TokenSetCounts(ColumnBridge.expression(c), sets))
+
+  /** Total whitespace-token count (Go `strings.Fields` semantics). */
+  def wsTokenCount(c: Column): Column =
+    tokenSetCounts(c, Seq.empty).getItem(0)
+
+  /** `array(string)` of space-joined consecutive token pairs; empty for
+    * documents with fewer than two tokens. */
+  def tokenBigrams(c: Column): Column =
+    ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
+}
+
+private[functions] object Tokenize {
+  @inline def isSpace(b: Byte): Boolean =
+    b == ' ' || (b >= 9 && b <= 13) // \t \n \x0B \f \r
+
+  /** Calls f(start, end) for each maximal non-space byte run. */
+  @inline def foreachToken(bytes: Array[Byte])(f: (Int, Int) => Unit): Unit = {
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start) f(start, i)
+    }
+  }
+}
+
+/** See [[TextFunctions.tokenSetCounts]]. Membership sets are materialized
+  * once per executor as UTF8String hash sets. */
+case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_set_counts"
+
+  @transient private lazy val hashSets: Array[java.util.HashSet[UTF8String]] =
+    sets.map { words =>
+      val s = new java.util.HashSet[UTF8String](words.size * 2)
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val counts = new Array[Long](hashSets.length + 1)
+    Tokenize.foreachToken(bytes) { (start, end) =>
+      counts(0) += 1
+      if (hashSets.length > 0) {
+        val tok = UTF8String.fromBytes(bytes, start, end - start)
+        var s = 0
+        while (s < hashSets.length) {
+          if (hashSets(s).contains(tok)) counts(s + 1) += 1
+          s += 1
+        }
+      }
+    }
+    new GenericArrayData(counts)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenSetCounts =
+    copy(child = c)
+}
+
+/** See [[TextFunctions.tokenBigrams]]. */
+case class TokenBigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_bigrams"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val starts = new java.util.ArrayList[Integer]
+    val ends = new java.util.ArrayList[Integer]
+    Tokenize.foreachToken(bytes) { (s, e) => starts.add(s); ends.add(e) }
+    val n = starts.size
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val l1 = ends.get(i) - starts.get(i)
+      val l2 = ends.get(i + 1) - starts.get(i + 1)
+      val buf = new Array[Byte](l1 + 1 + l2)
+      System.arraycopy(bytes, starts.get(i), buf, 0, l1)
+      buf(l1) = ' '
+      System.arraycopy(bytes, starts.get(i + 1), buf, l1 + 1, l2)
+      out(i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenBigrams =
+    copy(child = c)
+}

@@ -28,6 +28,76 @@ object VectorFunctions {
 
   def signLsh(v: Column, dim: Int, bits: Int, tables: Int): Column =
     ColumnBridge.column(SignLshBuckets(ColumnBridge.expression(v), dim, bits, tables))
+
+  def nearestCentroids(v: Column, ids: Seq[Long], vecs: Seq[Seq[Double]], k: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(v), ids, vecs, k))
+}
+
+/** The `k` nearest centroid ids by cosine similarity (ties broken by
+  * smaller id), computed map-side against driver-collected centroids —
+  * the IVF assignment/probe step.
+  *
+  * Why an expression and not a join: the round-1 formulation
+  * (cross-join 16 broadcast centroids then `Window.partitionBy(vec_id)`
+  * argmax) shuffled the ENTIRE corpus — embeddings included — keyed by
+  * vec_id just to take a per-row argmax over 16 candidates. At 100 TB
+  * that is a full-corpus exchange for a map-side decision. Centroid sets
+  * are small by construction (they live on the driver in any k-means
+  * pipeline), so they belong in the expression, and assignment becomes
+  * embarrassingly parallel with zero Exchange (asserted in PlanSpec).
+  * Cosine math matches [[CosineSim]] exactly (same accumulation order).
+  */
+case class NearestCentroids(child: Expression, ids: Seq[Long],
+                            vecs: Seq[Seq[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  require(ids.length == vecs.length && k > 0)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  @transient private lazy val cvecs: Array[Array[Double]] = vecs.map(_.toArray).toArray
+  @transient private lazy val cids: Array[Long] = ids.toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val nc = cvecs.length
+    val sims = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cv = cvecs(c)
+      val n = math.min(a.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getDouble(i); val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    // selection of top-k by (sim desc, id asc); nc is tiny (≤ dozens)
+    val kk = math.min(k, nc)
+    val chosen = new Array[Long](kk)
+    val used = new Array[Boolean](nc)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      c = 0
+      while (c < nc) {
+        if (!used(c) && (best < 0 || sims(c) > sims(best) ||
+            (sims(c) == sims(best) && cids(c) < cids(best)))) best = c
+        c += 1
+      }
+      used(best) = true
+      chosen(r) = cids(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chosen)
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
 }
 
 /** Sign-LSH bucket ids for `tables` independent hash tables in one

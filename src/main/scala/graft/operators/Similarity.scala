@@ -116,30 +116,29 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-    val centroids = emb.filter($"vec_id" < nLists)
-      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-    // assign every vector to its nearest centroid list
-    val assignW = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"cid")
-    val assigned = emb.join(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"cid", cosine($"embedding", $"cvec").as("c_sim"))
-      .withColumn("rk", row_number().over(assignW))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"embedding", $"cid")
-    // queries probe their nProbe nearest lists
-    val probeW = Window.partitionBy($"query_id").orderBy($"c_sim".desc, $"cid")
+    // Centroids live on the driver, as in any k-means pipeline: nLists
+    // small seed rows collected once at plan build. Assignment is then a
+    // pure map-side argmax inside the NearestCentroids kernel — round 1's
+    // broadcast-join + Window.partitionBy(vec_id) formulation shuffled
+    // the whole corpus (embeddings included) for the same decision.
+    val centroidRows = emb.filter($"vec_id" < nLists)
+      .select($"vec_id", $"embedding").collect()
+    val cids = centroidRows.map(_.getLong(0)).toSeq
+    val cvecs = centroidRows.map(_.getSeq[Double](1)).toSeq
+    val assigned = emb.select($"vec_id", $"embedding",
+      VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)
+        .getItem(0).as("cid"))
+    // queries probe their nProbe nearest lists — same kernel, k = nProbe
     val probes = emb.filter($"vec_id" < numQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"))
-      .join(broadcast(centroids))
-      .select($"query_id", $"q", $"cid", cosine($"q", $"cvec").as("c_sim"))
-      .withColumn("rk", row_number().over(probeW))
-      .filter($"rk" <= nProbe)
-      .select($"query_id", $"q", $"cid")
-    // rescore exactly within probed lists only
+      .select($"vec_id".as("query_id"), $"embedding".as("q"),
+        explode(VectorFunctions.nearestCentroids($"embedding", cids, cvecs, nProbe))
+          .as("cid"))
+    // rescore exactly within probed lists only; probes is numQueries ×
+    // nProbe rows — always broadcast, so the corpus never shuffles
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    assigned.join(probes, Seq("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"),
-        $"cid".cast("long").as("probed_list"))
+      .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)
       .select($"query_id", $"vec_id", $"cos_sim", $"rk")

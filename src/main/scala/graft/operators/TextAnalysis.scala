@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.HeavyHitters
+import graft.functions.{HeavyHitters, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count, codegen'd. size(split()) == Go
-    * strings.Fields count only after dropping empties, so count
-    * non-empty tokens via a filtered aggregate over the split array.
-    * Cast to long so the schema matches the oracle's BIGINT. */
-  private def wsTokens(c: Column): Column =
-    size(filter(split(c, "\\s+"), t => t =!= "")).cast("long")
+  /** Whitespace token count (Go strings.Fields semantics: split on \s+
+    * runs, drop empties). One pass over the UTF-8 bytes via the
+    * [[graft.functions.TokenSetCounts]] kernel — the HOF formulation
+    * `size(filter(split(c), _ =!= ""))` evaluates interpreted, one boxed
+    * call per token. Long-typed to match the oracle's BIGINT. */
+  private def wsTokens(c: Column): Column = TextFunctions.wsTokenCount(c)
 
   /** BPE-ish subword proxy: alphanumeric runs plus single non-space
     * symbols — a deterministic, RE2-safe (no lookaround) stand-in for a
@@ -63,9 +63,13 @@ object TextAnalysis {
     * single values — bit-identical across engines. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nTok = wsTokens($"text").cast("double")
-    val stop = size(filter(split(lower($"text"), "\\s+"),
-      t => t.isin("the", "a", "of", "to", "and", "is", "in", "that"))).cast("double")
+    // one tokenization pass yields [n_tokens, n_stopwords] (token count is
+    // case-invariant, so counting on lower(text) matches the oracle's
+    // split of the raw text)
+    val counts = TextFunctions.tokenSetCounts(lower($"text"),
+      Seq(Seq("the", "a", "of", "to", "and", "is", "in", "that")))
+    val nTok = $"cnts".getItem(0).cast("double")
+    val stop = $"cnts".getItem(1).cast("double")
     val punct = length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double")
     val lenScore = least(nTok / 64.0, lit(1.0))
     val stopRatio = stop / greatest(nTok, lit(1.0))
@@ -75,6 +79,7 @@ object TextAnalysis {
     // the weighted blend's frequent .00005 boundaries is engine-specific
     def trunc4(c: Column): Column = floor(c * 10000.0) / 10000.0
     Tables.documents(s, dir)
+      .select($"doc_id", $"text", counts.as("cnts"))
       .select(
         $"doc_id",
         trunc4(lenScore).as("len_score"),
@@ -92,14 +97,17 @@ object TextAnalysis {
     * (map-side scoring, no shuffle) is the scale-relevant part. */
   def languageId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def score(words: Seq[String]): Column =
-      size(filter(split(lower($"text"), "\\s+"), t => t.isin(words: _*))).cast("long")
-    val en = score(Seq("the", "and", "of", "to", "is", "in"))
-    val de = score(Seq("der", "die", "das", "und", "ist", "nicht"))
-    val es = score(Seq("el", "la", "de", "que", "y", "es"))
-    val fr = score(Seq("le", "la", "de", "et", "est", "les"))
+    // all four marker sets counted in ONE tokenization pass (round 1 ran
+    // four interpreted filter(split(...)) scans per document)
+    val counts = TextFunctions.tokenSetCounts(lower($"text"), Seq(
+      Seq("the", "and", "of", "to", "is", "in"),
+      Seq("der", "die", "das", "und", "ist", "nicht"),
+      Seq("el", "la", "de", "que", "y", "es"),
+      Seq("le", "la", "de", "et", "est", "les")))
+    val Seq(en, de, es, fr) = (1 to 4).map(i => $"cnts".getItem(i))
     val best = greatest(en, de, es, fr)
     Tables.documents(s, dir)
+      .select($"doc_id", $"lang", counts.as("cnts"))
       .select($"doc_id", $"lang".as("labeled_lang"),
         en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
         when(best === 0, "und")
@@ -128,18 +136,14 @@ object TextAnalysis {
 
   /** Top bigrams (consecutive token pairs) across the corpus — the
     * n-gram counting backbone of LM data work. Bigram generation is
-    * map-side (transform over the token array, no UDF); counting gets
-    * partial aggregation like the unigram path. */
+    * map-side via the one-pass [[graft.functions.TokenBigrams]] kernel
+    * (the round-1 `transform(sequence, i -> element_at...)` HOF ran
+    * interpreted and alone cost 10 s of the 36 s sf0.1 bench); counting
+    * gets partial aggregation like the unigram path. */
   def topBigrams(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     import s.implicits._
-    val toks = filter(split(lower(regexp_replace($"text", "\\s+", " ")), " "),
-      t => t =!= "")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
     Tables.documents(s, dir)
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(TextFunctions.tokenBigrams(lower($"text"))).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"bigram")

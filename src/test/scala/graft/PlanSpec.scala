@@ -43,6 +43,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("join"), p)
   }
 
+  test("IVF centroid assignment is map-side: no Exchange keyed on vec_id") {
+    // Round 1 assigned centroids via Window.partitionBy(vec_id), which
+    // shuffled the whole corpus (embeddings included) to take an argmax
+    // over 16 broadcast centroids. The NearestCentroids kernel makes
+    // assignment embarrassingly parallel; the only remaining exchanges
+    // key on the (tiny) query side, never the corpus row id.
+    val p = plan(graft.operators.Similarity.ivfTopK(spark, sfDir))
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // probes broadcast to the corpus
+  }
+
   test("word count stays inside whole-stage codegen") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     // Codegen'd operators are marked "*(n)" in the final plan string.

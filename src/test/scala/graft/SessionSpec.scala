@@ -1,0 +1,35 @@
+package graft
+
+/** Pins the reference's fault-tolerance envelope as Spark config
+  * (SURVEY.md §5's promised smoke test).
+  *
+  * The reference hand-builds its envelope in
+  * `/root/reference/distributed/task.go:11-14`: 10 s task timeout with
+  * maxAttempts = 3, and speculative re-execution when a task runs longer
+  * than 1.5× the mean of completed tasks. In the Spark engine that whole
+  * layer is configuration; this spec asserts the session factory actually
+  * sets it, so the envelope is a tested contract rather than a paper claim.
+  */
+class SessionSpec extends SparkSpec {
+
+  test("session pins the reference's speculation policy (task.go:13-14)") {
+    assert(spark.conf.get("spark.speculation") == "true")
+    assert(spark.conf.get("spark.speculation.multiplier").toDouble == 1.5)
+    assert(spark.conf.get("spark.speculation.quantile").toDouble > 0.0)
+  }
+
+  test("session pins retry budget >= reference maxAttempts (task.go:11-12)") {
+    assert(spark.conf.get("spark.task.maxFailures").toInt >= 3)
+  }
+
+  test("session sets semantic confs once at build; loaders are side-effect free") {
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    // events loads without the loader touching session conf
+    val before = spark.conf.getAll.filter(_._1.startsWith("spark.sql.legacy"))
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val after = spark.conf.getAll.filter(_._1.startsWith("spark.sql.legacy"))
+    assert(before == after)
+  }
+}
