@@ -83,6 +83,9 @@ object SparkEntry {
     "ev_asof" -> Events.asofPurchaseClick _,
     "ev_interval_join" -> Events.intervalJoinSessions _,
     "ev_funnel" -> Events.funnel _,
+    // real readStream→watermark→aggregate→memory-sink execution, shaped
+    // to the ev_tumbling contract so the same oracle hash-checks it
+    "ev_stream_tumbling" -> graft.streaming.StreamingOps.tumblingViaStream _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -344,6 +347,10 @@ object SparkEntry {
           |  16 * (1 + ascii(text) % 64) AS fake_width
           |FROM documents ORDER BY media_id""".stripMargin,
       "ev_tumbling" ->
+        """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS win_start_s,
+          |  event_type, count(*) AS n, round(sum(value), 2) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+      "ev_stream_tumbling" ->
         """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS win_start_s,
           |  event_type, count(*) AS n, round(sum(value), 2) AS total
           |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,

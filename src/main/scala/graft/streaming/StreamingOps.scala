@@ -117,6 +117,31 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Driver-visible streaming query (registry entry `ev_stream_tumbling`):
+    * stages the sf events table into a fresh ingest directory, runs the
+    * watermarked tumbling aggregation through a REAL
+    * readStream→aggregate→memory-sink pass, and reshapes the result to
+    * the `ev_tumbling` contract (epoch-second BIGINT window starts) so
+    * the same DuckDB oracle hash-checks an end-to-end Structured
+    * Streaming execution, not just its batch twin. Complete output mode:
+    * with a bounded fixture the watermark never advances past the final
+    * window, and complete mode emits every window exactly once drained. */
+  /** Staged ingest dirs, one per source sf dir: staging is a test-fixture
+    * step (production events would already land in a directory), so it is
+    * paid once per session, not per query run. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def tumblingViaStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+    val mem = runToMemory(tumblingCounts(eventsStream(s, staged)),
+      "ev_stream_tumbling_q", OutputMode.Complete)
+    mem.select(
+        unix_timestamp(col("win_start")).as("win_start_s"),
+        col("event_type"), col("n"), round(col("total"), 2).as("total"))
+      .orderBy(col("win_start_s"), col("event_type"))
+  }
+
   /** Drain a streaming DataFrame through the in-memory sink and return
     * the materialized table — the synchronous harness batch tests use. */
   def runToMemory(df: DataFrame, name: String,

@@ -8,10 +8,10 @@ class AllQueriesSpec extends SparkSpec {
 
   // intentionally-bounded non-equi joins: explicit domain limits
   // (dd_ngram_jaccard: doc_id < 50; ann_brute_topk: numQueries probe
-  // rows) or a broadcast cross against a constant-size side
-  // (ann_ivf_topk: nLists centroids)
+  // rows). ann_ivf_topk left the list in round 2: centroid assignment
+  // is now a map-side kernel, so its joins are all equi-joins.
   private val nestedLoopAllowed =
-    Set("dd_ngram_jaccard", "ann_brute_topk", "ann_ivf_topk")
+    Set("dd_ngram_jaccard", "ann_brute_topk")
 
   test("every registered query returns rows at sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>

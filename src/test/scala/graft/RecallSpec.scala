@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Systematic recall gates for the queries the driver can only
+  * rows-check (not ANSI-expressible): the approximate operators must
+  * stay provably close to their exact counterparts, so a refactor that
+  * silently destroys recall fails CI instead of shipping.
+  *
+  * Everything here is deterministic — fixed vectors, fixed hyperplanes,
+  * fixed hash seeds — so the measured recalls are exact reproducible
+  * numbers, and each threshold is set just under the measured value.
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topkPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-table sign-LSH top-k recall vs exact brute force") {
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = topkPairs(Similarity.lshTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"lsh recall@5 = $recall%.3f (${(got & truth).size}/${truth.size})")
+    // measured 0.460 on the isotropic sf0.001 fixture — random vectors
+    // are the worst case for sign-LSH (true neighbors sit at cos ≈ 0.5,
+    // barely above the bulk); a real embedding corpus with clustered
+    // near-dups recalls far higher. The gate protects against silent
+    // collapse (e.g. a plane-seeding bug → recall ≈ bucket-collision
+    // chance ≈ 0.1), not against the fixture's geometry.
+    assert(recall >= 0.40, f"LSH recall collapsed: $recall%.3f")
+  }
+
+  test("IVF top-k recall vs exact brute force") {
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = topkPairs(Similarity.ivfTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"ivf recall@5 = $recall%.3f (${(got & truth).size}/${truth.size})")
+    // measured 0.940 (nProbe=4 of nLists=16 → 25% of lists probed)
+    assert(recall >= 0.85, f"IVF recall collapsed: $recall%.3f")
+  }
+
+  test("MinHash-LSH pair recall vs exact n-gram Jaccard on planted near-dups") {
+    // 40 unrelated docs + 20 planted near-dup pairs. Doc bodies are
+    // hex words derived from the doc index so documents with different
+    // indices share almost no 5-gram shingles — the planted pairs (one
+    // appended word on a ~100-char doc, true Jaccard ≈ 0.9) are the
+    // ONLY true near-dups.
+    val dir = java.nio.file.Files.createTempDirectory("recall-lsh").toString
+    def words(seed: Long, n: Int): String =
+      (0 until n).map(j => ((seed * 31 + j + 1) * 2654435761L).toHexString).mkString(" ")
+    val fillers = (0L until 40L).map(i => (i, s"bg ${words(i, 10)}"))
+    val pairs = (0 until 20).flatMap { p =>
+      val base = s"dup ${words(1000L + p, 10)}"
+      Seq((100L + 2 * p, base), (101L + 2 * p, base + " nightly"))
+    }
+    (fillers ++ pairs).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // ground truth: exact 5-gram Jaccard ≥ 0.7 over ALL pairs (same
+    // shingle size as the minhash signature)
+    val truth = Dedup.ngramJaccard(spark, dir, k = 5, maxId = 1000, threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 20, s"fixture must plant exactly 20 true pairs, got ${truth.size}")
+    val got = Dedup.minhashLsh(spark, dir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"minhash-lsh pair recall = $recall%.3f (${(got & truth).size}/${truth.size})")
+    assert(recall >= 0.90, f"MinHash-LSH recall collapsed: $recall%.3f")
+  }
+
+  test("SimHash banding finds all planted Hamming<=3 pairs (pigeonhole is exact)") {
+    // banding into four 16-bit chunks is mathematically complete for
+    // Hamming <= 3 — verify recall is exactly 1.0 against a brute-force
+    // Hamming scan of the corpus signatures
+    val sigs = Dedup.simhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (i, a) <- sigs; (j, b) <- sigs
+      if i < j && java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (i, j)).toSet
+    val got = Dedup.simhashNearDup(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"simhash: ${truth.size} true pairs, ${got.size} found")
+    assert(got == truth)
+  }
+}

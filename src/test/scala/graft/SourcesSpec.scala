@@ -37,9 +37,13 @@ class SourcesSpec extends SparkSpec {
       nation.orderBy($"n_nationkey").collect().toSeq)
   }
 
-  test("co-bucketed tables join without an exchange") {
-    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
-    val ord = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_totalprice")
+  test("co-bucketed fact-fact join at sf0.1 plans with zero Exchange") {
+    // the full-size fact pair (~600k lineitem ⋈ 150k orders): bucketing
+    // both sides on the join key converts the runtime shuffle into a
+    // storage-time cost paid once — the 100 TB fact-fact join strategy
+    val sf01 = "/root/testdata/sf0.1"
+    val li = Tables.lineitem(spark, sf01).select($"l_orderkey", $"l_quantity")
+    val ord = Tables.orders(spark, sf01).select($"o_orderkey", $"o_totalprice")
     // clear any orphaned warehouse locations from prior failed runs
     Seq("b_lineitem", "b_orders").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -68,6 +72,13 @@ class SourcesSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), p)
       assert(!p.contains("Exchange"), p)     // bucketing removed the shuffle
       assert(joined.count() == li.count())   // every lineitem has its order
+      // the bucket layout also serves aggregation on the bucket key:
+      // groupBy(l_orderkey) plans with no Exchange either
+      val agg = spark.table("b_lineitem")
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+      agg.collect()
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"), ap)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
