@@ -69,9 +69,11 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dd_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_near_dup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     // ---- M3: event-time semantics ----
@@ -328,6 +330,26 @@ object SparkEntry {
           |      len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
           |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
           |SELECT id1, id2, jaccard FROM j WHERE jaccard > 0.3 ORDER BY id1, id2""".stripMargin,
+      "dd_clusters" ->
+        """WITH RECURSIVE g AS (SELECT doc_id,
+          |    list_distinct(list_transform(range(0, greatest(length(norm) - 3, 0) + 1),
+          |      i -> substr(norm, CAST(i + 1 AS INTEGER), 3))) AS grams
+          |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+          |        FROM documents WHERE doc_id < 50) t),
+          |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          |      len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+          |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+          |p AS (SELECT id1, id2 FROM j WHERE jaccard > 0.3),
+          |e AS (SELECT id1 AS src, id2 AS dst FROM p UNION ALL SELECT id2, id1 FROM p),
+          |reach(v, r) AS (
+          |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 50
+          |  UNION
+          |  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.r),
+          |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+          |SELECT doc_id, cluster_id,
+          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          |FROM lab ORDER BY doc_id""".stripMargin,
       "ann_brute_topk" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),

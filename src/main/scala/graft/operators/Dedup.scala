@@ -120,6 +120,51 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** Near-duplicate CLUSTER formation — the step after pair generation
+    * that production dedup actually needs: pairs (a,b),(b,c) must
+    * collapse to one surviving document, which means connected
+    * components over the pair graph. Implemented as iterative min-label
+    * propagation: every doc starts labeled with its own id; each round
+    * every doc takes the min label among itself and its neighbors;
+    * fixpoint = component-min labels. Convergence is detected by the
+    * (strictly decreasing until fixpoint) global label sum, and
+    * `localCheckpoint` truncates lineage each round so the plan doesn't
+    * grow with iterations.
+    *
+    * Scale: each round is one equi-join + one min-aggregate on (vertex,
+    * label) longs — both hash-partitioned by vertex id, no wide rows.
+    * Rounds needed = graph diameter (near-dup components are shallow —
+    * chains longer than a few hops are rare); for adversarial diameters
+    * the same loop accepts the alternating large-star/small-star
+    * optimization without changing the surface. Pairs here come from
+    * the exact n-gram verifier over its bounded domain so the DuckDB
+    * oracle (recursive CTE over the identical pair set) can hash-check
+    * the clustering; the 100 TB pipeline feeds [[minhashLsh]] pairs in
+    * instead. */
+  def nearDupClusters(s: SparkSession, dir: String, k: Int = 3,
+                      maxId: Long = 50, threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val pairs = ngramJaccard(s, dir, k, maxId, threshold).select($"id1", $"id2")
+    val edges = pairs.union(pairs.select($"id2", $"id1"))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = Tables.documents(s, dir).filter($"doc_id" < maxId)
+      .select($"doc_id".as("v"), $"doc_id".as("label"))
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum($"label")).head.getLong(0)
+    while (curSum < prevSum) {
+      prevSum = curSum
+      val prop = edges.join(labels, $"src" === $"v").select($"dst".as("v"), $"label")
+      labels = labels.union(prop)
+        .groupBy($"v").agg(min($"label").as("label"))
+        .localCheckpoint()
+      curSum = labels.agg(sum($"label")).head.getLong(0)
+    }
+    labels.select($"v".as("doc_id"), $"label".as("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"label")).as("cluster_size"))
+      .orderBy($"doc_id")
+  }
+
   /** n-gram Jaccard similarity over a bounded id range (the standalone
     * exact verifier; in the full pipeline it runs only on LSH candidate
     * pairs). Non-equi join stays tiny by construction. */

@@ -125,6 +125,59 @@ object Similarity {
       .select($"vec_id", $"embedding").collect()
     val cids = centroidRows.map(_.getLong(0)).toSeq
     val cvecs = centroidRows.map(_.getSeq[Double](1)).toSeq
+    ivfWithCentroids(s, emb, cids, cvecs, nProbe, numQueries, topK)
+  }
+
+  /** IVF with k-means-TRAINED centroids ([[kmeansCentroids]]) instead of
+    * seed vectors — same probe plumbing, data-adaptive lists. */
+  def ivfTrainedTopK(s: SparkSession, dir: String, nLists: Int = 16,
+                     iters: Int = 5, nProbe: Int = 4,
+                     numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val (cids, cvecs) = kmeansCentroids(s, emb, nLists, iters)
+    ivfWithCentroids(s, emb, cids, cvecs, nProbe, numQueries, topK)
+  }
+
+  /** Lloyd's k-means over the corpus, built from the two scale-correct
+    * pieces: assignment is the map-side [[graft.functions.NearestCentroids]]
+    * kernel (zero shuffle of the corpus), and the update step is the
+    * mergeable [[graft.functions.VectorSum]] aggregate — each cluster
+    * ships ONE dim-sized partial sum per partition through the exchange,
+    * never its member vectors. Seeds are the first `k` corpus vectors;
+    * everything is deterministic. An empty cluster keeps its previous
+    * centroid. */
+  def kmeansCentroids(s: SparkSession, emb: DataFrame, k: Int,
+                      iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
+    import s.implicits._
+    val cids: Seq[Long] = (0L until k.toLong)
+    var cvecs: Seq[Seq[Double]] = emb.filter($"vec_id" < k)
+      .orderBy($"vec_id").select($"embedding").collect()
+      .map(_.getSeq[Double](0)).toSeq
+    for (_ <- 0 until iters) {
+      val upd = emb
+        .select(VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)
+          .getItem(0).as("cid"), $"embedding")
+        .groupBy($"cid")
+        .agg(graft.functions.VectorAgg.vectorSum($"embedding").as("vsum"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+      cvecs = cids.map { c =>
+        upd.get(c) match {
+          case Some((vsum, n)) => vsum.map(_ / n)
+          case None            => cvecs(c.toInt) // empty cluster: keep
+        }
+      }
+    }
+    (cids, cvecs)
+  }
+
+  private def ivfWithCentroids(s: SparkSession, emb: DataFrame,
+                               cids: Seq[Long], cvecs: Seq[Seq[Double]],
+                               nProbe: Int, numQueries: Int, topK: Int): DataFrame = {
+    import s.implicits._
     val assigned = emb.select($"vec_id", $"embedding",
       VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)
         .getItem(0).as("cid"))

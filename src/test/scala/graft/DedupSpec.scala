@@ -72,6 +72,26 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((200L, 201L)))
   }
 
+  test("nearDupClusters: transitive chain a~b~c collapses to one component") {
+    val dir = java.nio.file.Files.createTempDirectory("cc").toString
+    // a~b and b~c are similar (> 0.3 trigram jaccard) but a~c less so:
+    // only transitive closure puts all three in one cluster
+    val a = "one two three four five six"
+    val b = "three four five six seven eight"
+    val c = "five six seven eight nine ten"
+    Seq((0L, a), (1L, b), (2L, c), (10L, "qqqq"), (11L, "zzzz"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.nearDupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (10L, 10L, 1L), (11L, 11L, 1L)))
+    // pair graph really is a chain (a,c) absent — so this proved closure
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) && !pairs.contains((0L, 2L)))
+  }
+
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
     val dir = java.nio.file.Files.createTempDirectory("ng").toString
     Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))

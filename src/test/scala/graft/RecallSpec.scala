@@ -42,6 +42,18 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.85, f"IVF recall collapsed: $recall%.3f")
   }
 
+  test("k-means-trained IVF top-k recall vs exact brute force") {
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = topkPairs(Similarity.ivfTrainedTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val recall = (got & truth).size.toDouble / truth.size
+    // measured 0.860: k-means balances list sizes on isotropic data, so
+    // probing 4/16 lists covers slightly fewer true neighbors than the
+    // unbalanced seed assignment (0.940) — the win appears on clustered
+    // corpora; the gate catches collapse, not geometry
+    info(f"trained ivf recall@5 = $recall%.3f (${(got & truth).size}/${truth.size})")
+    assert(recall >= 0.80, f"trained IVF recall collapsed: $recall%.3f")
+  }
+
   test("MinHash-LSH pair recall vs exact n-gram Jaccard on planted near-dups") {
     // 40 unrelated docs + 20 planted near-dup pairs. Doc bodies are
     // hex words derived from the doc index so documents with different

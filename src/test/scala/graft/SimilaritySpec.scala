@@ -60,6 +60,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("VectorSum aggregate: element-wise sums match driver-side math, partial/final merge included") {
+    val df = Seq(
+      (0L, Seq(1.0, 2.0, 3.0)), (0L, Seq(10.0, 20.0, 30.0)),
+      (1L, Seq(0.5, 0.5, 0.5))).toDF("g", "v").repartition(3)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.VectorAgg.vectorSum($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0L) == Seq(11.0, 22.0, 33.0))
+    assert(got(1L) == Seq(0.5, 0.5, 0.5))
+  }
+
+  test("kmeans: centroids converge to planted cluster means") {
+    // two tight planted clusters around (1,0) and (0,1)
+    val rows = (0 until 10).map(i => (i.toLong, Seq(1.0, 0.001 * i))) ++
+      (10 until 20).map(i => (i.toLong, Seq(0.001 * (i - 10), 1.0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val (ids, vecs) = Similarity.kmeansCentroids(spark, emb, 2, 5)
+    assert(ids == Seq(0L, 1L))
+    // each learned centroid should be dominated by one axis
+    val dominantAxes = vecs.map(v => v.indexOf(v.max)).toSet
+    assert(dominantAxes == Set(0, 1), vecs.toString)
+  }
+
   test("lsh top-k candidates are true cosine scores (subset of brute force domain)") {
     val emb = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) as e")
