@@ -42,6 +42,17 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSim(es.head, es(1)))),
     "graft_dot" -> ((info("graft_dot", "dot(arr, arr) - dot product"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1)))),
+    "graft_jaccard" -> ((info("graft_jaccard",
+      "jaccard(arr, arr) - set Jaccard similarity of two string arrays"),
+      (es: Seq[Expression]) => JaccardSim(es.head, es(1)))),
+    "graft_token_bigrams" -> ((info("graft_token_bigrams",
+      "token_bigrams(str) - array of space-joined consecutive whitespace-token pairs"),
+      (es: Seq[Expression]) => TokenBigrams(es.head))),
+    "graft_token_count" -> ((info("graft_token_count",
+      "token_count(str) - whitespace-token count (strings.Fields semantics)"),
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+        TokenSetCounts(es.head, Seq.empty),
+        org.apache.spark.sql.catalyst.expressions.Literal(0)))),
   )
 
   /** Register on an already-built session. */

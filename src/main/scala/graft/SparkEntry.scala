@@ -88,6 +88,7 @@ object SparkEntry {
     // real readStream→watermark→aggregate→memory-sink execution, shaped
     // to the ev_tumbling contract so the same oracle hash-checks it
     "ev_stream_tumbling" -> graft.streaming.StreamingOps.tumblingViaStream _,
+    "ev_stream_session" -> graft.streaming.StreamingOps.sessionViaStream _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -376,6 +377,23 @@ object SparkEntry {
         """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS win_start_s,
           |  event_type, count(*) AS n, round(sum(value), 2) AS total
           |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+      "ev_stream_session" ->
+        """WITH e AS (SELECT user_id, event_id, ts, value,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |  FROM events),
+          |f AS (SELECT user_id, event_id, ts, value,
+          |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800.0
+          |      THEN 1 ELSE 0 END AS new_session
+          |  FROM e),
+          |g AS (SELECT user_id, ts, value,
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+          |  FROM f)
+          |SELECT user_id,
+          |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+          |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end_s,
+          |  count(*) AS n_events, round(sum(value), 2) AS session_value
+          |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start_s""".stripMargin,
       "ev_sliding" ->
         """WITH x AS (SELECT event_type, value,
           |    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 300 AS s0

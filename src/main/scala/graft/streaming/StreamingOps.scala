@@ -142,6 +142,26 @@ object StreamingOps {
       .orderBy(col("win_start_s"), col("event_type"))
   }
 
+  /** Driver-visible streaming sessionization (`ev_stream_session`): a
+    * real readStream pass through the built-in `session_window` (30-min
+    * gap), reshaped to epoch-second BIGINTs. Session-window semantics:
+    * an event extends the session iff its event time is STRICTLY less
+    * than lastEvent + gap, and the window end is lastEvent + gap — the
+    * oracle mirrors both (diff >= 1800 starts a new session; end_s =
+    * floor(epoch(max ts)) + 1800). */
+  def sessionViaStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+    val mem = runToMemory(sessionWindows(eventsStream(s, staged)),
+      "ev_stream_session_q", OutputMode.Complete)
+    mem.select(
+        col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start_s"),
+        unix_timestamp(col("session_end")).as("session_end_s"),
+        col("n_events"), round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start_s"))
+  }
+
   /** Drain a streaming DataFrame through the in-memory sink and return
     * the materialized table — the synchronous harness batch tests use. */
   def runToMemory(df: DataFrame, name: String,

@@ -19,9 +19,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(5) == 11.0)
   }
 
+  test("text kernels callable from plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_token_bigrams('a b  c') AS bg,
+        |  graft_token_count('  a b  c ') AS n,
+        |  graft_jaccard(array('x', 'y'), array('y', 'z')) AS j
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-12)
+  }
+
   test("extensions class registers the same builders") {
     assert(GraftExtensions.builders.keySet == Set(
       "graft_fnv1a32", "graft_fnv1a64", "graft_simhash64",
-      "graft_minhash", "graft_cosine", "graft_dot"))
+      "graft_minhash", "graft_cosine", "graft_dot",
+      "graft_jaccard", "graft_token_bigrams", "graft_token_count"))
   }
 }
