@@ -57,6 +57,7 @@ object SparkEntry {
     "q20_sketches" -> Relational.q20Sketches _,
     "q21_pivot" -> Relational.q21Pivot _,
     "q22_listagg" -> Relational.q22ListAgg _,
+    "q23_window_features" -> Relational.q23WindowFeatures _,
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
@@ -70,6 +71,7 @@ object SparkEntry {
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
+    "dd_survivors" -> ((s, dir) => Dedup.survivors(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -256,6 +258,16 @@ object SparkEntry {
           |  FROM e)
           |SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s, prior_click_s
           |FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+      "q23_window_features" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |  lag(o_totalprice) OVER w AS prev_price,
+          |  lead(o_totalprice) OVER w AS next_price,
+          |  ntile(4) OVER w AS quartile,
+          |  round(percent_rank() OVER w, 6) AS pct_rank,
+          |  round(cume_dist() OVER w, 6) AS cume
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
       "tx_stats" ->
         """SELECT doc_id, length(text) AS n_chars,
           |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
@@ -351,6 +363,43 @@ object SparkEntry {
           |SELECT doc_id, cluster_id,
           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
           |FROM lab ORDER BY doc_id""".stripMargin,
+      "dd_survivors" ->
+        """WITH RECURSIVE g AS (SELECT doc_id,
+          |    list_distinct(list_transform(range(0, greatest(length(norm) - 3, 0) + 1),
+          |      i -> substr(norm, CAST(i + 1 AS INTEGER), 3))) AS grams
+          |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+          |        FROM documents WHERE doc_id < 50) t),
+          |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          |      len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+          |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+          |p AS (SELECT id1, id2 FROM j WHERE jaccard > 0.3),
+          |e AS (SELECT id1 AS src, id2 AS dst FROM p UNION ALL SELECT id2, id1 FROM p),
+          |reach(v, r) AS (
+          |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 50
+          |  UNION
+          |  SELECT reach.v, e.dst FROM reach JOIN e ON e.src = reach.r),
+          |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
+          |qb AS (SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+          |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |    x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
+          |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+          |  CAST(length(text) AS DOUBLE) AS n_chars
+          |  FROM documents),
+          |q AS (SELECT doc_id,
+          |  floor((least(n_tok / 64.0, 1.0) * 0.5 +
+          |    least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
+          |    (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
+          |  FROM qb),
+          |ranked AS (SELECT lab.doc_id, lab.cluster_id, q.quality,
+          |    row_number() OVER (PARTITION BY lab.cluster_id ORDER BY q.quality DESC, lab.doc_id) AS rk
+          |  FROM lab JOIN q ON q.doc_id = lab.doc_id)
+          |SELECT r.cluster_id, r.doc_id AS survivor_id, r.quality AS survivor_quality,
+          |  sz.cluster_size
+          |FROM ranked r JOIN sz ON sz.cluster_id = r.cluster_id
+          |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin,
       "ann_brute_topk" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),

@@ -41,6 +41,13 @@ object TextFunctions {
     * documents with fewer than two tokens. */
   def tokenBigrams(c: Column): Column =
     ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
+
+  /** `array(long)` of `[n_chars, n_tokens, n_punct, n_digits,
+    * n_nonspace]` in ONE byte scan. The composed-built-ins formulation
+    * ran three `regexp_replace` passes per document — each building a
+    * full replaced copy of the text just to take its length. */
+  def textStatsCounts(c: Column): Column =
+    ColumnBridge.column(TextStatsCounts(ColumnBridge.expression(c)))
 }
 
 private[functions] object Tokenize {
@@ -91,6 +98,41 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
     new GenericArrayData(counts)
   }
   override protected def withNewChildInternal(c: Expression): TokenSetCounts =
+    copy(child = c)
+}
+
+/** See [[TextFunctions.textStatsCounts]]. Character counts are derived
+  * from the UTF-8 byte stream: code points = non-continuation bytes
+  * (equal to `length()` in both Spark and DuckDB), and every counted
+  * class (Java-regex `\s`, `[.,!?;:]`, `[0-9]`) is single-byte ASCII,
+  * so byte tests are exact on multi-byte text. */
+case class TextStatsCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_text_stats"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var chars = 0L; var tokens = 0L; var punct = 0L; var digits = 0L; var spaces = 0L
+    var inTok = false
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xc0) != 0x80) chars += 1 // not a UTF-8 continuation byte
+      if (Tokenize.isSpace(b)) {
+        spaces += 1
+        inTok = false
+      } else {
+        if (!inTok) { tokens += 1; inTok = true }
+        if (b == '.' || b == ',' || b == '!' || b == '?' || b == ';' || b == ':') punct += 1
+        else if (b >= '0' && b <= '9') digits += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(chars, tokens, punct, digits, chars - spaces))
+  }
+  override protected def withNewChildInternal(c: Expression): TextStatsCounts =
     copy(child = c)
 }
 

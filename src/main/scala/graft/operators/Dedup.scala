@@ -165,6 +165,27 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Survivor selection — the final dedup step: one winner per
+    * near-dup cluster, chosen by highest quality score (ties → smallest
+    * doc_id), completing the pipeline pairs → clusters → survivors.
+    * Per-cluster argmax is a ranked window over (cluster, quality) —
+    * WindowGroupLimit prunes it under the rk=1 filter, and the join that
+    * attaches scores is keyed on doc_id like every per-doc table. */
+  def survivors(s: SparkSession, dir: String, k: Int = 3,
+                maxId: Long = 50, threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val clusters = nearDupClusters(s, dir, k, maxId, threshold)
+    val quality = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id")
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("survivor_id"),
+        $"quality".as("survivor_quality"), $"cluster_size")
+      .orderBy($"cluster_id")
+  }
+
   /** n-gram Jaccard similarity over a bounded id range (the standalone
     * exact verifier; in the full pipeline it runs only on LSH candidate
     * pairs). Non-equi join stays tiny by construction. */

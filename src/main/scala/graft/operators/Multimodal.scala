@@ -89,12 +89,16 @@ object Multimodal {
 
   /** Resize: re-target the fake decode dimensions and subsample the
     * payload proportionally (STUB for a real scaler — the plan shape,
-    * a pure map with bounded output size, is what carries over). */
+    * a pure map with bounded output size, is what carries over). Reads
+    * only the header byte it needs (a real scaler parses the header,
+    * not the whole payload — running the full decode incl. a payload
+    * SHA per row just to learn the width is the wasteful shape). */
   def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val d = FakeCodec.decode(r)
-      val scale = math.min(targetWidth.toDouble / d.width, 1.0)
+      val b0 = if (r.payload.length > 0) r.payload(0) & 0xff else 0
+      val width = 16 * (1 + b0 % 64) // FakeCodec's width rule, header-only
+      val scale = math.min(targetWidth.toDouble / width, 1.0)
       val keep = math.max((r.payload.length * scale).toInt, 1)
       r.copy(payload = r.payload.take(keep))
     }

@@ -328,6 +328,25 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Window-function feature engineering: lag/lead neighbors, ntile
+    * quartiles, percent_rank and cume_dist per customer order history —
+    * the remaining ranking/offset window shapes (q8 covers row_number
+    * top-k, q9 covers running frames). One shuffle on the partition key;
+    * all five functions share a single Window spec so they evaluate in
+    * one WindowExec pass. */
+  def q23WindowFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** Null-handling semantics: conditional NULL injection, coalesce,
     * null-safe equality, count(col) vs count(*) divergence. */
   def q18Nulls(s: SparkSession, dir: String): DataFrame = {

@@ -16,13 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (Go strings.Fields semantics: split on \s+
-    * runs, drop empties). One pass over the UTF-8 bytes via the
-    * [[graft.functions.TokenSetCounts]] kernel — the HOF formulation
-    * `size(filter(split(c), _ =!= ""))` evaluates interpreted, one boxed
-    * call per token. Long-typed to match the oracle's BIGINT. */
-  private def wsTokens(c: Column): Column = TextFunctions.wsTokenCount(c)
-
   /** BPE-ish subword proxy: alphanumeric runs plus single non-space
     * symbols — a deterministic, RE2-safe (no lookaround) stand-in for a
     * real tokenizer's piece count. */
@@ -34,13 +27,14 @@ object TextAnalysis {
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.textStatsCounts($"text").as("c"))
       .select(
         $"doc_id",
-        length($"text").cast("long").as("n_chars"),
-        wsTokens($"text").as("n_tokens"),
-        length(regexp_replace($"text", "[^.,!?;:]", "")).cast("long").as("n_punct"),
-        length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("n_digits"),
-        length(regexp_replace($"text", "\\s", "")).cast("long").as("n_nonspace"))
+        $"c".getItem(0).as("n_chars"),
+        $"c".getItem(1).as("n_tokens"),
+        $"c".getItem(2).as("n_punct"),
+        $"c".getItem(3).as("n_digits"),
+        $"c".getItem(4).as("n_nonspace"))
       .orderBy($"doc_id")
   }
 
@@ -49,12 +43,13 @@ object TextAnalysis {
   def tokenCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      .select($"doc_id", $"text", TextFunctions.textStatsCounts($"text").as("c"))
       .select(
         $"doc_id",
-        wsTokens($"text").as("ws_tokens"),
+        $"c".getItem(1).as("ws_tokens"),
         bpeTokens($"text").as("bpe_tokens"),
-        round(length(regexp_replace($"text", "\\s", "")).cast("double") /
-          greatest(wsTokens($"text"), lit(1)), 4).as("mean_token_len"))
+        round($"c".getItem(4).cast("double") /
+          greatest($"c".getItem(1), lit(1)), 4).as("mean_token_len"))
       .orderBy($"doc_id")
   }
 
@@ -70,16 +65,17 @@ object TextAnalysis {
       Seq(Seq("the", "a", "of", "to", "and", "is", "in", "that")))
     val nTok = $"cnts".getItem(0).cast("double")
     val stop = $"cnts".getItem(1).cast("double")
-    val punct = length(regexp_replace($"text", "[^.,!?;:]", "")).cast("double")
+    val punct = $"cs".getItem(2).cast("double")
     val lenScore = least(nTok / 64.0, lit(1.0))
     val stopRatio = stop / greatest(nTok, lit(1.0))
-    val punctRatio = punct / greatest(length($"text").cast("double"), lit(1.0))
+    val punctRatio = punct / greatest($"cs".getItem(0).cast("double"), lit(1.0))
     // floor-truncation instead of round(): identical double inputs give
     // identical floors in every engine, while round-half direction on
     // the weighted blend's frequent .00005 boundaries is engine-specific
     def trunc4(c: Column): Column = floor(c * 10000.0) / 10000.0
     Tables.documents(s, dir)
-      .select($"doc_id", $"text", counts.as("cnts"))
+      .select($"doc_id", counts.as("cnts"),
+        TextFunctions.textStatsCounts($"text").as("cs"))
       .select(
         $"doc_id",
         trunc4(lenScore).as("len_score"),
