@@ -66,6 +66,9 @@ object SparkEntry {
     "tx_fingerprint" -> TextAnalysis.fingerprint _,
     "tx_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
     "tx_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir)),
+    "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
+    "tx_split" -> Sampling.trainValTest _,
+    "tx_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
@@ -329,6 +332,32 @@ object SparkEntry {
       "tx_fingerprint" ->
         """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "tx_sample" ->
+        """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          |b AS (SELECT doc_id, lang, CAST(
+          |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS BIGINT) AS hash_bucket
+          |  FROM h)
+          |SELECT doc_id, lang, hash_bucket FROM b
+          |WHERE hash_bucket < 256 ORDER BY doc_id""".stripMargin,
+      "tx_split" ->
+        """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          |b AS (SELECT doc_id,
+          |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS hb
+          |  FROM h)
+          |SELECT doc_id,
+          |  CASE WHEN hb < 3686 THEN 'train' WHEN hb < 3891 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin,
+      "tx_stratified" ->
+        """WITH r AS (SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |SELECT doc_id, lang, rk FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
       "dd_exact" ->
         """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
