@@ -94,6 +94,7 @@ object SparkEntry {
     // to the ev_tumbling contract so the same oracle hash-checks it
     "ev_stream_tumbling" -> graft.streaming.StreamingOps.tumblingViaStream _,
     "ev_stream_session" -> graft.streaming.StreamingOps.sessionViaStream _,
+    "ev_stream_join" -> graft.streaming.StreamingOps.joinViaStream _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -518,6 +519,17 @@ object SparkEntry {
           |SELECT s.user_id, s.session_id, count(*) AS n_joined
           |FROM sess s JOIN p ON p.user_id = s.user_id AND p.ts_s BETWEEN s.s_s AND s.e_s
           |GROUP BY s.user_id, s.session_id ORDER BY s.user_id, s.session_id""".stripMargin,
+      "ev_stream_join" ->
+        """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          |    FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+          |    FROM events WHERE event_type = 'click')
+          |SELECT p.user_id, p.purchase_id, c.click_id,
+          |  CAST(floor(epoch(p.p_ts)) AS BIGINT) AS p_ts_s,
+          |  CAST(floor(epoch(c.c_ts)) AS BIGINT) AS c_ts_s
+          |FROM p JOIN c ON c.user_id = p.user_id
+          |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+          |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,
       "ev_funnel" ->
         """WITH u AS (SELECT user_id,
           |    min(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,

@@ -135,7 +135,7 @@ object StreamingOps {
     val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
       java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
     val mem = runToMemory(tumblingCounts(eventsStream(s, staged)),
-      "ev_stream_tumbling_q", OutputMode.Complete)
+      "ev_stream_tumbling_q", OutputMode.Complete, statePartitions = Some(8))
     mem.select(
         unix_timestamp(col("win_start")).as("win_start_s"),
         col("event_type"), col("n"), round(col("total"), 2).as("total"))
@@ -153,7 +153,7 @@ object StreamingOps {
     val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
       java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
     val mem = runToMemory(sessionWindows(eventsStream(s, staged)),
-      "ev_stream_session_q", OutputMode.Complete)
+      "ev_stream_session_q", OutputMode.Complete, statePartitions = Some(8))
     mem.select(
         col("user_id"),
         unix_timestamp(col("session_start")).as("session_start_s"),
@@ -162,15 +162,51 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_start_s"))
   }
 
+  /** Driver-visible stream-stream join (`ev_stream_join`): purchases ⋈
+    * clicks of the same user within the preceding hour, executed as a
+    * REAL watermarked stream-stream inner join (both sides' buffered
+    * state pruned by watermark + the range bound). Inner joins emit
+    * matches as soon as both rows arrive, so draining a bounded fixture
+    * yields the complete batch-equivalent result the oracle checks. */
+  def joinViaStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+    val mem = runToMemory(purchaseClickJoin(eventsStream(s, staged)),
+      "ev_stream_join_q", OutputMode.Append, statePartitions = Some(8))
+    mem.select(
+        col("user_id"), col("purchase_id"), col("click_id"),
+        unix_timestamp(col("p_ts")).as("p_ts_s"),
+        unix_timestamp(col("c_ts")).as("c_ts_s"))
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Drain a streaming DataFrame through the in-memory sink and return
-    * the materialized table — the synchronous harness batch tests use. */
+    * the materialized table — the synchronous harness batch tests use.
+    *
+    * `statePartitions` sizes the stateful-operator parallelism for THIS
+    * query (it becomes the query's state-store count, fixed at first
+    * run): every state partition costs per-batch delta-file I/O across
+    * each operator's stores, so it should track expected state volume,
+    * not core count — measured on the stream-stream join at sf0.1:
+    * 32 partitions = 5.8 s, 8 partitions = 2.7 s for identical results.
+    * At 100 TB the same knob scales the other way (more partitions than
+    * cores). Scoped set/restore; Verify/Bench/tests run queries
+    * sequentially on the session. */
   def runToMemory(df: DataFrame, name: String,
-                  outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+                  outputMode: OutputMode = OutputMode.Append,
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    spark.table(name)
   }
 }
