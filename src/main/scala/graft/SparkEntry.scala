@@ -95,6 +95,8 @@ object SparkEntry {
     "ev_stream_tumbling" -> graft.streaming.StreamingOps.tumblingViaStream _,
     "ev_stream_session" -> graft.streaming.StreamingOps.sessionViaStream _,
     "ev_stream_join" -> graft.streaming.StreamingOps.joinViaStream _,
+    "ev_stream_running" -> graft.streaming.StreamingOps.runningViaStream _,
+    "ev_stream_dedup" -> graft.streaming.StreamingOps.dedupViaStream _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -530,6 +532,12 @@ object SparkEntry {
           |FROM p JOIN c ON c.user_id = p.user_id
           |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
           |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,
+      "ev_stream_running" ->
+        """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "ev_stream_dedup" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "ev_funnel" ->
         """WITH u AS (SELECT user_id,
           |    min(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,

@@ -180,6 +180,53 @@ object StreamingOps {
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Driver-visible custom stateful operator (`ev_stream_running`): the
+    * [[runningTotals]] mapGroupsWithState machine run as a real stream,
+    * reduced to each user's FINAL totals (n_events is monotone per
+    * user, so the final state is the max row even if the source splits
+    * into several micro-batches). Oracle: plain per-user aggregation. */
+  def runningViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+    val stream = eventsStream(s, staged)
+      .select($"user_id", $"ts", $"value").as[UserEvent]
+    val mem = runToMemory(runningTotals(s, stream).toDF(),
+      "ev_stream_running_q", OutputMode.Update, statePartitions = Some(8))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_events".desc)
+    mem.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"n_events",
+        round($"total_value", 2).as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Staged dirs where every event appears TWICE — the dedup fixture. */
+  private val dupStagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Driver-visible streaming dedup (`ev_stream_dedup`): every event is
+    * planted twice in the ingest dir; `dropDuplicatesWithinWatermark`
+    * on event_id must reconstruct exactly the original table, which the
+    * oracle checks via a per-type aggregate over the ORIGINAL events.
+    * The wide watermark keeps every key's state alive for the bounded
+    * fixture; in production the watermark is what bounds the key
+    * store. */
+  def dedupViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dupDir = dupStagedDirs.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft-dup").toString + "/events"
+      val ev = graft.Tables.events(s, d)
+      ev.union(ev).write.mode("overwrite").parquet(out)
+      out
+    })
+    val deduped = runToMemory(
+      streamingDedup(eventsStream(s, dupDir), Seq("event_id"), "10 days"),
+      "ev_stream_dedup_q", OutputMode.Append, statePartitions = Some(8))
+    deduped.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+      .orderBy($"event_type")
+  }
+
   /** Drain a streaming DataFrame through the in-memory sink and return
     * the materialized table — the synchronous harness batch tests use.
     *
