@@ -78,6 +78,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text kernels ≡ their HOF formulations on adversarial strings") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // whitespace variety (incl. \x0B), unicode multi-byte, punctuation,
+    // leading/trailing/runs-of whitespace, empty-ish strings
+    val chunk = Gen.oneOf(wordGen, Gen.const("  "), Gen.const("\t"),
+      Gen.const("\n"), Gen.const(""), Gen.const("\r"), Gen.const("é漢字"),
+      Gen.const("a.b,c!"), Gen.const("1 22 333"), Gen.const(""))
+    val strGen = Gen.listOfN(12, chunk).map(_.mkString(" "))
+    val docs = samples(strGen, 40) ++ Seq("", " ", "one", "a b", "\t\n\f\r")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+    val kernel = df.select($"id",
+        TextFunctions.textStatsCounts($"text").as("c"),
+        TextFunctions.tokenBigrams($"text").as("bg"),
+        TextFunctions.tokenSetCounts($"text", Seq(Seq("a", "one", "22"))).as("sc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getSeq[String](2), r.getSeq[Long](3))).toMap
+
+    val toks = filter(split($"text", "\\s+"), t => t =!= "")
+    val hof = df.select($"id",
+        length($"text").cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace($"text", "[^.,!?;:]", "")).cast("long").as("n_punct"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("n_digits"),
+        length(regexp_replace($"text", "\\s", "")).cast("long").as("n_nonspace"),
+        when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>")).as("bg"),
+        size(filter(toks, t => t.isin("a", "one", "22"))).cast("long").as("sc1"))
+      .collect()
+
+    hof.foreach { r =>
+      val (c, bg, sc) = kernel(r.getLong(0))
+      assert(c == Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+        s"stats for ${r.getLong(0)}")
+      assert(bg == r.getSeq[String](6), s"bigrams for ${r.getLong(0)}")
+      assert(sc == Seq(r.getLong(2), r.getLong(7)), s"set counts for ${r.getLong(0)}")
+    }
+  }
+
   test("minhash agreement estimates jaccard sanely across overlap levels") {
     Seq(0, 10, 25, 40).foreach { overlap =>
       val a = (0 until 50).map(i => s"tokena$i").mkString(" ")
