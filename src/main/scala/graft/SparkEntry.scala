@@ -81,6 +81,7 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_near_dup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
     // ---- M3: event-time semantics ----
     "ev_tumbling" -> Events.tumbling _,
     "ev_sliding" -> Events.sliding _,
@@ -450,6 +451,14 @@ object SparkEntry {
           |  octet_length(encode(text)) AS n_bytes,
           |  16 * (1 + ascii(text) % 64) AS fake_width
           |FROM documents ORDER BY media_id""".stripMargin,
+      "mm_frame_sample" ->
+        """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+          |c AS (SELECT media_id, n, (n + 1023) // 1024 AS n_chunks FROM m WHERE n > 0),
+          |k AS (SELECT media_id, n, n_chunks, (n_chunks + 3) // 4 AS n_kept FROM c)
+          |SELECT media_id, CAST(n_kept AS BIGINT) AS n_frames_kept,
+          |  CAST(1024 * (n_kept - 1) + CASE WHEN 4 * (n_kept - 1) = n_chunks - 1
+          |    THEN n - 1024 * (n_chunks - 1) ELSE 1024 END AS BIGINT) AS bytes_kept
+          |FROM k ORDER BY media_id""".stripMargin,
       "ev_tumbling" ->
         """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS win_start_s,
           |  event_type, count(*) AS n, round(sum(value), 2) AS total

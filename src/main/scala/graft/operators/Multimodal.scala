@@ -117,6 +117,21 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** Oracle-checkable frame-sampling summary: per media, the number of
+    * kept frames and total bytes kept by [[frameSample]] (stride-4 over
+    * 1 KiB chunks). The chunk arithmetic is closed-form, so DuckDB can
+    * verify the real mapPartitions pipeline end-to-end: kept frames =
+    * ceil(ceil(n/1024) / 4), kept bytes = 1024·(kept-1) + size of the
+    * last kept chunk (short iff it is the payload's final chunk). */
+  def frameSampleSummary(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import s.implicits._
+    frameSample(mediaTable(s, dir), stride)
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames_kept"),
+        sum($"frame_bytes").as("bytes_kept"))
+      .orderBy($"media_id")
+  }
+
   /** Oracle-checkable projection of the binary plumbing: byte length +
     * first-byte-derived fake dimensions, all expressible on the SQL
     * side from the same source column. */

@@ -43,6 +43,21 @@ object Sources {
       .save(path)
   }
 
+  /** Size-controlled parquet write — the knobs that matter at 100 TB:
+    * `maxRecordsPerFile` caps file size without a repartition (each
+    * task rolls to a new file at the cap — no shuffle, unlike
+    * `repartition(n)` sizing), and the codec trades CPU for I/O (zstd
+    * for cold data, snappy/lz4 for hot). Small-file explosions and
+    * GB-scale single files are both scan-killers; this pins neither
+    * happens. */
+  def writeSized(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                 codec: String = "zstd",
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", codec)
+      .parquet(path)
+
   /** The reference's sink: tab-separated `key\tvalue` text files
     * (`mr-out-N`). */
   def writeTsv(df: DataFrame, path: String, partitions: Int = 1): Unit =

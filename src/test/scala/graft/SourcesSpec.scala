@@ -86,6 +86,24 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("size-controlled write rolls files at the record cap, round-trips, compresses as asked") {
+    val dir = tmp() + "/sized"
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+    val n = li.count()
+    Sources.writeSized(li.coalesce(2), dir, maxRecordsPerFile = 1000)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= (n / 1000).toInt, s"expected >=${n / 1000} files, got ${files.length}")
+    assert(files.forall(_.getName.contains(".zstd.")), files.map(_.getName).mkString(","))
+    // every file under the cap, nothing lost
+    val back = Sources.readParquet(spark, dir)
+    assert(back.count() == n)
+    import org.apache.spark.sql.functions.count
+    val perFile = back.groupBy(org.apache.spark.sql.functions
+      .input_file_name()).agg(count("*").as("c"))
+      .collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 1000), perFile.max.toString)
+  }
+
   test("partitioned parquet write prunes directories on read") {
     val dir = tmp() + "/part"
     Sources.write(nation, dir, "parquet", partitionByCols = Seq("n_regionkey"))
