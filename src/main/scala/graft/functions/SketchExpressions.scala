@@ -31,6 +31,67 @@ object SketchFunctions {
   def jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def shingles(c: Column, k: Int): Column =
+    ColumnBridge.column(ShingleSet(ColumnBridge.expression(c), k))
+
+  def minhashAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(MinHashAgree(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Distinct k-character shingles of a string as an array, one pass —
+  * identical set to `array_distinct(transform(sequence(0, max(len-k,0)),
+  * i -> substr(s, i+1, k)))` (character-indexed; strings shorter than k
+  * contribute one whole-string shingle), without the interpreted
+  * per-shingle lambda calls. First-occurrence order. */
+case class ShingleSet(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val nShingles = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](nShingles * 2)
+    var i = 0
+    while (i < nShingles) {
+      seen.add(s.substringSQL(i + 1, k)) // 1-based char semantics of substr
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** Fraction of positions where two equal-length long arrays agree —
+  * the unbiased MinHash Jaccard estimate, one unboxed loop per
+  * candidate pair (replaces `size(filter(zip_with(a, b, ==), v)) / n`,
+  * which made three interpreted lambda passes per pair). */
+case class MinHashAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_minhash_agree"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashAgree =
+    copy(left = l, right = r)
 }
 
 /** |A ∩ B| / |A ∪ B| over two string arrays (inputs assumed distinct,

@@ -42,12 +42,12 @@ object Dedup {
   }
 
   /** Distinct k-character shingles of the normalized text, as an array
-    * column. substr with Column offsets keeps this one codegen'd
-    * expression — no UDF, no explode until the caller asks. */
+    * column — one-pass [[graft.functions.ShingleSet]] kernel (the
+    * `array_distinct(transform(sequence, i -> substr))` composition
+    * evaluated its lambda interpreted, once per shingle per doc; the
+    * kernel is equivalence-tested against it in PropertySpec). */
   def shingleArray(norm: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(norm) - k, lit(0))),
-      i => norm.substr(i + lit(1), lit(k))))
+    SketchFunctions.shingles(norm, k)
 
   /** MinHash signature of the normalized text: one-pass custom
     * Catalyst kernel ([[graft.functions.MinHashSig]]). The previous
@@ -82,8 +82,7 @@ object Dedup {
         $"x.sig".as("sig1"), $"y.sig".as("sig2"))
       .dropDuplicates("id1", "id2")
     cand.select($"id1", $"id2",
-        (size(filter(zip_with($"sig1", $"sig2", (a, b) => a === b), v => v))
-          .cast("double") / numHashes).as("est_jaccard"))
+        SketchFunctions.minhashAgree($"sig1", $"sig2").as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
       .orderBy($"id1", $"id2")
   }

@@ -119,6 +119,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shingle and agreement kernels ≡ HOF formulations") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchFunctions
+    val strGen = Gen.listOfN(8, Gen.oneOf(wordGen, Gen.const("ab"),
+      Gen.const("é漢"), Gen.const(""), Gen.const("x"))).map(_.mkString(" "))
+    val docs = samples(strGen, 30) ++ Seq("", "ab", "abc", "abcd", "ééé")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select($"id",
+        SketchFunctions.shingles($"text", 3).as("kern"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(length($"text") - 3, lit(0))),
+          i => $"text".substr(i + lit(1), lit(3)))).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+    // agreement kernel vs zip_with count
+    val sig = df.select($"id", Dedup.minhashSig(Dedup.normText($"text"), 5, 16).as("s"))
+    val pairs = sig.as("a").crossJoin(sig.as("b"))
+      .select(SketchFunctions.minhashAgree($"a.s", $"b.s").as("kern"),
+        (size(filter(zip_with($"a.s", $"b.s", (x, y) => x === y), v => v))
+          .cast("double") / 16).as("hof"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("minhash agreement estimates jaccard sanely across overlap levels") {
     Seq(0, 10, 25, 40).foreach { overlap =>
       val a = (0 until 50).map(i => s"tokena$i").mkString(" ")
