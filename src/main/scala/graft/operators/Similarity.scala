@@ -21,19 +21,16 @@ import graft.functions.VectorFunctions
   *    learned centroids; the plumbing (bucket → co-partitioned join →
   *    window top-k) is identical.
   *
-  * Dot products use `zip_with` + `aggregate` — pure codegen'd Catalyst
-  * expressions, no UDF in the hot path.
+  * Dot products / cosines run in fused one-pass kernels
+  * ([[graft.functions.CosineSim]]) — no UDF, no interpreted lambda in
+  * any hot path.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ. The HOF (`zip_with`+`aggregate`) formulation evaluates
-    * interpreted — one boxed call per element per pair — so the hot
-    * paths use the fused [[graft.functions.CosineSim]] kernel instead;
-    * accumulation order is identical, results bit-equal. */
+  /** Σ aᵢ·bᵢ and cos(a,b) — fused kernels; accumulation order matches
+    * a left fold, so results are bit-equal with the HOF formulation
+    * they replaced. */
   def dot(a: Column, b: Column): Column = VectorFunctions.dotProduct(a, b)
-
-  def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
