@@ -46,6 +46,12 @@ object VectorFunctions {
   * pipeline), so they belong in the expression, and assignment becomes
   * embarrassingly parallel with zero Exchange (asserted in PlanSpec).
   * Cosine math matches [[CosineSim]] exactly (same accumulation order).
+  *
+  * Sizing note: expression-embedded centroids serialize with the plan —
+  * fine for nLists ≤ a few hundred (≤ ~1 MB at dim 64). A 100 TB IVF
+  * with 10⁴-10⁵ lists would move the table into a TorrentBroadcast
+  * read inside the kernel (same eval loop, same zero-Exchange plan)
+  * rather than plan literals.
   */
 case class NearestCentroids(child: Expression, ids: Seq[Long],
                             vecs: Seq[Seq[Double]], k: Int)

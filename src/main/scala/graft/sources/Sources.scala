@@ -19,6 +19,15 @@ object Sources {
   def readParquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Parquet read across files whose schemas EVOLVED (columns added
+    * over time — the normal life of a 100 TB landing zone): mergeSchema
+    * reconciles per-file footers into the union schema; files missing a
+    * column surface nulls. Off by default in Spark because footer
+    * merging costs a pass over file metadata — turn it on explicitly at
+    * ingest boundaries, not globally. */
+  def readParquetEvolving(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   def readCsv(s: SparkSession, path: String, schema: StructType,
               header: Boolean = true, sep: String = ","): DataFrame =
     s.read.schema(schema) // explicit schema: inference is a full extra pass

@@ -104,6 +104,23 @@ class SourcesSpec extends SparkSpec {
     assert(perFile.forall(_ <= 1000), perFile.max.toString)
   }
 
+  test("schema evolution: mergeSchema reconciles old and new file generations") {
+    val dir = tmp() + "/evolve"
+    val gen1 = nation.select($"n_nationkey", $"n_name")
+    val gen2 = nation.select($"n_nationkey", $"n_name", $"n_regionkey",
+      lit("v2").as("ingest_tag"))
+    gen1.write.parquet(s"$dir/g1")
+    gen2.write.parquet(s"$dir/g2")
+    val merged = Sources.readParquetEvolving(spark, s"$dir/{g1,g2}")
+    assert(merged.columns.toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey", "ingest_tag"))
+    assert(merged.count() == nation.count() * 2)
+    // old-generation rows surface nulls for the added columns
+    assert(merged.filter($"ingest_tag".isNull).count() == nation.count())
+    assert(merged.filter($"ingest_tag" === "v2" && $"n_regionkey".isNotNull).count()
+      == nation.count())
+  }
+
   test("partitioned parquet write prunes directories on read") {
     val dir = tmp() + "/part"
     Sources.write(nation, dir, "parquet", partitionByCols = Seq("n_regionkey"))
