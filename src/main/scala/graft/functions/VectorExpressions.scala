@@ -161,8 +161,15 @@ case class SignLshBuckets(child: Expression, dim: Int, bits: Int, tables: Int)
     copy(child = c)
 }
 
+/** Both vector pair kernels implement `doGenCode`, so a pair join's
+  * score projection stays INSIDE whole-stage codegen — the
+  * CodegenFallback boundary would otherwise materialize an InternalRow
+  * and box through `eval` for every candidate pair, the hottest loop
+  * of the ANN/near-dup queries. Generated loop == compiled eval loop;
+  * parity is pinned in SimilaritySpec's driver-side goldens and the
+  * ann_brute_topk oracle. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -174,13 +181,30 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }
 
 /** cos(a,b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), one fused pass per pair. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -199,6 +223,31 @@ case class CosineSim(left: Expression, right: Expression)
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }
