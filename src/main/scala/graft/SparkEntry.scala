@@ -66,6 +66,8 @@ object SparkEntry {
     "tx_fingerprint" -> TextAnalysis.fingerprint _,
     "tx_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
     "tx_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir)),
+    "tx_pack" -> ((s, dir) => TextAnalysis.sequencePack(s, dir)),
+    "tx_scrub" -> TextAnalysis.scrub _,
     "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
     "tx_split" -> Sampling.trainValTest _,
     "tx_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -335,6 +337,23 @@ object SparkEntry {
           |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
       "tx_fingerprint" ->
         """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "tx_pack" ->
+        """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (SELECT doc_id, shard, n_tokens,
+          |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM t)
+          |SELECT doc_id, shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+          |  n_tokens
+          |FROM c ORDER BY doc_id""".stripMargin,
+      "tx_scrub" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_redacted,
+          |  CAST(length(regexp_replace(text, '[0-9]{3,}', '#', 'g')) AS BIGINT) AS scrubbed_len,
+          |  md5(regexp_replace(text, '[0-9]{3,}', '#', 'g')) AS scrubbed_md5
           |FROM documents ORDER BY doc_id""".stripMargin,
       "tx_sample" ->
         """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),

@@ -146,6 +146,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Sequence packing — the LM-training batching prep step: assign
+    * docs to fixed-token-budget packs. Offset-based rule (a doc's pack
+    * is its starting cumulative-token offset ÷ budget) — deterministic,
+    * one window pass, and crucially PER-SHARD: packing is partitioned
+    * by a hash shard so there is no global-order single-partition
+    * window (the scale-killer a naive global pack would plan). At
+    * 100 TB each shard packs independently in parallel; consumers read
+    * (shard, pack_id) groups. */
+  def sequencePack(s: SparkSession, dir: String, budget: Long = 512,
+                   shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select($"doc_id", ($"doc_id" % shards).as("shard"),
+        TextFunctions.textStatsCounts($"text").getItem(1).as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"shard",
+        floor(($"cum" - $"n_tokens") / budget).cast("long").as("pack_id"),
+        $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  /** Scrubbing pass (PII-redaction shape): count and redact digit runs
+    * of 3+ (the stand-in for phone/SSN patterns — the regex is RE2-safe
+    * so the oracle applies the identical pattern). Map-side only. */
+  def scrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit("[0-9]{3,}"), lit(0)))
+          .cast("long").as("n_redacted"),
+        length(regexp_replace($"text", "[0-9]{3,}", "#")).cast("long")
+          .as("scrubbed_len"),
+        md5(regexp_replace($"text", "[0-9]{3,}", "#")).as("scrubbed_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprinting: full-content hashes (md5/sha2 built-ins,
     * codegen'd) — the exact-dedup join keys. A 64-bit xxhash64 over
     * whitespace-normalized text (not ANSI-expressible, used by Dedup)
