@@ -104,6 +104,32 @@ class SourcesSpec extends SparkSpec {
     assert(perFile.forall(_ <= 1000), perFile.max.toString)
   }
 
+  test("range-sorted layout lets footer stats skip row groups under a filter") {
+    val sf01 = "/root/testdata/sf0.1"
+    val li = Tables.lineitem(spark, sf01)
+    val base = tmp()
+    // same rows, two layouts: value-clustered vs value-scattered
+    Sources.writeRangeSorted(li, s"$base/sorted", "l_orderkey", 8)
+    li.repartition(8).write.parquet(s"$base/scattered")
+    def scanRows(path: String): Long = {
+      val df = Sources.readParquet(spark, path)
+        .filter($"l_orderkey" >= 1000 && $"l_orderkey" < 2000)
+      df.collect() // execute to populate metrics
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val matches = li.filter($"l_orderkey" >= 1000 && $"l_orderkey" < 2000).count()
+    val sortedRead = scanRows(s"$base/sorted")
+    val scatteredRead = scanRows(s"$base/scattered")
+    info(s"rows out of scan: sorted=$sortedRead scattered=$scatteredRead matches=$matches")
+    // scattered layout: the narrow filter range intersects every row
+    // group, so (almost) nothing is skipped; sorted layout: only the
+    // one or two row groups covering the range survive
+    assert(sortedRead < scatteredRead / 4,
+      s"sorted=$sortedRead should read far less than scattered=$scatteredRead")
+    assert(sortedRead >= matches)
+  }
+
   test("schema evolution: mergeSchema reconciles old and new file generations") {
     val dir = tmp() + "/evolve"
     val gen1 = nation.select($"n_nationkey", $"n_name")
