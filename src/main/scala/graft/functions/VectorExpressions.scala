@@ -31,6 +31,74 @@ object VectorFunctions {
 
   def nearestCentroids(v: Column, ids: Seq[Long], vecs: Seq[Seq[Double]], k: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(v), ids, vecs, k))
+
+  def nearestCentroidsBcast(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])],
+      k: Int): Column =
+    ColumnBridge.column(NearestCentroidsBcast(ColumnBridge.expression(v), bc, k))
+}
+
+/** The large-centroid-table twin of [[NearestCentroids]]: the table
+  * rides a TorrentBroadcast instead of plan literals, so a 10⁴-10⁵-list
+  * IVF doesn't serialize megabytes into every task's plan (broadcast
+  * blocks ship once per executor and are shared). Same eval, same
+  * ordering contract; equivalence pinned in SimilaritySpec. */
+case class NearestCentroidsBcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])],
+    k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  require(k > 0)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "graft_nearest_centroids_bcast"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val (cids, cvecs) = bc.value
+    NearestCentroidKernel.topK(v.asInstanceOf[ArrayData], cids, cvecs, k)
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsBcast =
+    copy(child = c)
+}
+
+/** Shared eval loop for the two centroid-assignment expressions. */
+private[functions] object NearestCentroidKernel {
+  def topK(a: ArrayData, cids: Array[Long], cvecs: Array[Array[Double]],
+           k: Int): Any = {
+    val nc = cvecs.length
+    val sims = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cv = cvecs(c)
+      val n = math.min(a.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getDouble(i); val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    val kk = math.min(k, nc)
+    val chosen = new Array[Long](kk)
+    val used = new Array[Boolean](nc)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      c = 0
+      while (c < nc) {
+        if (!used(c) && (best < 0 || sims(c) > sims(best) ||
+            (sims(c) == sims(best) && cids(c) < cids(best)))) best = c
+        c += 1
+      }
+      used(best) = true
+      chosen(r) = cids(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chosen)
+  }
 }
 
 /** The `k` nearest centroid ids by cosine similarity (ties broken by
@@ -65,43 +133,8 @@ case class NearestCentroids(child: Expression, ids: Seq[Long],
   @transient private lazy val cvecs: Array[Array[Double]] = vecs.map(_.toArray).toArray
   @transient private lazy val cids: Array[Long] = ids.toArray
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val nc = cvecs.length
-    val sims = new Array[Double](nc)
-    var c = 0
-    while (c < nc) {
-      val cv = cvecs(c)
-      val n = math.min(a.numElements(), cv.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = a.getDouble(i); val y = cv(i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      sims(c) = dot / (math.sqrt(na) * math.sqrt(nb))
-      c += 1
-    }
-    // selection of top-k by (sim desc, id asc); nc is tiny (≤ dozens)
-    val kk = math.min(k, nc)
-    val chosen = new Array[Long](kk)
-    val used = new Array[Boolean](nc)
-    var r = 0
-    while (r < kk) {
-      var best = -1
-      c = 0
-      while (c < nc) {
-        if (!used(c) && (best < 0 || sims(c) > sims(best) ||
-            (sims(c) == sims(best) && cids(c) < cids(best)))) best = c
-        c += 1
-      }
-      used(best) = true
-      chosen(r) = cids(best)
-      r += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(chosen)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCentroidKernel.topK(v.asInstanceOf[ArrayData], cids, cvecs, k)
   override protected def withNewChildInternal(c: Expression): NearestCentroids =
     copy(child = c)
 }

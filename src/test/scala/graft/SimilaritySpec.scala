@@ -83,6 +83,22 @@ class SimilaritySpec extends SparkSpec {
     assert(dominantAxes == Set(0, 1), vecs.toString)
   }
 
+  test("broadcast-centroid kernel ≡ literal-centroid kernel") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val rows = emb.filter($"vec_id" < 16).orderBy($"vec_id").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cvecs = rows.map(_.getSeq[Double](1)).toSeq
+    val bc = spark.sparkContext.broadcast(
+      (cids.toArray, cvecs.map(_.toArray).toArray))
+    val both = emb.select($"vec_id",
+        VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 4).as("lit"),
+        VectorFunctions.nearestCentroidsBcast($"embedding", bc, 4).as("bcast"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)}"))
+  }
+
   test("lsh top-k candidates are true cosine scores (subset of brute force domain)") {
     val emb = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) as e")
