@@ -54,6 +54,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // probes broadcast to the corpus
   }
 
+  test("stratified sample ranks with WindowGroupLimit (quota pushdown)") {
+    val p = plan(graft.operators.Sampling.stratifiedSample(spark, sfDir, 5))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("sequence packing windows per shard — no single-partition window") {
+    // the cumulative-token window must key on the shard, never collapse
+    // to one partition (the global-pack scale-killer)
+    val df = graft.operators.TextAnalysis.sequencePack(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(shard"), p)
+    val windowPart = p.linesIterator.find(_.trim.startsWith("Window")).getOrElse("")
+    assert(!windowPart.contains("SinglePartition"), p)
+  }
+
   test("word count stays inside whole-stage codegen") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     // Codegen'd operators are marked "*(n)" in the final plan string.
