@@ -38,8 +38,24 @@ object GraftSession {
     "spark.ui.enabled"                       -> "false"
   )
 
+  /** `local[N]` HARD-CODES maxFailures = 1 inside
+    * SparkContext.createTaskScheduler — the `spark.task.maxFailures`
+    * conf is ignored there, and only the `local[N,F]` master syntax
+    * carries a retry budget. Rewrite plain local masters so the retry
+    * envelope is actually in force in local runs too. (Speculation is
+    * cluster-only by design — TaskSchedulerImpl starts its speculation
+    * thread only when !isLocal — so that part of the envelope engages
+    * on real cluster managers and is pinned here as conf.) */
+  private[graft] def withLocalRetries(master: String): String = {
+    val plainLocal = "local\\[([0-9*]+)\\]".r
+    master match {
+      case plainLocal(n) => s"local[$n,${faultToleranceConf("spark.task.maxFailures")}]"
+      case other         => other
+    }
+  }
+
   def build(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
-    var b = SparkSession.builder().master(master).appName(appName)
+    var b = SparkSession.builder().master(withLocalRetries(master)).appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     (sqlConf ++ faultToleranceConf).foreach { case (k, v) => b = b.config(k, v) }
     val s = b.getOrCreate()

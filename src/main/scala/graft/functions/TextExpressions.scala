@@ -33,10 +33,6 @@ object TextFunctions {
   def tokenSetCounts(c: Column, sets: Seq[Seq[String]]): Column =
     ColumnBridge.column(TokenSetCounts(ColumnBridge.expression(c), sets))
 
-  /** Total whitespace-token count (Go `strings.Fields` semantics). */
-  def wsTokenCount(c: Column): Column =
-    tokenSetCounts(c, Seq.empty).getItem(0)
-
   /** `array(string)` of space-joined consecutive token pairs; empty for
     * documents with fewer than two tokens. */
   def tokenBigrams(c: Column): Column =
@@ -144,20 +140,24 @@ case class TokenBigrams(child: Expression)
 
   override protected def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
-    val starts = new java.util.ArrayList[Integer]
-    val ends = new java.util.ArrayList[Integer]
-    Tokenize.foreachToken(bytes) { (s, e) => starts.add(s); ends.add(e) }
-    val n = starts.size
+    // primitive offset arrays, pre-sized to the worst case (a token
+    // needs ≥1 byte + separator → ≤ (len+1)/2 tokens): the kernel
+    // exists to avoid per-token boxing, so no ArrayList[Integer] here
+    val maxToks = bytes.length / 2 + 1
+    val starts = new Array[Int](maxToks)
+    val ends = new Array[Int](maxToks)
+    var n = 0
+    Tokenize.foreachToken(bytes) { (s, e) => starts(n) = s; ends(n) = e; n += 1 }
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n - 1)
     var i = 0
     while (i < n - 1) {
-      val l1 = ends.get(i) - starts.get(i)
-      val l2 = ends.get(i + 1) - starts.get(i + 1)
+      val l1 = ends(i) - starts(i)
+      val l2 = ends(i + 1) - starts(i + 1)
       val buf = new Array[Byte](l1 + 1 + l2)
-      System.arraycopy(bytes, starts.get(i), buf, 0, l1)
+      System.arraycopy(bytes, starts(i), buf, 0, l1)
       buf(l1) = ' '
-      System.arraycopy(bytes, starts.get(i + 1), buf, l1 + 1, l2)
+      System.arraycopy(bytes, starts(i + 1), buf, l1 + 1, l2)
       out(i) = UTF8String.fromBytes(buf)
       i += 1
     }

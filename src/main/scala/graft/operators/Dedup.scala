@@ -148,15 +148,19 @@ object Dedup {
       .toDF("src", "dst").localCheckpoint()
     var labels = Tables.documents(s, dir).filter($"doc_id" < maxId)
       .select($"doc_id".as("v"), $"doc_id".as("label"))
+    // coalesce: sum over an empty vertex set is NULL — an out-of-range
+    // maxId must yield an empty result, not an unboxing NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum($"label")).head.getLong(0)
+    var curSum = labelSum(labels)
     while (curSum < prevSum) {
       prevSum = curSum
       val prop = edges.join(labels, $"src" === $"v").select($"dst".as("v"), $"label")
       labels = labels.union(prop)
         .groupBy($"v").agg(min($"label").as("label"))
         .localCheckpoint()
-      curSum = labels.agg(sum($"label")).head.getLong(0)
+      curSum = labelSum(labels)
     }
     labels.select($"v".as("doc_id"), $"label".as("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

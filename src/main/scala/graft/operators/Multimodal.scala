@@ -32,6 +32,10 @@ object Multimodal {
     * codec (e.g. libjpeg/ffmpeg via JNI) in production — signature and
     * batch shape stay identical. */
   object FakeCodec extends Serializable {
+    /** Header-derived dimension rule — the single source of truth
+      * shared by decode, resize, and the mm_media_meta oracle. */
+    def dimOf(headerByte: Int): Int = 16 * (1 + headerByte % 64)
+
     def decode(r: MediaRow): DecodedRow = {
       val n = r.payload.length
       val b0 = if (n > 0) r.payload(0) & 0xff else 0
@@ -39,7 +43,7 @@ object Multimodal {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(r.payload).take(8).map("%02x".format(_)).mkString
       DecodedRow(r.media_id, r.kind, n.toLong,
-        width = 16 * (1 + b0 % 64), height = 16 * (1 + b1 % 64),
+        width = dimOf(b0), height = dimOf(b1),
         n_frames = if (r.kind == "video") 1 + n % 300 else 1,
         payload_sha = sha)
     }
@@ -97,7 +101,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.map { r =>
       val b0 = if (r.payload.length > 0) r.payload(0) & 0xff else 0
-      val width = 16 * (1 + b0 % 64) // FakeCodec's width rule, header-only
+      val width = FakeCodec.dimOf(b0) // header-only, no full decode
       val scale = math.min(targetWidth.toDouble / width, 1.0)
       val keep = math.max((r.payload.length * scale).toInt, 1)
       r.copy(payload = r.payload.take(keep))

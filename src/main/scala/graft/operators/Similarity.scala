@@ -148,10 +148,15 @@ object Similarity {
   def kmeansCentroids(s: SparkSession, emb: DataFrame, k: Int,
                       iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
     import s.implicits._
-    val cids: Seq[Long] = (0L until k.toLong)
-    var cvecs: Seq[Seq[Double]] = emb.filter($"vec_id" < k)
-      .orderBy($"vec_id").select($"embedding").collect()
+    // seeds = the first k corpus vectors in vec_id order; cluster ids
+    // are LIST POSITIONS 0..n-1, independent of the (possibly sparse,
+    // possibly non-zero-based) vec_id domain, so a corpus with ids
+    // starting at 1 — or fewer than k rows — still trains correctly
+    var cvecs: Seq[Seq[Double]] = emb.orderBy($"vec_id").limit(k)
+      .select($"embedding").collect()
       .map(_.getSeq[Double](0)).toSeq
+    require(cvecs.nonEmpty, "kmeansCentroids: empty embedding corpus")
+    val cids: Seq[Long] = cvecs.indices.map(_.toLong)
     for (_ <- 0 until iters) {
       val upd = emb
         .select(VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)

@@ -54,17 +54,21 @@ class EventsStreamingSpec extends SparkSpec {
     // kill below genuinely lands mid-stream with work left to recover
     val manyFiles = s"$base/in"
     Tables.events(spark, sfDir).repartition(12).write.parquet(manyFiles)
+    // 300 ms trigger cadence paces the 12 batches (~3.6 s end to end),
+    // so stopping after the first committed batch reliably lands
+    // mid-stream instead of racing a back-to-back batch train
     def start() = spark.readStream.schema(StreamingOps.eventsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(manyFiles)
       .writeStream.format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
       .option("checkpointLocation", ckpt).option("path", sink)
       .outputMode(OutputMode.Append).start()
     val q1 = start()
     // let at least one batch commit, then kill mid-stream
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (q1.recentProgress.length < 2 && System.nanoTime() < deadline)
-      Thread.sleep(50)
+    while (q1.recentProgress.length < 1 && System.nanoTime() < deadline)
+      Thread.sleep(25)
     q1.stop()
     // the kill must be genuine: some input not yet processed
     val processed = spark.read.schema(StreamingOps.eventsSchema).parquet(sink).count()
