@@ -32,6 +32,23 @@ class AllQueriesSpec extends SparkSpec {
     }
   }
 
+  test("no query windows over a single partition (global-window scale-killer)") {
+    // a WindowExec with an empty partitionSpec requires AllTuples — the
+    // whole dataset on one task. Every window in the registry must key
+    // on something. (Global aggregates and runtime bloom-filter builds
+    // legitimately use SinglePartition exchanges of one-row partials —
+    // those are fine and not flagged here.)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val offenders = fn(spark, sfDir).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty, s"$name has a global (unpartitioned) window")
+    }
+  }
+
   test("every oracleSql key has a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
