@@ -9,17 +9,24 @@ object Bench {
     // query doesn't absorb session initialization (~4 s otherwise).
     SparkEntry.queries.get("q1_pricing")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-profiling knobs (the driver sets neither): run a subset of
+    // queries, or more repetitions with per-run times on stderr.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // noop sink: evaluates every output column and row (count() would
       // let Catalyst prune computed columns and measure a cheaper plan).
       // min of 2 runs: the second run reuses compiled codegen, so the
       // reported number is steady-state query time, not janino time.
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
+      if (runs > 2) System.err.println(
+        s"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(" ")}")
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -168,19 +168,16 @@ case class SimHash64(child: Expression)
   override protected def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[UTF8String].getBytes
     val counts = new Array[Int](64)
-    var i = 0
-    val n = b.length
-    while (i < n) {
-      while (i < n && isSpace(b(i))) i += 1
-      val start = i
-      while (i < n && !isSpace(b(i))) i += 1
-      if (i > start) {
-        val h = HashFunctions.fnv1a64Bytes(b, start, i)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
+    // Tokenize.isSpace is the repo-wide whitespace contract (Java \s,
+    // including \x0B) — SimHash64 must split exactly like every other
+    // token kernel so direct graft_simhash64(col) SQL use agrees with
+    // the documented semantics.
+    Tokenize.foreachToken(b) { (start, end) =>
+      val h = HashFunctions.fnv1a64Bytes(b, start, end)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
       }
     }
     var out = 0L
@@ -191,7 +188,5 @@ case class SimHash64(child: Expression)
     }
     out
   }
-  private def isSpace(c: Byte): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }

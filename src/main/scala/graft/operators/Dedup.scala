@@ -141,17 +141,55 @@ object Dedup {
     * the clustering; the 100 TB pipeline feeds [[minhashLsh]] pairs in
     * instead. */
   def nearDupClusters(s: SparkSession, dir: String, k: Int = 3,
-                      maxId: Long = 50, threshold: Double = 0.3): DataFrame = {
+                      maxId: Long = 50, threshold: Double = 0.3,
+                      algorithm: String = "label-prop"): DataFrame = {
     import s.implicits._
-    val pairs = ngramJaccard(s, dir, k, maxId, threshold).select($"id1", $"id2")
-    val edges = pairs.union(pairs.select($"id2", $"id1"))
+    clusterLabels(s, dir, k, maxId, threshold, algorithm)
+      .select($"v".as("doc_id"), $"label".as("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"label")).as("cluster_size"))
+      .orderBy($"doc_id")
+  }
+
+  /** Converged (vertex, component-min-label) frame, cached per
+    * (context, inputs) so `survivors` reuses the `dd_clusters` result
+    * instead of re-running pair generation + propagation — the frame is
+    * localCheckpointed, so the cached plan is a materialized RDD scan. */
+  private val labelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String, Int, Long, Double, String), DataFrame]
+
+  private def clusterLabels(s: SparkSession, dir: String, k: Int,
+                            maxId: Long, threshold: Double,
+                            algorithm: String): DataFrame =
+    labelCache.computeIfAbsent((s.sparkContext, dir, k, maxId, threshold, algorithm), _ => {
+      import s.implicits._
+      val pairs = ngramJaccard(s, dir, k, maxId, threshold).select($"id1", $"id2")
+      val vertices = Tables.documents(s, dir).filter($"doc_id" < maxId)
+        .select($"doc_id".as("v"))
+      algorithm match {
+        case "label-prop" => labelPropagation(s, vertices, pairs)
+        case "star"       => starContraction(s, vertices, pairs)._1
+        case other => throw new IllegalArgumentException(
+          s"unknown clustering algorithm '$other' (label-prop | star)")
+      }
+    })
+
+  /** Iterative min-label propagation: rounds = graph diameter — the
+    * right default for near-dup graphs (shallow components). One Spark
+    * job per round: the labelSum action computes the convergence scalar
+    * AND materializes the lazy localCheckpoint (the eager form issued
+    * two jobs — checkpoint + sum). */
+  private def labelPropagation(s: SparkSession, vertices: DataFrame,
+                               pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val p = pairs.toDF("a", "b")
+    val edges = p.union(p.select($"b", $"a"))
       .toDF("src", "dst").localCheckpoint()
-    var labels = Tables.documents(s, dir).filter($"doc_id" < maxId)
-      .select($"doc_id".as("v"), $"doc_id".as("label"))
     // coalesce: sum over an empty vertex set is NULL — an out-of-range
     // maxId must yield an empty result, not an unboxing NPE
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
+    var labels = vertices.select($"v", $"v".as("label"))
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     while (curSum < prevSum) {
@@ -159,13 +197,72 @@ object Dedup {
       val prop = edges.join(labels, $"src" === $"v").select($"dst".as("v"), $"label")
       labels = labels.union(prop)
         .groupBy($"v").agg(min($"label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       curSum = labelSum(labels)
     }
-    labels.select($"v".as("doc_id"), $"label".as("cluster_id"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"label")).as("cluster_size"))
-      .orderBy($"doc_id")
+    labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC'14): converges in O(log n) rounds
+    * on ANY graph shape, including the adversarial long-chain dup graph
+    * where label propagation needs diameter rounds. Each half-round is
+    * one groupBy-min + join-back on (long, long) edges; no wide rows.
+    *
+    *  - large-star: every node links its strictly-larger neighbors to
+    *    min({u} ∪ N(u));
+    *  - small-star: edges directed large→small, every node links its
+    *    smaller neighbors (and itself) to that minimum.
+    *
+    * Fixpoint: the edge set is a union of stars (v → component min),
+    * detected by an unchanged (count, hash-sum) signature — one agg
+    * action per round on the frame the lazy checkpoint materializes.
+    * Returns (labels, rounds) so specs can assert the O(log n) bound. */
+  private[graft] def starContraction(s: SparkSession, vertices: DataFrame,
+                                     pairs: DataFrame): (DataFrame, Int) = {
+    import s.implicits._
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = nbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      // m ≤ u < v, so no self-loops possible
+      nbrs.join(mins, "u").where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val mins = directed.groupBy($"u").agg(min($"v").as("m"))
+      directed.join(mins, "u")
+        .select(explode(array(
+          struct($"v".as("a"), $"m".as("b")),
+          struct($"u".as("a"), $"m".as("b")))).as("e"))
+        .select($"e.a".as("u"), $"e.b".as("v"))
+        .where($"u" =!= $"v").distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent over the distinct edge set
+      // and immune to ANSI long-overflow on hash values
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs.toDF("u", "v").where($"u" =!= $"v").localCheckpoint()
+    var prev = (-1L, 0L)
+    var cur = signature(edges)
+    var rounds = 0
+    while (cur != prev) {
+      prev = cur
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
+      cur = signature(edges)
+      rounds += 1
+    }
+    // stars: every non-root points at its component min; roots and
+    // isolated vertices label themselves
+    val roots = edges.groupBy($"u").agg(min($"v").as("label"))
+    val labels = vertices
+      .join(roots, vertices("v") === roots("u"), "left")
+      .select(vertices("v"), coalesce($"label", vertices("v")).as("label"))
+    (labels, rounds)
   }
 
   /** Survivor selection — the final dedup step: one winner per

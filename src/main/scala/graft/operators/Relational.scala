@@ -246,13 +246,19 @@ object Relational {
 
   /** Correlated-style aggregate subquery (TPC-H Q17 shape): lineitems
     * below 20% of their part's average quantity. The subquery becomes a
-    * broadcast-joined pre-aggregate — no per-row re-scan. */
+    * pre-aggregate joined back on the grouping key — no per-row re-scan.
+    * Deliberately NO broadcast hint: `avg_qty` has one row per distinct
+    * l_partkey, i.e. fact-table cardinality — forcing a broadcast OOMs
+    * at 100 TB. Unhinted, AQE broadcasts when the aggregate is actually
+    * small and falls back to a shuffled join on l_partkey otherwise
+    * (both sides already hash on the same key, so the pre-aggregate's
+    * exchange is reused, not doubled). */
   def q17SubqueryAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
     val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
       .agg(avg($"l_quantity").as("avg_qty"))
-    li.join(broadcast(avgQty), $"l_partkey" === $"ap_partkey")
+    li.join(avgQty, $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < $"avg_qty" * 0.2)
       .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
       .orderBy($"l_orderkey", $"l_partkey", $"l_linenumber")

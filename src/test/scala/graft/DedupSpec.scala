@@ -92,6 +92,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) && !pairs.contains((0L, 2L)))
   }
 
+  test("star contraction: adversarial long chain converges in O(log n) rounds") {
+    // a 1024-node path graph is the label-propagation worst case
+    // (diameter rounds = 1023); large-star/small-star must collapse it
+    // logarithmically and still produce the component-min labeling
+    val n = 1024
+    val vertices = (0L until n.toLong).toDF("v")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.starContraction(spark, vertices, chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 0L))
+    // paper bound is O(log n) alternating rounds; 1024-chain should be
+    // well under 3·log2(n)+2 = 32 (empirically ~6-8)
+    assert(rounds <= 3 * 10 + 2, s"rounds=$rounds not logarithmic for n=$n")
+  }
+
+  test("star contraction ≡ label propagation on the document pair graph") {
+    val dir = java.nio.file.Files.createTempDirectory("ccstar").toString
+    val a = "one two three four five six"
+    val b = "three four five six seven eight"
+    val c = "five six seven eight nine ten"
+    Seq((0L, a), (1L, b), (2L, c), (10L, "qqqq"), (11L, "zzzz"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val prop = Dedup.nearDupClusters(spark, dir).collect().map(
+      r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val star = Dedup.nearDupClusters(spark, dir, algorithm = "star").collect().map(
+      r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(star == prop)
+    // isolated multi-node components AND singletons both labeled right
+    assert(star == Seq((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (10L, 10L, 1L), (11L, 11L, 1L)))
+  }
+
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
     val dir = java.nio.file.Files.createTempDirectory("ng").toString
     Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))

@@ -84,10 +84,10 @@ class PropertySpec extends SparkSpec {
     // whitespace variety (incl. \x0B), unicode multi-byte, punctuation,
     // leading/trailing/runs-of whitespace, empty-ish strings
     val chunk = Gen.oneOf(wordGen, Gen.const("  "), Gen.const("\t"),
-      Gen.const("\n"), Gen.const(""), Gen.const("\r"), Gen.const("é漢字"),
+      Gen.const("\n"), Gen.const("\u000B"), Gen.const("\r"), Gen.const("é漢字"),
       Gen.const("a.b,c!"), Gen.const("1 22 333"), Gen.const(""))
     val strGen = Gen.listOfN(12, chunk).map(_.mkString(" "))
-    val docs = samples(strGen, 40) ++ Seq("", " ", "one", "a b", "\t\n\f\r")
+    val docs = samples(strGen, 40) ++ Seq("", " ", "one", "a b", "\t\n\u000B\f\r")
     val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
 
     val kernel = df.select($"id",
@@ -143,6 +143,35 @@ class PropertySpec extends SparkSpec {
           .cast("double") / 16).as("hof"))
       .collect()
     pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("simhash kernel ≡ split-on-\\s reference, incl. \\u000B vertical tab") {
+    // pins SimHash64 to the repo-wide tokenizer contract (Java \s):
+    // 'a\u000Bb' must hash as two tokens, not one
+    val chunk = Gen.oneOf(wordGen, Gen.const("\u000B"), Gen.const("\t"),
+      Gen.const("é漢"), Gen.const(""))
+    val strGen = Gen.listOfN(10, chunk).map(_.mkString(" "))
+    val docs = samples(strGen, 30) ++
+      Seq("", "one", "a\u000Bb", "x\u000B", "\u000B\u000B", "a b")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id",
+        graft.functions.SketchFunctions.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val counts = new Array[Int](64)
+      t.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val b = tok.getBytes("UTF-8")
+        val h = HashFunctions.fnv1a64Bytes(b, 0, b.length)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      var exp = 0L
+      (0 until 64).foreach(j => if (counts(j) > 0) exp |= (1L << j))
+      assert(got(i.toLong) == exp, s"doc $i: '$t'")
+    }
   }
 
   test("minhash agreement estimates jaccard sanely across overlap levels") {
