@@ -66,7 +66,9 @@ object SparkEntry {
     "tx_fingerprint" -> TextAnalysis.fingerprint _,
     "tx_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
     "tx_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir)),
-    "tx_pack" -> ((s, dir) => TextAnalysis.sequencePack(s, dir)),
+    // shards pinned to 8: the oracle's shard rule is `doc_id % 8`; the
+    // default derives shards from cluster parallelism (TextAnalysis)
+    "tx_pack" -> ((s, dir) => TextAnalysis.sequencePack(s, dir, shards = 8)),
     "tx_scrub" -> TextAnalysis.scrub _,
     "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
     "tx_split" -> Sampling.trainValTest _,

@@ -116,10 +116,11 @@ private[functions] object NearestCentroidKernel {
   * Cosine math matches [[CosineSim]] exactly (same accumulation order).
   *
   * Sizing note: expression-embedded centroids serialize with the plan —
-  * fine for nLists ≤ a few hundred (≤ ~1 MB at dim 64). A 100 TB IVF
-  * with 10⁴-10⁵ lists would move the table into a TorrentBroadcast
-  * read inside the kernel (same eval loop, same zero-Exchange plan)
-  * rather than plan literals.
+  * fine for nLists ≤ a few hundred (≤ ~1 MB at dim 64). Above
+  * `Similarity.bcastCentroidThreshold` lists, `ivfWithCentroids`
+  * switches to [[NearestCentroidsBcast]] (same eval loop, same
+  * zero-Exchange plan) so the table ships as a TorrentBroadcast rather
+  * than plan literals.
   */
 case class NearestCentroids(child: Expression, ids: Seq[Long],
                             vecs: Seq[Seq[Double]], k: Int)

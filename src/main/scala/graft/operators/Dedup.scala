@@ -154,13 +154,30 @@ object Dedup {
   /** Converged (vertex, component-min-label) frame, cached per
     * (context, inputs) so `survivors` reuses the `dd_clusters` result
     * instead of re-running pair generation + propagation — the frame is
-    * localCheckpointed, so the cached plan is a materialized RDD scan. */
+    * localCheckpointed, so the cached plan is a materialized RDD scan.
+    *
+    * Lifetime: a cached entry pins its checkpointed RDD blocks until the
+    * entry is dropped (the ContextCleaner reclaims the blocks once the
+    * DataFrame becomes unreachable). Entries are bounded by the distinct
+    * (input, params) tuples a session touches — a handful in practice —
+    * with [[labelCacheMaxEntries]] as a hard cap against parameter
+    * sweeps, and [[clearLabelCache]] as the explicit epoch boundary
+    * (Bench clears before each timed `dd_clusters` run so the reported
+    * number is the real clustering cost, not a cached-scan replay). */
   private val labelCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String, Int, Long, Double, String), DataFrame]
 
+  private val labelCacheMaxEntries = 32
+
+  /** Drop all cached cluster labels (and with them the references
+    * pinning their checkpointed RDDs). Next `nearDupClusters` /
+    * `survivors` call recomputes from pairs. */
+  def clearLabelCache(): Unit = labelCache.clear()
+
   private def clusterLabels(s: SparkSession, dir: String, k: Int,
                             maxId: Long, threshold: Double,
-                            algorithm: String): DataFrame =
+                            algorithm: String): DataFrame = {
+    if (labelCache.size >= labelCacheMaxEntries) labelCache.clear()
     labelCache.computeIfAbsent((s.sparkContext, dir, k, maxId, threshold, algorithm), _ => {
       import s.implicits._
       val pairs = ngramJaccard(s, dir, k, maxId, threshold).select($"id1", $"id2")
@@ -173,6 +190,7 @@ object Dedup {
           s"unknown clustering algorithm '$other' (label-prop | star)")
       }
     })
+  }
 
   /** Iterative min-label propagation: rounds = graph diameter — the
     * right default for near-dup graphs (shallow components). One Spark

@@ -176,18 +176,37 @@ object Similarity {
     (cids, cvecs)
   }
 
-  private def ivfWithCentroids(s: SparkSession, emb: DataFrame,
-                               cids: Seq[Long], cvecs: Seq[Seq[Double]],
-                               nProbe: Int, numQueries: Int, topK: Int): DataFrame = {
+  /** Above this many lists the centroid table rides a TorrentBroadcast
+    * ([[graft.functions.NearestCentroidsBcast]]) instead of plan
+    * literals: a 10⁴-10⁵-list IVF would otherwise serialize megabytes of
+    * centroid matrix into every task's plan (and every explain string).
+    * 256 lists at dim 64 ≈ 128 KB of literals — the crossover where the
+    * broadcast's one-time per-executor fetch beats re-shipping the
+    * table with each task. */
+  private[graft] val bcastCentroidThreshold = 256
+
+  private[graft] def ivfWithCentroids(s: SparkSession, emb: DataFrame,
+                                      cids: Seq[Long], cvecs: Seq[Seq[Double]],
+                                      nProbe: Int, numQueries: Int, topK: Int,
+                                      bcastThreshold: Int = bcastCentroidThreshold): DataFrame = {
     import s.implicits._
+    // both kernels share one eval loop (NearestCentroidKernel), so the
+    // choice is purely a serialization strategy — equivalence is pinned
+    // in SimilaritySpec ("broadcast-wired IVF ≡ literal IVF")
+    val nearest: (Column, Int) => Column =
+      if (cids.length >= bcastThreshold) {
+        val bc = s.sparkContext.broadcast(
+          (cids.toArray, cvecs.map(_.toArray).toArray))
+        (v, k) => VectorFunctions.nearestCentroidsBcast(v, bc, k)
+      } else {
+        (v, k) => VectorFunctions.nearestCentroids(v, cids, cvecs, k)
+      }
     val assigned = emb.select($"vec_id", $"embedding",
-      VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)
-        .getItem(0).as("cid"))
+      nearest($"embedding", 1).getItem(0).as("cid"))
     // queries probe their nProbe nearest lists — same kernel, k = nProbe
     val probes = emb.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q"),
-        explode(VectorFunctions.nearestCentroids($"embedding", cids, cvecs, nProbe))
-          .as("cid"))
+        explode(nearest($"embedding", nProbe)).as("cid"))
     // rescore exactly within probed lists only; probes is numQueries ×
     // nProbe rows — always broadcast, so the corpus never shuffles
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")

@@ -153,15 +153,28 @@ object TextAnalysis {
     * by a hash shard so there is no global-order single-partition
     * window (the scale-killer a naive global pack would plan). At
     * 100 TB each shard packs independently in parallel; consumers read
-    * (shard, pack_id) groups. */
+    * (shard, pack_id) groups.
+    *
+    * `shards` caps the window parallelism, so it must scale with the
+    * cluster, not sit at a constant: `shards <= 0` (the default)
+    * derives it from `spark.graft.pack.shards` if set, else the
+    * context's default parallelism. A pinned positive value gives
+    * reproducible (shard, pack_id) assignments across cluster sizes —
+    * the registry pins 8 to match its DuckDB oracle (`doc_id % 8`);
+    * equivalence of the pinned and conf-derived paths at equal shard
+    * count is spec-checked in PropertySpec. */
   def sequencePack(s: SparkSession, dir: String, budget: Long = 512,
-                   shards: Int = 8): DataFrame = {
+                   shards: Int = 0): DataFrame = {
     import s.implicits._
+    val nShards =
+      if (shards > 0) shards
+      else s.conf.getOption("spark.graft.pack.shards").map(_.toInt)
+        .getOrElse(s.sparkContext.defaultParallelism)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.documents(s, dir)
-      .select($"doc_id", ($"doc_id" % shards).as("shard"),
+      .select($"doc_id", ($"doc_id" % nShards).as("shard"),
         TextFunctions.textStatsCounts($"text").getItem(1).as("n_tokens"))
       .withColumn("cum", sum($"n_tokens").over(w))
       .select($"doc_id", $"shard",

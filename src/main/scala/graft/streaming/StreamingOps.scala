@@ -131,9 +131,21 @@ object StreamingOps {
     * paid once per session, not per query run. */
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def tumblingViaStream(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
+  private def stagedDir(s: SparkSession, dir: String): String =
+    stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
       java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+
+  /** Stage BOTH streaming fixtures for `dir` (plain + every-event-twice
+    * dedup dir) without running any stream. Bench calls this in warm-up
+    * so timed `ev_stream_*` runs measure pure stream execution — the
+    * one-time fixture write is test scaffolding, not operator cost. */
+  def preStage(s: SparkSession, dir: String): Unit = {
+    stagedDir(s, dir)
+    dupStagedDir(s, dir)
+  }
+
+  def tumblingViaStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
     val mem = runToMemory(tumblingCounts(eventsStream(s, staged)),
       "ev_stream_tumbling_q", OutputMode.Complete, statePartitions = Some(8))
     mem.select(
@@ -150,8 +162,7 @@ object StreamingOps {
     * oracle mirrors both (diff >= 1800 starts a new session; end_s =
     * floor(epoch(max ts)) + 1800). */
   def sessionViaStream(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
-      java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+    val staged = stagedDir(s, dir)
     val mem = runToMemory(sessionWindows(eventsStream(s, staged)),
       "ev_stream_session_q", OutputMode.Complete, statePartitions = Some(8))
     mem.select(
@@ -169,8 +180,7 @@ object StreamingOps {
     * matches as soon as both rows arrive, so draining a bounded fixture
     * yields the complete batch-equivalent result the oracle checks. */
   def joinViaStream(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
-      java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+    val staged = stagedDir(s, dir)
     val mem = runToMemory(purchaseClickJoin(eventsStream(s, staged)),
       "ev_stream_join_q", OutputMode.Append, statePartitions = Some(8))
     mem.select(
@@ -187,8 +197,7 @@ object StreamingOps {
     * into several micro-batches). Oracle: plain per-user aggregation. */
   def runningViaStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val staged = stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
-      java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
+    val staged = stagedDir(s, dir)
     val stream = eventsStream(s, staged)
       .select($"user_id", $"ts", $"value").as[UserEvent]
     val mem = runToMemory(runningTotals(s, stream).toDF(),
@@ -204,6 +213,14 @@ object StreamingOps {
   /** Staged dirs where every event appears TWICE — the dedup fixture. */
   private val dupStagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def dupStagedDir(s: SparkSession, dir: String): String =
+    dupStagedDirs.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft-dup").toString + "/events"
+      val ev = graft.Tables.events(s, d)
+      ev.union(ev).write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Driver-visible streaming dedup (`ev_stream_dedup`): every event is
     * planted twice in the ingest dir; `dropDuplicatesWithinWatermark`
     * on event_id must reconstruct exactly the original table, which the
@@ -213,12 +230,7 @@ object StreamingOps {
     * store. */
   def dedupViaStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dupDir = dupStagedDirs.computeIfAbsent(dir, d => {
-      val out = java.nio.file.Files.createTempDirectory("graft-dup").toString + "/events"
-      val ev = graft.Tables.events(s, d)
-      ev.union(ev).write.mode("overwrite").parquet(out)
-      out
-    })
+    val dupDir = dupStagedDir(s, dir)
     val deduped = runToMemory(
       streamingDedup(eventsStream(s, dupDir), Seq("event_id"), "10 days"),
       "ev_stream_dedup_q", OutputMode.Append, statePartitions = Some(8))

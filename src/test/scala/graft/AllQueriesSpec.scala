@@ -37,15 +37,61 @@ class AllQueriesSpec extends SparkSpec {
     // whole dataset on one task. Every window in the registry must key
     // on something. (Global aggregates and runtime bloom-filter builds
     // legitimately use SinglePartition exchanges of one-row partials —
-    // those are fine and not flagged here.)
+    // those are fine and not flagged here.) flattenPlan, not .collect:
+    // AQE's wrapper is a LeafExecNode, so a plain collect inspects
+    // nothing inside any plan with an exchange.
     SparkEntry.queries.foreach { case (name, fn) =>
-      val offenders = fn(spark, sfDir).queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-            if w.partitionSpec.isEmpty => w
+      val offenders = flattenPlan(fn(spark, sfDir).queryExecution.executedPlan).filter {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.partitionSpec.isEmpty
+        case _ => false
       }
       assert(offenders.isEmpty, s"$name has a global (unpartitioned) window")
+    }
+  }
+
+  test("broadcast hints only on dimension or literally-bounded sides (registry-wide)") {
+    // The round-2 scale-killer pattern: an explicit broadcast() hint on
+    // a side whose cardinality scales with a fact table (q17's old
+    // broadcast(avgQty) — one row per distinct l_partkey) forces an OOM
+    // at 100 TB where an unhinted plan lets AQE broadcast only when the
+    // side is actually small. Guard: a BROADCAST hint that survives
+    // optimization may sit only over (a) dimension tables, or (b) a
+    // fact-table subtree bounded by a literal range filter or limit
+    // (the ANN queries' `vec_id < numQueries` probe sides).
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    def scansFact(side: LogicalPlan): Boolean = side.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if factTables.exists(t => r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(s"/$t.parquet"))
+            case _ => false
+          }) => r
+    }.isDefined
+    def bounded(side: LogicalPlan): Boolean = side.collectFirst {
+      case f: Filter if f.condition.find {
+        case LessThan(_, _: Literal)        => true
+        case LessThanOrEqual(_, _: Literal) => true
+        case EqualTo(_, _: Literal)         => true
+        case _                              => false
+      }.isDefined => f
+      case l: GlobalLimit => l
+    }.isDefined
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, sfDir).queryExecution.optimizedPlan.foreach {
+        case j: Join =>
+          Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).foreach {
+            case (side, hint) =>
+              if (hint.exists(_.strategy.contains(BROADCAST)) && scansFact(side))
+                assert(bounded(side),
+                  s"$name: broadcast hint on an unbounded fact-scaled side")
+          }
+        case _ =>
+      }
     }
   }
 

@@ -125,6 +125,14 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 1L), (11L, 11L, 1L)))
   }
 
+  test("clearLabelCache epochs the cluster cache: recompute, identical labels") {
+    def labels = Dedup.nearDupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val warm = labels // populates (or reuses) the cache
+    Dedup.clearLabelCache() // Bench's pre-run hook — forces the cold path
+    assert(labels == warm)
+  }
+
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
     val dir = java.nio.file.Files.createTempDirectory("ng").toString
     Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))

@@ -69,6 +69,23 @@ class HashSpec extends SparkSpec {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("wc_partitions buckets match driver-side FNV routing for every corpus word") {
+    // the registry's rows-only query (`wc_partitions`) gated end-to-end:
+    // each word's bucket must equal the reference contract
+    // (fnv1a32(word) & 0x7fffffff) % nReduce — worker.go:154,170-174 —
+    // recomputed here against the pinned-vector FNV kernel. Counts are
+    // already oracle-checked via wc_wordcount (same tokenization).
+    val rows = graft.operators.Skew.wordCountWithPartition(spark, sfDir, nReduce = 5)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (word, bucket) = (r.getString(0), r.getLong(2))
+      val b = word.getBytes("UTF-8")
+      val expected = ((HashFunctions.fnv1a32Bytes(b, 0, b.length) & 0x7fffffff) % 5).toLong
+      assert(bucket == expected, s"word '$word': bucket $bucket != $expected")
+    }
+  }
+
   test("referencePartition reproduces ihash routing: non-negative, < nReduce, deterministic") {
     val words = Seq("the", "quick", "brown", "fox", "hello", "world")
     val df = words.toDF("w")

@@ -69,6 +69,22 @@ class PlanSpec extends SparkSpec {
     assert(!windowPart.contains("SinglePartition"), p)
   }
 
+  test("q17: pre-aggregate join survives analysis unhinted (AQE decides)") {
+    // Round 2 shipped broadcast(avgQty) here — one row per distinct
+    // l_partkey, i.e. fact cardinality, a guaranteed OOM at 100 TB. The
+    // fix is NO hint: both sides hash on l_partkey (exchange reuse) and
+    // AQE broadcasts at runtime only if the aggregate is actually small.
+    // This fails if any explicit join-strategy hint returns to q17.
+    val joins = Relational.q17SubqueryAgg(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    assert(joins.nonEmpty)
+    joins.foreach(j =>
+      assert(j.hint == org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE,
+        s"q17 join carries a strategy hint: ${j.hint}"))
+  }
+
   test("word count stays inside whole-stage codegen") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     // Codegen'd operators are marked "*(n)" in the final plan string.

@@ -195,4 +195,20 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(0L) == sigs(1L))
   }
+
+  test("sequence packing: conf-derived shards ≡ pinned shards at equal count") {
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val pinned = rows(TextAnalysis.sequencePack(spark, sfDir, shards = 8))
+    spark.conf.set("spark.graft.pack.shards", "8")
+    try assert(rows(TextAnalysis.sequencePack(spark, sfDir)) == pinned)
+    finally spark.conf.unset("spark.graft.pack.shards")
+    // unpinned + no conf: shards derive from the session's parallelism,
+    // so packing parallelism scales with the cluster instead of a
+    // constant (the round-3 verdict's `shards = 8` cap)
+    val auto = TextAnalysis.sequencePack(spark, sfDir)
+      .select("shard").distinct().count()
+    assert(auto == spark.sparkContext.defaultParallelism.toLong, s"auto shards = $auto")
+  }
 }

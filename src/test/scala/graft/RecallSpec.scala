@@ -82,6 +82,73 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.90, f"MinHash-LSH recall collapsed: $recall%.3f")
   }
 
+  test("embedding near-dup recall vs brute-force pair scan at the same threshold") {
+    // exact truth: every pair with cosine >= 0.4, computed driver-side
+    // over the full 500-vector fixture (125k pairs — trivial here, the
+    // thing the LSH-bucketed operator exists to avoid at scale)
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- emb.indices.iterator; j <- (i + 1) until emb.length
+      if cos(emb(i)._2, emb(j)._2) >= 0.4
+    } yield (emb(i)._1, emb(j)._1)).toSet
+    assert(truth.nonEmpty, "fixture yields no true near-dup pairs — gate is vacuous")
+    val got = Similarity.embeddingNearDup(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision must be exact: candidates are rescored with true cosine
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"embedding near-dup recall = $recall%.3f (${(got & truth).size}/${truth.size})")
+    // measured on the isotropic fixture; like lshTopK's gate this guards
+    // against silent collapse (plane-seeding bug → near-zero), not the
+    // fixture's worst-case geometry
+    assert(recall >= 0.35, f"embedding near-dup recall collapsed: $recall%.3f")
+  }
+
+  test("q20 sketches stay inside their error bounds vs exact counterparts") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Relational.q20Sketches(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // exact distinct counts per group (what q10 oracle-checks for parts)
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("parts"),
+        countDistinct($"l_orderkey").as("orders"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val prices = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (flag, r) =>
+      val (exParts, exOrders) = exact(flag)
+      // approx_count_distinct default rsd = 0.05; 4×rsd ≈ a 1-in-10⁵
+      // excursion — beyond it the sketch is broken, not unlucky
+      assert(math.abs(r.getLong(1) - exParts) <= 0.2 * exParts,
+        s"$flag approx_parts ${r.getLong(1)} vs exact $exParts")
+      assert(math.abs(r.getLong(2) - exOrders) <= 0.2 * exOrders,
+        s"$flag approx_orders ${r.getLong(2)} vs exact $exOrders")
+      // percentile_approx(accuracy=1000) bounds RANK error by
+      // 1/accuracy; assert the returned value's true rank sits within
+      // a 1% band of the requested quantile (10× the contract)
+      val sortedPrices = prices(flag)
+      def rankOf(v: Double): Double =
+        sortedPrices.count(_ <= v).toDouble / sortedPrices.length
+      assert(math.abs(rankOf(r.getDouble(3)) - 0.5) <= 0.01,
+        s"$flag p50=${r.getDouble(3)} rank=${rankOf(r.getDouble(3))}")
+      assert(math.abs(rankOf(r.getDouble(4)) - 0.95) <= 0.01,
+        s"$flag p95=${r.getDouble(4)} rank=${rankOf(r.getDouble(4))}")
+    }
+  }
+
   test("SimHash banding finds all planted Hamming<=3 pairs (pigeonhole is exact)") {
     // banding into four 16-bit chunks is mathematically complete for
     // Hamming <= 3 — verify recall is exactly 1.0 against a brute-force

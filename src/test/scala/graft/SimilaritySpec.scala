@@ -99,6 +99,27 @@ class SimilaritySpec extends SparkSpec {
     both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)}"))
   }
 
+  test("broadcast-wired IVF ≡ literal IVF, and its plan carries no centroid literals") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val rows = emb.filter($"vec_id" < 16).orderBy($"vec_id").collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cvecs = rows.map(_.getSeq[Double](1)).toSeq
+    val lit = Similarity.ivfWithCentroids(spark, emb, cids, cvecs,
+      nProbe = 4, numQueries = 10, topK = 5, bcastThreshold = Int.MaxValue)
+    val bc = Similarity.ivfWithCentroids(spark, emb, cids, cvecs,
+      nProbe = 4, numQueries = 10, topK = 5, bcastThreshold = 1)
+    assert(bc.collect().toSeq == lit.collect().toSeq)
+    val litPlan = lit.queryExecution.executedPlan.toString
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("graft_nearest_centroids_bcast"), bcPlan.take(500))
+    // the literal path serializes 16×64 doubles into every task's plan
+    // (visible as a megastring here); the broadcast path must not —
+    // that is the point of the wiring at 10⁴⁺ lists
+    assert(bcPlan.length * 4 < litPlan.length,
+      s"bcast plan ${bcPlan.length} chars vs literal ${litPlan.length}")
+  }
+
   test("lsh top-k candidates are true cosine scores (subset of brute force domain)") {
     val emb = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) as e")
