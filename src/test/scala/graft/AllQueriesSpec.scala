@@ -61,7 +61,7 @@ class AllQueriesSpec extends SparkSpec {
     // optimization may sit only over (a) dimension tables, or (b) a
     // fact-table subtree bounded by a literal range filter or limit
     // (the ANN queries' `vec_id < numQueries` probe sides).
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
     val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
     def scansFact(side: LogicalPlan): Boolean = side.collectFirst {
@@ -72,11 +72,14 @@ class AllQueriesSpec extends SparkSpec {
             case _ => false
           }) => r
     }.isDefined
+    // NB: deliberately no EqualTo case — an equality literal filter
+    // (e.g. returnflag = 'R') still scales with the fact table; only a
+    // literal RANGE bound on an id (vec_id < 10) or a limit caps the
+    // broadcast side's cardinality
     def bounded(side: LogicalPlan): Boolean = side.collectFirst {
       case f: Filter if f.condition.find {
         case LessThan(_, _: Literal)        => true
         case LessThanOrEqual(_, _: Literal) => true
-        case EqualTo(_, _: Literal)         => true
         case _                              => false
       }.isDefined => f
       case l: GlobalLimit => l
