@@ -78,6 +78,7 @@ object SparkEntry {
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
+    "dd_lsh_clusters" -> ((s, dir) => Dedup.lshClusters(s, dir)),
     "dd_survivors" -> ((s, dir) => Dedup.survivors(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
@@ -105,9 +106,10 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
-    * Omitted: dd_minhash_lsh / dd_simhash / ann_lsh_topk / ann_near_dup
-    * (xxhash64 / LSH internals aren't ANSI-expressible) — those are
-    * covered by scalatest goldens; the driver records rows-only. */
+    * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
+    * ann_lsh_topk / ann_near_dup (xxhash64 / LSH internals aren't
+    * ANSI-expressible) — those are covered by scalatest goldens; the
+    * driver records rows-only. */
   def oracleSql: Map[String, String] = {
     val trim = """^[.,!?"'':;()]+|[.,!?"'':;()]+$"""
     val tokenized =

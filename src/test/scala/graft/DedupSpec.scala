@@ -125,6 +125,50 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 1L), (11L, 11L, 1L)))
   }
 
+  test("lshClusters == connected components of the LSH pair graph (union-find oracle)") {
+    // planted fixture (RecallSpec shape): 40 unrelated hex-word docs +
+    // 20 planted near-dup pairs — the LSH pair list is the spec's input,
+    // the clustering must equal its exact connected components
+    val dir = java.nio.file.Files.createTempDirectory("lsh-cc").toString
+    def words(seed: Long, n: Int): String =
+      (0 until n).map(j => ((seed * 31 + j + 1) * 2654435761L).toHexString).mkString(" ")
+    val fillers = (0L until 40L).map(i => (i, s"bg ${words(i, 10)}"))
+    val pairs = (0 until 20).flatMap { p =>
+      val base = s"dup ${words(1000L + p, 10)}"
+      Seq((100L + 2 * p, base), (101L + 2 * p, base + " nightly"))
+    }
+    (fillers ++ pairs).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val edges = Dedup.minhashLsh(spark, dir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // driver-side union-find over the identical pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = members.groupBy(find)
+    val expected = byRoot.toSeq.flatMap { case (_, ms) =>
+      val label = ms.min
+      ms.map(m => (m, label, ms.length.toLong))
+    }.sortBy(_._1)
+    val got = Dedup.lshClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // and the planted pairs dominate: >= 90% of them co-cluster
+    val planted = (0 until 20).map(p => (100L + 2 * p, 101L + 2 * p))
+    val together = planted.count { case (a, b) =>
+      members.contains(a) && members.contains(b) && find(a) == find(b)
+    }
+    assert(together >= 18, s"only $together/20 planted pairs co-clustered")
+  }
+
   test("clearLabelCache epochs the cluster cache: recompute, identical labels") {
     def labels = Dedup.nearDupClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
