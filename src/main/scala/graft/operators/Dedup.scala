@@ -155,14 +155,26 @@ object Dedup {
     * instead. */
   def nearDupClusters(s: SparkSession, dir: String, k: Int = 3,
                       maxId: Long = 50, threshold: Double = 0.3,
-                      algorithm: String = "label-prop"): DataFrame = {
-    import s.implicits._
-    clusterLabels(s, dir, k, maxId, threshold, algorithm)
-      .select($"v".as("doc_id"), $"label".as("cluster_id"),
+                      algorithm: String = "label-prop"): DataFrame =
+    clusterFrame(clusterLabels(s, dir, k, maxId, threshold, algorithm))
+
+  /** Algorithm dispatch shared by the oracle-checked and LSH paths. */
+  private def componentLabels(s: SparkSession, vertices: DataFrame,
+                              pairs: DataFrame, algorithm: String): DataFrame =
+    algorithm match {
+      case "label-prop" => labelPropagation(s, vertices, pairs)
+      case "star"       => starContraction(s, vertices, pairs)._1
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering algorithm '$other' (label-prop | star)")
+    }
+
+  /** (v, label) → the cluster output contract: (doc_id, cluster_id,
+    * cluster_size), deterministic order. */
+  private def clusterFrame(labels: DataFrame): DataFrame =
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"label")).as("cluster_size"))
-      .orderBy($"doc_id")
-  }
+          .partitionBy(col("label"))).as("cluster_size"))
+      .orderBy(col("doc_id"))
 
   /** Converged (vertex, component-min-label) frame, cached per
     * (context, inputs) so `survivors` reuses the `dd_clusters` result
@@ -190,18 +202,18 @@ object Dedup {
   private def clusterLabels(s: SparkSession, dir: String, k: Int,
                             maxId: Long, threshold: Double,
                             algorithm: String): DataFrame = {
-    if (labelCache.size >= labelCacheMaxEntries) labelCache.clear()
-    labelCache.computeIfAbsent((s.sparkContext, dir, k, maxId, threshold, algorithm), _ => {
+    val key = (s.sparkContext, dir, k, maxId, threshold, algorithm)
+    // cap check only on a MISS: clearing on a hit would turn a full
+    // cache into guaranteed recompute thrash for exactly the parameter
+    // sweeps the cap exists to bound
+    if (labelCache.size >= labelCacheMaxEntries && !labelCache.containsKey(key))
+      labelCache.clear()
+    labelCache.computeIfAbsent(key, _ => {
       import s.implicits._
       val pairs = ngramJaccard(s, dir, k, maxId, threshold).select($"id1", $"id2")
       val vertices = Tables.documents(s, dir).filter($"doc_id" < maxId)
         .select($"doc_id".as("v"))
-      algorithm match {
-        case "label-prop" => labelPropagation(s, vertices, pairs)
-        case "star"       => starContraction(s, vertices, pairs)._1
-        case other => throw new IllegalArgumentException(
-          s"unknown clustering algorithm '$other' (label-prop | star)")
-      }
+      componentLabels(s, vertices, pairs, algorithm)
     })
   }
 
@@ -333,18 +345,9 @@ object Dedup {
       .select($"id1", $"id2").localCheckpoint()
     val members = pairs.select($"id1".as("v"))
       .union(pairs.select($"id2".as("v"))).distinct()
-    val labels = algorithm match {
-      case "label-prop" => labelPropagation(s, members, pairs)
-      case "star"       => starContraction(s, members, pairs)._1
-      case other => throw new IllegalArgumentException(
-        s"unknown clustering algorithm '$other' (label-prop | star)")
-    }
     // every member sits in a >=2 component by construction, so no
     // singleton filter is needed
-    labels.select($"v".as("doc_id"), $"label".as("cluster_id"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"label")).as("cluster_size"))
-      .orderBy($"doc_id")
+    clusterFrame(componentLabels(s, members, pairs, algorithm))
   }
 
   /** Survivor selection — the final dedup step: one winner per

@@ -185,6 +185,19 @@ object Similarity {
     * table with each task. */
   private[graft] val bcastCentroidThreshold = 256
 
+  /** Centroid broadcasts memoized per (context, centroid set): repeated
+    * plan builds over the same centroids (an nProbe sweep, per-batch
+    * re-planning) reuse ONE TorrentBroadcast instead of allocating a
+    * fresh multi-megabyte broadcast per call — blocks are reclaimed by
+    * the ContextCleaner only once the Broadcast object is unreachable,
+    * so an un-memoized sweep accumulates them for the session's
+    * lifetime. Cap-on-miss eviction like Dedup.labelCache. */
+  private val centroidBcastCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, Seq[Long], Seq[Seq[Double]]),
+    org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])]]
+
+  private val centroidBcastMaxEntries = 8
+
   private[graft] def ivfWithCentroids(s: SparkSession, emb: DataFrame,
                                       cids: Seq[Long], cvecs: Seq[Seq[Double]],
                                       nProbe: Int, numQueries: Int, topK: Int,
@@ -195,8 +208,12 @@ object Similarity {
     // in SimilaritySpec ("broadcast-wired IVF ≡ literal IVF")
     val nearest: (Column, Int) => Column =
       if (cids.length >= bcastThreshold) {
-        val bc = s.sparkContext.broadcast(
-          (cids.toArray, cvecs.map(_.toArray).toArray))
+        val key = (s.sparkContext, cids, cvecs)
+        if (centroidBcastCache.size >= centroidBcastMaxEntries &&
+            !centroidBcastCache.containsKey(key))
+          centroidBcastCache.clear()
+        val bc = centroidBcastCache.computeIfAbsent(key, _ =>
+          s.sparkContext.broadcast((cids.toArray, cvecs.map(_.toArray).toArray)))
         (v, k) => VectorFunctions.nearestCentroidsBcast(v, bc, k)
       } else {
         (v, k) => VectorFunctions.nearestCentroids(v, cids, cvecs, k)

@@ -168,8 +168,16 @@ object TextAnalysis {
     import s.implicits._
     val nShards =
       if (shards > 0) shards
-      else s.conf.getOption("spark.graft.pack.shards").map(_.toInt)
-        .getOrElse(s.sparkContext.defaultParallelism)
+      else s.conf.getOption("spark.graft.pack.shards").map { v =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.pack.shards must be a positive int, got '$v'")
+        }
+        // 0 here would make `doc_id % shards` fail (ANSI divide-by-zero)
+        // or collapse every doc into one single-partition window
+        require(n > 0, s"spark.graft.pack.shards must be positive, got $n")
+        n
+      }.getOrElse(s.sparkContext.defaultParallelism)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -61,7 +61,7 @@ class AllQueriesSpec extends SparkSpec {
     // optimization may sit only over (a) dimension tables, or (b) a
     // fact-table subtree bounded by a literal range filter or limit
     // (the ANN queries' `vec_id < numQueries` probe sides).
-    import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
     val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
     def scansFact(side: LogicalPlan): Boolean = side.collectFirst {
@@ -72,19 +72,26 @@ class AllQueriesSpec extends SparkSpec {
             case _ => false
           }) => r
     }.isDefined
-    // NB: deliberately no EqualTo case — an equality literal filter
-    // (e.g. returnflag = 'R') still scales with the fact table; only a
-    // literal RANGE bound on an id (vec_id < 10) or a limit caps the
-    // broadcast side's cardinality
+    // Only a literal range bound on a ROW-ID column (vec_id < 10,
+    // doc_id < 50) or a limit caps the broadcast side's cardinality.
+    // A predicate on any other column — equality (returnflag = 'R') or
+    // range (quantity < 24, shipdate < '1995-01-01') — selects a FIXED
+    // FRACTION that still scales linearly with the fact table.
     def bounded(side: LogicalPlan): Boolean = side.collectFirst {
       case f: Filter if f.condition.find {
-        case LessThan(_, _: Literal)        => true
-        case LessThanOrEqual(_, _: Literal) => true
-        case _                              => false
+        case LessThan(a: AttributeReference, _: Literal)
+            if a.name.endsWith("_id") => true
+        case LessThanOrEqual(a: AttributeReference, _: Literal)
+            if a.name.endsWith("_id") => true
+        case _ => false
       }.isDefined => f
       case l: GlobalLimit => l
     }.isDefined
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // ev_stream_* excluded: each registry call executes a real stream
+    // and returns a memory-sink table whose plan cannot carry a
+    // parquet-side broadcast hint — skipping them avoids a fourth full
+    // streaming execution per suite run for a vacuous check
+    SparkEntry.queries.filterNot(_._1.startsWith("ev_stream")).foreach { case (name, fn) =>
       fn(spark, sfDir).queryExecution.optimizedPlan.foreach {
         case j: Join =>
           Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).foreach {

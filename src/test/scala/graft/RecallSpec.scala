@@ -96,9 +96,15 @@ class RecallSpec extends SparkSpec {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // round the truth-side cosine exactly like the operator
+    // (round(cos, 6) >= threshold): comparing a rounded operator score
+    // against an unrounded truth would misclassify pairs in the
+    // half-ulp band below the threshold as false positives
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val truth = (for {
       i <- emb.indices.iterator; j <- (i + 1) until emb.length
-      if cos(emb(i)._2, emb(j)._2) >= 0.4
+      if r6(cos(emb(i)._2, emb(j)._2)) >= 0.4
     } yield (emb(i)._1, emb(j)._1)).toSet
     assert(truth.nonEmpty, "fixture yields no true near-dup pairs — gate is vacuous")
     val got = Similarity.embeddingNearDup(spark, sfDir)
