@@ -217,6 +217,22 @@ object Dedup {
     })
   }
 
+  /** Scoped shuffle sizing for the iterative graph loops: every frame
+    * inside them is proportional to the near-dup SUBGRAPH (edge count),
+    * orders of magnitude smaller than the corpus the session's
+    * `spark.sql.shuffle.partitions` is sized for. Spraying a few
+    * thousand 16-byte edge rows over 32 partitions per round made task
+    * scheduling the dominant cost (measured at sf0.1: 5.5 s → 3.3 s by
+    * sizing down). ~1M edge rows (~16 MB) per partition, uncapped
+    * upward for genuinely large graphs; set/restore scoped exactly like
+    * the streaming state-partition sizing in StreamingOps. */
+  private def withGraphShuffle[T](s: SparkSession, edgeCount: Long)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, edgeCount / 1000000L + 1).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Iterative min-label propagation: rounds = graph diameter — the
     * right default for near-dup graphs (shallow components). One Spark
     * job per round: the labelSum action computes the convergence scalar
@@ -228,22 +244,24 @@ object Dedup {
     val p = pairs.toDF("a", "b")
     val edges = p.union(p.select($"b", $"a"))
       .toDF("src", "dst").localCheckpoint()
-    // coalesce: sum over an empty vertex set is NULL — an out-of-range
-    // maxId must yield an empty result, not an unboxing NPE
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
-    var labels = vertices.select($"v", $"v".as("label"))
-    var prevSum = Long.MaxValue
-    var curSum = labelSum(labels)
-    while (curSum < prevSum) {
-      prevSum = curSum
-      val prop = edges.join(labels, $"src" === $"v").select($"dst".as("v"), $"label")
-      labels = labels.union(prop)
-        .groupBy($"v").agg(min($"label").as("label"))
-        .localCheckpoint(false)
-      curSum = labelSum(labels)
+    withGraphShuffle(s, edges.count()) {
+      // coalesce: sum over an empty vertex set is NULL — an out-of-range
+      // maxId must yield an empty result, not an unboxing NPE
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
+      var labels = vertices.select($"v", $"v".as("label"))
+      var prevSum = Long.MaxValue
+      var curSum = labelSum(labels)
+      while (curSum < prevSum) {
+        prevSum = curSum
+        val prop = edges.join(labels, $"src" === $"v").select($"dst".as("v"), $"label")
+        labels = labels.union(prop)
+          .groupBy($"v").agg(min($"label").as("label"))
+          .localCheckpoint(false)
+        curSum = labelSum(labels)
+      }
+      labels
     }
-    labels
   }
 
   /** Alternating large-star/small-star connected components (Kiveris,
@@ -290,22 +308,26 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var edges = pairs.toDF("u", "v").where($"u" =!= $"v").localCheckpoint()
-    var prev = (-1L, 0L)
-    var cur = signature(edges)
-    var rounds = 0
-    while (cur != prev) {
-      prev = cur
-      edges = smallStar(largeStar(edges)).localCheckpoint(false)
-      cur = signature(edges)
-      rounds += 1
+    withGraphShuffle(s, edges.count()) {
+      var prev = (-1L, 0L)
+      var cur = signature(edges)
+      var rounds = 0
+      while (cur != prev) {
+        prev = cur
+        edges = smallStar(largeStar(edges)).localCheckpoint(false)
+        cur = signature(edges)
+        rounds += 1
+      }
+      // stars: every non-root points at its component min; roots and
+      // isolated vertices label themselves. The label join is built
+      // here but plans lazily under the CALLER's shuffle conf — right,
+      // since `vertices` scales with the corpus, not the edge set.
+      val roots = edges.groupBy($"u").agg(min($"v").as("label"))
+      val labels = vertices
+        .join(roots, vertices("v") === roots("u"), "left")
+        .select(vertices("v"), coalesce($"label", vertices("v")).as("label"))
+      (labels, rounds)
     }
-    // stars: every non-root points at its component min; roots and
-    // isolated vertices label themselves
-    val roots = edges.groupBy($"u").agg(min($"v").as("label"))
-    val labels = vertices
-      .join(roots, vertices("v") === roots("u"), "left")
-      .select(vertices("v"), coalesce($"label", vertices("v")).as("label"))
-    (labels, rounds)
   }
 
   /** Near-dup clusters over the MinHash-LSH candidate pairs — the
