@@ -375,13 +375,21 @@ object Dedup {
   /** Survivor selection — the final dedup step: one winner per
     * near-dup cluster, chosen by highest quality score (ties → smallest
     * doc_id), completing the pipeline pairs → clusters → survivors.
-    * Per-cluster argmax is a ranked window over (cluster, quality) —
-    * WindowGroupLimit prunes it under the rk=1 filter, and the join that
-    * attaches scores is keyed on doc_id like every per-doc table. */
+    * This is the oracle-checked registry entry (`dd_survivors`) over
+    * [[nearDupClusters]]; [[survivorsFor]] applies the identical
+    * selection to ANY cluster frame — e.g. [[lshClusters]] for the
+    * 100 TB path. */
   def survivors(s: SparkSession, dir: String, k: Int = 3,
-                maxId: Long = 50, threshold: Double = 0.3): DataFrame = {
+                maxId: Long = 50, threshold: Double = 0.3): DataFrame =
+    survivorsFor(s, dir, nearDupClusters(s, dir, k, maxId, threshold))
+
+  /** One quality-ranked winner per cluster of an arbitrary (doc_id,
+    * cluster_id, cluster_size) frame. Per-cluster argmax is a ranked
+    * window over (cluster, quality) — WindowGroupLimit prunes it under
+    * the rk=1 filter, and the join that attaches scores is keyed on
+    * doc_id like every per-doc table. */
+  def survivorsFor(s: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
     import s.implicits._
-    val clusters = nearDupClusters(s, dir, k, maxId, threshold)
     val quality = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"quality")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id")

@@ -169,6 +169,23 @@ class DedupSpec extends SparkSpec {
     assert(together >= 18, s"only $together/20 planted pairs co-clustered")
   }
 
+  test("survivorsFor composes with lshClusters: one max-quality winner per cluster") {
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = Dedup.lshClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2)
+    assert(byCluster.nonEmpty)
+    val got = Dedup.survivorsFor(spark, sfDir, Dedup.lshClusters(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val expected = byCluster.toSeq.map { case (cid, ms) =>
+      val winner = ms.map(_._1).minBy(id => (-quality(id), id))
+      (cid, winner, ms.length.toLong)
+    }.sortBy(_._1)
+    assert(got == expected)
+  }
+
   test("clearLabelCache epochs the cluster cache: recompute, identical labels") {
     def labels = Dedup.nearDupClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
