@@ -13,18 +13,24 @@ class AllQueriesSpec extends SparkSpec {
   private val nestedLoopAllowed =
     Set("dd_ngram_jaccard", "ann_brute_topk")
 
+  // One build per query, shared by every test in this suite: building a
+  // registry DataFrame is EAGER for several entries (the five
+  // ev_stream_* queries run a real stream to a memory sink; the dd
+  // cluster queries run their iterative jobs), so per-test rebuilds
+  // multiplied ~10 s of streaming execution by the number of
+  // plan-inspection tests.
+  private lazy val frames: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) => n -> fn(spark, sfDir) }
+
   test("every registered query returns rows at sf0.001") {
-    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
-      if (n == 0) Some(name) else None
-    }
+    val empty = frames.collect { case (name, df) if df.count() == 0 => name }
     assert(empty.isEmpty, s"empty results: $empty")
   }
 
   test("no unbounded nested-loop joins in declared query plans") {
-    SparkEntry.queries.foreach { case (name, fn) =>
+    frames.foreach { case (name, df) =>
       if (!nestedLoopAllowed(name)) {
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name has an unbounded nested-loop join")
@@ -40,8 +46,8 @@ class AllQueriesSpec extends SparkSpec {
     // those are fine and not flagged here.) flattenPlan, not .collect:
     // AQE's wrapper is a LeafExecNode, so a plain collect inspects
     // nothing inside any plan with an exchange.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val offenders = flattenPlan(fn(spark, sfDir).queryExecution.executedPlan).filter {
+    frames.foreach { case (name, df) =>
+      val offenders = flattenPlan(df.queryExecution.executedPlan).filter {
         case w: org.apache.spark.sql.execution.window.WindowExec =>
           w.partitionSpec.isEmpty
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
@@ -87,12 +93,10 @@ class AllQueriesSpec extends SparkSpec {
       }.isDefined => f
       case l: GlobalLimit => l
     }.isDefined
-    // ev_stream_* excluded: each registry call executes a real stream
-    // and returns a memory-sink table whose plan cannot carry a
-    // parquet-side broadcast hint — skipping them avoids a fourth full
-    // streaming execution per suite run for a vacuous check
-    SparkEntry.queries.filterNot(_._1.startsWith("ev_stream")).foreach { case (name, fn) =>
-      fn(spark, sfDir).queryExecution.optimizedPlan.foreach {
+    // ev_stream_* excluded: their memory-sink result plans cannot carry
+    // a parquet-side broadcast hint — the check would be vacuous
+    frames.filterNot(_._1.startsWith("ev_stream")).foreach { case (name, df) =>
+      df.queryExecution.optimizedPlan.foreach {
         case j: Join =>
           Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).foreach {
             case (side, hint) =>
