@@ -25,7 +25,8 @@ object Bench {
     // land in a directory), so timed ev_stream_* runs should measure
     // pure stream execution, not a one-time fixture write.
     if (selected.exists(_._1.startsWith("ev_stream")))
-      streaming.StreamingOps.preStage(spark, sfDir)
+      streaming.StreamingOps.preStage(spark, sfDir,
+        dedup = selected.exists(_._1 == "ev_stream_dedup"))
     // Honest-accounting hooks, run before EVERY timed repetition:
     // dd_clusters must pay pair generation + propagation each run (the
     // session-scoped labelCache would otherwise make min-of-N report a

@@ -213,23 +213,32 @@ object Dedup {
       val pairs = ngramJaccard(s, dir, k, maxId, threshold).select($"id1", $"id2")
       val vertices = Tables.documents(s, dir).filter($"doc_id" < maxId)
         .select($"doc_id".as("v"))
-      componentLabels(s, vertices, pairs, algorithm)
+      // eager checkpoint BEFORE caching: the cached-frame contract (a
+      // materialized RDD scan on reuse) must hold for BOTH algorithms —
+      // label-prop's loop already checkpoints, but star contraction
+      // returns a lazy vertices⋈roots join that would otherwise re-scan
+      // documents on every cache "hit"
+      componentLabels(s, vertices, pairs, algorithm).localCheckpoint()
     })
   }
 
-  /** Scoped shuffle sizing for the iterative graph loops: every frame
-    * inside them is proportional to the near-dup SUBGRAPH (edge count),
-    * orders of magnitude smaller than the corpus the session's
-    * `spark.sql.shuffle.partitions` is sized for. Spraying a few
-    * thousand 16-byte edge rows over 32 partitions per round made task
+  /** Scoped shuffle sizing for the iterative graph loops: the frames
+    * inside them are proportional to the clustering input — the edge
+    * set for star contraction, max(edges, vertices) for label
+    * propagation, whose per-round groupBy shuffles the vertex-scaled
+    * label frame — orders of magnitude smaller than the corpus the
+    * session's `spark.sql.shuffle.partitions` is sized for. Spraying a
+    * few thousand 16-byte rows over 32 partitions per round made task
     * scheduling the dominant cost (measured at sf0.1: 5.5 s → 3.3 s by
-    * sizing down). ~1M edge rows (~16 MB) per partition, uncapped
-    * upward for genuinely large graphs; set/restore scoped exactly like
-    * the streaming state-partition sizing in StreamingOps. */
-  private def withGraphShuffle[T](s: SparkSession, edgeCount: Long)(body: => T): T = {
+    * sizing down). ~1M rows (~16 MB) per partition, uncapped upward
+    * for genuinely large graphs. Set/restore mutates the SESSION conf,
+    * so like StreamingOps's state-partition sizing it assumes the
+    * harness runs queries sequentially on the session — a concurrent
+    * planner on the same session would see the loop-sized conf. */
+  private def withGraphShuffle[T](s: SparkSession, rowScale: Long)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, edgeCount / 1000000L + 1).toString)
+      math.max(1L, rowScale / 1000000L + 1).toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -244,14 +253,21 @@ object Dedup {
     val p = pairs.toDF("a", "b")
     val edges = p.union(p.select($"b", $"a"))
       .toDF("src", "dst").localCheckpoint()
-    withGraphShuffle(s, edges.count()) {
-      // coalesce: sum over an empty vertex set is NULL — an out-of-range
-      // maxId must yield an empty result, not an unboxing NPE
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
-      var labels = vertices.select($"v", $"v".as("label"))
+    // coalesce: sum over an empty vertex set is NULL — an out-of-range
+    // maxId must yield an empty result, not an unboxing NPE. The
+    // initial action also counts the vertices: the per-round groupBy
+    // shuffles the VERTEX-scaled label frame, so a sparse pair graph
+    // over a large vertex set must size by vertices, not edges.
+    def sumAndCount(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum($"label"), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def labelSum(df: DataFrame): Long = sumAndCount(df)._1
+    var labels = vertices.select($"v", $"v".as("label"))
+    val (initSum, nVertices) = sumAndCount(labels)
+    withGraphShuffle(s, math.max(edges.count(), nVertices)) {
       var prevSum = Long.MaxValue
-      var curSum = labelSum(labels)
+      var curSum = initSum
       while (curSum < prevSum) {
         prevSum = curSum
         val prop = edges.join(labels, $"src" === $"v").select($"dst".as("v"), $"label")

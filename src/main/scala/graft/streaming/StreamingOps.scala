@@ -135,13 +135,16 @@ object StreamingOps {
     stagedDirs.computeIfAbsent(dir, d => stageEventsDir(s, d,
       java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"))
 
-  /** Stage BOTH streaming fixtures for `dir` (plain + every-event-twice
-    * dedup dir) without running any stream. Bench calls this in warm-up
-    * so timed `ev_stream_*` runs measure pure stream execution — the
-    * one-time fixture write is test scaffolding, not operator cost. */
-  def preStage(s: SparkSession, dir: String): Unit = {
+  /** Stage the streaming fixtures for `dir` without running any
+    * stream. Bench calls this in warm-up so timed `ev_stream_*` runs
+    * measure pure stream execution — the one-time fixture write is
+    * test scaffolding, not operator cost. `dedup` gates the
+    * every-event-twice dir: it is a full batch write of the doubled
+    * events table, wasted when the run doesn't include
+    * `ev_stream_dedup` (e.g. a SPARK_GRAFT_ONLY profile). */
+  def preStage(s: SparkSession, dir: String, dedup: Boolean = true): Unit = {
     stagedDir(s, dir)
-    dupStagedDir(s, dir)
+    if (dedup) dupStagedDir(s, dir)
   }
 
   def tumblingViaStream(s: SparkSession, dir: String): DataFrame = {

@@ -67,32 +67,37 @@ class AllQueriesSpec extends SparkSpec {
     // optimization may sit only over (a) dimension tables, or (b) a
     // fact-table subtree bounded by a literal range filter or limit
     // (the ANN queries' `vec_id < numQueries` probe sides).
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
     val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
-    def scansFact(side: LogicalPlan): Boolean = side.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if factTables.exists(t => r.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.exists(_.toString.contains(s"/$t.parquet"))
-            case _ => false
-          }) => r
-    }.isDefined
-    // Only a literal range bound on a ROW-ID column (vec_id < 10,
-    // doc_id < 50) or a limit caps the broadcast side's cardinality.
-    // A predicate on any other column — equality (returnflag = 'R') or
-    // range (quantity < 24, shipdate < '1995-01-01') — selects a FIXED
-    // FRACTION that still scales linearly with the fact table.
-    def bounded(side: LogicalPlan): Boolean = side.collectFirst {
-      case f: Filter if f.condition.find {
-        case LessThan(a: AttributeReference, _: Literal)
-            if a.name.endsWith("_id") => true
-        case LessThanOrEqual(a: AttributeReference, _: Literal)
-            if a.name.endsWith("_id") => true
+    def isFact(r: org.apache.spark.sql.execution.datasources.LogicalRelation): Boolean =
+      r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          factTables.exists(t =>
+            fs.location.rootPaths.exists(_.toString.contains(s"/$t.parquet")))
         case _ => false
-      }.isDefined => f
-      case l: GlobalLimit => l
-    }.isDefined
+      }
+    // Only a literal range bound on a ROW-ID column (vec_id < 10,
+    // doc_id < 50, either comparison orientation) or a limit caps a
+    // side's cardinality. A predicate on any other column — equality
+    // (returnflag = 'R') or range (quantity < 24) — selects a FIXED
+    // FRACTION that still scales linearly with the fact table.
+    def isIdRangeBound(e: Expression): Boolean = e match {
+      case LessThan(a: AttributeReference, _: Literal)           => a.name.endsWith("_id")
+      case LessThanOrEqual(a: AttributeReference, _: Literal)    => a.name.endsWith("_id")
+      case GreaterThan(_: Literal, a: AttributeReference)        => a.name.endsWith("_id")
+      case GreaterThanOrEqual(_: Literal, a: AttributeReference) => a.name.endsWith("_id")
+      case _                                                     => false
+    }
+    // Path-aware: EVERY root-to-fact-scan path must pass through a
+    // bounding filter or limit — a bounded probe branch joined next to
+    // an unbounded fact branch must not whitewash the side.
+    def boundedOk(p: LogicalPlan): Boolean = p match {
+      case f: Filter if f.condition.find(isIdRangeBound).isDefined => true
+      case _: GlobalLimit => true
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => !isFact(r)
+      case other => other.children.forall(boundedOk)
+    }
     // ev_stream_* excluded: their memory-sink result plans cannot carry
     // a parquet-side broadcast hint — the check would be vacuous
     frames.filterNot(_._1.startsWith("ev_stream")).foreach { case (name, df) =>
@@ -100,8 +105,8 @@ class AllQueriesSpec extends SparkSpec {
         case j: Join =>
           Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).foreach {
             case (side, hint) =>
-              if (hint.exists(_.strategy.contains(BROADCAST)) && scansFact(side))
-                assert(bounded(side),
+              if (hint.exists(_.strategy.contains(BROADCAST)))
+                assert(boundedOk(side),
                   s"$name: broadcast hint on an unbounded fact-scaled side")
           }
         case _ =>

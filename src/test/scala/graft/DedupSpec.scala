@@ -173,11 +173,13 @@ class DedupSpec extends SparkSpec {
     val quality = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
       .select("doc_id", "quality").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val byCluster = Dedup.lshClusters(spark, sfDir).collect()
+    // build the expensive LSH pipeline ONCE for both halves
+    val clusters = Dedup.lshClusters(spark, sfDir)
+    val byCluster = clusters.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._2)
     assert(byCluster.nonEmpty)
-    val got = Dedup.survivorsFor(spark, sfDir, Dedup.lshClusters(spark, sfDir))
+    val got = Dedup.survivorsFor(spark, sfDir, clusters)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
     val expected = byCluster.toSeq.map { case (cid, ms) =>
       val winner = ms.map(_._1).minBy(id => (-quality(id), id))
