@@ -196,6 +196,14 @@ class DedupSpec extends SparkSpec {
     assert(labels == warm)
   }
 
+  test("iterative clustering restores the session shuffle conf (both algorithms)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    Dedup.clearLabelCache()
+    Dedup.nearDupClusters(spark, sfDir).count()                       // label-prop
+    Dedup.lshClusters(spark, sfDir).count()                           // star
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
     val dir = java.nio.file.Files.createTempDirectory("ng").toString
     Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))

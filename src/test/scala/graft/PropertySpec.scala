@@ -210,5 +210,13 @@ class PropertySpec extends SparkSpec {
     val auto = TextAnalysis.sequencePack(spark, sfDir)
       .select("shard").distinct().count()
     assert(auto == spark.sparkContext.defaultParallelism.toLong, s"auto shards = $auto")
+    // invalid conf values are rejected at build time, not as a
+    // doc_id % 0 runtime error or a silent one-shard collapse
+    Seq("0", "-4", "abc").foreach { bad =>
+      spark.conf.set("spark.graft.pack.shards", bad)
+      try {
+        intercept[IllegalArgumentException](TextAnalysis.sequencePack(spark, sfDir))
+      } finally spark.conf.unset("spark.graft.pack.shards")
+    }
   }
 }
