@@ -26,18 +26,30 @@ object Pipeline {
   def prepPipeline(s: SparkSession, dir: String, minQuality: Double = 0.5,
                    budget: Long = 512, shards: Int = 8): DataFrame = {
     import s.implicits._
-    // quality gate — filter on the floor-truncated score (identical
-    // truncation in the oracle, so the boundary comparison agrees)
-    val scored = Tables.documents(s, dir)
-      .join(TextAnalysis.qualityScore(s, dir).select($"doc_id", $"quality"), "doc_id")
-      .filter($"quality" >= minQuality)
-    // exact dedup among the quality survivors: keep min doc_id per digest
-    val kept = scored.groupBy(sha2($"text", 256).as("digest"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val withTok = scored.join(kept, "doc_id")
-      .select($"doc_id", $"quality",
-        TextFunctions.textStatsCounts($"text").getItem(1).as("n_tokens"))
+    // ONE map-side projection computes everything derived from the
+    // text — quality, token count (same byte-scan), content digest —
+    // and `text` itself is dropped BEFORE the shuffle: the dedup
+    // exchange carries 4 narrow columns, never document bodies.
+    val enriched = TextAnalysis.withQualityScore(Tables.documents(s, dir))
+      .select($"doc_id", $"quality", $"n_tokens", sha2($"text", 256).as("digest"))
+    // Dedup BEFORE the quality filter — equivalent (identical text ⟹
+    // identical digest ⟹ identical quality, so a digest group passes
+    // or fails as a whole) and deliberate: filtering on the computed
+    // quality column below the window would make PushDownPredicates
+    // substitute the tokenization kernel into the Filter condition
+    // once per component-score reference (measured: the kernel ran 3×
+    // per row). Above the window the filter reads the quality
+    // ATTRIBUTE; predicates not on the partition key don't push
+    // through a Window. Min doc_id per digest is a ranked window (one
+    // shuffle, WindowGroupLimit prunes map-side) — the groupBy-min +
+    // join-back form costs a second corpus-wide shuffle for the same
+    // result.
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"digest").orderBy($"doc_id")
+    val withTok = enriched
+      .withColumn("rk", row_number().over(dw))
+      .filter($"rk" === 1 && $"quality" >= minQuality)
+      .select($"doc_id", $"quality", $"n_tokens")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -58,32 +58,47 @@ object TextAnalysis {
     * single values — bit-identical across engines. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    withQualityScore(Tables.documents(s, dir))
+      .select($"doc_id", $"len_score", $"stop_ratio", $"punct_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  /** Append the quality score (and its component scores) to ANY frame
+    * with a `text` column — one tokenization pass + one byte scan,
+    * pure map-side. This is the composition form: a pipeline that
+    * needs quality inline must never self-join against
+    * [[qualityScore]]'s separate scan of the same table. The kernel
+    * outputs are bound in a LOWER projection and referenced by name so
+    * CollapseProject cannot duplicate the kernel call per consumer. */
+  def withQualityScore(df: DataFrame): DataFrame = {
     // one tokenization pass yields [n_tokens, n_stopwords] (token count is
     // case-invariant, so counting on lower(text) matches the oracle's
     // split of the raw text)
-    val counts = TextFunctions.tokenSetCounts(lower($"text"),
+    val counts = TextFunctions.tokenSetCounts(lower(col("text")),
       Seq(Seq("the", "a", "of", "to", "and", "is", "in", "that")))
-    val nTok = $"cnts".getItem(0).cast("double")
-    val stop = $"cnts".getItem(1).cast("double")
-    val punct = $"cs".getItem(2).cast("double")
+    val nTok = col("__cnts").getItem(0).cast("double")
+    val stop = col("__cnts").getItem(1).cast("double")
+    val punct = col("__cs").getItem(2).cast("double")
     val lenScore = least(nTok / 64.0, lit(1.0))
     val stopRatio = stop / greatest(nTok, lit(1.0))
-    val punctRatio = punct / greatest($"cs".getItem(0).cast("double"), lit(1.0))
+    val punctRatio = punct / greatest(col("__cs").getItem(0).cast("double"), lit(1.0))
     // floor-truncation instead of round(): identical double inputs give
     // identical floors in every engine, while round-half direction on
     // the weighted blend's frequent .00005 boundaries is engine-specific
     def trunc4(c: Column): Column = floor(c * 10000.0) / 10000.0
-    Tables.documents(s, dir)
-      .select($"doc_id", counts.as("cnts"),
-        TextFunctions.textStatsCounts($"text").as("cs"))
-      .select(
-        $"doc_id",
-        trunc4(lenScore).as("len_score"),
-        trunc4(stopRatio).as("stop_ratio"),
-        trunc4(punctRatio).as("punct_ratio"),
-        trunc4(lenScore * 0.5 + least(stopRatio * 4.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality"))
-      .orderBy($"doc_id")
+    df.withColumn("__cnts", counts)
+      .withColumn("__cs", TextFunctions.textStatsCounts(col("text")))
+      .withColumn("len_score", trunc4(lenScore))
+      .withColumn("stop_ratio", trunc4(stopRatio))
+      .withColumn("punct_ratio", trunc4(punctRatio))
+      .withColumn("quality", trunc4(lenScore * 0.5 +
+        least(stopRatio * 4.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2))
+      // free byproduct of the same byte-scan — quality + token count is
+      // the standard data-prep pair, so downstream consumers (the
+      // composed pipeline) don't pay a second pass
+      .withColumn("n_tokens", col("__cs").getItem(1))
+      .drop("__cnts", "__cs")
   }
 
   /** Language-ID heuristic: score each candidate language by counting
