@@ -85,6 +85,21 @@ class PlanSpec extends SparkSpec {
         s"q17 join carries a strategy hint: ${j.hint}"))
   }
 
+  test("pipe_e2e: one scan, zero joins, each text kernel evaluated once") {
+    // the composed pipeline's three pitfalls, each hit and fixed during
+    // construction: a quality self-join (second scan), groupBy+join-back
+    // dedup (second corpus shuffle), and PushDownPredicates inlining the
+    // tokenization kernel into a Filter once per component reference
+    val p = plan(graft.operators.Pipeline.prepPipeline(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "pipeline must stay single-scan")
+    assert(!p.contains("Join"), "pipeline must stay join-free")
+    assert("graft_token_set_counts".r.findAllIn(p).size == 1,
+      "tokenization kernel must be evaluated exactly once")
+    assert("graft_text_stats".r.findAllIn(p).size == 1,
+      "text-stats kernel must be evaluated exactly once")
+    assert(p.contains("WindowGroupLimit"), "digest dedup must prune map-side")
+  }
+
   test("word count stays inside whole-stage codegen") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     // Codegen'd operators are marked "*(n)" in the final plan string.
