@@ -26,6 +26,8 @@ object Bench {
     // pure stream execution, not a one-time fixture write.
     if (selected.exists(_._1.startsWith("ev_stream")))
       streaming.StreamingOps.preStage(spark, sfDir,
+        plain = selected.exists(p =>
+          p._1.startsWith("ev_stream") && p._1 != "ev_stream_dedup"),
         dedup = selected.exists(_._1 == "ev_stream_dedup"))
     // Honest-accounting hooks, run before EVERY timed repetition:
     // dd_clusters must pay pair generation + propagation each run (the

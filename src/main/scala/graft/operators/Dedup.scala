@@ -213,12 +213,12 @@ object Dedup {
       val pairs = ngramJaccard(s, dir, k, maxId, threshold).select($"id1", $"id2")
       val vertices = Tables.documents(s, dir).filter($"doc_id" < maxId)
         .select($"doc_id".as("v"))
-      // eager checkpoint BEFORE caching: the cached-frame contract (a
-      // materialized RDD scan on reuse) must hold for BOTH algorithms —
-      // label-prop's loop already checkpoints, but star contraction
-      // returns a lazy vertices⋈roots join that would otherwise re-scan
-      // documents on every cache "hit"
-      componentLabels(s, vertices, pairs, algorithm).localCheckpoint()
+      // star's result is a LAZY vertices⋈roots join that would re-scan
+      // documents on every cache "hit" — checkpoint it before caching.
+      // label-prop's loop already returns a checkpointed frame; a
+      // second materialization there would only copy it.
+      val labels = componentLabels(s, vertices, pairs, algorithm)
+      if (algorithm == "star") labels.localCheckpoint() else labels
     })
   }
 

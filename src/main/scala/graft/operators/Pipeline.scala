@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,15 +49,10 @@ object Pipeline {
       .withColumn("rk", row_number().over(dw))
       .filter($"rk" === 1 && $"quality" >= minQuality)
       .select($"doc_id", $"quality", $"n_tokens")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    withTok
-      .select($"doc_id", ($"doc_id" % shards).as("shard"), $"n_tokens", $"quality")
-      .withColumn("cum", sum($"n_tokens").over(w))
-      .select($"doc_id", $"shard",
-        floor(($"cum" - $"n_tokens") / budget).cast("long").as("pack_id"),
-        $"n_tokens", $"quality")
+    // the packing rule itself lives in TextAnalysis.assignPacks, shared
+    // with sequencePack so the two oracle-pinned forms cannot diverge
+    TextAnalysis.assignPacks(withTok, budget, shards)
+      .select($"doc_id", $"shard", $"pack_id", $"n_tokens", $"quality")
       .orderBy($"doc_id")
   }
 }

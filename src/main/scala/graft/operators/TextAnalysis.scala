@@ -193,17 +193,30 @@ object TextAnalysis {
         require(n > 0, s"spark.graft.pack.shards must be positive, got $n")
         n
       }.getOrElse(s.sparkContext.defaultParallelism)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(s, dir)
-      .select($"doc_id", ($"doc_id" % nShards).as("shard"),
-        TextFunctions.textStatsCounts($"text").getItem(1).as("n_tokens"))
-      .withColumn("cum", sum($"n_tokens").over(w))
-      .select($"doc_id", $"shard",
-        floor(($"cum" - $"n_tokens") / budget).cast("long").as("pack_id"),
-        $"n_tokens")
+    assignPacks(
+      Tables.documents(s, dir).select($"doc_id",
+        TextFunctions.textStatsCounts($"text").getItem(1).as("n_tokens")),
+      budget, nShards)
+      .select($"doc_id", $"shard", $"pack_id", $"n_tokens")
       .orderBy($"doc_id")
+  }
+
+  /** Offset-based pack assignment — THE packing rule, shared by
+    * [[sequencePack]] and the composed pipeline so it cannot silently
+    * diverge between oracle-pinned queries: adds (shard, pack_id) to
+    * any frame with `doc_id` and `n_tokens` columns (other columns
+    * preserved). A doc's pack is its starting cumulative-token offset
+    * within its shard ÷ budget — deterministic, one per-shard window
+    * pass, never a global-order window. */
+  private[operators] def assignPacks(df: DataFrame, budget: Long,
+                                     shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("shard", col("doc_id") % shards)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .drop("cum")
   }
 
   /** Scrubbing pass (PII-redaction shape): count and redact digit runs

@@ -138,12 +138,14 @@ object StreamingOps {
   /** Stage the streaming fixtures for `dir` without running any
     * stream. Bench calls this in warm-up so timed `ev_stream_*` runs
     * measure pure stream execution — the one-time fixture write is
-    * test scaffolding, not operator cost. `dedup` gates the
-    * every-event-twice dir: it is a full batch write of the doubled
-    * events table, wasted when the run doesn't include
-    * `ev_stream_dedup` (e.g. a SPARK_GRAFT_ONLY profile). */
-  def preStage(s: SparkSession, dir: String, dedup: Boolean = true): Unit = {
-    stagedDir(s, dir)
+    * test scaffolding, not operator cost. Each flag gates its dir's
+    * full batch parquet write: `plain` for the shared events dir (all
+    * ev_stream_* except dedup), `dedup` for the every-event-twice dir
+    * (only ev_stream_dedup) — a SPARK_GRAFT_ONLY profile of one query
+    * should not pay the other fixture's write. */
+  def preStage(s: SparkSession, dir: String,
+               plain: Boolean = true, dedup: Boolean = true): Unit = {
+    if (plain) stagedDir(s, dir)
     if (dedup) dupStagedDir(s, dir)
   }
 

@@ -89,15 +89,31 @@ class AllQueriesSpec extends SparkSpec {
       case GreaterThanOrEqual(_: Literal, a: AttributeReference) => a.name.endsWith("_id")
       case _                                                     => false
     }
-    // Path-aware: EVERY root-to-fact-scan path must pass through a
-    // bounding filter or limit — a bounded probe branch joined next to
-    // an unbounded fact branch must not whitewash the side.
-    def boundedOk(p: LogicalPlan): Boolean = p match {
-      case f: Filter if f.condition.find(isIdRangeBound).isDefined => true
-      case _: GlobalLimit => true
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => !isFact(r)
-      case other => other.children.forall(boundedOk)
+    // A bound counts only as a TOP-LEVEL conjunct (doc_id < 50 OR x
+    // selects a fact-scaled fraction, so a find() inside the tree
+    // would whitewash it) ...
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
     }
+    // ... and it protects only the branch the bound COLUMN comes from:
+    // walking down with the set of bounded exprIds, a fact scan is
+    // acceptable only if one of its own output attributes carries a
+    // bound (a filtered probe branch joined beside an unbounded fact
+    // branch must not whitewash the side).
+    def boundedOk(p: LogicalPlan,
+                  bound: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Boolean =
+      p match {
+        case _: GlobalLimit => true
+        case f: Filter =>
+          val newBound = bound ++ conjuncts(f.condition)
+            .filter(isIdRangeBound).flatMap(_.references.map(_.exprId))
+          boundedOk(f.child, newBound)
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          !isFact(r) || r.output.exists(a => bound.contains(a.exprId))
+        case other => other.children.forall(c => boundedOk(c, bound))
+      }
     // ev_stream_* excluded: their memory-sink result plans cannot carry
     // a parquet-side broadcast hint — the check would be vacuous
     frames.filterNot(_._1.startsWith("ev_stream")).foreach { case (name, df) =>
@@ -106,7 +122,7 @@ class AllQueriesSpec extends SparkSpec {
           Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).foreach {
             case (side, hint) =>
               if (hint.exists(_.strategy.contains(BROADCAST)))
-                assert(boundedOk(side),
+                assert(boundedOk(side, Set.empty),
                   s"$name: broadcast hint on an unbounded fact-scaled side")
           }
         case _ =>
