@@ -58,6 +58,7 @@ object SparkEntry {
     "q21_pivot" -> Relational.q21Pivot _,
     "q22_listagg" -> Relational.q22ListAgg _,
     "q23_window_features" -> Relational.q23WindowFeatures _,
+    "q24_bloom_prune" -> Relational.q24BloomPrune _,
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
@@ -284,6 +285,14 @@ object SparkEntry {
           |FROM orders
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      // bloom pruning changes no semantics, so the plain join is the oracle
+      "q24_bloom_prune" ->
+        """SELECT l_returnflag,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "tx_stats" ->
         """SELECT doc_id, length(text) AS n_chars,
           |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,

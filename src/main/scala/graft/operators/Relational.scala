@@ -353,6 +353,51 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Runtime Bloom-filter join pruning — the 100 TB fact-fact join
+    * shape. A selective predicate on orders feeds Catalyst's
+    * `InjectRuntimeFilter`: a `bloom_filter_agg` subquery over the
+    * filtered build side is planted as a `might_contain` filter on the
+    * lineitem probe side BELOW its shuffle exchange, so probe rows that
+    * cannot match are dropped before they are ever shuffled. At 100 TB
+    * (where neither side broadcasts) that turns a full fact-table
+    * shuffle into a shuffle of the ~matching fraction — the single
+    * biggest lever on a selective fact-fact join after partition
+    * pruning. Pruning only: the result is byte-identical to the plain
+    * join, so the DuckDB oracle checks it like any other query.
+    *
+    * The injection thresholds are sized for real clusters
+    * (applicationSideScanSizeThreshold defaults to 10 GB), so at test
+    * scale the rule is scoped on and the optimized plan is forced
+    * inside the scope; session conf is restored before returning
+    * (PlanSpec pins both the injection and the restoration).
+    * autoBroadcastJoinThreshold is scoped off because the rule only
+    * fires for probably-shuffled joins — exactly the 100 TB planning
+    * state, where a fact-scaled build side can never broadcast. */
+  def q24BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = scoped.map { case (k, _) => k -> s.conf.get(k) }
+    try {
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      val urgent = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = Tables.lineitem(s, dir)
+        .join(urgent, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+      // Optimization must run while the scoped thresholds are live —
+      // queryExecution caches the optimized plan, so later actions keep
+      // the injected bloom filter after the conf is restored.
+      joined.queryExecution.optimizedPlan
+      joined
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   /** Null-handling semantics: conditional NULL injection, coalesce,
     * null-safe equality, count(col) vs count(*) divergence. */
   def q18Nulls(s: SparkSession, dir: String): DataFrame = {

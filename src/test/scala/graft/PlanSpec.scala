@@ -85,6 +85,33 @@ class PlanSpec extends SparkSpec {
         s"q17 join carries a strategy hint: ${j.hint}"))
   }
 
+  test("q24: runtime bloom filter prunes the probe side before its shuffle") {
+    // the 100 TB fact-fact join lever: InjectRuntimeFilter must plant a
+    // might_contain(bloom_filter_agg(orders-filtered)) filter directly
+    // over the lineitem SCAN — i.e. rows are dropped before the join's
+    // shuffle exchange, not after it. Also pins that the builder's
+    // scoped conf (thresholds + broadcast off) is restored.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val watched = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val before = watched.map(spark.conf.get(_))
+    val df = Relational.q24BloomPrune(spark, sfDir)
+    assert(watched.map(spark.conf.get(_)) == before,
+      "q24 must restore the session conf it scopes")
+    val bloomFilters = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.nonEmpty, "no runtime bloom filter was injected")
+    // the filter must sit on the scan side (no join below it): that is
+    // what places it under the exchange in the physical plan
+    bloomFilters.foreach { f =>
+      assert(f.collect { case j: Join => j }.isEmpty,
+        "bloom filter must prune the scan, not the join output")
+    }
+  }
+
   test("pipe_e2e: one scan, zero joins, each text kernel evaluated once") {
     // the composed pipeline's three pitfalls, each hit and fixed during
     // construction: a quality self-join (second scan), groupBy+join-back
