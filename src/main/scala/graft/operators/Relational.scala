@@ -390,10 +390,13 @@ object Relational {
         .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"l_returnflag")
-      // Optimization must run while the scoped thresholds are live —
-      // queryExecution caches the optimized plan, so later actions keep
-      // the injected bloom filter after the conf is restored.
-      joined.queryExecution.optimizedPlan
+      // Optimization AND physical planning must run while the scoped
+      // thresholds are live — queryExecution caches both, so later
+      // actions keep the injected bloom filter and the shuffle-join
+      // shape after the conf is restored. (AQE may still broadcast at
+      // runtime if the build side proves small — the same call a real
+      // cluster would make.)
+      joined.queryExecution.executedPlan
       joined
     } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
   }
