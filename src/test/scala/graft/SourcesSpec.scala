@@ -158,4 +158,35 @@ class SourcesSpec extends SparkSpec {
     assert(one.count() == nation.filter($"n_regionkey" === 2).count())
     assert(scanned.contains("PartitionFilters: [isnotnull(n_regionkey"), scanned)
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the partitioned-layout analog of q24's bloom filter: when the
+    // fact table is hive-partitioned on the join key and the dimension
+    // side carries a selective filter, Catalyst plants a
+    // dynamicpruningexpression in the fact scan's PartitionFilters —
+    // at 100 TB only the matching partition directories are listed and
+    // read, before any row is scanned. The pruning subquery reuses the
+    // dimension join's broadcast, so it costs nothing extra.
+    val dir = tmp() + "/orders_by_status"
+    Sources.write(Tables.orders(spark, sfDir), dir, "parquet",
+      partitionByCols = Seq("o_orderstatus"))
+    val fact = Sources.readParquet(spark, dir)
+    // the dim side must carry an actual selective Filter — that filter
+    // is what DPP propagates across the join onto the partition column.
+    // A literal in-memory dim won't do: ConvertToLocalRelation folds
+    // the filter away before PartitionPruning sees it, so the dim must
+    // be file-backed like any real dimension table.
+    val dimDir = tmp() + "/status_dim"
+    Sources.write(
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending")).toDF("status", "label"),
+      dimDir, "parquet")
+    val dim = Sources.readParquet(spark, dimDir).filter($"label" === "finished")
+    val joined = fact.join(dim, $"o_orderstatus" === $"status")
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"), p)
+    val expected = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F").count()
+    assert(joined.collect().map(r => r.getLong(1)).toSeq == Seq(expected))
+  }
 }
