@@ -106,6 +106,9 @@ object SparkEntry {
     "ev_stream_session" -> graft.streaming.StreamingOps.sessionViaStream _,
     "ev_stream_join" -> graft.streaming.StreamingOps.joinViaStream _,
     "ev_stream_running" -> graft.streaming.StreamingOps.runningViaStream _,
+    // the same state machine on Spark 4's transformWithState API
+    // (RocksDB-backed named state) — checked against the same oracle
+    "ev_stream_tws" -> graft.streaming.StreamingOps.twsViaStream _,
     "ev_stream_dedup" -> graft.streaming.StreamingOps.dedupViaStream _,
   )
 
@@ -602,6 +605,9 @@ object SparkEntry {
           |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
           |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,
       "ev_stream_running" ->
+        """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "ev_stream_tws" ->
         """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "ev_stream_dedup" ->

@@ -84,6 +84,44 @@ object StreamingOps {
       }
   }
 
+  /** Per-user running totals as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the transformWithState form of [[runningTotals]]. The new API's
+    * state lives in named, individually-evictable stores (ValueState /
+    * ListState / MapState with per-state TTL) instead of one opaque
+    * case class, which is what makes long-running 100 TB/day state
+    * machines operable: TTLConfig bounds each store independently, and
+    * the required RocksDB provider spills state to disk instead of
+    * capping it at executor heap. TTL is NONE here because a bounded
+    * fixture must keep every user's state to its final row. */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(userId, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserRunning(userId, n, tot)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsTws(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream join: purchases joined to the same user's clicks
     * within the preceding hour. Both sides are watermarked so the join
     * state (buffered unmatched rows) is pruned once the watermark
@@ -215,6 +253,30 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** Driver-visible transformWithState run (`ev_stream_tws`): the
+    * [[RunningTotalsProcessor]] executed as a real stream on the
+    * RocksDB state store (the provider the API requires — and the one
+    * a 100 TB deployment wants anyway, since it spills state to disk).
+    * Same final-row reduction and oracle contract as
+    * `ev_stream_running`, so the two stateful APIs are checked against
+    * the identical DuckDB aggregate. */
+  def twsViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stagedDir(s, dir)
+    val stream = eventsStream(s, staged)
+      .select($"user_id", $"ts", $"value").as[UserEvent]
+    val mem = runToMemory(runningTotalsTws(s, stream).toDF(),
+      "ev_stream_tws_q", OutputMode.Update, statePartitions = Some(8),
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_events".desc)
+    mem.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"n_events",
+        round($"total_value", 2).as("total_value"))
+      .orderBy($"user_id")
+  }
+
   /** Staged dirs where every event appears TWICE — the dedup fixture. */
   private val dupStagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -258,10 +320,17 @@ object StreamingOps {
     * sequentially on the session. */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append,
-                  statePartitions: Option[Int] = None): DataFrame = {
+                  statePartitions: Option[Int] = None,
+                  extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // conf.get(k) resolves SQLConf defaults, so restoring with it would
+    // turn a previously-UNSET key into an explicitly-set one; getAll
+    // holds only explicit settings — None means restore-by-unset
+    val explicitConfs = spark.conf.getAll
+    val prevExtra = extraConfs.keys.map(k => k -> explicitConfs.get(k)).toMap
     statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = df.writeStream
         .format("memory").queryName(name)
@@ -270,6 +339,10 @@ object StreamingOps {
       try q.processAllAvailable() finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevExtra.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
     spark.table(name)
   }

@@ -98,6 +98,24 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState running totals (real stream, RocksDB) match batch groupBy") {
+    // the sixth stateful API: same state machine as runningTotals but
+    // on Spark 4's StatefulProcessor with named ValueState, executed
+    // as a REAL stream on the RocksDB provider the API requires. The
+    // provider conf is scoped per query and must be restored.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.get(providerKey, "default")
+    val got = StreamingOps.twsViaStream(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(spark.conf.get(providerKey, "default") == before,
+      "twsViaStream must restore the state-store provider conf")
+    val expected = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
   test("streaming dedup drops exact duplicate events within the watermark") {
     // stage a dir containing the events twice (simulated re-delivery)
     val dup = java.nio.file.Files.createTempDirectory("events-dup").toString + "/events"
