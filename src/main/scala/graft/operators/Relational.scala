@@ -378,7 +378,11 @@ object Relational {
     val scoped = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
-    val prev = scoped.map { case (k, _) => k -> s.conf.get(k) }
+    // conf.get(k) resolves SQLConf defaults, so restoring through it
+    // would leave an unset key explicitly set; getAll holds only
+    // explicit settings — None restores by unset
+    val explicit = s.conf.getAll
+    val prev = scoped.map { case (k, _) => k -> explicit.get(k) }
     try {
       scoped.foreach { case (k, v) => s.conf.set(k, v) }
       val urgent = Tables.orders(s, dir)
@@ -398,7 +402,10 @@ object Relational {
       // cluster would make.)
       joined.queryExecution.executedPlan
       joined
-    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   /** Null-handling semantics: conditional NULL injection, coalesce,

@@ -96,10 +96,15 @@ class PlanSpec extends SparkSpec {
     val watched = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-    val before = watched.map(spark.conf.get(_))
+    // compare EXPLICIT settings (getAll), not conf.get: get resolves
+    // SQLConf defaults, so it cannot see a restore that wrongly turns
+    // an unset key into one explicitly set to its default value
+    def explicitWatched() =
+      watched.map(k => k -> spark.conf.getAll.get(k))
+    val before = explicitWatched()
     val df = Relational.q24BloomPrune(spark, sfDir)
-    assert(watched.map(spark.conf.get(_)) == before,
-      "q24 must restore the session conf it scopes")
+    assert(explicitWatched() == before,
+      "q24 must restore the session conf it scopes (incl. unset state)")
     val bloomFilters = df.queryExecution.optimizedPlan.collect {
       case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
     }
