@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   * dedup is one hash-shuffle on the content digest; packing windows
   * per shard (never a global-order window). Two shuffles total beyond
   * the scans at any corpus size.
-  */
+  *
+  * Observability: two `observe` points (corpus-in, survivors-kept)
+  * piggyback aggregate metrics on the pipeline's own pass — at 100 TB
+  * a separate counting pass over the corpus costs as much as the
+  * pipeline itself, while CollectMetrics costs one accumulator update
+  * per row. Read them from `queryExecution.observedMetrics` after any
+  * action (`PlanSpec` checks they match independently-computed
+  * values). */
 object Pipeline {
 
   def prepPipeline(s: SparkSession, dir: String, minQuality: Double = 0.5,
@@ -31,6 +38,9 @@ object Pipeline {
     // exchange carries 4 narrow columns, never document bodies.
     val enriched = TextAnalysis.withQualityScore(Tables.documents(s, dir))
       .select($"doc_id", $"quality", $"n_tokens", sha2($"text", 256).as("digest"))
+      .observe("pipe_in",
+        count(lit(1)).as("docs_in"),
+        round(avg($"quality"), 4).as("avg_quality_in"))
     // Dedup BEFORE the quality filter — equivalent (identical text ⟹
     // identical digest ⟹ identical quality, so a digest group passes
     // or fails as a whole) and deliberate: filtering on the computed
@@ -49,6 +59,9 @@ object Pipeline {
       .withColumn("rk", row_number().over(dw))
       .filter($"rk" === 1 && $"quality" >= minQuality)
       .select($"doc_id", $"quality", $"n_tokens")
+      .observe("pipe_kept",
+        count(lit(1)).as("docs_kept"),
+        sum($"n_tokens").as("tokens_kept"))
     // the packing rule itself lives in TextAnalysis.assignPacks, shared
     // with sequencePack so the two oracle-pinned forms cannot diverge
     TextAnalysis.assignPacks(withTok, budget, shards)

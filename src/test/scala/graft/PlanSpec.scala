@@ -132,6 +132,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "digest dedup must prune map-side")
   }
 
+  test("pipe_e2e observed metrics ride the pipeline's own pass") {
+    // observe() piggybacks aggregates on the action itself — the 100 TB
+    // alternative to a separate counting pass. Metrics must match
+    // independently computed values exactly.
+    import spark.implicits._
+    val df = graft.operators.Pipeline.prepPipeline(spark, sfDir)
+    val rows = df.collect()
+    val metrics = df.queryExecution.observedMetrics
+    assert(metrics.contains("pipe_in") && metrics.contains("pipe_kept"), metrics.keySet)
+    val in = metrics("pipe_in")
+    val kept = metrics("pipe_kept")
+    assert(in.getAs[Long]("docs_in") ==
+      Tables.documents(spark, sfDir).count())
+    assert(kept.getAs[Long]("docs_kept") == rows.length)
+    assert(kept.getAs[Long]("tokens_kept") ==
+      rows.map(_.getAs[Long]("n_tokens")).sum)
+  }
+
   test("word count stays inside whole-stage codegen") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     // Codegen'd operators are marked "*(n)" in the final plan string.
