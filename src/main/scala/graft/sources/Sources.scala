@@ -37,6 +37,22 @@ object Sources {
   def readJsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path) // JSON-lines: splittable; no multiline
 
+  /** JSON-lines ingest that SURVIVES malformed rows — the 100 TB
+    * landing-zone contract: one corrupt line in a billion must not
+    * kill the job (FAILFAST) or silently vanish (the DROPMALFORMED
+    * trap). PERMISSIVE parses what it can, nulls what it can't, and
+    * quarantines each bad line's raw text in `corruptCol` so the
+    * pipeline can count/route rejects from the same pass (see
+    * `observe`). The corrupt column must be part of the read schema —
+    * Spark only populates it when asked for. */
+  def readJsonLinesTolerant(s: SparkSession, path: String, schema: StructType,
+                            corruptCol: String = "_corrupt_record"): DataFrame =
+    s.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
 

@@ -159,6 +159,28 @@ class SourcesSpec extends SparkSpec {
     assert(scanned.contains("PartitionFilters: [isnotnull(n_regionkey"), scanned)
   }
 
+  test("tolerant json ingest quarantines corrupt lines instead of failing") {
+    val dir = tmp()
+    val good = """{"n_nationkey": 7, "n_name": "GERMANY"}"""
+    val bad = """{"n_nationkey": oops not json"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      java.util.Arrays.asList(good, bad, good))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType)))
+    // materialize once: Spark disallows queries that prune down to the
+    // corrupt column alone on a raw file read (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val rows = Sources.readJsonLinesTolerant(spark, dir, schema).collect()
+    assert(rows.length == 3, "corrupt rows must be kept, not dropped")
+    val (rejects, parsed) = rows.partition(r => !r.isNullAt(2))
+    assert(rejects.length == 1)
+    // the raw line is quarantined verbatim for rerouting/debugging
+    assert(rejects.head.getString(2) == bad)
+    assert(parsed.length == 2 && parsed.forall(_.getLong(0) == 7L))
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // the partitioned-layout analog of q24's bloom filter: when the
     // fact table is hive-partitioned on the join key and the dimension
