@@ -96,6 +96,37 @@ object Sources {
       .sortWithinPartitions(col)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-ordered layout: rows sorted by the Morton interleave of two
+    * columns' 16-bit min/max-scaled bucket ids, so footer stats skip
+    * row groups under a range filter on EITHER column — one clustered
+    * layout serving two filter dimensions (`writeRangeSorted` serves
+    * one). The min/max pass is a map-side partial agg collecting two
+    * rows' worth of scalars; uniform-ish key spaces (TPC-H-style ids)
+    * bucket well by linear scaling — heavily skewed columns would want
+    * quantile boundaries instead (the production upgrade, same layout
+    * machinery). The Z column is computed, used for clustering, and
+    * dropped — readers see the original schema. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, least, max, min}
+    val Array(loA, hiA, loB, hiB) = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    def bucket(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo)
+      // 16-bit bucket id; least() guards v == hi landing in bucket 65536
+      least(((col(c).cast("long") - lit(lo)) * lit(65536L) / lit(span + 1)),
+        lit(65535L))
+    }
+    df.withColumn("_graft_z", graft.functions.ZOrder.zvalue(
+        bucket(colA, loA, hiA).cast("long"), bucket(colB, loB, hiB).cast("long")))
+      .repartitionByRange(partitions, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** The reference's sink: tab-separated `key\tvalue` text files
     * (`mr-out-N`). */
   def writeTsv(df: DataFrame, path: String, partitions: Int = 1): Unit =

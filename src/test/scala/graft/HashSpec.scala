@@ -48,6 +48,34 @@ class HashSpec extends SparkSpec {
     }
   }
 
+  test("zvalue matches morton goldens and the scala kernel through codegen") {
+    import graft.functions.ZOrder
+    // hand-computed morton vectors: a on even bits, b on odd
+    assert(ZOrder.interleave(0L, 0L) == 0L)
+    assert(ZOrder.interleave(1L, 0L) == 1L)
+    assert(ZOrder.interleave(0L, 1L) == 2L)
+    assert(ZOrder.interleave(1L, 1L) == 3L)
+    assert(ZOrder.interleave(0xffffffffL, 0L) == 0x5555555555555555L)
+    assert(ZOrder.interleave(0L, 0xffffffffL) == 0xaaaaaaaaaaaaaaaaL)
+    assert(ZOrder.interleave(0b101L, 0b011L) == 0b011011L) // a=5,b=3 → 27
+    // monotone in each argument when the other is fixed (what makes a
+    // range filter map to bounded z ranges). SIGNED monotonicity holds
+    // only below 2^31 (the kernel doc's contract — above that the
+    // interleave sets the sign bit and only unsigned order survives;
+    // writeZOrdered's 16-bit buckets stay far inside the safe range)
+    val samples = Seq(0L, 1L, 2L, 100L, 65535L, 65536L, 0x7fffffffL)
+    samples.sliding(2).foreach { case Seq(x, y) =>
+      assert(ZOrder.interleave(x, 7L) < ZOrder.interleave(y, 7L))
+      assert(ZOrder.interleave(7L, x) < ZOrder.interleave(7L, y))
+    }
+    val full = Seq(0L, 1L, 2L, 100L, 65535L, 65536L, 0xffffffffL)
+    // codegen path agrees with the scala kernel (full 32-bit domain)
+    val df = (for (a <- full; b <- full) yield (a, b)).toDF("a", "b")
+    df.select($"a", $"b", ZOrder.zvalue($"a", $"b").as("z")).collect().foreach { r =>
+      assert(r.getLong(2) == ZOrder.interleave(r.getLong(0), r.getLong(1)))
+    }
+  }
+
   test("kernels propagate null inputs as null") {
     val df = Seq(Some("text"), None).toDF("s")
     val r = df.select(

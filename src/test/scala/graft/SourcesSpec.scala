@@ -130,6 +130,32 @@ class SourcesSpec extends SparkSpec {
     assert(sortedRead >= matches)
   }
 
+  test("z-ordered layout skips row groups under filters on EITHER column") {
+    val sf01 = "/root/testdata/sf0.1"
+    val li = Tables.lineitem(spark, sf01)
+    val base = tmp()
+    Sources.writeZOrdered(li, s"$base/zorder", "l_partkey", "l_suppkey", 16)
+    li.repartition(16).write.parquet(s"$base/scattered")
+    def scanRows(path: String, filter: org.apache.spark.sql.Column): Long = {
+      val df = Sources.readParquet(spark, path).filter(filter)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    // the z layout must not lose or duplicate rows
+    assert(Sources.readParquet(spark, s"$base/zorder").count() == li.count())
+    // a narrow range on each dimension: the z-clustered layout confines
+    // each to a bounded set of z ranges, the scattered one to none
+    for (f <- Seq($"l_partkey" >= 1000 && $"l_partkey" < 2000,
+                  $"l_suppkey" >= 100 && $"l_suppkey" < 150)) {
+      val z = scanRows(s"$base/zorder", f)
+      val scattered = scanRows(s"$base/scattered", f)
+      info(s"filter $f: zorder=$z scattered=$scattered")
+      assert(z < scattered / 2,
+        s"z-order should skip under $f: z=$z scattered=$scattered")
+    }
+  }
+
   test("schema evolution: mergeSchema reconciles old and new file generations") {
     val dir = tmp() + "/evolve"
     val gen1 = nation.select($"n_nationkey", $"n_name")
