@@ -53,6 +53,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.GetArrayItem(
         TokenSetCounts(es.head, Seq.empty),
         org.apache.spark.sql.catalyst.expressions.Literal(0)))),
+    "graft_zvalue" -> ((info("graft_zvalue",
+      "zvalue(a, b) - Morton interleave of two longs' low 32 bits (Z-order clustering key)"),
+      (es: Seq[Expression]) => ZValue(es.head, es(1)))),
   )
 
   /** Register on an already-built session. */

@@ -31,10 +31,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("zvalue callable from plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_zvalue(5L, 3L) AS z, graft_zvalue(CAST(NULL AS BIGINT), 3L) AS zn")
+      .collect().head
+    assert(r.getLong(0) == 27L) // 101 ⨝ 011 = 011011
+    assert(r.isNullAt(1))
+  }
+
   test("extensions class registers the same builders") {
     assert(GraftExtensions.builders.keySet == Set(
       "graft_fnv1a32", "graft_fnv1a64", "graft_simhash64",
       "graft_minhash", "graft_cosine", "graft_dot",
-      "graft_jaccard", "graft_token_bigrams", "graft_token_count"))
+      "graft_jaccard", "graft_token_bigrams", "graft_token_count",
+      "graft_zvalue"))
   }
 }
