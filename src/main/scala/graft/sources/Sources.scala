@@ -115,7 +115,10 @@ object Sources {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     def bucket(c: String, lo: Long, hi: Long) = {
       val span = math.max(1L, hi - lo)
-      // 16-bit bucket id; least() guards v == hi landing in bucket 65536
+      // 16-bit bucket id; least() guards v == hi landing in bucket
+      // 65536. (v-lo)*65536 overflows long only for spans ≥ 2^47 —
+      // ANSI mode (Spark 4 default) fails loudly there rather than
+      // wrapping to a corrupt layout silently.
       least(((col(c).cast("long") - lit(lo)) * lit(65536L) / lit(span + 1)),
         lit(65535L))
     }

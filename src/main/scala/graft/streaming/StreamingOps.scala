@@ -306,6 +306,28 @@ object StreamingOps {
       .orderBy($"event_type")
   }
 
+  /** Batch-level sink logic via foreachBatch — the production shape
+    * for sinks Spark has no native connector for (upserts, multi-table
+    * fan-out, external services). Exactly-once comes from IDEMPOTENCE,
+    * not magic: the checkpoint replays an uncommitted batch with the
+    * SAME batchId after a crash, so the writer must make re-running a
+    * batch a no-op. Here: each batch overwrites its own
+    * `batch_id=N` directory — a partial write from a crashed attempt
+    * is simply overwritten whole on replay. The spec drives the writer
+    * twice with one batchId to pin the idempotence contract. */
+  def batchIdempotentWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Drain a stream through [[batchIdempotentWriter]] synchronously. */
+  def runForeachBatch(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch(batchIdempotentWriter(outDir))
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drain a streaming DataFrame through the in-memory sink and return
     * the materialized table — the synchronous harness batch tests use.
     *

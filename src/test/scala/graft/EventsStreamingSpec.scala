@@ -116,6 +116,35 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("foreachBatch sink: complete delivery, and batch replay is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("fb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb-ckpt").toString
+    val stream = StreamingOps.eventsStream(spark, streamDir)
+      .select($"event_id", $"event_type", $"value")
+    StreamingOps.runForeachBatch(stream, out, ckpt)
+    val written = spark.read.option("basePath", out).parquet(out)
+    val total = Tables.events(spark, sfDir).count()
+    assert(written.count() == total)
+    assert(written.select($"event_id").distinct().count() == total)
+    // the exactly-once contract: re-running a batch with the same id
+    // (what checkpoint recovery does after a crash mid-batch) must
+    // leave the sink unchanged — overwrite-by-batch_id makes it so
+    // partition-column inference types batch_id as int
+    val batchIds = written.select($"batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue)
+    val replayId = batchIds.min
+    // materialize before replaying: parquet overwrite refuses a path
+    // that is simultaneously its own input
+    val batchPath = s"$out/batch_id=$replayId"
+    val materialized = spark.read.parquet(batchPath).collect().toSeq
+    val replayRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized),
+      spark.read.parquet(batchPath).schema)
+    StreamingOps.batchIdempotentWriter(out)(replayRows, replayId)
+    val after = spark.read.option("basePath", out).parquet(out)
+    assert(after.count() == total, "batch replay must not duplicate rows")
+  }
+
   test("streaming dedup drops exact duplicate events within the watermark") {
     // stage a dir containing the events twice (simulated re-delivery)
     val dup = java.nio.file.Files.createTempDirectory("events-dup").toString + "/events"
