@@ -22,6 +22,23 @@ class AllQueriesSpec extends SparkSpec {
   private lazy val frames: Seq[(String, org.apache.spark.sql.DataFrame)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) => n -> fn(spark, sfDir) }
 
+  test("building the registry leaves the session conf untouched") {
+    // several builders scope conf around their build (q24's runtime
+    // filter thresholds, streaming state partitions + provider,
+    // iterative-loop shuffle sizing) — every one must restore EXPLICIT
+    // settings exactly, or query results become build-order dependent.
+    // Checked per-key (set, unset, and value drift all fail). MUST be
+    // the first test in this suite: the snapshot has to precede the
+    // shared lazy build, or the check is vacuous.
+    val before = spark.conf.getAll
+    frames.length // force every builder
+    val after = spark.conf.getAll
+    val drifted = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k))
+    assert(drifted.isEmpty,
+      drifted.map(k => s"$k: ${before.get(k)} -> ${after.get(k)}").mkString("; "))
+  }
+
   test("every registered query returns rows at sf0.001") {
     val empty = frames.collect { case (name, df) if df.count() == 0 => name }
     assert(empty.isEmpty, s"empty results: $empty")
