@@ -122,6 +122,82 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class OpenSession(start_s: Long, last_s: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start_s: Long,
+                                 session_end_s: Long, n_events: Long)
+
+  /** Event-time-TIMER sessionization on transformWithState — the one
+    * stateful primitive the other six streaming queries don't
+    * exercise: a session with no successor event never closes by data
+    * alone, so the processor registers a timer at lastEvent + gap + 1 s
+    * and [[org.apache.spark.sql.streaming.StatefulProcessor.handleExpiredTimer]]
+    * emits the session when the WATERMARK (not a new row) passes it.
+    * That watermark-driven close is what bounds open-session state at
+    * 100 TB/day: without timers, a user who walks away pins state
+    * forever. Gap rule mirrors the batch `Events.sessionize` exactly:
+    * merge iff second-diff <= gap (strictly-greater starts a new
+    * session), session end = last event's second. */
+  final class SessionTimerProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, ClosedSession] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      var closed = List.empty[ClosedSession]
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { e =>
+        val ts = Math.floorDiv(e.ts.getTime, 1000L)
+        cur = cur match {
+          case Some(s) if ts - s.last_s <= gapSec =>
+            Some(s.copy(last_s = ts, n = s.n + 1))
+          case Some(s) =>
+            closed ::= ClosedSession(userId, s.start_s, s.last_s, s.n)
+            Some(OpenSession(ts, ts, 1))
+          case None => Some(OpenSession(ts, ts, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one live timer per key: re-arm at the new tail expiry
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((s.last_s + gapSec + 1) * 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        open.clear()
+        Iterator.single(ClosedSession(userId, s.start_s, s.last_s, s.n))
+      }
+    }
+  }
+
+  /** The timer machine over the events stream: watermarked event time,
+    * append output (sessions emit exactly once, on close). */
+  def sessionTimers(spark: SparkSession, events: DataFrame,
+                    gapSec: Long = 1800L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts", $"value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream-stream join: purchases joined to the same user's clicks
     * within the preceding hour. Both sides are watermarked so the join
     * state (buffered unmatched rows) is pruned once the watermark

@@ -116,6 +116,35 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("event-time timers close sessions by watermark, matching the batch rule") {
+    // sessions with a successor event close inline; each user's OPEN
+    // tail closes only when the watermark passes lastEvent + gap — the
+    // deterministic expectation: tail emitted iff its expiry is within
+    // the final watermark (max event time, delay 0).
+    val stream = StreamingOps.eventsStream(spark, streamDir)
+    val mem = StreamingOps.runToMemory(
+      StreamingOps.sessionTimers(spark, stream).toDF(),
+      "ev_timer_session_q", OutputMode.Append, statePartitions = Some(8),
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val got = mem.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sess = graft.operators.Events.sessionize(spark, sfDir)
+      .select($"user_id", $"session_id", $"session_start_s",
+        $"session_end_s", $"n_events").collect()
+    val lastSession = sess.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).max).toMap
+    val wmMs = Tables.events(spark, sfDir)
+      .agg(max($"ts")).head().getTimestamp(0).getTime
+    val expected = sess.filter { r =>
+      val isTail = r.getLong(1) == lastSession(r.getLong(0))
+      !isTail || (r.getLong(3) + 1800L + 1L) * 1000L <= wmMs
+    }.map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"got=${got.size} expected=${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("foreachBatch sink: complete delivery, and batch replay is idempotent") {
     val out = java.nio.file.Files.createTempDirectory("fb-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("fb-ckpt").toString
