@@ -122,6 +122,48 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** [[RunningTotalsProcessor]] warm-started from a batch snapshot —
+    * StatefulProcessorWithInitialState is the migration path from a
+    * batch pipeline to a streaming one: state computed by a one-off
+    * batch job over history seeds the stream's state store, and the
+    * stream continues from there instead of reprocessing 100 TB of
+    * history through the stream. handleInitialState runs once per
+    * snapshot key before any input row. */
+  final class RunningTotalsWithSnapshot
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, UserEvent, UserRunning, UserRunning] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, initial: UserRunning,
+                                    timerValues: TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(userId, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserRunning(userId, n, tot)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsWarmStart(spark: SparkSession, events: Dataset[UserEvent],
+                             snapshot: Dataset[UserRunning]): Dataset[UserRunning] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsWithSnapshot,
+        TimeMode.None(), OutputMode.Update(), snapshot.groupByKey(_.user_id))
+  }
+
   final case class OpenSession(start_s: Long, last_s: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start_s: Long,
                                  session_end_s: Long, n_events: Long)

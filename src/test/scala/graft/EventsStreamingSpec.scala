@@ -116,6 +116,46 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("initial-state warm start: batch snapshot + stream tail == full batch totals") {
+    // the batch→streaming migration: totals over the FIRST half of
+    // history come from a batch snapshot seeded via handleInitialState;
+    // the stream processes only the second half — final per-user totals
+    // must equal the full batch aggregate (for users the stream touches;
+    // snapshot-only users hold state but emit nothing without input).
+    import StreamingOps.{UserEvent, UserRunning}
+    val all = Tables.events(spark, sfDir)
+    val cutoff = all.agg(percentile_approx($"ts", lit(0.5), lit(1000)))
+      .head().getTimestamp(0)
+    val snapshot = all.filter($"ts" <= cutoff)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .as[UserRunning]
+    val tailDir = java.nio.file.Files.createTempDirectory("warm-tail").toString + "/events"
+    all.filter($"ts" > cutoff).write.parquet(tailDir)
+    val stream = StreamingOps.eventsStream(spark, tailDir)
+      .select($"user_id", $"ts", $"value").as[UserEvent]
+    val mem = StreamingOps.runToMemory(
+      StreamingOps.runningTotalsWarmStart(spark, stream, snapshot).toDF(),
+      "ev_warm_start_q", OutputMode.Update, statePartitions = Some(8),
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_events".desc)
+    val got = mem.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val streamedUsers = all.filter($"ts" > cutoff)
+      .select($"user_id").distinct().collect().map(_.getLong(0)).toSet
+    val expected = all.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .filter { case (u, _) => streamedUsers(u) }
+    assert(streamedUsers.nonEmpty && got.keySet == expected.keySet)
+    got.foreach { case (u, (n, t)) =>
+      assert(n == expected(u)._1, s"user $u count")
+      assert(math.abs(t - expected(u)._2) < 1e-6, s"user $u total")
+    }
+  }
+
   test("event-time timers close sessions by watermark, matching the batch rule") {
     // sessions with a successor event close inline; each user's OPEN
     // tail closes only when the watermark passes lastEvent + gap — the
