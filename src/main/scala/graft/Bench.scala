@@ -37,6 +37,13 @@ object Bench {
     // of the dd_clusters labels (RESULTS.md).
     val preRun: Map[String, () => Unit] = Map(
       "dd_clusters" -> (() => operators.Dedup.clearLabelCache()))
+    // The noop write builds a FRESH QueryExecution, re-optimizing under
+    // the session conf — q24's bloom-filter injection needs its scoped
+    // planning confs live around the timed action, or the reported
+    // number measures an ordinary join with no runtime filter.
+    val aroundRun: Map[String, (() => Unit) => Unit] = Map(
+      "q24_bloom_prune" ->
+        (body => operators.Relational.withBloomPruneConfs(spark)(body())))
     val results = selected.map { case (name, fn) =>
       // noop sink: evaluates every output column and row (count() would
       // let Catalyst prune computed columns and measure a cheaper plan).
@@ -45,8 +52,10 @@ object Bench {
       val times = (1 to runs).map { _ =>
         preRun.get(name).foreach(_.apply())
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        val run = () =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        aroundRun.getOrElse(name, (b: () => Unit) => b())(run)
         (System.nanoTime() - t0) / 1e9
       }
       if (runs > 2) System.err.println(

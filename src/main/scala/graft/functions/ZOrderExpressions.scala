@@ -59,6 +59,12 @@ case class ZValue(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName, not fixed names: two ZValue expressions in one
+      // codegen scope (non-nullable inputs emit resultCode unbraced)
+      // would otherwise declare duplicate locals and fail janino,
+      // silently dropping the plan out of whole-stage codegen.
+      val za = ctx.freshName("graftZa")
+      val zb = ctx.freshName("graftZb")
       def spreadJava(in: String, out: String): String =
         s"""
            |long $out = $in & 0xffffffffL;
@@ -69,9 +75,9 @@ case class ZValue(left: Expression, right: Expression)
            |$out = ($out | ($out << 1))  & 0x5555555555555555L;
          """.stripMargin
       s"""
-         |${spreadJava(a, "graftZa")}
-         |${spreadJava(b, "graftZb")}
-         |${ev.value} = graftZa | (graftZb << 1);
+         |${spreadJava(a, za)}
+         |${spreadJava(b, zb)}
+         |${ev.value} = $za | ($zb << 1);
        """.stripMargin
     })
 

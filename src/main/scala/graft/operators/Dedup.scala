@@ -236,10 +236,17 @@ object Dedup {
     * harness runs queries sequentially on the session — a concurrent
     * planner on the same session would see the loop-sized conf. */
   private def withGraphShuffle[T](s: SparkSession, rowScale: Long)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, rowScale / 1000000L + 1).toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val key = "spark.sql.shuffle.partitions"
+    // conf.get(key) resolves the SQLConf default, so restoring through
+    // it would turn a previously-unset key into an explicitly-set one;
+    // getAll holds only explicit settings — None restores by unset
+    // (same scoped-conf contract as runToMemory and q24BloomPrune).
+    val prev = s.conf.getAll.get(key)
+    s.conf.set(key, math.max(1L, rowScale / 1000000L + 1).toString)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Iterative min-label propagation: rounds = graph diameter — the

@@ -373,8 +373,16 @@ object Relational {
     * autoBroadcastJoinThreshold is scoped off because the rule only
     * fires for probably-shuffled joins — exactly the 100 TB planning
     * state, where a fact-scaled build side can never broadcast. */
-  def q24BloomPrune(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The planning confs q24 needs live while its plan is optimized:
+    * broadcast off (a fact-scaled build side can never broadcast at
+    * 100 TB) and the bloom-filter scan threshold floored so the rule
+    * fires at test scale. Public because actions that build a FRESH
+    * QueryExecution — any DataFrameWriter path, e.g. Bench's noop sink
+    * or Verify's parquet write — re-optimize under the session conf
+    * and would silently drop the injected filter; callers that time or
+    * inspect the write path must wrap the action in this scope
+    * (Bench does, so BENCH q24 numbers measure the filtered join). */
+  def withBloomPruneConfs[T](s: SparkSession)(body: => T): T = {
     val scoped = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
@@ -385,6 +393,16 @@ object Relational {
     val prev = scoped.map { case (k, _) => k -> explicit.get(k) }
     try {
       scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  def q24BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withBloomPruneConfs(s) {
       val urgent = Tables.orders(s, dir)
         .filter($"o_orderpriority" === "1-URGENT")
         .select($"o_orderkey")
@@ -394,17 +412,18 @@ object Relational {
         .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"l_returnflag")
-      // Optimization AND physical planning must run while the scoped
-      // thresholds are live — queryExecution caches both, so later
-      // actions keep the injected bloom filter and the shuffle-join
-      // shape after the conf is restored. (AQE may still broadcast at
-      // runtime if the build side proves small — the same call a real
-      // cluster would make.)
+      // Optimization AND physical planning run while the scoped
+      // thresholds are live — queryExecution caches both, so actions
+      // that reuse THIS QueryExecution (collect, PlanSpec inspection)
+      // keep the injected bloom filter and the shuffle-join shape
+      // after the conf is restored. Caveat: DataFrameWriter actions
+      // build a fresh QueryExecution and re-optimize under the
+      // restored conf — write-path callers must re-enter
+      // withBloomPruneConfs around the action (Bench does). (AQE may
+      // still broadcast at runtime if the build side proves small —
+      // the same call a real cluster would make.)
       joined.queryExecution.executedPlan
       joined
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
     }
   }
 

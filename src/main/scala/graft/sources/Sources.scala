@@ -109,10 +109,19 @@ object Sources {
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     partitions: Int): Unit = {
     import org.apache.spark.sql.functions.{col, lit, least, max, min}
-    val Array(loA, hiA, loB, hiB) = df.agg(
+    val bounds = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long"))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      .head()
+    // Empty input (or all-null cluster columns): min/max are NULL and
+    // unboxing would NPE opaquely. There is no layout to cluster —
+    // write the (empty) frame as-is and return.
+    if (bounds.anyNull) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val Array(loA, hiA, loB, hiB) =
+      bounds.toSeq.map(_.asInstanceOf[Long]).toArray
     def bucket(c: String, lo: Long, hi: Long) = {
       val span = math.max(1L, hi - lo)
       // 16-bit bucket id; least() guards v == hi landing in bucket

@@ -76,6 +76,36 @@ class HashSpec extends SparkSpec {
     }
   }
 
+  test("two zvalue kernels share a codegen scope without colliding") {
+    import graft.functions.ZOrder
+    // Regression: doGenCode once hardcoded its temp names, so two
+    // ZValue expressions over NON-nullable inputs (nullSafeCodeGen
+    // emits resultCode unbraced then) declared duplicate locals and
+    // failed janino — silently dropping the plan out of whole-stage
+    // codegen. fallback=false turns that silent degradation into a
+    // test failure.
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.getAll.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // spark.range, not Seq.toDF: ConvertToLocalRelation folds a
+      // literal frame in the optimizer (interpreted eval — the test
+      // would never reach codegen). id=0 → (1,2), id=1 → (5,3);
+      // arithmetic over range keeps both columns non-nullable.
+      val df = spark.range(2).select(
+        (col("id") * 4L + 1L).as("a"), (col("id") + 2L).as("b"))
+      val rows = df.select(
+        ZOrder.zvalue(col("a"), col("b")).as("z1"),
+        ZOrder.zvalue(col("b"), col("a")).as("z2")).collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((ZOrder.interleave(1L, 2L), ZOrder.interleave(2L, 1L)),
+            (ZOrder.interleave(5L, 3L), ZOrder.interleave(3L, 5L))))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("kernels propagate null inputs as null") {
     val df = Seq(Some("text"), None).toDF("s")
     val r = df.select(

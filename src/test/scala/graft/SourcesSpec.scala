@@ -156,6 +156,17 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered write of an empty frame produces a readable empty layout") {
+    // Regression: min/max over an empty frame are NULL; the unboxing
+    // used to NPE opaquely instead of writing an empty layout.
+    val dir = tmp() + "/zorder_empty"
+    val empty = Tables.lineitem(spark, sfDir).filter($"l_orderkey" < 0)
+    Sources.writeZOrdered(empty, dir, "l_partkey", "l_suppkey", 4)
+    val back = Sources.readParquet(spark, dir)
+    assert(back.count() == 0)
+    assert(back.columns.contains("l_partkey")) // schema preserved
+  }
+
   test("schema evolution: mergeSchema reconciles old and new file generations") {
     val dir = tmp() + "/evolve"
     val gen1 = nation.select($"n_nationkey", $"n_name")
