@@ -84,6 +84,9 @@ object SparkEntry {
     "dd_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     "dd_lsh_clusters" -> ((s, dir) => Dedup.lshClusters(s, dir)),
     "dd_survivors" -> ((s, dir) => Dedup.survivors(s, dir)),
+    // new-batch-vs-existing-corpus dedup; bloom pre-filter keeps the
+    // result exact, so the anti-join semantics oracle-check end-to-end
+    "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -403,6 +406,22 @@ object SparkEntry {
       "dd_exact" ->
         """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+      // history/batch split = the md5-bucket rule (tx_sample's hex
+      // arithmetic); the bloom pre-filter is invisible to semantics
+      "dd_incremental" ->
+        """WITH m AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          |s AS (SELECT doc_id, text,
+          |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS hb
+          |  FROM m),
+          |hist AS (SELECT sha256(text) AS digest FROM s WHERE hb < 3277),
+          |bk AS (SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
+          |    count(*) AS n_copies
+          |  FROM s WHERE hb >= 3277 GROUP BY sha256(text))
+          |SELECT keep_id, digest, n_copies FROM bk
+          |WHERE digest NOT IN (SELECT digest FROM hist)
+          |ORDER BY keep_id""".stripMargin,
       "pipe_e2e" ->
         """WITH qb AS (SELECT doc_id, text,
           |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,

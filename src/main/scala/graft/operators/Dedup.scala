@@ -440,4 +440,72 @@ object Dedup {
       .filter($"jaccard" > threshold)
       .orderBy($"id1", $"id2")
   }
+
+  /** Incremental exact dedup — the production shape at 100 TB: a new
+    * batch arrives and must be deduplicated against the EXISTING corpus
+    * without reprocessing it. (The batch/history split here is the
+    * md5-bucket rule shared with [[Sampling]], so the partition is
+    * deterministic and oracle-checkable; production would read two
+    * different tables.)
+    *
+    * The naive plan — `batch LEFT ANTI JOIN history ON digest` —
+    * shuffles EVERY history digest (terabytes at corpus scale) to
+    * answer a question about a batch that is orders of magnitude
+    * smaller. This plan never shuffles history:
+    *
+    *  1. A Bloom filter over the history digests' 64-bit hashes is
+    *     built by treeAggregate (public `stat.bloomFilter`) — the only
+    *     driver-side object is the ~1.2 MB/M-items filter, never rows —
+    *     and tested via the codegen'd [[BloomFilterMightContain]]
+    *     predicate on a literal (the same kernel InjectRuntimeFilter
+    *     plants; q24 exercises the optimizer-injected flavor).
+    *  2. Bloom-NEGATIVE batch digests are definitely new — they skip
+    *     the history check entirely (at fpp=1%, ~99% of genuinely-new
+    *     content). False positives only route rows to step 3, so the
+    *     result stays EXACT.
+    *  3. Bloom-positive digests (true dups + fpp stragglers — small)
+    *     are verified: history semi-joins the maybe-set, then the
+    *     maybe-set anti-joins the confirmed hits. Both joins carry the
+    *     small side; AQE broadcasts them and history streams map-side,
+    *     unshuffled, reading only its digest column.
+    *
+    * Batch-internal dup groups collapse first (survivor = min doc_id,
+    * as [[exactDedup]]); output is the surviving batch rows. */
+  def incrementalDedup(s: SparkSession, dir: String,
+                       historyBuckets: Long = 3277,
+                       fpp: Double = 0.01): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
+    val history = docs.filter($"hb" < historyBuckets)
+      .select(sha2($"text", 256).as("digest"))
+    val batchKept = docs.filter($"hb" >= historyBuckets)
+      .select($"doc_id", sha2($"text", 256).as("digest"))
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    // expectedNumItems sizes the filter's bit array; at scale this
+    // comes from table metadata (rowCount stats), not a count scan
+    val nHist = math.max(1L, history.count())
+    val bloom = history.select(xxhash64($"digest").as("h")).stat
+      .bloomFilter("h", nHist, fpp)
+    val bloomBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val mightHit = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloomBytes)),
+      ColumnBridge.expression(xxhash64($"digest"))))
+    val definitelyNew = batchKept.filter(!mightHit)
+    val maybe = batchKept.filter(mightHit)
+    // the confirmed-hit set is bounded by the maybe-set (≤ batch), so
+    // both joins keep history on the streamed, never-shuffled side
+    val confirmed = history
+      .join(maybe.select($"digest"), Seq("digest"), "left_semi").distinct()
+    definitelyNew.unionByName(maybe.join(confirmed, Seq("digest"), "left_anti"))
+      .select($"keep_id", $"digest", $"n_copies")
+      .orderBy($"keep_id")
+  }
 }
