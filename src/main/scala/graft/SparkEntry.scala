@@ -71,6 +71,8 @@ object SparkEntry {
     // default derives shards from cluster parallelism (TextAnalysis)
     "tx_pack" -> ((s, dir) => TextAnalysis.sequencePack(s, dir, shards = 8)),
     "tx_scrub" -> TextAnalysis.scrub _,
+    "tx_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
+    "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
     "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
     "tx_split" -> Sampling.trainValTest _,
     "tx_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -360,6 +362,43 @@ object SparkEntry {
       "tx_fingerprint" ->
         """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // dup_frac floor-truncated BEFORE the threshold compare; the
+      // repetitive flag is BIGINT 0/1 for cross-engine dtype parity
+      "tx_repetition" ->
+        """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |b AS (SELECT doc_id, list_transform(range(1, len(toks)),
+          |    i -> toks[i] || ' ' || toks[i + 1]) AS bg FROM t),
+          |c AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+          |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct FROM b),
+          |f AS (SELECT doc_id, n_bigrams, n_distinct,
+          |    floor(CAST(n_bigrams - n_distinct AS DOUBLE) /
+          |      greatest(CAST(n_bigrams AS DOUBLE), 1.0) * 10000.0) / 10000.0 AS dup_frac
+          |  FROM c)
+          |SELECT doc_id, n_bigrams, n_distinct, dup_frac,
+          |  CAST(CASE WHEN dup_frac >= 0.08 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+          |FROM f ORDER BY doc_id""".stripMargin,
+      // ln(), not log() — DuckDB log() is log10 where Spark log() is
+      // natural; tfidf floor-truncated to 6 decimals before ranking
+      "tx_tfidf" ->
+        """WITH t AS (SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+          |  FROM documents),
+          |tc AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+          |wl AS (SELECT doc_id, term, c,
+          |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS len FROM tc),
+          |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+          |sc AS (SELECT wl.doc_id, wl.term,
+          |    floor(CAST(wl.c AS DOUBLE) / CAST(wl.len AS DOUBLE) *
+          |      ln((SELECT count(*) + 1.0 FROM documents) / (CAST(dfq.df AS DOUBLE) + 1.0)) *
+          |      1000000.0) / 1000000.0 AS tfidf
+          |  FROM wl JOIN dfq ON wl.term = dfq.term),
+          |r AS (SELECT doc_id, term, tfidf,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          |  FROM sc)
+          |SELECT doc_id, term, rk, tfidf FROM r WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin,
       "tx_pack" ->
         """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
           |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens

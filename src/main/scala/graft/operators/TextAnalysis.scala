@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{HeavyHitters, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (builder prompt /
@@ -159,6 +160,72 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"bigram")
       .limit(topK)
+  }
+
+  /** Intra-document repetition — the Gopher-style duplicate-n-gram
+    * quality rule (Rae et al. 2021, "Scaling Language Models: ...
+    * Gopher", §A1.1: documents whose n-grams repeat heavily are
+    * boilerplate/spam and get filtered before training): per document,
+    * the fraction of word bigrams that are repeats of an earlier
+    * bigram. Pure map-side — the bigram array never explodes into
+    * rows; `size`/`array_distinct` evaluate per document, so the only
+    * shuffle is the contractual ORDER BY. dup_frac is floor-truncated
+    * BEFORE the threshold compare (cross-engine round-half rule), and
+    * the flag is emitted as BIGINT 0/1, not boolean, for driver dtype
+    * parity. */
+  def repetition(s: SparkSession, dir: String,
+                 threshold: Double = 0.08): DataFrame = {
+    import s.implicits._
+    val bg = TextFunctions.tokenBigrams(lower($"text"))
+    Tables.documents(s, dir)
+      .select($"doc_id", bg.as("bg"))
+      .select($"doc_id",
+        size($"bg").cast("long").as("n_bigrams"),
+        size(array_distinct($"bg")).cast("long").as("n_distinct"))
+      // (total - distinct)/max(total, 1), NOT 1 - distinct/max(total, 1):
+      // the forms agree for total > 0, but a doc with no bigrams must
+      // score 0, where the second form's guard denominator yields 1.0
+      .withColumn("dup_frac",
+        floor(($"n_bigrams" - $"n_distinct").cast("double") /
+          greatest($"n_bigrams", lit(1L)).cast("double") * 10000.0) / 10000.0)
+      .withColumn("repetitive",
+        when($"dup_frac" >= threshold, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
+  /** TF-IDF top terms per document — the classical distinctive-term
+    * scorer (tf × smoothed idf, Salton & Buckley 1988). Plan shape at
+    * scale: one (doc_id, term) count shuffle; document length via a
+    * PARTITIONED window over it (never a global window); the
+    * document-frequency table is vocabulary-sized, so AQE broadcasts
+    * the join that attaches idf; the corpus count is a metadata scalar.
+    * Cross-engine determinism: tfidf is floor-truncated to 6 decimals
+    * BEFORE ranking, and ties (identical (c, len, df) triples give
+    * bit-identical doubles in both engines) break by term order. */
+  def tfidf(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // corpus size for idf: at 100 TB this is table-metadata rowCount,
+    // not a scan (same scalar-pull pattern as k-means centroids)
+    val n = docs.count()
+    val terms = docs
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+    val tc = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val withLen = tc.withColumn("len",
+      sum($"c").over(Window.partitionBy($"doc_id")))
+    val dfreq = tc.groupBy($"term").agg(count(lit(1)).as("df"))
+    // Spark log() is natural log, matching DuckDB ln() (DuckDB log()
+    // is log10 — the oracle must NOT use it)
+    val scored = withLen.join(dfreq, "term")
+      .withColumn("tfidf",
+        floor($"c".cast("double") / $"len".cast("double") *
+          log(lit(n + 1.0) / ($"df".cast("double") + 1.0)) * 1000000.0) / 1000000.0)
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"doc_id", $"term", $"rk", $"tfidf")
+      .orderBy($"doc_id", $"rk")
   }
 
   /** Sequence packing — the LM-training batching prep step: assign

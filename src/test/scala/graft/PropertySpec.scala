@@ -219,4 +219,47 @@ class PropertySpec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.pack.shards")
     }
   }
+
+  test("repetition: planted boilerplate flags, distinct-bigram text does not") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam"), // 8 bigrams, 1 distinct
+      (1L, "one two three four five six seven eight nine"), // all distinct
+      (2L, "a b a b a b a b"),                              // 7 bigrams, 2 distinct
+      (3L, "word"),                                         // 0 bigrams → dup_frac 0
+      (4L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) == ((8L, 1L, math.floor((1.0 - 1.0 / 8) * 10000) / 10000, 1L)))
+    assert(got(1L) == ((8L, 8L, 0.0, 0L)))
+    assert(got(2L) == ((7L, 2L, math.floor((1.0 - 2.0 / 7) * 10000) / 10000, 1L)))
+    assert(got(3L) == ((0L, 0L, 0.0, 0L)))
+    assert(got(4L) == ((0L, 0L, 0.0, 0L)))
+  }
+
+  test("tfidf: doc-unique terms outrank corpus-wide terms; ties break by term") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    // "common" appears in every doc (idf → ln(4/4)=0 ⇒ tfidf 0);
+    // each doc also has a unique term that must rank first
+    Seq(
+      (0L, "common zebra zebra"),
+      (1L, "common apple"),
+      (2L, "common mango"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.tfidf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val top = got.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    assert(top == Map(0L -> "zebra", 1L -> "apple", 2L -> "mango"))
+    // idf of the everywhere-term is ln(4/4) = 0 ⇒ tfidf exactly 0
+    assert(got.filter(_._2 == "common").forall(_._4 == 0.0))
+    // doc 0: zebra tf=2/3, idf=ln(4/2) — check the truncated value
+    val zebra = got.find(t => t._1 == 0L && t._2 == "zebra").get._4
+    assert(zebra == math.floor(2.0 / 3.0 * math.log(4.0 / 2.0) * 1e6) / 1e6)
+  }
 }
