@@ -94,6 +94,9 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_near_dup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
+    // SemDeDup: k-means-bucketed within-cluster cosine dedup;
+    // rows-only (k-means has no SQL oracle), gated in RecallSpec
+    "dd_semantic" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
     // ---- M3: event-time semantics ----
@@ -119,9 +122,9 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
-    * ann_lsh_topk / ann_near_dup (xxhash64 / LSH internals aren't
-    * ANSI-expressible) — those are covered by scalatest goldens; the
-    * driver records rows-only. */
+    * ann_lsh_topk / ann_near_dup / dd_semantic (xxhash64 / LSH /
+    * k-means internals aren't ANSI-expressible) — those are covered by
+    * scalatest goldens; the driver records rows-only. */
   def oracleSql: Map[String, String] = {
     val trim = """^[.,!?"'':;()]+|[.,!?"'':;()]+$"""
     val tokenized =

@@ -260,4 +260,44 @@ object Similarity {
       .dropDuplicates("id1", "id2")
       .orderBy($"id1", $"id2")
   }
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embeddings, then compare
+    * pairs only WITHIN each cluster; a vector with a same-cluster
+    * partner above the cosine threshold and a smaller vec_id is a
+    * semantic duplicate, and the smallest id in each dup group
+    * survives. Scale: the quadratic comparison is confined to
+    * cluster-equality buckets — cost Σ|cluster|², tuned by k growing
+    * with the corpus (the paper's own design; 50k clusters at web
+    * scale) — and clustering reuses the map-side
+    * [[graft.functions.NearestCentroids]] assignment + mergeable
+    * [[graft.functions.VectorSum]] update, so the corpus itself never
+    * shuffles for training or assignment. Cross-cluster near-dups are
+    * invisible by construction (the paper accepts this recall trade);
+    * RecallSpec gates measured recall against a brute-force pair scan
+    * and pins precision at exactly 1 (every within-cluster hit is a
+    * true pair). Rows-only in the driver contract: k-means isn't
+    * ANSI-SQL-expressible. */
+  def semanticDedup(s: SparkSession, dir: String, k: Int = 16,
+                    iters: Int = 5, threshold: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val (cids, cvecs) = kmeansCentroids(s, emb, k, iters)
+    val assigned = emb.select($"vec_id", $"embedding",
+      VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)
+        .getItem(0).as("cid"))
+    val a = assigned.select($"cid", $"vec_id".as("id1"), $"embedding".as("e1"))
+    val b = assigned.select($"cid", $"vec_id".as("id2"), $"embedding".as("e2"))
+    // dominated = has a smaller-id partner in ITS cluster above the
+    // threshold; narrow (vec_id) rows survive the bucket join
+    val dominated = a.join(b, Seq("cid")).where($"id1" < $"id2")
+      .filter(cosine($"e1", $"e2") >= threshold)
+      .select($"id2".as("vec_id")).distinct()
+    assigned
+      .join(dominated.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", coalesce($"dup", lit(0L)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
 }

@@ -119,6 +119,43 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.35, f"embedding near-dup recall collapsed: $recall%.3f")
   }
 
+  test("semantic dedup: precision exactly 1, recall gated vs brute-force domination") {
+    // exact truth: v is dominated iff some u < v has cos(u, v) >= 0.4
+    // anywhere in the corpus; the operator only sees within-cluster
+    // pairs, so it can miss cross-cluster dominators (the SemDeDup
+    // recall trade) but every vector it flags must be truly dominated
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truthDominated = (for {
+      j <- emb.indices.iterator
+      if emb.indices.exists(i => i < j && cos(emb(i)._2, emb(j)._2) >= 0.4)
+    } yield emb(j)._1).toSet
+    assert(truthDominated.nonEmpty, "fixture yields no dominated vectors — gate is vacuous")
+    val flagged = Similarity.semanticDedup(spark, sfDir)
+      .filter("is_dup = 1").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((flagged -- truthDominated).isEmpty,
+      s"false positives: ${(flagged -- truthDominated).take(5)}")
+    val recall = (flagged & truthDominated).size.toDouble / truthDominated.size
+    info(f"semantic-dedup recall = $recall%.3f (${(flagged & truthDominated).size}/${truthDominated.size})")
+    // isotropic fixture, k=16 clusters: measured 0.323 (deterministic —
+    // seeded k-means), and non-monotone in k on this geometry
+    // (k=4 → 0.53, k=8 → 0.29: isotropic k-means partitions are
+    // arbitrary). The gate guards collapse (empty-cluster or
+    // assignment bugs → near zero), not the fixture's geometry; real
+    // embedding corpora cluster semantically, which is the regime the
+    // operator exists for.
+    assert(recall >= 0.25, f"semantic-dedup recall collapsed: $recall%.3f")
+  }
+
   test("q20 sketches stay inside their error bounds vs exact counterparts") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Relational.q20Sketches(spark, sfDir).collect()
