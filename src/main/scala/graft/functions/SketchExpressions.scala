@@ -38,6 +38,10 @@ object SketchFunctions {
   def minhashAgree(a: Column, b: Column): Column =
     ColumnBridge.column(MinHashAgree(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bloomMightContainBcast(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
+    ColumnBridge.column(BloomMightContainBcast(ColumnBridge.expression(v), bc))
 }
 
 /** Distinct k-character shingles of a string as an array, one pass —
@@ -189,4 +193,29 @@ case class SimHash64(child: Expression)
     out
   }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** The large-filter twin of Spark's [[org.apache.spark.sql.catalyst
+  * .expressions.BloomFilterMightContain]]: the serialized filter rides
+  * a TorrentBroadcast instead of a plan literal, so a gigabyte-scale
+  * history filter (10⁹ digests at 1% fpp ≈ 1.2 GB) ships once per
+  * executor rather than inside every task's serialized plan (and every
+  * explain string). Deserialized lazily once per executor JVM; the
+  * child must be the same 64-bit hash the filter was built over.
+  * Equivalence with the literal path is pinned in DedupSpec. */
+case class BloomMightContainBcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain_bcast"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+
+  override protected def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContainBcast =
+    copy(child = c)
 }

@@ -471,9 +471,19 @@ object Dedup {
     *
     * Batch-internal dup groups collapse first (survivor = min doc_id,
     * as [[exactDedup]]); output is the surviving batch rows. */
+  /** Above this serialized size the history bloom filter rides a
+    * TorrentBroadcast ([[graft.functions.BloomMightContainBcast]])
+    * instead of a plan literal: a literal is re-shipped inside every
+    * task's serialized plan (and dumped into every explain string),
+    * which is fine at the KB scale of a small history but not for the
+    * ~1.2 GB filter a 10⁹-digest history needs. Same crossover logic
+    * as [[Similarity.bcastCentroidThreshold]]. */
+  private[graft] val bloomLiteralMaxBytes = 1 << 16
+
   def incrementalDedup(s: SparkSession, dir: String,
                        historyBuckets: Long = 3277,
-                       fpp: Double = 0.01): DataFrame = {
+                       fpp: Double = 0.01,
+                       bloomLiteralMax: Int = bloomLiteralMaxBytes): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.graft.ColumnBridge
@@ -495,9 +505,17 @@ object Dedup {
       bloom.writeTo(out)
       out.toByteArray
     }
-    val mightHit = ColumnBridge.column(BloomFilterMightContain(
-      ColumnBridge.expression(lit(bloomBytes)),
-      ColumnBridge.expression(xxhash64($"digest"))))
+    val mightHit =
+      if (bloomBytes.length <= bloomLiteralMax)
+        // small filter: a foldable literal keeps the codegen'd
+        // BloomFilterMightContain kernel (same one InjectRuntimeFilter
+        // plants)
+        ColumnBridge.column(BloomFilterMightContain(
+          ColumnBridge.expression(lit(bloomBytes)),
+          ColumnBridge.expression(xxhash64($"digest"))))
+      else
+        SketchFunctions.bloomMightContainBcast(
+          xxhash64($"digest"), s.sparkContext.broadcast(bloomBytes))
     val definitelyNew = batchKept.filter(!mightHit)
     val maybe = batchKept.filter(mightHit)
     // the confirmed-hit set is bounded by the maybe-set (≤ batch), so

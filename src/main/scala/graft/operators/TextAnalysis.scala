@@ -208,19 +208,26 @@ object TextAnalysis {
     // corpus size for idf: at 100 TB this is table-metadata rowCount,
     // not a scan (same scalar-pull pattern as k-means centroids)
     val n = docs.count()
+    // ONE scan/tokenization: document length is computed on the token
+    // array BEFORE the explode and rides along, and document frequency
+    // is a count over a term-partitioned window on the compact
+    // (doc, term) count frame — the join-against-a-second-aggregation
+    // formulation re-scanned and re-tokenized the whole corpus for the
+    // df branch (scan cost dominates at scale; the windows shuffle
+    // only (doc_id, term, c, len) rows)
     val terms = docs
-      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
-      .filter($"term" =!= "")
-    val tc = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-    val withLen = tc.withColumn("len",
-      sum($"c").over(Window.partitionBy($"doc_id")))
-    val dfreq = tc.groupBy($"term").agg(count(lit(1)).as("df"))
+      .select($"doc_id", array_remove(split(lower($"text"), "\\s+"), "").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("len"),
+        explode($"toks").as("term"))
+    val tc = terms.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("c"), first($"len").as("len"))
+    val withDf = tc.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"term")))
     // Spark log() is natural log, matching DuckDB ln() (DuckDB log()
     // is log10 — the oracle must NOT use it)
-    val scored = withLen.join(dfreq, "term")
-      .withColumn("tfidf",
-        floor($"c".cast("double") / $"len".cast("double") *
-          log(lit(n + 1.0) / ($"df".cast("double") + 1.0)) * 1000000.0) / 1000000.0)
+    val scored = withDf.withColumn("tfidf",
+      floor($"c".cast("double") / $"len".cast("double") *
+        log(lit(n + 1.0) / ($"df".cast("double") + 1.0)) * 1000000.0) / 1000000.0)
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)

@@ -228,8 +228,13 @@ class DedupSpec extends SparkSpec {
       .join(hist, Seq("digest"), "left_anti")
       .select($"keep_id", $"digest", $"n_copies")
     val got = Dedup.incrementalDedup(spark, sfDir)
-    assert(got.collect().toSeq.sortBy(_.getLong(0)) ==
-      naive.collect().toSeq.sortBy(_.getLong(0)))
+    val expected = naive.collect().toSeq.sortBy(_.getLong(0))
+    assert(got.collect().toSeq.sortBy(_.getLong(0)) == expected)
+    // broadcast-filter path (bloomLiteralMax = 0 forces every filter
+    // size onto the TorrentBroadcast kernel) must be plan-for-plan
+    // equivalent in results
+    val bcast = Dedup.incrementalDedup(spark, sfDir, bloomLiteralMax = 0)
+    assert(bcast.collect().toSeq.sortBy(_.getLong(0)) == expected)
     // a batch of entirely-new content must be almost all bloom-negative
     // (fpp = 1%): route it through the real operator internals by
     // asserting the survivor count equals the batch count — and that

@@ -132,6 +132,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "digest dedup must prune map-side")
   }
 
+  test("tfidf: single corpus scan, df via window (no join-back), ranked-topk pruned") {
+    // the df-by-join formulation re-scanned and re-tokenized the whole
+    // corpus for its second aggregation branch — scan cost dominates at
+    // 100 TB, so document frequency must come from a window over the
+    // compact (doc, term) count frame instead
+    val p = plan(graft.operators.TextAnalysis.tfidf(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "tfidf must stay single-scan")
+    assert(p.contains("WindowGroupLimit"), "top-k rank must prune map-side")
+  }
+
   test("pipe_e2e observed metrics ride the pipeline's own pass") {
     // observe() piggybacks aggregates on the action itself — the 100 TB
     // alternative to a separate counting pass. Metrics must match
