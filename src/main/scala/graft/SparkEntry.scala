@@ -73,6 +73,7 @@ object SparkEntry {
     "tx_scrub" -> TextAnalysis.scrub _,
     "tx_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
+    "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
     "tx_split" -> Sampling.trainValTest _,
     "tx_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -382,6 +383,25 @@ object SparkEntry {
           |SELECT doc_id, n_bigrams, n_distinct, dup_frac,
           |  CAST(CASE WHEN dup_frac >= 0.08 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
           |FROM f ORDER BY doc_id""".stripMargin,
+      // benchmark = the md5-bucket test split; word 4-grams via the
+      // same tokenization as tx_bigrams
+      "tx_contamination" ->
+        """WITH m AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          |s AS (SELECT doc_id, text,
+          |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS hb
+          |  FROM m),
+          |t AS (SELECT doc_id, hb, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM s),
+          |g AS (SELECT doc_id, hb, unnest(list_transform(range(1, len(toks) - 2),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+          |  FROM t),
+          |bench AS (SELECT DISTINCT gram FROM g WHERE hb >= 3891)
+          |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+          |FROM g JOIN bench USING (gram) WHERE g.hb < 3686
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
       // ln(), not log() — DuckDB log() is log10 where Spark log() is
       // natural; tfidf floor-truncated to 6 decimals before ranking
       "tx_tfidf" ->

@@ -35,6 +35,9 @@ object TextFunctions {
 
   /** `array(string)` of space-joined consecutive token pairs; empty for
     * documents with fewer than two tokens. */
+  def tokenNgrams(c: Column, n: Int): Column =
+    ColumnBridge.column(TokenNgrams(ColumnBridge.expression(c), n))
+
   def tokenBigrams(c: Column): Column =
     ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
 
@@ -164,5 +167,50 @@ case class TokenBigrams(child: Expression)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): TokenBigrams =
+    copy(child = c)
+}
+
+/** Word n-grams joined with single spaces — [[TokenBigrams]]
+  * generalized to arbitrary n (kept separate so the bigram kernel's
+  * pinned contract stays untouched). Same one-pass offset scan over
+  * the UTF-8 bytes; a doc with fewer than n tokens yields an empty
+  * array. Used by the decontamination operator
+  * ([[graft.operators.TextAnalysis.contamination]]). */
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be positive, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_ngrams"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val maxToks = bytes.length / 2 + 1
+    val starts = new Array[Int](maxToks)
+    val ends = new Array[Int](maxToks)
+    var nt = 0
+    Tokenize.foreachToken(bytes) { (s, e) => starts(nt) = s; ends(nt) = e; nt += 1 }
+    if (nt < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nt - n + 1)
+    var i = 0
+    while (i <= nt - n) {
+      var len = n - 1 // separators
+      var j = 0
+      while (j < n) { len += ends(i + j) - starts(i + j); j += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val l = ends(i + j) - starts(i + j)
+        System.arraycopy(bytes, starts(i + j), buf, pos, l)
+        pos += l
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenNgrams =
     copy(child = c)
 }

@@ -193,6 +193,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark decontamination — the n-gram-overlap check every LLM
+    * training pipeline runs before training (the 13-gram rule of GPT-3
+    * appendix C / PaLM / Llama; n scaled to this corpus's short
+    * synthetic docs): a training document sharing any word n-gram with
+    * the held-out benchmark set is contaminated and reported with its
+    * distinct-overlap count. Here the "benchmark" is the md5-bucket
+    * test split (tx_split's rule) so the check is self-contained and
+    * oracle-checkable; production passes any benchmark table.
+    *
+    * Scale: the benchmark side is small by definition (MBs of eval
+    * sets vs a 100 TB corpus), so its distinct n-gram set broadcasts
+    * and the corpus-side explode streams map-side through the join —
+    * the corpus never shuffles; only the HIT rows (rare) reach the
+    * per-doc count aggregation. One [[graft.functions.TokenNgrams]]
+    * kernel pass per side, no interpreted lambdas. */
+  def contamination(s: SparkSession, dir: String, n: Int = 4,
+                    benchFrom: Long = 3891, trainBelow: Long = 3686): DataFrame = {
+    import s.implicits._
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val docs = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
+      TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
+    val bench = docs.filter($"hb" >= benchFrom)
+      .select(explode($"grams").as("gram")).distinct()
+    docs.filter($"hb" < trainBelow)
+      .select($"doc_id", explode($"grams").as("gram"))
+      .join(bench, "gram")
+      .groupBy($"doc_id")
+      .agg(count_distinct($"gram").as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF top terms per document — the classical distinctive-term
     * scorer (tf × smoothed idf, Salton & Buckley 1988). Plan shape at
     * scale: one (doc_id, term) count shuffle; document length via a

@@ -3,6 +3,7 @@ package graft
 import graft.functions.HashFunctions
 import graft.operators.{Dedup, WordCount}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -218,6 +219,53 @@ class PropertySpec extends SparkSpec {
         intercept[IllegalArgumentException](TextAnalysis.sequencePack(spark, sfDir))
       } finally spark.conf.unset("spark.graft.pack.shards")
     }
+  }
+
+  test("token n-gram kernel: n=2 ≡ bigram kernel, n=1 ≡ tokens, short docs empty") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "the quick  brown fox", // double space
+      "one", "", "a b c d e f",
+      " leading and trailing ").toDF("s")
+    val rows = df.select(
+      TextFunctions.tokenNgrams(col("s"), 2).as("n2"),
+      TextFunctions.tokenBigrams(col("s")).as("b2"),
+      TextFunctions.tokenNgrams(col("s"), 1).as("n1"),
+      TextFunctions.tokenNgrams(col("s"), 4).as("n4")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1)) // n=2 ≡ bigrams
+    }
+    val abc = rows(3)
+    assert(abc.getSeq[String](2) == Seq("a", "b", "c", "d", "e", "f"))
+    assert(abc.getSeq[String](3) == Seq("a b c d", "b c d e", "c d e f"))
+    assert(rows(1).getSeq[String](3) == Nil) // fewer than n tokens
+    assert(rows(2).getSeq[String](2) == Nil) // empty input
+  }
+
+  test("contamination: planted benchmark n-gram overlap is found, clean docs aren't") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("contam").toString
+    // Pick real bucket ids so the md5 split rule lands one doc in the
+    // benchmark split (hb >= 3891), contaminated + clean docs in train
+    // (hb < 3686)
+    def hb(id: Long) = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.substring(0, 3), 16)
+    }
+    val benchId = (0L until 10000L).find(i => hb(i) >= 3891).get
+    val trainIds = (0L until 10000L).filter(i => hb(i) < 3686).take(3)
+    val leak = "alpha beta gamma delta" // the shared 4-gram
+    val rows = Seq(
+      (benchId, s"prefix words $leak suffix words"),
+      (trainIds(0), s"contaminated document containing $leak verbatim"),
+      (trainIds(1), "entirely clean document with its own fresh content"),
+      (trainIds(2), s"double $leak and again $leak here")) // distinct-counted once
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.contamination(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(trainIds(0) -> 1L, trainIds(2) -> 1L))
   }
 
   test("repetition: planted boilerplate flags, distinct-bigram text does not") {
