@@ -132,6 +132,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "digest dedup must prune map-side")
   }
 
+  test("dd_incremental: history never shuffles — verification joins broadcast the maybe-set") {
+    // the scale contract: the semi join (which digests exist in
+    // history) and the anti join (drop confirmed dups) both carry the
+    // batch-bounded side as the broadcast build, so the history table
+    // streams map-side. A SortMergeJoin anywhere means a history
+    // shuffle crept in.
+    val df = graft.operators.Dedup.incrementalDedup(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val nodes = flattenPlan(df.queryExecution.executedPlan).map(_.toString.linesIterator.next())
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      "history side must not shuffle into a sort-merge join")
+    assert(nodes.count(n => n.contains("BroadcastHashJoin") &&
+      (n.contains("LeftSemi") || n.contains("LeftAnti"))) == 2,
+      s"expected broadcast semi+anti verification joins:\n${nodes.mkString("\n")}")
+  }
+
   test("tfidf: single corpus scan, df via window (no join-back), ranked-topk pruned") {
     // the df-by-join formulation re-scanned and re-tokenized the whole
     // corpus for its second aggregation branch — scan cost dominates at
