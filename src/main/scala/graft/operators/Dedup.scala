@@ -497,7 +497,13 @@ object Dedup {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     // expectedNumItems sizes the filter's bit array; at scale this
     // comes from table metadata (rowCount stats), not a count scan
-    val nHist = math.max(1L, history.count())
+    val nHist = history.count()
+    // empty history: every batch digest is new by definition — and
+    // stat.bloomFilter NPEs on a zero-row frame (its aggregate yields
+    // null bytes), so this branch is correctness AND a crash guard
+    if (nHist == 0L)
+      return batchKept.select($"keep_id", $"digest", $"n_copies")
+        .orderBy($"keep_id")
     val bloom = history.select(xxhash64($"digest").as("h")).stat
       .bloomFilter("h", nHist, fpp)
     val bloomBytes = {

@@ -268,6 +268,18 @@ class PropertySpec extends SparkSpec {
     assert(got == Map(trainIds(0) -> 1L, trainIds(2) -> 1L))
   }
 
+  test("round-5 operators degrade to empty results on an empty corpus (no NPEs)") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("empty").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // each builds AND executes without unboxing nulls or dividing by 0
+    assert(TextAnalysis.repetition(spark, dir).count() == 0)
+    assert(TextAnalysis.tfidf(spark, dir).count() == 0)
+    assert(TextAnalysis.contamination(spark, dir).count() == 0)
+    assert(Dedup.incrementalDedup(spark, dir).count() == 0)
+  }
+
   test("repetition: planted boilerplate flags, distinct-bigram text does not") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("rep").toString
