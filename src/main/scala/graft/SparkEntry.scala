@@ -74,6 +74,7 @@ object SparkEntry {
     "tx_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
+    "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
     "tx_split" -> Sampling.trainValTest _,
     "tx_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -402,6 +403,26 @@ object SparkEntry {
           |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
           |FROM g JOIN bench USING (gram) WHERE g.hb < 3686
           |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+      // add-one bigram LM; ln() for natural log, nll floor-truncated
+      "tx_lm_score" ->
+        """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+          |uni AS (SELECT unnest(toks) AS prefix FROM t),
+          |uc AS (SELECT prefix, count(*) AS uc FROM uni GROUP BY prefix),
+          |v AS (SELECT count(*) AS v FROM uc),
+          |lm AS (SELECT bigram, count(*) AS bc FROM bi GROUP BY bigram
+          |  ORDER BY count(*) DESC, bigram LIMIT 100000),
+          |sc AS (SELECT bi.doc_id,
+          |    ln(CAST(coalesce(lm.bc, 0) + 1 AS DOUBLE) /
+          |       CAST(uc.uc + (SELECT v FROM v) AS DOUBLE)) AS ll
+          |  FROM bi LEFT JOIN lm ON bi.bigram = lm.bigram
+          |  JOIN uc ON split_part(bi.bigram, ' ', 1) = uc.prefix)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  floor(-sum(ll) / count(*) * 10000.0) / 10000.0 AS avg_nll
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // ln(), not log() — DuckDB log() is log10 where Spark log() is
       // natural; tfidf floor-truncated to 6 decimals before ranking
       "tx_tfidf" ->

@@ -224,6 +224,55 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Bigram-LM quality scoring — the perplexity-proxy filter of
+    * CCNet/KenLM pipelines (Wenzek et al. 2020): score each document
+    * by the average negative log-likelihood of its word bigrams under
+    * a corpus-level add-one-smoothed bigram model; boilerplate and
+    * natural text separate cleanly on this score, and filtering keeps
+    * the low-nll band.
+    *
+    * Scale design mirrors how KenLM is actually deployed: the model is
+    * a FIXED-SIZE artifact — the top `maxLm` bigrams by count
+    * (deterministic tie-break) — so it broadcasts, the corpus-side
+    * bigram stream maps through the join unshuffled (bigrams absent
+    * from the pruned model fall back to the smoothing floor, exactly
+    * KenLM's backoff role), and the per-doc aggregation ships partial
+    * sums only. The unigram (prefix) table is vocabulary-bounded and
+    * broadcasts too. Building the model itself is one bigram-count
+    * shuffle — the LM training pass, paid once.
+    *
+    * nll is floor-truncated to 4 decimals (cross-engine round rule);
+    * docs with no bigrams have no defined score and are absent. */
+  def lmScore(s: SparkSession, dir: String, maxLm: Int = 100000): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bi = docs.select($"doc_id",
+      explode(TextFunctions.tokenBigrams(lower($"text"))).as("bigram"))
+    val uni = docs.select(
+      explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("prefix"))
+      .groupBy($"prefix").agg(count(lit(1)).as("uc"))
+    // V for smoothing: the vocabulary size scalar (metadata-scale)
+    val vocab = uni.count()
+    // top-K by (count, bigram): orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition heaps) — NOT a global
+    // window, which the registry-wide plan guard forbids
+    val lm = bi.groupBy($"bigram").agg(count(lit(1)).as("bc"))
+      .orderBy($"bc".desc, $"bigram")
+      .limit(maxLm)
+      .select($"bigram", $"bc")
+    val scored = bi
+      .join(lm, Seq("bigram"), "left")
+      .withColumn("prefix", substring_index($"bigram", " ", 1))
+      .join(uni, "prefix")
+      .withColumn("ll",
+        log((coalesce($"bc", lit(0L)) + lit(1L)).cast("double") /
+          ($"uc" + lit(vocab)).cast("double")))
+    scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(-sum($"ll") / count(lit(1)) * 10000.0) / 10000.0).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF top terms per document — the classical distinctive-term
     * scorer (tf × smoothed idf, Salton & Buckley 1988). Plan shape at
     * scale: one (doc_id, term) count shuffle; document length via a

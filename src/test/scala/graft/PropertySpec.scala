@@ -280,6 +280,29 @@ class PropertySpec extends SparkSpec {
     assert(Dedup.incrementalDedup(spark, dir).count() == 0)
   }
 
+  test("lm score: corpus-typical text scores lower nll than anomalous text") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    // docs 0-7 repeat the same phrasing (high-count bigrams); doc 8
+    // is one-off word salad (every bigram count 1 → smoothing floor)
+    val common = (0L until 8L).map(i => (i, "the quick brown fox jumps high"))
+    val rows = common :+ ((8L, "zanzibar quartz vexing jukebox glyphs nymph"))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.lmScore(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 9)
+    assert(got(0L) == got(7L)) // identical docs, identical scores
+    assert(got(8L) > got(0L) * 2,
+      s"word salad ${got(8L)} should far exceed typical ${got(0L)}")
+    // pruned-LM fallback: with the model capped to 1 bigram, unseen
+    // bigrams hit the smoothing floor but every doc still scores
+    val pruned = TextAnalysis.lmScore(spark, dir, maxLm = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pruned.size == 9)
+    assert(pruned(0L) >= got(0L)) // lost mass can only raise nll
+  }
+
   test("repetition: planted boilerplate flags, distinct-bigram text does not") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("rep").toString
