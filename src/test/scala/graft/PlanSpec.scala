@@ -148,6 +148,21 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast semi+anti verification joins:\n${nodes.mkString("\n")}")
   }
 
+  test("lm score: pruned LM broadcasts (no corpus shuffle into the scoring joins)") {
+    // the KenLM deployment shape: the top-K model and the
+    // vocabulary-bounded prefix table are the broadcast sides; the
+    // corpus bigram stream must map through both joins unshuffled, and
+    // the top-K selection must be TakeOrderedAndProject, not a global
+    // window or sort
+    val df = graft.operators.TextAnalysis.lmScore(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val nodes = flattenPlan(df.queryExecution.executedPlan).map(_.toString.linesIterator.next())
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      "corpus must not shuffle into the scoring joins")
+    assert(nodes.exists(_.contains("TakeOrderedAndProject")),
+      "LM top-K must select via per-partition heaps")
+  }
+
   test("tfidf: single corpus scan, df via window (no join-back), ranked-topk pruned") {
     // the df-by-join formulation re-scanned and re-tokenized the whole
     // corpus for its second aggregation branch — scan cost dominates at
