@@ -99,6 +99,9 @@ object SparkEntry {
     // SemDeDup: k-means-bucketed within-cluster cosine dedup;
     // rows-only (k-means has no SQL oracle), gated in RecallSpec
     "dd_semantic" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    // SQ8-quantized ANN (1 byte/dim corpus, asymmetric distance);
+    // rows-only, top-k overlap gated in RecallSpec
+    "ann_sq8_topk" -> ((s, dir) => Similarity.sq8TopK(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
     // ---- M3: event-time semantics ----
@@ -124,9 +127,10 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
-    * ann_lsh_topk / ann_near_dup / dd_semantic (xxhash64 / LSH /
-    * k-means internals aren't ANSI-expressible) — those are covered by
-    * scalatest goldens; the driver records rows-only. */
+    * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk
+    * (xxhash64 / LSH / k-means / SQ8 internals aren't
+    * ANSI-expressible) — those are covered by scalatest goldens; the
+    * driver records rows-only. */
   def oracleSql: Map[String, String] = {
     val trim = """^[.,!?"'':;()]+|[.,!?"'':;()]+$"""
     val tokenized =

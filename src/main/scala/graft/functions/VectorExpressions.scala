@@ -36,6 +36,14 @@ object VectorFunctions {
       bc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]])],
       k: Int): Column =
     ColumnBridge.column(NearestCentroidsBcast(ColumnBridge.expression(v), bc, k))
+
+  def quantizeSq8(v: Column, los: Seq[Double], his: Seq[Double]): Column =
+    ColumnBridge.column(QuantizeSq8(ColumnBridge.expression(v), los, his))
+
+  def cosineSq8Asym(q: Column, code: Column,
+                    los: Seq[Double], his: Seq[Double]): Column =
+    ColumnBridge.column(CosineSq8Asym(
+      ColumnBridge.expression(q), ColumnBridge.expression(code), los, his))
 }
 
 /** The large-centroid-table twin of [[NearestCentroids]]: the table
@@ -283,5 +291,72 @@ case class CosineSim(left: Expression, right: Expression)
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Scalar (SQ8) vector quantization — the memory-bounded ANN scale
+  * path (FAISS SQ8): each dimension is linearly mapped to one byte
+  * using corpus-level per-dimension [lo, hi] bounds, cutting the
+  * resident corpus 8× vs array<double> (64 bytes vs 512 at dim 64).
+  * Values outside the trained bounds clamp. Bounds ride as literals —
+  * 2×dim doubles, far under the broadcast-threshold sizes that matter
+  * for centroid tables. */
+case class QuantizeSq8(child: Expression, los: Seq[Double], his: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  require(los.length == his.length)
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_quantize_sq8"
+
+  @transient private lazy val lo = los.toArray
+  @transient private lazy val span = los.indices.map(d =>
+    math.max(his(d) - los(d), java.lang.Double.MIN_NORMAL)).toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), lo.length)
+    val out = new Array[Byte](n)
+    var d = 0
+    while (d < n) {
+      val q = math.rint((a.getDouble(d) - lo(d)) / span(d) * 255.0)
+      out(d) = math.max(0.0, math.min(255.0, q)).toInt.toByte
+      d += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): QuantizeSq8 =
+    copy(child = c)
+}
+
+/** Asymmetric SQ8 cosine (FAISS ADC): the float query against a
+  * quantized corpus code — dequantize-on-the-fly inside one unboxed
+  * loop, so the corpus stays at 1 byte/dim in memory and only the
+  * handful of query vectors are ever exact. */
+case class CosineSq8Asym(left: Expression, right: Expression,
+                         los: Seq[Double], his: Seq[Double])
+    extends BinaryExpression with CodegenFallback {
+  require(los.length == his.length)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_sq8"
+
+  @transient private lazy val lo = los.toArray
+  @transient private lazy val step = los.indices.map(d =>
+    math.max(his(d) - los(d), java.lang.Double.MIN_NORMAL) / 255.0).toArray
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]
+    val code = r.asInstanceOf[Array[Byte]]
+    val n = math.min(q.numElements(), math.min(code.length, lo.length))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var d = 0
+    while (d < n) {
+      val x = q.getDouble(d)
+      val y = lo(d) + (code(d) & 0xff) * step(d)
+      dot += x * y; na += x * x; nb += y * y
+      d += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSq8Asym =
     copy(left = l, right = r)
 }

@@ -55,6 +55,45 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** SQ8-quantized brute-force top-k — the memory-bounded ANN scale
+    * path (FAISS-style scalar quantization + asymmetric distance): the
+    * corpus is held as 1 byte/dim codes (8× smaller than
+    * array<double>; at 100 TB of embeddings the difference between
+    * fitting in cluster memory and not), queries stay exact floats,
+    * and the [[graft.functions.CosineSq8Asym]] kernel dequantizes
+    * on-the-fly inside one unboxed loop. Training the per-dimension
+    * [lo, hi] bounds is one narrow partial-agg shuffle (dim keys ×
+    * partitions) + a 2×dim scalar pull. Composes with the IVF/LSH
+    * bucketing paths (quantize the bucketed corpus) — exposed here on
+    * the brute-force scan so the recall gate isolates QUANTIZATION
+    * loss from bucketing loss. Rows-only; RecallSpec gates top-k
+    * overlap against the exact float path. */
+  def sq8TopK(s: SparkSession, dir: String,
+              numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val bounds = emb.select(posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .orderBy($"dim").collect()
+    require(bounds.nonEmpty, "sq8TopK: empty embedding corpus")
+    val los = bounds.map(_.getDouble(1)).toSeq
+    val his = bounds.map(_.getDouble(2)).toSeq
+    val coded = emb.select($"vec_id",
+      VectorFunctions.quantizeSq8($"embedding", los, his).as("code"))
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val scored = coded.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSq8Asym($"q", $"code", los, his), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Sign-LSH bucket id for one table: computed by the
     * [[graft.functions.SignLshBuckets]] kernel (precomputed planes,
     * tight loop). The equivalent Column-expression tree (bits × dim

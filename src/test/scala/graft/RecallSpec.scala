@@ -156,6 +156,23 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.25, f"semantic-dedup recall collapsed: $recall%.3f")
   }
 
+  test("SQ8-quantized top-k overlaps the exact float top-k (quantization loss only)") {
+    // same scan shape as the exact baseline, so any loss is pure
+    // quantization noise — 8-bit per-dim error on this fixture should
+    // barely perturb the ranking
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topIds(Similarity.bruteForceTopK(spark, sfDir))
+    val sq8 = topIds(Similarity.sq8TopK(spark, sfDir))
+    assert(exact.keySet == sq8.keySet)
+    val overlaps = exact.keySet.toSeq.map(q =>
+      (sq8(q) & exact(q)).size.toDouble / exact(q).size)
+    val recall = overlaps.sum / overlaps.size
+    info(f"sq8 top-k overlap = $recall%.3f")
+    assert(recall >= 0.85, f"sq8 quantization recall collapsed: $recall%.3f")
+  }
+
   test("q20 sketches stay inside their error bounds vs exact counterparts") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Relational.q20Sketches(spark, sfDir).collect()
