@@ -75,6 +75,9 @@ object SparkEntry {
     "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
+    // bottom-k rolling-hash fingerprint; rows-only (64-bit wraparound
+    // isn't ANSI-SQL), kernel gated vs an independent reference
+    "tx_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
     "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
     "tx_split" -> Sampling.trainValTest _,
     "tx_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -127,10 +130,10 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
-    * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk
-    * (xxhash64 / LSH / k-means / SQ8 internals aren't
-    * ANSI-expressible) — those are covered by scalatest goldens; the
-    * driver records rows-only. */
+    * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk /
+    * tx_rolling_fp (xxhash64 / LSH / k-means / SQ8 / 2⁶⁴-wraparound
+    * internals aren't ANSI-expressible) — those are covered by
+    * scalatest goldens; the driver records rows-only. */
   def oracleSql: Map[String, String] = {
     val trim = """^[.,!?"'':;()]+|[.,!?"'':;()]+$"""
     val tokenized =

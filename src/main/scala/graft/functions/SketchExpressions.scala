@@ -42,6 +42,9 @@ object SketchFunctions {
   def bloomMightContainBcast(v: Column,
       bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
     ColumnBridge.column(BloomMightContainBcast(ColumnBridge.expression(v), bc))
+
+  def rollingMinK(c: Column, window: Int, k: Int): Column =
+    ColumnBridge.column(RollingMinK(ColumnBridge.expression(c), window, k))
 }
 
 /** Distinct k-character shingles of a string as an array, one pass —
@@ -193,6 +196,63 @@ case class SimHash64(child: Expression)
     out
   }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Bottom-k rolling-hash document fingerprint (the MOSS/winnowing
+  * family, Schleimer et al. 2003): a polynomial rolling hash (base
+  * 257, natural 2⁶⁴ wraparound) slides a `window`-byte window over the
+  * UTF-8 bytes in ONE pass; the fingerprint is the k smallest distinct
+  * window hashes, ascending. Shared substrings produce shared window
+  * hashes, so fingerprint overlap estimates containment — robust to
+  * edits in a way whole-document digests are not, and O(k) per doc
+  * regardless of document size (map-side; the candidate join on
+  * exploded fingerprint values is bucketed like every other sketch).
+  * Inputs shorter than the window hash as a single whole-string
+  * window; empty input → empty fingerprint. */
+case class RollingMinK(child: Expression, window: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 1 && k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_mink"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    RollingMinK.sketch(bytes, window, k)
+  }
+  override protected def withNewChildInternal(c: Expression): RollingMinK =
+    copy(child = c)
+}
+
+object RollingMinK {
+  final val Base = 257L
+
+  /** Reference-shared kernel: specs pin the expression against direct
+    * calls of this same logic on arbitrary strings. */
+  def sketch(bytes: Array[Byte], window: Int, k: Int): GenericArrayData = {
+    if (bytes.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val w = math.min(window, bytes.length)
+    // base^(w-1) for the outgoing byte, 2^64 wraparound
+    var pow = 1L
+    var p = 1
+    while (p < w) { pow *= Base; p += 1 }
+    val heap = new java.util.TreeSet[java.lang.Long]()
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * Base + (bytes(i) & 0xff)
+      if (i >= w) h -= ((bytes(i - w) & 0xff) * pow) * Base
+      if (i >= w - 1) {
+        heap.add(h)
+        if (heap.size > k) heap.remove(heap.last)
+      }
+      i += 1
+    }
+    val out = new Array[Any](heap.size)
+    val it = heap.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** The large-filter twin of Spark's [[org.apache.spark.sql.catalyst

@@ -193,6 +193,28 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Rolling-hash document fingerprint (the brief's "fingerprinting
+    * (rolling hash)" line): bottom-k of the polynomial rolling-hash
+    * window values over the normalized text
+    * ([[graft.functions.RollingMinK]], MOSS-style) — unlike the
+    * whole-document digests in [[fingerprint]], shared substrings
+    * produce shared fingerprint values, so near-dup candidates come
+    * from an equi-join on exploded fingerprint values (bucketed, never
+    * all-pairs), and an edit perturbs only the windows it touches.
+    * Rows-only in the driver contract (2⁶⁴ wraparound arithmetic isn't
+    * ANSI-SQL); PropertySpec pins the kernel against an independent
+    * recompute-per-window reference and the overlap behavior on
+    * planted near-dups. */
+  def rollingFingerprint(s: SparkSession, dir: String,
+                         window: Int = 16, k: Int = 8): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        graft.functions.SketchFunctions.rollingMinK(
+          Dedup.normText($"text"), window, k).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination — the n-gram-overlap check every LLM
     * training pipeline runs before training (the 13-gram rule of GPT-3
     * appendix C / PaLM / Llama; n scaled to this corpus's short

@@ -280,6 +280,41 @@ class PropertySpec extends SparkSpec {
     assert(Dedup.incrementalDedup(spark, dir).count() == 0)
   }
 
+  test("rolling fingerprint ≡ independent per-window recompute; overlap tracks edits") {
+    import graft.functions.SketchFunctions
+    // independent reference: recompute the polynomial hash from
+    // scratch for every window (O(n·w)) — shares NO code with the
+    // kernel's O(n) rolling update
+    def ref(s: String, w: Int, k: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) Nil
+      else {
+        val ww = math.min(w, b.length)
+        (0 to b.length - ww).map { i =>
+          b.slice(i, i + ww).foldLeft(0L)((h, x) => h * 257L + (x & 0xff))
+        }.distinct.sorted.take(k)
+      }
+    }
+    val gen = Gen.listOfN(40, Gen.alphaNumChar).map(_.mkString)
+    val samples = (1 to 30).flatMap(n =>
+      gen.apply(Gen.Parameters.default, Seed(n.toLong))) ++
+      Seq("", "ab", "aaaaaaaaaaaaaaaaaaaaaaaa", "word word word word word")
+    val df = samples.toDF("s")
+    val got = df.select(SketchFunctions.rollingMinK(col("s"), 16, 8))
+      .collect().map(_.getSeq[Long](0))
+    samples.zip(got).foreach { case (s, fp) =>
+      assert(fp == ref(s, 16, 8), s"mismatch for '$s'")
+    }
+    // overlap behavior: identical docs share everything; an appended
+    // tail preserves most of a long doc's windows; unrelated text
+    // shares nothing
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    def fp(s: String) = ref(s, 16, 8).toSet
+    assert(fp(base) == fp(base))
+    assert((fp(base) & fp(base + " tail")).size >= 6)
+    assert((fp(base) & fp("completely different content about query planners")).isEmpty)
+  }
+
   test("lm score: corpus-typical text scores lower nll than anomalous text") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("lm").toString
