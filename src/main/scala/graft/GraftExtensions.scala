@@ -56,6 +56,15 @@ object GraftExtensions {
     "graft_zvalue" -> ((info("graft_zvalue",
       "zvalue(a, b) - Morton interleave of two longs' low 32 bits (Z-order clustering key)"),
       (es: Seq[Expression]) => ZValue(es.head, es(1)))),
+    "graft_token_ngrams" -> ((info("graft_token_ngrams",
+      "token_ngrams(str, n) - array of space-joined consecutive whitespace-token n-grams"),
+      (es: Seq[Expression]) => TokenNgrams(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue))),
+    "graft_rolling_mink" -> ((info("graft_rolling_mink",
+      "rolling_mink(str, window, k) - bottom-k rolling-hash fingerprint (MOSS-style)"),
+      (es: Seq[Expression]) => RollingMinK(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue,
+        es(2).eval(null).asInstanceOf[Number].intValue))),
   )
 
   /** Register on an already-built session. */

@@ -40,11 +40,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("token n-grams and rolling fingerprint callable from plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_token_ngrams('a b c d', 3) AS g, " +
+        "graft_rolling_mink('abcdef', 3, 2) AS fp").collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    // reference: bottom-2 of the 4 rolling 3-byte window hashes
+    val hashes = "abcdef".getBytes("UTF-8").sliding(3)
+      .map(_.foldLeft(0L)((h, b) => h * 257L + (b & 0xff))).toSeq
+    assert(r.getSeq[Long](1) == hashes.distinct.sorted.take(2))
+  }
+
   test("extensions class registers the same builders") {
     assert(GraftExtensions.builders.keySet == Set(
       "graft_fnv1a32", "graft_fnv1a64", "graft_simhash64",
       "graft_minhash", "graft_cosine", "graft_dot",
       "graft_jaccard", "graft_token_bigrams", "graft_token_count",
-      "graft_zvalue"))
+      "graft_zvalue", "graft_token_ngrams", "graft_rolling_mink"))
   }
 }
