@@ -65,6 +65,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => RollingMinK(es.head,
         es(1).eval(null).asInstanceOf[Number].intValue,
         es(2).eval(null).asInstanceOf[Number].intValue))),
+    "graft_token_segments" -> ((info("graft_token_segments",
+      "token_segments(str, width) - array of space-joined tumbling width-token windows"),
+      (es: Seq[Expression]) => TokenSegments(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue))),
+    "graft_deflate_len" -> ((info("graft_deflate_len",
+      "deflate_len(str) - byte length of the zlib-deflated UTF-8 text"),
+      (es: Seq[Expression]) => DeflatedLen(es.head))),
   )
 
   /** Register on an already-built session. */

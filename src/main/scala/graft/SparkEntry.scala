@@ -78,6 +78,10 @@ object SparkEntry {
     // bottom-k rolling-hash fingerprint; rows-only (64-bit wraparound
     // isn't ANSI-SQL), kernel gated vs an independent reference
     "tx_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
+    "tx_mixture" -> ((s, dir) => TextAnalysis.mixtureWeights(s, dir)),
+    // zlib compression-ratio quality; rows-only (no SQL deflate),
+    // kernel gated in PropertySpec vs a direct java.util.zip recompute
+    "tx_compress" -> ((s, dir) => TextAnalysis.compressionRatio(s, dir)),
     "tx_sample" -> ((s, dir) => Sampling.consistentSample(s, dir)),
     "tx_split" -> Sampling.trainValTest _,
     "tx_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -85,6 +89,9 @@ object SparkEntry {
     // hash-checked as one chain (per-op oracles can't see composition)
     "pipe_e2e" -> ((s, dir) => Pipeline.prepPipeline(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
+    // RefinedWeb-style duplicated-passage removal at tumbling-segment
+    // granularity; counts + reassembled clean text, oracle-checked
+    "dd_segments" -> ((s, dir) => Dedup.segmentDedup(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -131,9 +138,10 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
     * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk /
-    * tx_rolling_fp (xxhash64 / LSH / k-means / SQ8 / 2⁶⁴-wraparound
-    * internals aren't ANSI-expressible) — those are covered by
-    * scalatest goldens; the driver records rows-only. */
+    * tx_rolling_fp / tx_compress (xxhash64 / LSH / k-means / SQ8 /
+    * 2⁶⁴-wraparound / deflate internals aren't ANSI-expressible) —
+    * those are covered by scalatest goldens; the driver records
+    * rows-only. */
   def oracleSql: Map[String, String] = {
     val trim = """^[.,!?"'':;()]+|[.,!?"'':;()]+$"""
     val tokenized =
@@ -496,6 +504,39 @@ object SparkEntry {
       "dd_exact" ->
         """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+      // tumbling 8-token segments; a segment in >= 2 distinct docs is
+      // duplicated and stripped; string_agg skips the CASE's NULLs and
+      // returns NULL for an all-duplicated doc (= Spark's nullif(..,''))
+      "dd_segments" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |n AS (SELECT doc_id, toks, CAST(ceil(len(toks)/8.0) AS BIGINT) AS nseg
+          |  FROM t WHERE len(toks) > 0),
+          |segs AS (SELECT doc_id, unnest(range(0, nseg)) AS seg_idx,
+          |    unnest(list_transform(range(0, nseg),
+          |      i -> array_to_string(toks[i*8+1:i*8+8], ' '))) AS seg
+          |  FROM n),
+          |dup AS (SELECT md5(seg) AS k FROM segs
+          |  GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 2)
+          |SELECT s.doc_id, count(*) AS n_segs, count(d.k) AS n_dup_segs,
+          |  string_agg(CASE WHEN d.k IS NULL THEN s.seg END, ' '
+          |    ORDER BY s.seg_idx) AS clean_text
+          |FROM segs s LEFT JOIN dup d ON md5(s.seg) = d.k
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+      // α=0.5 temperature mixing; weight = p^α / Σ p^α with the total
+      // cancelled: pow(n_tokens, α) / Σ pow(n_tokens, α)
+      "tx_mixture" ->
+        """WITH per AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> x <> ''))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
+          |    sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM per)
+          |SELECT source, n_docs, n_tokens,
+          |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+          |  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight
+          |FROM per, tot ORDER BY source""".stripMargin,
       // history/batch split = the md5-bucket rule (tx_sample's hex
       // arithmetic); the bloom pre-filter is invisible to semantics
       "dd_incremental" ->

@@ -47,6 +47,17 @@ object TextFunctions {
     * full replaced copy of the text just to take its length. */
   def textStatsCounts(c: Column): Column =
     ColumnBridge.column(TextStatsCounts(ColumnBridge.expression(c)))
+
+  /** `array(string)` of space-joined TUMBLING `width`-token windows
+    * (the last window may be shorter) — the segment granularity for
+    * cross-document duplicated-passage removal. */
+  def tokenSegments(c: Column, width: Int): Column =
+    ColumnBridge.column(TokenSegments(ColumnBridge.expression(c), width))
+
+  /** `long`: byte length of the zlib-deflated UTF-8 text — the
+    * compression-ratio quality signal's kernel. */
+  def deflateLen(c: Column): Column =
+    ColumnBridge.column(DeflatedLen(ColumnBridge.expression(c)))
 }
 
 private[functions] object Tokenize {
@@ -213,4 +224,93 @@ case class TokenNgrams(child: Expression, n: Int)
   }
   override protected def withNewChildInternal(c: Expression): TokenNgrams =
     copy(child = c)
+}
+
+/** Tumbling `width`-token windows joined with single spaces — the
+  * non-overlapping counterpart of [[TokenNgrams]] (an n-gram slides by
+  * one token; a segment jumps by `width`, so each token lands in
+  * exactly one segment). The last segment keeps whatever tokens remain
+  * (1..width). Same one-pass offset scan; empty/blank input yields an
+  * empty array. Used by the RefinedWeb-style duplicated-passage
+  * remover ([[graft.operators.Dedup.segmentDedup]]). */
+case class TokenSegments(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 1, s"width must be positive, got $width")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_segments"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val maxToks = bytes.length / 2 + 1
+    val starts = new Array[Int](maxToks)
+    val ends = new Array[Int](maxToks)
+    var nt = 0
+    Tokenize.foreachToken(bytes) { (s, e) => starts(nt) = s; ends(nt) = e; nt += 1 }
+    if (nt == 0) return new GenericArrayData(Array.empty[Any])
+    val nSeg = (nt + width - 1) / width
+    val out = new Array[Any](nSeg)
+    var g = 0
+    while (g < nSeg) {
+      val i0 = g * width
+      val i1 = math.min(nt, i0 + width)
+      var len = i1 - i0 - 1 // separators
+      var j = i0
+      while (j < i1) { len += ends(j) - starts(j); j += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      j = i0
+      while (j < i1) {
+        if (j > i0) { buf(pos) = ' '; pos += 1 }
+        val l = ends(j) - starts(j)
+        System.arraycopy(bytes, starts(j), buf, pos, l)
+        pos += l
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenSegments =
+    copy(child = c)
+}
+
+/** Byte length of the zlib-deflated input — the Gopher/Dolma
+  * compression-ratio quality signal (highly repetitive boilerplate
+  * deflates far below natural text). Emits only the LENGTH: the
+  * compressed bytes are produced into a scratch buffer and discarded,
+  * so no row ever carries a compressed copy. The Deflater (native
+  * zlib) is reused per thread via a ThreadLocal — allocation per row
+  * would dominate — and is never `end()`ed: one native context per
+  * executor thread for the executor's lifetime is the standard,
+  * bounded trade. Level pinned (6) so the signal is stable across
+  * sessions on the same JVM/zlib. */
+case class DeflatedLen(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_deflate_len"
+
+  override protected def nullSafeEval(v: Any): Any =
+    DeflatedLen.deflatedLen(v.asInstanceOf[UTF8String].getBytes)
+  override protected def withNewChildInternal(c: Expression): DeflatedLen =
+    copy(child = c)
+}
+
+object DeflatedLen {
+  final val Level = 6
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(Level))
+  private val scratch: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+
+  def deflatedLen(bytes: Array[Byte]): Long = {
+    val d = deflaters.get()
+    val buf = scratch.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.SketchFunctions
+import graft.functions.{SketchFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,57 @@ object Dedup {
       .groupBy(sha2($"text", 256).as("digest"))
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy($"keep_id")
+  }
+
+  /** Duplicated-passage removal at segment granularity — the
+    * RefinedWeb/CCNet "line dedup" rule (Penedo et al. 2023 §3.3: a
+    * line appearing in many documents is boilerplate — headers,
+    * cookie banners, license blurbs — and is stripped from every
+    * document that carries it), adapted to this corpus's single-line
+    * documents by segmenting at tumbling `width`-token windows
+    * ([[graft.functions.TokenSegments]], one pass, each token in
+    * exactly one segment). A segment found in ≥ `minDocs` DISTINCT
+    * documents is duplicated; the output reports per-document segment
+    * counts and the reassembled text with duplicated segments removed
+    * (NULL when nothing survives — the fully-boilerplate case).
+    *
+    * Scale shape (100 TB): segments are grouped and re-joined on their
+    * md5 digest, not the segment text — the count shuffle and the
+    * flag join carry 32-hex-char keys regardless of segment length
+    * (xxhash64 would halve that again; md5 is kept because the DuckDB
+    * oracle can compute it). Both the distinct-doc count and the flag
+    * join are plain equi-shuffles ∝ corpus tokens / width; the
+    * reassembly is a per-document sort of ~(tokens/width) elements
+    * inside a regular hash aggregation — never a window, never a
+    * cross product. */
+  def segmentDedup(s: SparkSession, dir: String, width: Int = 8,
+                   minDocs: Int = 2): DataFrame = {
+    import s.implicits._
+    val segs = Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(TextFunctions.tokenSegments($"text", width))
+          .as(Seq("seg_idx", "seg")))
+    val dup = segs.groupBy(md5($"seg").as("k"))
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"k", lit(1L).as("dup"))
+    segs.withColumn("k", md5($"seg"))
+      .join(dup, Seq("k"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count($"dup").as("n_dup_segs"),
+        // collect_list drops the when()'s nulls, so only kept segments
+        // reach the per-doc sort; struct order (seg_idx first) makes
+        // array_sort restore document order
+        array_sort(collect_list(when($"dup".isNull,
+          struct($"seg_idx", $"seg")))).as("kept"))
+      .select($"doc_id", $"n_segs", $"n_dup_segs",
+        // all-duplicated docs keep no segments: NULL, matching the
+        // oracle's string_agg over an all-NULL group
+        nullif(concat_ws(" ", transform($"kept", _.getField("seg"))), lit(""))
+          .as("clean_text"))
+      .orderBy($"doc_id")
   }
 
   /** Distinct k-character shingles of the normalized text, as an array

@@ -395,6 +395,65 @@ object TextAnalysis {
       .drop("cum")
   }
 
+  /** Temperature-weighted domain mixing — the sampling-weight table
+    * every multi-source training run needs (the α-smoothed mixture of
+    * GPT-3 / XLM-R: raw token shares p_s are flattened to
+    * p_s^α / Σ p_s^α so low-resource domains aren't drowned; α=1 is
+    * proportional, α=0 uniform). Emits per source: doc/token counts,
+    * raw token share, and the α=`temperature` mixture weight.
+    *
+    * Plan shape: one per-source partial-agg shuffle over the corpus;
+    * the two normalizing scalars (total tokens, Σ p^α) come from a
+    * second aggregation OVER THE 20-row per-source frame — Spark
+    * reuses the per-source exchange for both consumers, so the corpus
+    * is scanned once — and attach via a constant-key equi-join (1-row
+    * build side; AQE broadcasts it). Never a global window, never a
+    * driver-side collect. Weights round at 6 decimals: the only
+    * cross-engine nondeterminism is summation order in Σ p^α, an ulp
+    * (~1e-16) against a 1e-6 grid. */
+  def mixtureWeights(s: SparkSession, dir: String,
+                     temperature: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"source", TextFunctions.textStatsCounts($"text").getItem(1).as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    val tot = per.agg(
+      sum($"n_tokens").cast("double").as("t"),
+      sum(pow($"n_tokens".cast("double"), temperature)).as("z"))
+    per.withColumn("one", lit(1))
+      .join(tot.withColumn("one", lit(1)), "one")
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"n_tokens".cast("double") / $"t", 6).as("token_share"),
+        round(pow($"n_tokens".cast("double"), temperature) / $"z", 6).as("weight"))
+      .orderBy($"source")
+  }
+
+  /** Compression-ratio quality signal — the zlib heuristic of
+    * Gopher/Dolma-class pipelines (text that deflates far below
+    * natural prose is repetitive boilerplate; text that barely
+    * deflates is noise/binary): deflated bytes ÷ raw bytes per
+    * document via the [[graft.functions.DeflatedLen]] kernel, which
+    * emits only the LENGTH (compressed bytes never materialize in a
+    * row). Pure map-side — the only shuffle is the contractual ORDER
+    * BY. Rows-only in the driver contract (no SQL engine exposes
+    * deflate); the kernel is gated in PropertySpec against a direct
+    * java.util.zip recompute and on ordering semantics (repetitive ≪
+    * natural ≪ incompressible). */
+  def compressionRatio(s: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        octet_length($"text").cast("long").as("n_bytes"),
+        TextFunctions.deflateLen($"text").as("deflate_len"))
+      .withColumn("ratio",
+        floor($"deflate_len".cast("double") /
+          greatest($"n_bytes", lit(1L)).cast("double") * 10000.0) / 10000.0)
+      .withColumn("low_entropy", when($"ratio" < threshold, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   /** Scrubbing pass (PII-redaction shape): count and redact digit runs
     * of 3+ (the stand-in for phone/SSN patterns — the regex is RE2-safe
     * so the oracle applies the identical pattern). Map-side only. */
