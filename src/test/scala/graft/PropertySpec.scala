@@ -271,13 +271,81 @@ class PropertySpec extends SparkSpec {
   test("round-5 operators degrade to empty results on an empty corpus (no NPEs)") {
     import graft.operators.{Dedup, TextAnalysis}
     val dir = java.nio.file.Files.createTempDirectory("empty").toString
-    Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // each builds AND executes without unboxing nulls or dividing by 0
     assert(TextAnalysis.repetition(spark, dir).count() == 0)
     assert(TextAnalysis.tfidf(spark, dir).count() == 0)
     assert(TextAnalysis.contamination(spark, dir).count() == 0)
     assert(Dedup.incrementalDedup(spark, dir).count() == 0)
+    // the round-5 snapshot additions: segmentDedup joins against an
+    // empty dup set, mixtureWeights' normalizing sums are NULL on an
+    // empty per-source frame (its explode must emit nothing, not
+    // divide by null), compressionRatio is a plain map
+    assert(Dedup.segmentDedup(spark, dir).count() == 0)
+    assert(TextAnalysis.mixtureWeights(spark, dir).count() == 0)
+    assert(TextAnalysis.compressionRatio(spark, dir).count() == 0)
+  }
+
+  test("deflate length kernel ≡ direct java.util.zip recompute; ratio ordering") {
+    import graft.functions.{DeflatedLen, TextFunctions}
+    // independent reference: fresh Deflater per string at the kernel's
+    // pinned level — shares no state with the kernel's ThreadLocal path
+    def ref(s: String): Long = {
+      val d = new java.util.zip.Deflater(DeflatedLen.Level)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](4096)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val rnd = new scala.util.Random(42)
+    val repetitive = "spam ham " * 200
+    val natural = "the quick brown fox jumps over the lazy dog and then " +
+      "considers whether query planners dream of relational algebra " * 3
+    val incompressible = Array.fill(1800)(rnd.nextPrintableChar()).mkString
+    val samples = Seq(repetitive, natural, incompressible, "", "a",
+      "héllo wörld ünïcode ✓ ✗ 你好", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa") ++
+      (1 to 20).flatMap(n => Gen.listOfN(300, Gen.asciiPrintableChar)
+        .map(_.mkString).apply(Gen.Parameters.default, Seed(n.toLong)))
+    val got = samples.toDF("s").select(TextFunctions.deflateLen(col("s")))
+      .collect().map(_.getLong(0))
+    samples.zip(got).foreach { case (s, n) =>
+      assert(n == ref(s), s"deflate_len mismatch for ${s.take(40)}…")
+    }
+    // the quality signal's point: ratio orders repetitive ≪ natural ≪ random
+    def ratio(s: String) = ref(s).toDouble / s.getBytes("UTF-8").length
+    assert(ratio(repetitive) < ratio(natural))
+    assert(ratio(natural) < ratio(incompressible))
+  }
+
+  test("token segments ≡ split-based reference; tumbling coverage") {
+    import graft.functions.TextFunctions
+    // reference: whitespace split → grouped(width) → rejoin, built on
+    // the JDK, not the kernel's byte-offset scan
+    def ref(s: String, w: Int): Seq[String] =
+      s.split("\\s+").filter(_.nonEmpty).grouped(w).map(_.mkString(" ")).toSeq
+    val adversarial = Seq(
+      "a b c d e f g h i", "a b c d e f g h i j", // short last window / exact
+      "  leading", "trailing  ", "", "   ", "one",
+      "tab\tand\nnewlineseparated tokens here",
+      "héllo wörld ünïcode ✓ multi byte träils ok 你好 世界",
+      "a  b   c    d     e") // widening gaps
+    val gen = Gen.listOfN(25, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.const('\t'))).map(_.mkString)
+    val samples = adversarial ++ (1 to 30).flatMap(n =>
+      gen.apply(Gen.Parameters.default, Seed(100L + n)))
+    for (w <- Seq(1, 3, 4, 100)) {
+      val got = samples.toDF("s")
+        .select(TextFunctions.tokenSegments(col("s"), w))
+        .collect().map(_.getSeq[String](0))
+      samples.zip(got).foreach { case (s, segs) =>
+        assert(segs == ref(s, w), s"width=$w mismatch for '$s'")
+        // tumbling coverage: segments rejoin to exactly the token stream
+        assert(segs.flatMap(_.split(" ")).filter(_.nonEmpty) ==
+          s.split("\\s+").filter(_.nonEmpty).toSeq)
+      }
+    }
   }
 
   test("rolling fingerprint ≡ independent per-window recompute; overlap tracks edits") {
