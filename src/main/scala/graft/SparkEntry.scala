@@ -62,6 +62,13 @@ object SparkEntry {
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
+    // trained-merge-table BPE token count (vocab learned from the
+    // corpus's own word-frequency dict); rows-only, gated in BpeSpec.
+    // 48 merges: the synthetic corpus has only 31 distinct words, so
+    // the 200-merge default fully collapses every word and the count
+    // degenerates to ws_tokens; a PARTIAL vocab (frequent words one
+    // piece, rare words several) is the realistic regime BpeSpec pins
+    "tx_bpe" -> ((s, dir) => TextAnalysis.bpeTokenCount(s, dir, numMerges = 48)),
     "tx_quality" -> TextAnalysis.qualityScore _,
     "tx_langid" -> TextAnalysis.languageId _,
     "tx_fingerprint" -> TextAnalysis.fingerprint _,
@@ -112,6 +119,10 @@ object SparkEntry {
     // SQ8-quantized ANN (1 byte/dim corpus, asymmetric distance);
     // rows-only, top-k overlap gated in RecallSpec
     "ann_sq8_topk" -> ((s, dir) => Similarity.sq8TopK(s, dir)),
+    // IVF×SQ8 composed (trained lists over a quantized corpus — the
+    // FAISS IVF<n>,SQ8 shape); rows-only, gated in RecallSpec vs both
+    // the float brute force and the unquantized trained IVF
+    "ann_ivf_sq8" -> ((s, dir) => Similarity.ivfSq8TopK(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
     // ---- M3: event-time semantics ----
@@ -138,8 +149,9 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
     * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk /
-    * tx_rolling_fp / tx_compress (xxhash64 / LSH / k-means / SQ8 /
-    * 2⁶⁴-wraparound / deflate internals aren't ANSI-expressible) —
+    * ann_ivf_sq8 / tx_rolling_fp / tx_compress / tx_bpe (xxhash64 /
+    * LSH / k-means / SQ8 / 2⁶⁴-wraparound / deflate / BPE internals
+    * aren't ANSI-expressible) —
     * those are covered by scalatest goldens; the driver records
     * rows-only. */
   def oracleSql: Map[String, String] = {

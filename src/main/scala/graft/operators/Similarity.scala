@@ -73,12 +73,7 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-    val bounds = emb.select(posexplode($"embedding").as(Seq("dim", "x")))
-      .groupBy($"dim").agg(min($"x").as("lo"), max($"x").as("hi"))
-      .orderBy($"dim").collect()
-    require(bounds.nonEmpty, "sq8TopK: empty embedding corpus")
-    val los = bounds.map(_.getDouble(1)).toSeq
-    val his = bounds.map(_.getDouble(2)).toSeq
+    val (los, his) = sq8Bounds(emb)
     val coded = emb.select($"vec_id",
       VectorFunctions.quantizeSq8($"embedding", los, his).as("code"))
     val queries = emb.filter($"vec_id" < numQueries)
@@ -92,6 +87,19 @@ object Similarity {
       .filter($"rk" <= topK)
       .select($"query_id", $"vec_id", $"cos_sim", $"rk")
       .orderBy($"query_id", $"rk")
+  }
+
+  /** Per-dimension SQ8 [lo, hi] training bounds: one narrow
+    * partial-agg shuffle (dim keys × partitions, ~bytes per partition)
+    * + a 2×dim scalar pull to the driver — dim-sized, like any
+    * quantizer's codebook. */
+  private def sq8Bounds(emb: DataFrame): (Seq[Double], Seq[Double]) = {
+    import emb.sparkSession.implicits._
+    val bounds = emb.select(posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .orderBy($"dim").collect()
+    require(bounds.nonEmpty, "sq8Bounds: empty embedding corpus")
+    (bounds.map(_.getDouble(1)).toSeq, bounds.map(_.getDouble(2)).toSeq)
   }
 
   /** Sign-LSH bucket id for one table: computed by the
@@ -237,26 +245,31 @@ object Similarity {
 
   private val centroidBcastMaxEntries = 8
 
+  /** Assignment-kernel selection shared by every IVF-shaped path:
+    * both kernels share one eval loop (NearestCentroidKernel), so the
+    * choice is purely a serialization strategy — equivalence is pinned
+    * in SimilaritySpec ("broadcast-wired IVF ≡ literal IVF"). */
+  private def centroidAssigner(s: SparkSession, cids: Seq[Long],
+                               cvecs: Seq[Seq[Double]],
+                               bcastThreshold: Int): (Column, Int) => Column =
+    if (cids.length >= bcastThreshold) {
+      val key = (s.sparkContext, cids, cvecs)
+      if (centroidBcastCache.size >= centroidBcastMaxEntries &&
+          !centroidBcastCache.containsKey(key))
+        centroidBcastCache.clear()
+      val bc = centroidBcastCache.computeIfAbsent(key, _ =>
+        s.sparkContext.broadcast((cids.toArray, cvecs.map(_.toArray).toArray)))
+      (v, k) => VectorFunctions.nearestCentroidsBcast(v, bc, k)
+    } else {
+      (v, k) => VectorFunctions.nearestCentroids(v, cids, cvecs, k)
+    }
+
   private[graft] def ivfWithCentroids(s: SparkSession, emb: DataFrame,
                                       cids: Seq[Long], cvecs: Seq[Seq[Double]],
                                       nProbe: Int, numQueries: Int, topK: Int,
                                       bcastThreshold: Int = bcastCentroidThreshold): DataFrame = {
     import s.implicits._
-    // both kernels share one eval loop (NearestCentroidKernel), so the
-    // choice is purely a serialization strategy — equivalence is pinned
-    // in SimilaritySpec ("broadcast-wired IVF ≡ literal IVF")
-    val nearest: (Column, Int) => Column =
-      if (cids.length >= bcastThreshold) {
-        val key = (s.sparkContext, cids, cvecs)
-        if (centroidBcastCache.size >= centroidBcastMaxEntries &&
-            !centroidBcastCache.containsKey(key))
-          centroidBcastCache.clear()
-        val bc = centroidBcastCache.computeIfAbsent(key, _ =>
-          s.sparkContext.broadcast((cids.toArray, cvecs.map(_.toArray).toArray)))
-        (v, k) => VectorFunctions.nearestCentroidsBcast(v, bc, k)
-      } else {
-        (v, k) => VectorFunctions.nearestCentroids(v, cids, cvecs, k)
-      }
+    val nearest = centroidAssigner(s, cids, cvecs, bcastThreshold)
     val assigned = emb.select($"vec_id", $"embedding",
       nearest($"embedding", 1).getItem(0).as("cid"))
     // queries probe their nProbe nearest lists — same kernel, k = nProbe
@@ -269,6 +282,51 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** IVF × SQ8 composed ANN — the two scale levers of the preceding
+    * paths in one index (the FAISS `IVF<n>,SQ8` recipe, the deployable
+    * 100 TB shape): k-means-trained inverted lists bound the
+    * comparison set to nProbe/nLists of the corpus, and inside the
+    * lists the corpus is held as 1 byte/dim SQ8 codes (8× smaller —
+    * list partitions that fit in executor memory) scored with
+    * asymmetric distance ([[graft.functions.CosineSq8Asym]]: queries
+    * stay exact floats, codes dequantize on-the-fly). Training costs
+    * one k-means run (map-side assignment + mergeable VectorSum) plus
+    * one dim-keyed bounds pass; the probe plumbing is byte-identical
+    * to [[ivfTrainedTopK]] and the quantization to [[sq8TopK]], so
+    * RecallSpec gates the composition both against the exact float
+    * brute force (combined loss) and against the unquantized trained
+    * IVF (added quantization loss must be ≈ zero, as the pure-SQ8
+    * overlap of 1.000 predicts). Rows-only in the driver contract. */
+  def ivfSq8TopK(s: SparkSession, dir: String, nLists: Int = 16,
+                 iters: Int = 5, nProbe: Int = 4,
+                 numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val (cids, cvecs) = kmeansCentroids(s, emb, nLists, iters)
+    val (los, his) = sq8Bounds(emb)
+    val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+    // the corpus carries ONLY (vec_id, cid, code) past this point —
+    // the float embedding is dropped at the scan, which is the whole
+    // memory argument
+    val assigned = emb.select($"vec_id",
+      nearest($"embedding", 1).getItem(0).as("cid"),
+      VectorFunctions.quantizeSq8($"embedding", los, his).as("code"))
+    val probes = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"),
+        explode(nearest($"embedding", nProbe)).as("cid"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSq8Asym($"q", $"code", los, his), 6)
+          .as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)
       .select($"query_id", $"vec_id", $"cos_sim", $"rk")

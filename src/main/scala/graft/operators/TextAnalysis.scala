@@ -54,6 +54,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Token counting under a REAL trained BPE vocabulary — the upgrade
+    * over [[tokenCount]]'s regex proxy, and the count that actually
+    * prices a corpus in model tokens. Two phases, the standard
+    * tokenizer split:
+    *
+    *  1. TRAIN (artifact build): one distributed word-frequency
+    *     aggregation, top-`vocabWords` words via TakeOrderedAndProject
+    *     (a bounded artifact — the word-count dict is exactly what the
+    *     reference BPE algorithm trains on), then `numMerges` merges
+    *     learned driver-side ([[graft.functions.BpeTokenizer.train]],
+    *     Sennrich et al. 2016). The collect is vocab-sized (KBs) by
+    *     construction — at 100 TB you train on the same bounded dict,
+    *     just aggregated from more rows.
+    *  2. ENCODE: pure map-side [[graft.functions.BpeEncodeCount]]
+    *     kernel; the merge table rides the expression like any
+    *     shipped tokenizer vocab. No shuffle but the contractual
+    *     ORDER BY.
+    *
+    * Rows-only in the driver contract (BPE isn't ANSI-SQL);
+    * BpeSpec pins training on hand-computable dicts, kernel ≡ an
+    * independent sequential-merge reference, and the compression
+    * invariants. */
+  def bpeTokenCount(s: SparkSession, dir: String, numMerges: Int = 200,
+                    vocabWords: Int = 2000): DataFrame = {
+    import s.implicits._
+    val wordCounts = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word").limit(vocabWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = graft.functions.BpeTokenizer.train(wordCounts, numMerges)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        TextFunctions.textStatsCounts($"text").getItem(1).as("ws_tokens"),
+        graft.functions.BpeFunctions.bpeCount(lower($"text"), merges)
+          .as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality scoring: length / punctuation-density / stopword-ratio
     * heuristics combined into one score in [0,1]. Pure arithmetic on
     * single values — bit-identical across engines. */

@@ -52,6 +52,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.Similarity.ivfTopK(spark, sfDir))
     assert(!p.contains("hashpartitioning(vec_id"), p)
     assert(p.contains("BroadcastHashJoin"), p) // probes broadcast to the corpus
+    // the IVF×SQ8 composition inherits the same probe plumbing — the
+    // quantized corpus must not shuffle either
+    val pq = plan(graft.operators.Similarity.ivfSq8TopK(spark, sfDir))
+    assert(!pq.contains("hashpartitioning(vec_id"), pq)
+    assert(pq.contains("BroadcastHashJoin"), pq)
   }
 
   test("stratified sample ranks with WindowGroupLimit (quota pushdown)") {

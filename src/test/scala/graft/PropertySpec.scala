@@ -285,6 +285,8 @@ class PropertySpec extends SparkSpec {
     assert(Dedup.segmentDedup(spark, dir).count() == 0)
     assert(TextAnalysis.mixtureWeights(spark, dir).count() == 0)
     assert(TextAnalysis.compressionRatio(spark, dir).count() == 0)
+    // BPE training on an empty word dict yields an empty merge table
+    assert(TextAnalysis.bpeTokenCount(spark, dir).count() == 0)
   }
 
   test("deflate length kernel ≡ direct java.util.zip recompute; ratio ordering") {

@@ -173,6 +173,21 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.85, f"sq8 quantization recall collapsed: $recall%.3f")
   }
 
+  test("IVF×SQ8 composed: recall vs brute force; quantization adds ≈no loss over trained IVF") {
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val ivf = topkPairs(Similarity.ivfTrainedTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = topkPairs(Similarity.ivfSq8TopK(spark, sfDir, numQueries = 10, topK = 5))
+    val recall = (got & truth).size.toDouble / truth.size
+    val vsIvf = (got & ivf).size.toDouble / ivf.size
+    info(f"ivf×sq8 recall@5 vs brute = $recall%.3f, vs trained ivf = $vsIvf%.3f")
+    // combined loss should be the trained-IVF bucketing loss alone:
+    // pure SQ8 measured overlap 1.000, so the composition must sit at
+    // ≈ the trained-IVF level (0.860); both gates catch collapse
+    assert(recall >= 0.80, f"composed IVF×SQ8 recall collapsed: $recall%.3f")
+    assert(vsIvf >= 0.85,
+      f"quantization inside IVF lists lost recall it shouldn't: $vsIvf%.3f")
+  }
+
   test("q20 sketches stay inside their error bounds vs exact counterparts") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Relational.q20Sketches(spark, sfDir).collect()
