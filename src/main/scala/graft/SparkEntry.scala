@@ -62,6 +62,9 @@ object SparkEntry {
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
+    // full Gopher structure-rule battery (word/line signals + keep
+    // flag), oracle-checked cell-exact against DuckDB
+    "tx_gopher" -> ((s, dir) => TextAnalysis.gopherQuality(s, dir)),
     // trained-merge-table BPE token count (vocab learned from the
     // corpus's own word-frequency dict); rows-only, gated in BpeSpec.
     // 48 merges: the synthetic corpus has only 31 distinct words, so
@@ -363,6 +366,51 @@ object SparkEntry {
           |    least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
           |    (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
           |FROM b ORDER BY doc_id""".stripMargin,
+      "tx_gopher" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+          |    string_split(text, chr(10)) AS lines,
+          |    (length(text) - length(replace(text, '#', ''))) +
+          |    (length(text) - length(replace(text, '…', ''))) AS n_symbols
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_symbols,
+          |    len(words) AS n_words,
+          |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_chars,
+          |    CAST(coalesce(list_sum(list_transform(words,
+          |      x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
+          |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS stop_hits,
+          |    len(lines) AS n_lines,
+          |    CAST(coalesce(list_sum(list_transform(lines,
+          |      l -> CASE WHEN left(ltrim(l, ' ' || chr(9) || chr(13)), 1) IN ('-','*','•') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet,
+          |    CAST(coalesce(list_sum(list_transform(lines,
+          |      l -> CASE WHEN right(rtrim(l, ' ' || chr(9) || chr(13)), 3) = '...'
+          |             OR right(rtrim(l, ' ' || chr(9) || chr(13)), 1) = '…' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellipsis
+          |  FROM g)
+          |SELECT doc_id,
+          |  CAST(n_words AS BIGINT) AS n_words,
+          |  floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
+          |  floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
+          |  floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 AS alpha_frac,
+          |  CAST(stop_hits AS BIGINT) AS stop_hits,
+          |  floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
+          |  floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
+          |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+          |    AND floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 BETWEEN 3.0 AND 10.0
+          |    AND floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 < 0.1
+          |    AND floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.9
+          |    AND floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.3
+          |    AND floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 > 0.8
+          |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM c ORDER BY doc_id""".stripMargin,
       "tx_langid" ->
         """WITH t AS (SELECT doc_id, lang,
           |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks

@@ -58,6 +58,11 @@ object TextFunctions {
     * compression-ratio quality signal's kernel. */
   def deflateLen(c: Column): Column =
     ColumnBridge.column(DeflatedLen(ColumnBridge.expression(c)))
+
+  /** `array(long)` of the eight Gopher-rule raw counts — see
+    * [[GopherCounts]] for slot layout. */
+  def gopherCounts(c: Column): Column =
+    ColumnBridge.column(GopherCounts(ColumnBridge.expression(c)))
 }
 
 private[functions] object Tokenize {
@@ -312,5 +317,132 @@ object DeflatedLen {
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
     total
+  }
+}
+
+/** One-pass raw counts for the Gopher document-structure quality rules
+  * (Rae et al. 2021, "Scaling Language Models: ... Gopher", appendix
+  * A1.1). Slot layout of the returned `array<long>`:
+  *
+  *  - 0: n_words — whitespace tokens (strings.Fields semantics)
+  *  - 1: sum_word_chars — total word length in UNICODE CODE POINTS
+  *    (non-continuation UTF-8 bytes), matching SQL `length()`
+  *  - 2: n_alpha_words — words containing ≥1 ASCII letter
+  *  - 3: n_stop_distinct — how many DISTINCT words of Gopher's 8-word
+  *    stop list {the, be, to, of, and, that, have, with} appear as
+  *    exact (case-folded) tokens
+  *  - 4: n_symbols — '#' characters + '…' (U+2026) characters
+  *  - 5: n_lines — newline-separated segments (empty text = 1 line,
+  *    matching SQL `string_split`)
+  *  - 6: n_bullet_lines — lines whose first non-blank char is '-',
+  *    '*', or '•' (U+2022)
+  *  - 7: n_ellipsis_lines — lines ending (ignoring trailing blanks)
+  *    with "..." or '…'
+  *
+  * All eight in two byte scans (token pass + line pass), no regex, no
+  * intermediate arrays; the ratios and pass/fail flags derive in plain
+  * column arithmetic so DuckDB can replicate them exactly. */
+case class GopherCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gopher_counts"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val out = new Array[Long](8)
+    var stopMask = 0
+    // token pass: words, chars, alpha, stop list, symbols
+    Tokenize.foreachToken(bytes) { (s, e) =>
+      out(0) += 1
+      var chars = 0L
+      var alpha = false
+      var i = s
+      while (i < e) {
+        val b = bytes(i)
+        if ((b & 0xC0) != 0x80) chars += 1
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha = true
+        i += 1
+      }
+      out(1) += chars
+      if (alpha) out(2) += 1
+      stopMask |= GopherCounts.stopBit(bytes, s, e)
+    }
+    out(3) = java.lang.Integer.bitCount(stopMask).toLong
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == '#') out(4) += 1
+      else if (b == 0xE2.toByte && i + 2 < n &&
+               bytes(i + 1) == 0x80.toByte && bytes(i + 2) == 0xA6.toByte)
+        out(4) += 1
+      i += 1
+    }
+    // line pass
+    out(5) = 1L
+    var lineStart = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        GopherCounts.classifyLine(bytes, lineStart, i, out)
+        if (i < n) { out(5) += 1; lineStart = i + 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): GopherCounts =
+    copy(child = c)
+}
+
+object GopherCounts {
+  /** Gopher's stop list, A1.1: a document must contain ≥2 of these. */
+  final val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  @inline private def isBlank(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\r'
+
+  /** Bit for the stop word `bytes[s,e)` case-folds to, else 0. */
+  private[functions] def stopBit(bytes: Array[Byte], s: Int, e: Int): Int = {
+    val len = e - s
+    var w = 0
+    while (w < StopWords.length) {
+      val sw = StopWords(w)
+      if (sw.length == len) {
+        var i = 0
+        var ok = true
+        while (ok && i < len) {
+          val b = bytes(s + i)
+          val lc = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          if (lc != sw.charAt(i).toByte) ok = false
+          i += 1
+        }
+        if (ok) return 1 << w
+      }
+      w += 1
+    }
+    0
+  }
+
+  /** Classify the line `bytes[s,e)` into bullet / ellipsis counters. */
+  private[functions] def classifyLine(bytes: Array[Byte], s: Int, e: Int,
+                                      out: Array[Long]): Unit = {
+    var a = s
+    while (a < e && isBlank(bytes(a))) a += 1
+    var b = e
+    while (b > a && isBlank(bytes(b - 1))) b -= 1
+    if (a >= b) return
+    val c = bytes(a)
+    if (c == '-' || c == '*') out(6) += 1
+    else if (c == 0xE2.toByte && a + 2 < b &&
+             bytes(a + 1) == 0x80.toByte && bytes(a + 2) == 0xA2.toByte)
+      out(6) += 1
+    if (b - a >= 3 && bytes(b - 1) == '.' && bytes(b - 2) == '.' &&
+        bytes(b - 3) == '.')
+      out(7) += 1
+    else if (b - a >= 3 && bytes(b - 3) == 0xE2.toByte &&
+             bytes(b - 2) == 0x80.toByte && bytes(b - 1) == 0xA6.toByte)
+      out(7) += 1
   }
 }

@@ -54,6 +54,43 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Full Gopher document-structure rule battery (Rae et al. 2021,
+    * appendix A1.1) — the canonical pre-training filter set, joining
+    * [[repetition]] (the duplicate-bigram rule) and [[qualityScore]]
+    * (heuristic scoring) to complete the family: word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio (# and …),
+    * bullet-/ellipsis-line fractions, alphabetic-word fraction, and
+    * the 8-word stop-list requirement, each as a signal column plus
+    * one combined `keep` flag. All eight raw counts come from the
+    * one-pass [[graft.functions.GopherCounts]] kernel (two byte scans,
+    * no regex, no intermediate arrays) — pure map-side; the only
+    * shuffle is the contractual ORDER BY, so the filter costs one
+    * corpus read at any scale. Ratios floor-truncate at 4 decimals
+    * with multiply-BEFORE-divide so DuckDB replicates them bit-for-bit
+    * (counts are exact doubles < 2⁵³; one rounding per ratio). */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def frac(num: Column, den: Column): Column =
+      floor(num.cast("double") * 10000.0 / greatest(den, lit(1L)).cast("double")) / 10000.0
+    Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.gopherCounts($"text").as("g"))
+      .select($"doc_id",
+        $"g".getItem(0).as("n_words"),
+        frac($"g".getItem(1), $"g".getItem(0)).as("mean_word_len"),
+        frac($"g".getItem(4), $"g".getItem(0)).as("symbol_ratio"),
+        frac($"g".getItem(2), $"g".getItem(0)).as("alpha_frac"),
+        $"g".getItem(3).as("stop_hits"),
+        frac($"g".getItem(6), $"g".getItem(5)).as("bullet_frac"),
+        frac($"g".getItem(7), $"g".getItem(5)).as("ellipsis_frac"))
+      .withColumn("keep",
+        ($"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"symbol_ratio" < 0.1 && $"bullet_frac" < 0.9 &&
+          $"ellipsis_frac" < 0.3 && $"alpha_frac" > 0.8 &&
+          $"stop_hits" >= 2).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** Token counting under a REAL trained BPE vocabulary — the upgrade
     * over [[tokenCount]]'s regex proxy, and the count that actually
     * prices a corpus in model tokens. Two phases, the standard

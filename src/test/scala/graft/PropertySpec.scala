@@ -321,6 +321,70 @@ class PropertySpec extends SparkSpec {
     assert(ratio(natural) < ratio(incompressible))
   }
 
+  test("gopher counts kernel ≡ JVM-regex reference; planted rule fixtures flag") {
+    import graft.functions.{GopherCounts, TextFunctions}
+    // independent reference built on java.util.regex + String ops —
+    // shares nothing with the kernel's byte scans
+    def ref(text: String): Seq[Long] = {
+      val words = text.split("[ \\t\\n\\u000B\\f\\r]+").filter(_.nonEmpty)
+      val lines = text.split("\n", -1)
+      def trim(l: String) = l.replaceAll("^[ \\t\\r]+|[ \\t\\r]+$", "")
+      val low = words.map(_.toLowerCase).toSet
+      Seq(
+        words.length.toLong,
+        words.map(w => w.codePointCount(0, w.length).toLong).sum,
+        words.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong,
+        GopherCounts.StopWords.count(low.contains).toLong,
+        (text.count(_ == '#') + text.count(_ == '…')).toLong,
+        lines.length.toLong,
+        lines.count(l => trim(l).headOption.exists(c => c == '-' || c == '*' || c == '•')).toLong,
+        lines.count(l => trim(l).endsWith("...") || trim(l).endsWith("…")).toLong)
+    }
+    val adversarial = Seq(
+      "", "   ", "short",
+      "the quick brown fox with plenty of words that have been to be",
+      "- bullet one\n- two\n* three\n• four",
+      "ends here...\nthis too…\nplain",
+      "### hash #tags # everywhere",
+      "héllo wörld ünïcode 你好 with the and of",
+      "THE BE TO OF AND THAT HAVE WITH", // case-folded stop hits = 8
+      "•\n-\n...\nx", "a\r\nb\r\nc...", // CR-LF lines, ellipsis after \r-trim
+      "\n\n\n", "token token\u000btoken") // vertical tab: kernel splits it (Java \s contract)
+    val gen = Gen.listOfN(60, Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('\n'),
+      1 -> Gen.oneOf('#', '.', '-', '*', '…', '•', '\t')))
+      .map(_.mkString)
+    val samples = adversarial ++ (1 to 40).flatMap(n =>
+      gen.apply(Gen.Parameters.default, Seed(500L + n)))
+    val got = samples.toDF("s").select(TextFunctions.gopherCounts(col("s")))
+      .collect().map(_.getSeq[Long](0))
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g == ref(s), s"gopher counts mismatch for '${s.take(60)}'")
+    }
+    // rule fixtures through the full query path: a clean 60-word doc
+    // keeps; a bullet list, a symbol-heavy doc, and a stopword-free
+    // doc are each rejected by exactly the intended rule
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    val clean = ("the data pipeline reads parquet files and writes curated " +
+      "output with careful attention to every quality rule that matters " +
+      "because scale makes manual review impossible so the filters have " +
+      "to be exact and the thresholds have to hold up under pressure " +
+      "from adversarial content of every shape since the answer here " +
+      "is measured not guessed").trim
+    val bullets = (1 to 10).map(i => s"- item number $i in the list of the items").mkString("\n")
+    val hashy = (("the config of the run that we have " * 7) + ("#### " * 30)).trim
+    val nostop = "alpha beta gamma delta epsilon zeta " * 12
+    Seq((0L, clean), (1L, bullets), (2L, hashy), (3L, nostop.trim))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val q = graft.operators.TextAnalysis.gopherQuality(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(0L).getLong(8) == 1L, "clean doc must keep")
+    assert(q(1L).getLong(8) == 0L && q(1L).getDouble(6) >= 0.9, "bullet rule")
+    assert(q(2L).getLong(8) == 0L && q(2L).getDouble(3) >= 0.1, "symbol rule")
+    assert(q(3L).getLong(8) == 0L && q(3L).getLong(5) < 2, "stop-list rule")
+  }
+
   test("token segments ≡ split-based reference; tumbling coverage") {
     import graft.functions.TextFunctions
     // reference: whitespace split → grouped(width) → rejoin, built on
