@@ -72,6 +72,10 @@ object GraftExtensions {
     "graft_deflate_len" -> ((info("graft_deflate_len",
       "deflate_len(str) - byte length of the zlib-deflated UTF-8 text"),
       (es: Seq[Expression]) => DeflatedLen(es.head))),
+    "graft_gopher_counts" -> ((info("graft_gopher_counts",
+      "gopher_counts(str) - the 8 Gopher-rule raw counts [n_words, sum_word_chars, " +
+        "n_alpha_words, n_stop_distinct, n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines]"),
+      (es: Seq[Expression]) => GopherCounts(es.head))),
   )
 
   /** Register on an already-built session. */

@@ -81,6 +81,9 @@ object SparkEntry {
     // default derives shards from cluster parallelism (TextAnalysis)
     "tx_pack" -> ((s, dir) => TextAnalysis.sequencePack(s, dir, shards = 8)),
     "tx_scrub" -> TextAnalysis.scrub _,
+    // typed PII battery (email/url/ip/digit-run cascade), oracle
+    // hash-matches the scrubbed md5 cell-exact
+    "tx_pii" -> TextAnalysis.piiScrub _,
     "tx_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
@@ -535,6 +538,24 @@ object SparkEntry {
           |  CAST(length(regexp_replace(text, '[0-9]{3,}', '#', 'g')) AS BIGINT) AS scrubbed_len,
           |  md5(regexp_replace(text, '[0-9]{3,}', '#', 'g')) AS scrubbed_md5
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "tx_pii" ->
+        """WITH s1 AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          |  FROM documents),
+          |s2 AS (SELECT doc_id, n_email,
+          |    CAST(len(regexp_extract_all(t1, 'https?://[^ \t\n\r]+')) AS BIGINT) AS n_url,
+          |    regexp_replace(t1, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS t2
+          |  FROM s1),
+          |s3 AS (SELECT doc_id, n_email, n_url,
+          |    CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+          |    regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3
+          |  FROM s2)
+          |SELECT doc_id, n_email, n_url, n_ip,
+          |  CAST(len(regexp_extract_all(t3, '[0-9]{3,}')) AS BIGINT) AS n_num,
+          |  CAST(length(regexp_replace(t3, '[0-9]{3,}', '<NUM>', 'g')) AS BIGINT) AS scrubbed_len,
+          |  md5(regexp_replace(t3, '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
+          |FROM s3 ORDER BY doc_id""".stripMargin,
       "tx_sample" ->
         """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
           |b AS (SELECT doc_id, lang, CAST(

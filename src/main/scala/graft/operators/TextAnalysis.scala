@@ -553,6 +553,46 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Typed PII redaction — the full scrubbing battery every released
+    * training set runs (C4/Dolma-class), upgrading [[scrub]]'s single
+    * digit-run rule: emails, URLs, IPv4 literals, and residual 3+
+    * digit runs, each counted and replaced with a typed placeholder.
+    * The four rules CASCADE in that order on the progressively
+    * scrubbed text, so a category never double-counts content an
+    * earlier rule already claimed (digits inside a URL are `<URL>`,
+    * not `<NUM>`; an address inside a URL is caught by the email rule
+    * first). Patterns are RE2-safe (no backreferences or lookaround,
+    * `[0-9]` classes, leftmost-greedy only) so the DuckDB oracle
+    * applies the IDENTICAL strings and the scrubbed md5 hash-matches
+    * cell-exact. The IPv4 rule is a scrub, not a validator (999.9.9.9
+    * redacts too — by design). Pure map-side; one pass per rule over
+    * codegen'd `regexp_replace`/`regexp_extract_all`. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ \\t\\n\\r]+"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val num = "[0-9]{3,}"
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text")
+      .withColumn("n_email",
+        size(regexp_extract_all($"text", lit(email), lit(0))).cast("long"))
+      .withColumn("t1", regexp_replace($"text", email, "<EMAIL>"))
+      .withColumn("n_url",
+        size(regexp_extract_all($"t1", lit(url), lit(0))).cast("long"))
+      .withColumn("t2", regexp_replace($"t1", url, "<URL>"))
+      .withColumn("n_ip",
+        size(regexp_extract_all($"t2", lit(ip), lit(0))).cast("long"))
+      .withColumn("t3", regexp_replace($"t2", ip, "<IP>"))
+      .withColumn("n_num",
+        size(regexp_extract_all($"t3", lit(num), lit(0))).cast("long"))
+      .withColumn("scrubbed", regexp_replace($"t3", num, "<NUM>"))
+      .select($"doc_id", $"n_email", $"n_url", $"n_ip", $"n_num",
+        length($"scrubbed").cast("long").as("scrubbed_len"),
+        md5($"scrubbed").as("scrubbed_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprinting: full-content hashes (md5/sha2 built-ins,
     * codegen'd) — the exact-dedup join keys. A 64-bit xxhash64 over
     * whitespace-normalized text (not ANSI-expressible, used by Dedup)

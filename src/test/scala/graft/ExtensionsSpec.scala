@@ -69,6 +69,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) == ref)
   }
 
+  test("gopher counts callable from plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_gopher_counts('the cat\n- bullet...\n# x') AS g").collect().head
+    // tokens = [the, cat, -, bullet..., #, x] = 6 words, 18 chars;
+    // alpha words 4; stop distinct {the} = 1; symbols '#' = 1; 3 lines;
+    // 1 bullet line; 1 ellipsis line
+    assert(r.getSeq[Long](0) == Seq(6L, 18L, 4L, 1L, 1L, 3L, 1L, 1L))
+  }
+
   // Derived, not a golden: a hardcoded name-set went stale in round 5
   // when two builders landed without a test update. Both registration
   // routes (class injection + register()) iterate the SAME builders

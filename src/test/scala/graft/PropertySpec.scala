@@ -321,6 +321,39 @@ class PropertySpec extends SparkSpec {
     assert(ratio(natural) < ratio(incompressible))
   }
 
+  test("pii scrub: planted email/url/ip/number fixtures redact by category, cascade order holds") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    // (text, expected scrubbed form, n_email, n_url, n_ip, n_num)
+    val cases = Seq(
+      ("contact john.doe+spam@example.org or admin@sub.example.co.uk today",
+        "contact <EMAIL> or <EMAIL> today", 2L, 0L, 0L, 0L),
+      ("see https://example.com/path?q=1 and http://10.0.0.1/admin",
+        "see <URL> and <URL>", 0L, 2L, 0L, 0L), // the in-URL IP is <URL>, not <IP>
+      ("server at 192.168.1.254 and 8.8.8.8 responded",
+        "server at <IP> and <IP> responded", 0L, 0L, 2L, 0L),
+      ("call 5551234567 ext 890 room 42",
+        "call <NUM> ext <NUM> room 42", 0L, 0L, 0L, 2L), // 42 is under the 3-digit floor
+      ("mail bob@x.io at http://bob.io/1234 from 1.2.3.4 code 98765",
+        "mail <EMAIL> at <URL> from <IP> code <NUM>", 1L, 1L, 1L, 1L),
+      ("clean text with nothing to hide",
+        "clean text with nothing to hide", 0L, 0L, 0L, 0L))
+    cases.zipWithIndex.map { case ((t, _, _, _, _, _), i) => (i.toLong, t) }
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextAnalysis.piiScrub(spark, dir).collect()
+    got.zip(cases).foreach { case (r, (_, scrubbed, ne, nu, ni, nn)) =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((ne, nu, ni, nn)), s"doc $id category counts")
+      assert(r.getLong(5) == scrubbed.length.toLong, s"doc $id scrubbed length")
+      assert(r.getString(6) == md5hex(scrubbed), s"doc $id scrubbed md5")
+    }
+  }
+
   test("gopher counts kernel ≡ JVM-regex reference; planted rule fixtures flag") {
     import graft.functions.{GopherCounts, TextFunctions}
     // independent reference built on java.util.regex + String ops —
