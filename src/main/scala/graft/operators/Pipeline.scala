@@ -68,4 +68,42 @@ object Pipeline {
       .select($"doc_id", $"shard", $"pack_id", $"n_tokens", $"quality")
       .orderBy($"doc_id")
   }
+
+  /** Per-source corpus DATA CARD — the release-notes table every
+    * published training set ships (docs, unique docs, dup rate, token
+    * volume, mean quality, Gopher keep rate per source), composed as
+    * ONE oracle-checked query. A second composition gate beside
+    * [[prepPipeline]]: it chains the quality kernel, the Gopher rule
+    * battery, exact-dedup digesting, and token counting through a
+    * single map-side projection and ONE per-source aggregation —
+    * compositional drift between any of those operators and this
+    * rollup is exactly what per-operator oracles can't see.
+    *
+    * Scale shape: one corpus scan; `text` is dropped at the
+    * projection (the shuffle carries 5 narrow columns); the only
+    * exchange is the per-source partial agg, whose distinct-digest
+    * count is Spark's two-phase partial-distinct plan — no window, no
+    * join, no second pass. Rates floor-truncate (exact integer
+    * arithmetic); mean quality rounds at 4 on already-truncated
+    * per-doc values (summation-order ulps sit ~1e-12 under the grid). */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enriched = TextAnalysis.withGopherSignals(
+      TextAnalysis.withQualityScore(Tables.documents(s, dir)))
+      .select($"source", $"quality", $"gopher_keep", $"n_tokens",
+        md5($"text").as("digest"))
+    enriched.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct($"digest").as("n_unique"),
+        sum($"n_tokens").as("n_tokens"),
+        round(avg($"quality"), 4).as("mean_quality"),
+        sum($"gopher_keep").as("n_keep"))
+      .select($"source", $"n_docs", $"n_unique",
+        (floor(($"n_docs" - $"n_unique").cast("double") * 10000.0 /
+          $"n_docs".cast("double")) / 10000.0).as("dup_rate"),
+        $"n_tokens", $"mean_quality",
+        (floor($"n_keep".cast("double") * 10000.0 /
+          $"n_docs".cast("double")) / 10000.0).as("keep_rate"))
+      .orderBy($"source")
+  }
 }

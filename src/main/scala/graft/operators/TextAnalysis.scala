@@ -70,25 +70,36 @@ object TextAnalysis {
     * (counts are exact doubles < 2⁵³; one rounding per ratio). */
   def gopherQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    withGopherSignals(Tables.documents(s, dir))
+      .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+        $"alpha_frac", $"stop_hits", $"bullet_frac", $"ellipsis_frac",
+        $"gopher_keep".as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Append the Gopher signal columns (+ the combined `gopher_keep`
+    * flag) to ANY frame with a `text` column — the composition form,
+    * shared by [[gopherQuality]] and the data-card/streaming
+    * pipelines so the rule thresholds cannot diverge. */
+  def withGopherSignals(df: DataFrame): DataFrame = {
     def frac(num: Column, den: Column): Column =
       floor(num.cast("double") * 10000.0 / greatest(den, lit(1L)).cast("double")) / 10000.0
-    Tables.documents(s, dir)
-      .select($"doc_id", TextFunctions.gopherCounts($"text").as("g"))
-      .select($"doc_id",
-        $"g".getItem(0).as("n_words"),
-        frac($"g".getItem(1), $"g".getItem(0)).as("mean_word_len"),
-        frac($"g".getItem(4), $"g".getItem(0)).as("symbol_ratio"),
-        frac($"g".getItem(2), $"g".getItem(0)).as("alpha_frac"),
-        $"g".getItem(3).as("stop_hits"),
-        frac($"g".getItem(6), $"g".getItem(5)).as("bullet_frac"),
-        frac($"g".getItem(7), $"g".getItem(5)).as("ellipsis_frac"))
-      .withColumn("keep",
-        ($"n_words" >= 50 && $"n_words" <= 100000 &&
-          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
-          $"symbol_ratio" < 0.1 && $"bullet_frac" < 0.9 &&
-          $"ellipsis_frac" < 0.3 && $"alpha_frac" > 0.8 &&
-          $"stop_hits" >= 2).cast("long"))
-      .orderBy($"doc_id")
+    val g = col("__g")
+    df.withColumn("__g", TextFunctions.gopherCounts(col("text")))
+      .withColumn("n_words", g.getItem(0))
+      .withColumn("mean_word_len", frac(g.getItem(1), g.getItem(0)))
+      .withColumn("symbol_ratio", frac(g.getItem(4), g.getItem(0)))
+      .withColumn("alpha_frac", frac(g.getItem(2), g.getItem(0)))
+      .withColumn("stop_hits", g.getItem(3))
+      .withColumn("bullet_frac", frac(g.getItem(6), g.getItem(5)))
+      .withColumn("ellipsis_frac", frac(g.getItem(7), g.getItem(5)))
+      .withColumn("gopher_keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 && col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 && col("alpha_frac") > 0.8 &&
+          col("stop_hits") >= 2).cast("long"))
+      .drop("__g")
   }
 
   /** Token counting under a REAL trained BPE vocabulary — the upgrade

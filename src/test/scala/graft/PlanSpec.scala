@@ -137,6 +137,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "digest dedup must prune map-side")
   }
 
+  test("pipe_datacard: one scan, no join, no window — a pure two-phase rollup") {
+    // the data card chains four operator families (quality kernel,
+    // gopher battery, dedup digests, token counts) through one
+    // projection; the plan must stay a single scan feeding one
+    // per-source aggregation — a join or window here means an operator
+    // stopped composing map-side
+    val p = plan(graft.operators.Pipeline.dataCard(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "data card must stay single-scan")
+    assert(!p.contains("Join"), "data card must stay join-free")
+    assert(!p.contains("WindowExec"), "data card must not window")
+    assert("graft_gopher_counts".r.findAllIn(p).size == 1,
+      "gopher kernel must be evaluated exactly once")
+    assert("graft_text_stats".r.findAllIn(p).size == 1,
+      "text-stats kernel must be evaluated exactly once")
+  }
+
   test("dd_incremental: history never shuffles — verification joins broadcast the maybe-set") {
     // the scale contract: the semi join (which digests exist in
     // history) and the anti join (drop confirmed dups) both carry the
