@@ -153,6 +153,10 @@ object SparkEntry {
     // (RocksDB-backed named state) — checked against the same oracle
     "ev_stream_tws" -> graft.streaming.StreamingOps.twsViaStream _,
     "ev_stream_dedup" -> graft.streaming.StreamingOps.dedupViaStream _,
+    // incremental corpus-quality monitor: readStream over documents →
+    // the batch pipeline's own quality+gopher columns → per-source
+    // Complete-mode rollup; oracle-shared with a batch GROUP BY
+    "tx_stream_quality" -> graft.streaming.StreamingOps.docQualityViaStream _,
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -700,6 +704,60 @@ object SparkEntry {
           |  mean_quality,
           |  floor(n_keep * 10000.0 / n_docs) / 10000.0 AS keep_rate
           |FROM agg ORDER BY source""".stripMargin,
+      "tx_stream_quality" ->
+        """WITH q AS (SELECT doc_id, source, text,
+          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
+          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+          |    CAST(length(text) AS DOUBLE) AS n_chars
+          |  FROM documents),
+          |qq AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+          |    floor((least(n_tok / 64.0, 1.0) * 0.5 +
+          |      least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
+          |      (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
+          |  FROM q),
+          |g AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+          |    string_split(text, chr(10)) AS lines,
+          |    (length(text) - length(replace(text, '#', ''))) +
+          |    (length(text) - length(replace(text, '…', ''))) AS n_symbols
+          |  FROM documents),
+          |gc AS (SELECT doc_id, n_symbols,
+          |    len(words) AS n_words,
+          |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_chars,
+          |    CAST(coalesce(list_sum(list_transform(words,
+          |      x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
+          |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS stop_hits,
+          |    len(lines) AS n_lines,
+          |    CAST(coalesce(list_sum(list_transform(lines,
+          |      l -> CASE WHEN left(ltrim(l, ' ' || chr(9) || chr(13)), 1) IN ('-','*','•') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet,
+          |    CAST(coalesce(list_sum(list_transform(lines,
+          |      l -> CASE WHEN right(rtrim(l, ' ' || chr(9) || chr(13)), 3) = '...'
+          |             OR right(rtrim(l, ' ' || chr(9) || chr(13)), 1) = '…' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellipsis
+          |  FROM g),
+          |k AS (SELECT doc_id,
+          |    CASE WHEN n_words BETWEEN 50 AND 100000
+          |      AND floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 BETWEEN 3.0 AND 10.0
+          |      AND floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 < 0.1
+          |      AND floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.9
+          |      AND floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.3
+          |      AND floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 > 0.8
+          |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+          |  FROM gc)
+          |SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  round(avg(quality), 4) AS mean_quality,
+          |  CAST(sum(keep) AS BIGINT) AS n_keep
+          |FROM qq JOIN k USING (doc_id) GROUP BY source ORDER BY source""".stripMargin,
       "pipe_e2e" ->
         """WITH qb AS (SELECT doc_id, text,
           |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,

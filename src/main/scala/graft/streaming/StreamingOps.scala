@@ -300,9 +300,52 @@ object StreamingOps {
     * (only ev_stream_dedup) — a SPARK_GRAFT_ONLY profile of one query
     * should not pay the other fixture's write. */
   def preStage(s: SparkSession, dir: String,
-               plain: Boolean = true, dedup: Boolean = true): Unit = {
+               plain: Boolean = true, dedup: Boolean = true,
+               docs: Boolean = false): Unit = {
     if (plain) stagedDir(s, dir)
     if (dedup) dupStagedDir(s, dir)
+    if (docs) docsStagedDir(s, dir)
+  }
+
+  private val docsStagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def docsStagedDir(s: SparkSession, dir: String): String =
+    docsStagedDirs.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/documents"
+      graft.Tables.documents(s, d).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Incremental corpus ingestion monitor (`tx_stream_quality`): a
+    * REAL `readStream` over the documents table — the landing-zone
+    * shape of continuous corpus collection — through the SAME
+    * map-side quality + Gopher signal columns the batch pipeline uses
+    * ([[graft.operators.TextAnalysis.withQualityScore]] /
+    * `withGopherSignals`, so streaming and batch thresholds cannot
+    * diverge), aggregated per source in Complete mode to a memory
+    * sink. Oracle-shared with a batch GROUP BY: the streamed rollup
+    * must hash-match what DuckDB computes over the same parquet.
+    * (No distinct-aggregate here — streaming aggregation doesn't
+    * support it; the dedup-rate column stays batch-only in
+    * `pipe_datacard`.) State is one row per source — bounded by the
+    * source domain, not the stream. */
+  def docQualityViaStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val staged = docsStagedDir(s, dir)
+    val docsStream = s.readStream
+      .schema(graft.Tables.documents(s, dir).schema)
+      .parquet(staged)
+    val enriched = TextAnalysis.withGopherSignals(
+        TextAnalysis.withQualityScore(docsStream))
+      .select(col("source"), col("quality"), col("gopher_keep"), col("n_tokens"))
+    val agg = enriched.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      round(avg(col("quality")), 4).as("mean_quality"),
+      sum(col("gopher_keep")).as("n_keep"))
+    runToMemory(agg, "tx_stream_quality_q", OutputMode.Complete,
+      statePartitions = Some(8))
+      .orderBy(col("source"))
   }
 
   def tumblingViaStream(s: SparkSession, dir: String): DataFrame = {
