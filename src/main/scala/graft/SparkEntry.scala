@@ -134,6 +134,10 @@ object SparkEntry {
     "ann_ivf_sq8" -> ((s, dir) => Similarity.ivfSq8TopK(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
+    // perceptual-hash media dedup (aHash-structured stub codec +
+    // pigeonhole banding); rows-only, gated in MultimodalSpec vs an
+    // independent hash recompute and a brute-force Hamming scan
+    "mm_phash_dup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
     // ---- M3: event-time semantics ----
     "ev_tumbling" -> Events.tumbling _,
     "ev_sliding" -> Events.sliding _,
@@ -162,9 +166,10 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
     * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk /
-    * ann_ivf_sq8 / tx_rolling_fp / tx_compress / tx_bpe (xxhash64 /
-    * LSH / k-means / SQ8 / 2⁶⁴-wraparound / deflate / BPE internals
-    * aren't ANSI-expressible) —
+    * ann_ivf_sq8 / tx_rolling_fp / tx_compress / tx_bpe /
+    * mm_phash_dup (xxhash64 / LSH / k-means / SQ8 / 2⁶⁴-wraparound /
+    * deflate / BPE / codec-boundary hash internals aren't
+    * ANSI-expressible) —
     * those are covered by scalatest goldens; the driver records
     * rows-only. */
   def oracleSql: Map[String, String] = {

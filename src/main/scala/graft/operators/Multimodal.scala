@@ -47,6 +47,24 @@ object Multimodal {
         n_frames = if (r.kind == "video") 1 + n % 300 else 1,
         payload_sha = sha)
     }
+
+    /** STUB perceptual hash: a 64-bit average-hash over the payload's
+      * 64-bin byte histogram (bit i set iff bin i exceeds the mean bin
+      * count) — aHash's exact structure with the histogram standing in
+      * for decoded pixels. A real pipeline sets bits from the DCT of
+      * the decoded image (pHash proper); the bit-vector contract that
+      * everything downstream relies on — similar payloads ⟹ small
+      * Hamming distance, identical payloads ⟹ identical hash — is
+      * the same. */
+    def phash(payload: Array[Byte]): Long = {
+      val hist = new Array[Long](64)
+      payload.foreach(b => hist((b & 0xff) >> 2) += 1)
+      val mean = payload.length.toDouble / 64.0
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (hist(i) > mean) h |= (1L << i); i += 1 }
+      h
+    }
   }
 
   /** Synthesize a media table from `documents` (no binary fixture table
@@ -133,6 +151,40 @@ object Multimodal {
       .groupBy($"media_id")
       .agg(count(lit(1)).as("n_frames_kept"),
         sum($"frame_bytes").as("bytes_kept"))
+      .orderBy($"media_id")
+  }
+
+  /** Perceptual-hash near-duplicate detection over the media table —
+    * the image-dedup stage of a multimodal pipeline: decode →
+    * 64-bit average-hash ([[FakeCodec.phash]], STUB histogram in
+    * place of decoded pixels) in the partition-batched codec pass,
+    * then Hamming≤`maxHamming` partners via the SAME 16-bit pigeonhole
+    * banding as the text-side `dd_simhash` (4 bands of 16 bits: any
+    * pair within Hamming 3 shares at least one intact band — candidate
+    * generation is a bucket equi-join, never all-pairs, exactly the
+    * 100 TB shape). Emits one row per media with its hash and a dup
+    * flag, so identical payloads (Hamming 0) always flag. Rows-only
+    * in the driver contract (the hash lives behind the codec
+    * boundary); MultimodalSpec pins the hash against an independent
+    * recompute and the banding against a brute-force Hamming scan
+    * (complete by pigeonhole). */
+  def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, dir)
+      .mapPartitions(it => it.map(r => (r.media_id, FakeCodec.phash(r.payload))))
+      .toDF("media_id", "phash")
+    val banded = hashed.select($"media_id", $"phash",
+      posexplode(array((0 until 4).map(b =>
+        shiftright($"phash", b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "chunk")))
+    val dupIds = banded.as("x").join(banded.as("y"), Seq("band", "chunk"))
+      .where($"x.media_id" < $"y.media_id")
+      .select($"x.media_id".as("id1"), $"y.media_id".as("id2"),
+        $"x.phash".as("h1"), $"y.phash".as("h2"))
+      .distinct()
+      .filter(bit_count($"h1".bitwiseXOR($"h2")) <= maxHamming)
+      .select(explode(array($"id1", $"id2")).as("media_id")).distinct()
+    hashed.join(dupIds.withColumn("dup", lit(1L)), Seq("media_id"), "left")
+      .select($"media_id", $"phash", coalesce($"dup", lit(0L)).as("is_dup"))
       .orderBy($"media_id")
   }
 

@@ -72,4 +72,42 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.length == expected, s"media $id")
     }
   }
+
+  test("phash ≡ independent recompute; identical payloads collide; bit flips track edits") {
+    // independent reference: histogram via groupBy over the byte seq —
+    // shares no code with the codec's array loop
+    def ref(payload: Array[Byte]): Long = {
+      val byBin = payload.toSeq.groupBy(b => (b & 0xff) >> 2)
+        .map { case (bin, bs) => bin -> bs.size.toLong }
+      val mean = payload.length.toDouble / 64.0
+      (0 until 64).foldLeft(0L) { (h, i) =>
+        if (byBin.getOrElse(i, 0L) > mean) h | (1L << i) else h
+      }
+    }
+    val payloads = Multimodal.mediaTable(spark, sfDir).collect().map(_.payload) ++
+      Seq(Array.empty[Byte], Array[Byte](0), Array.fill[Byte](4096)(42))
+    payloads.foreach { p =>
+      assert(Multimodal.FakeCodec.phash(p) == ref(p))
+    }
+    // identical payloads always collide at Hamming 0
+    val a = "shared payload bytes".getBytes("UTF-8")
+    assert(Multimodal.FakeCodec.phash(a) == Multimodal.FakeCodec.phash(a.clone()))
+  }
+
+  test("phash dedup banding ≡ brute-force Hamming scan (complete by pigeonhole)") {
+    // 4 bands × 16 bits: any pair within Hamming ≤ 3 differs in at most
+    // 3 bands, so at least one band matches exactly — candidate recall
+    // for the verify step is 1.0 BY CONSTRUCTION, and the query's dup
+    // set must equal the all-pairs scan exactly
+    val hashed = Multimodal.mediaTable(spark, sfDir).collect()
+      .map(r => r.media_id -> Multimodal.FakeCodec.phash(r.payload))
+    val brute = (for {
+      (i1, h1) <- hashed; (i2, h2) <- hashed
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield Seq(i1, i2)).flatten.toSet
+    val got = Multimodal.phashDedup(spark, sfDir).collect()
+      .filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    assert(got == brute, "banded dup set must equal the brute-force Hamming scan")
+    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
+  }
 }
