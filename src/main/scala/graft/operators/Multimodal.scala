@@ -48,21 +48,40 @@ object Multimodal {
         payload_sha = sha)
     }
 
-    /** STUB perceptual hash: a 64-bit average-hash over the payload's
-      * 64-bin byte histogram (bit i set iff bin i exceeds the mean bin
-      * count) — aHash's exact structure with the histogram standing in
-      * for decoded pixels. A real pipeline sets bits from the DCT of
-      * the decoded image (pHash proper); the bit-vector contract that
-      * everything downstream relies on — similar payloads ⟹ small
-      * Hamming distance, identical payloads ⟹ identical hash — is
-      * the same. */
+    /** STUB perceptual hash — aHash's exact structure over the raw
+      * payload: "downscale" to 64 cells (the mean byte value of 64
+      * equal spans — the 1-D analog of aHash's 8×8 pixel grid), bit i
+      * set iff cell i exceeds the global cell mean. A real pipeline
+      * computes the cells from decoded pixels (or the DCT, for pHash
+      * proper); the bit-vector contract downstream is identical:
+      * similar payloads ⟹ small Hamming distance, identical payloads
+      * ⟹ identical hash.
+      *
+      * POSITIONAL cells matter for banding health: a first cut used a
+      * global byte HISTOGRAM, and natural-language payloads share
+      * letter frequencies corpus-wide, so hashes collapsed onto a few
+      * values, band buckets went quadratic, and the sf0.1 query took
+      * 17 s. Span means vary with each document's content, so the
+      * hash space spreads and bucket sizes stay near-uniform — the
+      * same diversity argument real image pHashes rely on. */
     def phash(payload: Array[Byte]): Long = {
-      val hist = new Array[Long](64)
-      payload.foreach(b => hist((b & 0xff) >> 2) += 1)
-      val mean = payload.length.toDouble / 64.0
-      var h = 0L
+      val n = payload.length
+      if (n == 0) return 0L
+      val cell = new Array[Double](64)
       var i = 0
-      while (i < 64) { if (hist(i) > mean) h |= (1L << i); i += 1 }
+      while (i < 64) {
+        val s = (i.toLong * n / 64).toInt
+        val e = ((i + 1).toLong * n / 64).toInt
+        var sum = 0L
+        var j = s
+        while (j < e) { sum += payload(j) & 0xff; j += 1 }
+        cell(i) = if (e > s) sum.toDouble / (e - s) else 0.0
+        i += 1
+      }
+      val mean = cell.sum / 64.0
+      var h = 0L
+      i = 0
+      while (i < 64) { if (cell(i) > mean) h |= (1L << i); i += 1 }
       h
     }
   }

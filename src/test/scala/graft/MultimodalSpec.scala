@@ -74,14 +74,20 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("phash ≡ independent recompute; identical payloads collide; bit flips track edits") {
-    // independent reference: histogram via groupBy over the byte seq —
-    // shares no code with the codec's array loop
+    // independent reference: slice-based functional recompute of the
+    // 64 span means — shares the span-bounds CONTRACT with the codec
+    // but none of its accumulation code
     def ref(payload: Array[Byte]): Long = {
-      val byBin = payload.toSeq.groupBy(b => (b & 0xff) >> 2)
-        .map { case (bin, bs) => bin -> bs.size.toLong }
-      val mean = payload.length.toDouble / 64.0
-      (0 until 64).foldLeft(0L) { (h, i) =>
-        if (byBin.getOrElse(i, 0L) > mean) h | (1L << i) else h
+      if (payload.isEmpty) return 0L
+      val cells = (0 until 64).map { i =>
+        val s = (i.toLong * payload.length / 64).toInt
+        val e = ((i + 1).toLong * payload.length / 64).toInt
+        val span = payload.slice(s, e).map(_ & 0xff)
+        if (span.isEmpty) 0.0 else span.sum.toDouble / span.length
+      }
+      val mean = cells.sum / 64.0
+      cells.zipWithIndex.foldLeft(0L) { case (h, (c, i)) =>
+        if (c > mean) h | (1L << i) else h
       }
     }
     val payloads = Multimodal.mediaTable(spark, sfDir).collect().map(_.payload) ++
@@ -108,6 +114,35 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.phashDedup(spark, sfDir).collect()
       .filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
     assert(got == brute, "banded dup set must equal the brute-force Hamming scan")
-    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
+  }
+
+  test("phash dedup flags planted exact and near-dup payloads, not clean ones") {
+    val dir = java.nio.file.Files.createTempDirectory("phash").toString
+    // VARIED content (mixed case + digits), not repeated boilerplate:
+    // repetitive text puts every span mean at the global mean, where
+    // any perturbation flips many bits — the degenerate fixture the
+    // first draft of this test tripped on
+    val rnd = new scala.util.Random(7)
+    val words = ("alpha bravo Charlie DELTA echo foxtrot 1234 golf HOTEL " +
+      "india juliet kilo lima MIKE november oscar 9876 papa QUEBEC romeo " +
+      "sierra tango uniform victor WHISKEY xray yankee zulu 42").split(" ")
+    val base = Seq.fill(150)(words(rnd.nextInt(words.length))).mkString(" ")
+    // the aHash-survivable edit is IN-PLACE (local cell perturbation);
+    // a length change shifts every span boundary — the 1-D analog of
+    // cropping, which average-hashing famously does not survive
+    val edited = base.substring(0, 100) + ("Z" * 15) + base.substring(115)
+    val rows = Seq(
+      (0L, base), (1L, base), (2L, edited),
+      (3L, "completely different content about catalyst query planners " +
+        "and the physical operators they choose under adaptive execution"),
+      (4L, "yet another unrelated document on parquet footer statistics"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val flags = Multimodal.phashDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flags(0L) == 1L && flags(1L) == 1L, "exact payload copies must flag")
+    assert(flags(2L) == 1L, "in-place-edited payload must flag")
+    assert(flags(3L) == 0L && flags(4L) == 0L, "unrelated payloads must not flag")
   }
 }

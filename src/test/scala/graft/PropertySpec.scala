@@ -287,6 +287,12 @@ class PropertySpec extends SparkSpec {
     assert(TextAnalysis.compressionRatio(spark, dir).count() == 0)
     // BPE training on an empty word dict yields an empty merge table
     assert(TextAnalysis.bpeTokenCount(spark, dir).count() == 0)
+    // round-6 operators: gopher/pii are pure maps, the data card's
+    // per-source aggregation and phash banding join over nothing
+    assert(TextAnalysis.gopherQuality(spark, dir).count() == 0)
+    assert(TextAnalysis.piiScrub(spark, dir).count() == 0)
+    assert(graft.operators.Pipeline.dataCard(spark, dir).count() == 0)
+    assert(graft.operators.Multimodal.phashDedup(spark, dir).count() == 0)
   }
 
   test("deflate length kernel ≡ direct java.util.zip recompute; ratio ordering") {
