@@ -99,6 +99,30 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Ingest a DIRECTORY of raw media files as [[MediaRow]]s via
+    * Spark's built-in `binaryFile` source — the real media-lake
+    * landing shape (one object per file; payload/path/length come
+    * from the source, kind derives from the extension; pass
+    * `pathGlobFilter`/`recursiveFileLookup` options for selective or
+    * nested layouts). media_id is the path hash: deterministic across
+    * runs, no driver-side numbering. Everything downstream
+    * ([[decodeAll]], [[extractFeatures]], [[phashDedup]]'s hash) is
+    * source-agnostic, so the synthetic table and a real file lake
+    * share every operator. */
+  def mediaFromFiles(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    s.read.format("binaryFile").load(dir)
+      .select(xxhash64($"path").as("media_id"),
+        element_at(split($"path", "\\."), -1).as("ext"),
+        $"content".as("payload"))
+      .withColumn("kind",
+        when($"ext".isin("jpg", "jpeg", "png", "gif"), "image")
+          .when($"ext".isin("wav", "mp3", "flac"), "audio")
+          .when($"ext".isin("mp4", "webm", "mkv"), "video")
+          .otherwise("binary"))
+      .select($"media_id", $"kind", $"payload").as[MediaRow]
+  }
+
   /** Partition-batched decode: the Scala twin of a `mapInPandas` batch
     * UDF — one codec instance per partition, streaming through rows
     * without materializing the partition. */
