@@ -108,6 +108,10 @@ object SparkEntry {
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
     "dd_segments" -> ((s, dir) => Dedup.segmentDedup(s, dir)),
+    // alignment-independent duplicated-span detection via
+    // content-defined chunking; rows-only (2⁶⁴ rolling-hash cut
+    // rule), gated in DedupSpec incl. offset-shift invariance
+    "dd_cdc" -> ((s, dir) => Dedup.cdcSpanDedup(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -167,9 +171,9 @@ object SparkEntry {
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
     * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk /
     * ann_ivf_sq8 / tx_rolling_fp / tx_compress / tx_bpe /
-    * mm_phash_dup (xxhash64 / LSH / k-means / SQ8 / 2⁶⁴-wraparound /
-    * deflate / BPE / codec-boundary hash internals aren't
-    * ANSI-expressible) —
+    * mm_phash_dup / dd_cdc (xxhash64 / LSH / k-means / SQ8 /
+    * 2⁶⁴-wraparound / deflate / BPE / codec-boundary hash / CDC
+    * cut-rule internals aren't ANSI-expressible) —
     * those are covered by scalatest goldens; the driver records
     * rows-only. */
   def oracleSql: Map[String, String] = {

@@ -63,6 +63,12 @@ object TextFunctions {
     * [[GopherCounts]] for slot layout. */
   def gopherCounts(c: Column): Column =
     ColumnBridge.column(GopherCounts(ColumnBridge.expression(c)))
+
+  /** `array(long)` of FNV-1a 64 hashes of content-defined chunks —
+    * see [[CdcChunks]]. */
+  def cdcChunks(c: Column, window: Int = 16, mask: Long = 0x3fL,
+                minLen: Int = 32, maxLen: Int = 256): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(c), window, mask, minLen, maxLen))
 }
 
 private[functions] object Tokenize {
@@ -444,5 +450,77 @@ object GopherCounts {
     else if (b - a >= 3 && bytes(b - 3) == 0xE2.toByte &&
              bytes(b - 2) == 0x80.toByte && bytes(b - 1) == 0xA6.toByte)
       out(7) += 1
+  }
+}
+
+/** Content-defined chunking (CDC) — the alignment-independent span
+  * primitive of dedup storage (rsync/LBFS-style) and exact-substring
+  * corpus dedup: chunk boundaries are chosen where the polynomial
+  * rolling hash of the last `window` bytes masks to zero, so a shared
+  * passage produces the SAME interior chunks in every document that
+  * contains it, at ANY byte offset. (Fixed-stride windows — the
+  * tumbling-segment family — only match when two documents happen to
+  * align on the stride; content-defined cuts are what make cross-doc
+  * span detection offset-proof.) Emits the FNV-1a 64 hash of each
+  * chunk's bytes as `array<long>`; chunk lengths are clamped to
+  * [minLen, maxLen] (cut-rule hits inside minLen are skipped, maxLen
+  * forces a cut), the standard CDC bound that keeps both the explode
+  * factor and the chunk-size distribution predictable. One pass, no
+  * allocation beyond the output array. Mask 0x3F ⟹ expected chunk
+  * ≈ 64 bytes + minLen. */
+case class CdcChunks(child: Expression, window: Int = 16,
+                     mask: Long = 0x3fL, minLen: Int = 32, maxLen: Int = 256)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 1 && minLen >= window && maxLen > minLen,
+    s"need window >= 1 <= minLen < maxLen, got $window/$minLen/$maxLen")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val bounds = CdcChunks.boundaries(bytes, window, mask, minLen, maxLen)
+    val out = new Array[Any](bounds.length - 1)
+    var i = 0
+    while (i < bounds.length - 1) {
+      out(i) = HashFunctions.fnv1a64Bytes(bytes, bounds(i), bounds(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
+object CdcChunks {
+  /** Chunk boundary offsets for `bytes` — always starts with 0 and
+    * ends with `bytes.length` (empty input ⟹ Array(0, 0) ⟹ zero
+    * chunks). Exposed for the spec's partition/cut-rule property
+    * checks. A position p (exclusive end of a chunk) is a cut iff the
+    * rolling hash of bytes [p-window, p) masks to zero AND the chunk
+    * would be ≥ minLen; maxLen forces a cut regardless. */
+  def boundaries(bytes: Array[Byte], window: Int, mask: Long,
+                 minLen: Int, maxLen: Int): Array[Int] = {
+    val n = bytes.length
+    val buf = scala.collection.mutable.ArrayBuffer(0)
+    // precomputed 257^(window-1) for the rolling update
+    var pow = 1L
+    var k = 1
+    while (k < window) { pow *= 257L; k += 1 }
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = if (i - start < window) h * 257L + (bytes(i) & 0xff)
+      else (h - (bytes(i - window) & 0xff) * pow) * 257L + (bytes(i) & 0xff)
+      val len = i - start + 1
+      if (len >= maxLen || (len >= minLen && (h & mask) == 0L)) {
+        buf += i + 1
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (buf.last != n) buf += n
+    buf.toArray
   }
 }

@@ -92,6 +92,45 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document duplicated-SPAN detection via content-defined
+    * chunking — the alignment-independent counterpart of
+    * [[segmentDedup]] and the scalable approximation of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): chunk boundaries come from
+    * the [[graft.functions.CdcChunks]] rolling-hash cut rule, so a
+    * passage shared by two documents produces the SAME interior
+    * chunks at ANY byte offset — the case tumbling segments
+    * structurally miss (a passage offset by one token lands in
+    * different segments and never matches; spec-pinned). A chunk
+    * hash appearing in ≥ `minDocs` distinct documents marks a
+    * duplicated span; emits per doc the chunk/dup-chunk counts and
+    * duplicated fraction — the signal exact-substr dedup cuts on.
+    * Plan shape is segmentDedup's: explode ∝ bytes/expected-chunk,
+    * hash-keyed equi-shuffles, never all-pairs. Rows-only in the
+    * driver contract (the cut rule rides a 2⁶⁴ rolling hash);
+    * DedupSpec pins chunk partition/cut-rule properties,
+    * offset-shift invariance, and the planted cross-doc passage. */
+  def cdcSpanDedup(s: SparkSession, dir: String,
+                   minDocs: Int = 2): DataFrame = {
+    import s.implicits._
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(graft.functions.TextFunctions.cdcChunks(normText($"text")))
+          .as("h"))
+    val dup = chunks.groupBy($"h")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"h", lit(1L).as("dup"))
+    chunks.join(dup, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count($"dup").as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        floor($"n_dup_chunks".cast("double") * 10000.0 /
+          $"n_chunks".cast("double")) / 10000.0)
+      .orderBy($"doc_id")
+  }
+
   /** Distinct k-character shingles of the normalized text, as an array
     * column — one-pass [[graft.functions.ShingleSet]] kernel (the
     * `array_distinct(transform(sequence, i -> substr))` composition

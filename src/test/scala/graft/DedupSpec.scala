@@ -276,4 +276,73 @@ class DedupSpec extends SparkSpec {
     if (dupInHistory) assert(batchDupMin.forall(i => !got.contains(i)))
     else assert(batchDupMin.forall(got.contains))
   }
+
+  test("cdc boundaries: partition, cut rule, and no-skipped-cut — vs O(n·w) recompute") {
+    import graft.functions.CdcChunks
+    // independent reference: recompute the window hash from scratch at
+    // every position — shares no state with the kernel's O(n) roll
+    def refHash(b: Array[Byte], from: Int, until: Int): Long =
+      (from until until).foldLeft(0L)((h, i) => h * 257L + (b(i) & 0xff))
+    val rnd = new scala.util.Random(11)
+    val samples = Seq(
+      Array.empty[Byte], "short".getBytes("UTF-8"),
+      Array.fill[Byte](1000)(rnd.nextInt(256).toByte),
+      ("the quick brown fox " * 60).getBytes("UTF-8"), // repetitive
+      Array.tabulate[Byte](700)(i => (i % 7 + 'a').toByte))
+    val (w, mask, minL, maxL) = (16, 0x3fL, 32, 256)
+    samples.foreach { b =>
+      val bounds = CdcChunks.boundaries(b, w, mask, minL, maxL)
+      assert(bounds.head == 0 && bounds.last == b.length)
+      assert(bounds.sameElements(bounds.distinct.sorted))
+      bounds.sliding(2).foreach { case Array(s, e) =>
+        if (b.nonEmpty) {
+          val len = e - s
+          assert(len <= maxL, "chunk over maxLen")
+          // interior cuts satisfy the rule: forced at maxLen, or the
+          // window hash masks to zero at sufficient length
+          if (e != b.length) {
+            assert(len == maxL ||
+              (len >= minL && (refHash(b, e - w, e) & mask) == 0L),
+              s"cut at $e violates the rule")
+          }
+          // completeness: no valid cut position was skipped
+          ((s + minL) until math.min(e, s + maxL)).foreach { q =>
+            assert((refHash(b, q - w, q) & mask) != 0L,
+              s"kernel skipped a valid cut at $q")
+          }
+        }
+        case _ =>
+      }
+    }
+  }
+
+  test("cdc chunking is offset-shift invariant; tumbling segments are not the gate") {
+    import graft.functions.CdcChunks, graft.functions.HashFunctions
+    def hashes(s: String): Set[Long] = {
+      val b = s.getBytes("UTF-8")
+      CdcChunks.boundaries(b, 16, 0x3fL, 32, 256).sliding(2).collect {
+        case Array(x, y) => HashFunctions.fnv1a64Bytes(b, x, y)
+      }.toSet
+    }
+    val rnd = new scala.util.Random(13)
+    val vocab = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt labore magna aliqua veniam " +
+      "quis nostrud exercitation ullamco laboris nisi aliquip commodo").split(" ")
+    def prose(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val passage = prose(300) // ~2 KB shared verbatim
+    val docA = prose(17) + " " + passage + " " + prose(9)
+    val docB = prose(23) + " " + passage + " " + prose(14) // different offsets
+    val common = hashes(docA) & hashes(docB)
+    assert(common.size >= 2,
+      s"shared passage at different offsets must share interior chunks, got ${common.size}")
+    // end-to-end: the registry query flags both docs, not clean ones
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    Seq((0L, docA), (1L, docB), (2L, prose(60)), (3L, prose(45)))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.cdcSpanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) >= 2 && got(1L) >= 2, "planted shared passage must flag both docs")
+    assert(got(2L) == 0 && got(3L) == 0, "clean docs must not flag")
+  }
 }
