@@ -121,6 +121,9 @@ object SparkEntry {
     // new-batch-vs-existing-corpus dedup; bloom pre-filter keeps the
     // result exact, so the anti-join semantics oracle-check end-to-end
     "dd_incremental" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
+    // fuzzy incremental: new batch vs the corpus's LSH band index +
+    // within-batch near-dup survivors; rows-only, gated in DedupSpec
+    "dd_incremental_fuzzy" -> ((s, dir) => Dedup.incrementalFuzzyDedup(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -171,9 +174,9 @@ object SparkEntry {
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
     * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk /
     * ann_ivf_sq8 / tx_rolling_fp / tx_compress / tx_bpe /
-    * mm_phash_dup / dd_cdc (xxhash64 / LSH / k-means / SQ8 /
-    * 2⁶⁴-wraparound / deflate / BPE / codec-boundary hash / CDC
-    * cut-rule internals aren't ANSI-expressible) —
+    * mm_phash_dup / dd_cdc / dd_incremental_fuzzy (xxhash64 / LSH /
+    * k-means / SQ8 / 2⁶⁴-wraparound / deflate / BPE / codec-boundary
+    * hash / CDC cut-rule internals aren't ANSI-expressible) —
     * those are covered by scalatest goldens; the driver records
     * rows-only. */
   def oracleSql: Map[String, String] = {

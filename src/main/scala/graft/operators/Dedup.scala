@@ -92,6 +92,69 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Fuzzy INCREMENTAL dedup — the near-dup counterpart of
+    * [[incrementalDedup]] (which is exact-only): a new batch checked
+    * against the existing corpus's MinHash-LSH band index plus
+    * within-batch fuzzy dedup, the shape a production fuzzy-dedup
+    * service runs per ingest. Split rule mirrors incrementalDedup
+    * (md5 hash-bucket of doc_id stands in for the batch boundary).
+    *
+    * Scale: history participates ONLY as its band-bucket index —
+    * at 100 TB that is the PERSISTED index table (bucketed by
+    * (band, bucket)), maintained incrementally across ingests, not a
+    * recomputation over the corpus (recomputed here because the test
+    * corpus is synthetic; the query shape downstream of the index is
+    * identical). The probe join keys on (band, bucket), so a bucketed
+    * index layout makes it shuffle-free on the history side; the
+    * batch side carries batch × bands narrow rows. Verification
+    * (signature agreement ≥ threshold, an unbiased Jaccard estimate)
+    * runs inside the bucket join — never all-pairs. Within-batch
+    * near-dups resolve to min-id survivors via the same banding over
+    * batch docs only. Rows-only in the driver contract (xxhash64
+    * banding isn't ANSI); DedupSpec gates recall on planted
+    * cross-boundary and in-batch near-copies. */
+  def incrementalFuzzyDedup(s: SparkSession, dir: String,
+                            historyBuckets: Long = 3277,
+                            k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val rows = numHashes / bands
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
+    def bandIndex(df: DataFrame): DataFrame = {
+      val signed = df.select($"doc_id",
+        minhashSig(normText($"text"), k, numHashes).as("sig"))
+      val bandHashes = array((0 until bands).map(b =>
+        xxhash64(lit(b), slice($"sig", b * rows + 1, rows))): _*)
+      signed.select($"doc_id", $"sig",
+        posexplode(bandHashes).as(Seq("band", "bucket")))
+    }
+    val historyIdx = bandIndex(docs.filter($"hb" < historyBuckets))
+    val batchIdx = bandIndex(docs.filter($"hb" >= historyBuckets))
+    val vsHistory = batchIdx.as("b").join(historyIdx.as("h"), Seq("band", "bucket"))
+      .select($"b.doc_id".as("doc_id"), $"b.sig".as("sig1"), $"h.sig".as("sig2"))
+      .filter(SketchFunctions.minhashAgree($"sig1", $"sig2") >= threshold)
+      .select($"doc_id").distinct()
+      .withColumn("dup_vs_history", lit(1L))
+    val dominated = batchIdx.as("x").join(batchIdx.as("y"), Seq("band", "bucket"))
+      .where($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2"),
+        $"x.sig".as("sig1"), $"y.sig".as("sig2"))
+      .dropDuplicates("id1", "id2")
+      .filter(SketchFunctions.minhashAgree($"sig1", $"sig2") >= threshold)
+      .select($"id2".as("doc_id")).distinct()
+      .withColumn("dup_in_batch", lit(1L))
+    docs.filter($"hb" >= historyBuckets).select($"doc_id")
+      .join(vsHistory, Seq("doc_id"), "left")
+      .join(dominated, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"dup_vs_history", lit(0L)).as("dup_vs_history"),
+        coalesce($"dup_in_batch", lit(0L)).as("dup_in_batch"))
+      .withColumn("kept",
+        ($"dup_vs_history" === 0L && $"dup_in_batch" === 0L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** Cross-document duplicated-SPAN detection via content-defined
     * chunking — the alignment-independent counterpart of
     * [[segmentDedup]] and the scalable approximation of

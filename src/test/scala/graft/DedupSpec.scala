@@ -277,6 +277,52 @@ class DedupSpec extends SparkSpec {
     else assert(batchDupMin.forall(got.contains))
   }
 
+  test("fuzzy incremental dedup: cross-boundary and in-batch planted near-copies flag") {
+    val dir = java.nio.file.Files.createTempDirectory("inc-fuzzy").toString
+    def hb(id: Long) = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.substring(0, 3), 16)
+    }
+    // the split rule: hb < 3277 ⟹ history, else batch
+    val historyIds = (0L until 10000L).filter(hb(_) < 3277)
+    val batchIds = (0L until 10000L).filter(hb(_) >= 3277)
+    def words(seed: Long, n: Int): String =
+      (0 until n).map(j => ((seed * 31 + j + 1) * 2654435761L).toHexString).mkString(" ")
+    // 3 cross-boundary near-pairs: base in history, mutated copy in batch
+    val cross = (0 until 3).flatMap { p =>
+      val base = s"dup ${words(2000L + p, 10)}"
+      Seq((historyIds(p), base), (batchIds(p), base + " nightly"))
+    }
+    // 3 in-batch near-pairs on fresh ids and fresh word seeds
+    val inBatch = (0 until 3).flatMap { p =>
+      val base = s"dup ${words(3000L + p, 10)}"
+      Seq((batchIds(10 + 2 * p), base), (batchIds(11 + 2 * p), base + " nightly"))
+    }
+    // clean fillers on both sides
+    val clean = (0 until 5).map(i => (historyIds(20 + i), s"hx ${words(20L + i, 10)}")) ++
+      (0 until 5).map(i => (batchIds(20 + i), s"bx ${words(40L + i, 10)}"))
+    import spark.implicits._
+    (cross ++ inBatch ++ clean).toDF("doc_id", "text").write
+      .mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.incrementalFuzzyDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // output covers exactly the batch docs
+    val expectedBatch = (cross ++ inBatch ++ clean).map(_._1).filter(hb(_) >= 3277).toSet
+    assert(got.keySet == expectedBatch)
+    // cross-boundary copies flag vs history
+    (0 until 3).foreach { p =>
+      assert(got(batchIds(p))._1 == 1L, s"cross pair $p must flag vs history")
+    }
+    // in-batch pairs: larger id dominated, smaller id survives
+    (0 until 3).foreach { p =>
+      assert(got(batchIds(11 + 2 * p))._2 == 1L, s"in-batch dup $p must flag")
+      assert(got(batchIds(10 + 2 * p))._3 == 1L, s"in-batch survivor $p must keep")
+    }
+    // clean batch docs keep
+    (0 until 5).foreach(i => assert(got(batchIds(20 + i))._3 == 1L))
+  }
+
   test("cdc boundaries: partition, cut rule, and no-skipped-cut — vs O(n·w) recompute") {
     import graft.functions.CdcChunks
     // independent reference: recompute the window hash from scratch at
