@@ -180,6 +180,64 @@ object SparkEntry {
     * those are covered by scalatest goldens; the driver records
     * rows-only. */
   def oracleSql: Map[String, String] = {
+    // Shared CTE blocks — the Gopher raw counts, the Gopher keep rule,
+    // and the per-doc quality score each exist ONCE and interpolate
+    // into every oracle that consumes them (tx_gopher, pipe_datacard,
+    // tx_stream_quality), so a threshold change cannot desynchronize
+    // the per-op oracle from the composition oracles.
+    val gopherRawCte =
+      """g AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    (length(text) - length(replace(text, '#', ''))) +
+        |    (length(text) - length(replace(text, '…', ''))) AS n_symbols
+        |  FROM documents),
+        |gc AS (
+        |  SELECT doc_id, n_symbols,
+        |    len(words) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_chars,
+        |    CAST(coalesce(list_sum(list_transform(words,
+        |      x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS stop_hits,
+        |    len(lines) AS n_lines,
+        |    CAST(coalesce(list_sum(list_transform(lines,
+        |      l -> CASE WHEN left(ltrim(l, ' ' || chr(9) || chr(13)), 1) IN ('-','*','•') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet,
+        |    CAST(coalesce(list_sum(list_transform(lines,
+        |      l -> CASE WHEN right(rtrim(l, ' ' || chr(9) || chr(13)), 3) = '...'
+        |             OR right(rtrim(l, ' ' || chr(9) || chr(13)), 1) = '…' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellipsis
+        |  FROM g)""".stripMargin
+    val gopherKeepCte =
+      """k AS (SELECT doc_id,
+        |    CASE WHEN n_words BETWEEN 50 AND 100000
+        |      AND floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 BETWEEN 3.0 AND 10.0
+        |      AND floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 < 0.1
+        |      AND floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.9
+        |      AND floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.3
+        |      AND floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 > 0.8
+        |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+        |  FROM gc)""".stripMargin
+    // qqExtra: extra qq columns (e.g. ", text" for the data card's digests)
+    def qualityCte(qqExtra: String) =
+      s"""q AS (SELECT doc_id, source, text,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |qq AS (SELECT doc_id, source$qqExtra, CAST(n_tok AS BIGINT) AS n_tokens,
+         |    floor((least(n_tok / 64.0, 1.0) * 0.5 +
+         |      least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
+         |      (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
+         |  FROM q)""".stripMargin
     val trim = """^[.,!?"'':;()]+|[.,!?"'':;()]+$"""
     val tokenized =
       s"""SELECT lower(regexp_replace(w, '$trim', '', 'g')) AS word
@@ -389,50 +447,18 @@ object SparkEntry {
           |    (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
           |FROM b ORDER BY doc_id""".stripMargin,
       "tx_gopher" ->
-        """WITH g AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
-          |    string_split(text, chr(10)) AS lines,
-          |    (length(text) - length(replace(text, '#', ''))) +
-          |    (length(text) - length(replace(text, '…', ''))) AS n_symbols
-          |  FROM documents),
-          |c AS (
-          |  SELECT doc_id, n_symbols,
-          |    len(words) AS n_words,
-          |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_chars,
-          |    CAST(coalesce(list_sum(list_transform(words,
-          |      x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
-          |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS stop_hits,
-          |    len(lines) AS n_lines,
-          |    CAST(coalesce(list_sum(list_transform(lines,
-          |      l -> CASE WHEN left(ltrim(l, ' ' || chr(9) || chr(13)), 1) IN ('-','*','•') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet,
-          |    CAST(coalesce(list_sum(list_transform(lines,
-          |      l -> CASE WHEN right(rtrim(l, ' ' || chr(9) || chr(13)), 3) = '...'
-          |             OR right(rtrim(l, ' ' || chr(9) || chr(13)), 1) = '…' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellipsis
-          |  FROM g)
-          |SELECT doc_id,
-          |  CAST(n_words AS BIGINT) AS n_words,
-          |  floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
-          |  floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
-          |  floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 AS alpha_frac,
-          |  CAST(stop_hits AS BIGINT) AS stop_hits,
-          |  floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
-          |  floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
-          |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-          |    AND floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 BETWEEN 3.0 AND 10.0
-          |    AND floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 < 0.1
-          |    AND floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.9
-          |    AND floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.3
-          |    AND floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 > 0.8
-          |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          |FROM c ORDER BY doc_id""".stripMargin,
+        s"""WITH $gopherRawCte,
+           |$gopherKeepCte
+           |SELECT gc.doc_id,
+           |  CAST(n_words AS BIGINT) AS n_words,
+           |  floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 AS mean_word_len,
+           |  floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 AS symbol_ratio,
+           |  floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 AS alpha_frac,
+           |  CAST(stop_hits AS BIGINT) AS stop_hits,
+           |  floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 AS bullet_frac,
+           |  floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 AS ellipsis_frac,
+           |  CAST(keep AS BIGINT) AS keep
+           |FROM gc JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
       "tx_langid" ->
         """WITH t AS (SELECT doc_id, lang,
           |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
@@ -654,122 +680,34 @@ object SparkEntry {
           |WHERE digest NOT IN (SELECT digest FROM hist)
           |ORDER BY keep_id""".stripMargin,
       "pipe_datacard" ->
-        """WITH q AS (SELECT doc_id, source, text,
-          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
-          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |      x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
-          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
-          |    CAST(length(text) AS DOUBLE) AS n_chars
-          |  FROM documents),
-          |qq AS (SELECT doc_id, source, text, CAST(n_tok AS BIGINT) AS n_tokens,
-          |    floor((least(n_tok / 64.0, 1.0) * 0.5 +
-          |      least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
-          |      (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
-          |  FROM q),
-          |g AS (SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
-          |    string_split(text, chr(10)) AS lines,
-          |    (length(text) - length(replace(text, '#', ''))) +
-          |    (length(text) - length(replace(text, '…', ''))) AS n_symbols
-          |  FROM documents),
-          |gc AS (SELECT doc_id, n_symbols,
-          |    len(words) AS n_words,
-          |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_chars,
-          |    CAST(coalesce(list_sum(list_transform(words,
-          |      x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
-          |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS stop_hits,
-          |    len(lines) AS n_lines,
-          |    CAST(coalesce(list_sum(list_transform(lines,
-          |      l -> CASE WHEN left(ltrim(l, ' ' || chr(9) || chr(13)), 1) IN ('-','*','•') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet,
-          |    CAST(coalesce(list_sum(list_transform(lines,
-          |      l -> CASE WHEN right(rtrim(l, ' ' || chr(9) || chr(13)), 3) = '...'
-          |             OR right(rtrim(l, ' ' || chr(9) || chr(13)), 1) = '…' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellipsis
-          |  FROM g),
-          |k AS (SELECT doc_id,
-          |    CASE WHEN n_words BETWEEN 50 AND 100000
-          |      AND floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 BETWEEN 3.0 AND 10.0
-          |      AND floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 < 0.1
-          |      AND floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.9
-          |      AND floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.3
-          |      AND floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 > 0.8
-          |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
-          |  FROM gc),
-          |agg AS (SELECT source,
-          |    count(*) AS n_docs,
-          |    count(DISTINCT md5(text)) AS n_unique,
-          |    sum(n_tokens) AS n_tokens,
-          |    round(avg(quality), 4) AS mean_quality,
-          |    sum(keep) AS n_keep
-          |  FROM qq JOIN k USING (doc_id) GROUP BY source)
-          |SELECT source,
-          |  CAST(n_docs AS BIGINT) AS n_docs,
-          |  CAST(n_unique AS BIGINT) AS n_unique,
-          |  floor((n_docs - n_unique) * 10000.0 / n_docs) / 10000.0 AS dup_rate,
-          |  CAST(n_tokens AS BIGINT) AS n_tokens,
-          |  mean_quality,
-          |  floor(n_keep * 10000.0 / n_docs) / 10000.0 AS keep_rate
-          |FROM agg ORDER BY source""".stripMargin,
+        s"""WITH ${qualityCte(", text")},
+           |$gopherRawCte,
+           |$gopherKeepCte,
+           |agg AS (SELECT source,
+           |    count(*) AS n_docs,
+           |    count(DISTINCT md5(text)) AS n_unique,
+           |    sum(n_tokens) AS n_tokens,
+           |    round(avg(quality), 4) AS mean_quality,
+           |    sum(keep) AS n_keep
+           |  FROM qq JOIN k USING (doc_id) GROUP BY source)
+           |SELECT source,
+           |  CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_unique AS BIGINT) AS n_unique,
+           |  floor((n_docs - n_unique) * 10000.0 / n_docs) / 10000.0 AS dup_rate,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  mean_quality,
+           |  floor(n_keep * 10000.0 / n_docs) / 10000.0 AS keep_rate
+           |FROM agg ORDER BY source""".stripMargin,
       "tx_stream_quality" ->
-        """WITH q AS (SELECT doc_id, source, text,
-          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
-          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |      x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
-          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
-          |    CAST(length(text) AS DOUBLE) AS n_chars
-          |  FROM documents),
-          |qq AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
-          |    floor((least(n_tok / 64.0, 1.0) * 0.5 +
-          |      least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
-          |      (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
-          |  FROM q),
-          |g AS (SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
-          |    string_split(text, chr(10)) AS lines,
-          |    (length(text) - length(replace(text, '#', ''))) +
-          |    (length(text) - length(replace(text, '…', ''))) AS n_symbols
-          |  FROM documents),
-          |gc AS (SELECT doc_id, n_symbols,
-          |    len(words) AS n_words,
-          |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_chars,
-          |    CAST(coalesce(list_sum(list_transform(words,
-          |      x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha,
-          |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
-          |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS stop_hits,
-          |    len(lines) AS n_lines,
-          |    CAST(coalesce(list_sum(list_transform(lines,
-          |      l -> CASE WHEN left(ltrim(l, ' ' || chr(9) || chr(13)), 1) IN ('-','*','•') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet,
-          |    CAST(coalesce(list_sum(list_transform(lines,
-          |      l -> CASE WHEN right(rtrim(l, ' ' || chr(9) || chr(13)), 3) = '...'
-          |             OR right(rtrim(l, ' ' || chr(9) || chr(13)), 1) = '…' THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellipsis
-          |  FROM g),
-          |k AS (SELECT doc_id,
-          |    CASE WHEN n_words BETWEEN 50 AND 100000
-          |      AND floor(sum_chars * 10000.0 / greatest(n_words, 1)) / 10000.0 BETWEEN 3.0 AND 10.0
-          |      AND floor(n_symbols * 10000.0 / greatest(n_words, 1)) / 10000.0 < 0.1
-          |      AND floor(n_bullet * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.9
-          |      AND floor(n_ellipsis * 10000.0 / greatest(n_lines, 1)) / 10000.0 < 0.3
-          |      AND floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 > 0.8
-          |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
-          |  FROM gc)
-          |SELECT source,
-          |  CAST(count(*) AS BIGINT) AS n_docs,
-          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-          |  round(avg(quality), 4) AS mean_quality,
-          |  CAST(sum(keep) AS BIGINT) AS n_keep
-          |FROM qq JOIN k USING (doc_id) GROUP BY source ORDER BY source""".stripMargin,
+        s"""WITH ${qualityCte("")},
+           |$gopherRawCte,
+           |$gopherKeepCte
+           |SELECT source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  round(avg(quality), 4) AS mean_quality,
+           |  CAST(sum(keep) AS BIGINT) AS n_keep
+           |FROM qq JOIN k USING (doc_id) GROUP BY source ORDER BY source""".stripMargin,
       "pipe_e2e" ->
         """WITH qb AS (SELECT doc_id, text,
           |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,

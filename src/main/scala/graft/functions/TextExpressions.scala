@@ -493,7 +493,7 @@ case class CdcChunks(child: Expression, window: Int = 16,
 
 object CdcChunks {
   /** Chunk boundary offsets for `bytes` — always starts with 0 and
-    * ends with `bytes.length` (empty input ⟹ Array(0, 0) ⟹ zero
+    * ends with `bytes.length` (empty input ⟹ Array(0) ⟹ zero
     * chunks). Exposed for the spec's partition/cut-rule property
     * checks. A position p (exclusive end of a chunk) is a cut iff the
     * rolling hash of bytes [p-window, p) masks to zero AND the chunk

@@ -118,19 +118,12 @@ object Dedup {
                             k: Int = 5, numHashes: Int = 16, bands: Int = 4,
                             threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val rows = numHashes / bands
     val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
-    def bandIndex(df: DataFrame): DataFrame = {
-      val signed = df.select($"doc_id",
-        minhashSig(normText($"text"), k, numHashes).as("sig"))
-      val bandHashes = array((0 until bands).map(b =>
-        xxhash64(lit(b), slice($"sig", b * rows + 1, rows))): _*)
-      signed.select($"doc_id", $"sig",
-        posexplode(bandHashes).as(Seq("band", "bucket")))
-    }
-    val historyIdx = bandIndex(docs.filter($"hb" < historyBuckets))
-    val batchIdx = bandIndex(docs.filter($"hb" >= historyBuckets))
+    val historyIdx = bandedSignatures(
+      docs.filter($"hb" < historyBuckets), k, numHashes, bands)
+    val batchIdx = bandedSignatures(
+      docs.filter($"hb" >= historyBuckets), k, numHashes, bands)
     val vsHistory = batchIdx.as("b").join(historyIdx.as("h"), Seq("band", "bucket"))
       .select($"b.doc_id".as("doc_id"), $"b.sig".as("sig1"), $"h.sig".as("sig2"))
       .filter(SketchFunctions.minhashAgree($"sig1", $"sig2") >= threshold)
@@ -225,24 +218,33 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** Band-bucket index over minhash signatures — (doc_id, sig, band,
+    * bucket) rows. Band hashes are a static Scala loop → one array
+    * column of `bands` buckets, and the signature is CARRIED through
+    * the band explode: signatures are computed once per doc and
+    * candidates need no join-back (the join-back formulation scanned
+    * documents 4× and recomputed every signature 3×). Shuffle cost:
+    * bands × (16 longs + key) per doc. Shared by the all-pairs LSH
+    * path and the incremental-fuzzy probe so band hashing cannot
+    * diverge between them. */
+  private def bandedSignatures(df: DataFrame, k: Int, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val signed = df.select(col("doc_id"),
+      minhashSig(normText(col("text")), k, numHashes).as("sig"))
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
+    signed.select(col("doc_id"), col("sig"),
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+  }
+
   /** Unsorted LSH candidate pairs (id1, id2, est_jaccard) — the
     * pipeline-internal form. */
   def minhashPairs(s: SparkSession, dir: String,
                    k: Int = 5, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val rows = numHashes / bands
-    val signed = Tables.documents(s, dir)
-      .select($"doc_id", minhashSig(normText($"text"), k, numHashes).as("sig"))
-    // band hashes: static Scala loop → one array column of `bands` buckets
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(lit(b), slice($"sig", b * rows + 1, rows))): _*)
-    // carry the signature through the band explode: signatures are
-    // computed once per doc and candidates need no join-back (the
-    // join-back formulation scanned documents 4× and recomputed every
-    // signature 3×). Shuffle cost: bands × (16 longs + key) per doc.
-    val banded = signed.select($"doc_id", $"sig",
-      posexplode(bandHashes).as(Seq("band", "bucket")))
+    val banded = bandedSignatures(Tables.documents(s, dir), k, numHashes, bands)
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .where($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2"),

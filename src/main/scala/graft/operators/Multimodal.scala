@@ -113,7 +113,7 @@ object Multimodal {
     import s.implicits._
     s.read.format("binaryFile").load(dir)
       .select(xxhash64($"path").as("media_id"),
-        element_at(split($"path", "\\."), -1).as("ext"),
+        lower(element_at(split($"path", "\\."), -1)).as("ext"),
         $"content".as("payload"))
       .withColumn("kind",
         when($"ext".isin("jpg", "jpeg", "png", "gif"), "image")
@@ -213,6 +213,9 @@ object Multimodal {
     * (complete by pigeonhole). */
   def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
+    // 4 bands of 16 bits are pigeonhole-complete ONLY for Hamming ≤ 3;
+    // a larger radius would silently lose pairs that differ in every band
+    require(maxHamming <= 3, s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
     val hashed = mediaTable(s, dir)
       .mapPartitions(it => it.map(r => (r.media_id, FakeCodec.phash(r.payload))))
       .toDF("media_id", "phash")

@@ -156,10 +156,17 @@ class MultimodalSpec extends SparkSpec {
     files.foreach { case (name, bytes) =>
       java.nio.file.Files.write(dir.resolve(name), bytes)
     }
+    // camera-style UPPERCASE extension must classify, not fall through
+    java.nio.file.Files.write(dir.resolve("photo.JPG"),
+      Array[Byte](9, 9, 9))
     val media = Multimodal.mediaFromFiles(spark, dir.toString).collect()
-    assert(media.length == 4)
+    assert(media.length == 5)
+    assert(media.count(_.kind == "image") == 2, "JPG (uppercase) must be image")
+    val mediaLower = media.filterNot(r =>
+      java.util.Arrays.equals(r.payload, Array[Byte](9, 9, 9)))
+    assert(mediaLower.length == 4)
     // payload bytes round-trip exactly; kind derives from extension
-    val byKind = media.map(r => r.kind -> r.payload).toMap
+    val byKind = mediaLower.map(r => r.kind -> r.payload).toMap
     assert(java.util.Arrays.equals(byKind("image"), files("cat.jpg")))
     assert(java.util.Arrays.equals(byKind("audio"), files("song.mp3")))
     assert(java.util.Arrays.equals(byKind("video"), files("clip.mp4")))
@@ -170,9 +177,9 @@ class MultimodalSpec extends SparkSpec {
     // file-ingested media runs the same decode + hash chain
     val decoded = Multimodal.decodeAll(
       Multimodal.mediaFromFiles(spark, dir.toString)).collect()
-    assert(decoded.length == 4)
+    assert(decoded.length == 5)
     decoded.foreach(d => assert(d.n_bytes > 0))
-    media.foreach(r =>
+    mediaLower.foreach(r =>
       assert(Multimodal.FakeCodec.phash(r.payload) ==
         Multimodal.FakeCodec.phash(files.values.find(
           java.util.Arrays.equals(_, r.payload)).get)))
