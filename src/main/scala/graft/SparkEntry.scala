@@ -86,6 +86,8 @@ object SparkEntry {
     "tx_pii" -> TextAnalysis.piiScrub _,
     "tx_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
+    // BM25 ranked retrieval over a fixed query set; oracle-checked
+    "tx_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     // bottom-k rolling-hash fingerprint; rows-only (64-bit wraparound
@@ -548,6 +550,29 @@ object SparkEntry {
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // ln(), not log() — DuckDB log() is log10 where Spark log() is
       // natural; tfidf floor-truncated to 6 decimals before ranking
+      "tx_bm25" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
+          |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+          |  FROM t GROUP BY doc_id, term),
+          |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(toks)) AS DOUBLE) AS s FROM toks),
+          |dfx AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM tf),
+          |q(query_id, term) AS (VALUES (0, 'join'), (0, 'merge'), (0, 'sort'),
+          |  (1, 'window'), (1, 'agg'), (2, 'scan'), (2, 'column'), (2, 'order')),
+          |scored AS (SELECT q.query_id, dfx.doc_id,
+          |    sum(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+          |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (stats.s / stats.n)))) AS raw
+          |  FROM dfx JOIN q USING (term), stats
+          |  GROUP BY q.query_id, dfx.doc_id),
+          |r AS (SELECT query_id, doc_id,
+          |    floor(raw * 10000.0) / 10000.0 AS score,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY floor(raw * 10000.0) / 10000.0 DESC, doc_id) AS rk
+          |  FROM scored)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rk
+          |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
       "tx_tfidf" ->
         """WITH t AS (SELECT doc_id, unnest(list_filter(
           |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term

@@ -54,6 +54,62 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones idf with Lucene's
+    * +1 floor) — the mining/retrieval scorer a data pipeline uses to
+    * pull topic-relevant documents out of a corpus: per (query, doc)
+    * the usual tf·idf saturation with length normalization,
+    * `idf · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl))`, top-`topK` docs
+    * per query. One corpus scan: (doc, term, tf, dl) from a single
+    * tokenize+explode aggregation, document frequency via a
+    * term-partitioned window over that compact frame (the
+    * [[tfidf]] trick — no join-back, no second scan), query terms
+    * broadcast, ranking pruned through WindowGroupLimit. The two
+    * corpus scalars (N, Σdl) are a driver artifact pull like the
+    * k-means centroids — two doubles, not data. Scores
+    * floor-truncate at 4 decimals BEFORE ranking so the DuckDB
+    * oracle agrees through ties (post-floor ties break on doc_id);
+    * summation order across a query's ≤3 terms is the only
+    * cross-engine nondeterminism, ulps (~1e-16) against the 1e-4
+    * grid. Default queries use the synthetic corpus's own
+    * vocabulary so matches are non-trivial at every SF. */
+  def bm25(s: SparkSession, dir: String,
+           queries: Seq[String] = Seq("join merge sort", "window agg",
+             "scan column order"),
+           topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), 1).as("toks"))
+    val tf = toks
+      .select($"doc_id", size($"toks").cast("double").as("dl"),
+        explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"), first($"dl").as("dl"))
+    val stats = toks
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(size($"toks")).cast("double").as("s")).head()
+    val nDocs = stats.getDouble(0)
+    val avgdl = stats.getDouble(1) / stats.getDouble(0)
+    val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (i.toLong, t))
+    }.toDF("query_id", "term")
+    val perTerm = tf
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy($"term")).cast("double"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("w",
+        log((lit(nDocs) - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+          ($"tf" * (k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / avgdl)))
+    val wq = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    perTerm.groupBy($"query_id", $"doc_id")
+      .agg((floor(sum($"w") * 10000.0) / 10000.0).as("score"))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"doc_id", $"score", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Full Gopher document-structure rule battery (Rae et al. 2021,
     * appendix A1.1) — the canonical pre-training filter set, joining
     * [[repetition]] (the duplicate-bigram rule) and [[qualityScore]]
