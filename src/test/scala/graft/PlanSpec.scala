@@ -59,6 +59,13 @@ class PlanSpec extends SparkSpec {
     assert(pq.contains("BroadcastHashJoin"), pq)
   }
 
+  test("bm25: query terms broadcast, ranking prunes through WindowGroupLimit") {
+    val p = plan(graft.operators.TextAnalysis.bm25(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge against 8 query terms")
+    assert(p.contains("WindowGroupLimit"), "top-k must prune map-side")
+  }
+
   test("stratified sample ranks with WindowGroupLimit (quota pushdown)") {
     val p = plan(graft.operators.Sampling.stratifiedSample(spark, sfDir, 5))
     assert(p.contains("WindowGroupLimit"), p)
