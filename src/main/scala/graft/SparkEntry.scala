@@ -106,6 +106,9 @@ object SparkEntry {
     // per-source corpus data card: quality + gopher + dedup digests +
     // token volume rolled up in one scan, oracle-checked as a chain
     "pipe_datacard" -> ((s, dir) => Pipeline.dataCard(s, dir)),
+    // corpus snapshot diff (added/removed/changed/unchanged by key +
+    // digest) — the release-versioning audit; oracle-checked
+    "pipe_diff" -> ((s, dir) => Pipeline.snapshotDiff(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -704,6 +707,18 @@ object SparkEntry {
           |SELECT keep_id, digest, n_copies FROM bk
           |WHERE digest NOT IN (SELECT digest FROM hist)
           |ORDER BY keep_id""".stripMargin,
+      "pipe_diff" ->
+        """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id % 50 <> 0),
+          |v2 AS (SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 41 = 0 THEN text || ' v2' ELSE text END) AS d2
+          |  FROM documents WHERE doc_id % 37 <> 0)
+          |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+          |       WHEN v2.doc_id IS NULL THEN 'removed'
+          |       WHEN d1 <> d2 THEN 'changed'
+          |       ELSE 'unchanged' END AS status
+          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+          |ORDER BY doc_id""".stripMargin,
       "pipe_datacard" ->
         s"""WITH ${qualityCte(", text")},
            |$gopherRawCte,

@@ -69,6 +69,36 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Corpus SNAPSHOT DIFF — the versioning audit run between two
+    * corpus releases (v1 → v2: what was added, removed, changed,
+    * untouched), per document, by primary key + content digest. The
+    * two snapshots here derive deterministically from the one test
+    * table (v1 drops `doc_id % 50 == 0`, v2 drops `% 37 == 0` and
+    * appends a marker to `% 41 == 0` — additions, deletions, AND
+    * edits all occur); production passes two real snapshot paths and
+    * the query below the derivation is identical. Scale: one
+    * full-outer equi-join on the primary key — with both snapshots
+    * bucketed by doc_id (the layout a versioned lake uses) the join
+    * is co-partitioned and shuffle-free; digests are map-side md5.
+    * Oracle-checked cell-exact (plain relational algebra). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", md5($"text").as("d1"))
+    val v2 = docs.filter($"doc_id" % 37 =!= 0)
+      .select($"doc_id",
+        md5(when($"doc_id" % 41 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("d2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"d1".isNull, "added")
+          .when($"d2".isNull, "removed")
+          .when($"d1" =!= $"d2", "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-source corpus DATA CARD — the release-notes table every
     * published training set ships (docs, unique docs, dup rate, token
     * volume, mean quality, Gopher keep rate per source), composed as
