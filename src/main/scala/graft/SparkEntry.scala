@@ -85,6 +85,19 @@ object SparkEntry {
     // hash-matches the scrubbed md5 cell-exact
     "tx_pii" -> TextAnalysis.piiScrub _,
     "tx_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
+    // the FULL Gopher repetition battery (A1.2): duplicate-line
+    // fractions + top-{2,3,4}-gram + duplicated-{5..10}-gram char
+    // fractions, doc-local run-length HOF folds (never an explode
+    // shuffle); the DuckDB oracle recomputes every fraction from
+    // exploded n-gram counts, cross-checking the fold cell-exact
+    "tx_gopher_rep" -> ((s, dir) => TextAnalysis.gopherRepetition(s, dir)),
+    // offline-trained linear quality classifier over the pipeline's
+    // own signal columns (the GPT-3/DCLM model-filter stage);
+    // oracle-checked (logit is exact multiply-add on the 1e-4 grid)
+    "tx_quality_lr" -> ((s, dir) => TextAnalysis.qualityClassifier(s, dir)),
+    // RefinedWeb-style per-source provenance cap: top-`cap` docs per
+    // source by quality through WindowGroupLimit; oracle-checked
+    "tx_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(s, dir)),
     "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
     // BM25 ranked retrieval over a fixed query set; oracle-checked
     "tx_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
@@ -173,6 +186,11 @@ object SparkEntry {
     // the batch pipeline's own quality+gopher columns → per-source
     // Complete-mode rollup; oracle-shared with a batch GROUP BY
     "tx_stream_quality" -> graft.streaming.StreamingOps.docQualityViaStream _,
+    // streaming twin of dd_incremental: the shared history bloom
+    // prefilter routes bloom-negative rows past a stream-static LEFT
+    // ANTI join; stateless Append mode, oracle-checked end-to-end
+    "ev_stream_incr_dedup" ->
+      ((s, dir) => graft.streaming.StreamingOps.incrDedupViaStream(s, dir)),
   )
 
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
@@ -229,20 +247,79 @@ object SparkEntry {
         |      AND floor(n_alpha * 10000.0 / greatest(n_words, 1)) / 10000.0 > 0.8
         |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
         |  FROM gc)""".stripMargin
+    // the raw per-doc quality counts, shared by the score CTE below
+    // and the classifier oracle (tx_quality_lr) so the feature
+    // definitions cannot desynchronize
+    val qualityRawCte =
+      """q AS (SELECT doc_id, source, text,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents)""".stripMargin
     // qqExtra: extra qq columns (e.g. ", text" for the data card's digests)
     def qualityCte(qqExtra: String) =
-      s"""q AS (SELECT doc_id, source, text,
-         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
-         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |      x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
-         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
-         |    CAST(length(text) AS DOUBLE) AS n_chars
-         |  FROM documents),
+      s"""$qualityRawCte,
          |qq AS (SELECT doc_id, source$qqExtra, CAST(n_tok AS BIGINT) AS n_tokens,
          |    floor((least(n_tok / 64.0, 1.0) * 0.5 +
          |      least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
          |      (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
          |  FROM q)""".stripMargin
+    // tx_gopher_rep: every fraction recomputed from EXPLODED n-gram
+    // counts — the independent formulation of the Spark side's
+    // doc-local run-length fold, generated per n so the two engines'
+    // n-gram domains cannot drift
+    val gopherRepSql: String = {
+      val gramCtes = (2 to 10).map { n =>
+        val join = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+        s"""g$n AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+           |    i -> $join)) AS gram FROM t),
+           |c$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+      }
+      val topCtes = (2 to 4).map { n =>
+        s"""r$n AS (SELECT doc_id, cnt * length(gram) AS mass,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC) AS rn
+           |  FROM c$n),
+           |t$n AS (SELECT doc_id, mass FROM r$n WHERE rn = 1)""".stripMargin
+      }
+      val dupCtes = (5 to 10).map { n =>
+        s"d$n AS (SELECT doc_id, sum(cnt * length(gram)) AS mass FROM c$n WHERE cnt >= 2 GROUP BY doc_id)"
+      }
+      def frac(mass: String) =
+        s"least(floor(coalesce($mass, 0) * 10000.0 / t.len) / 10000.0, 1.0)"
+      val fracCols = Seq(
+        "least(floor((lst.nl - lst.nd) * 10000.0 / greatest(lst.nl, 1)) / 10000.0, 1.0) AS dup_line_frac",
+        s"${frac("ld.mass")} AS dup_line_char_frac") ++
+        (2 to 4).map(n => s"${frac(s"t$n.mass")} AS top${n}_frac") ++
+        (5 to 10).map(n => s"${frac(s"d$n.mass")} AS dup${n}_frac")
+      val joins = (Seq("lst", "ld") ++ (2 to 4).map(n => s"t$n") ++
+        (5 to 10).map(n => s"d$n"))
+        .map(j => s"LEFT JOIN $j USING (doc_id)").mkString(" ")
+      val keepCond = Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
+        "top2_frac <= 0.20", "top3_frac <= 0.18", "top4_frac <= 0.16",
+        "dup5_frac <= 0.15", "dup6_frac <= 0.14", "dup7_frac <= 0.13",
+        "dup8_frac <= 0.12", "dup9_frac <= 0.11", "dup10_frac <= 0.10")
+        .mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, greatest(length(text), 1) AS len,
+         |    list_filter(regexp_split_to_array(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |lu AS (SELECT doc_id, unnest(lines) AS line FROM t),
+         |lc AS (SELECT doc_id, line, count(*) AS cnt FROM lu GROUP BY 1, 2),
+         |ld AS (SELECT doc_id, sum(cnt * length(line)) AS mass FROM lc WHERE cnt >= 2 GROUP BY doc_id),
+         |lst AS (SELECT doc_id, len(lines) AS nl, len(list_distinct(lines)) AS nd FROM t),
+         |${gramCtes.mkString(",\n")},
+         |${topCtes.mkString(",\n")},
+         |${dupCtes.mkString(",\n")},
+         |f AS (SELECT t.doc_id, ${fracCols.mkString(",\n    ")}
+         |  FROM t $joins)
+         |SELECT doc_id, dup_line_frac, dup_line_char_frac,
+         |  top2_frac, top3_frac, top4_frac,
+         |  dup5_frac, dup6_frac, dup7_frac, dup8_frac, dup9_frac, dup10_frac,
+         |  CAST(CASE WHEN $keepCond THEN 1 ELSE 0 END AS BIGINT) AS rep_keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    }
     val trim = """^[.,!?"'':;()]+|[.,!?"'':;()]+$"""
     val tokenized =
       s"""SELECT lower(regexp_replace(w, '$trim', '', 'g')) AS word
@@ -512,6 +589,34 @@ object SparkEntry {
           |SELECT doc_id, n_bigrams, n_distinct, dup_frac,
           |  CAST(CASE WHEN dup_frac >= 0.08 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
           |FROM f ORDER BY doc_id""".stripMargin,
+      "tx_gopher_rep" -> gopherRepSql,
+      // linear classifier: features are the SAME truncated signal
+      // definitions as tx_quality / tx_gopher (shared CTEs), the logit
+      // is a left-associated multiply-add chain in both engines
+      "tx_quality_lr" ->
+        s"""WITH $gopherRawCte,
+           |$qualityRawCte,
+           |f AS (SELECT q.doc_id,
+           |    floor(least(q.n_tok / 64.0, 1.0) * 10000.0) / 10000.0 AS len_score,
+           |    floor((q.n_stop / greatest(q.n_tok, 1.0)) * 10000.0) / 10000.0 AS stop_ratio,
+           |    floor((q.n_punct / greatest(q.n_chars, 1.0)) * 10000.0) / 10000.0 AS punct_ratio,
+           |    floor(gc.n_alpha * 10000.0 / greatest(gc.n_words, 1)) / 10000.0 AS alpha_frac,
+           |    floor(gc.n_symbols * 10000.0 / greatest(gc.n_words, 1)) / 10000.0 AS symbol_ratio
+           |  FROM q JOIN gc USING (doc_id)),
+           |l AS (SELECT doc_id,
+           |    -2.25 + len_score * 1.5 + stop_ratio * 3.0 - punct_ratio * 4.0 +
+           |    alpha_frac * 1.0 - symbol_ratio * 5.0 AS logit
+           |  FROM f)
+           |SELECT doc_id, floor(logit * 10000.0) / 10000.0 AS logit,
+           |  CAST(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM l ORDER BY doc_id""".stripMargin,
+      "tx_source_cap" ->
+        s"""WITH ${qualityCte("")}
+           |SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT doc_id, source, quality,
+           |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+           |  FROM qq) r
+           |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
       // benchmark = the md5-bucket test split; word 4-grams via the
       // same tokenization as tx_bigrams
       "tx_contamination" ->
@@ -707,6 +812,20 @@ object SparkEntry {
           |SELECT keep_id, digest, n_copies FROM bk
           |WHERE digest NOT IN (SELECT digest FROM hist)
           |ORDER BY keep_id""".stripMargin,
+      // streaming twin: same md5-bucket split, no in-batch collapse
+      // (that is ev_stream_dedup's stateful concern) — survivors are
+      // exactly the batch rows whose digest is absent from history
+      "ev_stream_incr_dedup" ->
+        """WITH m AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          |s AS (SELECT doc_id, text,
+          |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS hb
+          |  FROM m),
+          |hist AS (SELECT sha256(text) AS digest FROM s WHERE hb < 3277)
+          |SELECT doc_id, sha256(text) AS digest FROM s
+          |WHERE hb >= 3277 AND sha256(text) NOT IN (SELECT digest FROM hist)
+          |ORDER BY doc_id""".stripMargin,
       "pipe_diff" ->
         """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id % 50 <> 0),
           |v2 AS (SELECT doc_id,

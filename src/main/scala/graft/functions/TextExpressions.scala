@@ -59,6 +59,13 @@ object TextFunctions {
   def deflateLen(c: Column): Column =
     ColumnBridge.column(DeflatedLen(ColumnBridge.expression(c)))
 
+  /** `array(long)` `[top2, dup2, top3, dup3, …, top10, dup10]`: char
+    * masses of the most-frequent and of all duplicated word n-grams,
+    * every n in 2..10 from ONE tokenization pass — the Gopher
+    * repetition battery's kernel. */
+  def ngramRepMass(c: Column): Column =
+    ColumnBridge.column(NgramRepMass(ColumnBridge.expression(c)))
+
   /** `array(long)` of the eight Gopher-rule raw counts — see
     * [[GopherCounts]] for slot layout. */
   def gopherCounts(c: Column): Column =
@@ -523,4 +530,105 @@ object CdcChunks {
     if (buf.last != n) buf += n
     buf.toArray
   }
+}
+
+/** Char-mass statistics of repeated word n-grams for EVERY n in 2..10
+  * in one tokenization pass — the kernel behind the Gopher repetition
+  * battery ([[graft.operators.TextAnalysis.withRepetitionSignals]]).
+  * Emits `[top2, dup2, top3, dup3, …, top10, dup10]` where
+  *
+  *  - `top_n` = count × char-length of the most frequent n-gram
+  *    (count ties break toward the longer gram; equal (count, length)
+  *    ties carry identical mass, so no further break is needed), and
+  *  - `dup_n` = Σ count × char-length over n-grams occurring ≥ 2 times.
+  *
+  * Char length is CODE POINTS (counted as non-continuation UTF-8
+  * bytes), matching `length()` and the DuckDB oracle's `length()`.
+  * Grams are keyed on a normalized single-space-joined token stream,
+  * so tab/newline/run-of-space separators cannot distinguish equal
+  * token sequences; keys are zero-copy [[UTF8String]] windows over
+  * that stream. Replaces a `functions.aggregate` run-length fold over
+  * nine sorted TokenNgrams arrays: the fold evaluated five interpreted
+  * Catalyst expressions per array element, which made tx_gopher_rep
+  * the slowest query in the registry (7.6 s at sf0.1 vs ~0.4 s for
+  * this kernel — the same interpreted-HOF lesson as the round-1
+  * bigram build, see the file header). */
+case class NgramRepMass(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_rep_mass"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val maxToks = bytes.length / 2 + 1
+    val starts = new Array[Int](maxToks)
+    val ends = new Array[Int](maxToks)
+    var nt = 0
+    Tokenize.foreachToken(bytes) { (s, e) => starts(nt) = s; ends(nt) = e; nt += 1 }
+    val out = new Array[Long](18)
+    if (nt >= 2) {
+      // normalized stream: tokens joined by single spaces; per-token
+      // code-point counts collected in the same copy pass
+      var normLen = nt - 1
+      var i = 0
+      while (i < nt) { normLen += ends(i) - starts(i); i += 1 }
+      val norm = new Array[Byte](normLen)
+      val nStarts = new Array[Int](nt)
+      val nEnds = new Array[Int](nt)
+      val charLens = new Array[Int](nt)
+      var pos = 0
+      i = 0
+      while (i < nt) {
+        if (i > 0) { norm(pos) = ' '; pos += 1 }
+        nStarts(i) = pos
+        var cp = 0
+        var j = starts(i)
+        while (j < ends(i)) {
+          val b = bytes(j)
+          norm(pos) = b
+          if ((b & 0xc0) != 0x80) cp += 1
+          pos += 1
+          j += 1
+        }
+        nEnds(i) = pos
+        charLens(i) = cp
+        i += 1
+      }
+      var n = 2
+      while (n <= 10 && nt >= n) {
+        // value = [count, gramCharLen]
+        val counts = new java.util.HashMap[UTF8String, Array[Int]](nt * 2)
+        var k = 0
+        while (k <= nt - n) {
+          val off = nStarts(k)
+          val key = UTF8String.fromBytes(norm, off, nEnds(k + n - 1) - off)
+          val cur = counts.get(key)
+          if (cur == null) {
+            var cl = n - 1
+            var t = k
+            while (t < k + n) { cl += charLens(t); t += 1 }
+            counts.put(key, Array(1, cl))
+          } else cur(0) += 1
+          k += 1
+        }
+        var topCnt = 0L
+        var topLen = 0L
+        var dup = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e(0).toLong
+          val cl = e(1).toLong
+          if (c > topCnt || (c == topCnt && cl > topLen)) { topCnt = c; topLen = cl }
+          if (c >= 2L) dup += c * cl
+        }
+        out((n - 2) * 2) = topCnt * topLen
+        out((n - 2) * 2 + 1) = dup
+        n += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): NgramRepMass =
+    copy(child = c)
 }

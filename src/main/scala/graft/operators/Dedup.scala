@@ -635,13 +635,54 @@ object Dedup {
     * as [[Similarity.bcastCentroidThreshold]]. */
   private[graft] val bloomLiteralMaxBytes = 1 << 16
 
+  /** The bloom might-contain column for `digest` against the `digest`
+    * column of `history` (steps 1–2 of [[incrementalDedup]]'s plan):
+    * builds the filter batch-side via `stat.bloomFilter` treeAggregate
+    * and returns the predicate — a foldable-literal
+    * BloomFilterMightContain while the serialized filter is small, a
+    * TorrentBroadcast kernel above [[bloomLiteralMaxBytes]]. None on
+    * an empty history (every digest is new by definition — and
+    * `stat.bloomFilter` NPEs on a zero-row frame, so the branch is
+    * correctness AND a crash guard). Shared by the batch operator and
+    * its streaming twin
+    * ([[graft.streaming.StreamingOps.incrDedupViaStream]]) so the two
+    * deployments cannot diverge. */
+  private[graft] def historyBloomMightHit(
+      s: SparkSession, history: DataFrame, digest: Column,
+      fpp: Double = 0.01,
+      bloomLiteralMax: Int = bloomLiteralMaxBytes): Option[Column] = {
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.ColumnBridge
+    // expectedNumItems sizes the filter's bit array; at scale this
+    // comes from table metadata (rowCount stats), not a count scan
+    val nHist = history.count()
+    if (nHist == 0L) return None
+    val bloom = history.select(xxhash64($"digest").as("h")).stat
+      .bloomFilter("h", nHist, fpp)
+    val bloomBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    Some(
+      if (bloomBytes.length <= bloomLiteralMax)
+        // small filter: a foldable literal keeps the codegen'd
+        // BloomFilterMightContain kernel (same one InjectRuntimeFilter
+        // plants)
+        ColumnBridge.column(BloomFilterMightContain(
+          ColumnBridge.expression(lit(bloomBytes)),
+          ColumnBridge.expression(xxhash64(digest))))
+      else
+        SketchFunctions.bloomMightContainBcast(
+          xxhash64(digest), s.sparkContext.broadcast(bloomBytes)))
+  }
+
   def incrementalDedup(s: SparkSession, dir: String,
                        historyBuckets: Long = 3277,
                        fpp: Double = 0.01,
                        bloomLiteralMax: Int = bloomLiteralMaxBytes): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    import org.apache.spark.sql.graft.ColumnBridge
     val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
     val history = docs.filter($"hb" < historyBuckets)
@@ -650,33 +691,14 @@ object Dedup {
       .select($"doc_id", sha2($"text", 256).as("digest"))
       .groupBy($"digest")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-    // expectedNumItems sizes the filter's bit array; at scale this
-    // comes from table metadata (rowCount stats), not a count scan
-    val nHist = history.count()
-    // empty history: every batch digest is new by definition — and
-    // stat.bloomFilter NPEs on a zero-row frame (its aggregate yields
-    // null bytes), so this branch is correctness AND a crash guard
-    if (nHist == 0L)
-      return batchKept.select($"keep_id", $"digest", $"n_copies")
-        .orderBy($"keep_id")
-    val bloom = history.select(xxhash64($"digest").as("h")).stat
-      .bloomFilter("h", nHist, fpp)
-    val bloomBytes = {
-      val out = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(out)
-      out.toByteArray
-    }
     val mightHit =
-      if (bloomBytes.length <= bloomLiteralMax)
-        // small filter: a foldable literal keeps the codegen'd
-        // BloomFilterMightContain kernel (same one InjectRuntimeFilter
-        // plants)
-        ColumnBridge.column(BloomFilterMightContain(
-          ColumnBridge.expression(lit(bloomBytes)),
-          ColumnBridge.expression(xxhash64($"digest"))))
-      else
-        SketchFunctions.bloomMightContainBcast(
-          xxhash64($"digest"), s.sparkContext.broadcast(bloomBytes))
+      historyBloomMightHit(s, history, $"digest", fpp, bloomLiteralMax) match {
+        case None =>
+          // empty history: every batch digest is new by definition
+          return batchKept.select($"keep_id", $"digest", $"n_copies")
+            .orderBy($"keep_id")
+        case Some(c) => c
+      }
     val definitelyNew = batchKept.filter(!mightHit)
     val maybe = batchKept.filter(mightHit)
     // the confirmed-hit set is bounded by the maybe-set (≤ batch), so

@@ -605,6 +605,163 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Run-length pass over a SORTED string array, the building block of
+    * the Gopher repetition battery: returns `struct(top, dup)` where
+    * `top` is the char mass (occurrence count × element char length)
+    * of the most frequent element — ties on count break toward the
+    * longer element; ties on (count, length) carry identical mass, so
+    * no further break is needed — and `dup` is the summed char mass of
+    * every element occurring at least twice. One `functions.aggregate`
+    * HOF: pure map-side per-row work, no shuffle, no UDF; the array is
+    * doc-sized, never corpus-sized. */
+  private def runMass(sorted: Column): Column = {
+    // close the open run: fold it into best-run / duplicate mass
+    def close(acc: Column): (Column, Column, Column) = {
+      val run = acc("run")
+      val plen = length(acc("prev")).cast("long")
+      val better = run > acc("bestRun") ||
+        (run === acc("bestRun") && plen > acc("bestLen"))
+      (when(better, run).otherwise(acc("bestRun")),
+        when(better, plen).otherwise(acc("bestLen")),
+        acc("dup") + when(run >= 2L, run * plen).otherwise(lit(0L)))
+    }
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestRun"), lit(0L).as("bestLen"), lit(0L).as("dup")),
+      (acc, x) => {
+        val (bR, bL, d) = close(acc)
+        when(x === acc("prev"),
+          struct(acc("prev").as("prev"), (acc("run") + 1L).as("run"),
+            acc("bestRun").as("bestRun"), acc("bestLen").as("bestLen"),
+            acc("dup").as("dup")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            bR.as("bestRun"), bL.as("bestLen"), d.as("dup")))
+      },
+      acc => {
+        val (bR, bL, d) = close(acc)
+        struct((bR * bL).as("top"), d.as("dup"))
+      })
+  }
+
+  /** Gopher repetition-rule thresholds (Rae et al. 2021, table A1):
+    * a document is removed when any fraction EXCEEDS its threshold. */
+  private[operators] val repTopThresholds =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private[operators] val repDupThresholds =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Append the full Gopher repetition signal battery (Rae et al.
+    * 2021, appendix A1.2) to ANY frame with a `text` column — the
+    * char-mass completion of [[repetition]]'s single duplicate-bigram
+    * rule: duplicate-line fraction (count-based) and duplicate-line
+    * CHARACTER fraction, the char fraction of the most frequent
+    * {2,3,4}-gram, and the char fraction inside duplicated
+    * {5..10}-grams, plus the combined `rep_keep` flag at the paper's
+    * thresholds. All fractions are over the document's char length,
+    * floor-truncated at 4 decimals (multiply-before-divide) and capped
+    * at 1.0 — overlapping n-gram occurrences can claim more chars than
+    * the document holds, which the paper's prose elides; the cap makes
+    * the semantics total. All nine n-gram masses come from ONE
+    * [[graft.functions.NgramRepMass]] kernel pass over lowercased text
+    * (`[top2, dup2, …, top10, dup10]`); only the line stats use a
+    * [[runMass]] HOF fold — documents have few lines, so the
+    * interpreted fold is off the hot path there. The whole battery is
+    * embarrassingly parallel map-side work — the scale cost is one
+    * corpus read, same as [[gopherQuality]]. */
+  def withRepetitionSignals(df: DataFrame): DataFrame = {
+    def frac(mass: Column, den: Column): Column =
+      least(floor(mass.cast("double") * 10000.0 / den.cast("double")) / 10000.0,
+        lit(1.0))
+    val len = greatest(length(col("text")), lit(1)).cast("long")
+    val lines = split(col("text"), "\n")
+    val rep = col("__rep")
+    def top(n: Int): Column = rep.getItem((n - 2) * 2)
+    def dup(n: Int): Column = rep.getItem((n - 2) * 2 + 1)
+    val withSigs = df
+      .withColumn("__len", len)
+      .withColumn("__nl", greatest(size(lines), lit(1)).cast("long"))
+      .withColumn("__ndupl",
+        (size(lines) - size(array_distinct(lines))).cast("long"))
+      .withColumn("__lmass", runMass(array_sort(lines)))
+      .withColumn("__rep", TextFunctions.ngramRepMass(lower(col("text"))))
+      .withColumn("dup_line_frac", frac(col("__ndupl"), col("__nl")))
+      .withColumn("dup_line_char_frac", frac(col("__lmass")("dup"), col("__len")))
+    val withFracs = (2 to 4).foldLeft(withSigs) { (d, n) =>
+      d.withColumn(s"top${n}_frac", frac(top(n), col("__len")))
+    }
+    val withDups = (5 to 10).foldLeft(withFracs) { (d, n) =>
+      d.withColumn(s"dup${n}_frac", frac(dup(n), col("__len")))
+    }
+    val keep = (col("dup_line_frac") <= 0.30 &&
+      col("dup_line_char_frac") <= 0.20 &&
+      repTopThresholds.map { case (n, t) => col(s"top${n}_frac") <= t }
+        .reduce(_ && _) &&
+      repDupThresholds.map { case (n, t) => col(s"dup${n}_frac") <= t }
+        .reduce(_ && _)).cast("long")
+    withDups.withColumn("rep_keep", keep)
+      .drop("__len", "__nl", "__ndupl", "__lmass", "__rep")
+  }
+
+  /** The Gopher repetition battery as a registry query over the
+    * documents table — see [[withRepetitionSignals]]. Oracle-checked:
+    * DuckDB replicates every fraction cell-exact from exploded n-gram
+    * counts; the Spark side never explodes (doc-local HOF folds), so
+    * the oracle also cross-checks the [[runMass]] fold against an
+    * independent group-and-count formulation. */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withRepetitionSignals(Tables.documents(s, dir))
+      .select($"doc_id" +: $"dup_line_frac" +: $"dup_line_char_frac" +:
+        $"top2_frac" +: $"top3_frac" +: $"top4_frac" +:
+        (5 to 10).map(n => col(s"dup${n}_frac")) :+ $"rep_keep": _*)
+      .orderBy($"doc_id")
+  }
+
+  /** Model-based quality filter — the classifier stage of a GPT-3 /
+    * DCLM-class pipeline (Brown et al. 2020 appendix A; a deployed
+    * pipeline scores with a trained LR/fastText model): a linear
+    * scorer over the pipeline's OWN heuristic signal columns
+    * ([[withQualityScore]] + [[withGopherSignals]], one scan) with the
+    * trained coefficient vector shipped as constants — swapping
+    * weights is a config change, the plan shape (map-side
+    * multiply-add) is the deployment-relevant part. Emits the raw
+    * logit rather than a sigmoid: every input feature is already
+    * floor-truncated to the 1e-4 grid, so the multiply-add chain is
+    * bit-identical cross-engine, while `exp()` is libm-dependent — and
+    * the logit carries the same decision boundary (keep ⇔ logit > 0).
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val logit = lit(-2.25) + $"len_score" * 1.5 + $"stop_ratio" * 3.0 -
+      $"punct_ratio" * 4.0 + $"alpha_frac" * 1.0 - $"symbol_ratio" * 5.0
+    withGopherSignals(withQualityScore(Tables.documents(s, dir)))
+      .select($"doc_id",
+        (floor(logit * 10000.0) / 10000.0).as("logit"),
+        (logit > 0.0).cast("long").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source document cap — the RefinedWeb-style provenance cap
+    * (Penedo et al. 2023 cap pages per domain so no single source
+    * dominates the mixture): each source contributes at most `cap`
+    * documents, keeping its highest-quality ones (ties → lower
+    * doc_id). One scan + ONE hash shuffle on `source`; the rank
+    * filter prunes through WindowGroupLimit, so no task ever
+    * materializes more than `cap` rows per source — at 100 TB the
+    * per-source state is the cap, not the source's document count.
+    * The quality column is [[withQualityScore]]'s, riding the same
+    * scan (no self-join). */
+  def sourceCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    withQualityScore(Tables.documents(s, dir))
+      .select($"doc_id", $"source", $"quality")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= cap)
+      .orderBy($"source", $"rk")
+  }
+
   /** Scrubbing pass (PII-redaction shape): count and redact digit runs
     * of 3+ (the stand-in for phone/SSN patterns — the regex is RE2-safe
     * so the oracle applies the identical pattern). Map-side only. */

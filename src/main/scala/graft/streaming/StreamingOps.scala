@@ -348,6 +348,48 @@ object StreamingOps {
       .orderBy(col("source"))
   }
 
+  /** Streaming incremental exact dedup (`ev_stream_incr_dedup`) — the
+    * landing-zone deployment of
+    * [[graft.operators.Dedup.incrementalDedup]]: new documents arrive
+    * as a STREAM and must pass the never-seen-in-the-corpus check
+    * before ingestion. Same plan discipline as the batch twin, via the
+    * SHARED [[graft.operators.Dedup.historyBloomMightHit]] builder:
+    * the history bloom filter is built once, batch-side, before the
+    * stream starts; bloom-NEGATIVE rows are routed past the join
+    * entirely (map-side, per micro-batch); only bloom-positive rows
+    * (true dups + fpp stragglers) probe the stream-static LEFT ANTI
+    * join, which keeps the result exact. Append mode and stateless —
+    * no watermark state to size; collapsing duplicates WITHIN the
+    * stream is the stateful concern [[dedupViaStream]] owns
+    * (dropDuplicatesWithinWatermark). Batch/history split is
+    * [[graft.operators.Dedup.incrementalDedup]]'s md5-bucket rule, so
+    * the DuckDB oracle hash-checks the streamed survivors end-to-end.
+    */
+  def incrDedupViaStream(s: SparkSession, dir: String,
+                         historyBuckets: Long = 3277): DataFrame = {
+    val staged = docsStagedDir(s, dir)
+    val hb = conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+      .cast("long")
+    val history = graft.Tables.documents(s, dir)
+      .withColumn("hb", hb).filter(col("hb") < historyBuckets)
+      .select(sha2(col("text"), 256).as("digest"))
+    val batch = s.readStream
+      .schema(graft.Tables.documents(s, dir).schema)
+      .parquet(staged)
+      .withColumn("hb", hb).filter(col("hb") >= historyBuckets)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val survivors =
+      graft.operators.Dedup.historyBloomMightHit(s, history, col("digest")) match {
+        case None        => batch // empty history: everything is new
+        case Some(might) =>
+          batch.filter(!might).unionByName(
+            batch.filter(might).join(history, Seq("digest"), "left_anti"))
+      }
+    runToMemory(survivors, "ev_stream_incr_dedup_q", OutputMode.Append,
+      statePartitions = Some(8))
+      .orderBy(col("doc_id"))
+  }
+
   def tumblingViaStream(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     val mem = runToMemory(tumblingCounts(eventsStream(s, staged)),

@@ -227,6 +227,34 @@ class EventsStreamingSpec extends SparkSpec {
     assert(deduped.select("event_id").distinct().count() == ev.count())
   }
 
+  test("streaming incremental dedup == batch anti-join of the same split") {
+    val got = StreamingOps.incrDedupViaStream(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // independent batch reference: plain anti-join, no bloom routing
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10)
+      .cast("long")
+    val docs = Tables.documents(spark, sfDir).withColumn("hb", hb)
+    val hist = docs.filter($"hb" < 3277).select(sha2($"text", 256).as("digest"))
+    val want = docs.filter($"hb" >= 3277)
+      .select($"doc_id", sha2($"text", 256).as("digest"))
+      .join(hist, Seq("digest"), "left_anti")
+      .select($"doc_id", $"digest").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "split produced no batch survivors — fixture broke")
+    // and no survivor's digest may exist in history (exactness: the
+    // bloom's false positives must be scrubbed by the anti-join)
+    val histSet = hist.collect().map(_.getString(0)).toSet
+    assert(got.forall { case (_, d) => !histSet(d) })
+  }
+
+  test("streaming incremental dedup: empty history passes everything through") {
+    // historyBuckets=0 → history is empty → the bloom builder returns
+    // None and the stream must pass through unjoined
+    val got = StreamingOps.incrDedupViaStream(spark, sfDir, historyBuckets = 0L)
+    assert(got.count() == Tables.documents(spark, sfDir).count())
+  }
+
   test("stream-stream purchase-click join matches batch range join") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.purchaseClickJoin(StreamingOps.eventsStream(spark, streamDir)),

@@ -201,6 +201,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-k rank must prune map-side")
   }
 
+  test("gopher repetition battery: one scan, no join, no window, no explode") {
+    // the whole A1.2 battery is doc-local: n-gram counting happens in
+    // per-row HOF folds over kernel-built arrays. An explode + groupBy
+    // formulation would shuffle ~9 n-gram streams of the corpus —
+    // that is the oracle's job (DuckDB recomputes it that way), never
+    // the engine's
+    val p = plan(graft.operators.TextAnalysis.gopherRepetition(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "battery must stay single-scan")
+    assert(!p.contains("Join"), "battery must stay join-free")
+    assert(!p.contains("WindowExec"), "battery must not window")
+    assert(!p.contains("Generate"), "battery must not explode")
+    assert("graft_ngram_rep_mass".r.findAllIn(p).size == 1,
+      "the 9-n mass kernel must be evaluated exactly once per row")
+  }
+
+  test("quality classifier: one scan, map-side multiply-add only") {
+    val p = plan(graft.operators.TextAnalysis.qualityClassifier(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "classifier must stay single-scan")
+    assert(!p.contains("Join"), "classifier must not join back to its features")
+    assert(!p.contains("HashAggregate"), "classifier must not aggregate")
+  }
+
+  test("source cap: one scan, rank prunes through WindowGroupLimit") {
+    val p = plan(graft.operators.TextAnalysis.sourceCap(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "cap must not self-join for quality")
+    assert(p.contains("WindowGroupLimit"), "cap rank must prune map-side")
+  }
+
   test("pipe_e2e observed metrics ride the pipeline's own pass") {
     // observe() piggybacks aggregates on the action itself — the 100 TB
     // alternative to a separate counting pass. Metrics must match

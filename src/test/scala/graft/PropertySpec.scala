@@ -293,6 +293,11 @@ class PropertySpec extends SparkSpec {
     assert(TextAnalysis.piiScrub(spark, dir).count() == 0)
     assert(graft.operators.Pipeline.dataCard(spark, dir).count() == 0)
     assert(graft.operators.Multimodal.phashDedup(spark, dir).count() == 0)
+    // round-7 operators: repetition battery + classifier are pure
+    // maps, the source cap windows over nothing
+    assert(TextAnalysis.gopherRepetition(spark, dir).count() == 0)
+    assert(TextAnalysis.qualityClassifier(spark, dir).count() == 0)
+    assert(TextAnalysis.sourceCap(spark, dir).count() == 0)
   }
 
   test("deflate length kernel ≡ direct java.util.zip recompute; ratio ordering") {
@@ -552,5 +557,132 @@ class PropertySpec extends SparkSpec {
     // doc 0: zebra tf=2/3, idf=ln(4/2) — check the truncated value
     val zebra = got.find(t => t._1 == 0L && t._2 == "zebra").get._4
     assert(zebra == math.floor(2.0 / 3.0 * math.log(4.0 / 2.0) * 1e6) / 1e6)
+  }
+
+  // ---- Gopher repetition battery (round 7) ----
+
+  /** Independent driver-side recompute of the repetition fractions —
+    * plain Scala collections, shares nothing with the runMass HOF
+    * fold or the TokenNgrams kernel. */
+  private def repRef(text: String): Map[String, Double] = {
+    val len = math.max(text.length, 1).toDouble
+    def frac(mass: Long, den: Double = len): Double =
+      math.min(math.floor(mass * 10000.0 / den) / 10000.0, 1.0)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def counts(n: Int): Map[String, Int] =
+      if (toks.length < n) Map.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+    def top(n: Int): Long = {
+      val c = counts(n)
+      if (c.isEmpty) 0L
+      else {
+        // iterator, NOT Map.map — mapping a Map to (count, len) pairs
+        // re-keys by count and silently drops same-count grams
+        val (cnt, glen) = c.iterator.map { case (g, k) => (k, g.length) }.max
+        cnt.toLong * glen
+      }
+    }
+    def dup(n: Int): Long =
+      counts(n).collect { case (g, k) if k >= 2 => k.toLong * g.length }.sum
+    val lines = text.split("\n", -1).toSeq
+    val lineCounts = lines.groupBy(identity).map { case (l, o) => l -> o.size }
+    val dupLineMass =
+      lineCounts.collect { case (l, k) if k >= 2 => k.toLong * l.length }.sum
+    Map("dup_line_frac" ->
+        frac((lines.size - lines.distinct.size).toLong, math.max(lines.size, 1)),
+      "dup_line_char_frac" -> frac(dupLineMass)) ++
+      (2 to 4).map(n => s"top${n}_frac" -> frac(top(n))) ++
+      (5 to 10).map(n => s"dup${n}_frac" -> frac(dup(n)))
+  }
+
+  test("gopher repetition battery ≡ independent recompute on adversarial docs") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e")
+    val generated = (1 to 40).map { i =>
+      val n = rnd.nextInt(40)
+      val seps = Vector(" ", " ", "\n", "  ", "\t")
+      val sb = new StringBuilder
+      (0 until n).foreach { j =>
+        if (j > 0) sb.append(seps(rnd.nextInt(seps.size)))
+        sb.append(vocab(rnd.nextInt(vocab.size)))
+      }
+      (i.toLong, sb.toString)
+    }
+    val edge = Seq(
+      (100L, ""), (101L, "   "), (102L, "x"), (103L, "x\nx\ny"),
+      (104L, "x\nx\n"), // trailing newline: split must keep the empty tail
+      (105L, "a a a a"),
+      (106L, Seq.fill(5)("p q r").mkString(" ")),
+      (107L, "é ü é ü é ü")) // multi-byte: fractions use CHAR length
+    val docs = (generated ++ edge).toDF("doc_id", "text")
+    val cols = Seq("dup_line_frac", "dup_line_char_frac") ++
+      (2 to 4).map(n => s"top${n}_frac") ++ (5 to 10).map(n => s"dup${n}_frac")
+    val got = TextAnalysis.withRepetitionSignals(docs)
+      .select(col("doc_id") +: col("text") +: cols.map(col): _*)
+      .collect()
+    got.foreach { r =>
+      val ref = repRef(r.getString(1))
+      cols.zipWithIndex.foreach { case (c, i) =>
+        assert(r.getDouble(2 + i) == ref(c),
+          s"doc ${r.getLong(0)} $c: got ${r.getDouble(2 + i)}, want ${ref(c)} " +
+            s"for text ${r.getString(1).take(60)}")
+      }
+    }
+  }
+
+  test("gopher repetition fixtures: caps, empty doc, duplicate lines, keep flag") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a a a a"), // "a a" ×3, mass 9 over 7 chars → capped at 1.0
+      (2L, ""), // everything 0, keep stays 1
+      (3L, "x\nx\ny"), // 1 dup line of 3 → 0.3333 > 0.30 → removed
+      (4L, Seq.fill(5)("p q r").mkString(" ")) // periodic: every 5-gram duplicated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetitionSignals(docs)
+      .select("doc_id", "dup_line_frac", "dup_line_char_frac", "top2_frac",
+        "top4_frac", "dup5_frac", "rep_keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0) // top2 capped
+    assert(out(1L).getDouble(4) == 1.0) // "a a a a" ×1, mass 7 over 7 chars
+    assert(out(1L).getDouble(5) == 0.0) // no 5-grams in a 4-token doc
+    assert(out(2L).getDouble(1) == 0.0 && out(2L).getDouble(3) == 0.0 &&
+      out(2L).getLong(6) == 1L) // empty doc trips nothing
+    assert(out(3L).getDouble(1) == 0.3333) // floor(1/3 · 1e4)/1e4
+    assert(out(3L).getDouble(2) == 0.4) // dup "x" chars: 2 of 5
+    assert(out(3L).getLong(6) == 0L) // 0.3333 > 0.30 → removed
+    assert(out(4L).getDouble(5) == 1.0) // all 5-grams duplicated → capped
+    assert(out(4L).getLong(6) == 0L)
+  }
+
+  test("quality classifier: keep ⇔ logit sign, both classes occur at sf0.001") {
+    val rows = graft.operators.TextAnalysis.qualityClassifier(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val (logit, keep) = (r.getDouble(1), r.getLong(2))
+      // keep is decided on the UNtruncated logit; floor-truncation can
+      // only pull a positive logit down to 0.0, never across zero
+      if (keep == 1L) assert(logit >= 0.0, s"keep=1 with logit $logit")
+      else assert(logit <= 0.0, s"keep=0 with logit $logit")
+    }
+    val kept = rows.count(_.getLong(2) == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"classifier is degenerate: $kept/${rows.length} kept")
+  }
+
+  test("source cap: at most `cap` docs per source, quality-ordered") {
+    val out = graft.operators.TextAnalysis.sourceCap(spark, sfDir, cap = 3)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    val bySource = out.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 3, s"$src exceeded the cap")
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"$src ranks not contiguous")
+      // quality non-increasing in rank
+      val byRank = rows.sortBy(_._3).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"$src")
+    }
   }
 }
