@@ -157,6 +157,13 @@ object SparkEntry {
     // FAISS IVF<n>,SQ8 shape); rows-only, gated in RecallSpec vs both
     // the float brute force and the unquantized trained IVF
     "ann_ivf_sq8" -> ((s, dir) => Similarity.ivfSq8TopK(s, dir)),
+    // product quantization (8 code bytes/vector, 64× smaller corpus);
+    // rows-only, top-k overlap gated in RecallSpec, kernels pinned vs
+    // driver-side reconstructions in SimilaritySpec
+    "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // IVF×PQ composed (the FAISS IVF<n>,PQ<m> web-scale deployable);
+    // rows-only, gated vs brute force and the unquantized trained IVF
+    "ann_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
     // perceptual-hash media dedup (aHash-structured stub codec +
@@ -196,10 +203,12 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same tables as parquet views).
     * Omitted: dd_minhash_lsh / dd_lsh_clusters / dd_simhash /
     * ann_lsh_topk / ann_near_dup / dd_semantic / ann_sq8_topk /
-    * ann_ivf_sq8 / tx_rolling_fp / tx_compress / tx_bpe /
+    * ann_ivf_sq8 / ann_pq_topk / ann_ivf_pq / tx_rolling_fp /
+    * tx_compress / tx_bpe /
     * mm_phash_dup / dd_cdc / dd_incremental_fuzzy (xxhash64 / LSH /
-    * k-means / SQ8 / 2⁶⁴-wraparound / deflate / BPE / codec-boundary
-    * hash / CDC cut-rule internals aren't ANSI-expressible) —
+    * k-means / SQ8 / PQ / 2⁶⁴-wraparound / deflate / BPE /
+    * codec-boundary hash / CDC cut-rule internals aren't
+    * ANSI-expressible) —
     * those are covered by scalatest goldens; the driver records
     * rows-only. */
   def oracleSql: Map[String, String] = {

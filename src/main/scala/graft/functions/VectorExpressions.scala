@@ -44,6 +44,14 @@ object VectorFunctions {
                     los: Seq[Double], his: Seq[Double]): Column =
     ColumnBridge.column(CosineSq8Asym(
       ColumnBridge.expression(q), ColumnBridge.expression(code), los, his))
+
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+
+  def cosinePqAsym(q: Column, code: Column,
+                   codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(CosinePqAsym(
+      ColumnBridge.expression(q), ColumnBridge.expression(code), codebooks))
 }
 
 /** The large-centroid-table twin of [[NearestCentroids]]: the table
@@ -358,5 +366,108 @@ case class CosineSq8Asym(left: Expression, right: Expression,
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSq8Asym =
+    copy(left = l, right = r)
+}
+
+/** Product-quantization encode (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search"): the vector is split
+  * into `M = codebooks.length` contiguous subspaces; each subvector is
+  * replaced by the index of its nearest (L2) centroid in that
+  * subspace's codebook. Output is M bytes — at dim 64 / M 8 that is a
+  * 64× smaller resident corpus than array<double> (8 bytes vs 512),
+  * the difference between an in-memory index and none at 100 TB of
+  * embeddings. `codebooks(m)(j)` is centroid j of subspace m; ksub ≤
+  * 256 so a code fits one byte. Ties break toward the lower centroid
+  * index (deterministic). */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  require(codebooks.forall(_.length <= 256), "ksub must fit one byte")
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dsub = books(0)(0).length
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val nDims = a.numElements()
+    val out = new Array[Byte](books.length)
+    var m = 0
+    while (m < books.length) {
+      val base = m * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      val cents = books(m)
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var d2 = 0.0
+        var t = 0
+        while (t < dsub && base + t < nDims) {
+          val diff = a.getDouble(base + t) - c(t)
+          d2 += diff * diff
+          t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      out(m) = best.toByte
+      m += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** Asymmetric PQ cosine (the ADC of Jégou et al. 2011, on the cosine
+  * metric): the float query against an M-byte PQ code. The dot product
+  * decomposes across subspaces — Σ_m q_m · c_{m,code[m]} — and the
+  * reconstructed corpus norm is a table lookup (per-centroid squared
+  * norms precomputed once per executor), so scoring touches only the
+  * M code bytes plus the query floats. Queries stay exact; only the
+  * corpus is quantized. */
+case class CosinePqAsym(left: Expression, right: Expression,
+                        codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_pq"
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dsub = books(0)(0).length
+  @transient private lazy val norm2: Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]
+    val code = r.asInstanceOf[Array[Byte]]
+    val nDims = q.numElements()
+    val m = math.min(books.length, code.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var mi = 0
+    while (mi < m) {
+      val j = code(mi) & 0xff
+      val c = books(mi)(j)
+      nb += norm2(mi)(j)
+      val base = mi * dsub
+      var t = 0
+      while (t < dsub && base + t < nDims) {
+        val x = q.getDouble(base + t)
+        dot += x * c(t)
+        na += x * x
+        t += 1
+      }
+      mi += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosinePqAsym =
     copy(left = l, right = r)
 }

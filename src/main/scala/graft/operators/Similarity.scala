@@ -333,6 +333,134 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Train PQ codebooks on a BOUNDED corpus sample, driver-side —
+    * exactly how FAISS trains its quantizers: the training set is a
+    * sample (here the first `sampleN` vectors by id — deterministic),
+    * pulled once as a bounded artifact (sampleN × dim doubles, ~1 MB),
+    * and M independent ksub-means problems are solved locally. At
+    * 100 TB you train on the same bounded sample — training cost does
+    * not scale with the corpus, only encoding does (map-side).
+    * Returns `codebooks(m)(j)` = centroid j of subspace m. */
+  private[graft] def pqTrain(s: SparkSession, emb: DataFrame, m: Int = 8,
+                             ksub: Int = 16, sampleN: Int = 2048,
+                             iters: Int = 10): Seq[Seq[Seq[Double]]] = {
+    import s.implicits._
+    val sample = emb.orderBy($"vec_id").limit(sampleN)
+      .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty embedding corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { mi =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      kmeansLloydLocal(sub, ksub, iters).map(_.toSeq).toSeq
+    }
+  }
+
+  /** Plain driver-side Lloyd's over a (bounded, sample-sized) array —
+    * the subspace trainer behind [[pqTrain]]. Deterministic: seeds are
+    * the first k points, L2 assignment ties break toward the lower
+    * centroid index, empty clusters keep their previous centroid. */
+  private def kmeansLloydLocal(xs: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
+    var cents = xs.take(math.min(k, xs.length)).map(_.clone)
+    val d = xs.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val counts = new Array[Int](cents.length)
+      xs.foreach { x =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var d2 = 0.0
+          var t = 0
+          while (t < d) { val df = x(t) - cents(j)(t); d2 += df * df; t += 1 }
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < d) { sums(best)(t) += x(t); t += 1 }
+      }
+      cents = cents.indices.map(j =>
+        if (counts(j) > 0) sums(j).map(_ / counts(j)) else cents(j)).toArray
+    }
+    cents
+  }
+
+  /** Product-quantized brute-force top-k (Jégou et al. 2011) — the
+    * third rung of the quantization ladder after float
+    * ([[bruteForceTopK]]) and SQ8 ([[sq8TopK]]): the corpus is held as
+    * M = 8 CODE BYTES per vector (64× smaller than array<double> at
+    * dim 64; 8× smaller than SQ8), scored with asymmetric cosine
+    * ([[graft.functions.CosinePqAsym]]: the dot product decomposes
+    * across subspaces, reconstructed norms are table lookups).
+    * Codebooks train on a bounded sample ([[pqTrain]]) and ride the
+    * expressions (M × ksub × dsub doubles = 8 KB — plan-literal scale).
+    * Same scan shape as the float brute force, so the RecallSpec gate
+    * isolates pure PQ quantization loss. Rows-only in the driver
+    * contract (k-means codebooks aren't ANSI-expressible). */
+  def pqTopK(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+             numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val books = pqTrain(s, emb, m, ksub)
+    val coded = emb.select($"vec_id",
+      VectorFunctions.pqEncode($"embedding", books).as("code"))
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    coded.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosinePqAsym($"q", $"code", books), 6)
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** IVF × PQ composed ANN — the FAISS `IVF<n>,PQ<m>` recipe, the
+    * standard web-scale deployable: k-means-trained inverted lists
+    * bound the comparison set to nProbe/nLists of the corpus, and
+    * inside the lists the corpus is M code bytes per vector. The
+    * corpus carries only (vec_id, cid, code) past the scan — at 100 TB
+    * of embeddings this is the shape that actually fits an in-memory
+    * index. Probe plumbing is byte-identical to [[ivfTrainedTopK]],
+    * quantization to [[pqTopK]], so RecallSpec gates the composition
+    * against both (combined loss vs brute force; added PQ loss vs the
+    * unquantized trained IVF). Rows-only in the driver contract. */
+  def ivfPqTopK(s: SparkSession, dir: String, nLists: Int = 16,
+                iters: Int = 5, m: Int = 8, ksub: Int = 16,
+                nProbe: Int = 4, numQueries: Int = 10,
+                topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val (cids, cvecs) = kmeansCentroids(s, emb, nLists, iters)
+    val books = pqTrain(s, emb, m, ksub)
+    val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+    val assigned = emb.select($"vec_id",
+      nearest($"embedding", 1).getItem(0).as("cid"),
+      VectorFunctions.pqEncode($"embedding", books).as("code"))
+    val probes = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"),
+        explode(nearest($"embedding", nProbe)).as("cid"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosinePqAsym($"q", $"code", books), 6)
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Embedding-cosine near-duplicate detection: pairs above a cosine
     * threshold, found inside multi-table LSH buckets (bucket-equality
     * join, never all-pairs). Threshold 0.4 is calibrated to the
