@@ -394,6 +394,11 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   override protected def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val nDims = a.numElements()
+    // strict dim contract (mirrors pqTrain's dim % m == 0 check): a
+    // short vector must fail the task loudly, not silently truncate
+    // the dot product while the norm lookup still adds full centroids
+    require(nDims == books.length * dsub,
+      s"graft_pq_encode: vector dim $nDims != ${books.length}×$dsub")
     val out = new Array[Byte](books.length)
     var m = 0
     while (m < books.length) {
@@ -406,7 +411,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
         val c = cents(j)
         var d2 = 0.0
         var t = 0
-        while (t < dsub && base + t < nDims) {
+        while (t < dsub) {
           val diff = a.getDouble(base + t) - c(t)
           d2 += diff * diff
           t += 1
@@ -447,18 +452,23 @@ case class CosinePqAsym(left: Expression, right: Expression,
     val q = l.asInstanceOf[ArrayData]
     val code = r.asInstanceOf[Array[Byte]]
     val nDims = q.numElements()
-    val m = math.min(books.length, code.length)
+    // strict contracts: truncating either side would silently skew
+    // scores (partial dot against a full-norm lookup) — fail loudly
+    require(nDims == books.length * dsub,
+      s"graft_cosine_pq: query dim $nDims != ${books.length}×$dsub")
+    require(code.length == books.length,
+      s"graft_cosine_pq: code has ${code.length} bytes, expected ${books.length}")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var mi = 0
-    while (mi < m) {
+    while (mi < books.length) {
       val j = code(mi) & 0xff
       val c = books(mi)(j)
       nb += norm2(mi)(j)
       val base = mi * dsub
       var t = 0
-      while (t < dsub && base + t < nDims) {
+      while (t < dsub) {
         val x = q.getDouble(base + t)
         dot += x * c(t)
         na += x * x
@@ -466,7 +476,8 @@ case class CosinePqAsym(left: Expression, right: Expression,
       }
       mi += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosinePqAsym =
     copy(left = l, right = r)

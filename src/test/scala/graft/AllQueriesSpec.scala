@@ -8,11 +8,14 @@ class AllQueriesSpec extends SparkSpec {
 
   // intentionally-bounded non-equi joins: explicit domain limits
   // (dd_ngram_jaccard: doc_id < 50; ann_brute_topk and its quantized
-  // twin ann_sq8_topk: numQueries probe rows). ann_ivf_topk left the
-  // list in round 2: centroid assignment is now a map-side kernel, so
-  // its joins are all equi-joins.
+  // twins ann_sq8_topk / ann_pq_topk: the broadcast build side is
+  // exactly numQueries probe rows — brute-force scans by design, the
+  // exact baselines their bucketed variants are gated against).
+  // ann_ivf_topk left the list in round 2: centroid assignment is now
+  // a map-side kernel, so its joins are all equi-joins; ann_ivf_pq
+  // equi-joins on cid for the same reason.
   private val nestedLoopAllowed =
-    Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk")
+    Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five

@@ -188,6 +188,37 @@ class RecallSpec extends SparkSpec {
       f"quantization inside IVF lists lost recall it shouldn't: $vsIvf%.3f")
   }
 
+  test("PQ top-k recall vs exact brute force (pure quantization loss)") {
+    // same scan shape as the float brute force, so any loss is PQ
+    // quantization alone. Measured 0.840 at the m=16/ksub=256 defaults
+    // (the published 8-bit-per-subquantizer FAISS shape) on the
+    // isotropic fixture — the geometry where PQ is weakest (no
+    // subspace structure to exploit, true neighbors barely above the
+    // bulk). Round 7's untested 4-bit config (ksub=16) measured 0.20;
+    // this gate makes that class of regression unshippable.
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = topkPairs(Similarity.pqTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"pq recall@5 = $recall%.3f (${(got & truth).size}/${truth.size})")
+    assert(recall >= 0.75, f"PQ recall collapsed: $recall%.3f")
+  }
+
+  test("IVF×PQ composed: recall vs brute force and vs the unquantized trained IVF") {
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val ivf = topkPairs(Similarity.ivfTrainedTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = topkPairs(Similarity.ivfPqTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val recall = (got & truth).size.toDouble / truth.size
+    val vsIvf = (got & ivf).size.toDouble / ivf.size
+    info(f"ivf×pq recall@5 vs brute = $recall%.3f, vs trained ivf = $vsIvf%.3f")
+    // measured 0.780 vs brute / 0.860 vs the trained IVF: the
+    // composition loses the IVF bucketing (trained IVF = 0.860) plus a
+    // small PQ ranking perturbation — unlike SQ8 (lossless overlap),
+    // 16-byte codes do reorder near-ties. Both gates catch collapse.
+    assert(recall >= 0.70, f"composed IVF×PQ recall collapsed: $recall%.3f")
+    assert(vsIvf >= 0.75,
+      f"PQ inside IVF lists lost more recall than measured headroom: $vsIvf%.3f")
+  }
+
   test("q20 sketches stay inside their error bounds vs exact counterparts") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Relational.q20Sketches(spark, sfDir).collect()

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.typedLit
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -118,6 +119,72 @@ class SimilaritySpec extends SparkSpec {
     // that is the point of the wiring at 10⁴⁺ lists
     assert(bcPlan.length * 4 < litPlan.length,
       s"bcast plan ${bcPlan.length} chars vs literal ${litPlan.length}")
+  }
+
+  test("PqEncode kernel ≡ driver-side nearest-centroid assignment per subspace") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    // small codebooks keep the driver-side reconstruction readable;
+    // the kernel contract (per-subspace L2 argmin, low-index ties) is
+    // config-independent
+    val books = Similarity.pqTrain(spark, emb, m = 8, ksub = 16, sampleN = 64)
+    val got = emb.select($"vec_id",
+      graft.functions.VectorFunctions.pqEncode($"embedding", books).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dsub = books.head.head.length
+    vecs.foreach { case (id, v) =>
+      val expected = books.indices.map { mi =>
+        val sub = v.slice(mi * dsub, (mi + 1) * dsub)
+        books(mi).zipWithIndex.minBy { case (c, j) =>
+          (sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+        }._2.toByte
+      }
+      assert(got(id).toSeq == expected, s"vec $id")
+    }
+  }
+
+  test("CosinePqAsym kernel ≡ driver-side decode-and-cosine reconstruction") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val books = Similarity.pqTrain(spark, emb, m = 8, ksub = 16, sampleN = 64)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dsub = books.head.head.length
+    val q = vecs(0L)
+    val got = emb.select($"vec_id",
+      graft.functions.VectorFunctions.cosinePqAsym(
+        typedLit(q),
+        graft.functions.VectorFunctions.pqEncode($"embedding", books),
+        books).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, v) =>
+      // driver-side: encode, decode to the centroid reconstruction,
+      // then exact cosine(query, reconstruction) — the ADC identity
+      val recon = books.indices.flatMap { mi =>
+        val sub = v.slice(mi * dsub, (mi + 1) * dsub)
+        books(mi).minBy(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      assert(math.abs(got(id) - cos(q, recon)) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("PQ kernels reject malformed inputs loudly (dim and code-length contracts)") {
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    // dim 3 != 2 subspaces × dsub 2 → the task must fail, not truncate
+    val bad = Seq((1L, Seq(0.1, 0.2, 0.3))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions.pqEncode($"embedding", books)).collect()
+    }
+    assert(e.getMessage != null)
+    val badQ = intercept[Exception] {
+      Seq((1L, Seq(0.1, 0.2, 0.3, 0.4))).toDF("vec_id", "embedding")
+        .select(graft.functions.VectorFunctions.cosinePqAsym(
+          typedLit(Seq(0.1, 0.2, 0.3)),
+          graft.functions.VectorFunctions.pqEncode($"embedding", books),
+          books)).collect()
+    }
+    assert(badQ.getMessage != null)
   }
 
   test("lsh top-k candidates are true cosine scores (subset of brute force domain)") {
