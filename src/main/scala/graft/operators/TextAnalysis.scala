@@ -383,10 +383,20 @@ object TextAnalysis {
     val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
     val docs = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
       TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
+    // explode_outer, not explode: InferFiltersFromGenerate only fires
+    // for INNER explodes, and the null/size guards it infers duplicate
+    // the TokenNgrams call into the pushed-down Filter — 3 kernel
+    // evals per row (PLANS.md r7 showed exactly that). The outer
+    // variant emits one null-gram row for empty/null gram arrays; the
+    // post-filter on the GENERATED attribute is a cheap null check
+    // that restores inner-explode semantics (real n-grams are never
+    // null), and the kernel runs once per row in the lower Project.
     val bench = docs.filter($"hb" >= benchFrom)
-      .select(explode($"grams").as("gram")).distinct()
+      .select(explode_outer($"grams").as("gram"))
+      .filter($"gram".isNotNull).distinct()
     docs.filter($"hb" < trainBelow)
-      .select($"doc_id", explode($"grams").as("gram"))
+      .select($"doc_id", explode_outer($"grams").as("gram"))
+      .filter($"gram".isNotNull)
       .join(bench, "gram")
       .groupBy($"doc_id")
       .agg(count_distinct($"gram").as("n_hits"))

@@ -144,6 +144,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "digest dedup must prune map-side")
   }
 
+  test("contamination: one TokenNgrams eval per side, bench side broadcasts") {
+    // r7 PLANS.md caught InferFiltersFromGenerate duplicating the
+    // tokenization kernel into the pushed-down Filter's null/size
+    // guards — 3 evals per corpus row. The explode_outer restructure
+    // keeps one kernel call per scan side (2 total: corpus + bench).
+    val p = plan(graft.operators.TextAnalysis.contamination(spark, sfDir))
+    assert("graft_token_ngrams".r.findAllIn(p).size == 2,
+      s"TokenNgrams must be evaluated exactly once per side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench n-gram set must broadcast (corpus never shuffles before the join)")
+  }
+
   test("pipe_datacard: one scan, no join, no window — a pure two-phase rollup") {
     // the data card chains four operator families (quality kernel,
     // gopher battery, dedup digests, token counts) through one
