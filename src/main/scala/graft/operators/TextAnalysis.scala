@@ -79,9 +79,14 @@ object TextAnalysis {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), 1).as("toks"))
+    // explode_outer + null check on the GENERATED attribute, not inner
+    // explode: InferFiltersFromGenerate's inferred guards would inline
+    // the tokenizer kernel into the pushed-down Filter (3 evals/row —
+    // same fix as contamination; PlanSpec pins one eval per scan)
     val tf = toks
       .select($"doc_id", size($"toks").cast("double").as("dl"),
-        explode($"toks").as("term"))
+        explode_outer($"toks").as("term"))
+      .filter($"term".isNotNull)
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).cast("double").as("tf"), first($"dl").as("dl"))
     val stats = toks

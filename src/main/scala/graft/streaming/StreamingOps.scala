@@ -543,6 +543,11 @@ object StreamingOps {
     * At 100 TB the same knob scales the other way (more partitions than
     * cores). Scoped set/restore; Verify/Bench/tests run queries
     * sequentially on the session. */
+  /** Executed plan of the most recent [[runToMemory]] run (the last
+    * micro-batch's physical plan) — written for EventsStreamingSpec's
+    * plan-shape assertions, test-only by convention. */
+  @volatile private[graft] var lastStreamPlan: String = ""
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append,
                   statePartitions: Option[Int] = None,
@@ -561,7 +566,16 @@ object StreamingOps {
         .format("memory").queryName(name)
         .outputMode(outputMode)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // capture the last micro-batch's executed plan for plan-shape
+        // specs: streaming frames have no queryExecution.executedPlan,
+        // and the StreamExecution handle is private[sql] in 4.1 — the
+        // public explain() printer is the supported surface
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(buf)(q.explain())
+        lastStreamPlan = buf.toString("UTF-8")
+      } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       prevExtra.foreach {

@@ -79,6 +79,27 @@ class AllQueriesSpec extends SparkSpec {
     }
   }
 
+  test("no Filter evaluates the same graft kernel twice (InferFiltersFromGenerate tax)") {
+    // inner explode over a kernel-built array makes Catalyst infer
+    // `size(kernel(x)) > 0 AND isnotnull(kernel(x))` guards and push
+    // them into the Filter — re-running the kernel 2× per row on top
+    // of the Project's own eval (3 tokenizations/row in r7's
+    // contamination and bm25 plans). The fix is explode_outer + a null
+    // check on the GENERATED attribute; this guard catches the pattern
+    // registry-wide by flagging any Filter condition that contains the
+    // same graft_* call more than once.
+    frames.foreach { case (name, df) =>
+      flattenPlan(df.queryExecution.executedPlan).foreach {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          val calls = "graft_[a-z0-9_]+".r.findAllIn(f.condition.toString).toSeq
+          val dup = calls.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+          assert(dup.isEmpty,
+            s"$name re-evaluates ${dup.mkString(",")} inside a Filter: ${f.condition}")
+        case _ =>
+      }
+    }
+  }
+
   test("broadcast hints only on dimension or literally-bounded sides (registry-wide)") {
     // The round-2 scale-killer pattern: an explicit broadcast() hint on
     // a side whose cardinality scales with a fact table (q17's old

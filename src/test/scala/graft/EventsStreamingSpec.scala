@@ -248,6 +248,22 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.forall { case (_, d) => !histSet(d) })
   }
 
+  test("streaming incremental dedup plan: bloom kernel routes map-side, anti-join is stream-static broadcast") {
+    StreamingOps.incrDedupViaStream(spark, sfDir)
+    val p = StreamingOps.lastStreamPlan
+    assert(p.nonEmpty, "runToMemory captured no plan")
+    // the micro-batch plan must carry the bloom short-circuit (the
+    // codegen'd might_contain kernel on the stream side — bloom
+    // negatives never reach the join) and resolve the history anti-join
+    // as a broadcast stream-static join; any shuffle of the stream side
+    // into a SortMergeJoin would re-pay the history at every batch
+    assert(p.contains("might_contain"), s"bloom routing missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"history anti-join must be broadcast stream-static:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "stream side must not shuffle against the static history")
+  }
+
   test("streaming incremental dedup: empty history passes everything through") {
     // historyBuckets=0 → history is empty → the bloom builder returns
     // None and the stream must pass through unjoined

@@ -64,6 +64,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
     assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge against 8 query terms")
     assert(p.contains("WindowGroupLimit"), "top-k must prune map-side")
+    // tokenizer runs once in the tf branch's Project — not re-inlined
+    // into inferred explode guards (r8 caught 3 evals/row here)
+    assert("graft_token_ngrams".r.findAllIn(p).size == 1,
+      "tokenizer kernel must be evaluated exactly once per corpus row")
   }
 
   test("stratified sample ranks with WindowGroupLimit (quota pushdown)") {
@@ -142,6 +146,19 @@ class PlanSpec extends SparkSpec {
     assert("graft_text_stats".r.findAllIn(p).size == 1,
       "text-stats kernel must be evaluated exactly once")
     assert(p.contains("WindowGroupLimit"), "digest dedup must prune map-side")
+  }
+
+  test("ivf×pq: equi-join on cid with broadcast probes; corpus carries codes, not floats") {
+    val df = graft.operators.Similarity.ivfPqTopK(spark, sfDir)
+    val p = plan(df)
+    // the corpus side must meet the probes on a cid equi-join with the
+    // bounded probe set broadcast — the registry-wide guard already
+    // bans nested loops; this pins the positive shape
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n${p.take(4000)}")
+    assert(p.contains("cid"), "join must key on the centroid id")
+    // top-k must prune through WindowGroupLimit, not rank-then-filter
+    // whole partitions
+    assert(p.contains("WindowGroupLimit"), "rank filter must push a group limit")
   }
 
   test("contamination: one TokenNgrams eval per side, bench side broadcasts") {
