@@ -52,6 +52,18 @@ object VectorFunctions {
                    codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(CosinePqAsym(
       ColumnBridge.expression(q), ColumnBridge.expression(code), codebooks))
+
+  def residualVec(v: Column, cid: Column,
+                  centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(ResidualVec(
+      ColumnBridge.expression(v), ColumnBridge.expression(cid), centroids))
+
+  def cosinePqResidual(q: Column, cid: Column, code: Column,
+                       centroids: Seq[Seq[Double]],
+                       codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(CosinePqResidual(
+      ColumnBridge.expression(q), ColumnBridge.expression(cid),
+      ColumnBridge.expression(code), centroids, codebooks))
 }
 
 /** The large-centroid-table twin of [[NearestCentroids]]: the table
