@@ -494,3 +494,115 @@ case class CosinePqAsym(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosinePqAsym =
     copy(left = l, right = r)
 }
+
+/** Residual vector for IVF-residual encoding (the FAISS
+  * `by_residual=true` default): `v − centroid(cid)`. Inverted-list
+  * residuals concentrate around zero regardless of where the list
+  * centroid sits, so a SHARED product-quantizer codebook spends its
+  * resolution on the within-list geometry instead of re-encoding the
+  * coarse structure the IVF already captured — the standard composition
+  * (Jégou et al. 2011 §IV). Centroid ids are LIST POSITIONS (the
+  * `kmeansCentroids` contract), so lookup is a bounds-checked index. */
+case class ResidualVec(left: Expression, right: Expression,
+                       centroids: Seq[Seq[Double]])
+    extends BinaryExpression with CodegenFallback {
+  require(centroids.nonEmpty)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_residual_vec"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(v: Any, cidAny: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val cid = cidAny.asInstanceOf[Long]
+    require(cid >= 0 && cid < cents.length,
+      s"graft_residual_vec: cid $cid outside [0, ${cents.length})")
+    val c = cents(cid.toInt)
+    val n = a.numElements()
+    require(n == c.length,
+      s"graft_residual_vec: vector dim $n != centroid dim ${c.length}")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - c(i); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResidualVec =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric cosine against an IVF-RESIDUAL PQ code: the corpus
+  * reconstruction is `centroid(cid) + decode(code)`, so the dot
+  * product runs the float query against centroid-plus-codeword slices
+  * per subspace, and the reconstructed norm is a table lookup keyed by
+  * (cid, subspace, codeword) — precomputed once per executor
+  * (nLists × M × ksub doubles; 16×16×256 = 512 KB at the defaults).
+  * Scoring still touches only the M code bytes + the cid. Strict
+  * contracts match [[CosinePqAsym]]: malformed dims fail the task. */
+case class CosinePqResidual(first: Expression, second: Expression,
+                            third: Expression,
+                            centroids: Seq[Seq[Double]],
+                            codebooks: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  require(centroids.nonEmpty && codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_pq_residual"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dsub = books(0)(0).length
+  // norm2Table(cid)(m)(j) = Σ_t (centroid(cid)(m·dsub+t) + books(m)(j)(t))²
+  @transient private lazy val norm2Table: Array[Array[Array[Double]]] =
+    cents.map { c =>
+      books.zipWithIndex.map { case (sub, mi) =>
+        sub.map { cw =>
+          var s = 0.0
+          var t = 0
+          while (t < cw.length) {
+            val x = c(mi * dsub + t) + cw(t); s += x * x; t += 1
+          }
+          s
+        }
+      }
+    }
+
+  override protected def nullSafeEval(qAny: Any, cidAny: Any, codeAny: Any): Any = {
+    val q = qAny.asInstanceOf[ArrayData]
+    val cid = cidAny.asInstanceOf[Long]
+    val code = codeAny.asInstanceOf[Array[Byte]]
+    require(cid >= 0 && cid < cents.length,
+      s"graft_cosine_pq_residual: cid $cid outside [0, ${cents.length})")
+    require(q.numElements() == books.length * dsub,
+      s"graft_cosine_pq_residual: query dim ${q.numElements()} != ${books.length}×$dsub")
+    require(code.length == books.length,
+      s"graft_cosine_pq_residual: code has ${code.length} bytes, expected ${books.length}")
+    val c = cents(cid.toInt)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var mi = 0
+    while (mi < books.length) {
+      val j = code(mi) & 0xff
+      val cw = books(mi)(j)
+      nb += norm2Table(cid.toInt)(mi)(j)
+      val base = mi * dsub
+      var t = 0
+      while (t < dsub) {
+        val x = q.getDouble(base + t)
+        dot += x * (c(base + t) + cw(t))
+        na += x * x
+        t += 1
+      }
+      mi += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): CosinePqResidual =
+    copy(first = f, second = s, third = t)
+}

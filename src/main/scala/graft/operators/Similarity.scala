@@ -358,6 +358,52 @@ object Similarity {
     }
   }
 
+  /** PQ codebooks trained on IVF RESIDUALS (x − centroid(x)) — the
+    * FAISS `by_residual=true` default for IVF×PQ: residuals
+    * concentrate around zero whichever list a vector landed in, so one
+    * SHARED codebook spends its bits on within-list geometry instead
+    * of re-encoding the coarse structure the IVF already captured.
+    * Same bounded-sample/driver-side split as [[pqTrain]]; the
+    * sample's assignments replicate the kernel's cosine-with-low-id-
+    * tiebreak rule so training sees the residual distribution encoding
+    * will actually produce. */
+  private[graft] def pqTrainResidual(s: SparkSession, emb: DataFrame,
+                                     cvecs: Seq[Seq[Double]], m: Int = 16,
+                                     ksub: Int = 256, sampleN: Int = 2048,
+                                     iters: Int = 10): Seq[Seq[Seq[Double]]] = {
+    import s.implicits._
+    val sample = emb.orderBy($"vec_id").limit(sampleN)
+      .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrainResidual: empty embedding corpus")
+    val cents = cvecs.map(_.toArray).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val residuals = sample.map { v =>
+      var best = 0; var bestS = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        val sim = cos(v, cents(c))
+        if (sim > bestS) { bestS = sim; best = c }
+        c += 1
+      }
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - cents(best)(i); i += 1 }
+      r
+    }
+    val dim = residuals.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { mi =>
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      kmeansLloydLocal(sub, ksub, iters).map(_.toSeq).toSeq
+    }
+  }
+
   /** Plain driver-side Lloyd's over a (bounded, sample-sized) array —
     * the subspace trainer behind [[pqTrain]]. Deterministic: seeds are
     * the first k points, L2 assignment ties break toward the lower
@@ -436,33 +482,66 @@ object Similarity {
     * of embeddings this is the shape that actually fits an in-memory
     * index. Probe plumbing is byte-identical to [[ivfTrainedTopK]],
     * quantization to [[pqTopK]] (same 8-bit-per-subquantizer default;
-    * measured 0.78 vs brute force / 0.86 overlap with the unquantized
+    * measured 0.78 vs brute force / 0.88 overlap with the unquantized
     * trained IVF on the isotropic fixture), so RecallSpec gates the
     * composition against both (combined loss vs brute force; added PQ
-    * loss vs the unquantized trained IVF). Rows-only in the driver
-    * contract. */
+    * loss vs the unquantized trained IVF).
+    *
+    * `byResidual` selects FAISS's `by_residual=true` composition
+    * (encode x − centroid(x) with residual-trained codebooks, score
+    * via [[graft.functions.CosinePqResidual]]'s (cid, code)-keyed norm
+    * table). MEASURED DECISION — it is NOT the default here: on this
+    * isotropic cosine fixture it recalls 0.74 vs plain PQ's 0.78
+    * (RecallSpec records both). Residuals win when coarse centroids
+    * absorb real cluster structure (the clustered-corpus case FAISS
+    * optimizes for, under L2); on an isotropic corpus the lists carry
+    * little structure, so re-centering only misaligns the shared
+    * codebook. Both paths are gated so the trade-off stays measured,
+    * not assumed. Rows-only in the driver contract. */
   def ivfPqTopK(s: SparkSession, dir: String, nLists: Int = 16,
                 iters: Int = 5, m: Int = 16, ksub: Int = 256,
                 nProbe: Int = 4, numQueries: Int = 10,
-                topK: Int = 5): DataFrame = {
+                topK: Int = 5, byResidual: Boolean = false): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
     val (cids, cvecs) = kmeansCentroids(s, emb, nLists, iters)
-    val books = pqTrain(s, emb, m, ksub)
     val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
-    val assigned = emb.select($"vec_id",
-      nearest($"embedding", 1).getItem(0).as("cid"),
-      VectorFunctions.pqEncode($"embedding", books).as("code"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     val probes = emb.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q"),
         explode(nearest($"embedding", nProbe)).as("cid"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    assigned.join(broadcast(probes), Seq("cid"))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id",
-        round(VectorFunctions.cosinePqAsym($"q", $"code", books), 6)
-          .as("cos_sim"))
+    val scored =
+      if (byResidual) {
+        // FAISS by_residual: encode x − centroid(x) with codebooks
+        // trained on residuals; score via the (cid, code)-aware ADC
+        // kernel. cid binds in a LOWER projection and is referenced
+        // twice above it, so CollapseProject cannot duplicate the
+        // centroid-assignment kernel (the withQualityScore trick).
+        val books = pqTrainResidual(s, emb, cvecs, m, ksub)
+        val withCid = emb.select($"vec_id", $"embedding",
+          nearest($"embedding", 1).getItem(0).as("cid"))
+        val assigned = withCid.select($"vec_id", $"cid",
+          VectorFunctions.pqEncode(
+            VectorFunctions.residualVec($"embedding", $"cid", cvecs),
+            books).as("code"))
+        assigned.join(broadcast(probes), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            round(VectorFunctions.cosinePqResidual(
+              $"q", $"cid", $"code", cvecs, books), 6).as("cos_sim"))
+      } else {
+        val books = pqTrain(s, emb, m, ksub)
+        val assigned = emb.select($"vec_id",
+          nearest($"embedding", 1).getItem(0).as("cid"),
+          VectorFunctions.pqEncode($"embedding", books).as("code"))
+        assigned.join(broadcast(probes), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            round(VectorFunctions.cosinePqAsym($"q", $"code", books), 6)
+              .as("cos_sim"))
+      }
+    scored
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)
       .select($"query_id", $"vec_id", $"cos_sim", $"rk")

@@ -210,13 +210,29 @@ class RecallSpec extends SparkSpec {
     val recall = (got & truth).size.toDouble / truth.size
     val vsIvf = (got & ivf).size.toDouble / ivf.size
     info(f"ivf×pq recall@5 vs brute = $recall%.3f, vs trained ivf = $vsIvf%.3f")
-    // measured 0.780 vs brute / 0.860 vs the trained IVF: the
+    // measured 0.780 vs brute / 0.880 vs the trained IVF: the
     // composition loses the IVF bucketing (trained IVF = 0.860) plus a
     // small PQ ranking perturbation — unlike SQ8 (lossless overlap),
     // 16-byte codes do reorder near-ties. Both gates catch collapse.
     assert(recall >= 0.70, f"composed IVF×PQ recall collapsed: $recall%.3f")
     assert(vsIvf >= 0.75,
       f"PQ inside IVF lists lost more recall than measured headroom: $vsIvf%.3f")
+  }
+
+  test("IVF×PQ by-residual path: gated, and the default-choice measurement stays on record") {
+    // FAISS's by_residual=true composition, implemented and measured:
+    // 0.740 vs brute on this isotropic cosine fixture — BELOW plain
+    // PQ's 0.780, because near-uniform centroids carry no structure
+    // for residuals to exploit (the clustered-L2 case is where
+    // residuals win). byResidual stays false by default on the
+    // strength of this measurement; the gate keeps the alternative
+    // path honest (it must stay a working ANN, not rot).
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = topkPairs(Similarity.ivfPqTopK(spark, sfDir, numQueries = 10,
+      topK = 5, byResidual = true))
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"ivf×pq by-residual recall@5 vs brute = $recall%.3f")
+    assert(recall >= 0.65, f"residual IVF×PQ recall collapsed: $recall%.3f")
   }
 
   test("q20 sketches stay inside their error bounds vs exact counterparts") {

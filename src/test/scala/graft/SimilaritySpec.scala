@@ -168,6 +168,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ResidualVec kernel ≡ driver-side subtraction; CosinePqResidual ≡ centroid-plus-decode cosine") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val (_, cvecs) = Similarity.kmeansCentroids(spark, emb, 4, 2)
+    val books = Similarity.pqTrainResidual(spark, emb, cvecs, m = 8, ksub = 16, sampleN = 64)
+    val dsub = books.head.head.length
+    // fixed assignment column keeps the pin independent of the
+    // assignment kernel (tested elsewhere): cid = vec_id % 4
+    val withCid = emb.select($"vec_id", $"embedding",
+      ($"vec_id" % 4).cast("long").as("cid"))
+    val gotRes = withCid.select($"vec_id",
+      graft.functions.VectorFunctions.residualVec($"embedding", $"cid", cvecs).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val c = cvecs((id % 4).toInt)
+      val expected = v.zip(c).map { case (x, y) => x - y }
+      assert(gotRes(id) == expected, s"residual vec $id")
+    }
+    val q = vecs(0L)
+    val gotSim = withCid.select($"vec_id", $"cid",
+      graft.functions.VectorFunctions.cosinePqResidual(typedLit(q), $"cid",
+        graft.functions.VectorFunctions.pqEncode(
+          graft.functions.VectorFunctions.residualVec($"embedding", $"cid", cvecs),
+          books),
+        cvecs, books).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    vecs.foreach { case (id, v) =>
+      val c = cvecs((id % 4).toInt)
+      val resid = v.zip(c).map { case (x, y) => x - y }
+      // driver-side: encode the residual, decode to its centroid
+      // reconstruction, add the coarse centroid back, exact cosine
+      val recon = books.indices.flatMap { mi =>
+        val sub = resid.slice(mi * dsub, (mi + 1) * dsub)
+        books(mi).minBy(cw => sub.zip(cw).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      val full = recon.zip(c).map { case (r, y) => r + y }
+      assert(math.abs(gotSim(id) - cos(q, full)) < 1e-9, s"vec $id")
+    }
+  }
+
   test("PQ kernels reject malformed inputs loudly (dim and code-length contracts)") {
     val books: Seq[Seq[Seq[Double]]] =
       Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
