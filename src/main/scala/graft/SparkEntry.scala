@@ -103,6 +103,9 @@ object SparkEntry {
     "tx_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
+    // DSIR hashed-unigram importance weights (target = md5-bucket
+    // tail); oracle-checked
+    "tx_dsir" -> ((s, dir) => TextAnalysis.dsir(s, dir)),
     // bottom-k rolling-hash fingerprint; rows-only (64-bit wraparound
     // isn't ANSI-SQL), kernel gated vs an independent reference
     "tx_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
@@ -668,6 +671,37 @@ object SparkEntry {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           |  floor(-sum(ll) / count(*) * 10000.0) / 10000.0 AS avg_nll
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // DSIR: hashed-unigram add-α LMs (3 md5 hex chars = 4096
+      // buckets, same strpos hex expansion as the hb split); ln() for
+      // natural log, weight floor-truncated once at the end
+      "tx_dsir" ->
+        """WITH m AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          |s AS (SELECT doc_id, text,
+          |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS hb FROM m),
+          |t AS (SELECT doc_id, hb, unnest(list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+          |  FROM s),
+          |b AS (SELECT doc_id, hb,
+          |  (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) AS bucket FROM t),
+          |lm AS (SELECT bucket,
+          |  CAST(sum(CASE WHEN hb >= 3891 THEN 1 ELSE 0 END) AS BIGINT) AS tgt,
+          |  CAST(sum(CASE WHEN hb < 3891 THEN 1 ELSE 0 END) AS BIGINT) AS src
+          |  FROM b GROUP BY bucket),
+          |tot AS (SELECT CAST(sum(tgt) AS DOUBLE) AS tt, CAST(sum(src) AS DOUBLE) AS st FROM lm),
+          |sc AS (SELECT b.doc_id,
+          |    ln(((CAST(lm.tgt AS DOUBLE) + 0.5) / ((SELECT tt FROM tot) + 0.5 * 4096)) /
+          |       ((CAST(lm.src AS DOUBLE) + 0.5) / ((SELECT st FROM tot) + 0.5 * 4096))) AS llr
+          |  FROM b JOIN lm USING (bucket) WHERE b.hb < 3891),
+          |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    floor(sum(llr) * 10000.0) / 10000.0 AS dsir_weight
+          |  FROM sc GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, dsir_weight,
+          |  CAST(CASE WHEN dsir_weight > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM w ORDER BY doc_id""".stripMargin,
       // ln(), not log() — DuckDB log() is log10 where Spark log() is
       // natural; tfidf floor-truncated to 6 decimals before ranking
       "tx_bm25" ->

@@ -408,6 +408,74 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the published
+    * technique for selecting raw pre-training data that LOOKS LIKE a
+    * target domain: score every candidate document by the
+    * log-likelihood ratio of its hashed-unigram features under a
+    * target-domain LM vs a raw-source LM, then keep the high-ratio
+    * band. Here the target domain is the md5-bucket split's tail
+    * (hb ≥ `targetFrom`, the same rule tx_contamination uses for its
+    * benchmark side) so the query is self-contained and
+    * oracle-checkable; production passes any target corpus.
+    *
+    * Feature space is HASHED unigrams — bucket = first 3 md5 hex chars
+    * of the token (4096 buckets, the paper's hashing trick at test
+    * scale), so both LMs are FIXED-SIZE artifacts (≤ 4096 rows)
+    * regardless of corpus size: they build in one token-explode
+    * shuffle keyed on bucket (partial aggs collapse per bucket), then
+    * broadcast into the scoring pass — the corpus side maps through
+    * the join unshuffled and ships only per-doc partial sums, exactly
+    * the [[lmScore]] envelope. Totals are two scalars (metadata-scale
+    * collect). Smoothing is add-α on both LMs (α = 0.5).
+    *
+    * `dsir_weight` is the doc's summed log-ratio, floor-truncated at 4
+    * decimals (one rounding per output, [[lmScore]]'s ln-sum
+    * tolerance); `keep = weight > 0` is the thresholded selection —
+    * the paper samples via Gumbel top-k, which at scale is
+    * weight + Gumbel noise through TakeOrderedAndProject, but a
+    * deterministic threshold keeps the cross-engine gate exact.
+    * Docs with zero tokens have no features and are absent (lmScore
+    * contract). */
+  def dsir(s: SparkSession, dir: String, targetFrom: Long = 3891,
+           alpha: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val nBuckets = 4096
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val toks = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
+        explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5($"tok"), 1, 3), 16, 10).cast("long"))
+    // the limit is a SEMANTIC NO-OP (the grouping key is 3 md5 hex
+    // chars — the aggregate cannot exceed 4096 rows) that makes the
+    // cardinality bound structural: the registry-wide broadcast guard
+    // accepts hints only on sides whose plan PROVES a cap, which is
+    // exactly the discipline that keeps "I think it's small" hints
+    // from OOMing at 100 TB
+    val lm = toks.groupBy($"bucket").agg(
+        sum(when($"hb" >= targetFrom, 1L).otherwise(0L)).as("tgt"),
+        sum(when($"hb" < targetFrom, 1L).otherwise(0L)).as("src"))
+      .limit(nBuckets)
+    // coalesce: an empty corpus must degrade to an empty result, not
+    // unbox a null total (PropertySpec's empty-corpus battery)
+    val tot = lm.agg(coalesce(sum($"tgt"), lit(0L)).cast("double"),
+      coalesce(sum($"src"), lit(0L)).cast("double")).head()
+    val (tgtTot, srcTot) = (tot.getDouble(0), tot.getDouble(1))
+    val denomT = tgtTot + alpha * nBuckets
+    val denomS = srcTot + alpha * nBuckets
+    val scored = toks.filter($"hb" < targetFrom)
+      .join(broadcast(lm), Seq("bucket"))
+      .withColumn("llr",
+        log((($"tgt".cast("double") + alpha) / denomT) /
+            (($"src".cast("double") + alpha) / denomS)))
+    scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(sum($"llr") * 10000.0) / 10000.0).as("dsir_weight"))
+      .withColumn("keep", when($"dsir_weight" > 0.0, 1L).otherwise(0L))
+      .select($"doc_id", $"n_tokens", $"dsir_weight", $"keep")
+      .orderBy($"doc_id")
+  }
+
   /** Bigram-LM quality scoring — the perplexity-proxy filter of
     * CCNet/KenLM pipelines (Wenzek et al. 2020): score each document
     * by the average negative log-likelihood of its word bigrams under

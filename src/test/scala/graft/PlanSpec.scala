@@ -161,6 +161,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank filter must push a group limit")
   }
 
+  test("dsir: bucket LMs broadcast into the scoring pass; corpus never sort-merges") {
+    val p = plan(graft.operators.TextAnalysis.dsir(spark, sfDir))
+    // the hashed-unigram LM is a <=4096-row artifact — it must
+    // broadcast; a SortMergeJoin would shuffle the whole token stream
+    // against a fixed-size table
+    assert(p.contains("BroadcastHashJoin"), "bucket LM join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "token stream must not shuffle against the fixed-size LM")
+    // per-doc weight aggregation ships partial sums
+    assert(p.contains("partial_"), "doc aggregation must have a map-side partial")
+  }
+
   test("contamination: one TokenNgrams eval per side, bench side broadcasts") {
     // r7 PLANS.md caught InferFiltersFromGenerate duplicating the
     // tokenization kernel into the pushed-down Filter's null/size

@@ -268,6 +268,50 @@ class PropertySpec extends SparkSpec {
     assert(got == Map(trainIds(0) -> 1L, trainIds(2) -> 1L))
   }
 
+  test("dsir: target-vocabulary candidates outscore unrelated candidates; keep follows sign") {
+    import graft.operators.TextAnalysis
+    // plant the split by computing hb(doc_id) the same way the
+    // operator does: target docs (hb >= 3891) carry a distinct
+    // vocabulary; candidate docs either share it (should score high /
+    // keep) or use their own (should score low / drop)
+    def hb(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(3), 16)
+    }
+    val ids = (0L until 400L)
+    val targetIds = ids.filter(hb(_) >= 3891).take(8)
+    val candIds = ids.filter(hb(_) < 3891).take(8)
+    assert(targetIds.size == 8 && candIds.size == 8, "fixture needs both splits")
+    val targetVocab = "quantum lattice spinor gauge boson fermion"
+    val otherVocab = "recipe butter flour sugar oven whisk"
+    val rows =
+      targetIds.map(i => (i, targetVocab, "t")) ++
+      candIds.take(4).map(i => (i, targetVocab, "c")) ++        // target-like
+      candIds.drop(4).map(i => (i, otherVocab, "c"))            // unrelated
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.dsir(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    // only candidates are scored — target docs never appear
+    assert(got.keySet == candIds.toSet)
+    val (likeT, unlike) = (candIds.take(4), candIds.drop(4))
+    likeT.foreach { i =>
+      unlike.foreach { j =>
+        assert(got(i)._1 > got(j)._1,
+          s"target-like $i (${got(i)._1}) must outscore unrelated $j (${got(j)._1})")
+      }
+    }
+    // keep is exactly the sign of the truncated weight
+    got.foreach { case (id, (w, keep)) =>
+      assert(keep == (if (w > 0.0) 1L else 0L), s"doc $id keep/weight mismatch")
+    }
+    // and on this planted geometry the target-like docs are kept
+    likeT.foreach(i => assert(got(i)._2 == 1L, s"target-like $i not kept"))
+  }
+
   test("round-5 operators degrade to empty results on an empty corpus (no NPEs)") {
     import graft.operators.{Dedup, TextAnalysis}
     val dir = java.nio.file.Files.createTempDirectory("empty").toString
@@ -298,6 +342,9 @@ class PropertySpec extends SparkSpec {
     assert(TextAnalysis.gopherRepetition(spark, dir).count() == 0)
     assert(TextAnalysis.qualityClassifier(spark, dir).count() == 0)
     assert(TextAnalysis.sourceCap(spark, dir).count() == 0)
+    // round-8: DSIR's LM totals are NULL sums on an empty corpus — the
+    // coalesce must degrade to an empty scored frame, not unbox null
+    assert(TextAnalysis.dsir(spark, dir).count() == 0)
   }
 
   test("deflate length kernel ≡ direct java.util.zip recompute; ratio ordering") {
