@@ -199,6 +199,10 @@ object SparkEntry {
     // the batch pipeline's own quality+gopher columns → per-source
     // Complete-mode rollup; oracle-shared with a batch GROUP BY
     "tx_stream_quality" -> graft.streaming.StreamingOps.docQualityViaStream _,
+    // streaming twin of tx_dsir: frozen LM artifact (shared builder),
+    // map-side DsirLlr kernel scoring, stateless Append mode;
+    // oracle-shared with the batch SQL
+    "tx_stream_dsir" -> ((s, dir) => graft.streaming.StreamingOps.dsirViaStream(s, dir)),
     // streaming twin of dd_incremental: the shared history bloom
     // prefilter routes bloom-negative rows past a stream-static LEFT
     // ANTI join; stateless Append mode, oracle-checked end-to-end
@@ -339,7 +343,7 @@ object SparkEntry {
     val tokenized =
       s"""SELECT lower(regexp_replace(w, '$trim', '', 'g')) AS word
          |FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) t""".stripMargin
-    Map(
+    val base = Map(
       "wc_wordcount" ->
         s"""SELECT word, count(*) AS cnt FROM ($tokenized) u
            |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
@@ -1146,5 +1150,10 @@ object SparkEntry {
           |        FROM events GROUP BY 1, 2) a) b
           |WHERE rk <= 3 ORDER BY hr_s, rk""".stripMargin,
     )
+    // the streaming DSIR twin scores the SAME corpus against the SAME
+    // frozen LM, so it shares tx_dsir's oracle verbatim — one SQL
+    // string, two deployments, the dd_incremental/ev_stream_incr_dedup
+    // discipline applied to scoring
+    base + ("tx_stream_dsir" -> base("tx_dsir"))
   }
 }

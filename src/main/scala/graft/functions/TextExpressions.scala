@@ -59,6 +59,15 @@ object TextFunctions {
   def deflateLen(c: Column): Column =
     ColumnBridge.column(DeflatedLen(ColumnBridge.expression(c)))
 
+  /** `struct<n_tokens: long, llr: double>`: token count and summed
+    * per-token DSIR log-likelihood ratio under a FROZEN 4096-bucket
+    * hashed-unigram LM table — the map-side scoring form of
+    * `TextAnalysis.dsir` (tokenize + md5-bucket + table lookup in one
+    * pass, no explode, no join, no state). Input must be the LOWERED
+    * text so buckets match the batch path's `md5(tok)` exactly. */
+  def dsirLlr(c: Column, llrTable: Seq[Double]): Column =
+    ColumnBridge.column(DsirLlr(ColumnBridge.expression(c), llrTable))
+
   /** `array(long)` `[top2, dup2, top3, dup3, …, top10, dup10]`: char
     * masses of the most-frequent and of all duplicated word n-grams,
     * every n in 2..10 from ONE tokenization pass — the Gopher
@@ -630,5 +639,44 @@ case class NgramRepMass(child: Expression)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): NgramRepMass =
+    copy(child = c)
+}
+
+/** See [[TextFunctions.dsirLlr]]. The bucket of a token is the value
+  * of the first 3 hex chars of its md5 — computed here from the top 12
+  * bits of the digest, bit-identical to the SQL path's
+  * `conv(substring(md5(tok), 1, 3), 16, 10)`. Table entries are the
+  * SAME doubles the SQL scoring join produces (one ln per bucket,
+  * identical operand order), so kernel and SQL scores agree to the
+  * truncation grid. One MessageDigest per eval call (thread-safety);
+  * ~32 KB of plan literal for the 4096-entry table. */
+case class DsirLlr(child: Expression, llrTable: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  require(llrTable.length == 4096,
+    s"DsirLlr table must cover the 3-hex-char bucket domain, got ${llrTable.length}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("llr",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_dsir_llr"
+
+  @transient private lazy val table: Array[Double] = llrTable.toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var n = 0L
+    var sum = 0.0
+    Tokenize.foreachToken(bytes) { (start, end) =>
+      md.reset()
+      md.update(bytes, start, end - start)
+      val d = md.digest()
+      val bucket = ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
+      sum += table(bucket)
+      n += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sum)
+  }
+  override protected def withNewChildInternal(c: Expression): DsirLlr =
     copy(child = c)
 }

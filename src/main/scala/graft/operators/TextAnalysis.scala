@@ -437,10 +437,15 @@ object TextAnalysis {
     * deterministic threshold keeps the cross-engine gate exact.
     * Docs with zero tokens have no features and are absent (lmScore
     * contract). */
-  def dsir(s: SparkSession, dir: String, targetFrom: Long = 3891,
-           alpha: Double = 0.5): DataFrame = {
+  private[graft] val dsirBuckets = 4096
+
+  /** The two fixed-size DSIR LMs + totals, shared by the batch and
+    * streaming deployments so they cannot diverge (the
+    * `historyBloomMightHit` discipline): returns the ≤4096-row
+    * (bucket, tgt, src) frame and the (tgtTot, srcTot) scalars. */
+  private[graft] def dsirLm(s: SparkSession, dir: String,
+                            targetFrom: Long): (DataFrame, Double, Double) = {
     import s.implicits._
-    val nBuckets = 4096
     val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
     val toks = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
         explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("tok"))
@@ -455,14 +460,47 @@ object TextAnalysis {
     val lm = toks.groupBy($"bucket").agg(
         sum(when($"hb" >= targetFrom, 1L).otherwise(0L)).as("tgt"),
         sum(when($"hb" < targetFrom, 1L).otherwise(0L)).as("src"))
-      .limit(nBuckets)
+      .limit(dsirBuckets)
     // coalesce: an empty corpus must degrade to an empty result, not
     // unbox a null total (PropertySpec's empty-corpus battery)
     val tot = lm.agg(coalesce(sum($"tgt"), lit(0L)).cast("double"),
       coalesce(sum($"src"), lit(0L)).cast("double")).head()
-    val (tgtTot, srcTot) = (tot.getDouble(0), tot.getDouble(1))
-    val denomT = tgtTot + alpha * nBuckets
-    val denomS = srcTot + alpha * nBuckets
+    (lm, tot.getDouble(0), tot.getDouble(1))
+  }
+
+  /** The LMs collapsed into the dense per-bucket log-ratio table the
+    * [[graft.functions.DsirLlr]] kernel scores with — entries computed
+    * with the IDENTICAL operand order the SQL scoring join uses, so
+    * kernel and SQL scores are bit-equal per token. Absent buckets
+    * fall back to the pure-smoothing ratio (a token never seen at
+    * LM-build time — the streaming-ingestion case). */
+  private[graft] def dsirLlrTable(s: SparkSession, dir: String,
+                                  targetFrom: Long = 3891,
+                                  alpha: Double = 0.5): Seq[Double] = {
+    val (lm, tgtTot, srcTot) = dsirLm(s, dir, targetFrom)
+    val denomT = tgtTot + alpha * dsirBuckets
+    val denomS = srcTot + alpha * dsirBuckets
+    val table = Array.fill(dsirBuckets)(
+      math.log((alpha / denomT) / (alpha / denomS)))
+    lm.collect().foreach { r =>
+      table(r.getLong(0).toInt) =
+        math.log(((r.getLong(1).toDouble + alpha) / denomT) /
+                 ((r.getLong(2).toDouble + alpha) / denomS))
+    }
+    table.toSeq
+  }
+
+  def dsir(s: SparkSession, dir: String, targetFrom: Long = 3891,
+           alpha: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val toks = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
+        explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5($"tok"), 1, 3), 16, 10).cast("long"))
+    val (lm, tgtTot, srcTot) = dsirLm(s, dir, targetFrom)
+    val denomT = tgtTot + alpha * dsirBuckets
+    val denomS = srcTot + alpha * dsirBuckets
     val scored = toks.filter($"hb" < targetFrom)
       .join(broadcast(lm), Seq("bucket"))
       .withColumn("llr",

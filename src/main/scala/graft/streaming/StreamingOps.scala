@@ -365,6 +365,44 @@ object StreamingOps {
     * [[graft.operators.Dedup.incrementalDedup]]'s md5-bucket rule, so
     * the DuckDB oracle hash-checks the streamed survivors end-to-end.
     */
+  /** Streaming DSIR scoring (`tx_stream_dsir`) — the ingestion-time
+    * deployment of [[graft.operators.TextAnalysis.dsir]]: new
+    * documents arrive as a STREAM and are scored against a FROZEN
+    * hashed-unigram LM artifact built batch-side before the stream
+    * starts (the [[graft.operators.TextAnalysis.dsirLlrTable]] shared
+    * builder — batch and streaming weights cannot diverge). Scoring is
+    * the one-pass [[graft.functions.DsirLlr]] kernel: tokenize +
+    * md5-bucket + table lookup per document, NO explode, NO join, NO
+    * aggregation — stateless Append mode, which is exactly why
+    * map-side per-doc scoring is the shape that survives an unbounded
+    * ingestion stream (the batch form's explode + broadcast-join +
+    * groupBy would accumulate per-doc aggregation state forever).
+    * Tokens unseen at LM-build time fall back to the pure-smoothing
+    * ratio, the streaming analog of add-α backoff. Oracle-shared with
+    * `tx_dsir`'s DuckDB SQL: the streamed scores hash-match the batch
+    * computation end-to-end. */
+  def dsirViaStream(s: SparkSession, dir: String,
+                    targetFrom: Long = 3891): DataFrame = {
+    import graft.operators.TextAnalysis
+    val staged = docsStagedDir(s, dir)
+    val table = TextAnalysis.dsirLlrTable(s, dir, targetFrom)
+    val hb = conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+      .cast("long")
+    val scored = s.readStream
+      .schema(graft.Tables.documents(s, dir).schema)
+      .parquet(staged)
+      .withColumn("hb", hb).filter(col("hb") < targetFrom)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.dsirLlr(lower(col("text")), table).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        (floor(col("r.llr") * 10000.0) / 10000.0).as("dsir_weight"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("keep", when(col("dsir_weight") > 0.0, 1L).otherwise(0L))
+    runToMemory(scored, "tx_stream_dsir_q", OutputMode.Append,
+      statePartitions = Some(8))
+      .orderBy(col("doc_id"))
+  }
+
   def incrDedupViaStream(s: SparkSession, dir: String,
                          historyBuckets: Long = 3277): DataFrame = {
     val staged = docsStagedDir(s, dir)

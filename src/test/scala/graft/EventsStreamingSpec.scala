@@ -264,6 +264,32 @@ class EventsStreamingSpec extends SparkSpec {
       "stream side must not shuffle against the static history")
   }
 
+  test("streaming DSIR scoring == batch DSIR on the same corpus (shared frozen LM)") {
+    // the kernel path (tokenize + md5-bucket + table lookup, no
+    // explode/join/aggregation) must reproduce the batch SQL path's
+    // (explode + broadcast join + groupBy) weights EXACTLY: table
+    // entries are computed with the same operand order the SQL join
+    // uses, so per-token contributions are bit-equal doubles
+    val streamed = StreamingOps.dsirViaStream(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val batch = graft.operators.TextAnalysis.dsir(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(streamed.nonEmpty, "fixture produced no scored candidates")
+    assert(streamed == batch)
+  }
+
+  test("streaming DSIR plan is stateless and join-free (the unbounded-ingestion shape)") {
+    StreamingOps.dsirViaStream(spark, sfDir)
+    val p = StreamingOps.lastStreamPlan
+    assert(p.nonEmpty, "runToMemory captured no plan")
+    assert(p.contains("graft_dsir_llr"), s"kernel missing from micro-batch plan:\n$p")
+    assert(!p.contains("Join"), "scoring must not join per micro-batch")
+    assert(!p.contains("StateStore"),
+      "per-doc scoring must carry no streaming state")
+    assert(!p.contains("Exchange"),
+      "map-side scoring must not shuffle the stream")
+  }
+
   test("streaming incremental dedup: empty history passes everything through") {
     // historyBuckets=0 → history is empty → the bloom builder returns
     // None and the stream must pass through unjoined
