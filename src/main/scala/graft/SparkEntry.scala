@@ -106,6 +106,11 @@ object SparkEntry {
     // DSIR hashed-unigram importance weights (target = md5-bucket
     // tail); oracle-checked
     "tx_dsir" -> ((s, dir) => TextAnalysis.dsir(s, dir)),
+    // DSIR Gumbel top-k resampling (deterministic md5-seeded noise);
+    // rows-only BY CHOICE (raw-double ranking is where cross-engine
+    // hash oracles are fragile) — gated in PropertySpec vs an exact
+    // driver-side recompute of the top-k set + determinism
+    "tx_dsir_sample" -> ((s, dir) => TextAnalysis.dsirSample(s, dir)),
     // bottom-k rolling-hash fingerprint; rows-only (64-bit wraparound
     // isn't ANSI-SQL), kernel gated vs an independent reference
     "tx_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),

@@ -514,6 +514,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** DSIR resampling (`tx_dsir_sample`) — the paper's actual selection
+    * step on top of [[dsir]]'s importance weights: Gumbel top-k, which
+    * draws k documents WITHOUT replacement with probability
+    * ∝ exp(weight) by ranking weight + Gumbel noise and keeping the
+    * top k (the Gumbel-max trick; Xie et al. 2023 §2.2). Noise is
+    * DETERMINISTIC — u(doc_id) from the doc's md5 (4 hex chars,
+    * (v+1)/65537 ∈ (0,1)), g = −ln(−ln u) — so the sample is
+    * reproducible run-to-run and testable. The global top-k compiles
+    * to TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver — never a global sort or single-partition window).
+    *
+    * Rows-only in the driver contract BY CHOICE: ranking raw doubles
+    * cross-engine is exactly where hash-compare oracles are fragile
+    * (a 1e-15 disagreement near the rank-k boundary flips the set), so
+    * the gate is a spec instead — PropertySpec recomputes the exact
+    * top-k from [[dsir]]'s own output driver-side and requires set
+    * equality, plus determinism across two runs. */
+  def dsirSample(s: SparkSession, dir: String, k: Int = 64,
+                 targetFrom: Long = 3891): DataFrame = {
+    import s.implicits._
+    val u = (conv(substring(md5($"doc_id".cast("string")), 29, 4), 16, 10)
+      .cast("double") + lit(1.0)) / lit(65537.0)
+    dsir(s, dir, targetFrom)
+      .withColumn("gumbel_key", $"dsir_weight" - log(-log(u)))
+      .orderBy($"gumbel_key".desc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"n_tokens", $"dsir_weight",
+        (floor($"gumbel_key" * 10000.0) / 10000.0).as("gumbel_key"))
+  }
+
   /** Bigram-LM quality scoring — the perplexity-proxy filter of
     * CCNet/KenLM pipelines (Wenzek et al. 2020): score each document
     * by the average negative log-likelihood of its word bigrams under

@@ -312,6 +312,38 @@ class PropertySpec extends SparkSpec {
     likeT.foreach(i => assert(got(i)._2 == 1L, s"target-like $i not kept"))
   }
 
+  test("dsirSample: exact driver-recomputed Gumbel top-k, deterministic, TakeOrderedAndProject") {
+    import graft.operators.TextAnalysis
+    val k = 16
+    val df = TextAnalysis.dsirSample(spark, sfDir, k = k)
+    // plan: global top-k must be per-partition heaps, not a sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    val got = df.collect().map(r => r.getLong(0)).toSet
+    assert(got.size == k)
+    // exact driver-side recompute from the batch weights: u and the
+    // Gumbel transform are the same doubles (md5 hex → exact ints →
+    // same division and Math.log), so set equality is exact, not
+    // approximate
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(28, 32), 16) + 1.0) / 65537.0
+    }
+    val weights = TextAnalysis.dsir(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+    val expected = weights
+      .map { case (id, w) => (id, w - math.log(-math.log(u(id)))) }
+      .sortBy { case (id, key) => (-key, id) }
+      .take(k).map(_._1).toSet
+    assert(got == expected)
+    // deterministic noise: a second run returns the identical sample
+    val again = TextAnalysis.dsirSample(spark, sfDir, k = k)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
   test("round-5 operators degrade to empty results on an empty corpus (no NPEs)") {
     import graft.operators.{Dedup, TextAnalysis}
     val dir = java.nio.file.Files.createTempDirectory("empty").toString

@@ -42,6 +42,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "mm_phash_dup" -> ("MultimodalSpec.scala", "phash"),
     "q20_sketches" -> ("RecallSpec.scala", "q20Sketches"),
     "tx_bpe" -> ("BpeSpec.scala", "Bpe"),
+    "tx_dsir_sample" -> ("PropertySpec.scala", "dsirSample"),
     "tx_compress" -> ("PropertySpec.scala", "Deflater"),
     "tx_rolling_fp" -> ("PropertySpec.scala", "rollingMinK"),
     "wc_partitions" -> ("HashSpec.scala", "wc_partitions"),
