@@ -175,6 +175,9 @@ object SparkEntry {
     // rows-only, gated in RecallSpec vs brute force (measured 0.78)
     // and the unquantized trained IVF (added-loss overlap)
     "ann_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    // Matryoshka two-stage funnel (prefix-dim shortlist → exact
+    // rerank on fetched full vectors); rows-only, gated in RecallSpec
+    "ann_mrl_topk" -> ((s, dir) => Similarity.mrlTopK(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
     // perceptual-hash media dedup (aHash-structured stub codec +

@@ -333,6 +333,54 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Matryoshka two-stage retrieval (Kusupati et al. 2022, MRL): the
+    * funnel deployment of nested-dimension embeddings — stage 1
+    * shortlists on the first `prefixDims` dims (the resident index is
+    * prefixDims/dim of the full corpus: 4× less memory at 16/64, and
+    * 4× fewer multiplies per comparison), stage 2 FETCHES full vectors
+    * for shortlist ids only (a bounded broadcast join back into the
+    * store — the corpus never shuffles) and reranks with exact cosine.
+    * MRL-TRAINED embeddings concentrate information in the prefix so
+    * stage 1 barely loses recall; this fixture's embeddings are
+    * isotropic — the worst case for truncation (the prefix cosine of a
+    * random vector is a noisy 1/4-sample estimate of the full cosine)
+    * — so the RecallSpec gate documents the floor geometry, like the
+    * sign-LSH gate (measured there: 0.46). Rows-only in the driver
+    * contract (two-stage rank isn't robustly hash-comparable
+    * cross-engine). */
+  def mrlTopK(s: SparkSession, dir: String, prefixDims: Int = 16,
+              shortlistK: Int = 40, numQueries: Int = 10,
+              topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val pre = emb.select($"vec_id", slice($"embedding", 1, prefixDims).as("pre"))
+    val qPre = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), slice($"embedding", 1, prefixDims).as("qpre"))
+    val wS = Window.partitionBy($"query_id").orderBy($"pre_sim".desc, $"vec_id")
+    // the limit is a SEMANTIC NO-OP (rank ≤ shortlistK per query ×
+    // numQueries queries caps the set at exactly this many rows) that
+    // makes the shortlist's bound structural, so the registry-wide
+    // broadcast guard can PROVE the stage-2 hint safe
+    val short = pre.join(broadcast(qPre), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorFunctions.cosineSim($"qpre", $"pre").as("pre_sim"))
+      .withColumn("rk", row_number().over(wS)).filter($"rk" <= shortlistK)
+      .select($"query_id", $"vec_id")
+      .limit(numQueries * shortlistK)
+    val qFull = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    emb.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSim($"q", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Train PQ codebooks on a BOUNDED corpus sample, driver-side —
     * exactly how FAISS trains its quantizers: the training set is a
     * sample (here the first `sampleN` vectors by id — deterministic),

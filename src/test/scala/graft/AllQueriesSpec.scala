@@ -15,7 +15,8 @@ class AllQueriesSpec extends SparkSpec {
   // a map-side kernel, so its joins are all equi-joins; ann_ivf_pq
   // equi-joins on cid for the same reason.
   private val nestedLoopAllowed =
-    Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk")
+    Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk",
+      "ann_mrl_topk")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five

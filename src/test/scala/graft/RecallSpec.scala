@@ -235,6 +235,38 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.65, f"residual IVF×PQ recall collapsed: $recall%.3f")
   }
 
+  test("MRL funnel: recall vs brute force; rerank scores are exact full-dim cosines") {
+    // isotropic embeddings are truncation's worst case (the 16-dim
+    // prefix cosine is a noisy quarter-sample estimate of the full
+    // cosine; MRL-trained embeddings concentrate signal in the prefix
+    // and recall far higher) — like the sign-LSH gate, this catches
+    // collapse, not the fixture's geometry. Measured: 0.380 at
+    // shortlistK = 4×topK, 0.520 at the 8×topK default — the funnel
+    // width is the recall knob, paid in stage-2 fetches only.
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = Similarity.mrlTopK(spark, sfDir, numQueries = 10, topK = 5)
+    val gotPairs = topkPairs(got)
+    val recall = (gotPairs & truth).size.toDouble / truth.size
+    info(f"mrl recall@5 = $recall%.3f (${(gotPairs & truth).size}/${truth.size})")
+    assert(recall >= 0.45, f"MRL funnel recall collapsed: $recall%.3f")
+    // stage-2 contract: every returned score is the TRUE full-dim
+    // cosine (the funnel only prunes candidates, never approximates
+    // the final metric)
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.collect().foreach { r =>
+      val expected = BigDecimal(cos(emb(r.getLong(0)), emb(r.getLong(1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expected) < 1e-9,
+        s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
   test("q20 sketches stay inside their error bounds vs exact counterparts") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Relational.q20Sketches(spark, sfDir).collect()
