@@ -130,6 +130,9 @@ object SparkEntry {
     // corpus snapshot diff (added/removed/changed/unchanged by key +
     // digest) — the release-versioning audit; oracle-checked
     "pipe_diff" -> ((s, dir) => Pipeline.snapshotDiff(s, dir)),
+    // third composition gate: quality + DSIR-kernel weight + exact
+    // dedup + per-source cap as one chain; oracle-checked
+    "pipe_select" -> ((s, dir) => Pipeline.selectPipeline(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -896,6 +899,47 @@ object SparkEntry {
           |       ELSE 'unchanged' END AS status
           |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // selection pipeline: quality CTE + the tx_dsir weight chain
+      // (CTEs prefixed d* to avoid name clashes) + digest dedup +
+      // per-source cap — one independent DuckDB formulation of the
+      // whole curation chain
+      "pipe_select" ->
+        s"""WITH ${qualityCte(", text")},
+           |dm AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+           |dh AS (SELECT doc_id, text,
+           |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+           |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+           |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS hb FROM dm),
+           |dt AS (SELECT doc_id, hb, unnest(list_filter(regexp_split_to_array(
+           |    lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+           |  FROM dh),
+           |db AS (SELECT doc_id, hb,
+           |  (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256 +
+           |  (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16 +
+           |  (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) AS bucket FROM dt),
+           |dlm AS (SELECT bucket,
+           |  CAST(sum(CASE WHEN hb >= 3891 THEN 1 ELSE 0 END) AS BIGINT) AS tgt,
+           |  CAST(sum(CASE WHEN hb < 3891 THEN 1 ELSE 0 END) AS BIGINT) AS src
+           |  FROM db GROUP BY bucket),
+           |dtot AS (SELECT CAST(sum(tgt) AS DOUBLE) AS tt, CAST(sum(src) AS DOUBLE) AS st FROM dlm),
+           |dsc AS (SELECT db.doc_id,
+           |    ln(((CAST(dlm.tgt AS DOUBLE) + 0.5) / ((SELECT tt FROM dtot) + 0.5 * 4096)) /
+           |       ((CAST(dlm.src AS DOUBLE) + 0.5) / ((SELECT st FROM dtot) + 0.5 * 4096))) AS llr
+           |  FROM db JOIN dlm USING (bucket) WHERE db.hb < 3891),
+           |dwt AS (SELECT doc_id, floor(sum(llr) * 10000.0) / 10000.0 AS dsir_weight
+           |  FROM dsc GROUP BY doc_id),
+           |cand AS (SELECT qq.doc_id, qq.source, qq.quality, dwt.dsir_weight,
+           |    sha256(qq.text) AS digest
+           |  FROM qq JOIN dwt ON qq.doc_id = dwt.doc_id),
+           |ded AS (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS dk
+           |  FROM cand),
+           |kept AS (SELECT doc_id, source, quality, dsir_weight FROM ded
+           |  WHERE dk = 1 AND quality >= 0.5),
+           |capd AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+           |    ORDER BY dsir_weight DESC, quality DESC, doc_id) AS BIGINT) AS rk
+           |  FROM kept)
+           |SELECT doc_id, source, quality, dsir_weight, rk
+           |FROM capd WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
       "pipe_datacard" ->
         s"""WITH ${qualityCte(", text")},
            |$gopherRawCte,

@@ -99,6 +99,62 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Data-SELECTION pipeline — the corpus-curation chain a
+    * domain-targeted training mix actually runs, as ONE oracle-checked
+    * query (the third composition gate beside [[prepPipeline]] and
+    * [[dataCard]]):
+    *
+    *   candidates (md5-split) → quality score → DSIR importance weight
+    *   → exact-dedup survivors → quality + weight thresholds →
+    *   per-source provenance cap ranked by (weight, quality)
+    *
+    * The DSIR weight comes from the [[graft.functions.DsirLlr]] KERNEL
+    * against the frozen LM artifact
+    * ([[TextAnalysis.dsirLlrTable]], the same builder the batch and
+    * streaming forms share) — map-side, so the whole pipeline is one
+    * corpus scan + two narrow window shuffles (digest dedup, source
+    * cap); `text` drops at the projection and never shuffles.
+    *
+    * The cap ranking IS the selection: a document drawn from the raw
+    * source has expected summed log-ratio −KL(source ‖ target) < 0
+    * (measured at sf0.01: every candidate weight is negative), so a
+    * fixed weight > 0 threshold is a DEAD RULE on in-distribution
+    * data — the curation semantics are "quality floor, then each
+    * source's `cap` most target-like survivors", which also bounds
+    * provenance skew the way [[TextAnalysis.sourceCap]] does.
+    *
+    * Dedup runs BEFORE the quality threshold, which is equivalent
+    * (identical text ⟹ identical digest ⟹ identical quality AND
+    * identical weight, so a digest group passes or fails whole) and
+    * keeps the computed columns out of pushed-down Filter conditions —
+    * [[prepPipeline]]'s kernel-duplication lesson. Zero-token docs are
+    * excluded explicitly (the kernel's n_tokens field, filtered above
+    * the window), matching the oracle's inner join against the
+    * token-exploded weight CTE. */
+  def selectPipeline(s: SparkSession, dir: String, minQuality: Double = 0.5,
+                     cap: Int = 50, targetFrom: Long = 3891): DataFrame = {
+    import s.implicits._
+    val table = TextAnalysis.dsirLlrTable(s, dir, targetFrom)
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val enriched = TextAnalysis.withQualityScore(Tables.documents(s, dir))
+      .filter(hb < targetFrom)
+      .withColumn("r", graft.functions.TextFunctions.dsirLlr(lower($"text"), table))
+      .select($"doc_id", $"source", $"quality",
+        $"r".getField("n_tokens").as("n_dsir_tokens"),
+        (floor($"r".getField("llr") * 10000.0) / 10000.0).as("dsir_weight"),
+        sha2($"text", 256).as("digest"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"digest").orderBy($"doc_id")
+    val kept = enriched.withColumn("dk", row_number().over(dw))
+      .filter($"dk" === 1 && $"quality" >= minQuality && $"n_dsir_tokens" > 0L)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"dsir_weight".desc, $"quality".desc, $"doc_id")
+    kept.withColumn("rk", row_number().over(cw).cast("long"))
+      .filter($"rk" <= cap)
+      .select($"doc_id", $"source", $"quality", $"dsir_weight", $"rk")
+      .orderBy($"doc_id")
+  }
+
   /** Per-source corpus DATA CARD — the release-notes table every
     * published training set ships (docs, unique docs, dup rate, token
     * volume, mean quality, Gopher keep rate per source), composed as

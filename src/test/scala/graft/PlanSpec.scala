@@ -161,6 +161,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank filter must push a group limit")
   }
 
+  test("pipe_select: one pipeline scan, join-free, each kernel once, capped windows prune") {
+    val p = plan(graft.operators.Pipeline.selectPipeline(spark, sfDir))
+    // the LM artifact builds in its OWN jobs before the plan exists;
+    // the pipeline itself is one corpus scan through map-side kernels
+    // plus two narrow window shuffles (digest dedup, source cap)
+    assert("Scan parquet".r.findAllIn(p).size == 1, "pipeline must stay single-scan")
+    assert(!p.contains("Join"), "pipeline must stay join-free")
+    assert("graft_dsir_llr".r.findAllIn(p).size == 1,
+      "DSIR kernel must be evaluated exactly once per row")
+    assert("graft_token_set_counts".r.findAllIn(p).size == 1,
+      "quality tokenization kernel must be evaluated exactly once per row")
+    assert(p.contains("WindowGroupLimit"), "dedup/cap ranks must prune map-side")
+  }
+
   test("dsir: bucket LMs broadcast into the scoring pass; corpus never sort-merges") {
     val p = plan(graft.operators.TextAnalysis.dsir(spark, sfDir))
     // the hashed-unigram LM is a <=4096-row artifact — it must
