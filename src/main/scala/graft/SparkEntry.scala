@@ -187,6 +187,10 @@ object SparkEntry {
     // pigeonhole banding); rows-only, gated in MultimodalSpec vs an
     // independent hash recompute and a brute-force Hamming scan
     "mm_phash_dup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
+    // media → stub embedding → exact cosine top-k (the multimodal→ANN
+    // bridge); rows-only, gated in MultimodalSpec vs a driver-side
+    // encode + cosine recompute
+    "mm_embed_ann" -> ((s, dir) => Multimodal.embedAnnTopK(s, dir)),
     // ---- M3: event-time semantics ----
     "ev_tumbling" -> Events.tumbling _,
     "ev_sliding" -> Events.sliding _,

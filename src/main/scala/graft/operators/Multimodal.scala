@@ -152,6 +152,75 @@ object Multimodal {
     }
   }
 
+  /** STUB media encoder: payload → unit-normalized `dim`-cell span-mean
+    * vector (the real-valued generalization of [[FakeCodec.phash]]'s
+    * positional cells, so embeddings vary with content and the cosine
+    * geometry is non-degenerate). A real pipeline swaps in a CLIP-style
+    * encoder — identical signature (map-side, fixed width, unit norm),
+    * identical plan. Zero-byte payloads embed as the zero vector. */
+  private[graft] def spanEmbed(payload: Array[Byte], dim: Int = 64): Array[Double] = {
+    val n = payload.length
+    val cell = new Array[Double](dim)
+    if (n == 0) return cell
+    var i = 0
+    while (i < dim) {
+      val s = (i.toLong * n / dim).toInt
+      val e = ((i + 1).toLong * n / dim).toInt
+      var sum = 0L
+      var j = s
+      while (j < e) { sum += payload(j) & 0xff; j += 1 }
+      cell(i) = if (e > s) sum.toDouble / (e - s) else 0.0
+      i += 1
+    }
+    val norm = math.sqrt(cell.map(x => x * x).sum)
+    if (norm == 0.0) cell else cell.map(_ / norm)
+  }
+
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Double])
+
+  /** Media → embedding column: the bridge from the multimodal plumbing
+    * into the ANN family (map-side, fixed width — the exact frame the
+    * Similarity operators consume). */
+  def embedMedia(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => MediaEmbedding(r.media_id, spanEmbed(r.payload, dim))))
+  }
+
+  /** Embedding-similarity search OVER MEDIA (`mm_embed_ann`) — the
+    * cross-family composition a multimodal lake actually runs:
+    * stub-encode every payload ([[spanEmbed]]), then exact cosine
+    * top-k with the fused [[graft.functions.CosineSim]] kernel, the
+    * same brute-force shape as `ann_brute_topk` (broadcast bounded
+    * probes, WindowGroupLimit rank prune). At scale the shortlist/
+    * bucketing variants (LSH/IVF/PQ/MRL) slot in unchanged — the
+    * embedding column is the contract. Rows-only in the driver
+    * contract (the stub encoder isn't ANSI-expressible); gated in
+    * MultimodalSpec: kernel scores ≡ driver-side encode + cosine. */
+  def embedAnnTopK(s: SparkSession, dir: String, dim: Int = 64,
+                   numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = embedMedia(mediaTable(s, dir), dim).toDF()
+    // probes filter BEFORE the encode map: only probe payloads are
+    // encoded twice, and the id bound pushes through the projection to
+    // the scan itself — which is also what lets the registry-wide
+    // broadcast guard PROVE this side bounded (a filter above the
+    // typed mapPartitions boundary breaks attribute lineage to the
+    // scan, so the guard would reject it)
+    val queries = embedMedia(
+        mediaTable(s, dir).filter($"media_id" < numQueries), dim).toDF()
+      .select($"media_id".as("query_id"), $"embedding".as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_sim".desc, $"media_id")
+    emb.join(broadcast(queries), $"media_id" =!= $"query_id")
+      .select($"query_id", $"media_id",
+        round(graft.functions.VectorFunctions.cosineSim($"q", $"embedding"), 6)
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"media_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Resize: re-target the fake decode dimensions and subsample the
     * payload proportionally (STUB for a real scaler — the plan shape,
     * a pure map with bounded output size, is what carries over). Reads

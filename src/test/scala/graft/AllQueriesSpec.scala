@@ -16,7 +16,7 @@ class AllQueriesSpec extends SparkSpec {
   // equi-joins on cid for the same reason.
   private val nestedLoopAllowed =
     Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk",
-      "ann_mrl_topk")
+      "ann_mrl_topk", "mm_embed_ann")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five

@@ -146,6 +146,42 @@ class MultimodalSpec extends SparkSpec {
     assert(flags(3L) == 0L && flags(4L) == 0L, "unrelated payloads must not flag")
   }
 
+  test("embedMedia ≡ driver-side span-mean encode; embedAnnTopK scores are true cosines") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sfDir).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    // embedding kernel ≡ driver recompute (same span-mean + unit-norm)
+    val got = Multimodal.embedMedia(Multimodal.mediaTable(spark, sfDir))
+      .collect().map(e => e.media_id -> e.embedding.toSeq).toMap
+    media.foreach { case (id, payload) =>
+      assert(got(id) == Multimodal.spanEmbed(payload).toSeq, s"media $id")
+    }
+    // unit norm for non-empty payloads (the encoder contract the ANN
+    // cosine relies on)
+    got.values.foreach { e =>
+      val n = math.sqrt(e.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9 || n == 0.0)
+    }
+    // every returned top-k score is the exact cosine of the two stub
+    // embeddings, recomputed driver-side
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val topk = Multimodal.embedAnnTopK(spark, sfDir, numQueries = 5, topK = 3).collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      val expected = BigDecimal(cos(got(r.getLong(0)), got(r.getLong(1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expected) < 1e-9,
+        s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+    // ranks are dense 1..k per query with the declared tie-break
+    topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
   test("binaryFile ingest round-trips payload bytes and feeds the codec chain") {
     val dir = java.nio.file.Files.createTempDirectory("media-lake")
     val files = Map(
