@@ -312,6 +312,43 @@ class PropertySpec extends SparkSpec {
     likeT.foreach(i => assert(got(i)._2 == 1L, s"target-like $i not kept"))
   }
 
+  test("dsir batch (SQL path) == streaming (kernel path) on multi-byte UTF-8 tokens") {
+    import graft.operators.TextAnalysis
+    // the kernel buckets by md5 of the token's UTF-8 BYTES while the
+    // SQL path buckets by md5(tok) on the string — a mojibake or
+    // slicing bug diverges exactly here, and the corpus fixture is
+    // mostly ASCII, so plant CJK/emoji/accented tokens explicitly
+    def hb(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(3), 16)
+    }
+    val ids = (0L until 400L)
+    val targetIds = ids.filter(hb(_) >= 3891).take(6)
+    val candIds = ids.filter(hb(_) < 3891).take(6)
+    val vocabT = "数据 清洗 去重 🙂 café naïve"
+    val vocabO = "Привет мир здесь ёлка 🚀 über"
+    val rows = targetIds.map(i => (i, vocabT, "t")) ++
+      candIds.take(3).map(i => (i, vocabT, "c")) ++
+      candIds.drop(3).map(i => (i, vocabO, "c"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir-utf8").toString
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val batch = TextAnalysis.dsir(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val streamed = graft.streaming.StreamingOps.dsirViaStream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(batch.nonEmpty, "fixture produced no scored candidates")
+    assert(streamed == batch)
+    // and the planted geometry still separates on multi-byte vocab
+    val w = batch.map(r => r._1 -> r._3).toMap
+    candIds.take(3).foreach { i =>
+      candIds.drop(3).foreach { j =>
+        assert(w(i) > w(j), s"target-like $i must outscore unrelated $j on UTF-8 vocab")
+      }
+    }
+  }
+
   test("dsirSample: exact driver-recomputed Gumbel top-k, deterministic, TakeOrderedAndProject") {
     import graft.operators.TextAnalysis
     val k = 16
