@@ -133,6 +133,9 @@ object SparkEntry {
     // third composition gate: quality + DSIR-kernel weight + exact
     // dedup + per-source cap as one chain; oracle-checked
     "pipe_select" -> ((s, dir) => Pipeline.selectPipeline(s, dir)),
+    // lakehouse MERGE INTO (upsert + tombstone resolution on the
+    // primary key); oracle-checked
+    "pipe_merge" -> ((s, dir) => Pipeline.mergeRelease(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -902,6 +905,21 @@ object SparkEntry {
           |       WHEN d1 <> d2 THEN 'changed'
           |       ELSE 'unchanged' END AS status
           |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+          |ORDER BY doc_id""".stripMargin,
+      "pipe_merge" ->
+        """WITH base AS (SELECT doc_id, md5(text) AS digest FROM documents
+          |  WHERE doc_id % 50 <> 0),
+          |ups AS (SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 41 = 0 THEN text || ' v2' ELSE text END) AS u_digest
+          |  FROM documents WHERE doc_id % 41 = 0 OR doc_id % 50 = 0),
+          |del AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 0)
+          |SELECT coalesce(base.doc_id, ups.doc_id) AS doc_id,
+          |  coalesce(u_digest, digest) AS digest,
+          |  CASE WHEN u_digest IS NOT NULL AND digest IS NULL THEN 'insert'
+          |       WHEN u_digest IS NOT NULL THEN 'update'
+          |       ELSE 'carry' END AS op
+          |FROM base FULL OUTER JOIN ups ON base.doc_id = ups.doc_id
+          |WHERE coalesce(base.doc_id, ups.doc_id) NOT IN (SELECT doc_id FROM del)
           |ORDER BY doc_id""".stripMargin,
       // selection pipeline: quality CTE + the tx_dsir weight chain
       // (CTEs prefixed d* to avoid name clashes) + digest dedup +

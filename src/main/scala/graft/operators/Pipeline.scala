@@ -99,6 +99,44 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Corpus release MERGE (`pipe_merge`) — the lakehouse `MERGE INTO`
+    * expressed in pure relational ops: base release + a delta batch of
+    * upserts and delete markers → the next release. The delta here
+    * derives deterministically from the one test table (upserts:
+    * `% 41 == 0` edited + `% 50 == 0` net-new; deletes: `% 37 == 0`)
+    * so the query is self-contained; production passes a real change
+    * batch and everything below the derivation is identical — and the
+    * write-path twin of [[snapshotDiff]]'s audit.
+    *
+    * Scale: ONE equi-join on the primary key (full outer, so net-new
+    * delta rows survive), resolved row-wise — with base and delta
+    * bucketed by doc_id (the layout a versioned lake maintains) the
+    * join is co-partitioned and shuffle-free; the delta side is
+    * ingest-batch-sized, so unbucketed it broadcasts. Deletes win over
+    * upserts (tombstone-last, the Delta/Iceberg rule). Oracle-checked
+    * cell-exact. */
+  def mergeRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", md5($"text").as("digest"))
+    val upserts = docs.filter($"doc_id" % 41 === 0 || $"doc_id" % 50 === 0)
+      .select($"doc_id",
+        md5(when($"doc_id" % 41 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("u_digest"))
+    val deletes = docs.filter($"doc_id" % 37 === 0)
+      .select($"doc_id", lit(true).as("tombstone"))
+    base.join(upserts, Seq("doc_id"), "full_outer")
+      .join(deletes, Seq("doc_id"), "left")
+      .filter(!coalesce($"tombstone", lit(false)))
+      .select($"doc_id",
+        coalesce($"u_digest", $"digest").as("digest"),
+        when($"u_digest".isNotNull && $"digest".isNull, "insert")
+          .when($"u_digest".isNotNull, "update")
+          .otherwise("carry").as("op"))
+      .orderBy($"doc_id")
+  }
+
   /** Data-SELECTION pipeline — the corpus-curation chain a
     * domain-targeted training mix actually runs, as ONE oracle-checked
     * query (the third composition gate beside [[prepPipeline]] and

@@ -312,6 +312,29 @@ class PropertySpec extends SparkSpec {
     likeT.foreach(i => assert(got(i)._2 == 1L, s"target-like $i not kept"))
   }
 
+  test("mergeRelease: tombstones win, upserts beat base, carries untouched, no ghost rows") {
+    import graft.operators.Pipeline
+    import org.apache.spark.sql.functions.md5
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", md5($"text").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Pipeline.mergeRelease(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(got.length == byId.size, "merge must emit each key once")
+    docs.keys.foreach { id =>
+      if (id % 37 == 0) assert(!byId.contains(id), s"tombstoned $id survived")
+      else if (id % 50 == 0) assert(byId.get(id).exists(_._3 == "insert"), s"net-new $id")
+      else if (id % 41 == 0) {
+        val t = byId(id)
+        assert(t._3 == "update" && t._2 != docs(id), s"edited $id must carry the new digest")
+      } else {
+        val t = byId(id)
+        assert(t._3 == "carry" && t._2 == docs(id), s"untouched $id must keep its digest")
+      }
+    }
+  }
+
   test("dsir batch (SQL path) == streaming (kernel path) on multi-byte UTF-8 tokens") {
     import graft.operators.TextAnalysis
     // the kernel buckets by md5 of the token's UTF-8 BYTES while the
