@@ -473,21 +473,39 @@ object TextAnalysis {
     * with the IDENTICAL operand order the SQL scoring join uses, so
     * kernel and SQL scores are bit-equal per token. Absent buckets
     * fall back to the pure-smoothing ratio (a token never seen at
-    * LM-build time — the streaming-ingestion case). */
+    * LM-build time — the streaming-ingestion case).
+    *
+    * Memoized per (dir, targetFrom, alpha): the LM is a frozen
+    * ARTIFACT — production builds it once and every consumer (batch
+    * scoring, streaming ingestion, the selection pipeline) reuses it,
+    * so rebuilding it per query would misstate the deployment cost.
+    * Assumes corpus dirs are immutable for the session (true of a
+    * lake snapshot and of every test fixture — temp dirs are unique
+    * per run). Cap-on-miss eviction, the centroidBcastCache rule. */
+  private val llrTableCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Double), Seq[Double]]
+  private val llrTableMaxEntries = 8
+
   private[graft] def dsirLlrTable(s: SparkSession, dir: String,
                                   targetFrom: Long = 3891,
                                   alpha: Double = 0.5): Seq[Double] = {
-    val (lm, tgtTot, srcTot) = dsirLm(s, dir, targetFrom)
-    val denomT = tgtTot + alpha * dsirBuckets
-    val denomS = srcTot + alpha * dsirBuckets
-    val table = Array.fill(dsirBuckets)(
-      math.log((alpha / denomT) / (alpha / denomS)))
-    lm.collect().foreach { r =>
-      table(r.getLong(0).toInt) =
-        math.log(((r.getLong(1).toDouble + alpha) / denomT) /
-                 ((r.getLong(2).toDouble + alpha) / denomS))
-    }
-    table.toSeq
+    val key = (dir, targetFrom, alpha)
+    if (llrTableCache.size >= llrTableMaxEntries &&
+        !llrTableCache.containsKey(key))
+      llrTableCache.clear()
+    llrTableCache.computeIfAbsent(key, _ => {
+      val (lm, tgtTot, srcTot) = dsirLm(s, dir, targetFrom)
+      val denomT = tgtTot + alpha * dsirBuckets
+      val denomS = srcTot + alpha * dsirBuckets
+      val table = Array.fill(dsirBuckets)(
+        math.log((alpha / denomT) / (alpha / denomS)))
+      lm.collect().foreach { r =>
+        table(r.getLong(0).toInt) =
+          math.log(((r.getLong(1).toDouble + alpha) / denomT) /
+                   ((r.getLong(2).toDouble + alpha) / denomS))
+      }
+      table.toSeq
+    })
   }
 
   def dsir(s: SparkSession, dir: String, targetFrom: Long = 3891,
