@@ -144,6 +144,10 @@ object SparkEntry {
     // content-defined chunking; rows-only (2⁶⁴ rolling-hash cut
     // rule), gated in DedupSpec incl. offset-shift invariance
     "dd_cdc" -> ((s, dir) => Dedup.cdcSpanDedup(s, dir)),
+    // ExactSubstr-style cross-doc duplicated spans (Lee et al. 2022):
+    // n-gram windows duplicated across ≥2 docs, merged to maximal
+    // token ranges; oracle-checked (gaps-and-islands in both engines)
+    "dd_spans" -> ((s, dir) => Dedup.duplicatedSpans(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -1016,6 +1020,31 @@ object SparkEntry {
           |SELECT doc_id, shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
           |  n_tokens, quality
           |FROM c ORDER BY doc_id""".stripMargin,
+      // word 4-gram windows (contamination's tokenization) duplicated
+      // across ≥2 docs; positions merged to maximal spans via
+      // gaps-and-islands (windows merge iff pos gap ≤ n); parallel
+      // unnest zips (pos, gram) row-wise
+      "dd_spans" ->
+        """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(range(1, len(toks) - 2)) - 1 AS pos,
+          |    unnest(list_transform(range(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+          |  FROM t),
+          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+          |i AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+          |      THEN 0 ELSE 1 END AS brk
+          |  FROM d),
+          |isl AS (SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM i)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+          |  CAST(max(pos) + 3 AS BIGINT) AS end_tok, count(*) AS n_windows
+          |FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok""".stripMargin,
       "dd_ngram_jaccard" ->
         """WITH g AS (SELECT doc_id,
           |    list_distinct(list_transform(range(0, greatest(length(norm) - 3, 0) + 1),

@@ -709,4 +709,59 @@ object Dedup {
       .select($"keep_id", $"digest", $"n_copies")
       .orderBy($"keep_id")
   }
+
+  /** Cross-document duplicated-SPAN detection — the ExactSubstr pass
+    * of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022): document-level dedup misses the boilerplate
+    * case where distinct documents SHARE long verbatim passages
+    * (licenses, headers, quoted chunks). Every word `n`-gram window is
+    * emitted with its token position; a window duplicated across ≥ 2
+    * distinct documents marks its positions, and per document the
+    * marked positions are merged gaps-and-islands-style into MAXIMAL
+    * spans (windows at p₁ < p₂ merge iff p₂ ≤ p₁ + n, i.e. they
+    * overlap or touch — so a shared 40-token passage reports as ONE
+    * span, not 37 window hits). Output is one row per maximal span:
+    * inclusive token range plus the window count, ready for span
+    * excision or doc-level dup-mass scoring.
+    *
+    * Scale shape (the reference point is a suffix array over the
+    * concatenated corpus, which is inherently single-machine): window
+    * emission is one [[graft.functions.TokenNgrams]] kernel pass +
+    * posexplode (map-side); the duplicated-gram table is one
+    * partial-agg shuffle on gram; marking is an equi-join on the SAME
+    * key (no second shuffle of the big side under matching
+    * partitioning); island-merge is a doc-partitioned window — never
+    * global. No all-pairs anywhere: co-occurrence is discovered by
+    * hash-grouping grams, exactly like the banded LSH paths.
+    * explode_outer + null filter, not inner posexplode:
+    * InferFiltersFromGenerate would inline the tokenizer kernel into
+    * the pushed-down Filter (the tx_contamination 3-evals-per-row
+    * class, guarded registry-wide). */
+  def duplicatedSpans(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
+      .select($"doc_id", posexplode_outer($"grams").as(Seq("pos", "gram")))
+      .filter($"gram".isNotNull)
+    val dup = g.groupBy($"gram")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gram")
+    val marked = g.join(dup, Seq("gram")).select($"doc_id", $"pos")
+    val byPos = w.partitionBy($"doc_id").orderBy($"pos")
+    marked
+      // first position in a doc: lag is null → comparison null → new
+      // island (the `otherwise` arm), identical to the SQL CASE
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(byPos) <= n, 0L).otherwise(1L))
+      .withColumn("island", sum($"brk").over(
+        byPos.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").cast("long").as("start_tok"),
+        (max($"pos") + (n - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select($"doc_id", $"start_tok", $"end_tok", $"n_windows")
+      .orderBy($"doc_id", $"start_tok")
+  }
 }

@@ -204,6 +204,37 @@ class DedupSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
+  test("duplicatedSpans: shared passages merge to maximal spans; intra-doc repeats don't count") {
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    // passages shared across docs; every other token globally unique
+    val pA = (1 to 10).map(i => s"pa$i").mkString(" ")   // 10 tokens
+    val pB = (1 to 8).map(i => s"pb$i").mkString(" ")    // 8 tokens
+    val pB2 = (1 to 8).map(i => s"pc$i").mkString(" ")   // 8 tokens
+    val rows = Seq(
+      (0L, s"u1 u2 u3 $pA v1 v2"),                       // pA at pos 3..12
+      (1L, s"w1 w2 $pA x1"),                             // pA at pos 2..11
+      (2L, "only unique tokens here nothing shared at all"),
+      (3L, s"$pB m1 m2 m3 m4 m5 m6 $pB2"),               // pB at 0..7, pB2 at 14..21
+      (4L, s"$pB2 k1 k2 k3 k4 k5 k6 $pB"),               // reversed order
+      (5L, "r1 r2 self self self self self self r3 r4")  // intra-doc only
+    )
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.duplicatedSpans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10-token passage, n=4: window starts span..span+6 → 7 windows,
+    // maximal token range [start, start+9]
+    assert(got.filter(_._1 == 0L).toSeq == Seq((0L, 3L, 12L, 7L)))
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 2L, 11L, 7L)))
+    // unique doc and the intra-doc-repeat doc produce NO spans: the
+    // dup rule is count(distinct doc_id) >= 2, not total occurrences
+    assert(!got.exists(_._1 == 2L) && !got.exists(_._1 == 5L))
+    // two shared 8-token passages separated by a 6-token unique middle
+    // (> n gap) stay TWO spans per doc, 5 windows each
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 7L, 5L), (3L, 14L, 21L, 5L)))
+    assert(got.filter(_._1 == 4L).toSeq == Seq((4L, 0L, 7L, 5L), (4L, 14L, 21L, 5L)))
+  }
+
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
     val dir = java.nio.file.Files.createTempDirectory("ng").toString
     Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))
