@@ -101,6 +101,9 @@ object SparkEntry {
     "tx_tfidf" -> ((s, dir) => TextAnalysis.tfidf(s, dir)),
     // BM25 ranked retrieval over a fixed query set; oracle-checked
     "tx_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
+    // hybrid BM25+dense retrieval fused by Reciprocal Rank Fusion;
+    // oracle-checked (rank-only fusion is bit-exact cross-engine)
+    "tx_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     // DSIR hashed-unigram importance weights (target = md5-bucket
@@ -753,6 +756,52 @@ object SparkEntry {
           |  FROM scored)
           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rk
           |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+      // RRF fusion of the bm25 candidates (rk ≤ 20) with dense cosine
+      // candidates (probes = vec_id < 3, vec_id ≡ doc_id); fused
+      // score Σ 1/(60+rank) is exactly-rounded IEEE arithmetic in
+      // both engines, floor-truncated at 6 decimals before ranking
+      "tx_rrf" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
+          |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+          |  FROM t GROUP BY doc_id, term),
+          |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(toks)) AS DOUBLE) AS s FROM toks),
+          |dfx AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM tf),
+          |q(query_id, term) AS (VALUES (0, 'join'), (0, 'merge'), (0, 'sort'),
+          |  (1, 'window'), (1, 'agg'), (2, 'scan'), (2, 'column'), (2, 'order')),
+          |scored AS (SELECT q.query_id, dfx.doc_id,
+          |    sum(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+          |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (stats.s / stats.n)))) AS raw
+          |  FROM dfx JOIN q USING (term), stats
+          |  GROUP BY q.query_id, dfx.doc_id),
+          |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY floor(raw * 10000.0) / 10000.0 DESC, doc_id) AS rk_lex
+          |  FROM scored),
+          |lx AS (SELECT query_id, doc_id, rk_lex FROM lex WHERE rk_lex <= 20),
+          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |p AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
+          |ds AS (SELECT query_id, e.vec_id,
+          |    round(list_dot_product(qv, emb) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(emb, emb))), 6) AS cos_sim
+          |  FROM e CROSS JOIN p),
+          |dr AS (SELECT query_id, vec_id AS doc_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk_dense
+          |  FROM ds),
+          |dx AS (SELECT query_id, doc_id, rk_dense FROM dr WHERE rk_dense <= 20),
+          |f AS (SELECT coalesce(lx.query_id, dx.query_id) AS query_id,
+          |    coalesce(lx.doc_id, dx.doc_id) AS doc_id,
+          |    floor((coalesce(1.0 / (rk_lex + 60), 0.0) +
+          |           coalesce(1.0 / (rk_dense + 60), 0.0)) * 1000000.0) / 1000000.0 AS rrf
+          |  FROM lx FULL OUTER JOIN dx
+          |    ON lx.query_id = dx.query_id AND lx.doc_id = dx.doc_id),
+          |r AS (SELECT query_id, doc_id, rrf,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+          |  FROM f)
+          |SELECT query_id, doc_id, rrf, CAST(rk AS BIGINT) AS rk FROM r
+          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
       "tx_tfidf" ->
         """WITH t AS (SELECT doc_id, unnest(list_filter(
           |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term

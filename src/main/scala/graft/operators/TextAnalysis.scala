@@ -115,6 +115,53 @@ object TextAnalysis {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
+    * (Cormack et al. 2009, the fusion rule of every production RAG
+    * retriever): per query, take the top-`candK` BM25 candidates and
+    * the top-`candK` dense cosine candidates (query i's probe is
+    * embedding vec_id = i; vec_id ≡ doc_id in the corpus), then score
+    * each candidate `Σ 1/(rrfK + rank)` over the rankers that
+    * returned it and keep the fused top-`topK`. RRF needs only RANKS,
+    * never comparable scores — which is exactly why it's the standard
+    * way to merge BM25's unbounded scores with bounded cosines.
+    *
+    * Scale shape: the lexical arm is [[bm25]] (broadcast query terms,
+    * per-query WindowGroupLimit); the dense arm broadcasts the
+    * bounded probe set against the embeddings scan (the allowlisted
+    * ann_brute_topk pattern — swap in any bucketed ANN arm at 100 TB);
+    * the fusion join touches only 2 × candK rows per query. Ranks
+    * fuse with exactly-rounded IEEE divisions (1/(60+r)), so the
+    * fused score is bit-identical cross-engine and oracle-checkable;
+    * ties break by doc_id. */
+  def hybridRrf(s: SparkSession, dir: String,
+                queries: Seq[String] = Seq("join merge sort", "window agg",
+                  "scan column order"),
+                candK: Int = 20, topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    import s.implicits._
+    val lex = bm25(s, dir, queries, topK = candK)
+      .select($"query_id", $"doc_id", $"rk".as("rk_lex"))
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val probes = emb.filter($"vec_id" < queries.size)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val wd = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    val dense = emb.crossJoin(broadcast(probes))
+      .select($"query_id", $"vec_id",
+        round(Similarity.cosine($"q", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rk_dense", row_number().over(wd).cast("long"))
+      .filter($"rk_dense" <= candK)
+      .select($"query_id", $"vec_id".as("doc_id"), $"rk_dense")
+    val wf = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", floor(
+        (coalesce(lit(1.0) / ($"rk_lex" + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / ($"rk_dense" + rrfK), lit(0.0))) * 1000000.0) / 1000000.0)
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"doc_id", $"rrf", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Full Gopher document-structure rule battery (Rae et al. 2021,
     * appendix A1.1) — the canonical pre-training filter set, joining
     * [[repetition]] (the duplicate-bigram rule) and [[qualityScore]]

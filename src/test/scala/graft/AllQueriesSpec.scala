@@ -14,9 +14,11 @@ class AllQueriesSpec extends SparkSpec {
   // ann_ivf_topk left the list in round 2: centroid assignment is now
   // a map-side kernel, so its joins are all equi-joins; ann_ivf_pq
   // equi-joins on cid for the same reason.
+  // tx_rrf's dense arm broadcasts the bounded probe set (3 rows)
+  // against the embeddings scan — the ann_brute_topk shape.
   private val nestedLoopAllowed =
     Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk",
-      "ann_mrl_topk", "mm_embed_ann")
+      "ann_mrl_topk", "mm_embed_ann", "tx_rrf")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five

@@ -810,6 +810,43 @@ class PropertySpec extends SparkSpec {
       s"classifier is degenerate: $kept/${rows.length} kept")
   }
 
+  test("rrf fusion ≡ exact driver-side recompute from the two rank lists") {
+    // the oracle proves Spark ≡ DuckDB on the same formula; this gate
+    // proves the formula ITSELF: fuse the two arms' rank lists in
+    // plain Scala and require the identical fused top-10 per query
+    val lex = graft.operators.TextAnalysis.bm25(spark, sfDir, topK = 20)
+      .select("query_id", "doc_id", "rk").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val dense = (0L until 3L).flatMap { q =>
+      val qv = emb.find(_._1 == q).get._2
+      emb.map { case (id, v) => (q, id, cos(qv, v)) }
+        .sortBy { case (_, id, c) => (-c, id) }.take(20).zipWithIndex
+        .map { case ((_, id, _), i) => ((q, id), i + 1L) }
+    }.toMap
+    val expected = (0L until 3L).map { q =>
+      val cands = (lex.keySet ++ dense.keySet).filter(_._1 == q)
+      q -> cands.toSeq.map { k =>
+        val s = lex.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+          dense.get(k).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+        (k._2, math.floor(s * 1e6) / 1e6)
+      }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    }.toMap
+    val got = graft.operators.TextAnalysis.hybridRrf(spark, sfDir)
+      .select("query_id", "doc_id", "rk").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      }
+    assert(got == expected, "fused top-10 diverged from driver recompute")
+  }
+
   test("source cap: at most `cap` docs per source, quality-ordered") {
     val out = graft.operators.TextAnalysis.sourceCap(spark, sfDir, cap = 3)
       .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
