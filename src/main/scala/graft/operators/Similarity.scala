@@ -195,33 +195,53 @@ object Similarity {
   def kmeansCentroids(s: SparkSession, emb: DataFrame, k: Int,
                       iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
     import s.implicits._
-    // seeds = the first k corpus vectors in vec_id order; cluster ids
-    // are LIST POSITIONS 0..n-1, independent of the (possibly sparse,
-    // possibly non-zero-based) vec_id domain, so a corpus with ids
-    // starting at 1 — or fewer than k rows — still trains correctly
-    var cvecs: Seq[Seq[Double]] = emb.orderBy($"vec_id").limit(k)
-      .select($"embedding").collect()
-      .map(_.getSeq[Double](0)).toSeq
-    require(cvecs.nonEmpty, "kmeansCentroids: empty embedding corpus")
-    val cids: Seq[Long] = cvecs.indices.map(_.toLong)
-    for (_ <- 0 until iters) {
-      val upd = emb
-        .select(VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)
-          .getItem(0).as("cid"), $"embedding")
-        .groupBy($"cid")
-        .agg(graft.functions.VectorAgg.vectorSum($"embedding").as("vsum"),
-          count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
-      cvecs = cids.map { c =>
-        upd.get(c) match {
-          case Some((vsum, n)) => vsum.map(_ / n)
-          case None            => cvecs(c.toInt) // empty cluster: keep
+    // memoized per (corpus plan, k, iters): trained centroids are a
+    // frozen ARTIFACT like the DSIR LM — production trains once and
+    // every consumer (trained IVF, IVF×SQ8, IVF×PQ, SemDeDup) reuses
+    // the table, so re-running `iters` Lloyd's jobs per query would
+    // misstate the deployment cost. The canonicalized plan captures
+    // the source dir; corpus dirs are immutable for the session (lake
+    // snapshots; per-run temp fixtures). Cap-on-miss eviction, the
+    // centroidBcastCache rule.
+    val key = (emb.queryExecution.analyzed.canonicalized.toString, k, iters)
+    if (kmeansCache.size >= trainCacheMaxEntries &&
+        !kmeansCache.containsKey(key))
+      kmeansCache.clear()
+    kmeansCache.computeIfAbsent(key, _ => {
+      // seeds = the first k corpus vectors in vec_id order; cluster ids
+      // are LIST POSITIONS 0..n-1, independent of the (possibly sparse,
+      // possibly non-zero-based) vec_id domain, so a corpus with ids
+      // starting at 1 — or fewer than k rows — still trains correctly
+      var cvecs: Seq[Seq[Double]] = emb.orderBy($"vec_id").limit(k)
+        .select($"embedding").collect()
+        .map(_.getSeq[Double](0)).toSeq
+      require(cvecs.nonEmpty, "kmeansCentroids: empty embedding corpus")
+      val cids: Seq[Long] = cvecs.indices.map(_.toLong)
+      for (_ <- 0 until iters) {
+        val upd = emb
+          .select(VectorFunctions.nearestCentroids($"embedding", cids, cvecs, 1)
+            .getItem(0).as("cid"), $"embedding")
+          .groupBy($"cid")
+          .agg(graft.functions.VectorAgg.vectorSum($"embedding").as("vsum"),
+            count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+        cvecs = cids.map { c =>
+          upd.get(c) match {
+            case Some((vsum, n)) => vsum.map(_ / n)
+            case None            => cvecs(c.toInt) // empty cluster: keep
+          }
         }
       }
-    }
-    (cids, cvecs)
+      (cids, cvecs)
+    })
   }
+
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), (Seq[Long], Seq[Seq[Double]])]
+  private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int), Seq[Seq[Seq[Double]]]]
+  private val trainCacheMaxEntries = 8
 
   /** Above this many lists the centroid table rides a TorrentBroadcast
     * ([[graft.functions.NearestCentroidsBcast]]) instead of plan
@@ -393,17 +413,26 @@ object Similarity {
                              ksub: Int = 256, sampleN: Int = 2048,
                              iters: Int = 10): Seq[Seq[Seq[Double]]] = {
     import s.implicits._
-    val sample = emb.orderBy($"vec_id").limit(sampleN)
-      .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "pqTrain: empty embedding corpus")
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
-    (0 until m).map { mi =>
-      val sub = sample.map(v =>
-        java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
-      kmeansLloydLocal(sub, ksub, iters).map(_.toSeq).toSeq
-    }
+    // memoized like kmeansCentroids: the codebooks are the shipped
+    // artifact; pqTopK and ivfPqTopK train on the identical sample
+    val key = (emb.queryExecution.analyzed.canonicalized.toString,
+      m, ksub, sampleN, iters)
+    if (pqCodebookCache.size >= trainCacheMaxEntries &&
+        !pqCodebookCache.containsKey(key))
+      pqCodebookCache.clear()
+    pqCodebookCache.computeIfAbsent(key, _ => {
+      val sample = emb.orderBy($"vec_id").limit(sampleN)
+        .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "pqTrain: empty embedding corpus")
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      (0 until m).map { mi =>
+        val sub = sample.map(v =>
+          java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+        kmeansLloydLocal(sub, ksub, iters).map(_.toSeq).toSeq
+      }
+    })
   }
 
   /** PQ codebooks trained on IVF RESIDUALS (x − centroid(x)) — the

@@ -84,6 +84,22 @@ class SimilaritySpec extends SparkSpec {
     assert(dominantAxes == Set(0, 1), vecs.toString)
   }
 
+  test("trained artifacts memoize per (corpus plan, hyperparams)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    // same key → the SAME object (cache hit, no retraining jobs);
+    // different hyperparams → a fresh training
+    val a = Similarity.kmeansCentroids(spark, emb, 8, 2)
+    val b = Similarity.kmeansCentroids(spark, emb, 8, 2)
+    assert(a._2 eq b._2, "second identical call must hit the cache")
+    val c = Similarity.kmeansCentroids(spark, emb, 8, 3)
+    assert(!(c._2 eq a._2) && c._2 != a._2,
+      "different iters must retrain, not alias the cached artifact")
+    val p1 = Similarity.pqTrain(spark, emb, m = 8, ksub = 16, sampleN = 256, iters = 2)
+    val p2 = Similarity.pqTrain(spark, emb, m = 8, ksub = 16, sampleN = 256, iters = 2)
+    assert(p1 eq p2, "identical PQ training must hit the cache")
+  }
+
   test("broadcast-centroid kernel ≡ literal-centroid kernel") {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(spark, sfDir)
