@@ -151,6 +151,9 @@ object SparkEntry {
     // n-gram windows duplicated across ≥2 docs, merged to maximal
     // token ranges; oracle-checked (gaps-and-islands in both engines)
     "dd_spans" -> ((s, dir) => Dedup.duplicatedSpans(s, dir)),
+    // pairwise source-level n-gram Jaccard (mirror/re-crawl audit);
+    // oracle-checked; single gram shuffle, pairs from bounded sets
+    "dd_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -207,6 +210,9 @@ object SparkEntry {
     "ev_session" -> Events.sessionize _,
     "ev_json" -> Events.jsonExtract _,
     "ev_top_users" -> Events.hourlyTopUsers _,
+    // day-grain cohort retention matrix; oracle-checked; join-free
+    // (first-seen via user-partitioned window min)
+    "ev_retention" -> Events.retention _,
     "ev_asof" -> Events.asofPurchaseClick _,
     "ev_interval_join" -> Events.intervalJoinSessions _,
     "ev_funnel" -> Events.funnel _,
@@ -1070,9 +1076,28 @@ object SparkEntry {
           |  n_tokens, quality
           |FROM c ORDER BY doc_id""".stripMargin,
       // word 4-gram windows (contamination's tokenization) duplicated
-      // across ≥2 docs; positions merged to maximal spans via
-      // gaps-and-islands (windows merge iff pos gap ≤ n); parallel
-      // unnest zips (pos, gram) row-wise
+      // across ≥2 docs (shared ⇔ min≠max doc over the gram partition);
+      // positions merged to maximal spans via gaps-and-islands
+      // (windows merge iff pos gap ≤ n); parallel unnest zips
+      // (pos, gram) row-wise
+      // exact pairwise source Jaccard over distinct word trigrams;
+      // the plain join formulation — the Spark side's bounded-set
+      // pair generation is an equivalent reassociation
+      "dd_source_overlap" ->
+        """WITH t AS (SELECT source, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT DISTINCT source, gram FROM (
+          |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram FROM t) u),
+          |tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+          |sh AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared_grams
+          |  FROM g a JOIN g b USING (gram) WHERE a.source < b.source GROUP BY 1, 2)
+          |SELECT s1, s2, shared_grams,
+          |  floor(CAST(shared_grams AS DOUBLE) / (ta.n + tb.n - shared_grams)
+          |    * 1000000.0) / 1000000.0 AS jaccard
+          |FROM sh JOIN tot ta ON ta.source = sh.s1 JOIN tot tb ON tb.source = sh.s2
+          |ORDER BY s1, s2""".stripMargin,
       "dd_spans" ->
         """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
           |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
@@ -1082,8 +1107,10 @@ object SparkEntry {
           |    unnest(list_transform(range(1, len(toks) - 2),
           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
           |  FROM t),
-          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-          |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+          |d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+          |    min(doc_id) OVER (PARTITION BY gram) AS dmin,
+          |    max(doc_id) OVER (PARTITION BY gram) AS dmax FROM g) m
+          |  WHERE dmin <> dmax),
           |i AS (SELECT doc_id, pos,
           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
           |      THEN 0 ELSE 1 END AS brk
@@ -1293,6 +1320,17 @@ object SparkEntry {
           |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
           |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // day-grain cohorts: first-seen day via a user-partitioned
+      // window min; integer epoch-day arithmetic in both engines
+      "ev_retention" ->
+        """WITH e AS (SELECT user_id,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+          |f AS (SELECT user_id, day,
+          |    min(day) OVER (PARTITION BY user_id) AS first_day FROM e),
+          |c AS (SELECT DISTINCT user_id, first_day * 86400 AS cohort_day_s,
+          |    day - first_day AS offset_days FROM f)
+          |SELECT cohort_day_s, offset_days, count(*) AS n_users
+          |FROM c GROUP BY 1, 2 ORDER BY cohort_day_s, offset_days""".stripMargin,
       "ev_top_users" ->
         """SELECT hr_s, user_id, n, rk FROM (
           |  SELECT hr_s, user_id, n,

@@ -710,6 +710,52 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
+  /** Source-level content overlap — the corpus-governance audit that
+    * catches whole SOURCES duplicating each other (mirror crawls,
+    * re-scraped dumps, vendor datasets repackaging the same crawl):
+    * exact pairwise n-gram Jaccard between sources. Never a corpus
+    * self-join: one shuffle keys distinct (gram → bounded source
+    * set), ordered source PAIRS explode map-side from that
+    * ≤|sources| array (a domain constant, ~20 here, ≤10³ anywhere),
+    * and per-source totals aggregate the SAME shuffled frame — the
+    * two consumers share one Exchange via Spark's ReuseExchange
+    * (PlanSpec-pinned), so the corpus is scanned and shuffled once.
+    * The pair/total join inputs are |sources|²-bounded and broadcast.
+    * At 100 TB the same surface runs on per-source MinHash signatures
+    * instead of exact gram sets; the exact form is the oracle. */
+  def sourceOverlap(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import s.implicits._
+    val sets = Tables.documents(s, dir)
+      .select($"source", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
+      .select($"source", explode_outer($"grams").as("gram"))
+      .filter($"gram".isNotNull)
+      .groupBy($"gram").agg(sort_array(collect_set($"source")).as("srcs"))
+    // one explode emits BOTH the ordered pairs (s1 < s2 via the sorted
+    // set) and a (s, NULL) singleton per member for per-source totals
+    val counted = sets.select(explode(expr(
+      """concat(
+        |  flatten(transform(srcs, (x, i) ->
+        |    transform(slice(srcs, i + 2, size(srcs) - i - 1), y ->
+        |      named_struct('s1', x, 's2', y)))),
+        |  transform(srcs, x -> named_struct('s1', x, 's2', cast(null as string))))"""
+        .stripMargin)).as("p"))
+      .select($"p.s1".as("s1"), $"p.s2".as("s2"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("c"))
+    // no broadcast() hint: the totals side derives from a fact table,
+    // so the registry-wide hint guard (AllQueriesSpec) leaves the
+    // broadcast decision to AQE, which sees the |sources|-row actual
+    // size at runtime and broadcasts (PlanSpec pins it post-execution)
+    val totals = counted.filter($"s2".isNull).select($"s1".as("src"), $"c")
+    counted.filter($"s2".isNotNull)
+      .join(totals.select($"src".as("s1"), $"c".as("na")), Seq("s1"))
+      .join(totals.select($"src".as("s2"), $"c".as("nb")), Seq("s2"))
+      .select($"s1", $"s2", $"c".as("shared_grams"),
+        (floor($"c".cast("double") / ($"na" + $"nb" - $"c").cast("double")
+          * 1000000.0) / 1000000.0).as("jaccard"))
+      .orderBy($"s1", $"s2")
+  }
+
   /** Cross-document duplicated-SPAN detection — the ExactSubstr pass
     * of "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al. 2022): document-level dedup misses the boilerplate
@@ -727,28 +773,30 @@ object Dedup {
     * Scale shape (the reference point is a suffix array over the
     * concatenated corpus, which is inherently single-machine): window
     * emission is one [[graft.functions.TokenNgrams]] kernel pass +
-    * posexplode (map-side); the duplicated-gram table is one
-    * partial-agg shuffle on gram; marking is an equi-join on the SAME
-    * key (no second shuffle of the big side under matching
-    * partitioning); island-merge is a doc-partitioned window — never
-    * global. No all-pairs anywhere: co-occurrence is discovered by
-    * hash-grouping grams, exactly like the banded LSH paths.
-    * explode_outer + null filter, not inner posexplode:
+    * posexplode (map-side); cross-doc duplication is detected INSIDE
+    * one gram-partitioned window pass — a gram is shared iff
+    * min(doc_id) ≠ max(doc_id) over its partition — so the corpus is
+    * scanned and tokenized exactly ONCE and there is no join at all
+    * (the aggregate-then-join-back formulation re-scanned the whole
+    * corpus for the marking side); island-merge is a doc-partitioned
+    * window — never global. No all-pairs anywhere: co-occurrence is
+    * discovered by hash-partitioning grams, exactly like the banded
+    * LSH paths. explode_outer + null filter, not inner posexplode:
     * InferFiltersFromGenerate would inline the tokenizer kernel into
     * the pushed-down Filter (the tx_contamination 3-evals-per-row
     * class, guarded registry-wide). */
   def duplicatedSpans(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-    val g = Tables.documents(s, dir)
+    val byGram = w.partitionBy($"gram")
+    val marked = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
       .select($"doc_id", posexplode_outer($"grams").as(Seq("pos", "gram")))
       .filter($"gram".isNotNull)
-    val dup = g.groupBy($"gram")
-      .agg(count_distinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2)
-      .select($"gram")
-    val marked = g.join(dup, Seq("gram")).select($"doc_id", $"pos")
+      .withColumn("dmin", min($"doc_id").over(byGram))
+      .withColumn("dmax", max($"doc_id").over(byGram))
+      .filter($"dmin" =!= $"dmax")
+      .select($"doc_id", $"pos")
     val byPos = w.partitionBy($"doc_id").orderBy($"pos")
     marked
       // first position in a doc: lag is null → comparison null → new

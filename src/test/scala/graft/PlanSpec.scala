@@ -70,6 +70,46 @@ class PlanSpec extends SparkSpec {
       "tokenizer kernel must be evaluated exactly once per corpus row")
   }
 
+  test("dd_spans: single scan, join-free gram marking, island merge windows per doc") {
+    val p = plan(graft.operators.Dedup.duplicatedSpans(spark, sfDir))
+    // duplicated-gram discovery must be hash-partitioned window work,
+    // never all-pairs and never a join-back that re-scans the corpus
+    assert(!p.contains("Join"), "marking must be a gram-partitioned window, not a join")
+    assert(p.contains("windowspecdefinition(gram"), "marking must partition by gram")
+    assert(p.contains("windowspecdefinition(doc_id"), "island merge must window per doc")
+    assert("graft_token_ngrams".r.findAllIn(p).size == 1,
+      "tokenizer kernel must be evaluated exactly once per corpus row")
+  }
+
+  test("tx_rrf: bounded probe broadcast, both arms prune through WindowGroupLimit") {
+    val p = plan(graft.operators.TextAnalysis.hybridRrf(spark, sfDir))
+    // lexical arm: query terms broadcast (bm25's pinned shape); dense
+    // arm: the 3-row probe set broadcasts against the embeddings scan
+    assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"), "probe set must broadcast")
+    assert(p.contains("WindowGroupLimit"), "candidate top-k must prune map-side")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dd_source_overlap: one corpus shuffle shared via exchange reuse, bounded joins broadcast") {
+    // pair counts and per-source totals both consume the gram-set
+    // aggregation — the corpus scan+shuffle must be paid once. AQE
+    // materializes the reuse at runtime, so execute before inspecting.
+    val df = graft.operators.Dedup.sourceOverlap(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"totals must reuse the gram exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), "|sources|-bounded totals must broadcast")
+  }
+
+  test("ev_retention: join-free — first-seen day rides the user-partitioned window") {
+    val p = plan(graft.operators.Events.retention(spark, sfDir))
+    assert(!p.contains("Join"), "groupBy-then-join-back re-scans the events; window min must not")
+    assert(p.contains("windowspecdefinition(user_id"), "first-seen must window per user")
+  }
+
   test("stratified sample ranks with WindowGroupLimit (quota pushdown)") {
     val p = plan(graft.operators.Sampling.stratifiedSample(spark, sfDir, 5))
     assert(p.contains("WindowGroupLimit"), p)
