@@ -106,6 +106,10 @@ object SparkEntry {
     "tx_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
+    // CCNet head/middle/tail perplexity tertiles via percentile_approx
+    // cutoffs; rows-only (sketch cutoffs aren't ANSI-SQL) — band
+    // balance/monotonicity/determinism gated in PropertySpec
+    "tx_ccnet" -> ((s, dir) => TextAnalysis.ccnetBuckets(s, dir)),
     // DSIR hashed-unigram importance weights (target = md5-bucket
     // tail); oracle-checked
     "tx_dsir" -> ((s, dir) => TextAnalysis.dsir(s, dir)),

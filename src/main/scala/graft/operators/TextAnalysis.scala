@@ -658,6 +658,35 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    * §4.3): the corpus-relative split downstream of [[lmScore]] —
+    * documents are banded into equal-mass tertiles of the LM score,
+    * and training mixes sample by band (head = most fluent). Cutoffs
+    * come from `percentile_approx` — the MERGEABLE quantile sketch,
+    * each partition shipping one bounded summary — never a global
+    * sort/window; the two cut values are a scalar artifact (the
+    * k-means-centroid scalar-pull pattern), and band assignment is a
+    * map-side comparison. At this fixture's size the sketch error is
+    * zero (accuracy ≫ rows); at 100 TB the bands are approximate by
+    * design — CCNet computes its cutoffs on a sample. Rows-only in
+    * the driver contract (sketch cutoffs aren't ANSI-SQL);
+    * PropertySpec gates band balance, boundary monotonicity and
+    * determinism. */
+  def ccnetBuckets(s: SparkSession, dir: String,
+                   accuracy: Int = 10000): DataFrame = {
+    import s.implicits._
+    val scored = lmScore(s, dir)
+    val cuts = scored.agg(percentile_approx($"avg_nll",
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("c"))
+      .head().getSeq[Double](0)
+    scored.withColumn("bucket",
+        when($"avg_nll" <= cuts(0), "head")
+          .when($"avg_nll" <= cuts(1), "middle")
+          .otherwise("tail"))
+      .select($"doc_id", $"avg_nll", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF top terms per document — the classical distinctive-term
     * scorer (tf × smoothed idf, Salton & Buckley 1988). Plan shape at
     * scale: one (doc_id, term) count shuffle; document length via a

@@ -810,6 +810,31 @@ class PropertySpec extends SparkSpec {
       s"classifier is degenerate: $kept/${rows.length} kept")
   }
 
+  test("ccnetBuckets: balanced tertile bands, monotone boundaries, deterministic") {
+    val got = graft.operators.TextAnalysis.ccnetBuckets(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = got.length
+    assert(n > 0)
+    val byBucket = got.groupBy(_._3).map { case (b, rs) => b -> rs.map(_._2) }
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"bands present: ${byBucket.keySet}")
+    // accuracy ≫ rows ⇒ the sketch is exact here: each band holds a
+    // tertile of the corpus up to ties at the cut values
+    byBucket.foreach { case (b, vs) =>
+      assert(vs.length > n / 4 && vs.length < n * 5 / 12,
+        s"band $b collapsed or bloated: ${vs.length} of $n")
+    }
+    // head = most fluent (lowest nll); boundaries must not interleave
+    assert(byBucket("head").max <= byBucket("middle").min,
+      "head/middle boundary interleaves")
+    assert(byBucket("middle").max <= byBucket("tail").min,
+      "middle/tail boundary interleaves")
+    // same corpus, same cutoff artifact → identical banding
+    val again = graft.operators.TextAnalysis.ccnetBuckets(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == again.toSeq, "banding must be deterministic")
+  }
+
   test("rrf fusion ≡ exact driver-side recompute from the two rank lists") {
     // the oracle proves Spark ≡ DuckDB on the same formula; this gate
     // proves the formula ITSELF: fuse the two arms' rank lists in

@@ -45,6 +45,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "q20_sketches" -> ("RecallSpec.scala", "q20Sketches"),
     "tx_bpe" -> ("BpeSpec.scala", "Bpe"),
     "tx_dsir_sample" -> ("PropertySpec.scala", "dsirSample"),
+    "tx_ccnet" -> ("PropertySpec.scala", "ccnetBuckets"),
     "tx_compress" -> ("PropertySpec.scala", "Deflater"),
     "tx_rolling_fp" -> ("PropertySpec.scala", "rollingMinK"),
     "wc_partitions" -> ("HashSpec.scala", "wc_partitions"),
