@@ -155,6 +155,9 @@ object SparkEntry {
     // n-gram windows duplicated across ≥2 docs, merged to maximal
     // token ranges; oracle-checked (gaps-and-islands in both engines)
     "dd_spans" -> ((s, dir) => Dedup.duplicatedSpans(s, dir)),
+    // doc-level ExactSubstr rollup: dup token mass, fraction and the
+    // keep/excise decision; oracle-checked
+    "dd_span_stats" -> ((s, dir) => Dedup.spanStats(s, dir)),
     // pairwise source-level n-gram Jaccard (mirror/re-crawl audit);
     // oracle-checked; single gram shuffle, pairs from bounded sets
     "dd_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
@@ -1102,6 +1105,44 @@ object SparkEntry {
           |    * 1000000.0) / 1000000.0 AS jaccard
           |FROM sh JOIN tot ta ON ta.source = sh.s1 JOIN tot tb ON tb.source = sh.s2
           |ORDER BY s1, s2""".stripMargin,
+      // doc rollup of the dd_spans pipeline; n_tokens = len(toks) for
+      // any doc with ≥1 window, and the no-span denominator fallback
+      // (1) mirrors the Spark side's coalesce — dup_tokens is 0 there
+      // so the fraction is 0 either way and keep = 1
+      "dd_span_stats" ->
+        """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(range(1, len(toks) - 2)) - 1 AS pos,
+          |    unnest(list_transform(range(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+          |  FROM t),
+          |d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+          |    min(doc_id) OVER (PARTITION BY gram) AS dmin,
+          |    max(doc_id) OVER (PARTITION BY gram) AS dmax FROM g) m
+          |  WHERE dmin <> dmax),
+          |i AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+          |      THEN 0 ELSE 1 END AS brk
+          |  FROM d),
+          |isl AS (SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM i),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+          |  FROM isl GROUP BY doc_id, island),
+          |r AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens
+          |  FROM sp GROUP BY doc_id)
+          |SELECT t.doc_id,
+          |  CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(coalesce(r.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          |  floor(CAST(coalesce(r.dup_tokens, 0) AS DOUBLE) /
+          |    (CASE WHEN r.doc_id IS NULL THEN 1.0 ELSE CAST(len(toks) AS DOUBLE) END)
+          |    * 10000.0) / 10000.0 AS dup_frac,
+          |  CAST(CASE WHEN CAST(coalesce(r.dup_tokens, 0) AS DOUBLE) <
+          |    (CASE WHEN r.doc_id IS NULL THEN 1.0 ELSE CAST(len(toks) AS DOUBLE) END) * 0.5
+          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM t LEFT JOIN r ON t.doc_id = r.doc_id ORDER BY t.doc_id""".stripMargin,
       "dd_spans" ->
         """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
           |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks

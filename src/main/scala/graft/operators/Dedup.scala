@@ -787,16 +787,28 @@ object Dedup {
     * class, guarded registry-wide). */
   def duplicatedSpans(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
+    maximalSpans(s, dir, n)
+      .select($"doc_id", $"start_tok", $"end_tok", $"n_windows")
+      .orderBy($"doc_id", $"start_tok")
+  }
+
+  /** Shared span pipeline: one scan → posexplode → gram-window
+    * cross-doc marking → per-doc island merge. `n_grams` (the doc's
+    * window count, hence token count = n_grams + n − 1) rides the
+    * explode so consumers never re-scan the corpus for lengths. */
+  private def maximalSpans(s: SparkSession, dir: String, n: Int): DataFrame = {
+    import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
     val byGram = w.partitionBy($"gram")
     val marked = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
-      .select($"doc_id", posexplode_outer($"grams").as(Seq("pos", "gram")))
+      .select($"doc_id", size($"grams").cast("long").as("n_grams"),
+        posexplode_outer($"grams").as(Seq("pos", "gram")))
       .filter($"gram".isNotNull)
       .withColumn("dmin", min($"doc_id").over(byGram))
       .withColumn("dmax", max($"doc_id").over(byGram))
       .filter($"dmin" =!= $"dmax")
-      .select($"doc_id", $"pos")
+      .select($"doc_id", $"n_grams", $"pos")
     val byPos = w.partitionBy($"doc_id").orderBy($"pos")
     marked
       // first position in a doc: lag is null → comparison null → new
@@ -808,8 +820,39 @@ object Dedup {
       .groupBy($"doc_id", $"island")
       .agg(min($"pos").cast("long").as("start_tok"),
         (max($"pos") + (n - 1)).cast("long").as("end_tok"),
-        count(lit(1)).as("n_windows"))
-      .select($"doc_id", $"start_tok", $"end_tok", $"n_windows")
-      .orderBy($"doc_id", $"start_tok")
+        count(lit(1)).as("n_windows"), first($"n_grams").as("n_grams"))
+  }
+
+  /** Doc-level rollup of [[duplicatedSpans]] — the DECISION artifact
+    * of ExactSubstr dedup: per document, how much of it is verbatim
+    * boilerplate shared with other documents, and whether to keep it.
+    * Span token masses sum per doc (maximal spans never overlap, so
+    * the sum is exact); token counts derive from the window count
+    * already riding the span pipeline (n_tokens = n_grams + n − 1) —
+    * no second corpus scan for lengths; docs with no duplicated span
+    * surface with dup_frac 0 via one map-side scan of the doc list
+    * left-joined against the span rollup (the rollup side is bounded
+    * by docs-with-dups, far below the corpus). keep = dup_frac below
+    * `maxDupFrac`, the Lee-et-al-style excision threshold. */
+  def spanStats(s: SparkSession, dir: String, n: Int = 4,
+                maxDupFrac: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val perDoc = maximalSpans(s, dir, n)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"end_tok" - $"start_tok" + 1L).as("dup_tokens"),
+        (first($"n_grams") + (n - 1)).as("n_tokens"))
+    // explicit coalesce, not greatest-with-null: null-skipping in
+    // greatest() differs across engines, coalesce doesn't
+    val nt = coalesce($"n_tokens", lit(1L)).cast("double")
+    val dup = coalesce($"dup_tokens", lit(0L))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        dup.as("dup_tokens"),
+        (floor(dup.cast("double") / nt * 10000.0) / 10000.0).as("dup_frac"),
+        when(dup.cast("double") < nt * maxDupFrac, 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
   }
 }

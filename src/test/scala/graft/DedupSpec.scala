@@ -233,6 +233,16 @@ class DedupSpec extends SparkSpec {
     // (> n gap) stay TWO spans per doc, 5 windows each
     assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 7L, 5L), (3L, 14L, 21L, 5L)))
     assert(got.filter(_._1 == 4L).toSeq == Seq((4L, 0L, 7L, 5L), (4L, 14L, 21L, 5L)))
+    // doc-level rollup: exact dup masses/fractions and the keep rule.
+    // doc 0: 10 of 15 tokens duplicated (0.6666 ≥ 0.5 → excise);
+    // doc 3: two spans, 16 of 22 (0.7272 → excise); clean docs keep.
+    val stats = Dedup.spanStats(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(stats(0L) == ((1L, 10L, 0.6666, 0L)), stats(0L).toString)
+    assert(stats(1L) == ((1L, 10L, 0.7692, 0L)), stats(1L).toString)
+    assert(stats(3L) == ((2L, 16L, 0.7272, 0L)), stats(3L).toString)
+    assert(stats(2L) == ((0L, 0L, 0.0, 1L)) && stats(5L) == ((0L, 0L, 0.0, 1L)))
   }
 
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
