@@ -220,6 +220,9 @@ object SparkEntry {
     // day-grain cohort retention matrix; oracle-checked; join-free
     // (first-seen via user-partitioned window min)
     "ev_retention" -> Events.retention _,
+    // its ingestion-time twin: per-user first-seen/new-day state via
+    // flatMapGroupsWithState; shares ev_retention's oracle verbatim
+    "ev_stream_retention" -> graft.streaming.StreamingOps.retentionViaStream _,
     "ev_asof" -> Events.asofPurchaseClick _,
     "ev_interval_join" -> Events.intervalJoinSessions _,
     "ev_funnel" -> Events.funnel _,
@@ -1389,6 +1392,10 @@ object SparkEntry {
     // frozen LM, so it shares tx_dsir's oracle verbatim — one SQL
     // string, two deployments, the dd_incremental/ev_stream_incr_dedup
     // discipline applied to scoring
-    base + ("tx_stream_dsir" -> base("tx_dsir"))
+    // twins that share a batch oracle verbatim: the streaming DSIR
+    // scorer (same frozen LM) and the incremental retention stream
+    // (same cohort arithmetic) — one SQL string, two deployments
+    base + ("tx_stream_dsir" -> base("tx_dsir")) +
+      ("ev_stream_retention" -> base("ev_retention"))
   }
 }

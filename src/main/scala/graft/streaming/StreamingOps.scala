@@ -84,6 +84,40 @@ object StreamingOps {
       }
   }
 
+  final case class RetentionState(firstDay: Long, emittedDays: Seq[Long])
+  final case class RetentionCell(cohort_day_s: Long, offset_days: Long,
+                                 user_id: Long)
+
+  /** Incremental cohort retention — the ingestion-time twin of the
+    * batch `ev_retention`: per-user state holds the first-seen event
+    * day plus the set of already-emitted activity days (bounded by
+    * active days per user, the same envelope a retention dashboard's
+    * state store carries), and each batch emits only the NEW
+    * (cohort, offset, user) cells. flatMapGroupsWithState because a
+    * batch can surface many new activity days per user. First-seen
+    * re-basing across batches is not retractable (no streaming API
+    * retracts emitted rows); like every `ev_stream_*` twin the staged
+    * single-ingest fixture makes the min exact, and a production
+    * deployment orders per-user ingestion or re-bases downstream. */
+  def retentionCells(spark: SparkSession,
+                     events: Dataset[UserEvent]): Dataset[RetentionCell] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionCell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[RetentionState]) =>
+          val days = rows.map(e =>
+            Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L), 86400L)).toSeq
+          val old = state.getOption
+          val first = (days ++ old.map(_.firstDay)).min
+          val seen = old.map(_.emittedDays.toSet).getOrElse(Set.empty[Long])
+          val fresh = days.toSet -- seen
+          state.update(RetentionState(first, (seen ++ fresh).toSeq))
+          fresh.toSeq.sorted.iterator
+            .map(d => RetentionCell(first * 86400L, d - first, userId))
+      }
+  }
+
   /** Per-user running totals as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
     * — the transformWithState form of [[runningTotals]]. The new API's
     * state lives in named, individually-evictable stores (ValueState /
@@ -492,6 +526,25 @@ object StreamingOps {
       .select($"user_id", $"n_events",
         round($"total_value", 2).as("total_value"))
       .orderBy($"user_id")
+  }
+
+  /** Driver-visible incremental-retention run (`ev_stream_retention`):
+    * [[retentionCells]] as a real stream into a memory sink; the final
+    * per-cell distinct-user count is batch presentation over the
+    * emitted cells (the `ev_stream_running` post-processing pattern —
+    * the stateful first-seen/new-day logic is the streaming part).
+    * Shares the batch `ev_retention` oracle verbatim. */
+  def retentionViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stagedDir(s, dir)
+    val stream = eventsStream(s, staged)
+      .select($"user_id", $"ts", $"value").as[UserEvent]
+    val mem = runToMemory(retentionCells(s, stream).toDF(),
+      "ev_stream_retention_q", OutputMode.Update, statePartitions = Some(8))
+    mem.select($"cohort_day_s", $"offset_days", $"user_id").distinct()
+      .groupBy($"cohort_day_s", $"offset_days")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day_s", $"offset_days")
   }
 
   /** Driver-visible transformWithState run (`ev_stream_tws`): the

@@ -156,6 +156,37 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming retention: cells accumulate across micro-batches, no re-emission") {
+    // MemoryStream gives deterministic batch boundaries — the property
+    // worth pinning beyond the oracle-shared single-ingest run: new
+    // activity days emit exactly once, cohorts persist in state across
+    // batches, and a user first seen in a LATER batch cohorts there.
+    import StreamingOps.UserEvent
+    def ev(u: Long, day: Long) =
+      UserEvent(u, new java.sql.Timestamp(day * 86400000L + 3600000L), 1.0)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UserEvent](spark)
+    val q = StreamingOps.retentionCells(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("ev_ret_two_q")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 0), ev(1, 1), ev(2, 5))
+      q.processAllAvailable()
+      // day 1 for user 1 repeats: state must suppress the re-emission;
+      // day 3 is new; user 3 cohorts at its own first-seen batch
+      input.addData(ev(1, 3), ev(1, 1), ev(3, 7), ev(3, 9))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ev_ret_two_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == rows.distinct.length, "a cell was re-emitted")
+    val d = 86400L
+    assert(rows.toSet == Set(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (5 * d, 0L, 2L),
+      (7 * d, 0L, 3L), (7 * d, 2L, 3L)))
+  }
+
   test("event-time timers close sessions by watermark, matching the batch rule") {
     // sessions with a successor event close inline; each user's OPEN
     // tail closes only when the watermark passes lastEvent + gap — the
