@@ -676,9 +676,11 @@ object TextAnalysis {
                    accuracy: Int = 10000): DataFrame = {
     import s.implicits._
     val scored = lmScore(s, dir)
-    val cuts = scored.agg(percentile_approx($"avg_nll",
+    // empty corpus: the sketch aggregates to a NULL array — degrade to
+    // placeholder cutoffs (the frame is empty, so they band nothing)
+    val cuts = Option(scored.agg(percentile_approx($"avg_nll",
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("c"))
-      .head().getSeq[Double](0)
+      .head().getSeq[Double](0)).getOrElse(Seq(0.0, 0.0))
     scored.withColumn("bucket",
         when($"avg_nll" <= cuts(0), "head")
           .when($"avg_nll" <= cuts(1), "middle")

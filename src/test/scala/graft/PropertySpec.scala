@@ -437,6 +437,18 @@ class PropertySpec extends SparkSpec {
     // round-8: DSIR's LM totals are NULL sums on an empty corpus — the
     // coalesce must degrade to an empty scored frame, not unbox null
     assert(TextAnalysis.dsir(spark, dir).count() == 0)
+    // round-8 additions: span marking/rollup and source overlap window
+    // and join over nothing; ccnet's percentile sketch aggregates to a
+    // NULL array (the Option guard must not unbox it); retention's
+    // user window sees no events
+    assert(Dedup.duplicatedSpans(spark, dir).count() == 0)
+    assert(Dedup.spanStats(spark, dir).count() == 0)
+    assert(Dedup.sourceOverlap(spark, dir).count() == 0)
+    assert(TextAnalysis.ccnetBuckets(spark, dir).count() == 0)
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.operators.Events.retention(spark, dir).count() == 0)
   }
 
   test("deflate length kernel ≡ direct java.util.zip recompute; ratio ordering") {
