@@ -143,6 +143,9 @@ object SparkEntry {
     // lakehouse MERGE INTO (upsert + tombstone resolution on the
     // primary key); oracle-checked
     "pipe_merge" -> ((s, dir) => Pipeline.mergeRelease(s, dir)),
+    // SCD Type 2 dimension-history build: versioned [valid_from,
+    // valid_to) rows per user from the event stream; oracle-checked
+    "pipe_scd2" -> ((s, dir) => Pipeline.scd2(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -990,6 +993,20 @@ object SparkEntry {
           |FROM base FULL OUTER JOIN ups ON base.doc_id = ups.doc_id
           |WHERE coalesce(base.doc_id, ups.doc_id) NOT IN (SELECT doc_id FROM del)
           |ORDER BY doc_id""".stripMargin,
+      "pipe_scd2" ->
+        """WITH o AS (SELECT user_id, event_type, ts, event_id,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          |  FROM events),
+          |c AS (SELECT user_id, event_type, ts, event_id FROM o
+          |  WHERE prev_type IS NULL OR prev_type <> event_type),
+          |v AS (SELECT user_id, event_type,
+          |    row_number() OVER w AS version,
+          |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+          |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS valid_to_s
+          |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id, version, event_type, valid_from_s, valid_to_s,
+          |  CAST(CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+          |FROM v ORDER BY user_id, version""".stripMargin,
       // selection pipeline: quality CTE + the tx_dsir weight chain
       // (CTEs prefixed d* to avoid name clashes) + digest dedup +
       // per-source cap — one independent DuckDB formulation of the

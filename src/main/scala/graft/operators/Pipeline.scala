@@ -230,4 +230,41 @@ object Pipeline {
           $"n_docs".cast("double")) / 10000.0).as("keep_rate"))
       .orderBy($"source")
   }
+
+  /** SCD Type 2 dimension-history build (Kimball): each user's event
+    * stream becomes versioned attribute rows with `[valid_from,
+    * valid_to)` validity, a per-user version number, and a current
+    * flag — the lakehouse pattern for tracking how a dimension
+    * attribute (here `event_type` as the user's "state") changed over
+    * time. Consecutive repeats collapse: a version row opens only
+    * when the attribute actually changes.
+    *
+    * Scale shape: change detection (lag ≠ current), version
+    * numbering (row_number) and validity chaining (lead) are all
+    * windows over the SAME (user_id)/(ts, event_id) partitioning —
+    * Spark plans ONE Exchange and sorts once; the post-filter windows
+    * reuse the child's hash partitioning (EnsureRequirements inserts
+    * no second shuffle). No join, no driver state; at 100 TB the cost
+    * is one user-keyed shuffle of 4 narrow columns.
+    *
+    * Ordering ties break on event_id (both engines see identical
+    * micros after the nanos truncation in [[graft.Tables.events]]),
+    * so version assignment is deterministic cross-engine. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changes = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(ord))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes
+      .withColumn("version", row_number().over(ord))
+      .withColumn("valid_from_s", unix_timestamp($"ts"))
+      .withColumn("valid_to_s", lead(unix_timestamp($"ts"), 1).over(ord))
+      .select($"user_id", $"version", $"event_type",
+        $"valid_from_s", $"valid_to_s",
+        when($"valid_to_s".isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
 }

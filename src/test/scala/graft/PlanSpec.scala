@@ -255,6 +255,18 @@ class PlanSpec extends SparkSpec {
       "text-stats kernel must be evaluated exactly once")
   }
 
+  test("pipe_scd2: one user shuffle feeds all three windows, join-free") {
+    // change detection (lag), version numbering (row_number) and
+    // validity chaining (lead) all window over the same
+    // (user_id)/(ts, event_id) clustering — a second Exchange or a
+    // join here means the history build stopped reusing the
+    // partitioning and pays a redundant shuffle per 100 TB pass
+    val p = plan(graft.operators.Pipeline.scd2(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"scd2 must shuffle exactly once, saw $exchanges:\n$p")
+    assert(!p.contains("Join"), "scd2 must stay join-free")
+  }
+
   test("dd_incremental: history never shuffles — verification joins broadcast the maybe-set") {
     // the scale contract: the semi join (which digests exist in
     // history) and the anti join (drop confirmed dups) both carry the

@@ -449,6 +449,43 @@ class PropertySpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(graft.operators.Events.retention(spark, dir).count() == 0)
+    assert(graft.operators.Pipeline.scd2(spark, dir).count() == 0)
+  }
+
+  test("scd2: runs collapse, versions chain half-open, ties break on event_id") {
+    import graft.operators.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory("scd2").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: free free pro pro free → three versions (runs collapse);
+    // user 2: one event → a single open current version;
+    // user 3: two changes at the SAME timestamp → event_id decides
+    Seq(
+      (1L, ts(100), 1L, "free", 0.0, "{}"),
+      (2L, ts(200), 1L, "free", 0.0, "{}"),
+      (3L, ts(300), 1L, "pro", 0.0, "{}"),
+      (4L, ts(400), 1L, "pro", 0.0, "{}"),
+      (5L, ts(500), 1L, "free", 0.0, "{}"),
+      (6L, ts(150), 2L, "trial", 0.0, "{}"),
+      (7L, ts(700), 3L, "a", 0.0, "{}"),
+      (8L, ts(700), 3L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Pipeline.scd2(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1, "free", 100L, Some(300L), 0L),
+      (1L, 2, "pro", 300L, Some(500L), 0L),
+      (1L, 3, "free", 500L, None, 1L),
+      (2L, 1, "trial", 150L, None, 1L),
+      (3L, 1, "a", 700L, Some(700L), 0L),
+      (3L, 2, "b", 700L, None, 1L)), got.mkString("\n"))
+    // exactly one current version per user, and it is the last one
+    val byUser = got.groupBy(_._1)
+    byUser.values.foreach { vs =>
+      assert(vs.count(_._6 == 1L) == 1, "one current row per user")
+      assert(vs.maxBy(_._2)._6 == 1L, "current row is the max version")
+    }
   }
 
   test("deflate length kernel ≡ direct java.util.zip recompute; ratio ordering") {
