@@ -177,6 +177,9 @@ object SparkEntry {
     // within-batch near-dup survivors; rows-only, gated in DedupSpec
     "dd_incremental_fuzzy" -> ((s, dir) => Dedup.incrementalFuzzyDedup(s, dir)),
     "ann_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    // metadata-filtered vector search (exact, label predicate pushed
+    // to the parquet scan before any distance math); oracle-checked
+    "ann_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
@@ -1265,6 +1268,19 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
           |  FROM scored)
           |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
+          |ORDER BY query_id, rk""".stripMargin,
+      "ann_filtered_topk" ->
+        """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),
+          |f AS (SELECT vec_id, label, emb FROM e WHERE label IN (2, 5, 7)),
+          |scored AS (SELECT query_id, f.vec_id, f.label,
+          |    round(list_dot_product(qv, emb) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(emb, emb))), 6) AS cos_sim
+          |  FROM f CROSS JOIN q WHERE f.vec_id <> q.query_id),
+          |r AS (SELECT query_id, vec_id, label, cos_sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, vec_id, label, cos_sim, rk FROM r WHERE rk <= 5
           |ORDER BY query_id, rk""".stripMargin,
       "mm_media_meta" ->
         """SELECT doc_id AS media_id,

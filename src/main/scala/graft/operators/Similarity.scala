@@ -37,6 +37,40 @@ object Similarity {
   /** Exact cosine top-k: `numQueries` probe vectors against the whole
     * corpus. Row-wise window head with full tie-break (score desc,
     * vec_id) keeps output deterministic. */
+  /** Metadata-filtered vector search: exact cosine top-k restricted to
+    * corpus vectors whose `label` passes a predicate — the "filtered
+    * ANN" shape every retrieval stack needs (tenant, language,
+    * freshness filters over a vector index).
+    *
+    * Scale shape: the predicate is a plain `IN` comparison, so it
+    * reaches the parquet scan as a pushed filter (PlanSpec pins
+    * `PushedFilters: [In(label`) — distance math runs ONLY on
+    * survivors, and with a label-partitioned layout this is partition
+    * pruning, not even a scan. Pre-filtering is exact (no recall
+    * loss); post-filtering an unfiltered index would need k/selectivity
+    * candidates to match it. Probes broadcast exactly as in
+    * [[bruteForceTopK]]. */
+  def filteredTopK(s: SparkSession, dir: String,
+                   numQueries: Int = 10, topK: Int = 5,
+                   labels: Seq[Int] = Seq(2, 5, 7)): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("q"))
+    val corpus = emb.filter($"label".isin(labels: _*))
+      .select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("embedding"))
+    val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"label",
+        round(cosine($"q", $"embedding"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"query_id", $"vec_id", $"label", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
   def bruteForceTopK(s: SparkSession, dir: String,
                      numQueries: Int = 10, topK: Int = 5): DataFrame = {
     import s.implicits._

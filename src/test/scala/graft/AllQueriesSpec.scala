@@ -18,7 +18,10 @@ class AllQueriesSpec extends SparkSpec {
   // against the embeddings scan — the ann_brute_topk shape.
   private val nestedLoopAllowed =
     Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk",
-      "ann_mrl_topk", "mm_embed_ann", "tx_rrf")
+      "ann_mrl_topk", "mm_embed_ann", "tx_rrf",
+      // same bounded shape as ann_brute_topk: the BNLJ build side is
+      // exactly numQueries (10) broadcast probe rows
+      "ann_filtered_topk")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five

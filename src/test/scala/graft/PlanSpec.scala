@@ -255,6 +255,16 @@ class PlanSpec extends SparkSpec {
       "text-stats kernel must be evaluated exactly once")
   }
 
+  test("ann_filtered_topk: label predicate reaches the parquet scan") {
+    // the whole point of pre-filtered vector search: metadata pruning
+    // happens AT the scan (and with a label-partitioned layout, before
+    // it), so cosine math runs only on surviving vectors — a filter
+    // evaluated after the distance join would burn the full corpus
+    val p = plan(graft.operators.Similarity.filteredTopK(spark, sfDir))
+    assert(p.contains("PushedFilters: [In(label"),
+      s"label IN filter must push to the embeddings scan:\n$p")
+  }
+
   test("pipe_scd2: one user shuffle feeds all three windows, join-free") {
     // change detection (lag), version numbering (row_number) and
     // validity chaining (lead) all window over the same
