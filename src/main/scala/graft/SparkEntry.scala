@@ -226,6 +226,9 @@ object SparkEntry {
     // day-grain cohort retention matrix; oracle-checked; join-free
     // (first-seen via user-partitioned window min)
     "ev_retention" -> Events.retention _,
+    // within-session event-type Markov transition matrix with exact
+    // ppm probabilities (long division); oracle-checked
+    "ev_transitions" -> ((s, dir) => Events.transitions(s, dir)),
     // its ingestion-time twin: per-user first-seen/new-day state via
     // flatMapGroupsWithState; shares ev_retention's oracle verbatim
     "ev_stream_retention" -> graft.streaming.StreamingOps.retentionViaStream _,
@@ -1412,6 +1415,18 @@ object SparkEntry {
           |    day - first_day AS offset_days FROM f)
           |SELECT cohort_day_s, offset_days, count(*) AS n_users
           |FROM c GROUP BY 1, 2 ORDER BY cohort_day_s, offset_days""".stripMargin,
+      "ev_transitions" ->
+        """WITH o AS (SELECT user_id, event_type, ts, event_id,
+          |    lag(event_type) OVER w AS from_type,
+          |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS from_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |p AS (SELECT from_type, event_type AS to_type FROM o
+          |  WHERE from_type IS NOT NULL
+          |    AND CAST(floor(epoch(ts)) AS BIGINT) - from_s <= 1800),
+          |c AS (SELECT from_type, to_type, count(*) AS n FROM p GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
+          |FROM c ORDER BY from_type, to_type""".stripMargin,
       "ev_top_users" ->
         """SELECT hr_s, user_id, n, rk FROM (
           |  SELECT hr_s, user_id, n,

@@ -450,6 +450,38 @@ class PropertySpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(graft.operators.Events.retention(spark, dir).count() == 0)
     assert(graft.operators.Pipeline.scd2(spark, dir).count() == 0)
+    assert(graft.operators.Events.transitions(spark, dir).count() == 0)
+  }
+
+  test("transitions: session gap excludes pairs, ppm is exact long division") {
+    import graft.operators.Events
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      (1L, ts(100), 1L, "a", 0.0, "{}"),
+      (2L, ts(200), 1L, "b", 0.0, "{}"),
+      (3L, ts(300), 1L, "b", 0.0, "{}"),
+      (4L, ts(400), 1L, "a", 0.0, "{}"),
+      (5L, ts(5000), 1L, "x", 0.0, "{}"), // 4600 s gap: excluded
+      (6L, ts(100), 2L, "a", 0.0, "{}"),
+      (7L, ts(200), 2L, "c", 0.0, "{}"),
+      (8L, ts(300), 2L, "a", 0.0, "{}"),
+      (9L, ts(400), 2L, "c", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 1L, 333333L),
+      ("a", "c", 2L, 666666L),
+      ("b", "a", 1L, 500000L),
+      ("b", "b", 1L, 500000L),
+      ("c", "a", 1L, 1000000L)), got.mkString("\n"))
+    // row probabilities sum to 1 within ppm truncation per from_type
+    got.groupBy(_._1).values.foreach { vs =>
+      val s = vs.map(_._4).sum
+      assert(s > 1000000L - vs.length && s <= 1000000L, s"ppm sum $s")
+    }
   }
 
   test("scd2: runs collapse, versions chain half-open, ties break on event_id") {
