@@ -76,6 +76,9 @@ object GraftExtensions {
       "gopher_counts(str) - the 8 Gopher-rule raw counts [n_words, sum_word_chars, " +
         "n_alpha_words, n_stop_distinct, n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines]"),
       (es: Seq[Expression]) => GopherCounts(es.head))),
+    "graft_char_entropy" -> ((info("graft_char_entropy",
+      "char_entropy(str) - Shannon entropy (bits, log2) of the codepoint unigram distribution"),
+      (es: Seq[Expression]) => CharEntropy(es.head))),
     "graft_ngram_rep_mass" -> ((info("graft_ngram_rep_mass",
       "ngram_rep_mass(str) - [top2, dup2, …, top10, dup10] char masses of the " +
         "most-frequent and duplicated word n-grams, n in 2..10"),

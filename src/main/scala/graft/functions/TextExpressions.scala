@@ -59,6 +59,14 @@ object TextFunctions {
   def deflateLen(c: Column): Column =
     ColumnBridge.column(DeflatedLen(ColumnBridge.expression(c)))
 
+  /** `double`: Shannon entropy (bits) of the text's codepoint unigram
+    * distribution — the "gibberish or template boilerplate" quality
+    * signal (low = repeated chars, high = random noise). Matches
+    * DuckDB `entropy(unnest(string_split(text, '')))`: log2 base,
+    * codepoint granularity, empty text → 0.0. */
+  def charEntropy(c: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(c)))
+
   /** `struct<n_tokens: long, llr: double>`: token count and summed
     * per-token DSIR log-likelihood ratio under a FROZEN 4096-bucket
     * hashed-unigram LM table — the map-side scoring form of
@@ -339,6 +347,64 @@ object DeflatedLen {
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
     total
+  }
+}
+
+/** See [[TextFunctions.charEntropy]]. One pass over the decoded
+  * codepoints: ASCII counts slot into a 128-long array; the rare
+  * non-ASCII codepoint falls back to a map allocated only when first
+  * needed. H = -Σ (c/n)·log2(c/n), accumulated in deterministic slot
+  * order (consumers floor-truncate before comparing cross-engine, so
+  * summation-order ulps never reach the oracle grid). */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharEntropy.entropyBits(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
+    copy(child = c)
+}
+
+object CharEntropy {
+  private val Log2 = math.log(2.0)
+
+  def entropyBits(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (other == null) other = new java.util.HashMap
+        val slot = other.get(cp)
+        if (slot == null) other.put(cp, Array(1L)) else slot(0) += 1L
+      }
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    val nd = n.toDouble
+    var h = 0.0
+    var j = 0
+    while (j < 128) {
+      if (ascii(j) > 0L) {
+        val p = ascii(j) / nd
+        h -= p * (math.log(p) / Log2)
+      }
+      j += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val p = it.next()(0) / nd
+        h -= p * (math.log(p) / Log2)
+      }
+    }
+    h
   }
 }
 
