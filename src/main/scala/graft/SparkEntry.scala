@@ -61,6 +61,7 @@ object SparkEntry {
     "q24_bloom_prune" -> Relational.q24BloomPrune _,
     // ---- M2: text analysis / dedup / similarity / multimodal ----
     "tx_stats" -> TextAnalysis.textStats _,
+    "tx_entropy" -> TextAnalysis.charEntropyProfile _,
     "tx_tokens" -> TextAnalysis.tokenCount _,
     // full Gopher structure-rule battery (word/line signals + keep
     // flag), oracle-checked cell-exact against DuckDB
@@ -574,6 +575,16 @@ object SparkEntry {
           |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
           |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // DuckDB's entropy() aggregate is log2-based like the kernel;
+      // string_split(text, '') yields codepoints, matching the
+      // kernel's codePointAt walk. Floor to a 1e-4 grid in BOTH
+      // engines before the flag so summation-order ulps can't flip it.
+      "tx_entropy" ->
+        """SELECT doc_id,
+          |  floor(entropy(c) * 10000.0) / 10000.0 AS entropy_bits,
+          |  floor(entropy(c) * 10000.0) / 10000.0 < 3.0 AS low_entropy
+          |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "tx_tokens" ->
         """SELECT doc_id,
           |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,

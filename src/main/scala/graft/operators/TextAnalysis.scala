@@ -39,6 +39,23 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Codepoint-entropy quality signal: Shannon entropy (bits) of each
+    * document's character unigram distribution — low entropy flags
+    * repeated-char / template-boilerplate text, high flags random
+    * noise. One map-side kernel pass ([[TextFunctions.charEntropy]]),
+    * no shuffle except the oracle ORDER BY. Floored to a 1e-4 grid so
+    * summation-order ulps never cross the DuckDB `entropy()` oracle. */
+  def charEntropyProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        (floor(TextFunctions.charEntropy($"text") * lit(10000.0)) /
+          lit(10000.0)).as("entropy_bits"))
+      .withColumn("low_entropy", $"entropy_bits" < 3.0)
+      .orderBy($"doc_id")
+  }
+
   /** Token counting: whitespace tokens + BPE-ish pieces + mean token
     * length (rounded for cross-engine float determinism). */
   def tokenCount(s: SparkSession, dir: String): DataFrame = {

@@ -552,6 +552,39 @@ class PropertySpec extends SparkSpec {
     assert(ratio(natural) < ratio(incompressible))
   }
 
+  test("char entropy kernel ≡ driver recompute (incl. multi-byte codepoints); empty → 0.0; SQL registration live") {
+    import graft.functions.TextFunctions
+    // independent reference: codepoint histogram via a plain Scala
+    // Map, -Σ p·log2 p — shares no code with the kernel's
+    // ascii-array-fast-path accumulation
+    def ref(s: String): Double = {
+      if (s.isEmpty) return 0.0
+      val counts = s.codePoints().toArray.groupBy(identity).map(_._2.length)
+      val n = counts.sum.toDouble
+      counts.map { c => val p = c / n; -p * (math.log(p) / math.log(2.0)) }.sum
+    }
+    val samples = Seq(
+      "", "a", "aaaa", "ab", "abab",
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld ünïcode ✓ ✗ 你好你好", // multi-byte, incl. repeats
+      "😀😀x", // surrogate-pair codepoints count once each
+      "0123456789" * 7) ++
+      (1 to 20).flatMap(n => Gen.listOfN(200, Gen.asciiPrintableChar)
+        .map(_.mkString).apply(Gen.Parameters.default, Seed(100L + n)))
+    val got = samples.toDF("s").select(TextFunctions.charEntropy(col("s")))
+      .collect().map(_.getDouble(0))
+    samples.zip(got).foreach { case (s, h) =>
+      assert(math.abs(h - ref(s)) < 1e-9, s"entropy mismatch for ${s.take(40)}…")
+    }
+    assert(got(0) == 0.0) // empty-string contract, exact
+    // single repeated codepoint → exactly 0 bits; two balanced → exactly 1
+    assert(got(2) == 0.0 && math.abs(got(3) - 1.0) < 1e-12)
+    // the registered SQL surface evaluates the same kernel
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_char_entropy('abab')").head().getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
   test("pii scrub: planted email/url/ip/number fixtures redact by category, cascade order holds") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("pii").toString
