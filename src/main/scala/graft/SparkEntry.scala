@@ -1184,24 +1184,25 @@ object SparkEntry {
         """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
           |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
           |  FROM documents),
-          |g AS (SELECT doc_id,
+          |g AS (SELECT doc_id, len(toks) AS n_toks,
           |    unnest(range(1, len(toks) - 2)) - 1 AS pos,
           |    unnest(list_transform(range(1, len(toks) - 2),
           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
           |  FROM t),
-          |d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+          |d AS (SELECT doc_id, pos, n_toks FROM (SELECT doc_id, pos, n_toks,
           |    min(doc_id) OVER (PARTITION BY gram) AS dmin,
           |    max(doc_id) OVER (PARTITION BY gram) AS dmax FROM g) m
           |  WHERE dmin <> dmax),
-          |i AS (SELECT doc_id, pos,
+          |i AS (SELECT doc_id, pos, n_toks,
           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
           |      THEN 0 ELSE 1 END AS brk
           |  FROM d),
-          |isl AS (SELECT doc_id, pos,
+          |isl AS (SELECT doc_id, pos, n_toks,
           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
           |  FROM i)
           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
-          |  CAST(max(pos) + 3 AS BIGINT) AS end_tok, count(*) AS n_windows
+          |  CAST(max(pos) + 3 AS BIGINT) AS end_tok, count(*) AS n_windows,
+          |  CAST(any_value(n_toks) AS BIGINT) AS doc_tokens
           |FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok""".stripMargin,
       "dd_ngram_jaccard" ->
         """WITH g AS (SELECT doc_id,

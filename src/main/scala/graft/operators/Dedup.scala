@@ -773,41 +773,81 @@ object Dedup {
     * Scale shape (the reference point is a suffix array over the
     * concatenated corpus, which is inherently single-machine): window
     * emission is one [[graft.functions.TokenNgrams]] kernel pass +
-    * posexplode (map-side); cross-doc duplication is detected INSIDE
-    * one gram-partitioned window pass — a gram is shared iff
-    * min(doc_id) ≠ max(doc_id) over its partition — so the corpus is
-    * scanned and tokenized exactly ONCE and there is no join at all
-    * (the aggregate-then-join-back formulation re-scanned the whole
-    * corpus for the marking side); island-merge is a doc-partitioned
-    * window — never global. No all-pairs anywhere: co-occurrence is
-    * discovered by hash-partitioning grams, exactly like the banded
-    * LSH paths. explode_outer + null filter, not inner posexplode:
+    * posexplode (map-side); the corpus is scanned, tokenized and
+    * SHUFFLED exactly once — an explicit gram repartition whose
+    * Exchange both marking consumers reuse (see [[maximalSpans]]);
+    * island-merge is a doc-partitioned window — never global. No
+    * all-pairs anywhere: co-occurrence is discovered by
+    * hash-partitioning grams, exactly like the banded LSH paths.
+    * explode_outer + null filter, not inner posexplode:
     * InferFiltersFromGenerate would inline the tokenizer kernel into
     * the pushed-down Filter (the tx_contamination 3-evals-per-row
     * class, guarded registry-wide). */
   def duplicatedSpans(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
     maximalSpans(s, dir, n)
-      .select($"doc_id", $"start_tok", $"end_tok", $"n_windows")
+      .select($"doc_id", $"start_tok", $"end_tok", $"n_windows",
+        // doc length rides the span pipeline (n_grams + n − 1 = token
+        // count) — consumers judge span mass without a second scan,
+        // and it keeps the probe column set identical across this
+        // query and spanStats (see the plan-shaping note above)
+        ($"n_grams" + (n - 1)).cast("long").as("doc_tokens"))
       .orderBy($"doc_id", $"start_tok")
   }
 
-  /** Shared span pipeline: one scan → posexplode → gram-window
+  /** Shared span pipeline: one scan → posexplode → one gram shuffle →
     * cross-doc marking → per-doc island merge. `n_grams` (the doc's
     * window count, hence token count = n_grams + n − 1) rides the
-    * explode so consumers never re-scan the corpus for lengths. */
+    * explode so consumers never re-scan the corpus for lengths.
+    *
+    * Marking shape — chosen for Zipfian gram skew: a gram is cross-doc
+    * iff min(doc_id) ≠ max(doc_id) among its occurrences. Computing
+    * that with a window `over (partition by gram)` puts a license
+    * header shared by 10⁷ docs into ONE WindowExec partition, which
+    * sorts and buffers the whole frame in a single unsplittable task
+    * (AQE's OptimizeSkewedJoin splits sort-merge JOIN partitions, not
+    * window partitions). Instead: repartition by gram ONCE, then
+    *  - the flag side is a streaming HashAggregate over that Exchange
+    *    (no sort, no row buffering — a hot gram costs one pass and one
+    *    hash entry), and
+    *  - the positions re-attach by joining on the SAME Exchange
+    *    (ReusedExchange/ReusedQueryStage, PlanSpec-pinned on the
+    *    executed plan), whose probe side AQE CAN skew-split — each
+    *    split task reads a slice of the hot partition against the
+    *    bounded per-gram flag rows. The attach is an INNER join
+    *    against the distinct-by-construction flag grams, not
+    *    left-semi, deliberately: PushDownLeftSemiAntiJoin pushes a
+    *    semi join below RepartitionByExpression, which re-plans the
+    *    probe side off the raw scan and silently doubles the corpus
+    *    scan+tokenize; inner joins stay put.
+    * So the corpus still shuffles exactly once, nothing re-scans, and
+    * the one formerly unsplittable task became N splittable ones. */
   private def maximalSpans(s: SparkSession, dir: String, n: Int): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-    val byGram = w.partitionBy($"gram")
-    val marked = Tables.documents(s, dir)
+    val shuffled = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
       .select($"doc_id", size($"grams").cast("long").as("n_grams"),
         posexplode_outer($"grams").as(Seq("pos", "gram")))
       .filter($"gram".isNotNull)
-      .withColumn("dmin", min($"doc_id").over(byGram))
-      .withColumn("dmax", max($"doc_id").over(byGram))
-      .filter($"dmin" =!= $"dmax")
+      .repartition($"gram")
+    // The two trailing aggregates and their tautological filter guards
+    // (pos and n_grams are never negative) are PLAN-SHAPING, not
+    // logic: exchange reuse requires the two consumers' subtrees to
+    // stay canonically identical, and ColumnPruning would otherwise
+    // specialize the flag branch down to {gram, doc_id} (struct
+    // packing doesn't survive either — NestedColumnAliasing unpacks
+    // per branch). Referencing every probe column here pins both
+    // branches to the same {gram, doc_id, n_grams, pos} exchange, so
+    // the corpus is scanned/tokenized/shuffled exactly once. Cost:
+    // two extra 4-byte max accumulators per distinct gram, map-side.
+    val crossDoc = shuffled
+      .groupBy($"gram")
+      .agg(min($"doc_id").as("dmin"), max($"doc_id").as("dmax"),
+        max($"pos").as("_maxpos"), max($"n_grams").as("_maxgrams"))
+      .filter($"dmin" =!= $"dmax" && $"_maxpos" >= 0 && $"_maxgrams" >= 0L)
+      .select($"gram")
+    val marked = shuffled.join(crossDoc, Seq("gram"))
       .select($"doc_id", $"n_grams", $"pos")
     val byPos = w.partitionBy($"doc_id").orderBy($"pos")
     marked

@@ -70,13 +70,24 @@ class PlanSpec extends SparkSpec {
       "tokenizer kernel must be evaluated exactly once per corpus row")
   }
 
-  test("dd_spans: single scan, join-free gram marking, island merge windows per doc") {
-    val p = plan(graft.operators.Dedup.duplicatedSpans(spark, sfDir))
-    // duplicated-gram discovery must be hash-partitioned window work,
-    // never all-pairs and never a join-back that re-scans the corpus
-    assert(!p.contains("Join"), "marking must be a gram-partitioned window, not a join")
-    assert(p.contains("windowspecdefinition(gram"), "marking must partition by gram")
+  test("dd_spans: one corpus shuffle reused by flag agg and semi-join; no gram window") {
+    // Zipfian grams make `over (partition by gram)` an unsplittable
+    // straggler (WindowExec sorts+buffers; AQE skew-split only handles
+    // SMJ partitions). The marking must be: one explicit gram
+    // Exchange, streamed HashAggregate flag side, left-semi re-attach
+    // on the SAME exchange — so the corpus shuffles once and the hot
+    // partition is skew-splittable on the probe side.
+    val df = graft.operators.Dedup.duplicatedSpans(spark, sfDir)
+    df.collect() // AQE materializes reuse only in the executed plan
+    // executedPlan.toString appends the pre-reuse "== Initial Plan =="
+    // section — count kernels in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("windowspecdefinition(gram"),
+      "gram-partitioned window is the skew-straggler shape — must not come back")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"flag agg and semi-join probe must share ONE gram exchange:\n$p")
     assert(p.contains("windowspecdefinition(doc_id"), "island merge must window per doc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert("graft_token_ngrams".r.findAllIn(p).size == 1,
       "tokenizer kernel must be evaluated exactly once per corpus row")
   }
