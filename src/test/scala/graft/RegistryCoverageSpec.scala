@@ -105,4 +105,31 @@ class RegistryCoverageSpec extends AnyFunSuite {
     assert(survey.contains(s"every one of the ${q - o}\nrows-only queries"),
       s"SURVEY.md status must state ${q - o} rows-only queries")
   }
+
+  test("RESULTS.md current-claims section states live run counts (run-count rot guard)") {
+    // round 8: the headline registry count was pinned but the inline
+    // run records ("111 queries", "111/111 dumped") predated the last
+    // three registered queries. This pins EVERY `N queries` and `N/N`
+    // figure in the current-claims section (everything above the
+    // ROUND HISTORY marker) to the live registry size; per-round
+    // records below the marker are intentionally frozen history.
+    val q = SparkEntry.queries.size
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("RESULTS.md")), "UTF-8")
+    val marker = "<!-- ROUND HISTORY"
+    assert(text.contains(marker), "RESULTS.md must carry the ROUND HISTORY marker")
+    val current = text.substring(0, text.indexOf(marker))
+    val qFigs = """(\d+) queries""".r.findAllMatchIn(current).map(_.group(1).toInt).toList
+    assert(qFigs.nonEmpty && qFigs.forall(_ == q),
+      s"stale 'N queries' figure(s) in RESULTS.md current claims: $qFigs, registry is $q")
+    assert(current.contains(s"Full Verify at sf0.01: $q/$q dumped"),
+      s"RESULTS.md must record a Verify run covering all $q queries")
+    // any a/b run figure in current claims must be self-consistent
+    // (e.g. "205/205"); guard against "112/115 dumped"-style partials.
+    // Negative lookarounds keep decimals like 0.22/0.61 out of scope.
+    """(?<![\d./])(\d+)/(\d+)(?![\d./])""".r.findAllMatchIn(current).foreach { m =>
+      assert(m.group(1) == m.group(2),
+        s"non-green run figure in RESULTS.md current claims: ${m.matched}")
+    }
+  }
 }
