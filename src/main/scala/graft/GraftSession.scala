@@ -26,16 +26,24 @@ object GraftSession {
   )
 
   /** Semantic confs every graft session needs.
-    * `nanosAsLong`: events.parquet carries INT64 TIMESTAMP(NANOS), which
-    * Spark's parquet reader rejects; read nanos as long and let
+    * `nanosAsLong`: events.parquet has shipped as INT64 TIMESTAMP(NANOS),
+    * which Spark's parquet reader rejects; read nanos as long and let
     * `Tables.events` truncate to micros (the same truncation DuckDB applies
     * loading nanos into its micro-precision TIMESTAMP). Set here, at session
     * build, so table loaders stay side-effect free and order-independent.
-    */
+    * `inferTimestampNTZ`: fixture timestamps have also shipped as NAIVE
+    * micros (isAdjustedToUTC=false), which Spark 4 infers as
+    * TIMESTAMP_NTZ by default — a different dtype that breaks
+    * getTimestamp consumers and unix_timestamp semantics downstream.
+    * The engine's contract is session-zone TIMESTAMP everywhere (the
+    * session zone is pinned UTC, so the wall-clock values are
+    * identical); disable the inference so both fixture vintages read
+    * the same. */
   val sqlConf: Map[String, String] = Map(
-    "spark.sql.session.timeZone"             -> "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong"   -> "true",
-    "spark.ui.enabled"                       -> "false"
+    "spark.sql.session.timeZone"                 -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong"       -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    "spark.ui.enabled"                           -> "false"
   )
 
   /** `local[N]` HARD-CODES maxFailures = 1 inside

@@ -105,6 +105,10 @@ object SparkEntry {
     // hybrid BM25+dense retrieval fused by Reciprocal Rank Fusion;
     // oracle-checked (rank-only fusion is bit-exact cross-engine)
     "tx_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(s, dir)),
+    // tx_rrf with the dense arm swapped to the Matryoshka ANN funnel —
+    // the 100 TB deployment form; rows-only (approximate dense arm),
+    // fused-rank overlap vs the exact tx_rrf gated in RecallSpec
+    "tx_rrf_ann" -> ((s, dir) => TextAnalysis.hybridRrfAnn(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
     // CCNet head/middle/tail perplexity tertiles via percentile_approx
@@ -162,9 +166,18 @@ object SparkEntry {
     // doc-level ExactSubstr rollup: dup token mass, fraction and the
     // keep/excise decision; oracle-checked
     "dd_span_stats" -> ((s, dir) => Dedup.spanStats(s, dir)),
+    // span EXCISION — the spliced clean text with every duplicated
+    // span removed (the Lee-et-al remove-the-bytes action);
+    // oracle-checked (string splice is exact in both engines)
+    "dd_excise" -> ((s, dir) => Dedup.exciseSpans(s, dir)),
     // pairwise source-level n-gram Jaccard (mirror/re-crawl audit);
     // oracle-checked; single gram shuffle, pairs from bounded sets
     "dd_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
+    // per-source MinHash signatures estimating the same Jaccard — the
+    // 100 TB shape (shuffle carries |sources|×H longs, skew absorbed
+    // by mergeable partial mins); rows-only, estimate-error gated in
+    // DedupSpec against the exact dd_source_overlap
+    "dd_source_overlap_mh" -> ((s, dir) => Dedup.sourceOverlapMinhash(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -230,6 +243,10 @@ object SparkEntry {
     // within-session event-type Markov transition matrix with exact
     // ppm probabilities (long division); oracle-checked
     "ev_transitions" -> ((s, dir) => Events.transitions(s, dir)),
+    // hourly volume anomalies per type: z-score from exact integer
+    // moments (single-rounded IEEE, bit-identical cross-engine),
+    // top-3 buckets per type; oracle-checked
+    "ev_anomaly" -> ((s, dir) => Events.anomaly(s, dir)),
     // its ingestion-time twin: per-user first-seen/new-day state via
     // flatMapGroupsWithState; shares ev_retention's oracle verbatim
     "ev_stream_retention" -> graft.streaming.StreamingOps.retentionViaStream _,
@@ -1180,6 +1197,43 @@ object SparkEntry {
           |    (CASE WHEN r.doc_id IS NULL THEN 1.0 ELSE CAST(len(toks) AS DOUBLE) END) * 0.5
           |    THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM t LEFT JOIN r ON t.doc_id = r.doc_id ORDER BY t.doc_id""".stripMargin,
+      // same span CTEs as dd_spans, then the splice: tokens whose
+      // position falls inside any span are dropped, the rest rejoin
+      // single-spaced in position order (string_agg ORDER BY pos)
+      "dd_excise" ->
+        """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(range(1, len(toks) - 2)) - 1 AS pos,
+          |    unnest(list_transform(range(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+          |  FROM t),
+          |d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+          |    min(doc_id) OVER (PARTITION BY gram) AS dmin,
+          |    max(doc_id) OVER (PARTITION BY gram) AS dmax FROM g) m
+          |  WHERE dmin <> dmax),
+          |i AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+          |      THEN 0 ELSE 1 END AS brk
+          |  FROM d),
+          |isl AS (SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM i),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+          |  FROM isl GROUP BY doc_id, island),
+          |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+          |    unnest(toks) AS tok FROM t),
+          |keep AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+          |  WHERE NOT EXISTS (SELECT 1 FROM sp
+          |    WHERE sp.doc_id = k.doc_id AND k.pos BETWEEN sp.s AND sp.e)),
+          |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          |    count(*) AS kept FROM keep GROUP BY doc_id)
+          |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(toks) - coalesce(a.kept, 0) AS BIGINT) AS removed_tokens
+          |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+          |ORDER BY t.doc_id""".stripMargin,
       "dd_spans" ->
         """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
           |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
@@ -1439,6 +1493,31 @@ object SparkEntry {
           |SELECT from_type, to_type, n,
           |  CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
           |FROM c ORDER BY from_type, to_type""".stripMargin,
+      // moments from exact integer sums, cast to double ONCE, with the
+      // identical rounding sequence (s1*s1, /k, s2−·, /k) as the Spark
+      // side — z-scores are then bit-identical IEEE in both engines
+      "ev_anomaly" ->
+        """WITH b AS (SELECT event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_s,
+          |    count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, bucket_s, n,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS k,
+          |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS s1,
+          |    CAST(sum(n * n) OVER (PARTITION BY event_type) AS DOUBLE) AS s2
+          |  FROM b),
+          |z AS (SELECT event_type, bucket_s, n,
+          |    s1 / k AS mean, (s2 - s1 * s1 / k) / k AS variance
+          |  FROM w),
+          |r AS (SELECT event_type, bucket_s, n,
+          |    (CAST(n AS DOUBLE) - mean) / sqrt(variance) AS z
+          |  FROM z WHERE variance > 0),
+          |t AS (SELECT event_type, bucket_s, n, z,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY z DESC, bucket_s) AS BIGINT) AS rk
+          |  FROM r)
+          |SELECT event_type, bucket_s, CAST(n AS BIGINT) AS n,
+          |  floor(z * 10000.0) / 10000.0 AS zscore, rk
+          |FROM t WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
       "ev_top_users" ->
         """SELECT hr_s, user_id, n, rk FROM (
           |  SELECT hr_s, user_id, n,

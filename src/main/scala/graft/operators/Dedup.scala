@@ -756,6 +756,45 @@ object Dedup {
       .orderBy($"s1", $"s2")
   }
 
+  /** MinHash-signature form of [[sourceOverlap]] — the 100 TB shape
+    * SCALING.md promises for the source-governance audit: instead of
+    * shuffling DISTINCT grams (unbounded key space), each source folds
+    * to a `numHashes`-component MinHash signature (min of h_i(gram)
+    * over the source's gram set — mergeable, so partial aggregation
+    * absorbs all skew map-side and the shuffle carries |sources| ×
+    * numHashes longs TOTAL), and pairwise Jaccard is ESTIMATED as the
+    * fraction of matching components. Same gram universe as the exact
+    * op (token n-grams), so the exact query is the oracle: DedupSpec
+    * gates the estimate's max absolute error against
+    * [[sourceOverlap]]'s exact Jaccard. The pair join is non-equi but
+    * |sources|²-bounded (the dd_source_overlap argument verbatim).
+    * Rows-only in the driver contract (64-bit hashing isn't
+    * ANSI-SQL). */
+  def sourceOverlapMinhash(s: SparkSession, dir: String, n: Int = 3,
+                           numHashes: Int = 64): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"source", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
+      .select($"source", explode_outer($"grams").as("gram"))
+      .filter($"gram".isNotNull)
+    // distinct-ness is free: min() over duplicate gram occurrences
+    // equals min() over the distinct set, so no pre-distinct shuffle
+    val sig = grams.groupBy($"source")
+      .agg(min(xxhash64(lit(0), $"gram")).as("h0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), $"gram")).as(s"h$i")): _*)
+      .select($"source", array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val a = sig.select($"source".as("s1"), $"sig".as("sig1"))
+    val b = sig.select($"source".as("s2"), $"sig".as("sig2"))
+    a.join(b, $"s1" < $"s2")
+      .select($"s1", $"s2",
+        (floor(aggregate(zip_with($"sig1", $"sig2",
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, m) => acc + m).cast("double")
+          / numHashes * 1000000.0) / 1000000.0).as("est_jaccard"))
+      .orderBy($"s1", $"s2")
+  }
+
   /** Cross-document duplicated-SPAN detection — the ExactSubstr pass
     * of "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al. 2022): document-level dedup misses the boilerplate
@@ -893,6 +932,43 @@ object Dedup {
         dup.as("dup_tokens"),
         (floor(dup.cast("double") / nt * 10000.0) / 10000.0).as("dup_frac"),
         when(dup.cast("double") < nt * maxDupFrac, 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Span EXCISION — the action end of the ExactSubstr pipeline
+    * (Lee et al. 2022 §4.2 remove the duplicated bytes, not the
+    * document): splice every [[duplicatedSpans]] token range OUT of
+    * each document and emit the cleaned text, so the corpus keeps a
+    * document's unique prose while dropping its boilerplate verbatim
+    * with other docs. Tokens are the same whitespace tokenization the
+    * span pipeline indexes, rejoined single-spaced.
+    *
+    * Scale shape: the span side aggregates [[maximalSpans]] per doc
+    * into a bounded struct array (spans never overlap, and their count
+    * per doc is ≤ n_tokens/n) — far below the corpus, AQE broadcasts
+    * it; the splice itself is one higher-order `filter((tok, i) -> no
+    * span covers i)` over the token array, map-side, no per-token
+    * shuffle, no second tokenizer pass shuffle. Output is one row per
+    * document at any scale. */
+  def exciseSpans(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    import s.implicits._
+    val spans = maximalSpans(s, dir, n)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"start_tok", $"end_tok")).as("spans"))
+    Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), 1).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      // coalesce to an empty array BEFORE the lambda: exists() over a
+      // null array is null, and filter() treats a null predicate as
+      // drop — which would excise the whole document
+      .withColumn("spans", coalesce($"spans",
+        array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> NOT exists(spans, sp -> i >= sp.start_tok AND i <= sp.end_tok))"))
+      .select($"doc_id",
+        concat_ws(" ", $"kept").as("clean_text"),
+        size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"kept")).cast("long").as("removed_tokens"))
       .orderBy($"doc_id")
   }
 }

@@ -168,15 +168,82 @@ object TextAnalysis {
       .withColumn("rk_dense", row_number().over(wd).cast("long"))
       .filter($"rk_dense" <= candK)
       .select($"query_id", $"vec_id".as("doc_id"), $"rk_dense")
-    val wf = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
+    rrfFuse(lex, dense, topK, rrfK)
+  }
+
+  /** RRF fusion step shared by [[hybridRrf]] and [[hybridRrfAnn]]:
+    * full-outer join of the two (query_id, doc_id, rank) arms, score
+    * `Σ 1/(rrfK + rank)` with exactly-rounded IEEE divisions so the
+    * fused score is bit-identical cross-engine, ties by doc_id. The
+    * join touches only 2 × candK rows per query regardless of corpus
+    * size — fusion cost never scales with the data. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame,
+                      topK: Int, rrfK: Int): DataFrame = {
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", floor(
-        (coalesce(lit(1.0) / ($"rk_lex" + rrfK), lit(0.0)) +
-          coalesce(lit(1.0) / ($"rk_dense" + rrfK), lit(0.0))) * 1000000.0) / 1000000.0)
+        (coalesce(lit(1.0) / (col("rk_lex") + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rk_dense") + rrfK), lit(0.0))) * 1000000.0) / 1000000.0)
       .withColumn("rk", row_number().over(wf).cast("long"))
-      .filter($"rk" <= topK)
-      .select($"query_id", $"doc_id", $"rrf", $"rk")
-      .orderBy($"query_id", $"rk")
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** [[hybridRrf]] with the dense arm swapped from the exact
+    * brute-force scan to the Matryoshka two-stage ANN funnel
+    * ([[Similarity.mrlTopK]]'s shape: shortlist on the first
+    * `prefixDims` dims, exact-cosine rerank of the bounded shortlist
+    * only) — the 100 TB deployment form of hybrid retrieval, where a
+    * full-corpus × queries exact scan is off the table and the dense
+    * arm must come from an index. The lexical arm, fusion rule and
+    * rounding are IDENTICAL to [[hybridRrf]] (shared [[rrfFuse]]), so
+    * the exact query is the oracle for this one: RecallSpec gates the
+    * fused-top-k rank overlap between the two. Rows-only in the driver
+    * contract (the dense arm is approximate by design).
+    *
+    * Scale shape: stage 1 touches prefixDims/dim of the vector bytes
+    * (a 4× smaller resident index at 16/64); stage 2 fetches full
+    * vectors for shortlistK ids per query via a broadcast join back
+    * into the store — the corpus never shuffles, and both stages prune
+    * through WindowGroupLimit like every ANN path here. */
+  def hybridRrfAnn(s: SparkSession, dir: String,
+                   queries: Seq[String] = Seq("join merge sort", "window agg",
+                     "scan column order"),
+                   candK: Int = 20, topK: Int = 10, rrfK: Int = 60,
+                   prefixDims: Int = 16, shortlistK: Int = 100): DataFrame = {
+    import s.implicits._
+    val lex = bm25(s, dir, queries, topK = candK)
+      .select($"query_id", $"doc_id", $"rk".as("rk_lex"))
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val qPre = emb.filter($"vec_id" < queries.size)
+      .select($"vec_id".as("query_id"), slice($"embedding", 1, prefixDims).as("qpre"))
+    val wS = Window.partitionBy($"query_id").orderBy($"pre_sim".desc, $"vec_id")
+    // unlike mrlTopK the probe vector is NOT excluded from its own
+    // candidates: tx_rrf's dense arm keeps self-hits, and the overlap
+    // gate needs identical candidate semantics in both queries. The
+    // trailing limit is the semantic no-op that makes the shortlist's
+    // bound structural for the stage-2 broadcast (see mrlTopK).
+    val short = emb.select($"vec_id", slice($"embedding", 1, prefixDims).as("pre"))
+      .crossJoin(broadcast(qPre))
+      .select($"query_id", $"vec_id",
+        graft.functions.VectorFunctions.cosineSim($"qpre", $"pre").as("pre_sim"))
+      .withColumn("rk", row_number().over(wS)).filter($"rk" <= shortlistK)
+      .select($"query_id", $"vec_id")
+      .limit(queries.size * shortlistK)
+    val qFull = emb.filter($"vec_id" < queries.size)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val wd = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    val dense = emb.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        round(Similarity.cosine($"q", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rk_dense", row_number().over(wd).cast("long"))
+      .filter($"rk_dense" <= candK)
+      .select($"query_id", $"vec_id".as("doc_id"), $"rk_dense")
+    rrfFuse(lex, dense, topK, rrfK)
   }
 
   /** Full Gopher document-structure rule battery (Rae et al. 2021,

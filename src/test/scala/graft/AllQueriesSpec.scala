@@ -21,7 +21,13 @@ class AllQueriesSpec extends SparkSpec {
       "ann_mrl_topk", "mm_embed_ann", "tx_rrf",
       // same bounded shape as ann_brute_topk: the BNLJ build side is
       // exactly numQueries (10) broadcast probe rows
-      "ann_filtered_topk")
+      "ann_filtered_topk",
+      // stage-1 of the MRL funnel: prefix-dim scan against the
+      // 3-row broadcast probe set (the ann_mrl_topk shape)
+      "tx_rrf_ann",
+      // |sources|² pair join of |sources|-row signature frames (the
+      // dd_source_overlap bound, here as an explicit non-equi join)
+      "dd_source_overlap_mh")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five

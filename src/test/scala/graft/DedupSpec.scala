@@ -243,6 +243,45 @@ class DedupSpec extends SparkSpec {
     assert(stats(1L) == ((1L, 10L, 0.7692, 0L)), stats(1L).toString)
     assert(stats(3L) == ((2L, 16L, 0.7272, 0L)), stats(3L).toString)
     assert(stats(2L) == ((0L, 0L, 0.0, 1L)) && stats(5L) == ((0L, 0L, 0.0, 1L)))
+    // excision splices the span token ranges out and rejoins the rest
+    // single-spaced; clean docs pass through verbatim (lowercased
+    // tokenization is identity on this fixture)
+    val ex = Dedup.exciseSpans(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ex(0L) == (("u1 u2 u3 v1 v2", 15L, 10L)), ex(0L).toString)
+    assert(ex(1L) == (("w1 w2 x1", 13L, 10L)), ex(1L).toString)
+    assert(ex(3L) == (("m1 m2 m3 m4 m5 m6", 22L, 16L)), ex(3L).toString)
+    assert(ex(2L) == (("only unique tokens here nothing shared at all", 8L, 0L)))
+    assert(ex(5L) == (("r1 r2 self self self self self self r3 r4", 10L, 0L)))
+  }
+
+  test("sourceOverlapMinhash estimate tracks exact source-overlap Jaccard") {
+    // same gram universe (token 3-grams) on both sides, so the exact
+    // query IS the oracle for the signature estimate; MinHash error is
+    // binomial with σ = sqrt(J(1-J)/64) ≤ 0.0625, gate at a ~2.5σ band
+    val exact = Dedup.sourceOverlap(spark, sfDir)
+      .select("s1", "s2", "jaccard").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val est = Dedup.sourceOverlapMinhash(spark, sfDir)
+      .select("s1", "s2", "est_jaccard").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // the signature grid covers every ordered pair, so every
+    // exact-overlap pair must be present
+    assert(exact.keySet.subsetOf(est.keySet),
+      s"missing pairs: ${exact.keySet -- est.keySet}")
+    val errs = exact.map { case (k, j) => math.abs(est(k) - j) }
+    info(f"pairs=${exact.size} maxErr=${errs.max}%.4f meanErr=${errs.sum / errs.size}%.4f")
+    // measured maxErr 0.0694 / meanErr 0.0155 over the 190 fixture
+    // pairs — inside the 64-hash binomial envelope; the gate sits at
+    // ~2× measured max to catch seeding/merging bugs (a broken hash
+    // family degrades toward uniform-random component matches)
+    assert(errs.max <= 0.12, f"MinHash overlap estimate error blew up: ${errs.max}%.4f")
+    // pairs with NO exact overlap row share few-to-no grams — their
+    // estimate must sit near zero, not drift
+    val disjoint = (est.keySet -- exact.keySet).toSeq.map(est)
+    if (disjoint.nonEmpty)
+      assert(disjoint.max <= 0.12, f"disjoint-pair estimate drift: ${disjoint.max}%.4f")
   }
 
   test("ngram jaccard: identical=1.0, disjoint filtered out") {

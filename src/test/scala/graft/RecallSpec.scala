@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Systematic recall gates for the queries the driver can only
@@ -317,5 +317,28 @@ class RecallSpec extends SparkSpec {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     info(s"simhash: ${truth.size} true pairs, ${got.size} found")
     assert(got == truth)
+  }
+
+  test("hybrid RRF with ANN dense arm: fused top-k overlap vs exact tx_rrf") {
+    // tx_rrf_ann swaps only the dense arm (exact brute scan → MRL
+    // prefix-shortlist funnel); lexical arm, fusion rule and rounding
+    // are shared code. The gate is the fused-result overlap against
+    // the exact query — the same exact-vs-approx twinning every other
+    // approximate path here carries.
+    def fused(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = fused(TextAnalysis.hybridRrf(spark, sfDir))
+    val ann = fused(TextAnalysis.hybridRrfAnn(spark, sfDir))
+    val overlap = (ann & exact).size.toDouble / exact.size
+    info(f"rrf-ann fused overlap@10 = $overlap%.3f (${(ann & exact).size}/${exact.size})")
+    // measured 0.767 (23/30) at shortlistK=100 on the isotropic
+    // fixture — the worst case for prefix truncation (see the mrlTopK
+    // gate: prefix cosine of a random vector is a noisy 1/4-sample
+    // estimate), and the shared lexical arm anchors roughly half the
+    // fused list. MRL-trained embeddings recall far higher. The gate
+    // catches collapse (a broken funnel → lexical-only overlap ≈ 0.5),
+    // not the fixture's geometry.
+    assert(overlap >= 0.70, f"RRF-ANN fused overlap collapsed: $overlap%.3f")
   }
 }

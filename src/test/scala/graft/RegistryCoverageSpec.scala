@@ -40,11 +40,13 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "dd_cdc" -> ("DedupSpec.scala", "CdcChunks"),
     "dd_incremental_fuzzy" -> ("DedupSpec.scala", "incrementalFuzzy"),
     "dd_lsh_clusters" -> ("DedupSpec.scala", "lshClusters"),
+    "dd_source_overlap_mh" -> ("DedupSpec.scala", "sourceOverlapMinhash"),
     "mm_phash_dup" -> ("MultimodalSpec.scala", "phash"),
     "mm_embed_ann" -> ("MultimodalSpec.scala", "embedAnnTopK"),
     "q20_sketches" -> ("RecallSpec.scala", "q20Sketches"),
     "tx_bpe" -> ("BpeSpec.scala", "Bpe"),
     "tx_dsir_sample" -> ("PropertySpec.scala", "dsirSample"),
+    "tx_rrf_ann" -> ("RecallSpec.scala", "hybridRrfAnn"),
     "tx_ccnet" -> ("PropertySpec.scala", "ccnetBuckets"),
     "tx_compress" -> ("PropertySpec.scala", "Deflater"),
     "tx_rolling_fp" -> ("PropertySpec.scala", "rollingMinK"),
