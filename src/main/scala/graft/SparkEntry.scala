@@ -151,6 +151,10 @@ object SparkEntry {
     // SCD Type 2 dimension-history build: versioned [valid_from,
     // valid_to) rows per user from the event stream; oracle-checked
     "pipe_scd2" -> ((s, dir) => Pipeline.scd2(s, dir)),
+    // quality-annealed curriculum: phase by fixed logit thresholds
+    // (the tx_quality_lr expression, shared), shard-local sequencing;
+    // oracle-checked
+    "pipe_curriculum" -> ((s, dir) => Pipeline.curriculum(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -181,6 +185,14 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    // overlap coefficient |A∩B|/min(|A|,|B|): the near-superset
+    // detector Jaccard misses (short doc quoted inside a long one);
+    // oracle-checked on the same bounded id range
+    "dd_containment" -> ((s, dir) => Dedup.ngramContainment(s, dir)),
+    // the production shape: LSH band candidates → containment
+    // rescoring of candidate pairs only; rows-only (banding isn't
+    // ANSI-SQL), gated in DedupSpec vs a driver exact recompute
+    "dd_lsh_containment" -> ((s, dir) => Dedup.lshContainment(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     "dd_lsh_clusters" -> ((s, dir) => Dedup.lshClusters(s, dir)),
     "dd_survivors" -> ((s, dir) => Dedup.survivors(s, dir)),
@@ -247,6 +259,13 @@ object SparkEntry {
     // moments (single-rounded IEEE, bit-identical cross-engine),
     // top-3 buckets per type; oracle-checked
     "ev_anomaly" -> ((s, dir) => Events.anomaly(s, dir)),
+    // RFM engagement segmentation: recency/frequency/monetary banded
+    // 1-5 against population means (monetary in exact cents);
+    // oracle-checked
+    "ev_rfm" -> ((s, dir) => Events.rfm(s, dir)),
+    // top within-session 3-step event-type paths (funnel discovery);
+    // global top-k via TakeOrderedAndProject; oracle-checked
+    "ev_paths" -> ((s, dir) => Events.paths(s, dir)),
     // its ingestion-time twin: per-user first-seen/new-day state via
     // flatMapGroupsWithState; shares ev_retention's oracle verbatim
     "ev_stream_retention" -> graft.streaming.StreamingOps.retentionViaStream _,
@@ -1041,6 +1060,31 @@ object SparkEntry {
           |SELECT user_id, version, event_type, valid_from_s, valid_to_s,
           |  CAST(CASE WHEN valid_to_s IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
           |FROM v ORDER BY user_id, version""".stripMargin,
+      // the tx_quality_lr logit chain verbatim (shared CTE strings),
+      // then fixed-threshold phase banding + shard-local sequencing
+      "pipe_curriculum" ->
+        s"""WITH $gopherRawCte,
+           |$qualityRawCte,
+           |f AS (SELECT q.doc_id,
+           |    floor(least(q.n_tok / 64.0, 1.0) * 10000.0) / 10000.0 AS len_score,
+           |    floor((q.n_stop / greatest(q.n_tok, 1.0)) * 10000.0) / 10000.0 AS stop_ratio,
+           |    floor((q.n_punct / greatest(q.n_chars, 1.0)) * 10000.0) / 10000.0 AS punct_ratio,
+           |    floor(gc.n_alpha * 10000.0 / greatest(gc.n_words, 1)) / 10000.0 AS alpha_frac,
+           |    floor(gc.n_symbols * 10000.0 / greatest(gc.n_words, 1)) / 10000.0 AS symbol_ratio
+           |  FROM q JOIN gc USING (doc_id)),
+           |l AS (SELECT doc_id,
+           |    floor((-2.25 + len_score * 1.5 + stop_ratio * 3.0 - punct_ratio * 4.0 +
+           |      alpha_frac * 1.0 - symbol_ratio * 5.0) * 10000.0) / 10000.0 AS logit
+           |  FROM f),
+           |p AS (SELECT doc_id, logit,
+           |    CAST(CASE WHEN logit > 0.3 THEN 2 WHEN logit > 0.0 THEN 1
+           |      ELSE 0 END AS BIGINT) AS phase,
+           |    CAST(doc_id % 8 AS BIGINT) AS shard
+           |  FROM l)
+           |SELECT doc_id, phase, shard, logit,
+           |  CAST(row_number() OVER (PARTITION BY phase, shard
+           |    ORDER BY logit DESC, doc_id) AS BIGINT) AS seq
+           |FROM p ORDER BY doc_id""".stripMargin,
       // selection pipeline: quality CTE + the tx_dsir weight chain
       // (CTEs prefixed d* to avoid name clashes) + digest dedup +
       // per-source cap — one independent DuckDB formulation of the
@@ -1269,6 +1313,18 @@ object SparkEntry {
           |      len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
           |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
           |SELECT id1, id2, jaccard FROM j WHERE jaccard > 0.3 ORDER BY id1, id2""".stripMargin,
+      "dd_containment" ->
+        """WITH g AS (SELECT doc_id,
+          |    list_distinct(list_transform(range(0, greatest(length(norm) - 3, 0) + 1),
+          |      i -> substr(norm, CAST(i + 1 AS INTEGER), 3))) AS grams
+          |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+          |        FROM documents WHERE doc_id < 50) t),
+          |j AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          |      least(len(a.grams), len(b.grams)), 4) AS containment
+          |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+          |SELECT id1, id2, containment FROM j
+          |WHERE containment > 0.5 ORDER BY id1, id2""".stripMargin,
       "dd_clusters" ->
         """WITH RECURSIVE g AS (SELECT doc_id,
           |    list_distinct(list_transform(range(0, greatest(length(norm) - 3, 0) + 1),
@@ -1518,6 +1574,46 @@ object SparkEntry {
           |SELECT event_type, bucket_s, CAST(n AS BIGINT) AS n,
           |  floor(z * 10000.0) / 10000.0 AS zscore, rk
           |FROM t WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+      // monetary totals in exact cents (long sums), means as
+      // single-rounded divisions of exact integer sums, band
+      // comparisons at fixed mean multipliers — the identical IEEE
+      // sequence as the Spark side, so scores hash-match
+      "ev_rfm" ->
+        """WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS mts FROM events),
+          |u AS (SELECT user_id, count(*) AS f,
+          |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS m_cents,
+          |    (mx.mts - max(CAST(floor(epoch(ts)) AS BIGINT))) // 86400 AS r_days
+          |  FROM events, mx GROUP BY user_id, mx.mts),
+          |st AS (SELECT CAST(sum(f) AS DOUBLE) / count(*) AS mf,
+          |    CAST(sum(m_cents) AS DOUBLE) / count(*) AS mm,
+          |    CAST(sum(r_days) AS DOUBLE) / count(*) AS mr FROM u),
+          |b AS (SELECT u.user_id, u.f, u.m_cents, u.r_days,
+          |    CAST(CASE WHEN r_days <= mr * 0.8 THEN 5 WHEN r_days <= mr * 0.95 THEN 4
+          |      WHEN r_days <= mr * 1.05 THEN 3 WHEN r_days <= mr * 1.2 THEN 2
+          |      ELSE 1 END AS BIGINT) AS r_score,
+          |    CAST(CASE WHEN f >= mf * 1.2 THEN 5 WHEN f >= mf * 1.05 THEN 4
+          |      WHEN f >= mf * 0.95 THEN 3 WHEN f >= mf * 0.8 THEN 2
+          |      ELSE 1 END AS BIGINT) AS f_score,
+          |    CAST(CASE WHEN m_cents >= mm * 1.2 THEN 5 WHEN m_cents >= mm * 1.05 THEN 4
+          |      WHEN m_cents >= mm * 0.95 THEN 3 WHEN m_cents >= mm * 0.8 THEN 2
+          |      ELSE 1 END AS BIGINT) AS m_score
+          |  FROM u, st)
+          |SELECT user_id, f, m_cents / 100.0 AS monetary,
+          |  CAST(r_days AS BIGINT) AS r_days, r_score, f_score, m_score,
+          |  r_score * 100 + f_score * 10 + m_score AS rfm
+          |FROM b ORDER BY user_id""".stripMargin,
+      "ev_paths" ->
+        """WITH st AS (SELECT user_id, event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+          |    lag(event_type, 1) OVER w AS e1,
+          |    lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS t1,
+          |    lag(event_type, 2) OVER w AS e2,
+          |    lag(CAST(floor(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |p AS (SELECT e2 || '>' || e1 || '>' || event_type AS path FROM st
+          |  WHERE e2 IS NOT NULL AND t1 - t2 <= 1800 AND t0 - t1 <= 1800)
+          |SELECT path, count(*) AS n FROM p GROUP BY path
+          |ORDER BY n DESC, path LIMIT 10""".stripMargin,
       "ev_top_users" ->
         """SELECT hr_s, user_id, n, rk FROM (
           |  SELECT hr_s, user_id, n,

@@ -596,6 +596,62 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** n-gram CONTAINMENT (overlap coefficient |A∩B| / min(|A|,|B|))
+    * over the same bounded id range as [[ngramJaccard]] — the
+    * near-SUPERSET detector Jaccard structurally misses: a short doc
+    * fully quoted inside a much longer one scores Jaccard ≈
+    * |A|/|B| → 0 but containment 1.0 (the quote-expansion /
+    * page-plus-boilerplate case every dedup survey calls out;
+    * Broder 1997 distinguishes resemblance from containment for
+    * exactly this reason). Same pipeline position as the Jaccard
+    * verifier: exact form on bounded ids / LSH candidates; at 100 TB
+    * the candidates come from the banded paths and this is the
+    * per-pair rescoring function. */
+  def ngramContainment(s: SparkSession, dir: String, k: Int = 3,
+                       maxId: Long = 50, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val g = Tables.documents(s, dir).filter($"doc_id" < maxId)
+      .select($"doc_id", shingleArray(normText($"text"), k).as("grams"))
+    val a = g.select($"doc_id".as("id1"), $"grams".as("g1"))
+    val b = g.select($"doc_id".as("id2"), $"grams".as("g2"))
+    a.join(b, $"id1" < $"id2")
+      .select($"id1", $"id2",
+        round(size(array_intersect($"g1", $"g2")).cast("double") /
+          least(size($"g1"), size($"g2")).cast("double"), 4).as("containment"))
+      .filter($"containment" > threshold)
+      .orderBy($"id1", $"id2")
+  }
+
+  /** The production containment pipeline: banded MinHash-LSH
+    * candidate generation → exact containment rescoring of the
+    * candidate pairs only (the "per-pair rescoring downstream of
+    * banded candidates" shape SCALING.md promises for
+    * [[ngramContainment]]). Candidates come from [[minhashPairs]]
+    * with NO Jaccard threshold — deliberately: a short doc contained
+    * in a long one has low Jaccard (the threshold would drop it) but
+    * still collides in bands whenever its shingles dominate a
+    * signature slice, and the containment rescore is what decides.
+    * Gram attach is two candidate-bounded equi-joins (the corpus
+    * gram arrays shuffle once by doc_id); no all-pairs anything.
+    * Rows-only (LSH banding isn't ANSI-SQL); DedupSpec gates found
+    * pairs + values against a driver-side exact recompute and a
+    * planted containment fixture. */
+  def lshContainment(s: SparkSession, dir: String, k: Int = 3,
+                     threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val cand = minhashPairs(s, dir, threshold = 0.0).select($"id1", $"id2")
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", shingleArray(normText($"text"), k).as("grams"))
+    cand
+      .join(g.select($"doc_id".as("id1"), $"grams".as("g1")), Seq("id1"))
+      .join(g.select($"doc_id".as("id2"), $"grams".as("g2")), Seq("id2"))
+      .select($"id1", $"id2",
+        round(size(array_intersect($"g1", $"g2")).cast("double") /
+          least(size($"g1"), size($"g2")).cast("double"), 4).as("containment"))
+      .filter($"containment" > threshold)
+      .orderBy($"id1", $"id2")
+  }
+
   /** Incremental exact dedup — the production shape at 100 TB: a new
     * batch arrives and must be deduplicated against the EXISTING corpus
     * without reprocessing it. (The batch/history split here is the

@@ -250,6 +250,42 @@ object Pipeline {
     * Ordering ties break on event_id (both engines see identical
     * micros after the nanos truncation in [[graft.Tables.events]]),
     * so version assignment is deterministic cross-engine. */
+  /** Curriculum assembly — quality-annealed data ordering (the
+    * mid-training "anneal onto your best data" schedule of modern
+    * pretraining runs, e.g. MiniCPM/OLMo2 annealing phases): each doc
+    * is banded into a training PHASE by fixed thresholds on the
+    * offline-trained classifier's exact 1e-4-grid logit
+    * ([[TextAnalysis.qualityClassifier]]'s — shared expression, so the
+    * two queries cannot drift), phases train in ascending order
+    * (bulk → filtered → highest-quality anneal), and within each
+    * (phase, shard) docs sequence highest-quality-first. Shard-local
+    * sequencing (the tx_pack discipline: shard = doc_id mod shards),
+    * NEVER a global order — a curriculum needs reproducible per-shard
+    * reader order, not one global sort of 100 TB.
+    *
+    * Scale shape: logit + banding are map-side; the only shuffle is
+    * the (phase, shard) window, 3·shards bounded partitions each
+    * ~corpus/(3·shards). Fully oracle-checked (fixed thresholds on
+    * the exact grid; integer phase/shard; rank ties broken by
+    * doc_id). */
+  def curriculum(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val logit = lit(-2.25) + $"len_score" * 1.5 + $"stop_ratio" * 3.0 -
+      $"punct_ratio" * 4.0 + $"alpha_frac" * 1.0 - $"symbol_ratio" * 5.0
+    val base = TextAnalysis.withGopherSignals(
+        TextAnalysis.withQualityScore(Tables.documents(s, dir)))
+      .select($"doc_id", (floor(logit * 10000.0) / 10000.0).as("logit"))
+      .withColumn("phase",
+        when($"logit" > 0.3, 2L).when($"logit" > 0.0, 1L).otherwise(0L))
+      .withColumn("shard", pmod($"doc_id", lit(shards)).cast("long"))
+    val w = Window.partitionBy($"phase", $"shard")
+      .orderBy($"logit".desc, $"doc_id")
+    base.withColumn("seq", row_number().over(w).cast("long"))
+      .select($"doc_id", $"phase", $"shard", $"logit", $"seq")
+      .orderBy($"doc_id")
+  }
+
   def scd2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -17,7 +17,11 @@ class AllQueriesSpec extends SparkSpec {
   // tx_rrf's dense arm broadcasts the bounded probe set (3 rows)
   // against the embeddings scan — the ann_brute_topk shape.
   private val nestedLoopAllowed =
-    Set("dd_ngram_jaccard", "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk",
+    Set("dd_ngram_jaccard",
+      // the Jaccard verifier's containment twin: identical doc_id < 50
+      // bounded non-equi self-join
+      "dd_containment",
+      "ann_brute_topk", "ann_sq8_topk", "ann_pq_topk",
       "ann_mrl_topk", "mm_embed_ann", "tx_rrf",
       // same bounded shape as ann_brute_topk: the BNLJ build side is
       // exactly numQueries (10) broadcast probe rows

@@ -284,6 +284,51 @@ class DedupSpec extends SparkSpec {
       assert(disjoint.max <= 0.12, f"disjoint-pair estimate drift: ${disjoint.max}%.4f")
   }
 
+  test("lshContainment == exact containment over the banded candidate set") {
+    // full-value gate: every (pair, containment) the operator emits at
+    // sfDir must equal a driver-side recompute of the overlap
+    // coefficient over the SAME candidate pairs — shingle sets built
+    // independently with plain Scala string ops
+    val cand = Dedup.minhashPairs(spark, sfDir, threshold = 0.0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.nonEmpty)
+    val norm = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", Dedup.normText($"text").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh3(t: String): Set[String] =
+      if (t.length < 3) Set(t) else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    val expected = cand.iterator.map { case (a, b) =>
+      val (ga, gb) = (sh3(norm(a)), sh3(norm(b)))
+      val c = (ga & gb).size.toDouble / math.min(ga.size, gb.size)
+      // Spark round(_, 4) is BigDecimal HALF_UP on the double — mirror
+      // it exactly (math.rint is HALF_EVEN, wrong at .00005 edges)
+      (a, b) -> BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 > 0.5).toMap
+    val got = Dedup.lshContainment(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected, s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+  }
+
+  test("lshContainment surfaces a planted near-superset the Jaccard threshold would drop") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-cont").toString
+    // short doc = prefix of the long one: containment 1.0 by
+    // construction, Jaccard ≈ r (the length ratio). Banding on
+    // Jaccard-minhash is geometry-limited for small r, so the planted
+    // ratio is the empirical collision point of the fixed seeds —
+    // the gate pins the RESCORING (1.0 exactly), not banding recall.
+    val long = (1 to 40).map(i => s"tok${i}word").mkString(" ")
+    val short = (1 to 28).map(i => s"tok${i}word").mkString(" ")
+    val rows = (0L until 20L).map(i =>
+      (i, s"filler document number $i about subject ${i * 37} entirely unrelated")) ++
+      Seq((100L, long), (101L, short))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.lshContainment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((100L, 101L)), s"planted pair missing: $got")
+    assert(got((100L, 101L)) == 1.0, s"containment should be exactly 1.0: $got")
+  }
+
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
     val dir = java.nio.file.Files.createTempDirectory("ng").toString
     Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))

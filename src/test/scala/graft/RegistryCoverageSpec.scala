@@ -41,6 +41,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "dd_incremental_fuzzy" -> ("DedupSpec.scala", "incrementalFuzzy"),
     "dd_lsh_clusters" -> ("DedupSpec.scala", "lshClusters"),
     "dd_source_overlap_mh" -> ("DedupSpec.scala", "sourceOverlapMinhash"),
+    "dd_lsh_containment" -> ("DedupSpec.scala", "lshContainment"),
     "mm_phash_dup" -> ("MultimodalSpec.scala", "phash"),
     "mm_embed_ann" -> ("MultimodalSpec.scala", "embedAnnTopK"),
     "q20_sketches" -> ("RecallSpec.scala", "q20Sketches"),
