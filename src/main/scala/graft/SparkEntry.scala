@@ -266,6 +266,9 @@ object SparkEntry {
     // top within-session 3-step event-type paths (funnel discovery);
     // global top-k via TakeOrderedAndProject; oracle-checked
     "ev_paths" -> ((s, dir) => Events.paths(s, dir)),
+    // its ingestion-time twin: constant-size per-user last-two-steps
+    // state via flatMapGroupsWithState; shares ev_paths' oracle
+    "ev_stream_paths" -> graft.streaming.StreamingOps.pathsViaStream _,
     // its ingestion-time twin: per-user first-seen/new-day state via
     // flatMapGroupsWithState; shares ev_retention's oracle verbatim
     "ev_stream_retention" -> graft.streaming.StreamingOps.retentionViaStream _,
@@ -1631,6 +1634,7 @@ object SparkEntry {
     // scorer (same frozen LM) and the incremental retention stream
     // (same cohort arithmetic) — one SQL string, two deployments
     base + ("tx_stream_dsir" -> base("tx_dsir")) +
-      ("ev_stream_retention" -> base("ev_retention"))
+      ("ev_stream_retention" -> base("ev_retention")) +
+      ("ev_stream_paths" -> base("ev_paths"))
   }
 }

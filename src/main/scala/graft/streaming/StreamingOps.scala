@@ -84,6 +84,44 @@ object StreamingOps {
       }
   }
 
+  final case class PathEvent(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp, event_type: String)
+  final case class PathState(e1: String, t1: Long, e2: String, t2: Long,
+                             n: Int)
+  final case class PathHit(path: String)
+
+  /** Incremental within-session path extraction — the ingestion-time
+    * twin of the batch `ev_paths` trigram stage: per-user state holds
+    * the last TWO (event_type, epoch-second) steps (constant-size
+    * state per user — the smallest stateful-streaming footprint in
+    * this registry), and each arriving event emits the completed
+    * 3-step path iff both gaps close within `gapS`. Within a batch,
+    * rows sort by (ts, event_id) per user — the same total order the
+    * batch window uses — so on the staged single-ingest fixture the
+    * emitted path multiset is IDENTICAL to the batch lag-window's
+    * triples and the downstream rollup shares ev_paths' oracle
+    * verbatim. */
+  def pathHits(spark: SparkSession, events: Dataset[PathEvent],
+               gapS: Long = 1800L): Dataset[PathHit] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[PathEvent], state: GroupState[PathState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(PathState("", 0L, "", 0L, 0))
+          val out = Seq.newBuilder[PathHit]
+          sorted.foreach { e =>
+            val t0 = Math.floorDiv(e.ts.getTime, 1000L)
+            if (st.n >= 2 && st.t1 - st.t2 <= gapS && t0 - st.t1 <= gapS)
+              out += PathHit(s"${st.e2}>${st.e1}>${e.event_type}")
+            st = PathState(e.event_type, t0, st.e1, st.t1, math.min(st.n + 1, 2))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class RetentionState(firstDay: Long, emittedDays: Seq[Long])
   final case class RetentionCell(cohort_day_s: Long, offset_days: Long,
                                  user_id: Long)
@@ -545,6 +583,22 @@ object StreamingOps {
       .groupBy($"cohort_day_s", $"offset_days")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"cohort_day_s", $"offset_days")
+  }
+
+  /** Driver-visible incremental path extraction (`ev_stream_paths`):
+    * [[pathHits]] on the staged single-ingest fixture, rolled up to
+    * the batch `ev_paths` contract (path, n, global top-10) so the
+    * SAME oracle SQL hash-checks both deployments. */
+  def pathsViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stagedDir(s, dir)
+    val stream = eventsStream(s, staged)
+      .select($"user_id", $"event_id", $"ts", $"event_type").as[PathEvent]
+    val mem = runToMemory(pathHits(s, stream).toDF(),
+      "ev_stream_paths_q", OutputMode.Update, statePartitions = Some(8))
+    mem.groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
   }
 
   /** Driver-visible transformWithState run (`ev_stream_tws`): the

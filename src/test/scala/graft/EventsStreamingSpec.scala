@@ -187,6 +187,34 @@ class EventsStreamingSpec extends SparkSpec {
       (7 * d, 0L, 3L), (7 * d, 2L, 3L)))
   }
 
+  test("streaming paths: state carries the last two steps across micro-batches") {
+    // a trigram STRADDLING the batch boundary must still emit (state
+    // holds the last two steps), a gap > 30 min must break the chain,
+    // and nothing is emitted twice
+    import StreamingOps.PathEvent
+    def ev(u: Long, id: Long, sec: Long, t: String) =
+      PathEvent(u, id, new java.sql.Timestamp(sec * 1000L), t)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PathEvent](spark)
+    val q = StreamingOps.pathHits(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("ev_paths_two_q")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 1, 0, "view"), ev(1, 2, 60, "click"))
+      q.processAllAvailable()
+      // completes view>click>buy across the boundary; then a >30min
+      // gap breaks, then a fresh in-gap trigram completes
+      input.addData(ev(1, 3, 120, "buy"), ev(1, 4, 9000, "view"),
+        ev(1, 5, 9060, "click"), ev(1, 6, 9120, "buy"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ev_paths_two_q").collect().map(_.getString(0)).toSeq
+    // exactly two: the boundary-straddling trigram and the fresh
+    // in-gap one; buy@120→view@9000 and click@60…view@9000 chains are
+    // gap-broken (8880 s > 1800 s) so nothing else completes
+    assert(got.sorted == Seq("view>click>buy", "view>click>buy"), s"got: $got")
+  }
+
   test("event-time timers close sessions by watermark, matching the batch rule") {
     // sessions with a successor event close inline; each user's OPEN
     // tail closes only when the watermark passes lastEvent + gap — the

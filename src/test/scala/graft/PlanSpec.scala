@@ -288,6 +288,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "scd2 must stay join-free")
   }
 
+  test("ev_paths: both lag windows share one user Exchange; top-k is a heap, not a sort") {
+    // the two lag() chains cluster on the same (user_id)/(ts, event_id)
+    // order, so EnsureRequirements must plan exactly one user shuffle
+    // (plus the path-count agg shuffle); the global top-10 must be
+    // TakeOrderedAndProject per-partition heaps, never a global Sort
+    val p = plan(graft.operators.Events.paths(spark, sfDir))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userEx == 1, s"paths must shuffle users exactly once, saw $userEx:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k must heap:\n$p")
+  }
+
+  test("ev_anomaly: moments window over the bucket rollup, rank prunes via WindowGroupLimit") {
+    val df = graft.operators.Events.anomaly(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      "top-k per type must prune through WindowGroupLimit")
+    // partial aggregation must reduce the event stream BEFORE the
+    // (type, hour) shuffle — the bucket rollup is what keeps the
+    // window frame bounded at any event volume
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"bucket rollup must partial-agg:\n$p")
+  }
+
+  test("pipe_curriculum: map-side banding, one (phase, shard) window shuffle") {
+    // the sequencing window is the ONLY hash shuffle; phase and shard
+    // derive map-side from the shared logit expression. The trailing
+    // rangepartitioning Exchange is the contractual ORDER BY.
+    val p = plan(graft.operators.Pipeline.curriculum(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"curriculum must hash-shuffle exactly once, saw $hashEx:\n$p")
+    assert(!p.contains("Join"), "curriculum must stay join-free")
+  }
+
   test("dd_incremental: history never shuffles — verification joins broadcast the maybe-set") {
     // the scale contract: the semi join (which digests exist in
     // history) and the anti join (drop confirmed dups) both carry the
