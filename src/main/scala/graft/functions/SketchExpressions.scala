@@ -35,6 +35,13 @@ object SketchFunctions {
   def shingles(c: Column, k: Int): Column =
     ColumnBridge.column(ShingleSet(ColumnBridge.expression(c), k))
 
+  def shingleHashes(c: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), k))
+
+  def overlapCoeff(a: Column, b: Column): Column =
+    ColumnBridge.column(OverlapCoeffSorted(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def minhashAgree(a: Column, b: Column): Column =
     ColumnBridge.column(MinHashAgree(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -76,6 +83,71 @@ case class ShingleSet(child: Expression, k: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** [[ShingleSet]]'s hashed form: the distinct char k-shingles each
+  * xxhash64'd to a long, emitted SORTED. For candidate-pair rescoring
+  * joins the payload drops from ~20 bytes per 3-char shingle (UTF8
+  * bytes + array offsets) to 8, and sortedness turns pair
+  * intersection into a linear merge ([[OverlapCoeffSorted]]) instead
+  * of a hash probe per element. Collision risk over a ≤10⁵-shingle
+  * universe is ~10⁻¹⁰ per pair — the DedupSpec full-value gate
+  * recomputes from the raw strings, so a collision would be a red
+  * suite, not silent drift. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val nShingles = math.max(n - k + 1, 1)
+    val seen = new java.util.HashSet[Long](nShingles * 2)
+    var i = 0
+    while (i < nShingles) {
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s.substringSQL(i + 1, k), org.apache.spark.sql.types.StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** Overlap coefficient |A∩B| / min(|A|,|B|) over two SORTED long
+  * arrays ([[ShingleHashes]] output) — one linear merge per candidate
+  * pair, no per-element hashing, no intermediate intersection array
+  * (`size(array_intersect(...))` builds one per pair). */
+case class OverlapCoeffSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_overlap_coeff"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    val mn = math.min(na, nb)
+    if (mn == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val (x, y) = (a.getLong(i), b.getLong(j))
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / mn
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): OverlapCoeffSorted =
+    copy(left = l, right = r)
 }
 
 /** Fraction of positions where two equal-length long arrays agree —

@@ -640,14 +640,18 @@ object Dedup {
                      threshold: Double = 0.5): DataFrame = {
     import s.implicits._
     val cand = minhashPairs(s, dir, threshold = 0.0).select($"id1", $"id2")
+    // hashed-and-sorted shingles (ShingleHashes kernel): the pair
+    // joins ship 8 bytes per shingle instead of ~20, and the rescore
+    // is one linear merge per pair (OverlapCoeffSorted) — same values
+    // as the string-set formula (DedupSpec recomputes from raw
+    // strings, so a 64-bit collision would fail the suite)
     val g = Tables.documents(s, dir)
-      .select($"doc_id", shingleArray(normText($"text"), k).as("grams"))
+      .select($"doc_id", SketchFunctions.shingleHashes(normText($"text"), k).as("grams"))
     cand
       .join(g.select($"doc_id".as("id1"), $"grams".as("g1")), Seq("id1"))
       .join(g.select($"doc_id".as("id2"), $"grams".as("g2")), Seq("id2"))
       .select($"id1", $"id2",
-        round(size(array_intersect($"g1", $"g2")).cast("double") /
-          least(size($"g1"), size($"g2")).cast("double"), 4).as("containment"))
+        round(SketchFunctions.overlapCoeff($"g1", $"g2"), 4).as("containment"))
       .filter($"containment" > threshold)
       .orderBy($"id1", $"id2")
   }

@@ -1000,4 +1000,41 @@ class PropertySpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"$src")
     }
   }
+
+  test("ShingleHashes/OverlapCoeffSorted ≡ string-shingle set composition") {
+    import graft.functions.SketchFunctions
+    // short-than-k, empty, multi-byte, and repeat-heavy inputs — the
+    // same contract corners ShingleSet pins
+    val texts = Seq("abcabcdeabc", "xyz", "ab", "", "ααβγδ κόσμε ΣΣ",
+      "aaaaaaa", "the quick brown fox jumps over the lazy dog")
+    val df = texts.toDF("text")
+    val rows = df.select(
+      SketchFunctions.shingleHashes(col("text"), 3).as("h"),
+      SketchFunctions.shingles(col("text"), 3).as("s")).collect()
+    def refHash(x: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x),
+        org.apache.spark.sql.types.StringType, 42L)
+    rows.foreach { r =>
+      val h = r.getSeq[Long](0)
+      val s = r.getSeq[String](1)
+      assert(h == s.map(refHash).sorted,
+        s"hashed shingles must be the sorted hashes of the string set: $s")
+      assert(h == h.sorted && h.distinct == h, "output must be sorted distinct")
+    }
+    // overlap coefficient: every pair vs the driver set formula
+    val hs = rows.map(_.getSeq[Long](0))
+    val pairs = for (i <- texts.indices; j <- texts.indices if i < j) yield (i, j)
+    val a = pairs.map { case (i, j) => (texts(i), texts(j)) }.toDF("t1", "t2")
+    val got = a.select(SketchFunctions.overlapCoeff(
+        SketchFunctions.shingleHashes(col("t1"), 3),
+        SketchFunctions.shingleHashes(col("t2"), 3)).as("c"))
+      .collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((i, j), c) =>
+      val (x, y) = (hs(i).toSet, hs(j).toSet)
+      val expect = if (x.isEmpty || y.isEmpty) 0.0
+        else (x & y).size.toDouble / math.min(x.size, y.size)
+      assert(c == expect, s"pair ($i,$j): $c vs $expect")
+    }
+  }
 }
