@@ -55,6 +55,10 @@ object SparkEntry {
     "q18_nulls" -> Relational.q18Nulls _,
     "q19_grouping_sets" -> Relational.q19GroupingSets _,
     "q20_sketches" -> Relational.q20Sketches _,
+    // correlated LATERAL derived table, decorrelated by Catalyst into
+    // an equi-join + rank prune (never per-row subqueries);
+    // oracle-checked (DuckDB runs the identical SQL)
+    "q25_lateral" -> Relational.q25Lateral _,
     "q21_pivot" -> Relational.q21Pivot _,
     "q22_listagg" -> Relational.q22ListAgg _,
     "q23_window_features" -> Relational.q23WindowFeatures _,
@@ -266,6 +270,9 @@ object SparkEntry {
     // top within-session 3-step event-type paths (funnel discovery);
     // global top-k via TakeOrderedAndProject; oracle-checked
     "ev_paths" -> ((s, dir) => Events.paths(s, dir)),
+    // sparse-to-dense daily series via a recursive-CTE day spine
+    // (Spark 4.1 WITH RECURSIVE); zero-filled; oracle-checked
+    "ev_gapfill" -> ((s, dir) => Events.gapfill(s, dir)),
     // its ingestion-time twin: constant-size per-user last-two-steps
     // state via flatMapGroupsWithState; shares ev_paths' oracle
     "ev_stream_paths" -> graft.streaming.StreamingOps.pathsViaStream _,
@@ -1605,6 +1612,35 @@ object SparkEntry {
           |  CAST(r_days AS BIGINT) AS r_days, r_score, f_score, m_score,
           |  r_score * 100 + f_score * 10 + m_score AS rfm
           |FROM b ORDER BY user_id""".stripMargin,
+      // DuckDB runs the lateral verbatim — identical SQL:2016 surface
+      "q25_lateral" ->
+        """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+          |FROM orders o,
+          |LATERAL (SELECT l_linenumber, l_extendedprice
+          |         FROM lineitem
+          |         WHERE l_orderkey = o.o_orderkey
+          |         ORDER BY l_extendedprice DESC, l_linenumber
+          |         LIMIT 2) t
+          |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin,
+      // same recursive day spine; endpoints via scalar subqueries
+      // (exact integer floor-div day arithmetic in both engines)
+      "ev_gapfill" ->
+        """WITH RECURSIVE r AS (
+          |  SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
+          |         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1
+          |  FROM events),
+          |spine(day) AS (
+          |  SELECT d0 FROM r
+          |  UNION ALL
+          |  SELECT day + 1 FROM spine, r WHERE day < r.d1),
+          |b AS (SELECT event_type,
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |ty AS (SELECT DISTINCT event_type FROM events)
+          |SELECT ty.event_type, spine.day, coalesce(b.n, 0) AS n
+          |FROM ty CROSS JOIN spine
+          |LEFT JOIN b ON b.event_type = ty.event_type AND b.day = spine.day
+          |ORDER BY ty.event_type, spine.day""".stripMargin,
       "ev_paths" ->
         """WITH st AS (SELECT user_id, event_type,
           |    CAST(floor(epoch(ts)) AS BIGINT) AS t0,

@@ -427,6 +427,29 @@ object Relational {
     }
   }
 
+  /** Correlated LATERAL derived table (SQL:2016): top-2 line items
+    * per order by price — the "for each row, run this parameterized
+    * subquery" surface users port from Postgres/DuckDB. Catalyst
+    * DECORRELATES the correlated limit into an equi-join +
+    * per-order rank prune rather than executing the subquery per row
+    * (plan-asserted in the spec layer: no nested-loop join, a
+    * WindowGroupLimit instead) — which is exactly why the construct
+    * survives 100 TB: cost is one fact-fact join, not |orders|
+    * subquery executions. */
+  def q25Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+      FROM graft_orders o,
+      LATERAL (SELECT l_linenumber, l_extendedprice
+               FROM graft_lineitem
+               WHERE l_orderkey = o.o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber
+               LIMIT 2) t
+      ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""")
+  }
+
   /** Null-handling semantics: conditional NULL injection, coalesce,
     * null-safe equality, count(col) vs count(*) divergence. */
   def q18Nulls(s: SparkSession, dir: String): DataFrame = {

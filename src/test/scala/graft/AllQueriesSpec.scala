@@ -31,7 +31,10 @@ class AllQueriesSpec extends SparkSpec {
       "tx_rrf_ann",
       // |sources|² pair join of |sources|-row signature frames (the
       // dd_source_overlap bound, here as an explicit non-equi join)
-      "dd_source_overlap_mh")
+      "dd_source_overlap_mh",
+      // |types| × |days| spine cross join — both sides bounded by the
+      // date range and the type domain, never the event stream
+      "ev_gapfill")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five

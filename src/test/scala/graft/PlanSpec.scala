@@ -288,6 +288,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "scd2 must stay join-free")
   }
 
+  test("q25_lateral: correlated LIMIT decorrelates to equi-join + rank prune") {
+    // the construct's 100 TB viability rests on Catalyst rewriting the
+    // per-row subquery into one fact-fact equi-join with a per-order
+    // WindowGroupLimit — a nested-loop execution would be |orders|
+    // subquery runs
+    val df = graft.operators.Relational.q25Lateral(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      "correlated LIMIT must prune through WindowGroupLimit")
+    val heads = nodes.map(_.toString.linesIterator.next())
+    assert(!heads.exists(h => h.contains("BroadcastNestedLoopJoin") ||
+      h.contains("CartesianProduct")),
+      s"lateral must decorrelate, not nested-loop:\n${heads.mkString("\n")}")
+  }
+
   test("ev_paths: both lag windows share one user Exchange; top-k is a heap, not a sort") {
     // the two lag() chains cluster on the same (user_id)/(ts, event_id)
     // order, so EnsureRequirements must plan exactly one user shuffle
