@@ -178,6 +178,10 @@ object SparkEntry {
     // span removed (the Lee-et-al remove-the-bytes action);
     // oracle-checked (string splice is exact in both engines)
     "dd_excise" -> ((s, dir) => Dedup.exciseSpans(s, dir)),
+    // incremental ExactSubstr: new-batch spans duplicated against the
+    // history's distinct gram index (history never re-tokenizes or
+    // shuffles); md5-bucket split; oracle-checked
+    "dd_spans_incremental" -> ((s, dir) => Dedup.incrementalSpans(s, dir)),
     // pairwise source-level n-gram Jaccard (mirror/re-crawl audit);
     // oracle-checked; single gram shuffle, pairs from bounded sets
     "dd_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
@@ -1288,6 +1292,38 @@ object SparkEntry {
           |  CAST(len(toks) - coalesce(a.kept, 0) AS BIGINT) AS removed_tokens
           |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
           |ORDER BY t.doc_id""".stripMargin,
+      // batch spans vs the history gram set — same islands arithmetic
+      // as dd_spans, marking by history membership instead of
+      // min≠max, split by the shared md5-bucket rule
+      "dd_spans_incremental" ->
+        """WITH m AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          |sp AS (SELECT doc_id, text,
+          |  (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 256 +
+          |  (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16 +
+          |  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) AS hb
+          |  FROM m),
+          |t AS (SELECT doc_id, hb, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM sp),
+          |g AS (SELECT doc_id, hb, len(toks) AS n_toks,
+          |    unnest(range(1, len(toks) - 2)) - 1 AS pos,
+          |    unnest(list_transform(range(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+          |  FROM t),
+          |hist AS (SELECT DISTINCT gram FROM g WHERE hb < 3277),
+          |d AS (SELECT doc_id, pos, n_toks FROM g
+          |  WHERE hb >= 3277 AND gram IN (SELECT gram FROM hist)),
+          |i AS (SELECT doc_id, pos, n_toks,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+          |      THEN 0 ELSE 1 END AS brk
+          |  FROM d),
+          |isl AS (SELECT doc_id, pos, n_toks,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM i)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+          |  CAST(max(pos) + 3 AS BIGINT) AS end_tok, count(*) AS n_windows,
+          |  CAST(any_value(n_toks) AS BIGINT) AS doc_tokens
+          |FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok""".stripMargin,
       "dd_spans" ->
         """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
           |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks

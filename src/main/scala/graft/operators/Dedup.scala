@@ -962,6 +962,53 @@ object Dedup {
         count(lit(1)).as("n_windows"), first($"n_grams").as("n_grams"))
   }
 
+  /** Incremental ExactSubstr — the production form of
+    * [[duplicatedSpans]] at 100 TB: a NEW BATCH arrives and its
+    * verbatim overlaps with the EXISTING corpus must surface without
+    * reprocessing the corpus (license boilerplate detection on
+    * ingest). The history participates only as its DISTINCT GRAM
+    * INDEX — at scale a persisted, gram-bucketed table maintained
+    * across ingests (the [[incrementalFuzzyDedup]] discipline applied
+    * to spans); per ingest the batch windows inner-join that index on
+    * gram (history side stays put / bucket-joins; the join output is
+    * bounded by batch positions), and marked positions island-merge
+    * per BATCH doc — history documents never re-tokenize, never
+    * shuffle, never appear in the output. Batch-internal duplication
+    * is deliberately out of scope (that is [[duplicatedSpans]] run on
+    * the batch). The batch/history split is the md5-bucket rule
+    * shared with the incremental doc-dedup pair, so the partition is
+    * deterministic and the whole query oracle-checks. */
+  def incrementalSpans(s: SparkSession, dir: String, n: Int = 4,
+                       historyBuckets: Long = 3277): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
+    val historyGrams = docs.filter($"hb" < historyBuckets)
+      .select(explode_outer(TextFunctions.tokenNgrams(lower($"text"), n)).as("gram"))
+      .filter($"gram".isNotNull)
+      .distinct()
+    val batch = docs.filter($"hb" >= historyBuckets)
+      .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
+      .select($"doc_id", size($"grams").cast("long").as("n_grams"),
+        posexplode_outer($"grams").as(Seq("pos", "gram")))
+      .filter($"gram".isNotNull)
+    val byPos = w.partitionBy($"doc_id").orderBy($"pos")
+    batch.join(historyGrams, Seq("gram"))
+      .select($"doc_id", $"n_grams", $"pos")
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(byPos) <= n, 0L).otherwise(1L))
+      .withColumn("island", sum($"brk").over(
+        byPos.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").cast("long").as("start_tok"),
+        (max($"pos") + (n - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"),
+        (first($"n_grams") + (n - 1)).cast("long").as("doc_tokens"))
+      .select($"doc_id", $"start_tok", $"end_tok", $"n_windows", $"doc_tokens")
+      .orderBy($"doc_id", $"start_tok")
+  }
+
   /** Doc-level rollup of [[duplicatedSpans]] — the DECISION artifact
     * of ExactSubstr dedup: per document, how much of it is verbatim
     * boilerplate shared with other documents, and whether to keep it.

@@ -256,6 +256,36 @@ class DedupSpec extends SparkSpec {
     assert(ex(5L) == (("r1 r2 self self self self self self r3 r4", 10L, 0L)))
   }
 
+  test("incrementalSpans: batch-vs-history only — batch-internal dups excluded, history absent") {
+    // ids picked by the REAL md5-bucket rule so the fixture lands on
+    // the intended sides of the split deterministically
+    def hb(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 3), 16)
+    }
+    val ids = (0L to 300L)
+    val hist = ids.filter(hb(_) < 3277).take(2)
+    val batch = ids.filter(hb(_) >= 3277).take(3)
+    assert(hist.size == 2 && batch.size == 3)
+    val pA = (1 to 10).map(i => s"pa$i").mkString(" ")
+    val pB = (1 to 8).map(i => s"pb$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("inc-spans").toString
+    Seq(
+      (hist(0), s"h1 h2 $pA h3"),            // history carries pA
+      (hist(1), "hx hy hz entirely unrelated"),
+      (batch(0), s"b1 b2 $pA b3"),           // pA at pos 2..11 → span
+      (batch(1), s"c1 $pB c2"),              // pB only batch-internal
+      (batch(2), s"d1 d2 d3 $pB")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.incrementalSpans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the history-shared passage reports: 10 tokens at 2..11,
+    // 7 windows; batch-internal pB and all history docs are absent
+    assert(got.toSeq == Seq((batch(0), 2L, 11L, 7L)), got.mkString(","))
+  }
+
   test("sourceOverlapMinhash estimate tracks exact source-overlap Jaccard") {
     // same gram universe (token 3-grams) on both sides, so the exact
     // query IS the oracle for the signature estimate; MinHash error is
