@@ -182,6 +182,11 @@ object SparkEntry {
     // history's distinct gram index (history never re-tokenizes or
     // shuffles); md5-bucket split; oracle-checked
     "dd_spans_incremental" -> ((s, dir) => Dedup.incrementalSpans(s, dir)),
+    // its ingestion-time twin: documents readStream + stream-static
+    // gram-index join per micro-batch (stateless), islands rolled up
+    // post-sink; shares dd_spans_incremental's oracle verbatim
+    "dd_stream_spans" -> ((s, dir) =>
+      graft.streaming.StreamingOps.spansViaStream(s, dir)),
     // pairwise source-level n-gram Jaccard (mirror/re-crawl audit);
     // oracle-checked; single gram shuffle, pairs from bounded sets
     "dd_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
@@ -1707,6 +1712,7 @@ object SparkEntry {
     // (same cohort arithmetic) — one SQL string, two deployments
     base + ("tx_stream_dsir" -> base("tx_dsir")) +
       ("ev_stream_retention" -> base("ev_retention")) +
-      ("ev_stream_paths" -> base("ev_paths"))
+      ("ev_stream_paths" -> base("ev_paths")) +
+      ("dd_stream_spans" -> base("dd_spans_incremental"))
   }
 }

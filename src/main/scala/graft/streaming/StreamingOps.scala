@@ -500,6 +500,55 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming incremental ExactSubstr (`dd_stream_spans`) — the
+    * ingestion-time twin of `dd_spans_incremental`, completing the
+    * ExactSubstr family's batch → incremental → streaming triple: a
+    * documents stream tokenizes, window-explodes and STREAM-STATIC
+    * inner-joins the history's distinct gram index per micro-batch
+    * (stateless — the corpus-sized work, identical join shape to the
+    * batch form); island merge then rolls up the SINK rows, which are
+    * bounded by marked positions (the duplicated fraction of the
+    * batch), mirroring how the retention/paths twins aggregate
+    * post-sink. Shares `dd_spans_incremental`'s oracle verbatim. */
+  def spansViaStream(s: SparkSession, dir: String, n: Int = 4,
+                     historyBuckets: Long = 3277): DataFrame = {
+    val staged = docsStagedDir(s, dir)
+    val hb = conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+      .cast("long")
+    val tf = graft.functions.TextFunctions
+    val historyGrams = graft.Tables.documents(s, dir)
+      .withColumn("hb", hb).filter(col("hb") < historyBuckets)
+      .select(explode_outer(tf.tokenNgrams(lower(col("text")), n)).as("gram"))
+      .filter(col("gram").isNotNull).distinct()
+    val batch = s.readStream
+      .schema(graft.Tables.documents(s, dir).schema)
+      .parquet(staged)
+      .withColumn("hb", hb).filter(col("hb") >= historyBuckets)
+      .select(col("doc_id"), tf.tokenNgrams(lower(col("text")), n).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        posexplode_outer(col("grams")).as(Seq("pos", "gram")))
+      .filter(col("gram").isNotNull)
+    val marked = batch.join(historyGrams, Seq("gram"))
+      .select(col("doc_id"), col("n_grams"), col("pos"))
+    val mem = runToMemory(marked, "dd_stream_spans_q", OutputMode.Append,
+      statePartitions = Some(8))
+    val w = org.apache.spark.sql.expressions.Window
+    val byPos = w.partitionBy(col("doc_id")).orderBy(col("pos"))
+    mem
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= n, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(byPos.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + (n - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"),
+        (first(col("n_grams")) + (n - 1)).cast("long").as("doc_tokens"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        col("n_windows"), col("doc_tokens"))
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
   def tumblingViaStream(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     val mem = runToMemory(tumblingCounts(eventsStream(s, staged)),

@@ -349,6 +349,21 @@ class EventsStreamingSpec extends SparkSpec {
       "map-side scoring must not shuffle the stream")
   }
 
+  test("streaming spans plan: stateless stream-static broadcast join, result == batch twin") {
+    val got = StreamingOps.spansViaStream(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val p = StreamingOps.lastStreamPlan
+    assert(p.nonEmpty, "runToMemory captured no plan")
+    // the gram-index join must be stream-STATIC broadcast (history
+    // builds once, the stream never shuffles into a sort-merge join)
+    // and the micro-batch must carry no streaming state
+    assert(p.contains("BroadcastHashJoin"), s"gram join must broadcast:\n$p")
+    assert(!p.contains("StateStore"), "marking must carry no streaming state")
+    val batch = graft.operators.Dedup.incrementalSpans(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == batch.toSeq, "stream twin diverged from batch")
+  }
+
   test("streaming incremental dedup: empty history passes everything through") {
     // historyBuckets=0 → history is empty → the bloom builder returns
     // None and the stream must pass through unjoined
