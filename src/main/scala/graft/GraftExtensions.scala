@@ -83,6 +83,13 @@ object GraftExtensions {
       "ngram_rep_mass(str) - [top2, dup2, …, top10, dup10] char masses of the " +
         "most-frequent and duplicated word n-grams, n in 2..10"),
       (es: Seq[Expression]) => NgramRepMass(es.head))),
+    "graft_shingle_hashes" -> ((info("graft_shingle_hashes",
+      "shingle_hashes(str, k) - sorted xxhash64 longs of the distinct char k-shingles"),
+      (es: Seq[Expression]) => ShingleHashes(es.head,
+        es(1).eval(null).asInstanceOf[Number].intValue))),
+    "graft_overlap_coeff" -> ((info("graft_overlap_coeff",
+      "overlap_coeff(arr, arr) - containment |A∩B|/min(|A|,|B|) over two SORTED long arrays"),
+      (es: Seq[Expression]) => OverlapCoeffSorted(es.head, es(1)))),
   )
 
   /** Register on an already-built session. */

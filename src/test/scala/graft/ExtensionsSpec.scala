@@ -84,6 +84,17 @@ class ExtensionsSpec extends SparkSpec {
   // routes (class injection + register()) iterate the SAME builders
   // map, so asserting the live registry against builders.keySet covers
   // them together, and adding a builder can't silently red the suite.
+  test("shingle hashes and overlap coefficient callable from plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_overlap_coeff(graft_shingle_hashes('abcde', 3),
+        |  graft_shingle_hashes('abcdx', 3)) AS c,
+        |  graft_shingle_hashes('ab', 3) AS short""".stripMargin).collect().head
+    // {abc,bcd,cde} vs {abc,bcd,cdx}: |A∩B| = 2, min(|A|,|B|) = 3
+    assert(math.abs(r.getDouble(0) - 2.0 / 3.0) < 1e-12)
+    assert(r.getSeq[Long](1).length == 1) // shorter-than-k → one shingle
+  }
+
   test("register() exposes exactly the builders map, all resolvable") {
     GraftExtensions.register(spark)
     val registered = spark.sessionState.functionRegistry.listFunction()
