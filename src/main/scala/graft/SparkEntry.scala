@@ -248,6 +248,10 @@ object SparkEntry {
     "ann_mrl_topk" -> ((s, dir) => Similarity.mrlTopK(s, dir)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
+    // runs the REAL partition-batched resize (header-only width read,
+    // proportional subsample); closed-form stub arithmetic makes the
+    // typed pipeline oracle-checkable end-to-end
+    "mm_resize" -> ((s, dir) => Multimodal.resizeSummary(s, dir)),
     // perceptual-hash media dedup (aHash-structured stub codec +
     // pigeonhole banding); rows-only, gated in MultimodalSpec vs an
     // independent hash recompute and a brute-force Hamming scan
@@ -1464,6 +1468,17 @@ object SparkEntry {
           |  octet_length(encode(text)) AS n_bytes,
           |  16 * (1 + ascii(text) % 64) AS fake_width
           |FROM documents ORDER BY media_id""".stripMargin,
+      // kept = min(max(floor(n · min(target/width, 1)), 1), n) — the
+      // stub resize arithmetic, closed-form from the same source col
+      "mm_resize" ->
+        """WITH m AS (SELECT doc_id AS media_id,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    octet_length(encode(text)) AS n,
+          |    16 * (1 + ascii(text) % 64) AS w
+          |  FROM documents)
+          |SELECT media_id, kind,
+          |  CAST(least(greatest(CAST(floor(n * least(64.0 / w, 1.0)) AS BIGINT), 1), n) AS BIGINT) AS kept_bytes
+          |FROM m ORDER BY media_id""".stripMargin,
       "mm_frame_sample" ->
         """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
           |c AS (SELECT media_id, n, (n + 1023) // 1024 AS n_chunks FROM m WHERE n > 0),

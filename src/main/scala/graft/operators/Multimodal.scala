@@ -238,6 +238,21 @@ object Multimodal {
     }
   }
 
+  /** Oracle-checkable [[resize]] summary — runs the REAL partition-
+    * batched resize (header-byte width read, proportional payload
+    * subsample) and reports the kept byte count per media. The stub's
+    * arithmetic is closed-form (width = 16·(1 + b0 mod 64), kept =
+    * min(max(⌊n·min(target/width, 1)⌋, 1), n)), so DuckDB verifies the
+    * typed mapPartitions pipeline end-to-end from the same source
+    * column — the mm_frame_sample discipline applied to resize. */
+  def resizeSummary(s: SparkSession, dir: String, targetWidth: Int = 64): DataFrame = {
+    import s.implicits._
+    resize(mediaTable(s, dir), targetWidth)
+      .map(r => (r.media_id, r.kind, r.payload.length.toLong))
+      .toDF("media_id", "kind", "kept_bytes")
+      .orderBy($"media_id")
+  }
+
   /** Frame sampling: keep every `stride`-th 1 KiB chunk of the payload
     * — the plan shape of video frame-sampling (explode to frames,
     * filter by stride, re-group) with the stub codec. */
