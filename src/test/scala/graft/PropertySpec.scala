@@ -1001,6 +1001,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ev_rfm: scores in 1..5, digit reconstruction, bands monotone in their metric") {
+    val rows = graft.operators.Events.rfm(spark, sfDir).collect().map(r =>
+      (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, rs, fs, ms, rfm) =>
+      assert(Seq(rs, fs, ms).forall(x => x >= 1 && x <= 5), s"score out of band: $rs $fs $ms")
+      assert(rfm == rs * 100 + fs * 10 + ms, s"combined score must be the three digits: $rfm")
+    }
+    // banding must be monotone in its own metric: more frequency /
+    // more spend never lowers the score; fewer days since last event
+    // never lowers recency
+    val byF = rows.sortBy(_._1).map(_._5)
+    assert(byF.zip(byF.tail).forall { case (a, b) => a <= b }, "f_score not monotone")
+    val byM = rows.sortBy(_._2).map(_._6)
+    assert(byM.zip(byM.tail).forall { case (a, b) => a <= b }, "m_score not monotone")
+    val byR = rows.sortBy(_._3).map(_._4)
+    assert(byR.zip(byR.tail).forall { case (a, b) => a >= b }, "r_score not anti-monotone")
+  }
+
   test("ShingleHashes/OverlapCoeffSorted ≡ string-shingle set composition") {
     import graft.functions.SketchFunctions
     // short-than-k, empty, multi-byte, and repeat-heavy inputs — the
