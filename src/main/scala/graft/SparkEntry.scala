@@ -79,6 +79,9 @@ object SparkEntry {
     "tx_bpe" -> ((s, dir) => TextAnalysis.bpeTokenCount(s, dir, numMerges = 48)),
     "tx_quality" -> TextAnalysis.qualityScore _,
     "tx_langid" -> TextAnalysis.languageId _,
+    // declared-vs-detected language confusion matrix with exact ppm
+    // shares (reuses languageId verbatim); oracle-checked
+    "tx_lang_audit" -> TextAnalysis.langAudit _,
     "tx_fingerprint" -> TextAnalysis.fingerprint _,
     "tx_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(s, dir)),
     "tx_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir)),
@@ -697,6 +700,30 @@ object SparkEntry {
           |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
           |       ELSE 'fr' END AS pred_lang
           |FROM sc ORDER BY doc_id""".stripMargin,
+      // tx_langid's CTEs verbatim + the confusion rollup with exact
+      // ppm shares (integer division — bit-identical cross-engine)
+      "tx_lang_audit" ->
+        """WITH t AS (SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |sc AS (SELECT doc_id, lang,
+          |  len(list_filter(toks, x -> x IN ('the','and','of','to','is','in'))) AS s_en,
+          |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+          |  len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))) AS s_es,
+          |  len(list_filter(toks, x -> x IN ('le','la','de','et','est','les'))) AS s_fr
+          |  FROM t),
+          |p AS (SELECT lang AS labeled_lang,
+          |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+          |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+          |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+          |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+          |       ELSE 'fr' END AS pred_lang
+          |  FROM sc),
+          |c AS (SELECT labeled_lang, pred_lang, count(*) AS n
+          |  FROM p GROUP BY 1, 2)
+          |SELECT labeled_lang, pred_lang, n,
+          |  CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS BIGINT) AS share_ppm
+          |FROM c ORDER BY labeled_lang, pred_lang""".stripMargin,
       "tx_heavy_hitters" ->
         s"""SELECT word, count(*) AS cnt FROM ($tokenized) u
            |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,

@@ -409,6 +409,26 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Declared-vs-detected language AUDIT — the mislabeled-language
+    * governance rollup (wrong lang tags poison per-language sampling
+    * quotas, stratified splits and mixture weights, so every corpus
+    * release audits tag agreement): the [[languageId]] confusion
+    * matrix with each cell's share of its declared label in exact ppm
+    * (integer division — the ev_transitions determinism trick).
+    * Reuses languageId verbatim, so the audit and the detector cannot
+    * drift; the matrix aggregates partial-side to ≤ |langs|² cells,
+    * and the share window frames over those cells, never documents —
+    * free at any corpus size beyond the detector's map-side pass. */
+  def langAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    languageId(s, dir)
+      .groupBy($"labeled_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm", expr(
+        "n * 1000000L div sum(n) over (partition by labeled_lang)"))
+      .orderBy($"labeled_lang", $"pred_lang")
+  }
+
   /** Approximate heavy hitters: the top-k most frequent tokens via the
     * Misra-Gries sketch ([[graft.functions.MisraGries]]) — fixed
     * O(capacity) memory per partition, one mergeable sketch per
