@@ -83,6 +83,25 @@ class RegistryCoverageSpec extends AnyFunSuite {
     }
   }
 
+  test("the pre-commit gate is actually installed (round-10 found it silently absent)") {
+    // scripts/precommit.sh only guards commits when .git/hooks/pre-commit
+    // points at it — a per-clone state no commit can carry. Round 10
+    // discovered the hook missing despite round 9's install; this makes
+    // the absence a red suite instead of a silent gap. (Skips when no
+    // .git dir is visible — e.g. a harness running from an export.)
+    val hooks = java.nio.file.Paths.get(".git", "hooks")
+    if (java.nio.file.Files.isDirectory(hooks)) {
+      val hook = hooks.resolve("pre-commit")
+      assert(java.nio.file.Files.exists(hook),
+        "pre-commit hook missing — run: ln -sf ../../scripts/precommit.sh .git/hooks/pre-commit")
+      val target = if (java.nio.file.Files.isSymbolicLink(hook))
+        java.nio.file.Files.readSymbolicLink(hook).toString
+      else new String(java.nio.file.Files.readAllBytes(hook), "UTF-8")
+      assert(target.contains("precommit.sh"),
+        s"pre-commit hook does not route through scripts/precommit.sh: $target")
+    }
+  }
+
   test("oracle entries never name queries missing from the registry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql without a queries entry: $orphans")
