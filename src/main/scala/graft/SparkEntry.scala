@@ -289,6 +289,9 @@ object SparkEntry {
     // sparse-to-dense daily series via a recursive-CTE day spine
     // (Spark 4.1 WITH RECURSIVE); zero-filled; oracle-checked
     "ev_gapfill" -> ((s, dir) => Events.gapfill(s, dir)),
+    // DAU/WAU stickiness via map-side coverage explode (no range
+    // join, no sliding distinct); exact ppm; oracle-checked
+    "ev_stickiness" -> ((s, dir) => Events.stickiness(s, dir)),
     // its ingestion-time twin: constant-size per-user last-two-steps
     // state via flatMapGroupsWithState; shares ev_paths' oracle
     "ev_stream_paths" -> graft.streaming.StreamingOps.pathsViaStream _,
@@ -1724,6 +1727,19 @@ object SparkEntry {
           |FROM ty CROSS JOIN spine
           |LEFT JOIN b ON b.event_type = ty.event_type AND b.day = spine.day
           |ORDER BY ty.event_type, spine.day""".stripMargin,
+      // the identical coverage-explode formulation: a (user, day) row
+      // covers days day..day+6; WAU(d) = distinct covering users
+      "ev_stickiness" ->
+        """WITH du AS (SELECT DISTINCT user_id,
+          |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+          |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+          |cov AS (SELECT DISTINCT user_id, day + d AS day
+          |  FROM du, unnest(range(0, 7)) AS t(d)),
+          |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY day)
+          |SELECT dau.day, dau.dau, wau.wau,
+          |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+          |FROM dau JOIN wau ON dau.day = wau.day
+          |ORDER BY dau.day""".stripMargin,
       "ev_paths" ->
         """WITH st AS (SELECT user_id, event_type,
           |    CAST(floor(epoch(ts)) AS BIGINT) AS t0,
