@@ -76,11 +76,16 @@ object TextAnalysis {
     * pull topic-relevant documents out of a corpus: per (query, doc)
     * the usual tf·idf saturation with length normalization,
     * `idf · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl))`, top-`topK` docs
-    * per query. One corpus scan: (doc, term, tf, dl) from a single
-    * tokenize+explode aggregation, document frequency via a
-    * term-partitioned window over that compact frame (the
-    * [[tfidf]] trick — no join-back, no second scan), query terms
-    * broadcast, ranking pruned through WindowGroupLimit. The two
+    * per query. One corpus scan: the broadcast query-term set prunes
+    * the exploded tokens BEFORE the (doc, term, tf, dl) aggregation —
+    * a join can't push below a window, so the old term-partitioned df
+    * window shuffled the ENTIRE compact (doc, term) frame to answer a
+    * handful of query terms, and a stop-word term made one window
+    * partition O(|docs|) rows on one unsplittable task. Now only the
+    * query-term rows shuffle at all; document frequency is a
+    * groupBy(term) partial aggregation over that pruned frame (the
+    * [[tfidf]] shape), re-attached on the reused exchange; ranking
+    * prunes through WindowGroupLimit. The two
     * corpus scalars (N, Σdl) are a driver artifact pull like the
     * k-means centroids — two doubles, not data. Scores
     * floor-truncate at 4 decimals BEFORE ranking so the DuckDB
@@ -100,10 +105,21 @@ object TextAnalysis {
     // explode: InferFiltersFromGenerate's inferred guards would inline
     // the tokenizer kernel into the pushed-down Filter (3 evals/row —
     // same fix as contamination; PlanSpec pins one eval per scan)
+    val qpairs = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (i.toLong, t))
+    }
+    val qterms = qpairs.toDF("query_id", "term")
+    val qtermSet = qpairs.map(_._2).distinct
+    // dl is the FULL document length (computed on the token array
+    // before the explode), so pruning exploded rows to query terms
+    // does not perturb length normalization; df for a surviving term
+    // still counts every document containing it.
     val tf = toks
       .select($"doc_id", size($"toks").cast("double").as("dl"),
         explode_outer($"toks").as("term"))
       .filter($"term".isNotNull)
+      .join(broadcast(qtermSet.toDF("term")), Seq("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).cast("double").as("tf"), first($"dl").as("dl"))
     val stats = toks
@@ -111,13 +127,20 @@ object TextAnalysis {
         sum(size($"toks")).cast("double").as("s")).head()
     val nDocs = stats.getDouble(0)
     val avgdl = stats.getDouble(1) / stats.getDouble(0)
-    val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
-      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (i.toLong, t))
-    }.toDF("query_id", "term")
+    // df via groupBy(term) partial-agg over tf's exchange (reused —
+    // the max aggregates + tautological guards are the plan-shaping
+    // trick from [[tfidf]]/dd_spans keeping both consumers' subtrees
+    // canonical so the corpus scans and shuffles exactly once). The
+    // trailing limit is a semantic no-op (df has at most one row per
+    // query term) that makes the broadcast's bound structural.
+    val dfreq = tf.groupBy($"term")
+      .agg(count(lit(1)).cast("double").as("df"),
+        max($"tf").as("_mt"), max($"dl").as("_md"), max($"doc_id").as("_mi"))
+      .filter($"_mt" >= 0.0 && $"_md" >= 0.0 && $"_mi" >= 0L)
+      .select($"term", $"df")
+      .limit(qtermSet.size)
     val perTerm = tf
-      .withColumn("df", count(lit(1))
-        .over(Window.partitionBy($"term")).cast("double"))
+      .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .withColumn("w",
         log((lit(nDocs) - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
@@ -795,34 +818,67 @@ object TextAnalysis {
 
   /** TF-IDF top terms per document — the classical distinctive-term
     * scorer (tf × smoothed idf, Salton & Buckley 1988). Plan shape at
-    * scale: one (doc_id, term) count shuffle; document length via a
-    * PARTITIONED window over it (never a global window); the
-    * document-frequency table is vocabulary-sized, so AQE broadcasts
-    * the join that attaches idf; the corpus count is a metadata scalar.
+    * scale: one (doc_id, term) count shuffle, REUSED by the
+    * document-frequency branch (see below); the df table is
+    * vocabulary-sized and re-attaches by an equi-join whose probe side
+    * AQE can skew-split; the corpus count is a metadata scalar.
     * Cross-engine determinism: tfidf is floor-truncated to 6 decimals
     * BEFORE ranking, and ties (identical (c, len, df) triples give
     * bit-identical doubles in both engines) break by term order. */
   def tfidf(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
     // corpus size for idf: at 100 TB this is table-metadata rowCount,
     // not a scan (same scalar-pull pattern as k-means centroids)
-    val n = docs.count()
+    tfidfOver(s, docs, docs.count(), topK)
+  }
+
+  /** [[tfidf]] over an arbitrary `(doc_id, text)` frame — the shared
+    * core that lets the clean-then-index composition
+    * ([[Pipeline.cleanThenIndex]]) run the SAME scorer over the
+    * excised corpus. `n` is the corpus row count, passed in so the
+    * caller chooses the cheapest source (table metadata for a lake
+    * table; the pre-excision document count for the excise frame,
+    * which preserves row cardinality by construction). */
+  private[graft] def tfidfOver(s: SparkSession, docs: DataFrame, n: Long,
+                               topK: Int): DataFrame = {
+    import s.implicits._
     // ONE scan/tokenization: document length is computed on the token
-    // array BEFORE the explode and rides along, and document frequency
-    // is a count over a term-partitioned window on the compact
-    // (doc, term) count frame — the join-against-a-second-aggregation
-    // formulation re-scanned and re-tokenized the whole corpus for the
-    // df branch (scan cost dominates at scale; the windows shuffle
-    // only (doc_id, term, c, len) rows)
+    // array BEFORE the explode and rides along. Document frequency is
+    // a groupBy(term) partial aggregation over the compact
+    // (doc, term) count frame, re-attached by joining back on the SAME
+    // exchange (ReusedExchange, the dd_spans marking shape) — NOT
+    // `count over (partition by term)`: a stop-word term appears in
+    // essentially every document, so its window partition is O(|docs|)
+    // rows in ONE unsplittable WindowExec task that sorts and buffers
+    // them all (AQE skew-split divides sort-merge JOIN partitions,
+    // not window partitions, and no WindowGroupLimit applies to a
+    // count). The partial aggregate absorbs that skew map-side, and
+    // the re-attach join's probe side IS skew-splittable.
+    // explode_outer + null check on the GENERATED attribute, not inner
+    // explode: InferFiltersFromGenerate's inferred guards would inline
+    // the tokenization into the pushed-down Filter (3 evals/row — the
+    // tx_contamination/bm25 class; builtins dodge the graft_* registry
+    // guard, so the plan pin in PlanSpec holds the line here)
     val terms = docs
       .select($"doc_id", array_remove(split(lower($"text"), "\\s+"), "").as("toks"))
       .select($"doc_id", size($"toks").cast("long").as("len"),
-        explode($"toks").as("term"))
+        explode_outer($"toks").as("term"))
+      .filter($"term".isNotNull)
     val tc = terms.groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("c"), first($"len").as("len"))
-    val withDf = tc.withColumn("df",
-      count(lit(1)).over(Window.partitionBy($"term")))
+    // The two trailing max aggregates and their tautological guards
+    // (counts, lengths and ids are never negative) are PLAN-SHAPING,
+    // not logic: exchange reuse requires the two consumers' subtrees
+    // to stay canonically identical, and ColumnPruning would otherwise
+    // specialize the df branch's partial aggregate down to {term},
+    // planning a SECOND corpus scan+tokenize. Cost: three 8-byte max
+    // accumulators per distinct (doc, term), map-side.
+    val dfreq = tc.groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        max($"c").as("_mc"), max($"len").as("_ml"), max($"doc_id").as("_md"))
+      .filter($"_mc" >= 0L && $"_ml" >= 0L && $"_md" >= 0L)
+      .select($"term", $"df")
+    val withDf = tc.join(dfreq, Seq("term"))
     // Spark log() is natural log, matching DuckDB ln() (DuckDB log()
     // is log10 — the oracle must NOT use it)
     val scored = withDf.withColumn("tfidf",

@@ -98,6 +98,89 @@ class AllQueriesSpec extends SparkSpec {
     }
   }
 
+  // Window-partition keys allowed WITHOUT a WindowGroupLimit rank
+  // prune. The banned class (r9 dd_spans, r10 tx_tfidf/tx_bm25): a
+  // WindowExec partitioned on an unbounded-cardinality corpus-derived
+  // key (term/gram/digest/shingle) puts a Zipfian hot key's whole
+  // partition — O(|docs|) rows for a stop word or license header —
+  // into ONE task that sorts and buffers it all; AQE skew-split
+  // divides sort-merge JOIN partitions, not window partitions, so the
+  // fix is always groupBy partial-agg + ReusedExchange re-attach, or a
+  // rank prune when only a top-k survives. Every entry here is a key
+  // whose PER-PARTITION row count stays bounded as the corpus grows:
+  private val windowKeysAllowed: Set[Set[String]] = Set(
+    // per-document rows (span island merges, excision splice): bounded
+    // by the document's own token count, never by corpus size
+    Set("doc_id"),
+    // per-user event history (sessionization, as-of, retention, SCD2):
+    // bounded by one user's activity, the natural unit of event work
+    Set("user_id"),
+    // near-dup cluster label (label-prop convergence + canonical
+    // pick): partition size = one duplicate cluster. A degenerate
+    // corpus (10^9 copies of one doc) would concentrate; real corpora
+    // keep clusters small, and the iterative path bounds hops, not
+    // cluster size — documented in SCALING.md's dd_clusters section
+    Set("label"),
+    // transition-matrix rank: input frame is the aggregated
+    // (from_type, to_type) count matrix — |types|^2 rows total
+    Set("from_type"),
+    // hourly volume moments per type: input is the (type, hour)
+    // aggregate, |types| x |hours| rows, never raw events
+    Set("event_type"),
+    // declared-vs-detected language confusion audit: input is the
+    // (labeled, detected) confusion matrix — |langs|^2 rows total
+    Set("labeled_lang"),
+    // explicit parallelism shards (sequence packing, curriculum,
+    // pipeline shard windows): per-shard size = corpus/shards with
+    // shards scaling with the cluster — the documented deliberate cap
+    Set("shard"), Set("phase", "shard"),
+    // per-entity TPC-H windows: rows per customer / supplier grow
+    // with that entity's activity, while the entity domains
+    // themselves scale out with the data (TPC-H SF semantics)
+    Set("o_custkey"), Set("l_suppkey"))
+
+  /** Key sets of WindowExec nodes in `df`'s plan that are neither
+    * allowlisted as bounded nor pruned by a same-keyed
+    * WindowGroupLimit. */
+  private def skewWindowOffenders(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] = {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val pruned = nodes.collect {
+      case w: WindowGroupLimitExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    }.toSet
+    nodes.collect {
+      case w: WindowExec => w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    }.filterNot(k => windowKeysAllowed.contains(k) || pruned.contains(k))
+  }
+
+  test("no WindowExec on an unbounded-cardinality key without a rank prune") {
+    frames.foreach { case (name, df) =>
+      val bad = skewWindowOffenders(df)
+      assert(bad.isEmpty,
+        s"$name has a WindowExec partitioned on ${bad.map(_.mkString(",")).mkString("; ")} " +
+          "with no WindowGroupLimit prune — if a hot key's partition is corpus-sized " +
+          "this is an unsplittable straggler; use groupBy partial-agg + " +
+          "ReusedExchange re-attach (dd_spans/tfidf shape) or allowlist the " +
+          "key here with a boundedness argument")
+    }
+  }
+
+  test("the window-skew guard fires on the banned shape (negative control)") {
+    // the exact r9 tx_tfidf formulation the guard exists to ban:
+    // document frequency as a count over a term-partitioned window
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val reverted = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode_outer(split(lower($"text"), "\\s+")).as("term"))
+      .filter($"term".isNotNull && $"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+    assert(skewWindowOffenders(reverted) == Seq(Set("term")),
+      "guard must flag a term-partitioned unpruned window")
+  }
+
   test("no Filter evaluates the same graft kernel twice (InferFiltersFromGenerate tax)") {
     // inner explode over a kernel-built array makes Catalyst infer
     // `size(kernel(x)) > 0 AND isnotnull(kernel(x))` guards and push

@@ -59,15 +59,51 @@ class PlanSpec extends SparkSpec {
     assert(pq.contains("BroadcastHashJoin"), pq)
   }
 
-  test("bm25: query terms broadcast, ranking prunes through WindowGroupLimit") {
-    val p = plan(graft.operators.TextAnalysis.bm25(spark, sfDir))
+  test("bm25: query terms prune pre-shuffle, df on the reused exchange, no term window") {
+    // r10 verdict: the old df window (`count over (partition by
+    // term)`) ran over the WHOLE corpus tf frame before the query-term
+    // join pruned it — a join can't push below a window — and a
+    // stop-word term made one window partition O(|docs|) rows on one
+    // unsplittable task. Now the broadcast term set prunes the
+    // exploded tokens BEFORE the (doc, term) shuffle, and df is a
+    // partial aggregate re-attached on the reused exchange.
+    val df = graft.operators.TextAnalysis.bm25(spark, sfDir)
+    df.collect() // AQE materializes exchange reuse only at runtime
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
     assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge against 8 query terms")
     assert(p.contains("WindowGroupLimit"), "top-k must prune map-side")
+    assert(!p.contains("windowspecdefinition(term"),
+      "term-partitioned df window is the Zipfian-skew straggler shape — must not come back")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"df branch must reuse the tf exchange (one corpus scan):\n$p")
     // tokenizer runs once in the tf branch's Project — not re-inlined
     // into inferred explode guards (r8 caught 3 evals/row here)
     assert("graft_token_ngrams".r.findAllIn(p).size == 1,
       "tokenizer kernel must be evaluated exactly once per corpus row")
+  }
+
+  test("tfidf: df via partial-agg on the reused exchange — no term window, one scan") {
+    // r10 verdict: the r9 window-df formulation (`count over (partition
+    // by term)`) was the same unsplittable Zipfian-key WindowExec class
+    // fixed in dd_spans — a stop-word's partition is O(|docs|) rows on
+    // one task. The join-back formulation is fine ONLY with exchange
+    // reuse; without it the df branch re-scans+re-tokenizes the corpus.
+    val df = graft.operators.TextAnalysis.tfidf(spark, sfDir)
+    df.collect() // AQE materializes exchange reuse only at runtime
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("windowspecdefinition(term"),
+      "term-partitioned df window is the Zipfian-skew straggler shape — must not come back")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"df branch must reuse the (doc, term) count exchange (one corpus scan):\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-doc top-k must prune map-side")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "tfidf must stay single-scan")
+    // exactly one corpus tokenization in the final (post-reuse) plan:
+    // inner explode would re-inline split() into inferred Generate
+    // guards (3 evals/row — the builtin twin of the graft_* Filter
+    // guard in AllQueriesSpec, which only sees graft kernels)
+    assert("split\\(lower\\(text".r.findAllIn(p).size == 1,
+      "corpus must be scanned and tokenized exactly once")
   }
 
   test("dd_spans: one corpus shuffle reused by flag agg and semi-join; no gram window") {
@@ -369,16 +405,6 @@ class PlanSpec extends SparkSpec {
       "corpus must not shuffle into the scoring joins")
     assert(nodes.exists(_.contains("TakeOrderedAndProject")),
       "LM top-K must select via per-partition heaps")
-  }
-
-  test("tfidf: single corpus scan, df via window (no join-back), ranked-topk pruned") {
-    // the df-by-join formulation re-scanned and re-tokenized the whole
-    // corpus for its second aggregation branch — scan cost dominates at
-    // 100 TB, so document frequency must come from a window over the
-    // compact (doc, term) count frame instead
-    val p = plan(graft.operators.TextAnalysis.tfidf(spark, sfDir))
-    assert("Scan parquet".r.findAllIn(p).size == 1, "tfidf must stay single-scan")
-    assert(p.contains("WindowGroupLimit"), "top-k rank must prune map-side")
   }
 
   test("gopher repetition battery: one scan, no join, no window, no explode") {
