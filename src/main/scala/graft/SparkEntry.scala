@@ -162,6 +162,11 @@ object SparkEntry {
     // (the tx_quality_lr expression, shared), shard-local sequencing;
     // oracle-checked
     "pipe_curriculum" -> ((s, dir) => Pipeline.curriculum(s, dir)),
+    // clean-then-index: dd_excise's splice feeding tx_tfidf's scorer
+    // over the CLEANED corpus — the composed gate that catches an
+    // index built before excision (boilerplate vocabulary dominating
+    // tf and df); oracle is one DuckDB CTE chain like pipe_e2e
+    "pipe_index" -> ((s, dir) => Pipeline.cleanThenIndex(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -209,6 +214,11 @@ object SparkEntry {
     // rescoring of candidate pairs only; rows-only (banding isn't
     // ANSI-SQL), gated in DedupSpec vs a driver exact recompute
     "dd_lsh_containment" -> ((s, dir) => Dedup.lshContainment(s, dir)),
+    // the low-ratio arm banding structurally misses: bottom-k sketch
+    // probes a df-capped posting index (LSH-Ensemble direction) →
+    // same exact rescore; rows-only, gated in DedupSpec incl. a
+    // planted banding-missed pair this arm must find
+    "dd_idx_containment" -> ((s, dir) => Dedup.containmentIndexPairs(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     "dd_lsh_clusters" -> ((s, dir) => Dedup.lshClusters(s, dir)),
     "dd_survivors" -> ((s, dir) => Dedup.survivors(s, dir)),
@@ -1072,6 +1082,52 @@ object SparkEntry {
           |SELECT doc_id, sha256(text) AS digest FROM s
           |WHERE hb >= 3277 AND sha256(text) NOT IN (SELECT digest FROM hist)
           |ORDER BY doc_id""".stripMargin,
+      // dd_excise's span CTE chain feeding tx_tfidf's scorer CTEs over
+      // the kept tokens (concat_ws-then-resplit round-trips the kept
+      // token sequence exactly, so the scorer reads `keep` directly);
+      // idf's corpus count is the pre-excision document count, matching
+      // the operator's row-cardinality-preserving contract
+      "pipe_index" ->
+        """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+          |    lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |    unnest(range(1, len(toks) - 2)) - 1 AS pos,
+          |    unnest(list_transform(range(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+          |  FROM t),
+          |d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+          |    min(doc_id) OVER (PARTITION BY gram) AS dmin,
+          |    max(doc_id) OVER (PARTITION BY gram) AS dmax FROM g) m
+          |  WHERE dmin <> dmax),
+          |i AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+          |      THEN 0 ELSE 1 END AS brk
+          |  FROM d),
+          |isl AS (SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM i),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+          |  FROM isl GROUP BY doc_id, island),
+          |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+          |    unnest(toks) AS tok FROM t),
+          |keep AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+          |  WHERE NOT EXISTS (SELECT 1 FROM sp
+          |    WHERE sp.doc_id = k.doc_id AND k.pos BETWEEN sp.s AND sp.e)),
+          |tc AS (SELECT doc_id, tok AS term, count(*) AS c FROM keep GROUP BY doc_id, tok),
+          |wl AS (SELECT doc_id, term, c,
+          |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS len FROM tc),
+          |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+          |sc AS (SELECT wl.doc_id, wl.term,
+          |    floor(CAST(wl.c AS DOUBLE) / CAST(wl.len AS DOUBLE) *
+          |      ln((SELECT count(*) + 1.0 FROM documents) / (CAST(dfq.df AS DOUBLE) + 1.0)) *
+          |      1000000.0) / 1000000.0 AS tfidf
+          |  FROM wl JOIN dfq ON wl.term = dfq.term),
+          |r AS (SELECT doc_id, term, tfidf,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          |  FROM sc)
+          |SELECT doc_id, term, rk, tfidf FROM r WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin,
       "pipe_diff" ->
         """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id % 50 <> 0),
           |v2 AS (SELECT doc_id,
@@ -1474,6 +1530,37 @@ object SparkEntry {
           |    round(list_dot_product(qv, emb) /
           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(emb, emb))), 6) AS cos_sim
           |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+          |r AS (SELECT query_id, vec_id, cos_sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
+          |ORDER BY query_id, rk""".stripMargin,
+      // IVF with FIXED seed centroids is deterministic arithmetic
+      // DuckDB can replicate: assignment/probing mirror the
+      // NearestCentroids kernel exactly — same cosine formula
+      // dot/(sqrt(na)·sqrt(nb)), UNROUNDED argmax, ties to the lower
+      // cid — so the inverted lists and probe sets agree bit-for-bit
+      // and the rescore is the ann_brute shape. (ann_ivf_trained has
+      // NO oracle on purpose: the k-means update sums member vectors
+      // in shuffle-merge order, so trained centroid doubles are not
+      // cross-engine-reproducible arithmetic — documented no-go,
+      // recall-gated in RecallSpec instead.)
+      "ann_ivf_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |c AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < 16),
+          |sc AS (SELECT e.vec_id, e.emb, c.cid,
+          |    list_dot_product(e.emb, c.cv) /
+          |      (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+          |  FROM e CROSS JOIN c),
+          |ranked AS (SELECT vec_id, emb, cid,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r FROM sc),
+          |asg AS (SELECT vec_id, emb, cid FROM ranked WHERE r = 1),
+          |probes AS (SELECT vec_id AS query_id, emb AS qv, cid FROM ranked
+          |  WHERE vec_id < 10 AND r <= 4),
+          |scored AS (SELECT p.query_id, a.vec_id,
+          |    round(list_dot_product(p.qv, a.emb) /
+          |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.emb, a.emb))), 6) AS cos_sim
+          |  FROM asg a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id),
           |r AS (SELECT query_id, vec_id, cos_sim,
           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
           |  FROM scored)

@@ -628,23 +628,43 @@ object Dedup {
     * banded candidates" shape SCALING.md promises for
     * [[ngramContainment]]). Candidates come from [[minhashPairs]]
     * with NO Jaccard threshold — deliberately: a short doc contained
-    * in a long one has low Jaccard (the threshold would drop it) but
-    * still collides in bands whenever its shingles dominate a
-    * signature slice, and the containment rescore is what decides.
-    * Gram attach is two candidate-bounded equi-joins (the corpus
-    * gram arrays shuffle once by doc_id); no all-pairs anything.
-    * Rows-only (LSH banding isn't ANSI-SQL); DedupSpec gates found
-    * pairs + values against a driver-side exact recompute and a
-    * planted containment fixture. */
+    * in a long one has low Jaccard (a threshold would drop it before
+    * the containment rescore could decide). HONEST RECALL LIMIT: the
+    * banding itself is still Jaccard-biased — a contained pair with
+    * length ratio r has per-band collision probability ≈ (r/(2-r))^
+    * rowsPerBand (Jaccard of full containment = |A|/|B| = r/(2-r) of
+    * the union), which is near zero for r ≪ 0.5, so LOW-ratio
+    * contained pairs (a paragraph quoted inside a book) are
+    * structurally under-recalled no matter how many bands; only
+    * moderate ratios survive. DedupSpec pins BOTH sides of that
+    * geometry: the planted moderate-ratio pair is found, and a
+    * planted low-ratio pair is documented as missed. The
+    * containment-targeted candidate arm for low ratios is
+    * [[containmentIndexPairs]] (short side's bottom-k sketch probed
+    * against the full gram posting index, the LSH-Ensemble direction
+    * of Zhu et al. 2016). Gram attach is two candidate-bounded
+    * equi-joins (the corpus gram arrays shuffle once by doc_id); no
+    * all-pairs anything. Rows-only (LSH banding isn't ANSI-SQL);
+    * DedupSpec gates found pairs + values against a driver-side exact
+    * recompute and a planted containment fixture. */
   def lshContainment(s: SparkSession, dir: String, k: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
     import s.implicits._
     val cand = minhashPairs(s, dir, threshold = 0.0).select($"id1", $"id2")
-    // hashed-and-sorted shingles (ShingleHashes kernel): the pair
-    // joins ship 8 bytes per shingle instead of ~20, and the rescore
-    // is one linear merge per pair (OverlapCoeffSorted) — same values
-    // as the string-set formula (DedupSpec recomputes from raw
-    // strings, so a 64-bit collision would fail the suite)
+    rescoreContainment(s, dir, cand, k, threshold)
+  }
+
+  /** Exact containment rescoring of a bounded candidate-pair frame —
+    * the shared tail of [[lshContainment]] and
+    * [[containmentIndexPairs]]. Hashed-and-sorted shingles
+    * (ShingleHashes kernel): the pair joins ship 8 bytes per shingle
+    * instead of ~20, and the rescore is one linear merge per pair
+    * (OverlapCoeffSorted) — same values as the string-set formula
+    * (DedupSpec recomputes from raw strings, so a 64-bit collision
+    * would fail the suite). */
+  private def rescoreContainment(s: SparkSession, dir: String, cand: DataFrame,
+                                 k: Int, threshold: Double): DataFrame = {
+    import s.implicits._
     val g = Tables.documents(s, dir)
       .select($"doc_id", SketchFunctions.shingleHashes(normText($"text"), k).as("grams"))
     cand
@@ -654,6 +674,64 @@ object Dedup {
         round(SketchFunctions.overlapCoeff($"g1", $"g2"), 4).as("containment"))
       .filter($"containment" > threshold)
       .orderBy($"id1", $"id2")
+  }
+
+  /** Containment-targeted candidate generation + rescore — the arm
+    * that finds the LOW length-ratio contained pairs
+    * [[lshContainment]]'s Jaccard-biased banding structurally misses
+    * (the LSH-Ensemble direction, Zhu et al. VLDB 2016: containment
+    * search needs size-aware indexing, not resemblance banding).
+    *
+    * Candidates: each doc's BOTTOM-`probeK` shingle hashes (the
+    * [[graft.functions.ShingleHashes]] array is sorted, so the sketch
+    * is a `slice` — under the hash order this is a uniform sample of
+    * the doc's shingle set) probe an inverted POSTING INDEX of every
+    * (hash, doc) pair. For a pair with containment c, each probe hash
+    * of the shorter doc posts in the longer with probability ≈ c, so
+    * the pair surfaces with probability ≈ 1 − (1−c)^probeK —
+    * INDEPENDENT of the length ratio, exactly the regime banding
+    * loses (a paragraph quoted inside a book).
+    *
+    * Scale shape: the posting index is the dd_spans gram-exchange
+    * shape (one corpus shuffle keyed on hash); probes add `probeK`
+    * rows per doc. The Zipf bomb — a boilerplate shingle posting in
+    * O(|docs|) documents AND serving as many docs' bottom hash, whose
+    * index bucket would emit O(|docs|²) pairs — is defused by the
+    * `dfCap` prefilter: hashes posting in more than `dfCap` docs are
+    * dropped from index AND probes (a shingle that common carries no
+    * containment evidence; it is corpus furniture). Per probe hash
+    * the join then emits ≤ `dfCap` pairs, so candidates are bounded
+    * by |docs| · probeK · dfCap and the rescore join stays
+    * candidate-bounded. A doc whose entire bottom-k is capped-out
+    * furniture generates no candidates — documented, like every
+    * approximate path here, by the DedupSpec gate against the exact
+    * verifier. Rows-only in the driver contract (sketch probing is
+    * not ANSI-SQL). */
+  def containmentIndexPairs(s: SparkSession, dir: String, k: Int = 3,
+                            probeK: Int = 8, dfCap: Int = 64,
+                            threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", SketchFunctions.shingleHashes(normText($"text"), k).as("grams"))
+    // explode_outer + null check on the GENERATED attribute, not inner
+    // explode: InferFiltersFromGenerate would inline the shingle kernel
+    // into the pushed-down Filter (the registry-wide guarded 3-evals
+    // class)
+    val post = g.select($"doc_id", explode_outer($"grams").as("h"))
+      .filter($"h".isNotNull)
+    val hot = post.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"h")
+    val idx = post.join(hot, Seq("h"), "left_anti")
+    val probes = g
+      .select($"doc_id", explode_outer(slice($"grams", 1, probeK)).as("h"))
+      .filter($"h".isNotNull)
+      .join(hot, Seq("h"), "left_anti")
+    val cand = probes.select($"h", $"doc_id".as("pid"))
+      .join(idx.select($"h", $"doc_id".as("iid")), Seq("h"))
+      .filter($"pid" =!= $"iid")
+      .select(least($"pid", $"iid").as("id1"), greatest($"pid", $"iid").as("id2"))
+      .distinct()
+    rescoreContainment(s, dir, cand, k, threshold)
   }
 
   /** Incremental exact dedup — the production shape at 100 TB: a new

@@ -286,6 +286,32 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Clean-then-index — the real pipeline ordering of the ExactSubstr
+    * family's action end and the retrieval family's scorer: excise the
+    * cross-doc duplicated spans OUT of every document
+    * ([[Dedup.exciseSpans]], the Lee et al. 2022 "remove the
+    * duplicated bytes" step), then score TF-IDF top terms over the
+    * CLEANED corpus ([[TextAnalysis.tfidfOver]]). The compositional
+    * bug class this gates: an index built before excision ranks
+    * boilerplate terms (the license header's vocabulary dominates df
+    * and tf alike); an index built after sees only unique prose —
+    * per-operator oracles cannot see the difference, the composed
+    * DuckDB CTE chain hash-checks it end-to-end.
+    *
+    * Scale shape: exciseSpans' span side broadcasts (bounded per-doc
+    * struct array) and the splice is map-side; the scorer adds its
+    * own (doc, term) shuffle + reused-exchange df. The corpus row
+    * count for idf is the PRE-excision document count (excision
+    * preserves row cardinality by construction — one output row per
+    * document, even fully-excised ones), so no extra pass over the
+    * composed frame. */
+  def cleanThenIndex(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import s.implicits._
+    val clean = Dedup.exciseSpans(s, dir)
+      .select($"doc_id", $"clean_text".as("text"))
+    TextAnalysis.tfidfOver(s, clean, Tables.documents(s, dir).count(), topK)
+  }
+
   def scd2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -100,7 +100,19 @@ object StreamingOps {
     * batch window uses — so on the staged single-ingest fixture the
     * emitted path multiset is IDENTICAL to the batch lag-window's
     * triples and the downstream rollup shares ev_paths' oracle
-    * verbatim. */
+    * verbatim.
+    *
+    * Cross-batch disorder is DROPPED, not silently absorbed: an event
+    * whose epoch-second precedes the newest already-processed event
+    * for its user (state's `t1` is that max — batch-internal sorting
+    * makes processed ts non-decreasing) arrived in the wrong batch,
+    * and threading it into the trigram state would emit paths the
+    * batch window never produces while still claiming ev_paths'
+    * oracle. A production feed either orders per-user ingestion
+    * (Kafka key = user) or routes the dropped stragglers to a
+    * dead-letter count; equal timestamps pass (the batch order breaks
+    * such ties by event_id, which the state does not carry — the
+    * staged fixtures never tie cross-batch). */
   def pathHits(spark: SparkSession, events: Dataset[PathEvent],
                gapS: Long = 1800L): Dataset[PathHit] = {
     import spark.implicits._
@@ -113,9 +125,11 @@ object StreamingOps {
           val out = Seq.newBuilder[PathHit]
           sorted.foreach { e =>
             val t0 = Math.floorDiv(e.ts.getTime, 1000L)
-            if (st.n >= 2 && st.t1 - st.t2 <= gapS && t0 - st.t1 <= gapS)
-              out += PathHit(s"${st.e2}>${st.e1}>${e.event_type}")
-            st = PathState(e.event_type, t0, st.e1, st.t1, math.min(st.n + 1, 2))
+            if (t0 >= st.t1) { // drop cross-batch time regressions
+              if (st.n >= 2 && st.t1 - st.t2 <= gapS && t0 - st.t1 <= gapS)
+                out += PathHit(s"${st.e2}>${st.e1}>${e.event_type}")
+              st = PathState(e.event_type, t0, st.e1, st.t1, math.min(st.n + 1, 2))
+            }
           }
           state.update(st)
           out.result().iterator

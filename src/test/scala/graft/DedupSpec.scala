@@ -359,6 +359,57 @@ class DedupSpec extends SparkSpec {
     assert(got((100L, 101L)) == 1.0, s"containment should be exactly 1.0: $got")
   }
 
+  test("low-ratio containment: banding misses it (documented), the index arm finds it") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-cont").toString
+    // short doc = the first 8 tokens of an 80-token long doc: containment
+    // 1.0, length ratio ~0.1, Jaccard ~0.1 — the regime where
+    // Jaccard-biased band collision probability ≈ (r/(2-r))^rowsPerBand
+    // is effectively zero. The first assert DOCUMENTS lshContainment's
+    // structural miss as expected behavior (per the round-10 advisory);
+    // the second pins that containmentIndexPairs' bottom-k probe against
+    // the posting index recovers exactly this regime (probe hit
+    // probability 1 − (1−c)^probeK is ratio-independent; at c = 1.0
+    // every probe posts, so recovery is certain, not sampled).
+    val long = (1 to 80).map(i => s"tok${i}word").mkString(" ")
+    val short = (1 to 8).map(i => s"tok${i}word").mkString(" ")
+    val rows = (0L until 20L).map(i =>
+      (i, s"filler document number $i about subject ${i * 37} entirely unrelated")) ++
+      Seq((100L, long), (101L, short))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val banded = Dedup.lshContainment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!banded.contains((100L, 101L)),
+      "fixture stale: banding found the low-ratio pair — if seeds/banding changed, " +
+        "re-derive the documented-miss ratio so the index arm still has a case to prove")
+    val idx = Dedup.containmentIndexPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(idx.contains((100L, 101L)), s"index arm missed the planted pair: $idx")
+    assert(idx((100L, 101L)) == 1.0, s"containment should be exactly 1.0: $idx")
+  }
+
+  test("containmentIndexPairs values == exact containment recompute; candidates honest") {
+    // full-value gate at sfDir, mirroring the lshContainment gate: every
+    // (pair, containment) emitted must equal a driver-side recompute of
+    // the overlap coefficient from raw strings (independent shingling —
+    // a ShingleHashes 64-bit collision or a broken merge would diverge)
+    val got = Dedup.containmentIndexPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty, "index arm emitted nothing at sfDir")
+    val norm = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", Dedup.normText($"text").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh3(t: String): Set[String] =
+      if (t.length < 3) Set(t) else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    got.foreach { case ((a, b), v) =>
+      val (ga, gb) = (sh3(norm(a)), sh3(norm(b)))
+      val c = (ga & gb).size.toDouble / math.min(ga.size, gb.size)
+      val exact = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(v == exact, s"pair ($a,$b): emitted $v, exact $exact")
+      assert(v > 0.5, s"pair ($a,$b): below threshold yet emitted")
+    }
+  }
+
   test("ngram jaccard: identical=1.0, disjoint filtered out") {
     val dir = java.nio.file.Files.createTempDirectory("ng").toString
     Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "zzzzyyyyxxxx"))

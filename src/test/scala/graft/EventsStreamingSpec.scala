@@ -215,6 +215,61 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("view>click>buy", "view>click>buy"), s"got: $got")
   }
 
+  test("gapfill: empty events table yields an empty frame, oversized ranges a clear error") {
+    // r10 advisory: min/max over an empty table aggregate to NULL —
+    // getLong NPE'd — and a day range past cteRecursionLevelLimit
+    // failed deep inside the recursion at execution instead of at
+    // build. Both paths are now explicit.
+    val dir = java.nio.file.Files.createTempDirectory("gapfill-empty").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val empty = graft.operators.Events.gapfill(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("event_type", "day", "n"))
+
+    val wide = java.nio.file.Files.createTempDirectory("gapfill-wide").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    Seq((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(500), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$wide/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Events.gapfill(spark, wide)
+    }
+    assert(e.getMessage.contains("cteRecursionLevelLimit"),
+      s"error must name the conf to raise: ${e.getMessage}")
+  }
+
+  test("streaming paths: cross-batch out-of-order events are dropped, not threaded") {
+    // r10 advisory: per-batch sorting only orders WITHIN a batch, so an
+    // event arriving in a later batch with an earlier timestamp used to
+    // thread into the trigram state and silently emit paths the batch
+    // lag-window never produces. The operator now drops rows whose
+    // epoch-second precedes the user's max-seen ts (state t1).
+    import StreamingOps.PathEvent
+    def ev(u: Long, id: Long, sec: Long, t: String) =
+      PathEvent(u, id, new java.sql.Timestamp(sec * 1000L), t)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PathEvent](spark)
+    val q = StreamingOps.pathHits(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("ev_paths_late_q")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 1, 0, "view"), ev(1, 2, 60, "click"), ev(1, 3, 120, "buy"))
+      q.processAllAvailable()
+      // straggler: ts 30 < max-seen 120 — must be dropped entirely
+      input.addData(ev(1, 4, 30, "stray"))
+      q.processAllAvailable()
+      // in-order successor: completes click>buy>buy off the UNCORRUPTED
+      // state; had the stray threaded, state would read (stray@30,
+      // buy@120) and this would emit buy>stray>buy instead
+      input.addData(ev(1, 5, 180, "buy"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ev_paths_late_q").collect().map(_.getString(0)).toSeq
+    assert(got.sorted == Seq("click>buy>buy", "view>click>buy"), s"got: $got")
+  }
+
   test("event-time timers close sessions by watermark, matching the batch rule") {
     // sessions with a successor event close inline; each user's OPEN
     // tail closes only when the watermark passes lastEvent + gap — the

@@ -26,7 +26,10 @@ class RegistryCoverageSpec extends AnyFunSuite {
   // exercises)
   private val gates: Map[String, (String, String)] = Map(
     "ann_lsh_topk" -> ("RecallSpec.scala", "lshTopK"),
-    "ann_ivf_topk" -> ("RecallSpec.scala", "ivfTopK"),
+    // ann_ivf_topk left this map in round 11: its fixed-seed-centroid
+    // assignment is deterministic arithmetic DuckDB replicates, so it
+    // graduated to a full hash oracle (the RecallSpec gate remains as
+    // belt-and-braces but is no longer its primary evidence)
     "ann_ivf_trained" -> ("RecallSpec.scala", "ivfTrainedTopK"),
     "ann_sq8_topk" -> ("RecallSpec.scala", "sq8TopK"),
     "ann_ivf_sq8" -> ("RecallSpec.scala", "ivfSq8TopK"),
@@ -42,6 +45,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "dd_lsh_clusters" -> ("DedupSpec.scala", "lshClusters"),
     "dd_source_overlap_mh" -> ("DedupSpec.scala", "sourceOverlapMinhash"),
     "dd_lsh_containment" -> ("DedupSpec.scala", "lshContainment"),
+    "dd_idx_containment" -> ("DedupSpec.scala", "containmentIndexPairs"),
     "mm_phash_dup" -> ("MultimodalSpec.scala", "phash"),
     "mm_embed_ann" -> ("MultimodalSpec.scala", "embedAnnTopK"),
     "q20_sketches" -> ("RecallSpec.scala", "q20Sketches"),
@@ -83,17 +87,26 @@ class RegistryCoverageSpec extends AnyFunSuite {
     }
   }
 
-  test("the pre-commit gate is actually installed (round-10 found it silently absent)") {
+  test("the pre-commit gate is installed (self-installing; round-10 found it silently absent)") {
     // scripts/precommit.sh only guards commits when .git/hooks/pre-commit
     // points at it — a per-clone state no commit can carry. Round 10
-    // discovered the hook missing despite round 9's install; this makes
-    // the absence a red suite instead of a silent gap. (Skips when no
-    // .git dir is visible — e.g. a harness running from an export.)
+    // discovered the hook missing despite round 9's install and made the
+    // absence a red suite; round 11 (advisor): a fresh clone failing its
+    // first `sbt test` over environment setup is the wrong failure mode,
+    // so a MISSING hook is now installed by the test itself (first test
+    // run = working gate) and only an existing-but-wrong hook — a state
+    // someone chose — stays red. (Skips when no .git dir is visible,
+    // e.g. a harness running from an export.)
     val hooks = java.nio.file.Paths.get(".git", "hooks")
     if (java.nio.file.Files.isDirectory(hooks)) {
       val hook = hooks.resolve("pre-commit")
+      if (!java.nio.file.Files.exists(hook, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        java.nio.file.Files.createSymbolicLink(hook,
+          java.nio.file.Paths.get("../../scripts/precommit.sh"))
+      }
       assert(java.nio.file.Files.exists(hook),
-        "pre-commit hook missing — run: ln -sf ../../scripts/precommit.sh .git/hooks/pre-commit")
+        "pre-commit hook missing and could not be installed — run: " +
+          "ln -sf ../../scripts/precommit.sh .git/hooks/pre-commit")
       val target = if (java.nio.file.Files.isSymbolicLink(hook))
         java.nio.file.Files.readSymbolicLink(hook).toString
       else new String(java.nio.file.Files.readAllBytes(hook), "UTF-8")
