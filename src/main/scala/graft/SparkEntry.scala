@@ -1566,6 +1566,36 @@ object SparkEntry {
           |  FROM scored)
           |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
           |ORDER BY query_id, rk""".stripMargin,
+      // SQ8 is deterministic end-to-end: the [lo, hi] bounds are
+      // order-independent min/max aggregates, and quantize
+      // (rint((x-lo)/span*255), clamped — round_even IS rint) /
+      // dequantize (lo + code·span/255) mirror the QuantizeSq8 /
+      // CosineSq8Asym kernels' exact expression shapes, so the
+      // quantized corpus and the asymmetric scores agree bit-for-bit.
+      // (The PQ family and IVF×SQ8 stay recall-gated: their k-means
+      // training sums in shuffle-merge order — the ann_ivf_trained
+      // no-go; sign-LSH buckets hash JVM-seeded hyperplanes.)
+      "ann_sq8_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |ex AS (SELECT unnest(emb) AS x, unnest(range(1, len(emb) + 1)) AS i FROM e),
+          |bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY i),
+          |bl AS (SELECT list(lo ORDER BY i) AS lov,
+          |    list(greatest(hi - lo, 2.2250738585072014e-308) ORDER BY i) AS spanv
+          |  FROM bounds),
+          |deq AS (SELECT vec_id, list_transform(range(1, len(emb) + 1),
+          |    i -> lov[i] + least(greatest(round_even((emb[i] - lov[i]) / spanv[i] * 255.0, 0), 0.0), 255.0)
+          |           * (spanv[i] / 255.0)) AS demb
+          |  FROM e CROSS JOIN bl),
+          |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),
+          |scored AS (SELECT query_id, d.vec_id,
+          |    round(list_dot_product(qv, demb) /
+          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(demb, demb))), 6) AS cos_sim
+          |  FROM deq d CROSS JOIN q WHERE d.vec_id <> q.query_id),
+          |r AS (SELECT query_id, vec_id, cos_sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
+          |ORDER BY query_id, rk""".stripMargin,
       "ann_filtered_topk" ->
         """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),

@@ -31,7 +31,10 @@ class RegistryCoverageSpec extends AnyFunSuite {
     // graduated to a full hash oracle (the RecallSpec gate remains as
     // belt-and-braces but is no longer its primary evidence)
     "ann_ivf_trained" -> ("RecallSpec.scala", "ivfTrainedTopK"),
-    "ann_sq8_topk" -> ("RecallSpec.scala", "sq8TopK"),
+    // ann_sq8_topk graduated to a full hash oracle in round 11 with
+    // ann_ivf_topk (order-independent min/max bounds + deterministic
+    // quantize/dequantize arithmetic); the RecallSpec overlap gate
+    // remains as belt-and-braces
     "ann_ivf_sq8" -> ("RecallSpec.scala", "ivfSq8TopK"),
     "ann_pq_topk" -> ("RecallSpec.scala", "pqTopK"),
     "ann_ivf_pq" -> ("RecallSpec.scala", "ivfPqTopK"),
