@@ -693,15 +693,30 @@ object Dedup {
     * loses (a paragraph quoted inside a book).
     *
     * Scale shape: the posting index is the dd_spans gram-exchange
-    * shape (one corpus shuffle keyed on hash); probes add `probeK`
-    * rows per doc. The Zipf bomb — a boilerplate shingle posting in
-    * O(|docs|) documents AND serving as many docs' bottom hash, whose
-    * index bucket would emit O(|docs|²) pairs — is defused by the
-    * `dfCap` prefilter: hashes posting in more than `dfCap` docs are
-    * dropped from index AND probes (a shingle that common carries no
-    * containment evidence; it is corpus furniture). Per probe hash
-    * the join then emits ≤ `dfCap` pairs, so candidates are bounded
-    * by |docs| · probeK · dfCap and the rescore join stays
+    * discipline applied to shingle hashes — the full posting stream
+    * shuffles ONCE onto an explicit hash-keyed Exchange that BOTH
+    * heavy consumers (the per-hash df flag aggregation and the
+    * posting side of the candidate join) read via ReusedExchange;
+    * the explicit isnotnull(doc_id) guard below the exchange keeps
+    * the subtrees canonical against the inferred-constraint pushdown
+    * the candidate join would otherwise add to one branch only. The
+    * probe side is its OWN slice-explode scan — deliberately not the
+    * shared exchange: it carries `probeK` rows per doc (the
+    * [[graft.functions.ShingleHashes]] array is sorted, so the
+    * bottom-k sketch is a `slice`), and shuffling that sliver is far
+    * cheaper than forcing it through the full posting exchange. The
+    * Zipf bomb — a boilerplate shingle posting in O(|docs|) documents
+    * AND serving as many docs' bottom hash, whose index bucket would
+    * emit O(|docs|²) pairs — is defused by the `dfCap` prefilter:
+    * the per-hash df attaches to the posting side by an INNER join on
+    * the reused exchange (not an anti join of a hot-list —
+    * PushDownLeftSemiAntiJoin pushes semi/anti forms below the
+    * repartition and re-plans a second corpus scan, the dd_spans
+    * lesson), rows with df > dfCap drop there, and the probes inherit
+    * the cap through the candidate inner join itself (a probe on a
+    * capped-out hash matches nothing). Per probe hash the join then
+    * emits ≤ `dfCap` pairs, so candidates are bounded by
+    * |docs| · probeK · dfCap and the rescore join stays
     * candidate-bounded. A doc whose entire bottom-k is capped-out
     * furniture generates no candidates — documented, like every
     * approximate path here, by the DedupSpec gate against the exact
@@ -713,21 +728,31 @@ object Dedup {
     import s.implicits._
     val g = Tables.documents(s, dir)
       .select($"doc_id", SketchFunctions.shingleHashes(normText($"text"), k).as("grams"))
-    // explode_outer + null check on the GENERATED attribute, not inner
-    // explode: InferFiltersFromGenerate would inline the shingle kernel
-    // into the pushed-down Filter (the registry-wide guarded 3-evals
-    // class)
+    // explode_outer + null check on the GENERATED attribute, not
+    // inner explode: InferFiltersFromGenerate would inline the shingle
+    // kernel into the pushed-down Filter (the registry-wide guarded
+    // 3-evals class). The doc_id null guard is tautological
+    // (fixture ids are non-null) and PLAN-SHAPING: the candidate
+    // join's pid =!= iid condition infers isnotnull(doc_id) onto the
+    // posting branch only, which would specialize its copy of the
+    // exchange away from the df branch's and break the reuse.
     val post = g.select($"doc_id", explode_outer($"grams").as("h"))
-      .filter($"h".isNotNull)
-    val hot = post.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" > dfCap).select($"h")
-    val idx = post.join(hot, Seq("h"), "left_anti")
+      .filter($"h".isNotNull && $"doc_id".isNotNull)
+      .repartition($"h")
+    // The max aggregate + tautological guard keep {doc_id} referenced
+    // in the df branch (the maximalSpans trick) so ColumnPruning
+    // can't specialize the shared exchange down to {h}.
+    val dfh = post.groupBy($"h")
+      .agg(count(lit(1)).as("hdf"), max($"doc_id").as("_md"))
+      .filter($"_md" >= 0L)
+      .select($"h", $"hdf")
+    val posting = post.join(dfh, Seq("h")).filter($"hdf" <= dfCap)
+      .select($"h", $"doc_id".as("iid"))
     val probes = g
       .select($"doc_id", explode_outer(slice($"grams", 1, probeK)).as("h"))
       .filter($"h".isNotNull)
-      .join(hot, Seq("h"), "left_anti")
-    val cand = probes.select($"h", $"doc_id".as("pid"))
-      .join(idx.select($"h", $"doc_id".as("iid")), Seq("h"))
+      .select($"h", $"doc_id".as("pid"))
+    val cand = probes.join(posting, Seq("h"))
       .filter($"pid" =!= $"iid")
       .select(least($"pid", $"iid").as("id1"), greatest($"pid", $"iid").as("id2"))
       .distinct()

@@ -128,6 +128,28 @@ class PlanSpec extends SparkSpec {
       "tokenizer kernel must be evaluated exactly once per corpus row")
   }
 
+  test("dd_idx_containment: full posting shuffle paid once, shared by df flag and posting side") {
+    // first cut re-planned the posting scan+explode per consumer (df
+    // flag, posting side, probe side — three corpus tokenizations and
+    // two full posting shuffles). Now the full posting stream shuffles
+    // onto ONE explicit hash Exchange read by both heavy consumers via
+    // ReusedExchange (the dd_spans discipline; an explicit
+    // isnotnull(doc_id) guard keeps the subtrees canonical against
+    // one-sided inferred-constraint pushdown), while the probe side is
+    // deliberately its own probeK-rows-per-doc slice scan — shuffling
+    // that sliver is cheaper than a second full posting exchange.
+    val df = graft.operators.Dedup.containmentIndexPairs(spark, sfDir)
+    df.collect() // AQE materializes exchange reuse only at runtime
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"df flag and posting side must share ONE posting exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // kernel evals: posting scan + probe slice scan + rescore attach
+    // (whose two sides broadcast-reuse one scan) = 3
+    assert("graft_shingle_hashes".r.findAllIn(p).size <= 3,
+      "df/posting branches must not re-scan the corpus")
+  }
+
   test("tx_rrf: bounded probe broadcast, both arms prune through WindowGroupLimit") {
     val p = plan(graft.operators.TextAnalysis.hybridRrf(spark, sfDir))
     // lexical arm: query terms broadcast (bm25's pinned shape); dense
