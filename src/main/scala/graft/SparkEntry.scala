@@ -278,6 +278,9 @@ object SparkEntry {
     "ev_sliding" -> Events.sliding _,
     "ev_session" -> Events.sessionize _,
     "ev_json" -> Events.jsonExtract _,
+    // Spark 4 VARIANT: parse once to the binary encoding, typed
+    // variant_get paths after (shredding-ready shape at 100 TB)
+    "ev_variant" -> Events.variantExtract _,
     "ev_top_users" -> Events.hourlyTopUsers _,
     // day-grain cohort retention matrix; oracle-checked; join-free
     // (first-seen via user-partitioned window min)
@@ -1738,6 +1741,17 @@ object SparkEntry {
           |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
           |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
           |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the VARIANT twin: typed paths resolve to the same values the
+      // string-path oracle computes; the absent-path try is NULL for
+      // every row, so n_miss pins to 0
+      "ev_variant" ->
+        """SELECT event_type, count(*) AS n,
+          |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  count(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+          |    THEN 1 END) AS n_miss
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // day-grain cohorts: first-seen day via a user-partitioned
       // window min; integer epoch-day arithmetic in both engines
