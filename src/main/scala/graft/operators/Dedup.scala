@@ -742,9 +742,11 @@ object Dedup {
     // The max aggregate + tautological guard keep {doc_id} referenced
     // in the df branch (the maximalSpans trick) so ColumnPruning
     // can't specialize the shared exchange down to {h}.
+    // the id guard uses Long.MinValue (not 0) so negative synthetic
+    // ids can never be silently deleted by the plan-shaping reference
     val dfh = post.groupBy($"h")
       .agg(count(lit(1)).as("hdf"), max($"doc_id").as("_md"))
-      .filter($"_md" >= 0L)
+      .filter($"_md" >= Long.MinValue)
       .select($"h", $"hdf")
     val posting = post.join(dfh, Seq("h")).filter($"hdf" <= dfCap)
       .select($"h", $"doc_id".as("iid"))

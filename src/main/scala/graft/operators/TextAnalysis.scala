@@ -136,7 +136,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy($"term")
       .agg(count(lit(1)).cast("double").as("df"),
         max($"tf").as("_mt"), max($"dl").as("_md"), max($"doc_id").as("_mi"))
-      .filter($"_mt" >= 0.0 && $"_md" >= 0.0 && $"_mi" >= 0L)
+      .filter($"_mt" >= 0.0 && $"_md" >= 0.0 && $"_mi" >= Long.MinValue)
       .select($"term", $"df")
       .limit(qtermSet.size)
     val perTerm = tf
@@ -873,10 +873,14 @@ object TextAnalysis {
     // specialize the df branch's partial aggregate down to {term},
     // planning a SECOND corpus scan+tokenize. Cost: three 8-byte max
     // accumulators per distinct (doc, term), map-side.
+    // counts and sizes are provably non-negative; the id guard uses
+    // Long.MinValue so a caller feeding synthetic NEGATIVE doc_ids
+    // (tfidfOver is reachable with arbitrary frames) can never have
+    // terms silently deleted by a plan-shaping trick
     val dfreq = tc.groupBy($"term")
       .agg(count(lit(1)).as("df"),
         max($"c").as("_mc"), max($"len").as("_ml"), max($"doc_id").as("_md"))
-      .filter($"_mc" >= 0L && $"_ml" >= 0L && $"_md" >= 0L)
+      .filter($"_mc" >= 0L && $"_ml" >= 0L && $"_md" >= Long.MinValue)
       .select($"term", $"df")
     val withDf = tc.join(dfreq, Seq("term"))
     // Spark log() is natural log, matching DuckDB ln() (DuckDB log()

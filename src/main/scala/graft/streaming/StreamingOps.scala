@@ -125,7 +125,12 @@ object StreamingOps {
           val out = Seq.newBuilder[PathHit]
           sorted.foreach { e =>
             val t0 = Math.floorDiv(e.ts.getTime, 1000L)
-            if (t0 >= st.t1) { // drop cross-batch time regressions
+            // drop cross-batch time regressions; st.n == 0 guards the
+            // fresh-state case — t1's 0 sentinel is NOT a real max-seen
+            // ts, and comparing against it would silently drop a new
+            // user's entire history when epoch-seconds are negative
+            // (pre-1970 backfills)
+            if (st.n == 0 || t0 >= st.t1) {
               if (st.n >= 2 && st.t1 - st.t2 <= gapS && t0 - st.t1 <= gapS)
                 out += PathHit(s"${st.e2}>${st.e1}>${e.event_type}")
               st = PathState(e.event_type, t0, st.e1, st.t1, math.min(st.n + 1, 2))

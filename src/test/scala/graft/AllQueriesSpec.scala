@@ -141,17 +141,41 @@ class AllQueriesSpec extends SparkSpec {
 
   /** Key sets of WindowExec nodes in `df`'s plan that are neither
     * allowlisted as bounded nor pruned by a same-keyed
-    * WindowGroupLimit. */
+    * WindowGroupLimit in their OWN subtree. Subtree scoping + exprId
+    * matching matter: a rank prune elsewhere in the plan (or on a
+    * different attribute that happens to share a name) must not
+    * exempt an unpruned count-window on the same key — that is
+    * exactly the banned shape co-occurring with a legitimate one. */
   private def skewWindowOffenders(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] = {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    val nodes = flattenPlan(df.queryExecution.executedPlan)
-    val pruned = nodes.collect {
-      case w: WindowGroupLimitExec =>
-        w.partitionSpec.flatMap(_.references.map(_.name)).toSet
-    }.toSet
-    nodes.collect {
-      case w: WindowExec => w.partitionSpec.flatMap(_.references.map(_.name)).toSet
-    }.filterNot(k => windowKeysAllowed.contains(k) || pruned.contains(k))
+    import org.apache.spark.sql.execution.{ProjectExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the prune must belong to THIS window: a rank-pruned WindowExec
+    // plans as Window → WGL(Final) → Sort → Exchange → WGL(Partial),
+    // so walk the child chain through plumbing nodes only — stopping
+    // at anything else prevents a sibling/stacked window's prune (or
+    // one elsewhere in the plan) from exempting an unpruned count
+    // window on the same key, which is exactly the banned shape
+    // co-occurring with a legitimate one
+    @annotation.tailrec
+    def ownPrune(p: SparkPlan, ids: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Boolean =
+      p match {
+        case g: WindowGroupLimitExec =>
+          g.partitionSpec.flatMap(_.references.map(_.exprId)).toSet == ids
+        case s: SortExec            => ownPrune(s.child, ids)
+        case pr: ProjectExec        => ownPrune(pr.child, ids)
+        case a: AQEShuffleReadExec  => ownPrune(a.child, ids)
+        case q: QueryStageExec      => ownPrune(q.plan, ids)
+        case e: ShuffleExchangeLike => ownPrune(e.child, ids)
+        case _                      => false
+      }
+    flattenPlan(df.queryExecution.executedPlan).collect { case w: WindowExec =>
+      val names = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val ids = w.partitionSpec.flatMap(_.references.map(_.exprId)).toSet
+      (names, ownPrune(w.child, ids))
+    }.collect { case (names, pruned)
+        if !windowKeysAllowed.contains(names) && !pruned => names }
   }
 
   test("no WindowExec on an unbounded-cardinality key without a rank prune") {
@@ -179,6 +203,16 @@ class AllQueriesSpec extends SparkSpec {
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
     assert(skewWindowOffenders(reverted) == Seq(Set("term")),
       "guard must flag a term-partitioned unpruned window")
+    // co-occurrence hole (r11 self-review): a legitimate rank prune on
+    // the SAME key elsewhere in the plan must NOT exempt the unpruned
+    // count window — the prune has to sit in the count window's own
+    // child chain, which here it does not (the windows stack)
+    val mixed = reverted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"term").orderBy($"c".desc, $"doc_id")))
+      .filter($"rk" <= 3)
+    assert(skewWindowOffenders(mixed).contains(Set("term")),
+      "a same-keyed rank prune elsewhere must not exempt the count window")
   }
 
   test("no Filter evaluates the same graft kernel twice (InferFiltersFromGenerate tax)") {
