@@ -235,6 +235,10 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
+    // ingest-time index maintenance: batch assigns to FROZEN centroids
+    // map-side, per-list occupancy + share drift (the retrain-due
+    // signal); deterministic like ann_ivf_topk → oracle-checked
+    "ann_ivf_incr" -> ((s, dir) => Similarity.ivfIncremental(s, dir)),
     "ann_near_dup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     // SemDeDup: k-means-bucketed within-cluster cosine dedup;
     // rows-only (k-means has no SQL oracle), gated in RecallSpec
@@ -1569,6 +1573,34 @@ object SparkEntry {
           |  FROM scored)
           |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
           |ORDER BY query_id, rk""".stripMargin,
+      // same deterministic-assignment argument as ann_ivf_topk; the
+      // md5 split is the dd_incremental bucket rule and ppm shares are
+      // exact integer division in both engines
+      "ann_ivf_incr" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+          |    (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 256 +
+          |    (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 16 +
+          |    (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) AS hb
+          |  FROM embeddings),
+          |c AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < 16),
+          |sc AS (SELECT e.vec_id, e.hb, c.cid,
+          |    list_dot_product(e.emb, c.cv) /
+          |      (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+          |  FROM e CROSS JOIN c),
+          |asg AS (SELECT vec_id, hb, cid FROM (SELECT vec_id, hb, cid,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r FROM sc)
+          |  WHERE r = 1),
+          |t AS (SELECT CAST(sum(CASE WHEN hb < 3277 THEN 1 ELSE 0 END) AS BIGINT) AS th,
+          |    CAST(sum(CASE WHEN hb >= 3277 THEN 1 ELSE 0 END) AS BIGINT) AS tb FROM e),
+          |g AS (SELECT cid,
+          |    CAST(sum(CASE WHEN hb < 3277 THEN 1 ELSE 0 END) AS BIGINT) AS n_history,
+          |    CAST(sum(CASE WHEN hb >= 3277 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+          |  FROM asg GROUP BY cid)
+          |SELECT g.cid, g.n_history, g.n_batch,
+          |  CAST(g.n_history * 1000000 // t.th AS BIGINT) AS hist_ppm,
+          |  CAST(g.n_batch * 1000000 // t.tb AS BIGINT) AS batch_ppm,
+          |  CAST(g.n_batch * 1000000 // t.tb - g.n_history * 1000000 // t.th AS BIGINT) AS drift_ppm
+          |FROM g CROSS JOIN t ORDER BY g.cid""".stripMargin,
       // SQ8 is deterministic end-to-end: the [lo, hi] bounds are
       // order-independent min/max aggregates, and quantize
       // (rint((x-lo)/span*255), clamped — round_even IS rint) /

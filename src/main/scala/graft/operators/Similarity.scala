@@ -206,6 +206,58 @@ object Similarity {
     ivfWithCentroids(s, emb, cids, cvecs, nProbe, numQueries, topK)
   }
 
+  /** Incremental IVF index maintenance — the ANN twin of the
+    * incremental-dedup discipline: a NEW BATCH of embeddings arrives
+    * and must join the serving index WITHOUT retraining. Each batch
+    * vector assigns to its nearest FROZEN centroid (the map-side
+    * NearestCentroids kernel — zero corpus Exchange, exactly the
+    * query-path assignment) and appends to that inverted list; the
+    * query reports per-list occupancy (history vs batch counts and
+    * exact ppm shares) plus the share DRIFT — the operational health
+    * metric that tells an index owner when a retrain is due: drifting
+    * data shifts mass between lists, hot lists blow past their memory
+    * budget and probe recall decays, all visible as |drift| long
+    * before query metrics degrade.
+    *
+    * Scale shape: assignment is map-side; the only shuffle is the
+    * ≤ nLists-row (cid) partial-agged count rollup; the two global
+    * totals are a 2-long scalar pull over a vec_id-pruned scan (the
+    * ccnet-cutoff pattern — at 100 TB, table-stat metadata). History
+    * at a real deployment participates as its STORED per-list counts;
+    * recomputing them here keeps the fixture self-contained and the
+    * oracle exact. The batch/history split is the md5-bucket rule
+    * shared with [[graft.operators.Dedup.incrementalDedup]].
+    * Deterministic end-to-end (frozen seed centroids, unrounded
+    * argmax mirrored by the oracle like ann_ivf_topk), so fully
+    * DuckDB-oracle-checked, integer ppm arithmetic. */
+  def ivfIncremental(s: SparkSession, dir: String, nLists: Int = 16,
+                     historyBuckets: Long = 3277): DataFrame = {
+    import s.implicits._
+    val hb = conv(substring(md5($"vec_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
+        hb.as("hb"))
+    val centroidRows = emb.filter($"vec_id" < nLists)
+      .select($"vec_id", $"embedding").collect()
+    val cids = centroidRows.map(_.getLong(0)).toSeq
+    val cvecs = centroidRows.map(_.getSeq[Double](1)).toSeq
+    val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+    val t = emb.agg(
+      sum(when($"hb" < historyBuckets, 1L).otherwise(0L)),
+      sum(when($"hb" >= historyBuckets, 1L).otherwise(0L))).head()
+    val (th, tb) = (t.getLong(0), t.getLong(1))
+    emb.select($"hb", nearest($"embedding", 1).getItem(0).as("cid"))
+      .groupBy($"cid")
+      .agg(
+        sum(when($"hb" < historyBuckets, 1L).otherwise(0L)).as("n_history"),
+        sum(when($"hb" >= historyBuckets, 1L).otherwise(0L)).as("n_batch"))
+      .select($"cid", $"n_history", $"n_batch",
+        expr(s"n_history * 1000000L div $th").as("hist_ppm"),
+        expr(s"n_batch * 1000000L div $tb").as("batch_ppm"))
+      .withColumn("drift_ppm", $"batch_ppm" - $"hist_ppm")
+      .orderBy($"cid")
+  }
+
   /** IVF with k-means-TRAINED centroids ([[kmeansCentroids]]) instead of
     * seed vectors — same probe plumbing, data-adaptive lists. */
   def ivfTrainedTopK(s: SparkSession, dir: String, nLists: Int = 16,
