@@ -219,17 +219,25 @@ object Similarity {
     * budget and probe recall decays, all visible as |drift| long
     * before query metrics degrade.
     *
-    * Scale shape: assignment is map-side; the only shuffle is the
-    * ≤ nLists-row (cid) partial-agged count rollup; the two global
-    * totals are a 2-long scalar pull over a vec_id-pruned scan (the
-    * ccnet-cutoff pattern — at 100 TB, table-stat metadata). History
-    * at a real deployment participates as its STORED per-list counts;
-    * recomputing them here keeps the fixture self-contained and the
-    * oracle exact. The batch/history split is the md5-bucket rule
-    * shared with [[graft.operators.Dedup.incrementalDedup]].
+    * Scale shape: assignment is map-side; the corpus scans ONCE — the
+    * only shuffle is the ≤ nLists-row (cid) partial-agged count
+    * rollup, and the two global totals are that rollup's own sums,
+    * re-read off the reused exchange and attached as a broadcast
+    * 1-row cross join (a GLOBAL aggregate is one row by construction
+    * — the structural bound the registry's broadcast guard accepts; a
+    * driver `.head()` pull here would have re-scanned the whole
+    * corpus a second time for two longs).
+    * History at a real deployment participates as its STORED per-list
+    * counts; recomputing them here keeps the fixture self-contained
+    * and the oracle exact. The batch/history split is the md5-bucket
+    * rule shared with [[graft.operators.Dedup.incrementalDedup]].
     * Deterministic end-to-end (frozen seed centroids, unrounded
     * argmax mirrored by the oracle like ann_ivf_topk), so fully
-    * DuckDB-oracle-checked, integer ppm arithmetic. */
+    * DuckDB-oracle-checked, integer ppm arithmetic. Degenerate
+    * inputs stay total: an empty corpus yields an empty frame (no
+    * centroids to assign to), and an empty history or batch side
+    * reports 0 ppm for that side instead of an ANSI divide-by-zero
+    * (a share against an empty population carries no signal). */
   def ivfIncremental(s: SparkSession, dir: String, nLists: Int = 16,
                      historyBuckets: Long = 3277): DataFrame = {
     import s.implicits._
@@ -239,21 +247,27 @@ object Similarity {
         hb.as("hb"))
     val centroidRows = emb.filter($"vec_id" < nLists)
       .select($"vec_id", $"embedding").collect()
+    if (centroidRows.isEmpty) {
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("cid", "n_history", "n_batch", "hist_ppm", "batch_ppm", "drift_ppm")
+    }
     val cids = centroidRows.map(_.getLong(0)).toSeq
     val cvecs = centroidRows.map(_.getSeq[Double](1)).toSeq
     val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
-    val t = emb.agg(
-      sum(when($"hb" < historyBuckets, 1L).otherwise(0L)),
-      sum(when($"hb" >= historyBuckets, 1L).otherwise(0L))).head()
-    val (th, tb) = (t.getLong(0), t.getLong(1))
-    emb.select($"hb", nearest($"embedding", 1).getItem(0).as("cid"))
+    val counts = emb
+      .select($"hb", nearest($"embedding", 1).getItem(0).as("cid"))
       .groupBy($"cid")
       .agg(
         sum(when($"hb" < historyBuckets, 1L).otherwise(0L)).as("n_history"),
         sum(when($"hb" >= historyBuckets, 1L).otherwise(0L)).as("n_batch"))
+    val totals = counts
+      .agg(sum($"n_history").as("th"), sum($"n_batch").as("tb"))
+    counts.crossJoin(broadcast(totals))
       .select($"cid", $"n_history", $"n_batch",
-        expr(s"n_history * 1000000L div $th").as("hist_ppm"),
-        expr(s"n_batch * 1000000L div $tb").as("batch_ppm"))
+        when($"th" > 0L, expr("n_history * 1000000L div th"))
+          .otherwise(0L).as("hist_ppm"),
+        when($"tb" > 0L, expr("n_batch * 1000000L div tb"))
+          .otherwise(0L).as("batch_ppm"))
       .withColumn("drift_ppm", $"batch_ppm" - $"hist_ppm")
       .orderBy($"cid")
   }

@@ -112,9 +112,20 @@ object StreamingOps {
     * (Kafka key = user) or routes the dropped stragglers to a
     * dead-letter count; equal timestamps pass (the batch order breaks
     * such ties by event_id, which the state does not carry — the
-    * staged fixtures never tie cross-batch). */
+    * staged fixtures never tie cross-batch).
+    *
+    * The drop rule's blast radius is BOUNDED by `resetS`: with a
+    * plain max-seen gate, one corrupted FUTURE timestamp (a ms-vs-s
+    * unit bug lands in year 56000) would ratchet t1 forever and
+    * silently blackhole every later real event for that user. An
+    * event older than `t1 − resetS` is therefore read as evidence
+    * that t1 itself is garbage, and the state RESETS to restart
+    * chains from the current event — the corrupted record costs its
+    * own chain, never the user's stream. Only regressions within
+    * (t1 − resetS, t1) are dropped as genuine cross-batch
+    * stragglers. */
   def pathHits(spark: SparkSession, events: Dataset[PathEvent],
-               gapS: Long = 1800L): Dataset[PathHit] = {
+               gapS: Long = 1800L, resetS: Long = 7L * 86400L): Dataset[PathHit] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[PathState, PathHit](
@@ -125,16 +136,19 @@ object StreamingOps {
           val out = Seq.newBuilder[PathHit]
           sorted.foreach { e =>
             val t0 = Math.floorDiv(e.ts.getTime, 1000L)
-            // drop cross-batch time regressions; st.n == 0 guards the
-            // fresh-state case — t1's 0 sentinel is NOT a real max-seen
-            // ts, and comparing against it would silently drop a new
-            // user's entire history when epoch-seconds are negative
-            // (pre-1970 backfills)
+            // st.n == 0 guards the fresh-state case — t1's 0 sentinel
+            // is NOT a real max-seen ts, and comparing against it
+            // would silently drop a new user's entire history when
+            // epoch-seconds are negative (pre-1970 backfills)
             if (st.n == 0 || t0 >= st.t1) {
               if (st.n >= 2 && st.t1 - st.t2 <= gapS && t0 - st.t1 <= gapS)
                 out += PathHit(s"${st.e2}>${st.e1}>${e.event_type}")
               st = PathState(e.event_type, t0, st.e1, st.t1, math.min(st.n + 1, 2))
+            } else if (t0 < st.t1 - resetS) {
+              // poisoned max-seen ts: restart chains from this event
+              st = PathState(e.event_type, t0, "", 0L, 1)
             }
+            // else: bounded cross-batch straggler — dropped
           }
           state.update(st)
           out.result().iterator

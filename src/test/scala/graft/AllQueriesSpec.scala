@@ -34,7 +34,11 @@ class AllQueriesSpec extends SparkSpec {
       "dd_source_overlap_mh",
       // |types| × |days| spine cross join — both sides bounded by the
       // date range and the type domain, never the event stream
-      "ev_gapfill")
+      "ev_gapfill",
+      // the global-totals attach: a GLOBAL (one-row-by-construction)
+      // aggregate of the ≤nLists-row count rollup cross-joined back
+      // onto it
+      "ann_ivf_incr")
 
   // One build per query, shared by every test in this suite: building a
   // registry DataFrame is EAGER for several entries (the five
@@ -284,6 +288,11 @@ class AllQueriesSpec extends SparkSpec {
                   bound: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Boolean =
       p match {
         case _: GlobalLimit => true
+        // a GLOBAL aggregate is one row by construction — always
+        // broadcast-safe regardless of what it aggregates. (A literal
+        // limit(1) over one would also qualify, but EliminateLimits
+        // strips limits subsumed by maxRows before this guard looks.)
+        case a: Aggregate if a.groupingExpressions.isEmpty => true
         case f: Filter =>
           val newBound = bound ++ conjuncts(f.condition)
             .filter(isIdRangeBound).flatMap(_.references.map(_.exprId))

@@ -270,6 +270,37 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("click>buy>buy", "view>click>buy"), s"got: $got")
   }
 
+  test("streaming paths: a poisoned future timestamp cannot blackhole the stream") {
+    // r11 self-review: with a plain max-seen gate, one corrupted FUTURE
+    // timestamp (ms-vs-s unit bug) ratchets t1 forever and every later
+    // real event is dropped — permanent silent data loss. An event
+    // older than t1 − resetS is read as evidence t1 is garbage and the
+    // state resets, so the corrupted record costs its own chain only.
+    import StreamingOps.PathEvent
+    def ev(u: Long, id: Long, sec: Long, t: String) =
+      PathEvent(u, id, new java.sql.Timestamp(sec * 1000L), t)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PathEvent](spark)
+    val q = StreamingOps.pathHits(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("ev_paths_poison_q")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 1, 0, "view"), ev(1, 2, 60, "click"))
+      q.processAllAvailable()
+      // garbage: year-2033 epoch-seconds from a ms-vs-s bug; threads
+      // in (it IS the max) but completes no trigram (gap >> gapS)
+      input.addData(ev(1, 3, 2000000000L, "stray"))
+      q.processAllAvailable()
+      // real traffic resumes: 9000 < 2e9 − resetS ⇒ state RESETS here
+      // (old code dropped these forever); the fresh chain completes
+      input.addData(ev(1, 4, 9000, "view"), ev(1, 5, 9060, "click"),
+        ev(1, 6, 9120, "buy"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ev_paths_poison_q").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("view>click>buy"), s"got: $got")
+  }
+
   test("event-time timers close sessions by watermark, matching the batch rule") {
     // sessions with a successor event close inline; each user's OPEN
     // tail closes only when the watermark passes lastEvent + gap — the
