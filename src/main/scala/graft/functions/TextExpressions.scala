@@ -48,6 +48,14 @@ object TextFunctions {
   def textStatsCounts(c: Column): Column =
     ColumnBridge.column(TextStatsCounts(ColumnBridge.expression(c)))
 
+  /** `struct<clean_text string, kept long>`: the tokens whose index
+    * falls OUTSIDE every `[start_tok, end_tok]` span, re-joined
+    * single-spaced, plus the survivor count — the dd_excise splice in
+    * one unboxed pass (see [[SpliceTokens]]). */
+  def spliceTokens(tokens: Column, spans: Column): Column =
+    ColumnBridge.column(SpliceTokens(
+      ColumnBridge.expression(tokens), ColumnBridge.expression(spans)))
+
   /** `array(string)` of space-joined TUMBLING `width`-token windows
     * (the last window may be shorter) — the segment granularity for
     * cross-document duplicated-passage removal. */
@@ -745,4 +753,64 @@ case class DsirLlr(child: Expression, llrTable: Seq[Double])
   }
   override protected def withNewChildInternal(c: Expression): DsirLlr =
     copy(child = c)
+}
+
+/** The dd_excise splice as one unboxed pass: drop every token whose
+  * index falls inside any `[start_tok, end_tok]` span (inclusive,
+  * matching the HOF formulation
+  * `filter(toks, (t, i) -> NOT exists(spans, sp -> i BETWEEN ...))`
+  * it replaces — which paid an interpreted lambda invocation per
+  * token × span probe) and re-join the survivors single-spaced.
+  * Returns `struct<clean_text string, kept long>` so the caller gets
+  * the survivor count without a second pass over the array. Spans may
+  * arrive unsorted and overlapping (collect_list order is arbitrary):
+  * the kernel sorts by start once, then walks tokens with a single
+  * span pointer — a span is only skipped once its end has passed, so
+  * nested/overlapping spans resolve correctly. A NULL span array
+  * means "no spans" (splice nothing), NOT a null result — which is
+  * why this overrides eval instead of relying on BinaryExpression's
+  * null propagation. */
+case class SpliceTokens(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("clean_text", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("kept", LongType, nullable = false)))
+  override def prettyName: String = "graft_splice_tokens"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val toks = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val s = right.eval(input)
+    val spans: Array[Array[Long]] =
+      if (s == null) Array.empty
+      else {
+        val sd = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val arr = new Array[Array[Long]](sd.numElements())
+        var i = 0
+        while (i < arr.length) {
+          val row = sd.getStruct(i, 2)
+          arr(i) = Array(row.getLong(0), row.getLong(1))
+          i += 1
+        }
+        java.util.Arrays.sort(arr, java.util.Comparator.comparingLong((a: Array[Long]) => a(0)))
+        arr
+      }
+    val n = toks.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var si = 0
+    var i = 0
+    while (i < n) {
+      while (si < spans.length && spans(si)(1) < i) si += 1
+      val covered = si < spans.length && spans(si)(0) <= i && i <= spans(si)(1)
+      if (!covered) kept.add(toks.getUTF8String(i))
+      i += 1
+    }
+    val joined = UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+    org.apache.spark.sql.catalyst.InternalRow(joined, kept.size.toLong)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SpliceTokens =
+    copy(left = l, right = r)
 }

@@ -1158,10 +1158,17 @@ object Dedup {
     * Scale shape: the span side aggregates [[maximalSpans]] per doc
     * into a bounded struct array (spans never overlap, and their count
     * per doc is ≤ n_tokens/n) — far below the corpus, AQE broadcasts
-    * it; the splice itself is one higher-order `filter((tok, i) -> no
-    * span covers i)` over the token array, map-side, no per-token
-    * shuffle, no second tokenizer pass shuffle. Output is one row per
-    * document at any scale. */
+    * it; the splice itself is the one-pass
+    * [[graft.functions.SpliceTokens]] kernel over the token array,
+    * map-side, no per-token shuffle, no second tokenizer pass
+    * shuffle. (The r5-r11 HOF formulation — `filter(toks, (t, i) ->
+    * NOT exists(spans, ...))` — paid an interpreted lambda invocation
+    * per token × span probe, the measured 4-38× kernel-vs-HOF class;
+    * the kernel also absorbs the null-spans-array trap the HOF needed
+    * a coalesce for, and returns the survivor count so removed_tokens
+    * needs no second array pass. PropertySpec pins kernel ≡ HOF on
+    * adversarial span sets.) Output is one row per document at any
+    * scale. */
   def exciseSpans(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
     val spans = maximalSpans(s, dir, n)
@@ -1170,17 +1177,12 @@ object Dedup {
     Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), 1).as("toks"))
       .join(spans, Seq("doc_id"), "left")
-      // coalesce to an empty array BEFORE the lambda: exists() over a
-      // null array is null, and filter() treats a null predicate as
-      // drop — which would excise the whole document
-      .withColumn("spans", coalesce($"spans",
-        array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")))
-      .withColumn("kept", expr(
-        "filter(toks, (t, i) -> NOT exists(spans, sp -> i >= sp.start_tok AND i <= sp.end_tok))"))
+      .select($"doc_id", TextFunctions.spliceTokens($"toks", $"spans").as("sp"),
+        size($"toks").cast("long").as("n_tokens"))
       .select($"doc_id",
-        concat_ws(" ", $"kept").as("clean_text"),
-        size($"toks").cast("long").as("n_tokens"),
-        (size($"toks") - size($"kept")).cast("long").as("removed_tokens"))
+        $"sp".getField("clean_text").as("clean_text"),
+        $"n_tokens",
+        ($"n_tokens" - $"sp".getField("kept")).as("removed_tokens"))
       .orderBy($"doc_id")
   }
 }

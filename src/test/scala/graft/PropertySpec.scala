@@ -79,6 +79,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("splice kernel ≡ HOF formulation on adversarial span sets") {
+    // the exact HOF the SpliceTokens kernel replaced in dd_excise:
+    // filter(toks, (t, i) -> NOT exists(spans, i BETWEEN ...)), plus
+    // concat_ws + size for the outputs. Span sets include unsorted,
+    // overlapping, nested, out-of-range, whole-doc and NULL (the
+    // coalesce trap: exists() over null is null and filter drops on
+    // null predicates — the kernel must treat null as "no spans").
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val spanGen = Gen.listOf(for {
+      a <- Gen.chooseNum(-2L, 14L)
+      len <- Gen.chooseNum(0L, 9L)
+    } yield (a, a + len))
+    val docGen2 = Gen.listOfN(12, Gen.oneOf(wordGen, Gen.const("é漢字"), Gen.const("x")))
+    val cases = samples(Gen.zip(docGen2, spanGen), 30) ++ Seq(
+      (List("a", "b", "c"), List((0L, 2L))),                    // whole doc
+      (List("a", "b", "c"), List((1L, 1L), (0L, 2L), (1L, 5L))), // nested+overlap
+      (List.empty[String], List((0L, 3L))),                     // empty doc
+      (List("solo"), List.empty[(Long, Long)]))                 // no spans
+    val df = cases.zipWithIndex.map { case ((ws, sps), i) =>
+      (i.toLong, ws.mkString(" "), sps.map(p => (p._1, p._2)))
+    }.toDF("id", "text", "raw")
+      // null spans for every third row exercises the null contract
+      .withColumn("spans", when($"id" % 3 === 0 && size($"raw") === 0,
+          lit(null).cast("array<struct<start_tok:bigint,end_tok:bigint>>"))
+        .otherwise(expr("transform(raw, p -> struct(p._1 as start_tok, p._2 as end_tok))")))
+      .withColumn("toks", TextFunctions.tokenNgrams(lower($"text"), 1))
+    val got = df.select($"id", TextFunctions.spliceTokens($"toks", $"spans").as("sp"))
+      .select($"id", $"sp.clean_text", $"sp.kept")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val exp = df
+      .withColumn("sp2", coalesce($"spans",
+        array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> NOT exists(sp2, sp -> i >= sp.start_tok AND i <= sp.end_tok))"))
+      .select($"id", concat_ws(" ", $"kept").as("c"), size($"kept").cast("long").as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == exp, s"diff: ${(got.toSet diff exp.toSet) ++ (exp.toSet diff got.toSet)}")
+  }
+
   test("text kernels ≡ their HOF formulations on adversarial strings") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions
