@@ -1597,9 +1597,10 @@ object SparkEntry {
           |    CAST(sum(CASE WHEN hb >= 3277 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
           |  FROM asg GROUP BY cid)
           |SELECT g.cid, g.n_history, g.n_batch,
-          |  CAST(g.n_history * 1000000 // t.th AS BIGINT) AS hist_ppm,
-          |  CAST(g.n_batch * 1000000 // t.tb AS BIGINT) AS batch_ppm,
-          |  CAST(g.n_batch * 1000000 // t.tb - g.n_history * 1000000 // t.th AS BIGINT) AS drift_ppm
+          |  CAST(CASE WHEN t.th > 0 THEN g.n_history * 1000000 // t.th ELSE 0 END AS BIGINT) AS hist_ppm,
+          |  CAST(CASE WHEN t.tb > 0 THEN g.n_batch * 1000000 // t.tb ELSE 0 END AS BIGINT) AS batch_ppm,
+          |  CAST(CASE WHEN t.tb > 0 THEN g.n_batch * 1000000 // t.tb ELSE 0 END
+          |    - CASE WHEN t.th > 0 THEN g.n_history * 1000000 // t.th ELSE 0 END AS BIGINT) AS drift_ppm
           |FROM g CROSS JOIN t ORDER BY g.cid""".stripMargin,
       // SQ8 is deterministic end-to-end: the [lo, hi] bounds are
       // order-independent min/max aggregates, and quantize

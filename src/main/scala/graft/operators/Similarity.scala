@@ -194,16 +194,25 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-    // Centroids live on the driver, as in any k-means pipeline: nLists
-    // small seed rows collected once at plan build. Assignment is then a
-    // pure map-side argmax inside the NearestCentroids kernel — round 1's
-    // broadcast-join + Window.partitionBy(vec_id) formulation shuffled
-    // the whole corpus (embeddings included) for the same decision.
-    val centroidRows = emb.filter($"vec_id" < nLists)
-      .select($"vec_id", $"embedding").collect()
-    val cids = centroidRows.map(_.getLong(0)).toSeq
-    val cvecs = centroidRows.map(_.getSeq[Double](1)).toSeq
+    val (cids, cvecs) = seedCentroids(emb, nLists)
     ivfWithCentroids(s, emb, cids, cvecs, nProbe, numQueries, topK)
+  }
+
+  /** Frozen seed centroids: the first `nLists` corpus vectors,
+    * collected once at plan build. Centroids live on the driver, as
+    * in any k-means pipeline; assignment is then a pure map-side
+    * argmax inside the NearestCentroids kernel — round 1's
+    * broadcast-join + Window.partitionBy(vec_id) formulation shuffled
+    * the whole corpus (embeddings included) for the same decision.
+    * Shared by the query path ([[ivfTopK]]) and the maintenance path
+    * ([[ivfIncremental]]) so the serving index and its ingest twin
+    * can never disagree on the seed rule. */
+  private def seedCentroids(emb: DataFrame,
+                            nLists: Int): (Seq[Long], Seq[Seq[Double]]) = {
+    import emb.sparkSession.implicits._
+    val rows = emb.filter($"vec_id" < nLists)
+      .select($"vec_id", $"embedding").collect()
+    (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq)
   }
 
   /** Incremental IVF index maintenance — the ANN twin of the
@@ -245,14 +254,11 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
         hb.as("hb"))
-    val centroidRows = emb.filter($"vec_id" < nLists)
-      .select($"vec_id", $"embedding").collect()
-    if (centroidRows.isEmpty) {
+    val (cids, cvecs) = seedCentroids(emb, nLists)
+    if (cids.isEmpty) {
       return Seq.empty[(Long, Long, Long, Long, Long, Long)]
         .toDF("cid", "n_history", "n_batch", "hist_ppm", "batch_ppm", "drift_ppm")
     }
-    val cids = centroidRows.map(_.getLong(0)).toSeq
-    val cvecs = centroidRows.map(_.getSeq[Double](1)).toSeq
     val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
     val counts = emb
       .select($"hb", nearest($"embedding", 1).getItem(0).as("cid"))

@@ -87,7 +87,7 @@ object StreamingOps {
   final case class PathEvent(user_id: Long, event_id: Long,
                              ts: java.sql.Timestamp, event_type: String)
   final case class PathState(e1: String, t1: Long, e2: String, t2: Long,
-                             n: Int)
+                             n: Int, late: Int = 0)
   final case class PathHit(path: String)
 
   /** Incremental within-session path extraction — the ingestion-time
@@ -114,18 +114,23 @@ object StreamingOps {
     * such ties by event_id, which the state does not carry — the
     * staged fixtures never tie cross-batch).
     *
-    * The drop rule's blast radius is BOUNDED by `resetS`: with a
-    * plain max-seen gate, one corrupted FUTURE timestamp (a ms-vs-s
-    * unit bug lands in year 56000) would ratchet t1 forever and
-    * silently blackhole every later real event for that user. An
-    * event older than `t1 − resetS` is therefore read as evidence
-    * that t1 itself is garbage, and the state RESETS to restart
-    * chains from the current event — the corrupted record costs its
-    * own chain, never the user's stream. Only regressions within
-    * (t1 − resetS, t1) are dropped as genuine cross-batch
-    * stragglers. */
+    * The drop rule's blast radius is BOUNDED: with a plain max-seen
+    * gate, one corrupted FUTURE timestamp (a ms-vs-s unit bug lands
+    * in year 56000) would ratchet t1 forever and silently blackhole
+    * every later real event for that user. A single event older than
+    * `t1 − resetS` is NOT enough evidence to tell a poisoned t1 from
+    * a genuinely old replayed record (an archival backfill) — and
+    * resetting on one would let that one stale record destroy the
+    * user's live in-progress chain. So the state counts CONSECUTIVE
+    * beyond-resetS arrivals: isolated stragglers (old or merely
+    * cross-batch-late) drop harmlessly and the live chain survives,
+    * while `resetAfter` such events in a row mean t1 itself is
+    * garbage and the state resets to restart chains from the current
+    * event — bounded loss (resetAfter − 1 events), never a permanent
+    * blackhole. */
   def pathHits(spark: SparkSession, events: Dataset[PathEvent],
-               gapS: Long = 1800L, resetS: Long = 7L * 86400L): Dataset[PathHit] = {
+               gapS: Long = 1800L, resetS: Long = 7L * 86400L,
+               resetAfter: Int = 3): Dataset[PathHit] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[PathState, PathHit](
@@ -145,10 +150,14 @@ object StreamingOps {
                 out += PathHit(s"${st.e2}>${st.e1}>${e.event_type}")
               st = PathState(e.event_type, t0, st.e1, st.t1, math.min(st.n + 1, 2))
             } else if (t0 < st.t1 - resetS) {
-              // poisoned max-seen ts: restart chains from this event
-              st = PathState(e.event_type, t0, "", 0L, 1)
+              if (st.late + 1 >= resetAfter) {
+                // sustained regression: t1 is garbage — restart here
+                st = PathState(e.event_type, t0, "", 0L, 1)
+              } else st = st.copy(late = st.late + 1)
             }
-            // else: bounded cross-batch straggler — dropped
+            // else: bounded cross-batch straggler — dropped, and not
+            // counted toward the poison evidence (it is consistent
+            // with a healthy t1)
           }
           state.update(st)
           out.result().iterator

@@ -288,11 +288,19 @@ class AllQueriesSpec extends SparkSpec {
                   bound: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Boolean =
       p match {
         case _: GlobalLimit => true
-        // a GLOBAL aggregate is one row by construction — always
-        // broadcast-safe regardless of what it aggregates. (A literal
-        // limit(1) over one would also qualify, but EliminateLimits
-        // strips limits subsumed by maxRows before this guard looks.)
-        case a: Aggregate if a.groupingExpressions.isEmpty => true
+        // a GLOBAL aggregate is one row by construction and so
+        // broadcast-safe — UNLESS it collects: one row of
+        // collect_list/collect_set over a fact table holds the whole
+        // corpus, the exact OOM class this guard bans. (A literal
+        // limit(1) over a global aggregate would also qualify, but
+        // EliminateLimits strips limits subsumed by maxRows before
+        // this guard looks.)
+        case a: Aggregate if a.groupingExpressions.isEmpty &&
+            !a.aggregateExpressions.exists(_.exists {
+              case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => true
+              case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet  => true
+              case _ => false
+            }) => true
         case f: Filter =>
           val newBound = bound ++ conjuncts(f.condition)
             .filter(isIdRangeBound).flatMap(_.references.map(_.exprId))

@@ -273,9 +273,10 @@ class EventsStreamingSpec extends SparkSpec {
   test("streaming paths: a poisoned future timestamp cannot blackhole the stream") {
     // r11 self-review: with a plain max-seen gate, one corrupted FUTURE
     // timestamp (ms-vs-s unit bug) ratchets t1 forever and every later
-    // real event is dropped — permanent silent data loss. An event
-    // older than t1 − resetS is read as evidence t1 is garbage and the
-    // state resets, so the corrupted record costs its own chain only.
+    // real event is dropped — permanent silent data loss. resetAfter
+    // (3) CONSECUTIVE events older than t1 − resetS are read as
+    // evidence t1 is garbage; the state then resets so real traffic
+    // resumes at bounded loss (the first resetAfter − 1 events).
     import StreamingOps.PathEvent
     def ev(u: Long, id: Long, sec: Long, t: String) =
       PathEvent(u, id, new java.sql.Timestamp(sec * 1000L), t)
@@ -291,13 +292,43 @@ class EventsStreamingSpec extends SparkSpec {
       // in (it IS the max) but completes no trigram (gap >> gapS)
       input.addData(ev(1, 3, 2000000000L, "stray"))
       q.processAllAvailable()
-      // real traffic resumes: 9000 < 2e9 − resetS ⇒ state RESETS here
-      // (old code dropped these forever); the fresh chain completes
-      input.addData(ev(1, 4, 9000, "view"), ev(1, 5, 9060, "click"),
-        ev(1, 6, 9120, "buy"))
+      // real traffic resumes: all < 2e9 − resetS. The first two count
+      // as poison evidence and drop; the third triggers the RESET
+      // (old code dropped ALL of these forever); the two after it
+      // complete the fresh chain
+      input.addData(ev(1, 4, 9000, "search"), ev(1, 5, 9030, "filter"),
+        ev(1, 6, 9060, "view"), ev(1, 7, 9120, "click"), ev(1, 8, 9180, "buy"))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("ev_paths_poison_q").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("view>click>buy"), s"got: $got")
+  }
+
+  test("streaming paths: one genuinely old replayed record does not destroy a live chain") {
+    // the counter's other half: a single archival replay older than
+    // t1 − resetS is indistinguishable from poison by itself, so it
+    // must DROP (not reset) — the user's in-progress chain survives
+    // and the next live event still completes its trigram
+    import StreamingOps.PathEvent
+    def ev(u: Long, id: Long, sec: Long, t: String) =
+      PathEvent(u, id, new java.sql.Timestamp(sec * 1000L), t)
+    val base = 100000000L
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PathEvent](spark)
+    val q = StreamingOps.pathHits(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("ev_paths_replay_q")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 1, base, "view"), ev(1, 2, base + 60, "click"))
+      q.processAllAvailable()
+      // 10-day-old archived record: beyond resetS, but isolated
+      input.addData(ev(1, 3, base - 10L * 86400L, "archived"))
+      q.processAllAvailable()
+      // the live chain must still complete
+      input.addData(ev(1, 4, base + 120, "buy"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ev_paths_replay_q").collect().map(_.getString(0)).toSeq
     assert(got == Seq("view>click>buy"), s"got: $got")
   }
 

@@ -99,7 +99,7 @@ class PropertySpec extends SparkSpec {
       (List.empty[String], List((0L, 3L))),                     // empty doc
       (List("solo"), List.empty[(Long, Long)]))                 // no spans
     val df = cases.zipWithIndex.map { case ((ws, sps), i) =>
-      (i.toLong, ws.mkString(" "), sps.map(p => (p._1, p._2)))
+      (i.toLong, ws.mkString(" "), sps)
     }.toDF("id", "text", "raw")
       // null spans for every third row exercises the null contract
       .withColumn("spans", when($"id" % 3 === 0 && size($"raw") === 0,
