@@ -787,13 +787,23 @@ case class SpliceTokens(left: Expression, right: Expression)
       if (s == null) Array.empty
       else {
         val sd = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val arr = new Array[Array[Long]](sd.numElements())
+        val m = sd.numElements()
+        val buf = new Array[Array[Long]](m)
         var i = 0
-        while (i < arr.length) {
-          val row = sd.getStruct(i, 2)
-          arr(i) = Array(row.getLong(0), row.getLong(1))
+        var k = 0
+        while (i < m) {
+          // a null span ELEMENT is a no-op span, matching the replaced
+          // HOF formulation's totality (its null predicate dropped the
+          // element) — maximalSpans never emits one, but the kernel is
+          // exposed via TextFunctions.spliceTokens to arbitrary callers
+          if (!sd.isNullAt(i)) {
+            val row = sd.getStruct(i, 2)
+            buf(k) = Array(row.getLong(0), row.getLong(1))
+            k += 1
+          }
           i += 1
         }
+        val arr = if (k == m) buf else java.util.Arrays.copyOf(buf, k)
         java.util.Arrays.sort(arr, java.util.Comparator.comparingLong((a: Array[Long]) => a(0)))
         arr
       }

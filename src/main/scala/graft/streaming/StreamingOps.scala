@@ -121,13 +121,30 @@ object StreamingOps {
     * `t1 − resetS` is NOT enough evidence to tell a poisoned t1 from
     * a genuinely old replayed record (an archival backfill) — and
     * resetting on one would let that one stale record destroy the
-    * user's live in-progress chain. So the state counts CONSECUTIVE
-    * beyond-resetS arrivals: isolated stragglers (old or merely
-    * cross-batch-late) drop harmlessly and the live chain survives,
-    * while `resetAfter` such events in a row mean t1 itself is
-    * garbage and the state resets to restart chains from the current
-    * event — bounded loss (resetAfter − 1 events), never a permanent
-    * blackhole. */
+    * user's live in-progress chain. So the state counts beyond-resetS
+    * arrivals (t0 < t1 − resetS) with a counter that any in-order
+    * arrival (t0 ≥ t1) resets to 0; mid-range stragglers
+    * (t1 − resetS ≤ t0 < t1) drop without touching the counter in
+    * either direction — they are consistent with a healthy t1, so
+    * they are neither poison evidence nor proof of health.
+    * "Consecutive" therefore means: `resetAfter` beyond-resetS
+    * arrivals with no intervening IN-ORDER arrival (mid-range drops
+    * may interleave). When the counter trips, t1 itself is garbage
+    * and the state resets to restart chains from the current event —
+    * loss bounded by resetAfter − 1 droppable events, never a
+    * permanent blackhole.
+    *
+    * Residual bound, stated explicitly: a poisoned t1 LESS than
+    * resetS in the future (clock skew of hours/days, not a unit bug)
+    * makes all real traffic mid-range — dropped but never counted as
+    * reset evidence — until wall-clock catches up to t1. That loss
+    * window is bounded by resetS of event time BY CONSTRUCTION
+    * (every event after t1 is in-order again), which is the explicit
+    * trade: resetS is the maximum blackhole a sub-resetS skew can
+    * cost, in exchange for archival backfills older than resetS
+    * never being mistaken for poison one record at a time. Size
+    * resetS to the worst clock skew the feed can ship, not to the
+    * oldest replay it can carry. */
   def pathHits(spark: SparkSession, events: Dataset[PathEvent],
                gapS: Long = 1800L, resetS: Long = 7L * 86400L,
                resetAfter: Int = 3): Dataset[PathHit] = {

@@ -289,16 +289,28 @@ class AllQueriesSpec extends SparkSpec {
       p match {
         case _: GlobalLimit => true
         // a GLOBAL aggregate is one row by construction and so
-        // broadcast-safe — UNLESS it collects: one row of
-        // collect_list/collect_set over a fact table holds the whole
-        // corpus, the exact OOM class this guard bans. (A literal
-        // limit(1) over a global aggregate would also qualify, but
+        // broadcast-safe — but only when every aggregate FUNCTION in
+        // it has a bounded payload. This is an ALLOWLIST of
+        // known-bounded aggregates (scalar accumulators / fixed-size
+        // sketches), not a blacklist of known-unbounded ones: one row
+        // of collect_list / listagg / mode / exact percentile over a
+        // fact table holds the whole corpus — the exact OOM class
+        // this guard bans — and a blacklist silently admits every
+        // unbounded aggregate it forgot to name. (A literal limit(1)
+        // over a global aggregate would also qualify, but
         // EliminateLimits strips limits subsumed by maxRows before
         // this guard looks.)
         case a: Aggregate if a.groupingExpressions.isEmpty &&
             !a.aggregateExpressions.exists(_.exists {
-              case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => true
-              case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet  => true
+              case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+                import org.apache.spark.sql.catalyst.expressions.aggregate._
+                ae.aggregateFunction match {
+                  case _: Count | _: Sum | _: Min | _: Max | _: Average |
+                       _: First | _: Last | _: CountIf |
+                       _: BitAndAgg | _: BitOrAgg | _: BitXorAgg |
+                       _: HyperLogLogPlusPlus => false // bounded: scalar or fixed-size sketch
+                  case _ => true // anything else: prove boundedness before broadcasting
+                }
               case _ => false
             }) => true
         case f: Filter =>

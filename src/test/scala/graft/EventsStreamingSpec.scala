@@ -215,6 +215,29 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("view>click>buy", "view>click>buy"), s"got: $got")
   }
 
+  test("variantExtract nulls all three dirt classes: malformed JSON, absent path, uncastable value") {
+    // r11 advisory: the strict variant_get threw on a PRESENT but
+    // uncastable value ({"k":"abc"}), so only two of the three dirty-row
+    // classes actually honored the documented null-not-error contract.
+    val dir = java.nio.file.Files.createTempDirectory("variant-dirty").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0, """{"k": 7}"""),        // clean
+      (2L, ts(1), 1L, "view", 1.0, """{"k": "abc"}"""),    // present, uncastable
+      (3L, ts(2), 1L, "view", 1.0, """not json at all"""), // malformed
+      (4L, ts(3), 1L, "view", 1.0, """{"other": 1}"""))    // path absent
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Events.variantExtract(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // only the clean row contributes to k aggregates; every dirty row
+    // nulls out instead of aborting the job
+    assert(r.getAs[Long]("min_k") == 7L && r.getAs[Long]("max_k") == 7L &&
+      r.getAs[Long]("sum_k") == 7L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_miss") == 0L)
+  }
+
   test("gapfill: empty events table yields an empty frame, oversized ranges a clear error") {
     // r10 advisory: min/max over an empty table aggregate to NULL —
     // getLong NPE'd — and a day range past cteRecursionLevelLimit
@@ -238,6 +261,35 @@ class EventsStreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cteRecursionLevelLimit"),
       s"error must name the conf to raise: ${e.getMessage}")
+
+    // r11 advisory boundary probe: a range of EXACTLY the limit must
+    // run end-to-end — the require admits d1-d0+1 == limit, which is
+    // only friendly if UnionLoopExec's final (empty) terminating
+    // iteration does not itself count a level. Verified empirically
+    // here: if a Spark upgrade changes the level accounting, this
+    // test fails at the boundary instead of a user's job failing with
+    // the raw recursion error past the friendly check.
+    val edge = java.nio.file.Files.createTempDirectory("gapfill-edge").toString
+    Seq((1L, ts(100), 1L, "view", 1.0, "{}"), (2L, ts(104), 1L, "buy", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$edge/events.parquet")
+    val prev = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
+    try {
+      spark.conf.set("spark.sql.cteRecursionLevelLimit", "5") // range is exactly 5 days
+      val got = graft.operators.Events.gapfill(spark, edge).collect()
+      assert(got.length == 10, // 2 types x 5 spine days
+        s"exact-limit spine must execute fully, got ${got.length} rows")
+      assert(got.map(_.getLong(1)).distinct.sorted.toSeq == (100L to 104L),
+        "spine must cover every day in the range")
+      spark.conf.set("spark.sql.cteRecursionLevelLimit", "4") // one short -> friendly error
+      val e2 = intercept[IllegalArgumentException] {
+        graft.operators.Events.gapfill(spark, edge)
+      }
+      assert(e2.getMessage.contains("cteRecursionLevelLimit"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cteRecursionLevelLimit", v)
+      case None    => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+    }
   }
 
   test("streaming paths: cross-batch out-of-order events are dropped, not threaded") {
