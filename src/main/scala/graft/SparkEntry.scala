@@ -263,19 +263,28 @@ object SparkEntry {
     // Matryoshka two-stage funnel (prefix-dim shortlist → exact
     // rerank on fetched full vectors); rows-only, gated in RecallSpec
     "ann_mrl_topk" -> ((s, dir) => Similarity.mrlTopK(s, dir)),
+    // REAL codec chain (MediaCodec): encode genuine PPM/BMP/WAV/Y4M
+    // fixture bytes, parse them back with real header/chunk parsers,
+    // report parsed dims + content checksums — fully oracle-checked
+    // (DuckDB rebuilds sizes, parsed fields and decoded data sums
+    // closed-form from `documents`)
     "mm_media_meta" -> Multimodal.mediaMeta _,
+    // per-kept-frame extraction (parsed Y4M frames / 1024-sample audio
+    // windows / single image frame), stride-sampled; oracle-checked
+    // per (media, frame)
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSampleSummary(s, dir)),
-    // runs the REAL partition-batched resize (header-only width read,
-    // proportional subsample); closed-form stub arithmetic makes the
-    // typed pipeline oracle-checkable end-to-end
+    // decode → NN-resample (or ×2 audio decimate) → re-encode →
+    // re-decode round trip; oracle recomputes every resampled pixel's
+    // source byte via the same integer-floor NN index map
     "mm_resize" -> ((s, dir) => Multimodal.resizeSummary(s, dir)),
-    // perceptual-hash media dedup (aHash-structured stub codec +
-    // pigeonhole banding); rows-only, gated in MultimodalSpec vs an
-    // independent hash recompute and a brute-force Hamming scan
+    // perceptual-hash media dedup (aHash over DECODED luma/samples —
+    // container-invariant — + pigeonhole banding); rows-only, gated in
+    // MultimodalSpec vs an independent-parser recompute and a
+    // brute-force Hamming scan
     "mm_phash_dup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
-    // media → stub embedding → exact cosine top-k (the multimodal→ANN
-    // bridge); rows-only, gated in MultimodalSpec vs a driver-side
-    // encode + cosine recompute
+    // media → decode → content embedding → exact cosine top-k (the
+    // multimodal→ANN bridge); rows-only, gated in MultimodalSpec vs a
+    // driver-side decode + encode + cosine recompute
     "mm_embed_ann" -> ((s, dir) => Multimodal.embedAnnTopK(s, dir)),
     // ---- M3: event-time semantics ----
     "ev_tumbling" -> Events.tumbling _,
@@ -1645,31 +1654,113 @@ object SparkEntry {
           |  FROM scored)
           |SELECT query_id, vec_id, label, cos_sim, rk FROM r WHERE rk <= 5
           |ORDER BY query_id, rk""".stripMargin,
+      // The three mm oracles rebuild the REAL codec's expected output
+      // closed-form from `documents`: the fixture generator
+      // (Multimodal.genPayload) derives container dims / sample counts
+      // / frame counts from doc_id and cycles the text's ASCII bytes
+      // as pixel/sample data, so DuckDB can recompute parsed header
+      // fields, exact container byte sizes (PPM/BMP/WAV/Y4M framing
+      // arithmetic) and the decoded-content checksums (plain +
+      // position-weighted sums — the weighted one catches placement
+      // bugs like a missed BMP bottom-up flip) without ever seeing the
+      // bytes. A single misplaced byte in an encoder or parser breaks
+      // the hash match.
       "mm_media_meta" ->
-        """SELECT doc_id AS media_id,
-          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          |  octet_length(encode(text)) AS n_bytes,
-          |  16 * (1 + ascii(text) % 64) AS fake_width
-          |FROM documents ORDER BY media_id""".stripMargin,
-      // kept = min(max(floor(n · min(target/width, 1)), 1), n) — the
-      // stub resize arithmetic, closed-form from the same source col
-      "mm_resize" ->
-        """WITH m AS (SELECT doc_id AS media_id,
+        """WITH base AS (
+          |  SELECT doc_id AS media_id, text, length(text) AS n,
           |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          |    octet_length(encode(text)) AS n,
-          |    16 * (1 + ascii(text) % 64) AS w
-          |  FROM documents)
-          |SELECT media_id, kind,
-          |  CAST(least(greatest(CAST(floor(n * least(64.0 / w, 1.0)) AS BIGINT), 1), n) AS BIGINT) AS kept_bytes
-          |FROM m ORDER BY media_id""".stripMargin,
+          |    CASE CAST(doc_id % 3 AS INTEGER)
+          |      WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+          |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 8000 + (doc_id % 5) * 1000 ELSE 0 END AS rate,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
+          |  FROM documents),
+          |u AS (
+          |  SELECT *, CASE kind WHEN 'image' THEN 3*w*h WHEN 'audio' THEN ns ELSE nfr*3*w*h END AS nunits,
+          |    CASE format
+          |      WHEN 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+          |      WHEN 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
+          |      WHEN 'wav' THEN 44 + 2*ns
+          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
+          |    END AS n_bytes
+          |  FROM base),
+          |v AS (SELECT *, nunits // n AS q, nunits % n AS r FROM u)
+          |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
+          |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  CAST(nfr AS BIGINT) AS n_frames, CAST(rate AS BIGINT) AS sample_rate,
+          |  CAST(ns AS BIGINT) AS n_samples,
+          |  CAST(q * list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1), i -> ascii(substr(text, CAST(i AS INTEGER), 1))))
+          |    + coalesce(list_sum(list_transform(range(1, CAST(r AS INTEGER) + 1), i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT) AS data_sum,
+          |  CAST(list_sum(list_transform(range(0, CAST(n AS INTEGER)), k ->
+          |      CAST(ascii(substr(text, CAST(k AS INTEGER) + 1, 1)) AS BIGINT) *
+          |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
+          |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END)))) AS BIGINT) AS data_wsum
+          |FROM v ORDER BY media_id""".stripMargin,
+      // Full round-trip oracle: decode → NN-resample (image/video) or
+      // ×2 decimate (audio) → re-encode → re-decode; DuckDB recomputes
+      // every resampled pixel's SOURCE byte via the same integer-floor
+      // NN index map (sx = x·w/ow, sy = y·h/oh) over the cycled text
+      // bytes, plus the exact re-encoded container sizes.
+      "mm_resize" ->
+        """WITH base AS (
+          |  SELECT doc_id AS media_id, text, length(text) AS n,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
+          |  FROM documents),
+          |o AS (
+          |  SELECT *, CASE WHEN kind = 'audio' THEN 0 ELSE least(24, w) END AS ow,
+          |    CASE WHEN kind = 'audio' THEN 0 ELSE greatest(h * least(24, w) // w, 1) END AS oh,
+          |    CASE WHEN kind = 'audio' THEN (ns + 1) // 2 ELSE 0 END AS nout
+          |  FROM base)
+          |SELECT media_id, kind, CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+          |  CAST(CASE kind WHEN 'image' THEN 3*ow*oh WHEN 'audio' THEN nout ELSE nfr*3*ow*oh END AS BIGINT) AS kept_units,
+          |  CAST(CASE kind
+          |    WHEN 'image' THEN 9 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR)) + 3*ow*oh
+          |    WHEN 'audio' THEN 44 + 2*nout
+          |    ELSE 33 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR)) + nfr * (6 + 3*ow*oh)
+          |  END AS BIGINT) AS kept_bytes,
+          |  CAST(CASE kind
+          |    WHEN 'image' THEN list_sum(list_transform(range(0, CAST(3*ow*oh AS INTEGER)), j ->
+          |      ascii(substr(text, 1 + CAST(((((j // (3*ow)) * h // oh) * w + ((j % (3*ow)) // 3) * w // ow) * 3 + (j % 3)) % n AS INTEGER), 1))))
+          |    WHEN 'audio' THEN list_sum(list_transform(range(0, CAST(nout AS INTEGER)), j ->
+          |      ascii(substr(text, 1 + CAST((2*j) % n AS INTEGER), 1))))
+          |    ELSE list_sum(list_transform(range(0, CAST(nfr*3*ow*oh AS INTEGER)), j ->
+          |      ascii(substr(text, 1 + CAST((
+          |        (j // (3*ow*oh)) * 3*w*h + ((j % (3*ow*oh)) // (ow*oh)) * w*h
+          |        + (((j % (ow*oh)) // ow) * h // oh) * w + ((j % ow) * w // ow)) % n AS INTEGER), 1))))
+          |  END AS BIGINT) AS data_sum
+          |FROM o ORDER BY media_id""".stripMargin,
+      // Per-KEPT-frame oracle: parsed Y4M frames / 1024-sample audio
+      // windows / the image's single frame, stride-4 sampled; per-frame
+      // sizes and content sums rebuilt from the cycled text bytes.
       "mm_frame_sample" ->
-        """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
-          |c AS (SELECT media_id, n, (n + 1023) // 1024 AS n_chunks FROM m WHERE n > 0),
-          |k AS (SELECT media_id, n, n_chunks, (n_chunks + 3) // 4 AS n_kept FROM c)
-          |SELECT media_id, CAST(n_kept AS BIGINT) AS n_frames_kept,
-          |  CAST(1024 * (n_kept - 1) + CASE WHEN 4 * (n_kept - 1) = n_chunks - 1
-          |    THEN n - 1024 * (n_chunks - 1) ELSE 1024 END AS BIGINT) AS bytes_kept
-          |FROM k ORDER BY media_id""".stripMargin,
+        """WITH base AS (
+          |  SELECT doc_id AS media_id, text, length(text) AS n,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
+          |  FROM documents),
+          |t AS (SELECT *, CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN (ns + 1023) // 1024 ELSE nfr END AS ntot FROM base),
+          |fr AS (SELECT *, unnest(range(0, CAST(ntot AS INTEGER))) AS f FROM t),
+          |k AS (SELECT * FROM fr WHERE f % 4 = 0),
+          |s AS (SELECT *,
+          |    CASE kind WHEN 'audio' THEN least(1024, ns - f * 1024) ELSE 3*w*h END AS units,
+          |    CASE kind WHEN 'audio' THEN f * 1024 ELSE f * 3*w*h END AS off
+          |  FROM k)
+          |SELECT media_id, kind, CAST(f AS BIGINT) AS frame_no,
+          |  CAST(units AS BIGINT) AS frame_units,
+          |  CAST(CASE kind WHEN 'audio' THEN 2 * units ELSE units END AS BIGINT) AS frame_bytes,
+          |  CAST(list_sum(list_transform(range(0, CAST(units AS INTEGER)), i ->
+          |    ascii(substr(text, 1 + CAST((off + i) % n AS INTEGER), 1)))) AS BIGINT) AS frame_sum
+          |FROM s ORDER BY media_id, frame_no""".stripMargin,
       "ev_tumbling" ->
         """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS win_start_s,
           |  event_type, count(*) AS n, round(sum(value), 2) AS total

@@ -324,12 +324,24 @@ object Dedup {
     }
 
   /** (v, label) → the cluster output contract: (doc_id, cluster_id,
-    * cluster_size), deterministic order. */
-  private def clusterFrame(labels: DataFrame): DataFrame =
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("label"))).as("cluster_size"))
+    * cluster_size), deterministic order. Cluster size is a groupBy
+    * partial aggregation re-attached by an equi-join on the label —
+    * NOT a `count over (partition by label)` window: the window form
+    * was the registry's last unpruned corpus-derived-key WindowExec
+    * (a degenerate corpus collapsing into one giant cluster would
+    * sort that cluster's whole membership in ONE task), while the
+    * aggregate absorbs any hot label map-side and the join
+    * redistributes rows with no per-partition sort. Both callers
+    * hand in a localCheckpointed label frame, so the two consumers
+    * read a materialized scan instead of re-running the iterative
+    * job. */
+  private def clusterFrame(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
 
   /** Converged (vertex, component-min-label) frame, cached per
     * (context, inputs) so `survivors` reuses the `dd_clusters` result
@@ -546,8 +558,13 @@ object Dedup {
     val members = pairs.select($"id1".as("v"))
       .union(pairs.select($"id2".as("v"))).distinct()
     // every member sits in a >=2 component by construction, so no
-    // singleton filter is needed
-    clusterFrame(componentLabels(s, members, pairs, algorithm))
+    // singleton filter is needed. localCheckpoint: clusterFrame reads
+    // the label frame twice (size rollup + member join) — star
+    // contraction's output is otherwise un-materialized on this
+    // uncached path, and the two consumers' exchanges don't
+    // canonicalize to one (partial agg below one of them)
+    clusterFrame(componentLabels(s, members, pairs, algorithm)
+      .localCheckpoint(false))
   }
 
   /** Survivor selection — the final dedup step: one winner per
@@ -562,20 +579,26 @@ object Dedup {
     survivorsFor(s, dir, nearDupClusters(s, dir, k, maxId, threshold))
 
   /** One quality-ranked winner per cluster of an arbitrary (doc_id,
-    * cluster_id, cluster_size) frame. Per-cluster argmax is a ranked
-    * window over (cluster, quality) — WindowGroupLimit prunes it under
-    * the rk=1 filter, and the join that attaches scores is keyed on
-    * doc_id like every per-doc table. */
+    * cluster_id, cluster_size) frame. Per-cluster argmax by
+    * (quality desc, doc_id asc) is a STRUCT-MAX aggregation, not a
+    * ranked window: where only the winner survives, `max(struct(
+    * quality, −doc_id))` compares lexicographically — exactly the
+    * declared order — and the aggregate absorbs each cluster
+    * map-side (partial max per partition), so even a degenerate
+    * corpus-sized cluster never sorts its membership in one task.
+    * (doc_id ≥ 0 in every fixture and contract; the negation trick
+    * would need a sign-safe struct field for signed ids.) The join
+    * that attaches scores is keyed on doc_id like every per-doc
+    * table. */
   def survivorsFor(s: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
     import s.implicits._
     val quality = TextAnalysis.qualityScore(s, dir).select($"doc_id", $"quality")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id")
     clusters.join(quality, "doc_id")
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
-      .filter($"rk" === 1)
-      .select($"cluster_id", $"doc_id".as("survivor_id"),
-        $"quality".as("survivor_quality"), $"cluster_size")
+      .groupBy($"cluster_id")
+      .agg(max(struct($"quality", (-$"doc_id").as("neg_id"))).as("win"),
+        max($"cluster_size").as("cluster_size"))
+      .select($"cluster_id", (-$"win.neg_id").as("survivor_id"),
+        $"win.quality".as("survivor_quality"), $"cluster_size")
       .orderBy($"cluster_id")
   }
 

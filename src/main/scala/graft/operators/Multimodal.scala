@@ -4,100 +4,97 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (builder prompt): media as opaque `binary`
-  * payloads with typed metadata, decoded/feature-extracted in
-  * partition-local batches.
+/** Multimodal-column operators: media as opaque `binary` payloads with
+  * typed metadata, decoded/feature-extracted in partition-local
+  * batches.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked DETERMINISTIC STUB ([[FakeCodec]]); everything Spark-
-  * side — binary schema, partition-batched decode shape, metadata
-  * struct, pushdown-friendly projections — is real and tested. On a
-  * real cluster the stub body is replaced by a JNI/codec call; the plan
-  * shape (mapPartitions over binary, no shuffle) is unchanged, which is
-  * what matters at 100 TB: decode is pure map-side work that scales
-  * with executors and never touches the driver.
-  */
+  * The decode path is REAL ([[MediaCodec]]): the fixture generator
+  * encodes genuine PPM/BMP containers for images, RIFF/WAVE PCM for
+  * audio and YUV4MPEG2 for video, and every downstream operator
+  * parses those bytes back with real header/chunk parsers —
+  * dimensions, sample counts and frame counts are READ from the
+  * container, never assumed. The generator derives pixel/sample
+  * content by cycling the document's UTF-8 bytes, which makes the
+  * whole chain oracle-checkable end-to-end: DuckDB reproduces the
+  * closed-form sizes AND the decoded data sums straight from the
+  * `documents` table, so a single misplaced byte in an encoder or
+  * parser (a missed BMP row flip, an off-by-one chunk walk) breaks
+  * the hash match.
+  *
+  * Scale shape is unchanged by realism: decode is pure map-side work
+  * over the payload column (mapPartitions, no shuffle), scaling with
+  * executors and never touching the driver — swapping in a JPEG/FLAC
+  * codec via JNI changes the body of [[MediaCodec.decode]], not the
+  * plan. */
 object Multimodal {
 
   /** One media row: payload + typed metadata, the schema a media lake
     * table would carry. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-  final case class DecodedRow(media_id: Long, kind: String, n_bytes: Long,
-                              width: Int, height: Int, n_frames: Int,
-                              payload_sha: String)
+  /** Parsed container facts + content checksums, all read from the
+    * payload bytes by [[MediaCodec.decode]]. data_sum / data_wsum are
+    * the plain and position-weighted sums of the decoded LOGICAL data
+    * units (pixels / samples / plane bytes) — the weighted sum is the
+    * one that catches placement bugs (a permutation that preserves
+    * the plain sum, e.g. a missed bottom-up row flip, shifts it). */
+  final case class DecodedRow(media_id: Long, kind: String, format: String,
+                              n_bytes: Long, width: Long, height: Long,
+                              n_frames: Long, sample_rate: Long,
+                              n_samples: Long, data_sum: Long,
+                              data_wsum: Long, payload_sha: String)
 
-  /** ======= STUB ======= Deterministic fake codec: derives "decoded"
-    * properties purely from payload bytes. Replace `decode` with a real
-    * codec (e.g. libjpeg/ffmpeg via JNI) in production — signature and
-    * batch shape stay identical. */
-  object FakeCodec extends Serializable {
-    /** Header-derived dimension rule — the single source of truth
-      * shared by decode, resize, and the mm_media_meta oracle. */
-    def dimOf(headerByte: Int): Int = 16 * (1 + headerByte % 64)
-
-    def decode(r: MediaRow): DecodedRow = {
-      val n = r.payload.length
-      val b0 = if (n > 0) r.payload(0) & 0xff else 0
-      val b1 = if (n > 1) r.payload(1) & 0xff else 0
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(r.payload).take(8).map("%02x".format(_)).mkString
-      DecodedRow(r.media_id, r.kind, n.toLong,
-        width = dimOf(b0), height = dimOf(b1),
-        n_frames = if (r.kind == "video") 1 + n % 300 else 1,
-        payload_sha = sha)
-    }
-
-    /** STUB perceptual hash — aHash's exact structure over the raw
-      * payload: "downscale" to 64 cells (the mean byte value of 64
-      * equal spans — the 1-D analog of aHash's 8×8 pixel grid), bit i
-      * set iff cell i exceeds the global cell mean. A real pipeline
-      * computes the cells from decoded pixels (or the DCT, for pHash
-      * proper); the bit-vector contract downstream is identical:
-      * similar payloads ⟹ small Hamming distance, identical payloads
-      * ⟹ identical hash.
-      *
-      * POSITIONAL cells matter for banding health: a first cut used a
-      * global byte HISTOGRAM, and natural-language payloads share
-      * letter frequencies corpus-wide, so hashes collapsed onto a few
-      * values, band buckets went quadratic, and the sf0.1 query took
-      * 17 s. Span means vary with each document's content, so the
-      * hash space spreads and bucket sizes stay near-uniform — the
-      * same diversity argument real image pHashes rely on. */
-    def phash(payload: Array[Byte]): Long = {
-      val n = payload.length
-      if (n == 0) return 0L
-      val cell = new Array[Double](64)
-      var i = 0
-      while (i < 64) {
-        val s = (i.toLong * n / 64).toInt
-        val e = ((i + 1).toLong * n / 64).toInt
-        var sum = 0L
-        var j = s
-        while (j < e) { sum += payload(j) & 0xff; j += 1 }
-        cell(i) = if (e > s) sum.toDouble / (e - s) else 0.0
-        i += 1
-      }
-      val mean = cell.sum / 64.0
-      var h = 0L
-      i = 0
-      while (i < 64) { if (cell(i) > mean) h |= (1L << i); i += 1 }
-      h
+  /** Deterministic fixture generator: REAL container bytes derived
+    * from a document row. Kind cycles image/audio/video by id;
+    * images alternate PPM and BMP containers (the two decoders must
+    * agree on the logical pixels — MultimodalSpec pins the
+    * container-invariance); dimensions / sample counts / frame
+    * counts are closed-form in the id, and all data units cycle the
+    * document's UTF-8 bytes — the two facts the DuckDB oracle
+    * rebuilds the expected decode from. */
+  private[graft] def genPayload(id: Long, text: String): (String, Array[Byte]) = {
+    val tb0 = text.getBytes("UTF-8")
+    val tb = if (tb0.isEmpty) Array[Byte](0) else tb0 // no fixture text is empty; total anyway
+    val n = tb.length
+    def unit(i: Long): Byte = tb((i % n).toInt)
+    java.lang.Math.floorMod(id, 3L).toInt match {
+      case 0 =>
+        val w = (8 + java.lang.Math.floorMod(id, 57L)).toInt
+        val h = (8 + java.lang.Math.floorMod(id * 7, 57L)).toInt
+        val rgb = Array.tabulate(3 * w * h)(i => unit(i.toLong))
+        val payload =
+          if (java.lang.Math.floorMod(id / 3, 2L) == 0L) MediaCodec.encodePpm(w, h, rgb)
+          else MediaCodec.encodeBmp(w, h, rgb)
+        ("image", payload)
+      case 1 =>
+        val rate = (8000 + java.lang.Math.floorMod(id, 5L) * 1000).toInt
+        val ns = (1024 + java.lang.Math.floorMod(id, 777L) * 4).toInt
+        val samples = Array.tabulate(ns)(j => ((unit(j.toLong) & 0xff) - 128).toShort)
+        ("audio", MediaCodec.encodeWav(rate, samples))
+      case _ =>
+        val w = (8 + java.lang.Math.floorMod(id, 25L)).toInt
+        val h = (8 + java.lang.Math.floorMod(id * 7, 25L)).toInt
+        val nf = (2 + java.lang.Math.floorMod(id, 7L)).toInt
+        val frameSize = 3 * w * h
+        val frames = Array.tabulate(nf)(f =>
+          Array.tabulate(frameSize)(i => unit(f.toLong * frameSize + i)))
+        ("video", MediaCodec.encodeY4m(w, h, frames))
     }
   }
 
-  /** Synthesize a media table from `documents` (no binary fixture table
-    * exists): payload = UTF-8 bytes of text, kind cycles image/audio/
-    * video. Deterministic, schema-faithful. */
-  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id".as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
-        encode($"text", "UTF-8").as("payload"))
-      .as[MediaRow]
+  /** Media table from any (doc_id, text) frame — the generation step
+    * is a typed map (real encoders run per row, map-side). */
+  def mediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val (kind, payload) = genPayload(id, text)
+      MediaRow(id, kind, payload)
+    }
   }
+
+  /** Synthesized media lake over the `documents` table. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaFromDocs(Tables.documents(s, dir))
 
   /** Ingest a DIRECTORY of raw media files as [[MediaRow]]s via
     * Spark's built-in `binaryFile` source — the real media-lake
@@ -108,7 +105,9 @@ object Multimodal {
     * runs, no driver-side numbering. Everything downstream
     * ([[decodeAll]], [[extractFeatures]], [[phashDedup]]'s hash) is
     * source-agnostic, so the synthetic table and a real file lake
-    * share every operator. */
+    * share every operator; foreign formats (jpeg/mp3/…) decode to
+    * UnknownMedia totality-style until their parser lands in
+    * [[MediaCodec]]. */
   def mediaFromFiles(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     s.read.format("binaryFile").load(dir)
@@ -116,50 +115,89 @@ object Multimodal {
         lower(element_at(split($"path", "\\."), -1)).as("ext"),
         $"content".as("payload"))
       .withColumn("kind",
-        when($"ext".isin("jpg", "jpeg", "png", "gif"), "image")
+        when($"ext".isin("jpg", "jpeg", "png", "gif", "ppm", "bmp"), "image")
           .when($"ext".isin("wav", "mp3", "flac"), "audio")
-          .when($"ext".isin("mp4", "webm", "mkv"), "video")
+          .when($"ext".isin("mp4", "webm", "mkv", "y4m"), "video")
           .otherwise("binary"))
       .select($"media_id", $"kind", $"payload").as[MediaRow]
   }
 
-  /** Partition-batched decode: the Scala twin of a `mapInPandas` batch
-    * UDF — one codec instance per partition, streaming through rows
-    * without materializing the partition. */
+  /** Parse one payload into its [[DecodedRow]] facts: container parse
+    * + content checksums + an 8-byte payload SHA. */
+  private[graft] def describe(r: MediaRow): DecodedRow = {
+    val media = MediaCodec.decode(r.payload)
+    val units = MediaCodec.contentUnits(media)
+    var s = 0L; var ws = 0L; var i = 0
+    while (i < units.length) {
+      val v = units(i) & 0xff
+      s += v; ws += i.toLong * v; i += 1
+    }
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(r.payload).take(8).map("%02x".format(_)).mkString
+    val nb = r.payload.length.toLong
+    media match {
+      case MediaCodec.ImageMedia(w, h, fmt, _) =>
+        DecodedRow(r.media_id, r.kind, fmt, nb, w, h, 1L, 0L, 0L, s, ws, sha)
+      case MediaCodec.AudioMedia(rate, samples) =>
+        DecodedRow(r.media_id, r.kind, "wav", nb, 0L, 0L, 0L, rate, samples.length, s, ws, sha)
+      case MediaCodec.VideoMedia(w, h, frames) =>
+        DecodedRow(r.media_id, r.kind, "y4m", nb, w, h, frames.length, 0L, 0L, s, ws, sha)
+      case MediaCodec.UnknownMedia(_) =>
+        DecodedRow(r.media_id, r.kind, "unknown", nb, 0L, 0L, 0L, 0L, 0L, 0L, 0L, sha)
+    }
+  }
+
+  /** Partition-batched decode: one codec pass per partition, streaming
+    * through rows — the Scala twin of a `mapInPandas` batch UDF. */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it => it.map(FakeCodec.decode) }
+    media.mapPartitions(_.map(describe))
+  }
+
+  /** Oracle-checked projection of the REAL decode: every column is
+    * either parsed from the container bytes (format, width, height,
+    * n_frames, sample_rate, n_samples) or summed over the decoded
+    * content (data_sum, data_wsum) — DuckDB rebuilds all of them
+    * closed-form from `documents`, so this query hash-verifies both
+    * the encoders and the parsers end-to-end. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeAll(mediaTable(s, dir))
+      .select($"media_id", $"kind", $"format", $"n_bytes", $"width", $"height",
+        $"n_frames", $"sample_rate", $"n_samples", $"data_sum", $"data_wsum")
+      .orderBy($"media_id")
   }
 
   final case class MediaFeatures(media_id: Long, kind: String,
                                  features: Array[Double])
 
-  /** Feature extraction: payload → fixed-width feature vector, one
-    * codec instance per partition. The STUB computes a 16-bin byte
-    * histogram (deterministic, unit-normalized); a real pipeline swaps
-    * in an image/audio encoder producing an embedding — identical
-    * signature, identical plan (map-side, fixed output width, ready
-    * for the ANN operators downstream). */
+  /** Feature extraction over DECODED content units (pixels / samples
+    * / plane bytes — never container bytes): a `bins`-bin histogram,
+    * unit-normalized. A real pipeline swaps in an image/audio encoder
+    * producing an embedding — identical signature, identical plan
+    * (map-side, fixed output width, ready for the ANN operators
+    * downstream). */
   def extractFeatures(media: Dataset[MediaRow], bins: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
+        val units = MediaCodec.contentUnits(MediaCodec.decode(r.payload))
         val hist = new Array[Double](bins)
-        r.payload.foreach(b => hist((b & 0xff) * bins / 256) += 1.0)
-        val n = math.max(r.payload.length, 1).toDouble
+        units.foreach(b => hist((b & 0xff) * bins / 256) += 1.0)
+        val n = math.max(units.length, 1).toDouble
         MediaFeatures(r.media_id, r.kind, hist.map(_ / n))
       }
     }
   }
 
-  /** STUB media encoder: payload → unit-normalized `dim`-cell span-mean
-    * vector (the real-valued generalization of [[FakeCodec.phash]]'s
-    * positional cells, so embeddings vary with content and the cosine
-    * geometry is non-degenerate). A real pipeline swaps in a CLIP-style
-    * encoder — identical signature (map-side, fixed width, unit norm),
-    * identical plan. Zero-byte payloads embed as the zero vector. */
-  private[graft] def spanEmbed(payload: Array[Byte], dim: Int = 64): Array[Double] = {
-    val n = payload.length
+  /** Content encoder: decoded data units → unit-normalized `dim`-cell
+    * span-mean vector. Span means over decoded content vary with each
+    * document's pixel/sample data, so the cosine geometry is
+    * non-degenerate; a real pipeline swaps in a CLIP-style encoder —
+    * identical signature (map-side, fixed width, unit norm),
+    * identical plan. Unknown/empty media embed as the zero vector. */
+  private[graft] def spanEmbed(content: Array[Byte], dim: Int = 64): Array[Double] = {
+    val n = content.length
     val cell = new Array[Double](dim)
     if (n == 0) return cell
     var i = 0
@@ -168,7 +206,7 @@ object Multimodal {
       val e = ((i + 1).toLong * n / dim).toInt
       var sum = 0L
       var j = s
-      while (j < e) { sum += payload(j) & 0xff; j += 1 }
+      while (j < e) { sum += content(j) & 0xff; j += 1 }
       cell(i) = if (e > s) sum.toDouble / (e - s) else 0.0
       i += 1
     }
@@ -178,36 +216,41 @@ object Multimodal {
 
   final case class MediaEmbedding(media_id: Long, embedding: Array[Double])
 
-  /** Media → embedding column: the bridge from the multimodal plumbing
-    * into the ANN family (map-side, fixed width — the exact frame the
-    * Similarity operators consume). */
+  /** Media → embedding column: decode, then encode the content units
+    * — the bridge from the multimodal plumbing into the ANN family
+    * (map-side, fixed width, the exact frame the Similarity operators
+    * consume). */
   def embedMedia(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaEmbedding] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => MediaEmbedding(r.media_id, spanEmbed(r.payload, dim))))
+    media.mapPartitions(_.map(r => MediaEmbedding(r.media_id,
+      spanEmbed(MediaCodec.contentUnits(MediaCodec.decode(r.payload)), dim))))
   }
 
   /** Embedding-similarity search OVER MEDIA (`mm_embed_ann`) — the
     * cross-family composition a multimodal lake actually runs:
-    * stub-encode every payload ([[spanEmbed]]), then exact cosine
-    * top-k with the fused [[graft.functions.CosineSim]] kernel, the
-    * same brute-force shape as `ann_brute_topk` (broadcast bounded
-    * probes, WindowGroupLimit rank prune). At scale the shortlist/
-    * bucketing variants (LSH/IVF/PQ/MRL) slot in unchanged — the
-    * embedding column is the contract. Rows-only in the driver
-    * contract (the stub encoder isn't ANSI-expressible); gated in
-    * MultimodalSpec: kernel scores ≡ driver-side encode + cosine. */
+    * decode + encode every payload ([[embedMedia]]), then exact
+    * cosine top-k with the fused [[graft.functions.CosineSim]]
+    * kernel, the same brute-force shape as `ann_brute_topk`
+    * (broadcast bounded probes, WindowGroupLimit rank prune). At
+    * scale the shortlist/bucketing variants (LSH/IVF/PQ/MRL) slot in
+    * unchanged — the embedding column is the contract. Rows-only in
+    * the driver contract (the content encoder isn't
+    * ANSI-expressible); gated in MultimodalSpec: kernel scores ≡
+    * driver-side decode + encode + cosine. */
   def embedAnnTopK(s: SparkSession, dir: String, dim: Int = 64,
                    numQueries: Int = 10, topK: Int = 5): DataFrame = {
     import s.implicits._
     val emb = embedMedia(mediaTable(s, dir), dim).toDF()
-    // probes filter BEFORE the encode map: only probe payloads are
-    // encoded twice, and the id bound pushes through the projection to
-    // the scan itself — which is also what lets the registry-wide
-    // broadcast guard PROVE this side bounded (a filter above the
-    // typed mapPartitions boundary breaks attribute lineage to the
-    // scan, so the guard would reject it)
+    // probes filter BELOW the generation map, on doc_id at the
+    // documents scan: only probe payloads are encoded twice, the id
+    // bound pushes down to the parquet scan itself — and that is also
+    // what lets the registry-wide broadcast guard PROVE this side
+    // bounded (a filter above the typed map boundary breaks attribute
+    // lineage to the scan, so the guard would reject it — which it
+    // did when this filter briefly sat on media_id above the map)
     val queries = embedMedia(
-        mediaTable(s, dir).filter($"media_id" < numQueries), dim).toDF()
+        mediaFromDocs(Tables.documents(s, dir).filter(col("doc_id") < numQueries)),
+        dim).toDF()
       .select($"media_id".as("query_id"), $"embedding".as("q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos_sim".desc, $"media_id")
@@ -221,87 +264,128 @@ object Multimodal {
       .orderBy($"query_id", $"rk")
   }
 
-  /** Resize: re-target the fake decode dimensions and subsample the
-    * payload proportionally (STUB for a real scaler — the plan shape,
-    * a pure map with bounded output size, is what carries over). Reads
-    * only the header byte it needs (a real scaler parses the header,
-    * not the whole payload — running the full decode incl. a payload
-    * SHA per row just to learn the width is the wasteful shape). */
+  /** REAL transcode-resize, map-side per row:
+    *  - image: decode (PPM or BMP) → nearest-neighbor resample to
+    *    width min(target, w) at preserved aspect (floor, ≥1) →
+    *    re-encode as PPM (the normalize-on-rewrite a thumbnail
+    *    pipeline does)
+    *  - audio: decimate ×2 (every other sample) → re-encode WAV
+    *  - video: NN-resample every frame's three planes → re-encode Y4M
+    *  - unknown: passed through untouched (totality)
+    * Pure map, bounded output — the 100 TB plan shape is one
+    * mapPartitions, no shuffle. */
   def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val b0 = if (r.payload.length > 0) r.payload(0) & 0xff else 0
-      val width = FakeCodec.dimOf(b0) // header-only, no full decode
-      val scale = math.min(targetWidth.toDouble / width, 1.0)
-      val keep = math.max((r.payload.length * scale).toInt, 1)
-      r.copy(payload = r.payload.take(keep))
+      MediaCodec.decode(r.payload) match {
+        case MediaCodec.ImageMedia(w, h, _, rgb) =>
+          val ow = math.min(targetWidth, w)
+          val oh = math.max(h * ow / w, 1)
+          r.copy(payload = MediaCodec.encodePpm(ow, oh,
+            MediaCodec.resizeRgbNN(w, h, rgb, ow, oh)))
+        case MediaCodec.AudioMedia(rate, samples) =>
+          val out = Array.tabulate((samples.length + 1) / 2)(j => samples(2 * j))
+          r.copy(payload = MediaCodec.encodeWav(rate, out))
+        case MediaCodec.VideoMedia(w, h, frames) =>
+          val ow = math.min(targetWidth, w)
+          val oh = math.max(h * ow / w, 1)
+          r.copy(payload = MediaCodec.encodeY4m(ow, oh,
+            frames.map(f => MediaCodec.resizeFrameNN(w, h, f, ow, oh))))
+        case _: MediaCodec.UnknownMedia => r
+      }
     }
   }
 
-  /** Oracle-checkable [[resize]] summary — runs the REAL partition-
-    * batched resize (header-byte width read, proportional payload
-    * subsample) and reports the kept byte count per media. The stub's
-    * arithmetic is closed-form (width = 16·(1 + b0 mod 64), kept =
-    * min(max(⌊n·min(target/width, 1)⌋, 1), n)), so DuckDB verifies the
-    * typed mapPartitions pipeline end-to-end from the same source
-    * column — the mm_frame_sample discipline applied to resize. */
-  def resizeSummary(s: SparkSession, dir: String, targetWidth: Int = 64): DataFrame = {
+  /** Oracle-checked [[resize]] report — and deliberately a FULL
+    * round-trip: the resized payload is re-DECODED and the report
+    * reads dims/units/sums from that second parse, so the oracle
+    * hash-verifies decode → resample → encode → decode as one chain
+    * (NN index math included: DuckDB recomputes every resampled
+    * pixel's source byte from `documents`). */
+  def resizeSummary(s: SparkSession, dir: String, targetWidth: Int = 24): DataFrame = {
     import s.implicits._
     resize(mediaTable(s, dir), targetWidth)
-      .map(r => (r.media_id, r.kind, r.payload.length.toLong))
-      .toDF("media_id", "kind", "kept_bytes")
+      .map { r =>
+        val d = describe(r)
+        val outW = if (r.kind == "audio") 0L else d.width
+        val outH = if (r.kind == "audio") 0L else d.height
+        val units = MediaCodec.contentUnits(MediaCodec.decode(r.payload)).length.toLong
+        (r.media_id, r.kind, outW, outH, units, d.n_bytes, d.data_sum)
+      }
+      .toDF("media_id", "kind", "out_w", "out_h", "kept_units", "kept_bytes", "data_sum")
       .orderBy($"media_id")
   }
 
-  /** Frame sampling: keep every `stride`-th 1 KiB chunk of the payload
-    * — the plan shape of video frame-sampling (explode to frames,
-    * filter by stride, re-group) with the stub codec. */
+  /** REAL frame extraction + stride sampling, one output row per KEPT
+    * frame: video frames are the parsed Y4M frames, audio "frames"
+    * are 1024-sample windows (the hop-window shape audio feature
+    * pipelines batch by), an image is its own single frame. Keeps
+    * every `stride`-th frame; emits parsed size + content checksum
+    * per frame, which the oracle rebuilds per (media, frame). */
   def frameSample(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      r.payload.grouped(1024).zipWithIndex.collect {
-        case (chunk, i) if i % stride == 0 =>
-          (r.media_id, i, chunk.length)
+      def sumRange(a: Array[Byte], from: Int, until: Int): Long = {
+        var s = 0L; var i = from
+        while (i < until) { s += a(i) & 0xff; i += 1 }
+        s
       }
-    }.toDF("media_id", "frame_no", "frame_bytes")
+      MediaCodec.decode(r.payload) match {
+        case MediaCodec.ImageMedia(_, _, _, rgb) =>
+          Seq((r.media_id, r.kind, 0L, rgb.length.toLong, rgb.length.toLong,
+            sumRange(rgb, 0, rgb.length)))
+        case MediaCodec.AudioMedia(_, samples) =>
+          val nWindows = (samples.length + 1023) / 1024
+          (0 until nWindows).collect {
+            case f if f % stride == 0 =>
+              val from = f * 1024
+              val until = math.min(from + 1024, samples.length)
+              var sum = 0L
+              var j = from
+              while (j < until) { sum += (samples(j) + 128) & 0xff; j += 1 }
+              (r.media_id, r.kind, f.toLong, (until - from).toLong,
+                2L * (until - from), sum)
+          }
+        case MediaCodec.VideoMedia(_, _, frames) =>
+          frames.indices.collect {
+            case f if f % stride == 0 =>
+              (r.media_id, r.kind, f.toLong, frames(f).length.toLong,
+                frames(f).length.toLong, sumRange(frames(f), 0, frames(f).length))
+          }
+        case _: MediaCodec.UnknownMedia => Seq.empty
+      }
+    }.toDF("media_id", "kind", "frame_no", "frame_units", "frame_bytes", "frame_sum")
   }
 
-  /** Oracle-checkable frame-sampling summary: per media, the number of
-    * kept frames and total bytes kept by [[frameSample]] (stride-4 over
-    * 1 KiB chunks). The chunk arithmetic is closed-form, so DuckDB can
-    * verify the real mapPartitions pipeline end-to-end: kept frames =
-    * ceil(ceil(n/1024) / 4), kept bytes = 1024·(kept-1) + size of the
-    * last kept chunk (short iff it is the payload's final chunk). */
+  /** Ordered oracle frame for `mm_frame_sample`. */
   def frameSampleSummary(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
     import s.implicits._
-    frameSample(mediaTable(s, dir), stride)
-      .groupBy($"media_id")
-      .agg(count(lit(1)).as("n_frames_kept"),
-        sum($"frame_bytes").as("bytes_kept"))
-      .orderBy($"media_id")
+    frameSample(mediaTable(s, dir), stride).orderBy($"media_id", $"frame_no")
   }
 
   /** Perceptual-hash near-duplicate detection over the media table —
     * the image-dedup stage of a multimodal pipeline: decode →
-    * 64-bit average-hash ([[FakeCodec.phash]], STUB histogram in
-    * place of decoded pixels) in the partition-batched codec pass,
-    * then Hamming≤`maxHamming` partners via the SAME 16-bit pigeonhole
-    * banding as the text-side `dd_simhash` (4 bands of 16 bits: any
-    * pair within Hamming 3 shares at least one intact band — candidate
-    * generation is a bucket equi-join, never all-pairs, exactly the
-    * 100 TB shape). Emits one row per media with its hash and a dup
-    * flag, so identical payloads (Hamming 0) always flag. Rows-only
+    * 64-bit average-hash over DECODED content ([[MediaCodec.aHash64]]:
+    * luma grid for images, sample-span means for audio, first-frame
+    * luma for video — container-invariant, so the same pixels shipped
+    * as PPM and BMP collide at Hamming 0), then Hamming≤`maxHamming`
+    * partners via the SAME 16-bit pigeonhole banding as the text-side
+    * `dd_simhash` (4 bands of 16 bits: any pair within Hamming 3
+    * shares at least one intact band — candidate generation is a
+    * bucket equi-join, never all-pairs, exactly the 100 TB shape).
+    * Emits one row per media with its hash and a dup flag. Rows-only
     * in the driver contract (the hash lives behind the codec
     * boundary); MultimodalSpec pins the hash against an independent
-    * recompute and the banding against a brute-force Hamming scan
-    * (complete by pigeonhole). */
+    * parser + recompute and the banding against a brute-force
+    * Hamming scan (complete by pigeonhole). */
   def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
     // 4 bands of 16 bits are pigeonhole-complete ONLY for Hamming ≤ 3;
     // a larger radius would silently lose pairs that differ in every band
     require(maxHamming <= 3, s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
     val hashed = mediaTable(s, dir)
-      .mapPartitions(it => it.map(r => (r.media_id, FakeCodec.phash(r.payload))))
+      .mapPartitions(it => it.map(r =>
+        (r.media_id, MediaCodec.aHash64(MediaCodec.decode(r.payload)))))
       .toDF("media_id", "phash")
     val banded = hashed.select($"media_id", $"phash",
       posexplode(array((0 until 4).map(b =>
@@ -315,20 +399,6 @@ object Multimodal {
       .select(explode(array($"id1", $"id2")).as("media_id")).distinct()
     hashed.join(dupIds.withColumn("dup", lit(1L)), Seq("media_id"), "left")
       .select($"media_id", $"phash", coalesce($"dup", lit(0L)).as("is_dup"))
-      .orderBy($"media_id")
-  }
-
-  /** Oracle-checkable projection of the binary plumbing: byte length +
-    * first-byte-derived fake dimensions, all expressible on the SQL
-    * side from the same source column. */
-  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id".as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
-        length(encode($"text", "UTF-8")).cast("long").as("n_bytes"),
-        (lit(16) * (lit(1) + ascii($"text") % 64)).cast("long").as("fake_width"))
       .orderBy($"media_id")
   }
 }

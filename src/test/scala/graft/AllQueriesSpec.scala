@@ -119,12 +119,12 @@ class AllQueriesSpec extends SparkSpec {
     // per-user event history (sessionization, as-of, retention, SCD2):
     // bounded by one user's activity, the natural unit of event work
     Set("user_id"),
-    // near-dup cluster label (label-prop convergence + canonical
-    // pick): partition size = one duplicate cluster. A degenerate
-    // corpus (10^9 copies of one doc) would concentrate; real corpora
-    // keep clusters small, and the iterative path bounds hops, not
-    // cluster size — documented in SCALING.md's dd_clusters section
-    Set("label"),
+    // (the former Set("label") entry — cluster-size count window —
+    // is GONE: clusterFrame now computes sizes as a groupBy partial
+    // aggregation re-attached by join, and survivorsFor picks its
+    // winner with a struct-max aggregation, so no window partitions
+    // on a cluster label anywhere in the registry and the list's
+    // weakest boundedness argument is deleted rather than defended)
     // transition-matrix rank: input frame is the aggregated
     // (from_type, to_type) count matrix — |types|^2 rows total
     Set("from_type"),

@@ -1,39 +1,269 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{MediaCodec, Multimodal}
+import graft.operators.MediaCodec.{AudioMedia, ImageMedia, UnknownMedia, VideoMedia}
 
+/** Gates for the REAL multimodal codec chain. The hash/decode gates
+  * recompute everything through [[Ref]] — spec-local reference parsers
+  * written independently of [[MediaCodec]] (ByteBuffer/regex style vs
+  * the codec's manual byte twiddling), so a bug the codec's encoder
+  * and decoder share cannot self-certify through a round-trip. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("media table carries binary payload with cycling kinds") {
-    val media = Multimodal.mediaTable(spark, sfDir).collect()
-    assert(media.length == 500)
-    media.foreach { r =>
-      assert(Seq("image", "audio", "video").contains(r.kind))
-      assert(r.kind == Seq("image", "audio", "video")((r.media_id % 3).toInt))
-      assert(r.payload.nonEmpty)
+  /** Independent reference parsers + hash recomputes. */
+  private object Ref {
+    import java.nio.{ByteBuffer, ByteOrder}
+    private def le(b: Array[Byte]) = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+
+    def ppm(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val text = new String(b, "ISO-8859-1")
+      val m = """^P6\s+(\d+)\s+(\d+)\s+(\d+)\s""".r.findFirstMatchIn(text).get
+      require(m.group(3).toInt == 255)
+      val (w, h) = (m.group(1).toInt, m.group(2).toInt)
+      (w, h, b.slice(m.end, m.end + 3 * w * h)) // ISO-8859-1: char off == byte off
+    }
+
+    def bmp(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val bb = le(b)
+      val off = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
+      require(bb.getShort(28) == 24 && bb.getInt(30) == 0)
+      val stride = (3 * w + 3) / 4 * 4
+      val rgb = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val ro = off + (h - 1 - y) * stride + 3 * x // bottom-up rows
+        rgb(3 * (y * w + x)) = b(ro + 2)            // BGR -> RGB
+        rgb(3 * (y * w + x) + 1) = b(ro + 1)
+        rgb(3 * (y * w + x) + 2) = b(ro)
+      }
+      (w, h, rgb)
+    }
+
+    def wav(b: Array[Byte]): (Int, Array[Short]) = {
+      val bb = le(b)
+      require(new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE")
+      var p = 12; var rate = -1; var data: Array[Short] = null
+      while (p + 8 <= b.length) {
+        val id = new String(b, p, 4, "US-ASCII")
+        val sz = bb.getInt(p + 4)
+        if (id == "fmt ") { require(bb.getShort(p + 8) == 1); rate = bb.getInt(p + 12) }
+        if (id == "data") data = Array.tabulate(sz / 2)(i => bb.getShort(p + 8 + 2 * i))
+        p += 8 + sz + (sz & 1)
+      }
+      (rate, data)
+    }
+
+    def y4m(b: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+      val nl = b.indexOf('\n'.toByte)
+      val tags = new String(b, 0, nl, "US-ASCII").split(" ")
+      require(tags.contains("C444"))
+      val w = tags.find(_.startsWith("W")).get.tail.toInt
+      val h = tags.find(_.startsWith("H")).get.tail.toInt
+      val fs = 3 * w * h
+      val frames = Seq.newBuilder[Array[Byte]]
+      var p = nl + 1
+      while (p < b.length) {
+        require(new String(b, p, 5, "US-ASCII") == "FRAME")
+        p = b.indexOf('\n'.toByte, p) + 1
+        frames += b.slice(p, p + fs)
+        p += fs
+      }
+      (w, h, frames.result())
+    }
+
+    /** Functional aHash recompute over a grayscale accessor — shares
+      * the 8×8 integer-box CONTRACT with the codec, none of its code. */
+    def aHashGray(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
+      val cells = for (cy <- 0 until 8; cx <- 0 until 8) yield {
+        val xs = (cx * w / 8) until math.min(math.max((cx + 1) * w / 8, cx * w / 8 + 1), w)
+        val ys = (cy * h / 8) until math.min(math.max((cy + 1) * h / 8, cy * h / 8 + 1), h)
+        val vals = for (y <- ys; x <- xs) yield gray(x, y)
+        if (vals.isEmpty) 0.0 else vals.sum.toDouble / vals.size
+      }
+      val mean = cells.sum / 64
+      cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > mean) acc | (1L << i) else acc
+      }
+    }
+
+    def aHashImage(w: Int, h: Int, rgb: Array[Byte]): Long =
+      aHashGray(w, h, (x, y) => {
+        val i = 3 * (y * w + x)
+        ((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)) / 3
+      })
+
+    def aHashAudio(samples: Array[Short]): Long = {
+      val n = samples.length
+      if (n == 0) return 0L
+      val cells = (0 until 64).map { i =>
+        val span = samples.slice((i.toLong * n / 64).toInt, ((i + 1).toLong * n / 64).toInt)
+        if (span.isEmpty) 0.0 else span.map(s => (s + 128) & 0xff).sum.toDouble / span.length
+      }
+      val mean = cells.sum / 64
+      cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > mean) acc | (1L << i) else acc
+      }
+    }
+
+    /** Reference hash of a PAYLOAD: independent parse, then the
+      * matching per-kind recompute. */
+    def hash(payload: Array[Byte]): Long = new String(payload.take(2), "ISO-8859-1") match {
+      case "P6" => val (w, h, rgb) = ppm(payload); aHashImage(w, h, rgb)
+      case "BM" => val (w, h, rgb) = bmp(payload); aHashImage(w, h, rgb)
+      case "RI" => val (_, s) = wav(payload); aHashAudio(s)
+      case "YU" =>
+        val (w, h, frames) = y4m(payload)
+        aHashGray(w, h, (x, y) => frames.head(y * w + x) & 0xff) // first-frame Y plane
+      case _ => 0L
     }
   }
 
-  test("partition-batched decode is deterministic and byte-derived") {
+  test("media table carries real containers with cycling kinds") {
+    val media = Multimodal.mediaTable(spark, sfDir).collect()
+    assert(media.length == 500)
+    media.foreach { r =>
+      assert(r.kind == Seq("image", "audio", "video")((r.media_id % 3).toInt))
+      val fmt = MediaCodec.sniff(r.payload)
+      r.kind match {
+        case "image" => assert(fmt == (if ((r.media_id / 3) % 2 == 0) "ppm" else "bmp"))
+        case "audio" => assert(fmt == "wav")
+        case "video" => assert(fmt == "y4m")
+      }
+    }
+  }
+
+  test("codec round-trips + container parity: PPM and BMP agree on the logical pixels") {
+    val rnd = new scala.util.Random(11)
+    // odd widths exercise BMP's 4-byte row padding (w=9 -> stride 28)
+    for (w <- Seq(1, 3, 8, 9, 17); h <- Seq(1, 2, 8, 13)) {
+      val rgb = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
+      val viaPpm = MediaCodec.decode(MediaCodec.encodePpm(w, h, rgb))
+      val viaBmp = MediaCodec.decode(MediaCodec.encodeBmp(w, h, rgb))
+      (viaPpm, viaBmp) match {
+        case (ImageMedia(pw, ph, "ppm", prgb), ImageMedia(bw, bh, "bmp", brgb)) =>
+          assert(pw == w && ph == h && bw == w && bh == h)
+          assert(java.util.Arrays.equals(prgb, rgb), s"ppm $w x $h")
+          assert(java.util.Arrays.equals(brgb, rgb), s"bmp $w x $h")
+        case other => fail(s"$w x $h decoded to $other")
+      }
+    }
+    // audio: full signed 16-bit range round-trips through LE encoding
+    val samples = Array.tabulate(2000)(i => ((i * 37) % 65536 - 32768).toShort)
+    MediaCodec.decode(MediaCodec.encodeWav(44100, samples)) match {
+      case AudioMedia(rate, got) =>
+        assert(rate == 44100 && java.util.Arrays.equals(got, samples))
+      case other => fail(s"wav decoded to $other")
+    }
+    // video: multi-frame with distinct frame content
+    val frames = Array.tabulate(3)(f => Array.fill[Byte](3 * 10 * 6)((f * 50 + 1).toByte))
+    MediaCodec.decode(MediaCodec.encodeY4m(10, 6, frames)) match {
+      case VideoMedia(w, h, got) =>
+        assert(w == 10 && h == 6 && got.length == 3)
+        got.zip(frames).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+      case other => fail(s"y4m decoded to $other")
+    }
+  }
+
+  test("parsers handle real container variants: comments, top-down BMP, foreign RIFF chunks, Y4M tags") {
+    // PPM with header comments (legal between tokens)
+    val rgb = Array.tabulate[Byte](3 * 4 * 2)(_.toByte)
+    val commented = ("P6\n# camera model X\n4 2\n# gamma 2.2\n255\n").getBytes("US-ASCII") ++ rgb
+    MediaCodec.decode(commented) match {
+      case ImageMedia(4, 2, "ppm", got) => assert(java.util.Arrays.equals(got, rgb))
+      case other => fail(other.toString)
+    }
+    // top-down BMP (negative height): rows stored first-row-first
+    val base = MediaCodec.encodeBmp(4, 2, rgb)
+    val bottomUp = MediaCodec.decode(base).asInstanceOf[ImageMedia]
+    val topDown = base.clone()
+    // height := -2 (little-endian at offset 22) and flip the stored rows
+    topDown(22) = (-2 & 0xff).toByte; topDown(23) = (-2 >> 8).toByte
+    topDown(24) = (-2 >> 16).toByte; topDown(25) = (-2 >> 24).toByte
+    val stride = (3 * 4 + 3) / 4 * 4
+    for (i <- 0 until stride) {
+      val t = topDown(54 + i)
+      topDown(54 + i) = topDown(54 + stride + i)
+      topDown(54 + stride + i) = t
+    }
+    MediaCodec.decode(topDown) match {
+      case ImageMedia(4, 2, "bmp", got) =>
+        assert(java.util.Arrays.equals(got, bottomUp.rgb), "top-down must decode to the same logical pixels")
+      case other => fail(other.toString)
+    }
+    // WAV with a foreign odd-size LIST chunk before fmt/data (pad byte walk)
+    val samples = Array.tabulate(100)(i => (i - 50).toShort)
+    val canonical = MediaCodec.encodeWav(8000, samples)
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 'I', 'N', 'F', 0) // size 3 + pad
+    val withList = canonical.take(12) ++ listChunk ++ canonical.drop(12)
+    // fix RIFF size
+    val riffSize = withList.length - 8
+    withList(4) = riffSize.toByte; withList(5) = (riffSize >> 8).toByte
+    withList(6) = (riffSize >> 16).toByte; withList(7) = (riffSize >> 24).toByte
+    MediaCodec.decode(withList) match {
+      case AudioMedia(8000, got) => assert(java.util.Arrays.equals(got, samples))
+      case other => fail(s"chunk walk failed: $other")
+    }
+    // Y4M with an X extension tag and frame params
+    val f0 = Array.fill[Byte](3 * 4 * 2)(7)
+    val y4m = "YUV4MPEG2 W4 H2 F30:1 Ip A1:1 C444 XYSCSS=444\nFRAME Ixxx\n".getBytes("US-ASCII") ++ f0
+    MediaCodec.decode(y4m) match {
+      case VideoMedia(4, 2, frames) =>
+        assert(frames.length == 1 && java.util.Arrays.equals(frames(0), f0))
+      case other => fail(other.toString)
+    }
+    // C420 (subsampled) is a different plane geometry -> honest Unknown, not garbage
+    val c420 = "YUV4MPEG2 W4 H2 C420\nFRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0)
+    assert(MediaCodec.decode(c420) == UnknownMedia(c420.length))
+  }
+
+  test("decode is total: truncated and foreign bytes report UnknownMedia, never throw") {
+    val good = Multimodal.genPayload(0L, "some document text here")._2
+    val cases = Seq(
+      Array.empty[Byte],
+      "garbage that is not a container".getBytes("UTF-8"),
+      good.take(5),                       // truncated header
+      good.take(good.length - 3),         // truncated raster
+      "P6\n-4 2\n255\n".getBytes("US-ASCII"),  // negative dims
+      "P6\n4 2\n65535\n".getBytes("US-ASCII"), // 16-bit maxval unsupported
+      "RIFF1234WAVE".getBytes("US-ASCII"),     // chunkless wav
+      "YUV4MPEG2 W4 H2 C444\nNOPE\n".getBytes("US-ASCII")) // bad frame marker
+    cases.foreach { b =>
+      MediaCodec.decode(b) match {
+        case UnknownMedia(n) => assert(n == b.length)
+        case other => fail(s"expected UnknownMedia, got $other for ${b.length} bytes")
+      }
+    }
+  }
+
+  test("decoded facts match the generation formulas; decode is deterministic") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val decoded = Multimodal.decodeAll(media).collect().map(d => d.media_id -> d).toMap
-    val raw = media.collect().map(m => m.media_id -> m).toMap
-    assert(decoded.keySet == raw.keySet)
+    assert(decoded.size == 500)
     decoded.values.foreach { d =>
-      val payload = raw(d.media_id).payload
-      assert(d.n_bytes == payload.length.toLong)
-      assert(d.width == 16 * (1 + (payload(0) & 0xff) % 64))
-      assert(d.height == 16 * (1 + (payload(1) & 0xff) % 64))
-      if (d.kind != "video") assert(d.n_frames == 1)
+      val id = d.media_id
+      (id % 3) match {
+        case 0 =>
+          assert(d.format == (if ((id / 3) % 2 == 0) "ppm" else "bmp"))
+          assert(d.width == 8 + id % 57 && d.height == 8 + (id * 7) % 57)
+          assert(d.n_frames == 1 && d.n_samples == 0)
+        case 1 =>
+          assert(d.format == "wav")
+          assert(d.sample_rate == 8000 + (id % 5) * 1000)
+          assert(d.n_samples == 1024 + (id % 777) * 4)
+          assert(d.width == 0 && d.height == 0 && d.n_frames == 0)
+        case _ =>
+          assert(d.format == "y4m")
+          assert(d.width == 8 + id % 25 && d.height == 8 + (id * 7) % 25)
+          assert(d.n_frames == 2 + id % 7)
+      }
       assert(d.payload_sha.length == 16)
     }
-    // decode twice -> identical (stub is deterministic)
     val again = Multimodal.decodeAll(media).collect().map(d => d.media_id -> d).toMap
     assert(again == decoded)
   }
 
-  test("feature extraction yields unit-normalized fixed-width vectors") {
+  test("feature extraction yields unit-normalized fixed-width vectors over decoded content") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val feats = Multimodal.extractFeatures(media, bins = 16).collect()
     assert(feats.length == 500)
@@ -42,62 +272,82 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.features.sum - 1.0) < 1e-9, f.media_id)
       assert(f.features.forall(_ >= 0.0))
     }
-    // deterministic
     val again = Multimodal.extractFeatures(media, bins = 16).collect()
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
-  test("resize bounds payloads to the target scale") {
+  test("resize is pixel-exact against an independent NN reference") {
     val media = Multimodal.mediaTable(spark, sfDir)
-    val orig = media.collect().map(m => m.media_id -> m.payload.length).toMap
-    val small = Multimodal.resize(media, targetWidth = 64).collect()
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    val small = Multimodal.resize(media, targetWidth = 24).collect()
+    assert(small.length == 500)
     small.foreach { r =>
-      assert(r.payload.length <= orig(r.media_id))
-      assert(r.payload.nonEmpty)
-      // prefix subsample: content is a prefix of the original
-      val d = Multimodal.FakeCodec.decode(r)
-      assert(d.n_bytes == r.payload.length.toLong)
+      (MediaCodec.decode(orig(r.media_id).payload), MediaCodec.decode(r.payload)) match {
+        case (ImageMedia(w, h, _, src), ImageMedia(ow, oh, "ppm", got)) =>
+          assert(ow == math.min(24, w) && oh == math.max(h * ow / w, 1), s"media ${r.media_id}")
+          // independent NN recompute: out(x,y) = src(x*w/ow, y*h/oh)
+          val exp = (for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3)
+            yield src(((y * h / oh) * w + (x * w / ow)) * 3 + c)).toArray
+          assert(java.util.Arrays.equals(got, exp), s"media ${r.media_id} pixels")
+        case (AudioMedia(rate, src), AudioMedia(orate, got)) =>
+          assert(orate == rate)
+          assert(got.toSeq == src.indices.collect { case j if j % 2 == 0 => src(j) }.toSeq)
+        case (VideoMedia(w, h, srcF), VideoMedia(ow, oh, gotF)) =>
+          assert(ow == math.min(24, w) && oh == math.max(h * ow / w, 1))
+          assert(gotF.length == srcF.length)
+          gotF.zip(srcF).foreach { case (g, s) =>
+            val exp = (for (p <- 0 until 3; y <- 0 until oh; x <- 0 until ow)
+              yield s(p * w * h + (y * h / oh) * w + (x * w / ow))).toArray
+            assert(java.util.Arrays.equals(g, exp), s"media ${r.media_id} frame")
+          }
+        case other => fail(s"media ${r.media_id}: $other")
+      }
     }
   }
 
-  test("frame sampling keeps every stride-th chunk") {
+  test("frame sampling matches an independent per-frame recompute") {
     val media = Multimodal.mediaTable(spark, sfDir)
-    val frames = Multimodal.frameSample(media, stride = 2).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-    assert(frames.nonEmpty)
-    assert(frames.forall { case (_, frameNo, _) => frameNo % 2 == 0 })
-    val raw = media.collect().map(m => m.media_id -> m.payload.length).toMap
-    frames.groupBy(_._1).foreach { case (id, fs) =>
-      val expected = (0 until (raw(id) + 1023) / 1024).count(_ % 2 == 0)
-      assert(fs.length == expected, s"media $id")
-    }
+    val got = Multimodal.frameSample(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expected = media.collect().flatMap { r =>
+      MediaCodec.decode(r.payload) match {
+        case ImageMedia(_, _, _, rgb) =>
+          Seq((r.media_id, 0L) -> (rgb.length.toLong, rgb.length.toLong,
+            rgb.map(_ & 0xff).map(_.toLong).sum))
+        case AudioMedia(_, samples) =>
+          (0 until (samples.length + 1023) / 1024).collect {
+            case f if f % 2 == 0 =>
+              val win = samples.slice(f * 1024, math.min((f + 1) * 1024, samples.length))
+              (r.media_id, f.toLong) -> (win.length.toLong, 2L * win.length,
+                win.map(s => ((s + 128) & 0xff).toLong).sum)
+          }
+        case VideoMedia(_, _, frames) =>
+          frames.indices.collect {
+            case f if f % 2 == 0 =>
+              (r.media_id, f.toLong) -> (frames(f).length.toLong, frames(f).length.toLong,
+                frames(f).map(_ & 0xff).map(_.toLong).sum)
+          }
+        case _ => Seq.empty
+      }
+    }.toMap
+    assert(got == expected)
   }
 
-  test("phash ≡ independent recompute; identical payloads collide; bit flips track edits") {
-    // independent reference: slice-based functional recompute of the
-    // 64 span means — shares the span-bounds CONTRACT with the codec
-    // but none of its accumulation code
-    def ref(payload: Array[Byte]): Long = {
-      if (payload.isEmpty) return 0L
-      val cells = (0 until 64).map { i =>
-        val s = (i.toLong * payload.length / 64).toInt
-        val e = ((i + 1).toLong * payload.length / 64).toInt
-        val span = payload.slice(s, e).map(_ & 0xff)
-        if (span.isEmpty) 0.0 else span.sum.toDouble / span.length
-      }
-      val mean = cells.sum / 64.0
-      cells.zipWithIndex.foldLeft(0L) { case (h, (c, i)) =>
-        if (c > mean) h | (1L << i) else h
-      }
+  test("query phash ≡ independent-parser recompute; container-invariant across PPM and BMP") {
+    val byId = Multimodal.mediaTable(spark, sfDir).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    val queryHashes = Multimodal.phashDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId.foreach { case (id, payload) =>
+      assert(queryHashes(id) == Ref.hash(payload), s"media $id")
     }
-    val payloads = Multimodal.mediaTable(spark, sfDir).collect().map(_.payload) ++
-      Seq(Array.empty[Byte], Array[Byte](0), Array.fill[Byte](4096)(42))
-    payloads.foreach { p =>
-      assert(Multimodal.FakeCodec.phash(p) == ref(p))
-    }
-    // identical payloads always collide at Hamming 0
-    val a = "shared payload bytes".getBytes("UTF-8")
-    assert(Multimodal.FakeCodec.phash(a) == Multimodal.FakeCodec.phash(a.clone()))
+    // container invariance: the same pixels hash identically from PPM
+    // and BMP (what makes the hash PERCEPTUAL, not a byte hash)
+    val rnd = new scala.util.Random(5)
+    val rgb = Array.fill[Byte](3 * 16 * 16)(rnd.nextInt(256).toByte)
+    val viaPpm = MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodePpm(16, 16, rgb)))
+    val viaBmp = MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeBmp(16, 16, rgb)))
+    assert(viaPpm == viaBmp && viaPpm != 0L)
   }
 
   test("phash dedup banding ≡ brute-force Hamming scan (complete by pigeonhole)") {
@@ -106,7 +356,7 @@ class MultimodalSpec extends SparkSpec {
     // for the verify step is 1.0 BY CONSTRUCTION, and the query's dup
     // set must equal the all-pairs scan exactly
     val hashed = Multimodal.mediaTable(spark, sfDir).collect()
-      .map(r => r.media_id -> Multimodal.FakeCodec.phash(r.payload))
+      .map(r => r.media_id -> MediaCodec.aHash64(MediaCodec.decode(r.payload)))
     val brute = (for {
       (i1, h1) <- hashed; (i2, h2) <- hashed
       if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
@@ -116,53 +366,56 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, "banded dup set must equal the brute-force Hamming scan")
   }
 
-  test("phash dedup flags planted exact and near-dup payloads, not clean ones") {
+  test("phash dedup flags planted content dups across containers, not clean media") {
     val dir = java.nio.file.Files.createTempDirectory("phash").toString
-    // VARIED content (mixed case + digits), not repeated boilerplate:
-    // repetitive text puts every span mean at the global mean, where
-    // any perturbation flips many bits — the degenerate fixture the
-    // first draft of this test tripped on
-    val rnd = new scala.util.Random(7)
-    val words = ("alpha bravo Charlie DELTA echo foxtrot 1234 golf HOTEL " +
-      "india juliet kilo lima MIKE november oscar 9876 papa QUEBEC romeo " +
-      "sierra tango uniform victor WHISKEY xray yankee zulu 42").split(" ")
-    val base = Seq.fill(150)(words(rnd.nextInt(words.length))).mkString(" ")
-    // the aHash-survivable edit is IN-PLACE (local cell perturbation);
-    // a length change shifts every span boundary — the 1-D analog of
-    // cropping, which average-hashing famously does not survive
-    val edited = base.substring(0, 100) + ("Z" * 15) + base.substring(115)
+    // ids 0, 57, 114 are all 8x8 IMAGES (w = 8 + id%57, h = 8 + (id*7)%57
+    // both collapse to 8 when id ≡ 0 mod 57·... — 57 | id and 57 | 7id),
+    // but the CONTAINER alternates: 0 -> ppm, 57 -> bmp (57/3 = 19 odd),
+    // 114 -> ppm. An 8x8 image reads its 192 pixel bytes from the first
+    // 192 text bytes, so:
+    //   id 57: same text as id 0      -> same pixels, DIFFERENT container
+    //   id 114: same first 192 bytes, different tail -> same pixels
+    // Both must flag at Hamming 0 — content dedup through container
+    // and through trailing-text change. ids 3, 6 are images with
+    // different content -> clean.
+    val base = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "zebras inspect 42 crates of parquet files stacked neatly beside " +
+      "the columnar warehouse entrance on a bright Tuesday morning in " +
+      "early autumn as forklifts hum between the loading bays."
+    assert(base.length >= 192)
+    val tailChanged = base.substring(0, 192) + " ENTIRELY DIFFERENT TAIL CONTENT HERE"
     val rows = Seq(
-      (0L, base), (1L, base), (2L, edited),
+      (0L, base), (57L, base), (114L, tailChanged),
       (3L, "completely different content about catalyst query planners " +
         "and the physical operators they choose under adaptive execution"),
-      (4L, "yet another unrelated document on parquet footer statistics"))
-    import spark.implicits._
+      (6L, "yet another unrelated document on parquet footer statistics " +
+        "and the row-group pruning they unlock during scans"))
     rows.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val flags = Multimodal.phashDedup(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(flags(0L) == 1L && flags(1L) == 1L, "exact payload copies must flag")
-    assert(flags(2L) == 1L, "in-place-edited payload must flag")
-    assert(flags(3L) == 0L && flags(4L) == 0L, "unrelated payloads must not flag")
+    assert(flags(0L) == 1L && flags(57L) == 1L,
+      "same pixels in different containers (ppm vs bmp) must flag")
+    assert(flags(114L) == 1L, "same pixels from tail-edited text must flag")
+    assert(flags(3L) == 0L && flags(6L) == 0L, "unrelated images must not flag")
   }
 
-  test("embedMedia ≡ driver-side span-mean encode; embedAnnTopK scores are true cosines") {
-    import spark.implicits._
+  test("embedMedia ≡ driver-side decode+encode; embedAnnTopK scores are true cosines") {
     val media = Multimodal.mediaTable(spark, sfDir).collect()
       .map(r => r.media_id -> r.payload).toMap
-    // embedding kernel ≡ driver recompute (same span-mean + unit-norm)
+    // embedding kernel ≡ driver recompute (decode -> content units ->
+    // span means -> unit norm)
     val got = Multimodal.embedMedia(Multimodal.mediaTable(spark, sfDir))
       .collect().map(e => e.media_id -> e.embedding.toSeq).toMap
     media.foreach { case (id, payload) =>
-      assert(got(id) == Multimodal.spanEmbed(payload).toSeq, s"media $id")
+      val content = MediaCodec.contentUnits(MediaCodec.decode(payload))
+      assert(got(id) == Multimodal.spanEmbed(content).toSeq, s"media $id")
     }
-    // unit norm for non-empty payloads (the encoder contract the ANN
-    // cosine relies on)
     got.values.foreach { e =>
       val n = math.sqrt(e.map(x => x * x).sum)
       assert(math.abs(n - 1.0) < 1e-9 || n == 0.0)
     }
-    // every returned top-k score is the exact cosine of the two stub
+    // every returned top-k score is the exact cosine of the two content
     // embeddings, recomputed driver-side
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
@@ -176,48 +429,53 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - expected) < 1e-9,
         s"(${r.getLong(0)},${r.getLong(1)})")
     }
-    // ranks are dense 1..k per query with the declared tie-break
     topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length))
     }
   }
 
-  test("binaryFile ingest round-trips payload bytes and feeds the codec chain") {
+  test("binaryFile ingest round-trips payload bytes and feeds the real codec chain") {
     val dir = java.nio.file.Files.createTempDirectory("media-lake")
+    val rgb = Array.tabulate[Byte](3 * 6 * 4)(i => (i * 3).toByte)
+    val wavBytes = MediaCodec.encodeWav(16000, Array.tabulate(500)(i => (i * 11).toShort))
+    val y4mBytes = MediaCodec.encodeY4m(5, 4,
+      Array.tabulate(2)(f => Array.fill[Byte](3 * 5 * 4)((f + 1).toByte)))
     val files = Map(
-      "cat.jpg" -> Array[Byte](1, 2, 3, 4, 5),
-      "song.mp3" -> "audio bytes here".getBytes("UTF-8"),
-      "clip.mp4" -> Array.tabulate(2048)(i => (i % 251).toByte),
+      "photo.ppm" -> MediaCodec.encodePpm(6, 4, rgb),
+      "scan.bmp" -> MediaCodec.encodeBmp(6, 4, rgb),
+      "song.wav" -> wavBytes,
+      "clip.y4m" -> y4mBytes,
+      "cat.jpg" -> Array[Byte](1, 2, 3, 4, 5), // foreign format -> Unknown
       "notes.bin" -> "opaque".getBytes("UTF-8"))
     files.foreach { case (name, bytes) =>
       java.nio.file.Files.write(dir.resolve(name), bytes)
     }
     // camera-style UPPERCASE extension must classify, not fall through
-    java.nio.file.Files.write(dir.resolve("photo.JPG"),
-      Array[Byte](9, 9, 9))
+    java.nio.file.Files.write(dir.resolve("photo2.PPM"),
+      MediaCodec.encodePpm(1, 1, Array[Byte](9, 9, 9)))
     val media = Multimodal.mediaFromFiles(spark, dir.toString).collect()
-    assert(media.length == 5)
-    assert(media.count(_.kind == "image") == 2, "JPG (uppercase) must be image")
-    val mediaLower = media.filterNot(r =>
-      java.util.Arrays.equals(r.payload, Array[Byte](9, 9, 9)))
-    assert(mediaLower.length == 4)
-    // payload bytes round-trip exactly; kind derives from extension
-    val byKind = mediaLower.map(r => r.kind -> r.payload).toMap
-    assert(java.util.Arrays.equals(byKind("image"), files("cat.jpg")))
-    assert(java.util.Arrays.equals(byKind("audio"), files("song.mp3")))
-    assert(java.util.Arrays.equals(byKind("video"), files("clip.mp4")))
-    assert(java.util.Arrays.equals(byKind("binary"), files("notes.bin")))
+    assert(media.length == 7)
+    assert(media.count(_.kind == "image") == 4, "ppm/bmp/jpg/PPM must classify image")
+    assert(media.count(_.kind == "audio") == 1 && media.count(_.kind == "video") == 1)
+    // payload bytes round-trip exactly
+    media.foreach { r =>
+      assert(files.values.exists(java.util.Arrays.equals(_, r.payload)) ||
+        java.util.Arrays.equals(r.payload, MediaCodec.encodePpm(1, 1, Array[Byte](9, 9, 9))))
+    }
     // deterministic ids: same directory, same ids
     val again = Multimodal.mediaFromFiles(spark, dir.toString).collect()
     assert(media.map(_.media_id).sorted.sameElements(again.map(_.media_id).sorted))
-    // file-ingested media runs the same decode + hash chain
+    // file-ingested media runs the REAL decode: dims parse from headers,
+    // foreign bytes report unknown instead of throwing
     val decoded = Multimodal.decodeAll(
       Multimodal.mediaFromFiles(spark, dir.toString)).collect()
-    assert(decoded.length == 5)
+    assert(decoded.length == 7)
+    val byFormat = decoded.groupBy(_.format)
+    assert(byFormat("ppm").exists(d => d.width == 6 && d.height == 4))
+    assert(byFormat("bmp").exists(d => d.width == 6 && d.height == 4))
+    assert(byFormat("wav").head.n_samples == 500 && byFormat("wav").head.sample_rate == 16000)
+    assert(byFormat("y4m").head.n_frames == 2)
+    assert(byFormat("unknown").length == 2) // jpg + bin
     decoded.foreach(d => assert(d.n_bytes > 0))
-    mediaLower.foreach(r =>
-      assert(Multimodal.FakeCodec.phash(r.payload) ==
-        Multimodal.FakeCodec.phash(files.values.find(
-          java.util.Arrays.equals(_, r.payload)).get)))
   }
 }
