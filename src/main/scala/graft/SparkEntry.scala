@@ -113,8 +113,11 @@ object SparkEntry {
     // oracle-checked (rank-only fusion is bit-exact cross-engine)
     "tx_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(s, dir)),
     // tx_rrf with the dense arm swapped to the Matryoshka ANN funnel —
-    // the 100 TB deployment form; rows-only (approximate dense arm),
-    // fused-rank overlap vs the exact tx_rrf gated in RecallSpec
+    // the 100 TB deployment form; oracle-checked since r12 (the funnel
+    // is approximate vs brute force but exactly-reproducible
+    // arithmetic, so DuckDB composes the tx_rrf lex CTEs with the
+    // ann_mrl_topk funnel CTEs); fused-rank overlap vs the exact
+    // tx_rrf additionally gated in RecallSpec
     "tx_rrf_ann" -> ((s, dir) => TextAnalysis.hybridRrfAnn(s, dir)),
     "tx_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir)),
     "tx_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
@@ -261,7 +264,12 @@ object SparkEntry {
     // and the unquantized trained IVF (added-loss overlap)
     "ann_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // Matryoshka two-stage funnel (prefix-dim shortlist → exact
-    // rerank on fetched full vectors); rows-only, gated in RecallSpec
+    // rerank on fetched full vectors); oracle-checked since r12: both
+    // stages are deterministic sequential dot products (the
+    // ann_ivf_topk determinism argument — the funnel is approximate
+    // vs brute force, but the approximation itself is exactly
+    // reproducible arithmetic), so DuckDB mirrors shortlist AND
+    // rerank; recall vs brute force additionally gated in RecallSpec
     "ann_mrl_topk" -> ((s, dir) => Similarity.mrlTopK(s, dir)),
     // REAL codec chain (MediaCodec): encode genuine PPM/BMP/WAV/Y4M
     // fixture bytes, parse them back with real header/chunk parsers,
@@ -911,6 +919,61 @@ object SparkEntry {
       // candidates (probes = vec_id < 3, vec_id ≡ doc_id); fused
       // score Σ 1/(60+rank) is exactly-rounded IEEE arithmetic in
       // both engines, floor-truncated at 6 decimals before ranking
+      // tx_rrf with the dense arm swapped to the Matryoshka funnel —
+      // the composition is exactly the tx_rrf lex CTEs + the
+      // ann_mrl_topk funnel CTEs (shortlist 100 at prefix-16, rerank
+      // 20, self-hits kept like tx_rrf's dense arm) + the shared
+      // floor-truncated RRF fuse.
+      "tx_rrf_ann" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM toks),
+          |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+          |  FROM t GROUP BY doc_id, term),
+          |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(toks)) AS DOUBLE) AS s FROM toks),
+          |dfx AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM tf),
+          |q(query_id, term) AS (VALUES (0, 'join'), (0, 'merge'), (0, 'sort'),
+          |  (1, 'window'), (1, 'agg'), (2, 'scan'), (2, 'column'), (2, 'order')),
+          |scored AS (SELECT q.query_id, dfx.doc_id,
+          |    sum(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+          |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (stats.s / stats.n)))) AS raw
+          |  FROM dfx JOIN q USING (term), stats
+          |  GROUP BY q.query_id, dfx.doc_id),
+          |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY floor(raw * 10000.0) / 10000.0 DESC, doc_id) AS rk_lex
+          |  FROM scored),
+          |lx AS (SELECT query_id, doc_id, rk_lex FROM lex WHERE rk_lex <= 20),
+          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |p AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
+          |pres AS (SELECT query_id, e.vec_id,
+          |    list_dot_product(qv[1:16], emb[1:16]) /
+          |      (sqrt(list_dot_product(qv[1:16], qv[1:16])) * sqrt(list_dot_product(emb[1:16], emb[1:16]))) AS pre_sim
+          |  FROM e CROSS JOIN p),
+          |short AS (SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY pre_sim DESC, vec_id) AS srk
+          |    FROM pres) WHERE srk <= 100),
+          |ds AS (SELECT sh.query_id, sh.vec_id,
+          |    round(list_dot_product(p.qv, e.emb) /
+          |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos_sim
+          |  FROM short sh JOIN e ON e.vec_id = sh.vec_id JOIN p ON p.query_id = sh.query_id),
+          |dr AS (SELECT query_id, vec_id AS doc_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk_dense
+          |  FROM ds),
+          |dx AS (SELECT query_id, doc_id, rk_dense FROM dr WHERE rk_dense <= 20),
+          |f AS (SELECT coalesce(lx.query_id, dx.query_id) AS query_id,
+          |    coalesce(lx.doc_id, dx.doc_id) AS doc_id,
+          |    floor((coalesce(1.0 / (rk_lex + 60), 0.0) +
+          |           coalesce(1.0 / (rk_dense + 60), 0.0)) * 1000000.0) / 1000000.0 AS rrf
+          |  FROM lx FULL OUTER JOIN dx
+          |    ON lx.query_id = dx.query_id AND lx.doc_id = dx.doc_id),
+          |r AS (SELECT query_id, doc_id, rrf,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+          |  FROM f)
+          |SELECT query_id, doc_id, rrf, CAST(rk AS BIGINT) AS rk FROM r
+          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
       "tx_rrf" ->
         """WITH toks AS (SELECT doc_id,
           |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
@@ -1539,6 +1602,32 @@ object SparkEntry {
           |  sz.cluster_size
           |FROM ranked r JOIN sz ON sz.cluster_id = r.cluster_id
           |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin,
+      // Matryoshka funnel: stage-1 prefix-dim (16) cosine shortlist of
+      // 40 per query ranked on the UNROUNDED pre_sim (ties → vec_id —
+      // bit-exact cross-engine because both engines run the same
+      // sequential dot product; the ann_ivf_topk unrounded-argmax
+      // precedent), stage-2 exact rerank on the full vectors rounded
+      // to the 6-decimal grid before ranking.
+      "ann_mrl_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),
+          |pres AS (SELECT query_id, e.vec_id,
+          |    list_dot_product(qv[1:16], emb[1:16]) /
+          |      (sqrt(list_dot_product(qv[1:16], qv[1:16])) * sqrt(list_dot_product(emb[1:16], emb[1:16]))) AS pre_sim
+          |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+          |short AS (SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY pre_sim DESC, vec_id) AS srk
+          |    FROM pres) WHERE srk <= 40),
+          |scored AS (SELECT s.query_id, s.vec_id,
+          |    round(list_dot_product(q.qv, e.emb) /
+          |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos_sim
+          |  FROM short s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.query_id = s.query_id),
+          |r AS (SELECT query_id, vec_id, cos_sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 5
+          |ORDER BY query_id, rk""".stripMargin,
       "ann_brute_topk" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),

@@ -39,7 +39,6 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "ann_pq_topk" -> ("RecallSpec.scala", "pqTopK"),
     "ann_ivf_pq" -> ("RecallSpec.scala", "ivfPqTopK"),
     "ann_near_dup" -> ("RecallSpec.scala", "embeddingNearDup"),
-    "ann_mrl_topk" -> ("RecallSpec.scala", "mrlTopK"),
     "dd_minhash_lsh" -> ("RecallSpec.scala", "minhashLsh"),
     "dd_simhash" -> ("RecallSpec.scala", "simhash"),
     "dd_semantic" -> ("RecallSpec.scala", "semanticDedup"),
@@ -49,12 +48,13 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "dd_source_overlap_mh" -> ("DedupSpec.scala", "sourceOverlapMinhash"),
     "dd_lsh_containment" -> ("DedupSpec.scala", "lshContainment"),
     "dd_idx_containment" -> ("DedupSpec.scala", "containmentIndexPairs"),
+    // ann_mrl_topk graduated to a DuckDB hash oracle in r12 (both
+    // funnel stages are deterministic sequential dot products)
     "mm_phash_dup" -> ("MultimodalSpec.scala", "phash"),
     "mm_embed_ann" -> ("MultimodalSpec.scala", "embedAnnTopK"),
     "q20_sketches" -> ("RecallSpec.scala", "q20Sketches"),
     "tx_bpe" -> ("BpeSpec.scala", "Bpe"),
     "tx_dsir_sample" -> ("PropertySpec.scala", "dsirSample"),
-    "tx_rrf_ann" -> ("RecallSpec.scala", "hybridRrfAnn"),
     "tx_ccnet" -> ("PropertySpec.scala", "ccnetBuckets"),
     "tx_compress" -> ("PropertySpec.scala", "Deflater"),
     "tx_rolling_fp" -> ("PropertySpec.scala", "rollingMinK"),
