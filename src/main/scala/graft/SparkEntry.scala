@@ -170,6 +170,14 @@ object SparkEntry {
     // index built before excision (boilerplate vocabulary dominating
     // tf and df); oracle is one DuckDB CTE chain like pipe_e2e
     "pipe_index" -> ((s, dir) => Pipeline.cleanThenIndex(s, dir)),
+    // IVF lifecycle composition closing the ann_ivf_incr loop: serve a
+    // history-trained index, ingest a drifted batch, detect share
+    // drift past threshold, retrain on history+batch, re-serve —
+    // reports drift/decision/fit/recall for both indexes. Rows-only
+    // (k-means training is the documented trained-float-artifact
+    // no-go); RecallSpec gates detection, the retrain decision,
+    // strict fit recovery and recall non-degradation
+    "pipe_ivf_retrain" -> ((s, dir) => Similarity.ivfLifecycle(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked

@@ -278,6 +278,125 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** IVF index LIFECYCLE — the composition [[ivfIncremental]]'s drift
+    * metric exists to trigger, closing the loop train → serve →
+    * detect drift → retrain → re-serve:
+    *
+    *  1. the SERVING index is k-means-trained on HISTORY only
+    *     (md5-bucket split shared with [[graft.operators.Dedup.incrementalDedup]]);
+    *  2. a DRIFTED ingest batch arrives — the fixture collapses batch
+    *     vectors toward a fixed direction (`0.2·x + e₀`), the
+    *     synthetic stand-in for a new data source whose embedding
+    *     distribution the index has never seen;
+    *  3. detect: per-list history-vs-batch ppm share drift under the
+    *     OLD centroids (exactly [[ivfIncremental]]'s metric, here
+    *     against trained lists), rolled up to max |drift| — a
+    *     ≤ nLists-row pull, the retrain-due signal;
+    *  4. decide: drift ≥ `driftThresholdPpm` → retrain on
+    *     history + batch ([[kmeansCentroids]] over the combined
+    *     corpus), else keep serving the old index;
+    *  5. re-serve and report both indexes' quality on the combined
+    *     corpus: FIT (mean cosine of every vector to its assigned
+    *     centroid, the k-means objective — what probe recall tracks
+    *     at scale) and probe RECALL vs exact brute force for the
+    *     probe set.
+    *
+    * All heavy work is the documented scale shapes: assignments are
+    * the map-side kernel, fit is one long-sum aggregate over
+    * `floor(cos·10⁶)` (order-independent integer sum — deterministic
+    * at any parallelism), recall joins the two bounded top-k frames.
+    * Driver pulls are bounded artifacts only (≤ nLists drift rows,
+    * 1-row fit scalars, numQueries·topK recall frames — the ccnet
+    * cutoff rule). Rows-only (k-means training is the documented
+    * trained-float-artifact no-go class); RecallSpec gates drift
+    * detection, the retrain decision, STRICT fit recovery and
+    * recall non-degradation, plus determinism. */
+  def ivfLifecycle(s: SparkSession, dir: String, nLists: Int = 16,
+                   iters: Int = 5, nProbe: Int = 4,
+                   numQueries: Int = 10, topK: Int = 5,
+                   historyBuckets: Long = 3277,
+                   driftThresholdPpm: Long = 50000L): DataFrame = {
+    import s.implicits._
+    val hb = conv(substring(md5($"vec_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val base = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
+        hb.as("hb"))
+    val history = base.filter($"hb" < historyBuckets)
+      .select($"vec_id", $"embedding")
+    if (history.isEmpty) {
+      return Seq.empty[(String, Long)].toDF("metric", "value")
+    }
+    // drifted batch (fixture transform — generation, not a hot path)
+    val batch = base.filter($"hb" >= historyBuckets)
+      .select($"vec_id", expr(
+        "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x * 0.2D + 1.0D ELSE x * 0.2D END)")
+        .as("embedding"))
+    val combined = history.union(batch)
+    val (oldIds, oldVecs) = kmeansCentroids(s, history, nLists, iters)
+
+    // 3. detect: ivfIncremental's share-drift metric under OLD lists
+    val nearestOld = centroidAssigner(s, oldIds, oldVecs, bcastCentroidThreshold)
+    val tagged = history.withColumn("is_b", lit(0L))
+      .union(batch.withColumn("is_b", lit(1L)))
+    val counts = tagged
+      .select($"is_b", nearestOld($"embedding", 1).getItem(0).as("cid"))
+      .groupBy($"cid")
+      .agg(sum(when($"is_b" === 0L, 1L).otherwise(0L)).as("nh"),
+        sum($"is_b").as("nb"))
+    val drifts = counts
+      .crossJoin(broadcast(counts.agg(sum($"nh").as("th"), sum($"nb").as("tb"))))
+      .select((when($"tb" > 0L, expr("nb * 1000000L div tb")).otherwise(0L)
+        - when($"th" > 0L, expr("nh * 1000000L div th")).otherwise(0L)).as("drift"))
+    val maxDrift = drifts.agg(coalesce(max(abs($"drift")), lit(0L))).head().getLong(0)
+
+    // 4. decide + retrain on history+batch
+    val retrained = maxDrift >= driftThresholdPpm
+    val (newIds, newVecs) =
+      if (retrained) kmeansCentroids(s, combined, nLists, iters)
+      else (oldIds, oldVecs)
+
+    // 5a. fit: mean floor(cos·10⁶) of every combined vector to its
+    // assigned centroid — integer sum, order-independent
+    def fitPpm(cids: Seq[Long], cvecs: Seq[Seq[Double]]): Long = {
+      val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+      val cents = cids.zip(cvecs).toDF("cid", "cvec")
+      val r = combined
+        .select($"embedding", nearest($"embedding", 1).getItem(0).as("cid"))
+        .join(broadcast(cents), "cid")
+        .select(floor(cosine($"embedding", $"cvec") * 1000000.0).cast("long").as("fit"))
+        .agg(count(lit(1)).as("n"), sum($"fit").as("sf")).head()
+      if (r.getLong(0) == 0L) 0L else Math.floorDiv(r.getLong(1), r.getLong(0))
+    }
+    // 5b. probe recall vs exact brute force over the combined corpus
+    val brute = {
+      val queries = combined.filter($"vec_id" < numQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+      combined.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= topK).select($"query_id", $"vec_id")
+    }
+    def recallPpm(cids: Seq[Long], cvecs: Seq[Seq[Double]]): Long = {
+      val got = ivfWithCentroids(s, combined, cids, cvecs, nProbe, numQueries, topK)
+        .select($"query_id", $"vec_id")
+      val r = brute.join(got, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1))).head().getLong(0)
+      val total = brute.count()
+      if (total == 0L) 0L else r * 1000000L / total
+    }
+    val (fitOld, fitNew) = (fitPpm(oldIds, oldVecs), fitPpm(newIds, newVecs))
+    val (recOld, recNew) = (recallPpm(oldIds, oldVecs), recallPpm(newIds, newVecs))
+    Seq(
+      ("max_abs_drift_ppm", maxDrift),
+      ("retrained", if (retrained) 1L else 0L),
+      ("fit_old_ppm", fitOld),
+      ("fit_new_ppm", fitNew),
+      ("fit_recovery_ppm", fitNew - fitOld),
+      ("recall_old_ppm", recOld),
+      ("recall_new_ppm", recNew)).toDF("metric", "value")
+  }
+
   /** IVF with k-means-TRAINED centroids ([[kmeansCentroids]]) instead of
     * seed vectors — same probe plumbing, data-adaptive lists. */
   def ivfTrainedTopK(s: SparkSession, dir: String, nLists: Int = 16,

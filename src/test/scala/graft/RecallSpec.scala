@@ -341,4 +341,30 @@ class RecallSpec extends SparkSpec {
     // not the fixture's geometry.
     assert(overlap >= 0.70, f"RRF-ANN fused overlap collapsed: $overlap%.3f")
   }
+
+  test("IVF lifecycle: drift detected, retrain fires, fit strictly recovers, recall holds") {
+    // pipe_ivf_retrain's gate. Measured at r12 on all three SFs:
+    // drift 900-937k ppm, fit recovery +127-140k ppm, recall delta
+    // within ±4pp (920k→900k / 540k→680k / 560k→520k) — the fixture's
+    // drifted batch is a tight cluster the OLD history-trained index
+    // has no centroid near, so the k-means objective (fit) must
+    // strictly improve after retraining BY CONSTRUCTION, while probe
+    // recall on isotropic vectors wobbles; the recall gate is
+    // non-degradation with 10pp slack, guarding collapse, not noise.
+    val m = operators.Similarity.ivfLifecycle(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
+    assert(m("max_abs_drift_ppm") >= 500000L,
+      "the planted drifted batch must dominate at least one list's share")
+    assert(m("retrained") == 1L, "drift past threshold must trigger the retrain")
+    assert(m("fit_new_ppm") > m("fit_old_ppm"),
+      s"retrained fit must strictly recover: ${m("fit_old_ppm")} -> ${m("fit_new_ppm")}")
+    assert(m("fit_recovery_ppm") == m("fit_new_ppm") - m("fit_old_ppm"))
+    assert(m("recall_new_ppm") >= m("recall_old_ppm") - 100000L,
+      s"retrained recall collapsed: ${m("recall_old_ppm")} -> ${m("recall_new_ppm")}")
+    // deterministic end-to-end (frozen split, seeded training)
+    val again = operators.Similarity.ivfLifecycle(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == m)
+  }
 }

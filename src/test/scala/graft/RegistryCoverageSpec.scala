@@ -39,6 +39,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "ann_pq_topk" -> ("RecallSpec.scala", "pqTopK"),
     "ann_ivf_pq" -> ("RecallSpec.scala", "ivfPqTopK"),
     "ann_near_dup" -> ("RecallSpec.scala", "embeddingNearDup"),
+    "pipe_ivf_retrain" -> ("RecallSpec.scala", "ivfLifecycle"),
     "dd_minhash_lsh" -> ("RecallSpec.scala", "minhashLsh"),
     "dd_simhash" -> ("RecallSpec.scala", "simhash"),
     "dd_semantic" -> ("RecallSpec.scala", "semanticDedup"),
