@@ -299,8 +299,14 @@ object SparkEntry {
     // brute-force Hamming scan
     "mm_phash_dup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
     // media → decode → content embedding → exact cosine top-k (the
-    // multimodal→ANN bridge); rows-only, gated in MultimodalSpec vs a
-    // driver-side decode + encode + cosine recompute
+    // multimodal→ANN bridge); oracle-checked since r12 — the r12
+    // promotability audit first filed this under the float-
+    // associativity blocker, but every step is in fact a left fold
+    // both engines share (integer cell sums / single divisions /
+    // sequential dot products), so DuckDB rebuilds the span-mean
+    // encoder from the cycled text bytes and the hash matches
+    // bit-for-bit; MultimodalSpec's driver-side recompute gate stays
+    // as belt-and-braces
     "mm_embed_ann" -> ((s, dir) => Multimodal.embedAnnTopK(s, dir)),
     // ---- M3: event-time semantics ----
     "ev_tumbling" -> Events.tumbling _,
@@ -1610,6 +1616,37 @@ object SparkEntry {
           |  sz.cluster_size
           |FROM ranked r JOIN sz ON sz.cluster_id = r.cluster_id
           |WHERE r.rk = 1 ORDER BY r.cluster_id""".stripMargin,
+      // The multimodal→ANN bridge, rebuilt in SQL end-to-end: content
+      // units are the cycled text bytes (the codec generation rule),
+      // span-mean cells are integer sums / single divisions, the
+      // unit-norm and cosine are sequential dot products — every step
+      // a left fold both engines share, so the doubles match
+      // bit-for-bit (the ann_ivf_topk determinism argument applied to
+      // the encoder itself).
+      "mm_embed_ann" ->
+        """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n,
+          |    CAST(doc_id % 3 AS INTEGER) AS kr FROM documents),
+          |b AS (SELECT media_id, text, n,
+          |    CASE kr WHEN 0 THEN 3*(8 + media_id % 57)*(8 + (media_id*7) % 57)
+          |            WHEN 1 THEN 1024 + (media_id % 777) * 4
+          |            ELSE (2 + media_id % 7)*3*(8 + media_id % 25)*(8 + (media_id*7) % 25) END AS nu
+          |  FROM d),
+          |cells AS (SELECT media_id, list_transform(range(0, 64), ci ->
+          |    CAST(coalesce(list_sum(list_transform(
+          |        range(CAST(ci * nu // 64 AS INTEGER), CAST((ci+1) * nu // 64 AS INTEGER)),
+          |        j -> ascii(substr(text, 1 + CAST(j % n AS INTEGER), 1)))), 0) AS DOUBLE)
+          |      / ((ci+1) * nu // 64 - ci * nu // 64)) AS cell
+          |  FROM b),
+          |emb AS (SELECT media_id, list_transform(cell, x -> x / sqrt(list_dot_product(cell, cell))) AS e FROM cells),
+          |q AS (SELECT media_id AS query_id, e AS qe FROM emb WHERE media_id < 10),
+          |scored AS (SELECT q.query_id, emb.media_id,
+          |    round(list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+          |  FROM emb CROSS JOIN q WHERE emb.media_id <> q.query_id),
+          |r AS (SELECT query_id, media_id, cos_sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, media_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, media_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM r
+          |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
       // Matryoshka funnel: stage-1 prefix-dim (16) cosine shortlist of
       // 40 per query ranked on the UNROUNDED pre_sim (ties → vec_id —
       // bit-exact cross-engine because both engines run the same
