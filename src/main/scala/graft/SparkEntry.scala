@@ -1631,12 +1631,16 @@ object SparkEntry {
           |            WHEN 1 THEN 1024 + (media_id % 777) * 4
           |            ELSE (2 + media_id % 7)*3*(8 + media_id % 25)*(8 + (media_id*7) % 25) END AS nu
           |  FROM d),
+          |tbx AS (SELECT *, list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
+          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
+          |  FROM b),
           |cells AS (SELECT media_id, list_transform(range(0, 64), ci ->
           |    CAST(coalesce(list_sum(list_transform(
           |        range(CAST(ci * nu // 64 AS INTEGER), CAST((ci+1) * nu // 64 AS INTEGER)),
-          |        j -> ascii(substr(text, 1 + CAST(j % n AS INTEGER), 1)))), 0) AS DOUBLE)
+          |        j -> tb[1 + CAST(j % n AS INTEGER)])), 0) AS DOUBLE)
           |      / ((ci+1) * nu // 64 - ci * nu // 64)) AS cell
-          |  FROM b),
+          |  FROM tbx),
           |emb AS (SELECT media_id, list_transform(cell, x -> x / sqrt(list_dot_product(cell, cell))) AS e FROM cells),
           |q AS (SELECT media_id AS query_id, e AS qe FROM emb WHERE media_id < 10),
           |scored AS (SELECT q.query_id, emb.media_id,
@@ -1791,14 +1795,16 @@ object SparkEntry {
       // The three mm oracles rebuild the REAL codec's expected output
       // closed-form from `documents`: the fixture generator
       // (Multimodal.genPayload) derives container dims / sample counts
-      // / frame counts from doc_id and cycles the text's ASCII bytes
-      // as pixel/sample data, so DuckDB can recompute parsed header
-      // fields, exact container byte sizes (PPM/BMP/WAV/Y4M framing
-      // arithmetic) and the decoded-content checksums (plain +
-      // position-weighted sums — the weighted one catches placement
-      // bugs like a missed BMP bottom-up flip) without ever seeing the
-      // bytes. A single misplaced byte in an encoder or parser breaks
-      // the hash match.
+      // / frame counts from doc_id and cycles the text's CODE POINTS
+      // (non-ASCII folding to 63 = '?' — the rule DuckDB's codepoint-
+      // based length/substr/ascii can mirror exactly on ANY text, not
+      // just the all-ASCII fixtures) as pixel/sample data, so DuckDB
+      // can recompute parsed header fields, exact container byte
+      // sizes (PPM/BMP/WAV/Y4M framing arithmetic) and the
+      // decoded-content checksums (plain + position-weighted sums —
+      // the weighted one catches placement bugs like a missed BMP
+      // bottom-up flip) without ever seeing the bytes. A single
+      // misplaced byte in an encoder or parser breaks the hash match.
       "mm_media_meta" ->
         """WITH base AS (
           |  SELECT doc_id AS media_id, text, length(text) AS n,
@@ -1821,15 +1827,19 @@ object SparkEntry {
           |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
           |    END AS n_bytes
           |  FROM base),
-          |v AS (SELECT *, nunits // n AS q, nunits % n AS r FROM u)
+          |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
+          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
+          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
+          |  FROM u)
           |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
           |  CAST(nfr AS BIGINT) AS n_frames, CAST(rate AS BIGINT) AS sample_rate,
           |  CAST(ns AS BIGINT) AS n_samples,
-          |  CAST(q * list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1), i -> ascii(substr(text, CAST(i AS INTEGER), 1))))
-          |    + coalesce(list_sum(list_transform(range(1, CAST(r AS INTEGER) + 1), i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT) AS data_sum,
+          |  CAST(q * list_sum(tb)
+          |    + coalesce(list_sum(tb[1:CAST(r AS INTEGER)]), 0) AS BIGINT) AS data_sum,
           |  CAST(list_sum(list_transform(range(0, CAST(n AS INTEGER)), k ->
-          |      CAST(ascii(substr(text, CAST(k AS INTEGER) + 1, 1)) AS BIGINT) *
+          |      CAST(tb[CAST(k AS INTEGER) + 1] AS BIGINT) *
           |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
           |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END)))) AS BIGINT) AS data_wsum
           |FROM v ORDER BY media_id""".stripMargin,
@@ -1850,7 +1860,10 @@ object SparkEntry {
           |o AS (
           |  SELECT *, CASE WHEN kind = 'audio' THEN 0 ELSE least(24, w) END AS ow,
           |    CASE WHEN kind = 'audio' THEN 0 ELSE greatest(h * least(24, w) // w, 1) END AS oh,
-          |    CASE WHEN kind = 'audio' THEN (ns + 1) // 2 ELSE 0 END AS nout
+          |    CASE WHEN kind = 'audio' THEN (ns + 1) // 2 ELSE 0 END AS nout,
+          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
+          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
           |  FROM base)
           |SELECT media_id, kind, CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
           |  CAST(CASE kind WHEN 'image' THEN 3*ow*oh WHEN 'audio' THEN nout ELSE nfr*3*ow*oh END AS BIGINT) AS kept_units,
@@ -1861,13 +1874,13 @@ object SparkEntry {
           |  END AS BIGINT) AS kept_bytes,
           |  CAST(CASE kind
           |    WHEN 'image' THEN list_sum(list_transform(range(0, CAST(3*ow*oh AS INTEGER)), j ->
-          |      ascii(substr(text, 1 + CAST(((((j // (3*ow)) * h // oh) * w + ((j % (3*ow)) // 3) * w // ow) * 3 + (j % 3)) % n AS INTEGER), 1))))
+          |      tb[1 + CAST(((((j // (3*ow)) * h // oh) * w + ((j % (3*ow)) // 3) * w // ow) * 3 + (j % 3)) % n AS INTEGER)]))
           |    WHEN 'audio' THEN list_sum(list_transform(range(0, CAST(nout AS INTEGER)), j ->
-          |      ascii(substr(text, 1 + CAST((2*j) % n AS INTEGER), 1))))
+          |      tb[1 + CAST((2*j) % n AS INTEGER)]))
           |    ELSE list_sum(list_transform(range(0, CAST(nfr*3*ow*oh AS INTEGER)), j ->
-          |      ascii(substr(text, 1 + CAST((
+          |      tb[1 + CAST((
           |        (j // (3*ow*oh)) * 3*w*h + ((j % (3*ow*oh)) // (ow*oh)) * w*h
-          |        + (((j % (ow*oh)) // ow) * h // oh) * w + ((j % ow) * w // ow)) % n AS INTEGER), 1))))
+          |        + (((j % (ow*oh)) // ow) * h // oh) * w + ((j % ow) * w // ow)) % n AS INTEGER)]))
           |  END AS BIGINT) AS data_sum
           |FROM o ORDER BY media_id""".stripMargin,
       // Per-KEPT-frame oracle: parsed Y4M frames / 1024-sample audio
@@ -1887,13 +1900,16 @@ object SparkEntry {
           |k AS (SELECT * FROM fr WHERE f % 4 = 0),
           |s AS (SELECT *,
           |    CASE kind WHEN 'audio' THEN least(1024, ns - f * 1024) ELSE 3*w*h END AS units,
-          |    CASE kind WHEN 'audio' THEN f * 1024 ELSE f * 3*w*h END AS off
+          |    CASE kind WHEN 'audio' THEN f * 1024 ELSE f * 3*w*h END AS off,
+          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
+          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
           |  FROM k)
           |SELECT media_id, kind, CAST(f AS BIGINT) AS frame_no,
           |  CAST(units AS BIGINT) AS frame_units,
           |  CAST(CASE kind WHEN 'audio' THEN 2 * units ELSE units END AS BIGINT) AS frame_bytes,
           |  CAST(list_sum(list_transform(range(0, CAST(units AS INTEGER)), i ->
-          |    ascii(substr(text, 1 + CAST((off + i) % n AS INTEGER), 1)))) AS BIGINT) AS frame_sum
+          |    tb[1 + CAST((off + i) % n AS INTEGER)])) AS BIGINT) AS frame_sum
           |FROM s ORDER BY media_id, frame_no""".stripMargin,
       "ev_tumbling" ->
         """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS win_start_s,
@@ -2002,12 +2018,15 @@ object SparkEntry {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // the VARIANT twin: typed paths resolve to the same values the
       // string-path oracle computes; the absent-path try is NULL for
-      // every row, so n_miss pins to 0
+      // every row, so n_miss pins to 0. TRY_CAST mirrors the Spark
+      // side's try_variant_get leniency on a present-but-uncastable
+      // value — a strict CAST here would abort the DuckDB run on the
+      // exact one-bad-record class the operator nulls out
       "ev_variant" ->
         """SELECT event_type, count(*) AS n,
-          |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-          |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+          |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  count(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
           |    THEN 1 END) AS n_miss
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -792,14 +792,19 @@ case class SpliceTokens(left: Expression, right: Expression)
         var i = 0
         var k = 0
         while (i < m) {
-          // a null span ELEMENT is a no-op span, matching the replaced
-          // HOF formulation's totality (its null predicate dropped the
-          // element) — maximalSpans never emits one, but the kernel is
-          // exposed via TextFunctions.spliceTokens to arbitrary callers
+          // a null span ELEMENT — or a span with a null begin/end
+          // FIELD (getLong on a null field reads 0 and would silently
+          // turn the span into [0, end]) — is a no-op span, matching
+          // the replaced HOF formulation's totality (its null
+          // predicate dropped such spans) — maximalSpans never emits
+          // either, but the kernel is exposed via
+          // TextFunctions.spliceTokens to arbitrary callers
           if (!sd.isNullAt(i)) {
             val row = sd.getStruct(i, 2)
-            buf(k) = Array(row.getLong(0), row.getLong(1))
-            k += 1
+            if (!row.isNullAt(0) && !row.isNullAt(1)) {
+              buf(k) = Array(row.getLong(0), row.getLong(1))
+              k += 1
+            }
           }
           i += 1
         }

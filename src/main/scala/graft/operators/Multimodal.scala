@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   * parses those bytes back with real header/chunk parsers —
   * dimensions, sample counts and frame counts are READ from the
   * container, never assumed. The generator derives pixel/sample
-  * content by cycling the document's UTF-8 bytes, which makes the
-  * whole chain oracle-checkable end-to-end: DuckDB reproduces the
-  * closed-form sizes AND the decoded data sums straight from the
-  * `documents` table, so a single misplaced byte in an encoder or
-  * parser (a missed BMP row flip, an off-by-one chunk walk) breaks
-  * the hash match.
+  * content by cycling the document's code points (non-ASCII folds to
+  * '?'), which makes the whole chain oracle-checkable end-to-end on
+  * any text: DuckDB reproduces the closed-form sizes AND the decoded
+  * data sums straight from the `documents` table, so a single
+  * misplaced byte in an encoder or parser (a missed BMP row flip, an
+  * off-by-one chunk walk) breaks the hash match.
   *
   * Scale shape is unchanged by realism: decode is pure map-side work
   * over the payload column (mapPartitions, no shuffle), scaling with
@@ -53,7 +53,16 @@ object Multimodal {
     * document's UTF-8 bytes — the two facts the DuckDB oracle
     * rebuilds the expected decode from. */
   private[graft] def genPayload(id: Long, text: String): (String, Array[Byte]) = {
-    val tb0 = text.getBytes("UTF-8")
+    // CODEPOINT-based content rule, not raw UTF-8 bytes (r12
+    // self-review): one unit per code point, non-ASCII folding to '?'
+    // (63). DuckDB's length()/substr()/ascii() are codepoint-based,
+    // so this is the rule the oracle can mirror EXACTLY on any text —
+    // a raw-byte rule silently diverges the moment a fixture ships a
+    // non-ASCII character (byte count ≠ char count, ascii() returns
+    // the code point, not a byte). On the all-ASCII fixtures the two
+    // rules coincide byte-for-byte.
+    val tb0 = text.codePoints().toArray
+      .map(cp => if (cp <= 127) cp.toByte else 63.toByte)
     val tb = if (tb0.isEmpty) Array[Byte](0) else tb0 // no fixture text is empty; total anyway
     val n = tb.length
     def unit(i: Long): Byte = tb((i % n).toInt)
@@ -233,10 +242,13 @@ object Multimodal {
     * kernel, the same brute-force shape as `ann_brute_topk`
     * (broadcast bounded probes, WindowGroupLimit rank prune). At
     * scale the shortlist/bucketing variants (LSH/IVF/PQ/MRL) slot in
-    * unchanged — the embedding column is the contract. Rows-only in
-    * the driver contract (the content encoder isn't
-    * ANSI-expressible); gated in MultimodalSpec: kernel scores ≡
-    * driver-side decode + encode + cosine. */
+    * unchanged — the embedding column is the contract. DuckDB-oracle-
+    * checked since r12: the span-mean encoder over the cycled content
+    * bytes is left-fold arithmetic both engines execute in the same
+    * order (integer cell sums, one division per cell, sequential dot
+    * products), so the oracle rebuilds the encoder in SQL and the
+    * top-k hash-matches; MultimodalSpec's driver-side decode + encode
+    * + cosine recompute stays as belt-and-braces. */
   def embedAnnTopK(s: SparkSession, dir: String, dim: Int = 64,
                    numQueries: Int = 10, topK: Int = 5): DataFrame = {
     import s.implicits._
@@ -306,11 +318,21 @@ object Multimodal {
     import s.implicits._
     resize(mediaTable(s, dir), targetWidth)
       .map { r =>
-        val d = describe(r)
-        val outW = if (r.kind == "audio") 0L else d.width
-        val outH = if (r.kind == "audio") 0L else d.height
-        val units = MediaCodec.contentUnits(MediaCodec.decode(r.payload)).length.toLong
-        (r.media_id, r.kind, outW, outH, units, d.n_bytes, d.data_sum)
+        // ONE decode per row (self-review r12: the first cut ran
+        // describe() + a second decode, parsing every container twice
+        // and hashing a SHA it then discarded)
+        val media = MediaCodec.decode(r.payload)
+        val units = MediaCodec.contentUnits(media)
+        var dataSum = 0L
+        var i = 0
+        while (i < units.length) { dataSum += units(i) & 0xff; i += 1 }
+        val (outW, outH) = media match {
+          case MediaCodec.ImageMedia(w, h, _, _) => (w.toLong, h.toLong)
+          case MediaCodec.VideoMedia(w, h, _)    => (w.toLong, h.toLong)
+          case _                                 => (0L, 0L)
+        }
+        (r.media_id, r.kind, outW, outH, units.length.toLong,
+          r.payload.length.toLong, dataSum)
       }
       .toDF("media_id", "kind", "out_w", "out_h", "kept_units", "kept_bytes", "data_sum")
       .orderBy($"media_id")

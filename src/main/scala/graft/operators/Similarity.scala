@@ -321,23 +321,27 @@ object Similarity {
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
         hb.as("hb"))
-    val history = base.filter($"hb" < historyBuckets)
-      .select($"vec_id", $"embedding")
+    // drifted batch (fixture transform — generation, not a hot path)
+    // materialized ONCE: ~8 downstream actions (training, drift,
+    // 2×fit, 2×recall, brute) otherwise each re-run the parquet scan
+    // + md5 bucketing + drift transform (self-review r12 — the
+    // lshClusters localCheckpoint discipline)
+    val tagged = base.filter($"hb" < historyBuckets)
+      .select($"vec_id", $"embedding", lit(0L).as("is_b"))
+      .union(base.filter($"hb" >= historyBuckets)
+        .select($"vec_id", expr(
+          "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x * 0.2D + 1.0D ELSE x * 0.2D END)")
+          .as("embedding"), lit(1L).as("is_b")))
+      .localCheckpoint(false)
+    val history = tagged.filter($"is_b" === 0L).select($"vec_id", $"embedding")
     if (history.isEmpty) {
       return Seq.empty[(String, Long)].toDF("metric", "value")
     }
-    // drifted batch (fixture transform — generation, not a hot path)
-    val batch = base.filter($"hb" >= historyBuckets)
-      .select($"vec_id", expr(
-        "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x * 0.2D + 1.0D ELSE x * 0.2D END)")
-        .as("embedding"))
-    val combined = history.union(batch)
+    val combined = tagged.select($"vec_id", $"embedding")
     val (oldIds, oldVecs) = kmeansCentroids(s, history, nLists, iters)
 
     // 3. detect: ivfIncremental's share-drift metric under OLD lists
     val nearestOld = centroidAssigner(s, oldIds, oldVecs, bcastCentroidThreshold)
-    val tagged = history.withColumn("is_b", lit(0L))
-      .union(batch.withColumn("is_b", lit(1L)))
     val counts = tagged
       .select($"is_b", nearestOld($"embedding", 1).getItem(0).as("cid"))
       .groupBy($"cid")
@@ -367,7 +371,9 @@ object Similarity {
         .agg(count(lit(1)).as("n"), sum($"fit").as("sf")).head()
       if (r.getLong(0) == 0L) 0L else Math.floorDiv(r.getLong(1), r.getLong(0))
     }
-    // 5b. probe recall vs exact brute force over the combined corpus
+    // 5b. probe recall vs exact brute force over the combined corpus —
+    // the ≤ numQueries·topK truth frame materializes once and serves
+    // both the old-index and new-index recall joins plus its own count
     val brute = {
       val queries = combined.filter($"vec_id" < numQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("q"))
@@ -376,6 +382,7 @@ object Similarity {
         .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= topK).select($"query_id", $"vec_id")
+        .localCheckpoint(false)
     }
     def recallPpm(cids: Seq[Long], cvecs: Seq[Seq[Double]]): Long = {
       val got = ivfWithCentroids(s, combined, cids, cvecs, nProbe, numQueries, topK)
@@ -590,9 +597,14 @@ object Similarity {
     * isotropic — the worst case for truncation (the prefix cosine of a
     * random vector is a noisy 1/4-sample estimate of the full cosine)
     * — so the RecallSpec gate documents the floor geometry, like the
-    * sign-LSH gate (measured there: 0.46). Rows-only in the driver
-    * contract (two-stage rank isn't robustly hash-comparable
-    * cross-engine). */
+    * sign-LSH gate (measured there: 0.46). DuckDB-oracle-checked
+    * since r12: both stages are deterministic sequential dot products
+    * (the funnel is approximate vs brute force, but the approximation
+    * itself is exactly reproducible arithmetic — stage-1 ranks the
+    * UNROUNDED prefix cosine with vec_id tie-break, mirrored in SQL),
+    * so the r11-era "two-stage rank isn't robustly hash-comparable"
+    * assumption was disproved by construction; the RecallSpec overlap
+    * gate stays as belt-and-braces. */
   def mrlTopK(s: SparkSession, dir: String, prefixDims: Int = 16,
               shortlistK: Int = 40, numQueries: Int = 10,
               topK: Int = 5): DataFrame = {

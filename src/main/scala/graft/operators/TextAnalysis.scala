@@ -222,9 +222,11 @@ object TextAnalysis {
     * full-corpus × queries exact scan is off the table and the dense
     * arm must come from an index. The lexical arm, fusion rule and
     * rounding are IDENTICAL to [[hybridRrf]] (shared [[rrfFuse]]), so
-    * the exact query is the oracle for this one: RecallSpec gates the
-    * fused-top-k rank overlap between the two. Rows-only in the driver
-    * contract (the dense arm is approximate by design).
+    * the exact query gates this one: RecallSpec checks the
+    * fused-top-k rank overlap between the two. DuckDB-oracle-checked
+    * since r12 — the dense arm is approximate by design but exactly
+    * reproducible arithmetic, so the oracle composes tx_rrf's lex
+    * CTEs with the ann_mrl_topk funnel CTEs and hash-matches.
     *
     * Scale shape: stage 1 touches prefixDims/dim of the vector bytes
     * (a 4× smaller resident index at 16/64); stage 2 fetches full

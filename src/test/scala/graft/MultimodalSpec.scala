@@ -217,6 +217,26 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(c420) == UnknownMedia(c420.length))
   }
 
+  test("payload content cycles CODE POINTS, non-ASCII folding to '?' (the oracle's exact rule)") {
+    // r12 self-review: a raw-UTF-8-byte rule silently diverges from
+    // the DuckDB oracle (codepoint-based length/substr/ascii) the
+    // moment a fixture ships non-ASCII text. The astral emoji is the
+    // sharp case: 2 UTF-16 chars but ONE code point — a char-based
+    // rule would shift every subsequent unit. Cross-engine equality
+    // of the full oracle SQL on a non-ASCII corpus was additionally
+    // validated end-to-end against DuckDB when this rule landed.
+    val text = "a😀é!" // a 😀 é !  -> units 97, 63, 63, 33
+    val (_, payload) = Multimodal.genPayload(0L, text) // id 0 -> 8x8 ppm
+    MediaCodec.decode(payload) match {
+      case ImageMedia(8, 8, "ppm", rgb) =>
+        val expected = Array[Byte](97, 63, 63, 33)
+        rgb.zipWithIndex.foreach { case (b, i) =>
+          assert(b == expected(i % 4), s"unit $i")
+        }
+      case other => fail(other.toString)
+    }
+  }
+
   test("decode is total: truncated and foreign bytes report UnknownMedia, never throw") {
     val good = Multimodal.genPayload(0L, "some document text here")._2
     val cases = Seq(
