@@ -36,12 +36,13 @@ object Bench {
     // warm-up: staging is test scaffolding (production events already
     // land in a directory), so timed ev_stream_* runs should measure
     // pure stream execution, not a one-time fixture write.
-    if (selected.exists(p => p._1.startsWith("ev_stream") || p._1 == "tx_stream_quality"))
+    val docsStreamers = Set("tx_stream_quality", "mm_stream_meta")
+    if (selected.exists(p => p._1.startsWith("ev_stream") || docsStreamers(p._1)))
       streaming.StreamingOps.preStage(spark, sfDir,
         plain = selected.exists(p =>
           p._1.startsWith("ev_stream") && p._1 != "ev_stream_dedup"),
         dedup = selected.exists(_._1 == "ev_stream_dedup"),
-        docs = selected.exists(_._1 == "tx_stream_quality"))
+        docs = selected.exists(p => docsStreamers(p._1)))
     // Honest-accounting hooks, run before EVERY timed repetition:
     // dd_clusters must pay pair generation + propagation each run (the
     // session-scoped labelCache would otherwise make min-of-N report a

@@ -298,6 +298,13 @@ object SparkEntry {
     // MultimodalSpec vs an independent-parser recompute and a
     // brute-force Hamming scan
     "mm_phash_dup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
+    // the 13th real streaming execution: readStream over documents →
+    // real encode + parse (the batch path's own typed maps) →
+    // per-(kind, format) Complete-mode rollup of parsed byte volumes
+    // and content checksums; oracle-shared with a batch GROUP BY over
+    // the mm_media_meta closed forms
+    "mm_stream_meta" -> ((s, dir) =>
+      graft.streaming.StreamingOps.mediaMetaViaStream(s, dir)),
     // media → decode → content embedding → exact cosine top-k (the
     // multimodal→ANN bridge); oracle-checked since r12 — the r12
     // promotability audit first filed this under the float-
@@ -1843,6 +1850,47 @@ object SparkEntry {
           |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
           |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END)))) AS BIGINT) AS data_wsum
           |FROM v ORDER BY media_id""".stripMargin,
+      // Streamed rollup ≡ batch GROUP BY over the same closed forms
+      // the mm_media_meta oracle rebuilds (sizes + content checksums
+      // per kind/format) — the stream never gets its own truth source.
+      "mm_stream_meta" ->
+        """WITH base AS (
+          |  SELECT doc_id AS media_id, text, length(text) AS n,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    CASE CAST(doc_id % 3 AS INTEGER)
+          |      WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+          |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
+          |  FROM documents),
+          |u AS (
+          |  SELECT *, CASE kind WHEN 'image' THEN 3*w*h WHEN 'audio' THEN ns ELSE nfr*3*w*h END AS nunits,
+          |    CASE format
+          |      WHEN 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+          |      WHEN 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
+          |      WHEN 'wav' THEN 44 + 2*ns
+          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
+          |    END AS n_bytes
+          |  FROM base),
+          |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
+          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
+          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
+          |  FROM u),
+          |meta AS (SELECT kind, format, n_bytes,
+          |    q * list_sum(tb) + coalesce(list_sum(tb[1:CAST(r AS INTEGER)]), 0) AS data_sum,
+          |    list_sum(list_transform(range(0, CAST(n AS INTEGER)), k ->
+          |      CAST(tb[CAST(k AS INTEGER) + 1] AS BIGINT) *
+          |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
+          |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END)))) AS data_wsum
+          |  FROM v)
+          |SELECT kind, format, count(*) AS n_media,
+          |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+          |  CAST(sum(data_sum) AS BIGINT) AS total_data_sum,
+          |  CAST(sum(data_wsum) AS BIGINT) AS total_data_wsum
+          |FROM meta GROUP BY kind, format ORDER BY kind, format""".stripMargin,
       // Full round-trip oracle: decode → NN-resample (image/video) or
       // ×2 decimate (audio) → re-encode → re-decode; DuckDB recomputes
       // every resampled pixel's SOURCE byte via the same integer-floor

@@ -479,6 +479,40 @@ object StreamingOps {
       .orderBy(col("source"))
   }
 
+  /** Streaming media ingestion monitor (`mm_stream_meta`) — the
+    * landing-zone deployment of the REAL codec chain: documents
+    * arrive as a `readStream`, each row is encoded into its genuine
+    * container bytes and parsed straight back by [[graft.operators.MediaCodec]]
+    * (the SAME typed maps the batch path runs —
+    * [[graft.operators.Multimodal.mediaFromDocs]] → `decodeAll`, so
+    * streaming and batch decode facts cannot diverge), and the
+    * per-(kind, format) rollup aggregates parsed byte volumes and
+    * content checksums in Complete mode to a memory sink — the
+    * media-lake ingestion dashboard. Decode is map-side and TOTAL
+    * (UnknownMedia, never an abort), which is exactly what an
+    * unbounded ingestion stream needs; state is one row per
+    * (kind, format) — bounded by the format domain, not the stream.
+    * Oracle-shared with a batch GROUP BY over the mm_media_meta
+    * closed forms: the streamed rollup must hash-match what DuckDB
+    * rebuilds from `documents` without ever seeing the bytes. */
+  def mediaMetaViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = docsStagedDir(s, dir)
+    val docsStream = s.readStream
+      .schema(graft.Tables.documents(s, dir).schema)
+      .parquet(staged)
+    val decoded = graft.operators.Multimodal.decodeAll(
+      graft.operators.Multimodal.mediaFromDocs(docsStream))
+    val agg = decoded.groupBy(col("kind"), col("format")).agg(
+      count(lit(1)).as("n_media"),
+      sum(col("n_bytes")).as("total_bytes"),
+      sum(col("data_sum")).as("total_data_sum"),
+      sum(col("data_wsum")).as("total_data_wsum"))
+    runToMemory(agg, "mm_stream_meta_q", OutputMode.Complete,
+      statePartitions = Some(8))
+      .orderBy(col("kind"), col("format"))
+  }
+
   /** Streaming incremental exact dedup (`ev_stream_incr_dedup`) — the
     * landing-zone deployment of
     * [[graft.operators.Dedup.incrementalDedup]]: new documents arrive
