@@ -398,6 +398,50 @@ object SparkEntry {
     // into every oracle that consumes them (tx_gopher, pipe_datacard,
     // tx_stream_quality), so a threshold change cannot desynchronize
     // the per-op oracle from the composition oracles.
+    // Shared mm fixture-math fragments — ONE source of truth for the
+    // content rule and the container closed forms across all five mm
+    // oracles (the r12 codepoint fix was exactly a rule tweak that
+    // must never again require five synchronized edits). mmTbExpr
+    // needs `text` and `n` in scope; mmBaseCtes ends with CTE `v`
+    // carrying every generation fact (kind/format/dims/rate/counts/
+    // nunits/n_bytes/q/r) plus the per-doc unit list `tb` (code
+    // points, non-ASCII folded to 63 = '?').
+    val mmTbExpr =
+      """list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+        |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
+        |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END)""".stripMargin
+    val mmBaseCtes =
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, text, length(text) AS n,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CASE CAST(doc_id % 3 AS INTEGER)
+         |      WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+         |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 8000 + (doc_id % 5) * 1000 ELSE 0 END AS rate,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
+         |  FROM documents),
+         |u AS (
+         |  SELECT *, CASE kind WHEN 'image' THEN 3*w*h WHEN 'audio' THEN ns ELSE nfr*3*w*h END AS nunits,
+         |    CASE format
+         |      WHEN 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+         |      WHEN 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
+         |      WHEN 'wav' THEN 44 + 2*ns
+         |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
+         |    END AS n_bytes
+         |  FROM base),
+         |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
+         |    $mmTbExpr AS tb
+         |  FROM u)""".stripMargin
+    val mmDataSum =
+      "q * list_sum(tb) + coalesce(list_sum(tb[1:CAST(r AS INTEGER)]), 0)"
+    val mmDataWsum =
+      """list_sum(list_transform(range(0, CAST(n AS INTEGER)), k ->
+        |      CAST(tb[CAST(k AS INTEGER) + 1] AS BIGINT) *
+        |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
+        |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END))))""".stripMargin
     val gopherRawCte =
       """g AS (
         |  SELECT doc_id,
@@ -1631,23 +1675,13 @@ object SparkEntry {
       // bit-for-bit (the ann_ivf_topk determinism argument applied to
       // the encoder itself).
       "mm_embed_ann" ->
-        """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n,
-          |    CAST(doc_id % 3 AS INTEGER) AS kr FROM documents),
-          |b AS (SELECT media_id, text, n,
-          |    CASE kr WHEN 0 THEN 3*(8 + media_id % 57)*(8 + (media_id*7) % 57)
-          |            WHEN 1 THEN 1024 + (media_id % 777) * 4
-          |            ELSE (2 + media_id % 7)*3*(8 + media_id % 25)*(8 + (media_id*7) % 25) END AS nu
-          |  FROM d),
-          |tbx AS (SELECT *, list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
-          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
-          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
-          |  FROM b),
+        s"""$mmBaseCtes,
           |cells AS (SELECT media_id, list_transform(range(0, 64), ci ->
           |    CAST(coalesce(list_sum(list_transform(
-          |        range(CAST(ci * nu // 64 AS INTEGER), CAST((ci+1) * nu // 64 AS INTEGER)),
+          |        range(CAST(ci * nunits // 64 AS INTEGER), CAST((ci+1) * nunits // 64 AS INTEGER)),
           |        j -> tb[1 + CAST(j % n AS INTEGER)])), 0) AS DOUBLE)
-          |      / ((ci+1) * nu // 64 - ci * nu // 64)) AS cell
-          |  FROM tbx),
+          |      / ((ci+1) * nunits // 64 - ci * nunits // 64)) AS cell
+          |  FROM v),
           |emb AS (SELECT media_id, list_transform(cell, x -> x / sqrt(list_dot_product(cell, cell))) AS e FROM cells),
           |q AS (SELECT media_id AS query_id, e AS qe FROM emb WHERE media_id < 10),
           |scored AS (SELECT q.query_id, emb.media_id,
@@ -1813,78 +1847,22 @@ object SparkEntry {
       // bottom-up flip) without ever seeing the bytes. A single
       // misplaced byte in an encoder or parser breaks the hash match.
       "mm_media_meta" ->
-        """WITH base AS (
-          |  SELECT doc_id AS media_id, text, length(text) AS n,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          |    CASE CAST(doc_id % 3 AS INTEGER)
-          |      WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0 THEN 'ppm' ELSE 'bmp' END
-          |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 8000 + (doc_id % 5) * 1000 ELSE 0 END AS rate,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
-          |  FROM documents),
-          |u AS (
-          |  SELECT *, CASE kind WHEN 'image' THEN 3*w*h WHEN 'audio' THEN ns ELSE nfr*3*w*h END AS nunits,
-          |    CASE format
-          |      WHEN 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
-          |      WHEN 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
-          |      WHEN 'wav' THEN 44 + 2*ns
-          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
-          |    END AS n_bytes
-          |  FROM base),
-          |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
-          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
-          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
-          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
-          |  FROM u)
+        s"""$mmBaseCtes
           |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
           |  CAST(nfr AS BIGINT) AS n_frames, CAST(rate AS BIGINT) AS sample_rate,
           |  CAST(ns AS BIGINT) AS n_samples,
-          |  CAST(q * list_sum(tb)
-          |    + coalesce(list_sum(tb[1:CAST(r AS INTEGER)]), 0) AS BIGINT) AS data_sum,
-          |  CAST(list_sum(list_transform(range(0, CAST(n AS INTEGER)), k ->
-          |      CAST(tb[CAST(k AS INTEGER) + 1] AS BIGINT) *
-          |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
-          |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END)))) AS BIGINT) AS data_wsum
+          |  CAST($mmDataSum AS BIGINT) AS data_sum,
+          |  CAST($mmDataWsum AS BIGINT) AS data_wsum
           |FROM v ORDER BY media_id""".stripMargin,
       // Streamed rollup ≡ batch GROUP BY over the same closed forms
       // the mm_media_meta oracle rebuilds (sizes + content checksums
       // per kind/format) — the stream never gets its own truth source.
       "mm_stream_meta" ->
-        """WITH base AS (
-          |  SELECT doc_id AS media_id, text, length(text) AS n,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          |    CASE CAST(doc_id % 3 AS INTEGER)
-          |      WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0 THEN 'ppm' ELSE 'bmp' END
-          |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
-          |  FROM documents),
-          |u AS (
-          |  SELECT *, CASE kind WHEN 'image' THEN 3*w*h WHEN 'audio' THEN ns ELSE nfr*3*w*h END AS nunits,
-          |    CASE format
-          |      WHEN 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
-          |      WHEN 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
-          |      WHEN 'wav' THEN 44 + 2*ns
-          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
-          |    END AS n_bytes
-          |  FROM base),
-          |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
-          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
-          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
-          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
-          |  FROM u),
+        s"""$mmBaseCtes,
           |meta AS (SELECT kind, format, n_bytes,
-          |    q * list_sum(tb) + coalesce(list_sum(tb[1:CAST(r AS INTEGER)]), 0) AS data_sum,
-          |    list_sum(list_transform(range(0, CAST(n AS INTEGER)), k ->
-          |      CAST(tb[CAST(k AS INTEGER) + 1] AS BIGINT) *
-          |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
-          |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END)))) AS data_wsum
+          |    $mmDataSum AS data_sum,
+          |    $mmDataWsum AS data_wsum
           |  FROM v)
           |SELECT kind, format, count(*) AS n_media,
           |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -1897,22 +1875,12 @@ object SparkEntry {
       // NN index map (sx = x·w/ow, sy = y·h/oh) over the cycled text
       // bytes, plus the exact re-encoded container sizes.
       "mm_resize" ->
-        """WITH base AS (
-          |  SELECT doc_id AS media_id, text, length(text) AS n,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
-          |  FROM documents),
+        s"""$mmBaseCtes,
           |o AS (
           |  SELECT *, CASE WHEN kind = 'audio' THEN 0 ELSE least(24, w) END AS ow,
           |    CASE WHEN kind = 'audio' THEN 0 ELSE greatest(h * least(24, w) // w, 1) END AS oh,
-          |    CASE WHEN kind = 'audio' THEN (ns + 1) // 2 ELSE 0 END AS nout,
-          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
-          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
-          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
-          |  FROM base)
+          |    CASE WHEN kind = 'audio' THEN (ns + 1) // 2 ELSE 0 END AS nout
+          |  FROM v)
           |SELECT media_id, kind, CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
           |  CAST(CASE kind WHEN 'image' THEN 3*ow*oh WHEN 'audio' THEN nout ELSE nfr*3*ow*oh END AS BIGINT) AS kept_units,
           |  CAST(CASE kind
@@ -1935,24 +1903,14 @@ object SparkEntry {
       // windows / the image's single frame, stride-4 sampled; per-frame
       // sizes and content sums rebuilt from the cycled text bytes.
       "mm_frame_sample" ->
-        """WITH base AS (
-          |  SELECT doc_id AS media_id, text, length(text) AS n,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 1024 + (doc_id % 777) * 4 ELSE 0 END AS ns
-          |  FROM documents),
-          |t AS (SELECT *, CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN (ns + 1023) // 1024 ELSE nfr END AS ntot FROM base),
+        s"""$mmBaseCtes,
+          |t AS (SELECT *, CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN (ns + 1023) // 1024 ELSE nfr END AS ntot FROM v),
           |fr AS (SELECT *, unnest(range(0, CAST(ntot AS INTEGER))) AS f FROM t),
-          |k AS (SELECT * FROM fr WHERE f % 4 = 0),
+          |fk AS (SELECT * FROM fr WHERE f % 4 = 0),
           |s AS (SELECT *,
           |    CASE kind WHEN 'audio' THEN least(1024, ns - f * 1024) ELSE 3*w*h END AS units,
-          |    CASE kind WHEN 'audio' THEN f * 1024 ELSE f * 3*w*h END AS off,
-          |    list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
-          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
-          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb
-          |  FROM k)
+          |    CASE kind WHEN 'audio' THEN f * 1024 ELSE f * 3*w*h END AS off
+          |  FROM fk)
           |SELECT media_id, kind, CAST(f AS BIGINT) AS frame_no,
           |  CAST(units AS BIGINT) AS frame_units,
           |  CAST(CASE kind WHEN 'audio' THEN 2 * units ELSE units END AS BIGINT) AS frame_bytes,
@@ -2067,9 +2025,16 @@ object SparkEntry {
       // the VARIANT twin: typed paths resolve to the same values the
       // string-path oracle computes; the absent-path try is NULL for
       // every row, so n_miss pins to 0. TRY_CAST mirrors the Spark
-      // side's try_variant_get leniency on a present-but-uncastable
-      // value — a strict CAST here would abort the DuckDB run on the
-      // exact one-bad-record class the operator nulls out
+      // side's try_variant_get leniency on the dirt classes the
+      // fixtures generate (integer k / non-numeric string / malformed
+      // JSON / absent path). Residual divergence class, documented
+      // rather than half-mirrored: variant's CROSS-TYPE casts — a
+      // JSON double truncates (1.5 → 1) and a bool casts (true → 1)
+      // under try_variant_get(..., 'long'), where this string oracle
+      // yields NULL; that is variant cast semantics a JSON-string
+      // reparse cannot express, and EventsStreamingSpec pins the
+      // Spark-side behavior for both values so the contract is
+      // recorded even though the oracle cannot see it
       "ev_variant" ->
         """SELECT event_type, count(*) AS n,
           |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

@@ -50,8 +50,9 @@ object Multimodal {
     * agree on the logical pixels — MultimodalSpec pins the
     * container-invariance); dimensions / sample counts / frame
     * counts are closed-form in the id, and all data units cycle the
-    * document's UTF-8 bytes — the two facts the DuckDB oracle
-    * rebuilds the expected decode from. */
+    * document's CODE POINTS (non-ASCII folding to '?' — see the rule
+    * comment in the body) — the two facts the DuckDB oracle rebuilds
+    * the expected decode from. */
   private[graft] def genPayload(id: Long, text: String): (String, Array[Byte]) = {
     // CODEPOINT-based content rule, not raw UTF-8 bytes (r12
     // self-review): one unit per code point, non-ASCII folding to '?'

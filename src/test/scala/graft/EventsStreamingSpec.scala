@@ -215,7 +215,7 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("view>click>buy", "view>click>buy"), s"got: $got")
   }
 
-  test("variantExtract nulls all three dirt classes: malformed JSON, absent path, uncastable value") {
+  test("variantExtract: three dirt classes null out; variant cross-type casts truncate/cast, not null") {
     // r11 advisory: the strict variant_get threw on a PRESENT but
     // uncastable value ({"k":"abc"}), so only two of the three dirty-row
     // classes actually honored the documented null-not-error contract.
@@ -225,16 +225,21 @@ class EventsStreamingSpec extends SparkSpec {
       (1L, ts(0), 1L, "view", 1.0, """{"k": 7}"""),        // clean
       (2L, ts(1), 1L, "view", 1.0, """{"k": "abc"}"""),    // present, uncastable
       (3L, ts(2), 1L, "view", 1.0, """not json at all"""), // malformed
-      (4L, ts(3), 1L, "view", 1.0, """{"other": 1}"""))    // path absent
+      (4L, ts(3), 1L, "view", 1.0, """{"other": 1}"""),    // path absent
+      // variant CROSS-TYPE casts — the residual class the JSON-string
+      // oracle cannot express (documented at the oracle): a double
+      // TRUNCATES toward zero and a bool casts to 1, they do NOT null
+      (5L, ts(4), 1L, "view", 1.0, """{"k": 1.5}"""),
+      (6L, ts(5), 1L, "view", 1.0, """{"k": true}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = graft.operators.Events.variantExtract(spark, dir).collect()
     assert(got.length == 1)
     val r = got.head
-    // only the clean row contributes to k aggregates; every dirty row
-    // nulls out instead of aborting the job
-    assert(r.getAs[Long]("min_k") == 7L && r.getAs[Long]("max_k") == 7L &&
-      r.getAs[Long]("sum_k") == 7L && r.getAs[Long]("n") == 4L)
+    // clean 7 + truncated 1 + bool 1 contribute; string/malformed/
+    // absent null out instead of aborting the job
+    assert(r.getAs[Long]("min_k") == 1L && r.getAs[Long]("max_k") == 7L &&
+      r.getAs[Long]("sum_k") == 9L && r.getAs[Long]("n") == 6L)
     assert(r.getAs[Long]("n_miss") == 0L)
   }
 
