@@ -294,9 +294,13 @@ object SparkEntry {
     // source byte via the same integer-floor NN index map
     "mm_resize" -> ((s, dir) => Multimodal.resizeSummary(s, dir)),
     // perceptual-hash media dedup (aHash over DECODED luma/samples —
-    // container-invariant — + pigeonhole banding); rows-only, gated in
-    // MultimodalSpec vs an independent-parser recompute and a
-    // brute-force Hamming scan
+    // container-invariant — + pigeonhole banding); oracle-checked
+    // since r12: the hash's mean-of-means threshold is now an EXACT
+    // integer comparison (aHashExact — the float boundary was
+    // incidental tie-breaking, not semantics), so DuckDB rebuilds
+    // every hash bit and the dup set from the content units;
+    // MultimodalSpec's independent-parser recompute and brute-force
+    // Hamming gates stay as belt-and-braces
     "mm_phash_dup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
     // the 13th real streaming execution: readStream over documents →
     // real encode + parse (the batch path's own typed maps) →
@@ -435,6 +439,12 @@ object SparkEntry {
          |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
          |    $mmTbExpr AS tb
          |  FROM u)""".stripMargin
+    // mm_phash_dup oracle fragments: 8×8 box decomposition of cell ci
+    // over a w×h raster (box width/height, pixel coords from the
+    // box-local flat index `pix`)
+    val phBw = "(((ci%8)+1)*w//8 - (ci%8)*w//8)"
+    val phBh = "(((ci//8)+1)*h//8 - (ci//8)*h//8)"
+    val phIdx = s"(((ci//8)*h//8 + pix // $phBw) * w + ((ci%8)*w//8 + pix % $phBw))"
     val mmDataSum =
       "q * list_sum(tb) + coalesce(list_sum(tb[1:CAST(r AS INTEGER)]), 0)"
     val mmDataWsum =
@@ -1846,6 +1856,52 @@ object SparkEntry {
       // the weighted one catches placement bugs like a missed BMP
       // bottom-up flip) without ever seeing the bytes. A single
       // misplaced byte in an encoder or parser breaks the hash match.
+      // The perceptual hash, rebuilt bit-for-bit in SQL: luma/sample
+      // cell sums from the cycled content units, the EXACT-integer
+      // mean-of-means threshold (cross-multiplied through the product
+      // of distinct cell counts — the r12 aHashExact redefinition
+      // that deleted the float boundary), two's-complement bit
+      // packing (bit 63 = min-long), and the dup set as a brute
+      // all-pairs Hamming scan — which also re-proves the Spark
+      // side's pigeonhole banding complete through the driver gate.
+      "mm_phash_dup" ->
+        s"""$mmBaseCtes,
+          |cg AS (SELECT media_id, kind, w, h, n, ns, tb,
+          |    CASE kind
+          |      WHEN 'audio' THEN list_transform(range(0, 64), ci ->
+          |        CAST(coalesce(list_sum(list_transform(
+          |          range(CAST(ci*ns//64 AS INTEGER), CAST((ci+1)*ns//64 AS INTEGER)),
+          |          j -> tb[1 + CAST(j % n AS INTEGER)])), 0) AS BIGINT))
+          |      ELSE list_transform(range(0, 64), ci ->
+          |        CAST(coalesce(list_sum(list_transform(
+          |          range(0, CAST($phBh * $phBw AS INTEGER)),
+          |          pix ->
+          |            CASE WHEN kind = 'video'
+          |              THEN tb[1 + CAST($phIdx % n AS INTEGER)]
+          |              ELSE (tb[1 + CAST(($phIdx * 3) % n AS INTEGER)]
+          |                    + tb[1 + CAST(($phIdx * 3 + 1) % n AS INTEGER)]
+          |                    + tb[1 + CAST(($phIdx * 3 + 2) % n AS INTEGER)]) // 3
+          |            END)), 0) AS BIGINT))
+          |    END AS sl,
+          |    CASE kind
+          |      WHEN 'audio' THEN list_transform(range(0, 64), ci -> CAST((ci+1)*ns//64 - ci*ns//64 AS BIGINT))
+          |      ELSE list_transform(range(0, 64), ci -> CAST($phBh * $phBw AS BIGINT))
+          |    END AS cl
+          |  FROM v),
+          |px AS (SELECT media_id, sl, cl, CAST(list_product(list_distinct(cl)) AS BIGINT) AS p FROM cg),
+          |tx AS (SELECT *, CAST(list_sum(list_transform(range(1, 65), j ->
+          |    sl[CAST(j AS INTEGER)] * (p // cl[CAST(j AS INTEGER)]))) AS BIGINT) AS t FROM px),
+          |hsh AS (SELECT media_id,
+          |    CAST(coalesce(list_sum(list_transform(range(0, 63), i ->
+          |      CASE WHEN 64 * sl[CAST(i AS INTEGER) + 1] * (p // cl[CAST(i AS INTEGER) + 1]) > t
+          |           THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)), 0)
+          |    + CASE WHEN 64 * sl[64] * (p // cl[64]) > t THEN (-9223372036854775807 - 1) ELSE 0 END AS BIGINT) AS phash
+          |  FROM tx),
+          |dups AS (SELECT DISTINCT a.media_id FROM hsh a JOIN hsh b ON a.media_id <> b.media_id
+          |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+          |SELECT h.media_id, h.phash,
+          |  CAST(CASE WHEN d.media_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+          |FROM hsh h LEFT JOIN dups d ON d.media_id = h.media_id ORDER BY h.media_id""".stripMargin,
       "mm_media_meta" ->
         s"""$mmBaseCtes
           |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,

@@ -333,34 +333,60 @@ object MediaCodec extends Serializable {
     case UnknownMedia(_) => Array.emptyByteArray
   }
 
+  /** EXACT-integer average-hash core over per-cell (sum, count)
+    * pairs: bit i set iff cell i's mean strictly exceeds the mean of
+    * the 64 cell means. The comparison s_i/c_i > (Σ_j s_j/c_j)/64 is
+    * cross-multiplied through a common multiple of the counts and
+    * decided in BigInt — no float accumulation, no ulp ties, so the
+    * hash is bit-reproducible in ANY engine with integer arithmetic
+    * (which is what lets the DuckDB oracle rebuild it; the earlier
+    * float mean-of-means was the one boundary a SQL mirror could
+    * drift on by one ulp and flip a bit). Cells with count 0 (tiny
+    * rasters) contribute a 0/1 mean, matching the old 0.0 rule. */
+  private def aHashExact(s: Array[Long], c: Array[Long]): Long = {
+    var i = 0
+    while (i < 64) { if (c(i) == 0L) { s(i) = 0L; c(i) = 1L }; i += 1 }
+    val p = c.distinct.map(BigInt(_)).product
+    val scaled = new Array[BigInt](64)
+    var t = BigInt(0)
+    i = 0
+    while (i < 64) {
+      scaled(i) = BigInt(s(i)) * (p / c(i))
+      t += scaled(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (scaled(i) * 64 > t) hash |= (1L << i); i += 1 }
+    hash
+  }
+
   /** Average-hash over an arbitrary-size grayscale raster: 8×8 grid of
     * box means (integer box boundaries x0 = cx·w/8), bit cy*8+cx set
-    * iff its cell mean exceeds the global cell mean. */
+    * iff its cell mean exceeds the global cell mean — exactly, via
+    * [[aHashExact]]. */
   private def aHashGray(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
-    val cell = new Array[Double](64)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
     var cy = 0
     while (cy < 8) {
       val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
       var cx = 0
       while (cx < 8) {
         val x0 = cx * w / 8; val x1 = math.max((cx + 1) * w / 8, x0 + 1)
-        var sum = 0L; var cnt = 0
+        var sum = 0L; var cnt = 0L
         var y = y0
         while (y < math.min(y1, h)) {
           var x = x0
           while (x < math.min(x1, w)) { sum += gray(x, y); cnt += 1; x += 1 }
           y += 1
         }
-        cell(cy * 8 + cx) = if (cnt > 0) sum.toDouble / cnt else 0.0
+        sums(cy * 8 + cx) = sum; cnts(cy * 8 + cx) = cnt
         cx += 1
       }
       cy += 1
     }
-    val mean = cell.sum / 64.0
-    var hash = 0L
-    var i = 0
-    while (i < 64) { if (cell(i) > mean) hash |= (1L << i); i += 1 }
-    hash
+    aHashExact(sums, cnts)
   }
 
   /** 64-bit perceptual hash of DECODED content:
@@ -381,21 +407,18 @@ object MediaCodec extends Serializable {
     case AudioMedia(_, samples) =>
       val n = samples.length
       if (n == 0) return 0L
-      val cell = new Array[Double](64)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
       var i = 0
       while (i < 64) {
         val s = (i.toLong * n / 64).toInt
         val e = ((i + 1).toLong * n / 64).toInt
         var sum = 0L; var j = s
         while (j < e) { sum += (samples(j) + 128) & 0xff; j += 1 }
-        cell(i) = if (e > s) sum.toDouble / (e - s) else 0.0
+        sums(i) = sum; cnts(i) = (e - s).toLong
         i += 1
       }
-      val mean = cell.sum / 64.0
-      var hash = 0L
-      i = 0
-      while (i < 64) { if (cell(i) > mean) hash |= (1L << i); i += 1 }
-      hash
+      aHashExact(sums, cnts)
     case VideoMedia(w, h, frames) =>
       if (frames.isEmpty) 0L
       else { val y0 = frames(0); aHashGray(w, h, (x, y) => y0(y * w + x) & 0xff) }

@@ -396,11 +396,16 @@ object Multimodal {
     * `dd_simhash` (4 bands of 16 bits: any pair within Hamming 3
     * shares at least one intact band — candidate generation is a
     * bucket equi-join, never all-pairs, exactly the 100 TB shape).
-    * Emits one row per media with its hash and a dup flag. Rows-only
-    * in the driver contract (the hash lives behind the codec
-    * boundary); MultimodalSpec pins the hash against an independent
-    * parser + recompute and the banding against a brute-force
-    * Hamming scan (complete by pigeonhole). */
+    * Emits one row per media with its hash and a dup flag.
+    * DuckDB-oracle-checked since r12: the hash's mean-of-means
+    * threshold is an EXACT integer comparison
+    * ([[MediaCodec.aHashExact]]), so the oracle rebuilds every bit
+    * from the content units and computes the dup set by brute
+    * all-pairs Hamming — its agreement with this query's banded form
+    * re-proves the pigeonhole completeness through the driver gate.
+    * MultimodalSpec additionally pins the hash against an
+    * independent parser + recompute (lcm-based exact threshold) and
+    * the banding against a spec-side brute-force scan. */
   def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
     // 4 bands of 16 bits are pigeonhole-complete ONLY for Hamming ≤ 3;

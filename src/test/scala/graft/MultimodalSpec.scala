@@ -73,19 +73,29 @@ class MultimodalSpec extends SparkSpec {
     }
 
     /** Functional aHash recompute over a grayscale accessor — shares
-      * the 8×8 integer-box CONTRACT with the codec, none of its code. */
-    def aHashGray(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
-      val cells = for (cy <- 0 until 8; cx <- 0 until 8) yield {
-        val xs = (cx * w / 8) until math.min(math.max((cx + 1) * w / 8, cx * w / 8 + 1), w)
-        val ys = (cy * h / 8) until math.min(math.max((cy + 1) * h / 8, cy * h / 8 + 1), h)
-        val vals = for (y <- ys; x <- xs) yield gray(x, y)
-        if (vals.isEmpty) 0.0 else vals.sum.toDouble / vals.size
-      }
-      val mean = cells.sum / 64
-      cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
-        if (c > mean) acc | (1L << i) else acc
+      * the 8×8 integer-box + EXACT-rational-threshold CONTRACT with
+      * the codec, none of its code: cell means are compared to the
+      * mean of means via an LCM cross-multiplication (the codec uses
+      * a product of distinct counts — same mathematics, different
+      * construction, so a shared arithmetic bug cannot
+      * self-certify). */
+    def exactBits(cells: Seq[(Long, Long)]): Long = {
+      val norm = cells.map { case (s, c) => if (c == 0) (0L, 1L) else (s, c) }
+      val lcm = norm.map(_._2).map(BigInt(_)).reduce((a, b) => a / a.gcd(b) * b)
+      val scaled = norm.map { case (s, c) => BigInt(s) * (lcm / c) }
+      val total = scaled.sum
+      scaled.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v * 64 > total) acc | (1L << i) else acc
       }
     }
+
+    def aHashGray(w: Int, h: Int, gray: (Int, Int) => Int): Long =
+      exactBits(for (cy <- 0 until 8; cx <- 0 until 8) yield {
+        val xs = (cx * w / 8) until math.min(math.max((cx + 1) * w / 8, cx * w / 8 + 1), w)
+        val ys = (cy * h / 8) until math.min(math.max((cy + 1) * h / 8, cy * h / 8 + 1), h)
+        val vals = for (y <- ys; x <- xs) yield gray(x, y).toLong
+        (vals.sum, vals.size.toLong)
+      })
 
     def aHashImage(w: Int, h: Int, rgb: Array[Byte]): Long =
       aHashGray(w, h, (x, y) => {
@@ -96,14 +106,10 @@ class MultimodalSpec extends SparkSpec {
     def aHashAudio(samples: Array[Short]): Long = {
       val n = samples.length
       if (n == 0) return 0L
-      val cells = (0 until 64).map { i =>
+      exactBits((0 until 64).map { i =>
         val span = samples.slice((i.toLong * n / 64).toInt, ((i + 1).toLong * n / 64).toInt)
-        if (span.isEmpty) 0.0 else span.map(s => (s + 128) & 0xff).sum.toDouble / span.length
-      }
-      val mean = cells.sum / 64
-      cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
-        if (c > mean) acc | (1L << i) else acc
-      }
+        (span.map(s => ((s + 128) & 0xff).toLong).sum, span.length.toLong)
+      })
     }
 
     /** Reference hash of a PAYLOAD: independent parse, then the

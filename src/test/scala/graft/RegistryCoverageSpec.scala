@@ -51,11 +51,11 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "dd_idx_containment" -> ("DedupSpec.scala", "containmentIndexPairs"),
     // ann_mrl_topk graduated to a DuckDB hash oracle in r12 (both
     // funnel stages are deterministic sequential dot products)
-    // mm_embed_ann graduated to a DuckDB hash oracle in r12: the span-
-    // mean encoder over cycled content bytes is left-fold arithmetic
-    // both engines share (the audit's float-associativity claim did
-    // not survive construction)
-    "mm_phash_dup" -> ("MultimodalSpec.scala", "phash"),
+    // mm_embed_ann and mm_phash_dup graduated to DuckDB hash oracles
+    // in r12: the span-mean encoder is left-fold arithmetic both
+    // engines share, and the perceptual hash's threshold was
+    // redefined to an exact integer comparison (the float boundary
+    // was incidental tie-breaking, not semantics)
     "q20_sketches" -> ("RecallSpec.scala", "q20Sketches"),
     "tx_bpe" -> ("BpeSpec.scala", "Bpe"),
     "tx_dsir_sample" -> ("PropertySpec.scala", "dsirSample"),
