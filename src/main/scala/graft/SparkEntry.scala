@@ -1864,6 +1864,12 @@ object SparkEntry {
       // packing (bit 63 = min-long), and the dup set as a brute
       // all-pairs Hamming scan — which also re-proves the Spark
       // side's pigeonhole banding complete through the driver gate.
+      // Certified domain = the generated fixture dims (every mm
+      // oracle certifies exactly that domain): w,h ≥ 8 and ns ≥ 1024
+      // make every cell count ≥ 1 (aHashExact's 0-count rule never
+      // fires, so the SQL omits it), and the product of distinct
+      // counts stays ≤ 64⁴ ≪ 2⁵³, so list_product's DOUBLE return is
+      // exact before the BIGINT cast.
       "mm_phash_dup" ->
         s"""$mmBaseCtes,
           |cg AS (SELECT media_id, kind, w, h, n, ns, tb,

@@ -343,9 +343,17 @@ object MediaCodec extends Serializable {
     * float mean-of-means was the one boundary a SQL mirror could
     * drift on by one ulp and flip a bit). Cells with count 0 (tiny
     * rasters) contribute a 0/1 mean, matching the old 0.0 rule. */
-  private def aHashExact(s: Array[Long], c: Array[Long]): Long = {
+  private def aHashExact(s0: Array[Long], c0: Array[Long]): Long = {
+    // normalize 0-count cells into LOCALS — callers' arrays stay
+    // untouched (a hash should not have write side effects)
+    val s = new Array[Long](64)
+    val c = new Array[Long](64)
     var i = 0
-    while (i < 64) { if (c(i) == 0L) { s(i) = 0L; c(i) = 1L }; i += 1 }
+    while (i < 64) {
+      if (c0(i) == 0L) { s(i) = 0L; c(i) = 1L }
+      else { s(i) = s0(i); c(i) = c0(i) }
+      i += 1
+    }
     val p = c.distinct.map(BigInt(_)).product
     val scaled = new Array[BigInt](64)
     var t = BigInt(0)
