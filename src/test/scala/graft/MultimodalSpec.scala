@@ -197,6 +197,31 @@ class MultimodalSpec extends SparkSpec {
         assert(java.util.Arrays.equals(got, bottomUp.rgb), "top-down must decode to the same logical pixels")
       case other => fail(other.toString)
     }
+    // BMP whose pixel array does NOT start at byte 54 (a palette/ICC
+    // gap — real writers ship these): the parser must honor the
+    // pixel-array offset field, not assume the canonical layout
+    val gapped = {
+      val canonicalBmp = MediaCodec.encodeBmp(4, 2, rgb)
+      val gap = 16
+      val out = new Array[Byte](canonicalBmp.length + gap)
+      System.arraycopy(canonicalBmp, 0, out, 0, 54)
+      java.util.Arrays.fill(out, 54, 54 + gap, 0x5a.toByte) // junk gap
+      System.arraycopy(canonicalBmp, 54, out, 54 + gap, canonicalBmp.length - 54)
+      // patch pixel-array offset (LE at 10) and file size (LE at 2)
+      val off = 54 + gap
+      out(10) = off.toByte; out(11) = (off >> 8).toByte
+      out(12) = (off >> 16).toByte; out(13) = (off >> 24).toByte
+      val fsz = out.length
+      out(2) = fsz.toByte; out(3) = (fsz >> 8).toByte
+      out(4) = (fsz >> 16).toByte; out(5) = (fsz >> 24).toByte
+      out
+    }
+    MediaCodec.decode(gapped) match {
+      case ImageMedia(4, 2, "bmp", got) =>
+        assert(java.util.Arrays.equals(got, rgb),
+          "pixel-array offset must be honored, not assumed 54")
+      case other => fail(s"gapped BMP: $other")
+    }
     // WAV with a foreign odd-size LIST chunk before fmt/data (pad byte walk)
     val samples = Array.tabulate(100)(i => (i - 50).toShort)
     val canonical = MediaCodec.encodeWav(8000, samples)
