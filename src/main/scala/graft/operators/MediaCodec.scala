@@ -202,7 +202,12 @@ object MediaCodec extends Serializable {
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     pos += 1 // exactly ONE whitespace byte terminates the header (spec)
-    if (w <= 0 || h <= 0 || maxval != 255 || b.length - pos < 3 * w * h)
+    // raster size in LONG: 3*w*h wraps Int for w,h ≥ ~46341 and a
+    // wrapped-negative size would sail past a plain length check into
+    // copyOfRange's IllegalArgumentException — an exception class the
+    // total-decode catch does NOT cover (max-effort review, r12)
+    if (w <= 0 || h <= 0 || maxval != 255 ||
+        3L * w * h > (b.length - pos).toLong)
       return UnknownMedia(b.length)
     ImageMedia(w, h, "ppm", java.util.Arrays.copyOfRange(b, pos, pos + 3 * w * h))
   }
@@ -220,7 +225,12 @@ object MediaCodec extends Serializable {
     val compression = getIntLE(b, 30)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0)
+    // the raster bound also keeps 3*w+3 (stride) and 3*w*h (alloc)
+    // inside Int — wrapped values only failed through caught
+    // exceptions here, but the guard makes malformed-header rejection
+    // explicit instead of incidental (max-effort review, r12)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0 ||
+        3L * w * h > Int.MaxValue.toLong)
       return UnknownMedia(b.length)
     val stride = ((3 * w + 3) / 4) * 4
     if (pixelOff < 0 || b.length - pixelOff < stride.toLong * h)
@@ -254,7 +264,13 @@ object MediaCodec extends Serializable {
     while (pos + 8 <= b.length && (samples == null || !fmtOk)) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = getIntLE(b, pos + 4)
-      if (size < 0 || pos + 8 + size > b.length) return UnknownMedia(b.length)
+      // LONG bounds: pos + 8 + size wraps Int for a declared size near
+      // 2³¹, sails past the check, and the data branch then allocates
+      // a ~2 GB Array[Short] — an OutOfMemoryError no catch handles;
+      // one 20-byte corrupt object must not kill an executor
+      // (max-effort review, r12)
+      if (size < 0 || pos.toLong + 8L + size > b.length.toLong)
+        return UnknownMedia(b.length)
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = getShortLE(b, pos + 8)
@@ -292,7 +308,12 @@ object MediaCodec extends Serializable {
         case _   => // F/I/A/X tags: irrelevant to the raster layout
       }
     }
-    if (w <= 0 || h <= 0 || !c444) return UnknownMedia(b.length)
+    // frame size in LONG first: 3*w*h wraps Int for absurd header
+    // dims, and a wrapped value would either crash copyOfRange with
+    // an uncaught IllegalArgumentException or let a frames/dims
+    // mismatch escape decode entirely (max-effort review, r12)
+    if (w <= 0 || h <= 0 || !c444 || 3L * w * h > b.length.toLong)
+      return UnknownMedia(b.length)
     val frameSize = 3 * w * h
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = eol + 1
@@ -302,7 +323,7 @@ object MediaCodec extends Serializable {
       pos += 5
       while (pos < b.length && b(pos) != '\n') pos += 1 // frame params
       pos += 1
-      if (pos + frameSize > b.length) return UnknownMedia(b.length)
+      if (pos.toLong + frameSize > b.length.toLong) return UnknownMedia(b.length)
       frames += java.util.Arrays.copyOfRange(b, pos, pos + frameSize)
       pos += frameSize
     }

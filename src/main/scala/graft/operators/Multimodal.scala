@@ -133,8 +133,14 @@ object Multimodal {
   }
 
   /** Parse one payload into its [[DecodedRow]] facts: container parse
-    * + content checksums + an 8-byte payload SHA. */
-  private[graft] def describe(r: MediaRow): DecodedRow = {
+    * + content checksums + an 8-byte payload SHA. `withSha = false`
+    * skips the digest (a full extra pass over the payload bytes,
+    * comparable to the decode itself) for callers that project the
+    * column away — mm_media_meta and mm_stream_meta both do, and the
+    * typed map hides the dead column from Spark's pruner (r12
+    * max-effort review; the resizeSummary twin of this waste was
+    * caught one pass earlier). */
+  private[graft] def describe(r: MediaRow, withSha: Boolean = true): DecodedRow = {
     val media = MediaCodec.decode(r.payload)
     val units = MediaCodec.contentUnits(media)
     var s = 0L; var ws = 0L; var i = 0
@@ -142,8 +148,10 @@ object Multimodal {
       val v = units(i) & 0xff
       s += v; ws += i.toLong * v; i += 1
     }
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(r.payload).take(8).map("%02x".format(_)).mkString
+    val sha =
+      if (!withSha) ""
+      else java.security.MessageDigest.getInstance("SHA-256")
+        .digest(r.payload).take(8).map("%02x".format(_)).mkString
     val nb = r.payload.length.toLong
     media match {
       case MediaCodec.ImageMedia(w, h, fmt, _) =>
@@ -159,9 +167,10 @@ object Multimodal {
 
   /** Partition-batched decode: one codec pass per partition, streaming
     * through rows — the Scala twin of a `mapInPandas` batch UDF. */
-  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+  def decodeAll(media: Dataset[MediaRow],
+                withSha: Boolean = true): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(describe))
+    media.mapPartitions(_.map(describe(_, withSha)))
   }
 
   /** Oracle-checked projection of the REAL decode: every column is
@@ -172,7 +181,7 @@ object Multimodal {
     * the encoders and the parsers end-to-end. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    decodeAll(mediaTable(s, dir))
+    decodeAll(mediaTable(s, dir), withSha = false) // sha projected away below
       .select($"media_id", $"kind", $"format", $"n_bytes", $"width", $"height",
         $"n_frames", $"sample_rate", $"n_samples", $"data_sum", $"data_wsum")
       .orderBy($"media_id")

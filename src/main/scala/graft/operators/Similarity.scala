@@ -342,11 +342,16 @@ object Similarity {
 
     // 3. detect: ivfIncremental's share-drift metric under OLD lists
     val nearestOld = centroidAssigner(s, oldIds, oldVecs, bcastCentroidThreshold)
+    // localCheckpoint: counts feeds both the crossJoin probe side and
+    // its own global-totals aggregate — without materializing these
+    // ≤ nLists rows, the full-corpus assignment job runs twice
+    // (max-effort review, r12)
     val counts = tagged
       .select($"is_b", nearestOld($"embedding", 1).getItem(0).as("cid"))
       .groupBy($"cid")
       .agg(sum(when($"is_b" === 0L, 1L).otherwise(0L)).as("nh"),
         sum($"is_b").as("nb"))
+      .localCheckpoint(false)
     val drifts = counts
       .crossJoin(broadcast(counts.agg(sum($"nh").as("th"), sum($"nb").as("tb"))))
       .select((when($"tb" > 0L, expr("nb * 1000000L div tb")).otherwise(0L)
@@ -392,8 +397,14 @@ object Similarity {
       val total = brute.count()
       if (total == 0L) 0L else r * 1000000L / total
     }
-    val (fitOld, fitNew) = (fitPpm(oldIds, oldVecs), fitPpm(newIds, newVecs))
-    val (recOld, recNew) = (recallPpm(oldIds, oldVecs), recallPpm(newIds, newVecs))
+    // no-retrain branch serves the SAME centroids — reuse the old
+    // index's measurements instead of re-running two assignment +
+    // aggregate jobs to recompute identical numbers (max-effort
+    // review, r12)
+    val fitOld = fitPpm(oldIds, oldVecs)
+    val recOld = recallPpm(oldIds, oldVecs)
+    val fitNew = if (retrained) fitPpm(newIds, newVecs) else fitOld
+    val recNew = if (retrained) recallPpm(newIds, newVecs) else recOld
     Seq(
       ("max_abs_drift_ppm", maxDrift),
       ("retrained", if (retrained) 1L else 0L),

@@ -502,7 +502,8 @@ object StreamingOps {
       .schema(graft.Tables.documents(s, dir).schema)
       .parquet(staged)
     val decoded = graft.operators.Multimodal.decodeAll(
-      graft.operators.Multimodal.mediaFromDocs(docsStream))
+      graft.operators.Multimodal.mediaFromDocs(docsStream),
+      withSha = false) // the rollup never reads the sha column
     val agg = decoded.groupBy(col("kind"), col("format")).agg(
       count(lit(1)).as("n_media"),
       sum(col("n_bytes")).as("total_bytes"),

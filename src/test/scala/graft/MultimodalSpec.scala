@@ -278,7 +278,21 @@ class MultimodalSpec extends SparkSpec {
       "P6\n-4 2\n255\n".getBytes("US-ASCII"),  // negative dims
       "P6\n4 2\n65535\n".getBytes("US-ASCII"), // 16-bit maxval unsupported
       "RIFF1234WAVE".getBytes("US-ASCII"),     // chunkless wav
-      "YUV4MPEG2 W4 H2 C444\nNOPE\n".getBytes("US-ASCII")) // bad frame marker
+      "YUV4MPEG2 W4 H2 C444\nNOPE\n".getBytes("US-ASCII"), // bad frame marker
+      // Int-overflow headers (max-effort review, r12): 3*46341² wraps
+      // negative — a plain length check passes and copyOfRange throws
+      // IllegalArgumentException, which the total-decode catch does
+      // NOT cover; these must reject via the LONG bounds instead
+      "P6\n46341 46341\n255\n".getBytes("US-ASCII"),
+      "YUV4MPEG2 W46341 H46341 C444\nFRAME\n".getBytes("US-ASCII"),
+      // declared chunk size near 2^31: pos+8+size wraps Int, and the
+      // data branch would allocate a ~2 GB Array[Short] (OOM Error,
+      // uncatchable by design) — must reject via the LONG bounds
+      "RIFF   WAVEdata".getBytes("ISO-8859-1") ++
+        Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte),
+      // BMP header declaring a raster past Int range
+      MediaCodec.encodeBmp(4, 2, Array.tabulate[Byte](24)(_.toByte))
+        .patch(18, Array[Byte](0x00, 0x00, 0x00, 0x40), 4)) // w = 2^30
     cases.foreach { b =>
       MediaCodec.decode(b) match {
         case UnknownMedia(n) => assert(n == b.length)
