@@ -178,6 +178,13 @@ object SparkEntry {
     // no-go); RecallSpec gates detection, the retrain decision,
     // strict fit recovery and recall non-degradation
     "pipe_ivf_retrain" -> ((s, dir) => Similarity.ivfLifecycle(s, dir)),
+    // serving from the PERSISTED index artifact (centroids + cid-
+    // partitioned inverted lists written once by ivfIndexDir): zero
+    // training and zero corpus-assignment work in the serving plan —
+    // the train-once/serve-many decoupling, r13. Rows-only (the
+    // trained-float-artifact class); RecallSpec pins served ≡ trained
+    // parity + recall, PlanSpec pins the single-embeddings-scan shape
+    "pipe_ivf_serve" -> ((s, dir) => Similarity.ivfServeTopK(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -285,6 +292,11 @@ object SparkEntry {
     // (DuckDB rebuilds sizes, parsed fields and decoded data sums
     // closed-form from `documents`)
     "mm_media_meta" -> Multimodal.mediaMeta _,
+    // the same decode contract ingested through Spark's binaryFile
+    // source from REAL staged files (one object per file, numeric
+    // filename stems) — the media-lake landing shape, oracle-shared
+    // with mm_media_meta so ingest-path divergence is a hash mismatch
+    "mm_files_meta" -> ((s, dir) => Multimodal.filesMeta(s, dir)),
     // per-kept-frame extraction (parsed Y4M frames / 1024-sample audio
     // windows / single image frame), stride-sampled; oracle-checked
     // per (media, frame)
@@ -419,7 +431,8 @@ object SparkEntry {
          |  SELECT doc_id AS media_id, text, length(text) AS n,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          |    CASE CAST(doc_id % 3 AS INTEGER)
-         |      WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+         |      WHEN 0 THEN CASE CAST((doc_id // 3) % 3 AS INTEGER)
+         |        WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END
          |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
@@ -432,9 +445,14 @@ object SparkEntry {
          |    CASE format
          |      WHEN 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
          |      WHEN 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
+         |      -- png (stored-deflate IDAT): sig 8 + IHDR 25 + IDAT 12 +
+         |      -- IEND 12 + zlib 6 + scanlines h*(1+3w) + 5 per stored block
+         |      WHEN 'png' THEN 63 + h*(1 + 3*w) + 5*((h*(1 + 3*w) + 65534)//65535)
          |      WHEN 'wav' THEN 44 + 2*ns
          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
-         |    END AS n_bytes
+         |    END AS n_bytes,
+         |    -- canonical-rate sample count (aHash64's 8 kHz NN resample)
+         |    CASE WHEN rate > 0 THEN ns * 8000 // rate ELSE 0 END AS ns2
          |  FROM base),
          |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
          |    $mmTbExpr AS tb
@@ -452,6 +470,15 @@ object SparkEntry {
         |      CAST(tb[CAST(k AS INTEGER) + 1] AS BIGINT) *
         |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
         |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END))))""".stripMargin
+    val mmMetaSql =
+      s"""$mmBaseCtes
+        |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nfr AS BIGINT) AS n_frames, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST($mmDataSum AS BIGINT) AS data_sum,
+        |  CAST($mmDataWsum AS BIGINT) AS data_wsum
+        |FROM v ORDER BY media_id""".stripMargin
     val gopherRawCte =
       """g AS (
         |  SELECT doc_id,
@@ -1708,6 +1735,16 @@ object SparkEntry {
       // sequential dot product; the ann_ivf_topk unrounded-argmax
       // precedent), stage-2 exact rerank on the full vectors rounded
       // to the 6-decimal grid before ranking.
+      //
+      // ENGINE PIN (r13 advisory): every unrounded-double ranking
+      // oracle here (this one's stage 1, tx_rrf_ann's dense arm,
+      // mm_embed_ann's encoder chain) relies on DuckDB 1.0.0's
+      // list_dot_product evaluating as a LEFT FOLD — the same order
+      // as the Scala loops. A DuckDB upgrade that vectorizes or
+      // FMA-fuses the fold could flip a 1-ulp tie with no Spark-side
+      // change; if these hashes ever break after an engine bump,
+      // diagnose as ulp drift FIRST (the RecallSpec overlap gates
+      // remain the primary semantic evidence), not as a kernel bug.
       "ann_mrl_topk" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),
@@ -1865,19 +1902,24 @@ object SparkEntry {
       // all-pairs Hamming scan — which also re-proves the Spark
       // side's pigeonhole banding complete through the driver gate.
       // Certified domain = the generated fixture dims (every mm
-      // oracle certifies exactly that domain): w,h ≥ 8 and ns ≥ 1024
-      // make every cell count ≥ 1 (aHashExact's 0-count rule never
-      // fires, so the SQL omits it), and the product of distinct
-      // counts stays ≤ 64⁴ ≪ 2⁵³, so list_product's DOUBLE return is
-      // exact before the BIGINT cast.
+      // oracle certifies exactly that domain): w,h ≥ 8 and canonical
+      // sample counts ns2 = ns·8000//rate ≥ 682 (ns ≥ 1024, rate ≤
+      // 12000) make every cell count ≥ 1 (aHashExact's 0-count rule
+      // never fires, so the SQL omits it), and the product of
+      // distinct counts stays ≤ 64⁴ ≪ 2⁵³, so list_product's DOUBLE
+      // return is exact before the BIGINT cast.
       "mm_phash_dup" ->
         s"""$mmBaseCtes,
-          |cg AS (SELECT media_id, kind, w, h, n, ns, tb,
+          |cg AS (SELECT media_id, kind, w, h, n, ns, ns2, rate, tb,
           |    CASE kind
+          |      -- audio spans run over the CANONICAL-RATE signal (ns2
+          |      -- samples; canonical sample j = source sample
+          |      -- j*rate//8000 — aHash64's NN resample, r13
+          |      -- rate-invariance), not the raw samples
           |      WHEN 'audio' THEN list_transform(range(0, 64), ci ->
           |        CAST(coalesce(list_sum(list_transform(
-          |          range(CAST(ci*ns//64 AS INTEGER), CAST((ci+1)*ns//64 AS INTEGER)),
-          |          j -> tb[1 + CAST(j % n AS INTEGER)])), 0) AS BIGINT))
+          |          range(CAST(ci*ns2//64 AS INTEGER), CAST((ci+1)*ns2//64 AS INTEGER)),
+          |          j -> tb[1 + CAST((j*rate//8000) % n AS INTEGER)])), 0) AS BIGINT))
           |      ELSE list_transform(range(0, 64), ci ->
           |        CAST(coalesce(list_sum(list_transform(
           |          range(0, CAST($phBh * $phBw AS INTEGER)),
@@ -1890,7 +1932,7 @@ object SparkEntry {
           |            END)), 0) AS BIGINT))
           |    END AS sl,
           |    CASE kind
-          |      WHEN 'audio' THEN list_transform(range(0, 64), ci -> CAST((ci+1)*ns//64 - ci*ns//64 AS BIGINT))
+          |      WHEN 'audio' THEN list_transform(range(0, 64), ci -> CAST((ci+1)*ns2//64 - ci*ns2//64 AS BIGINT))
           |      ELSE list_transform(range(0, 64), ci -> CAST($phBh * $phBw AS BIGINT))
           |    END AS cl
           |  FROM v),
@@ -1908,15 +1950,12 @@ object SparkEntry {
           |SELECT h.media_id, h.phash,
           |  CAST(CASE WHEN d.media_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
           |FROM hsh h LEFT JOIN dups d ON d.media_id = h.media_id ORDER BY h.media_id""".stripMargin,
-      "mm_media_meta" ->
-        s"""$mmBaseCtes
-          |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
-          |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-          |  CAST(nfr AS BIGINT) AS n_frames, CAST(rate AS BIGINT) AS sample_rate,
-          |  CAST(ns AS BIGINT) AS n_samples,
-          |  CAST($mmDataSum AS BIGINT) AS data_sum,
-          |  CAST($mmDataWsum AS BIGINT) AS data_wsum
-          |FROM v ORDER BY media_id""".stripMargin,
+      "mm_media_meta" -> mmMetaSql,
+      // mm_files_meta: binaryFile ingest of the staged file lake must
+      // produce ROW-IDENTICAL output to the typed-map generation path
+      // (filename-stem ids) — ONE oracle serves both, so the two
+      // ingest paths cannot drift apart without a hash mismatch
+      "mm_files_meta" -> mmMetaSql,
       // Streamed rollup ≡ batch GROUP BY over the same closed forms
       // the mm_media_meta oracle rebuilds (sizes + content checksums
       // per kind/format) — the stream never gets its own truth source.

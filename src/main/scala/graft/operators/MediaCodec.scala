@@ -1,13 +1,16 @@
 package graft.operators
 
-/** Self-contained media codec over uncompressed container formats —
-  * the REAL decode path behind the multimodal operators (no external
-  * codec library exists in this environment, so the formats are the
-  * classic zero-dependency ones every toolchain can read):
+/** Self-contained media codec — the REAL decode path behind the
+  * multimodal operators (no external codec library exists in this
+  * environment, so the formats are the classic zero-dependency ones
+  * every toolchain can read, plus PNG via `java.util.zip`):
   *
-  *  - images: binary PPM (P6, Netpbm) and 24-bit uncompressed BMP
+  *  - images: binary PPM (P6, Netpbm), 24-bit uncompressed BMP
   *    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR byte
-  *    order — the container details a real parser must invert)
+  *    order — the container details a real parser must invert), and
+  *    PNG (ISO/IEC 15948: chunk walk with CRC-32 verification, zlib
+  *    IDAT inflate, all five row filters None/Sub/Up/Average/Paeth
+  *    unfiltered — the first COMPRESSED container in the codec)
   *  - audio: RIFF/WAVE, 16-bit little-endian PCM (chunk-walking
   *    parser: fmt /data discovery, odd-size pad bytes)
   *  - video: YUV4MPEG2 (Y4M), C444 planar frames behind `FRAME`
@@ -46,6 +49,8 @@ object MediaCodec extends Serializable {
   def sniff(b: Array[Byte]): String = {
     def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
     if (at(0) == 'P' && at(1) == '6') "ppm"
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G' &&
+      at(4) == 0x0d && at(5) == 0x0a && at(6) == 0x1a && at(7) == 0x0a) "png"
     else if (at(0) == 'B' && at(1) == 'M') "bmp"
     else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE") "wav"
@@ -113,6 +118,107 @@ object MediaCodec extends Serializable {
     out
   }
 
+  private def putIntBE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+  private def getIntBE(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    * the linear prediction a + b − c, ties broken left, up, up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Bytes as a VALID zlib stream of STORED (BTYPE=00) deflate blocks
+    * — hand-written rather than `Deflater` because the stored layout
+    * makes the stream length CLOSED-FORM (2 + n + 5·⌈n/65535⌉ + 4),
+    * which is what lets the DuckDB oracle predict an encoded PNG's
+    * exact byte count; any inflater (including [[decodePng]]'s
+    * `java.util.zip.Inflater`) reads it back, and the decoder equally
+    * accepts real Huffman-compressed streams from foreign writers. */
+  private def zlibStored(data: Array[Byte]): Array[Byte] = {
+    val nBlocks = math.max(1, (data.length + 65534) / 65535)
+    val out = new Array[Byte](2 + data.length + 5 * nBlocks + 4)
+    out(0) = 0x78.toByte; out(1) = 0x01.toByte // CM=8/CINFO=7, FCHECK: 0x7801 % 31 == 0
+    var src = 0; var dst = 2; var blk = 0
+    while (blk < nBlocks) {
+      val len = math.min(65535, data.length - src)
+      out(dst) = if (blk == nBlocks - 1) 1 else 0 // BFINAL on the last block
+      out(dst + 1) = len.toByte; out(dst + 2) = (len >> 8).toByte
+      out(dst + 3) = (~len).toByte; out(dst + 4) = ((~len) >> 8).toByte // NLEN
+      System.arraycopy(data, src, out, dst + 5, len)
+      src += len; dst += 5 + len; blk += 1
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(data, 0, data.length)
+    putIntBE(out, dst, ad.getValue.toInt)
+    out
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                       data: Array[Byte]): Unit = {
+    val head = new Array[Byte](8)
+    putIntBE(head, 0, data.length)
+    typ.getBytes("US-ASCII").copyToArray(head, 4)
+    out.write(head)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(head, 4, 4); crc.update(data, 0, data.length)
+    val tail = new Array[Byte](4)
+    putIntBE(tail, 0, crc.getValue.toInt)
+    out.write(tail)
+  }
+
+  /** PNG, 8-bit truecolor RGB: signature + IHDR + one IDAT + IEND.
+    * The filter type CYCLES y % 5 so every fixture taller than four
+    * rows exercises all five row filters (None/Sub/Up/Average/Paeth)
+    * — the decoder must invert each to recover the pixels. The IDAT
+    * zlib stream uses stored blocks ([[zlibStored]]) so the total
+    * size is closed-form: 63 + h·(1+3w) + 5·⌈h·(1+3w)/65535⌉. */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    val rowLen = 3 * w
+    val raw = new Array[Byte](h * (1 + rowLen))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      val o = y * (1 + rowLen)
+      raw(o) = f.toByte
+      var x = 0
+      while (x < rowLen) {
+        val cur = rgb(y * rowLen + x) & 0xff
+        val left = if (x >= 3) rgb(y * rowLen + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * rowLen + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * rowLen + x - 3) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(o + 1 + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (truecolor RGB)
+    // bytes 10-12 stay 0: deflate, adaptive filtering, no interlace
+    val out = new java.io.ByteArrayOutputStream(63 + raw.length + 5)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zlibStored(raw))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** RIFF/WAVE, PCM 16-bit mono little-endian: 44-byte canonical
     * header + 2 bytes per sample. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -165,6 +271,7 @@ object MediaCodec extends Serializable {
     if (b == null) return UnknownMedia(0)
     try sniff(b) match {
       case "ppm" => decodePpm(b)
+      case "png" => decodePng(b)
       case "bmp" => decodeBmp(b)
       case "wav" => decodeWav(b)
       case "y4m" => decodeY4m(b)
@@ -195,13 +302,26 @@ object MediaCodec extends Serializable {
       skipSeparators()
       var v = 0; var any = false
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        // clamp BEFORE the multiply: a ~20-digit header dimension
+        // would wrap v*10+d around Int and could alias a small
+        // positive value — the one parser corner where overflow
+        // discipline was an indirect argument (r12 verdict #3). No
+        // real raster dimension exceeds 2^28.
+        if (v > (1 << 28)) throw new NumberFormatException("ppm dim overflow")
         v = v * 10 + (b(pos) - '0'); pos += 1; any = true
       }
       if (!any) throw new NumberFormatException("ppm header")
       v
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
-    pos += 1 // exactly ONE whitespace byte terminates the header (spec)
+    // exactly ONE whitespace byte terminates the header (spec); a
+    // maxval abutting the raster is malformed and must REJECT — the
+    // old unconditional skip silently ate the first raster byte and
+    // shifted every pixel by one (r13 advisory)
+    if (pos >= b.length || { val c = b(pos) & 0xff
+      c != ' ' && c != '\t' && c != '\n' && c != '\r' })
+      return UnknownMedia(b.length)
+    pos += 1
     // raster size in LONG: 3*w*h wraps Int for w,h ≥ ~46341 and a
     // wrapped-negative size would sail past a plain length check into
     // copyOfRange's IllegalArgumentException — an exception class the
@@ -210,6 +330,107 @@ object MediaCodec extends Serializable {
         3L * w * h > (b.length - pos).toLong)
       return UnknownMedia(b.length)
     ImageMedia(w, h, "ppm", java.util.Arrays.copyOfRange(b, pos, pos + 3 * w * h))
+  }
+
+  /** PNG parser: signature + chunk walk with per-chunk CRC-32
+    * verification (a corrupt chunk rejects the file, it doesn't
+    * decode to garbage), IHDR-first ordering enforced, IDAT payloads
+    * concatenated into one zlib stream and inflated with
+    * `java.util.zip.Inflater` (so Huffman-compressed streams from
+    * real writers decode, not just [[zlibStored]]'s stored blocks),
+    * then per-row unfiltering of all five filter types. Profile:
+    * 8-bit truecolor RGB, non-interlaced — anything else (palette,
+    * alpha, 16-bit, Adam7) is honest [[UnknownMedia]], as are
+    * truncated streams, foreign trailing bytes and wrapped-dimension
+    * headers (LONG bounds before every allocation). Ancillary chunks
+    * (tEXt/pHYs/…) are skipped after their CRC validates. */
+  private[operators] def decodePng(b: Array[Byte]): Media = {
+    if (b.length < 8 + 25 + 12 + 12) return UnknownMedia(b.length) // sig+IHDR+IDAT+IEND minimum
+    var pos = 8
+    var w = 0; var h = 0; var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (pos + 8 > b.length) return UnknownMedia(b.length)
+      val len = getIntBE(b, pos)
+      // LONG bounds: a declared length near 2³¹ wraps pos+12+len
+      // around Int and a plain check would pass it
+      if (len < 0 || pos.toLong + 12L + len > b.length.toLong)
+        return UnknownMedia(b.length)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + len)
+      if (crc.getValue.toInt != getIntBE(b, pos + 8 + len))
+        return UnknownMedia(b.length)
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return UnknownMedia(b.length)
+          seenIhdr = true
+          w = getIntBE(b, pos + 8); h = getIntBE(b, pos + 12)
+          val depth = b(pos + 16); val color = b(pos + 17)
+          val comp = b(pos + 18); val filt = b(pos + 19); val inter = b(pos + 20)
+          // raster and scanline sizes in LONG first: 3·w·h and
+          // h·(1+3w) both wrap Int for dims ~46341 (the r12 PPM/Y4M
+          // lesson applied to the new parser from day one)
+          if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
+              comp != 0 || filt != 0 || inter != 0 ||
+              3L * w * h > Int.MaxValue.toLong ||
+              h.toLong * (1L + 3L * w) > Int.MaxValue.toLong)
+            return UnknownMedia(b.length)
+        case "IDAT" =>
+          if (!seenIhdr) return UnknownMedia(b.length)
+          idat.write(b, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => // ancillary chunk: CRC already validated, skip
+      }
+      pos += 12 + len
+    }
+    if (!seenIhdr || idat.size == 0) return UnknownMedia(b.length)
+    val rowLen = 3 * w
+    val rawLen = h * (1 + rowLen)
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, got, rawLen - got)
+        // n == 0 with input remaining means a truncated or
+        // dictionary-requiring stream — both malformed here
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return UnknownMedia(b.length)
+        got += n
+      }
+      if (got < rawLen) return UnknownMedia(b.length)
+    } catch {
+      case _: java.util.zip.DataFormatException => return UnknownMedia(b.length)
+    } finally inf.end()
+    // unfilter: each row's filter byte selects the inverse transform;
+    // the reconstruction reads already-reconstructed neighbors (left,
+    // up, up-left), exactly the spec's sequential dependency
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + rowLen)) & 0xff
+      if (f > 4) return UnknownMedia(b.length)
+      var x = 0
+      while (x < rowLen) {
+        val v = raw(y * (1 + rowLen) + 1 + x) & 0xff
+        val left = if (x >= 3) rgb(y * rowLen + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * rowLen + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * rowLen + x - 3) & 0xff else 0
+        val r = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case _ => v + paeth(left, up, ul)
+        }
+        rgb(y * rowLen + x) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    ImageMedia(w, h, "png", rgb)
   }
 
   /** BMP parser: pixel-array offset read from the file header (not
@@ -224,6 +445,11 @@ object MediaCodec extends Serializable {
     val bpp = getShortLE(b, 28)
     val compression = getIntLE(b, 30)
     val topDown = hRaw < 0
+    // math.abs(Int.MinValue) stays negative: 3L*w*h would then pass
+    // the sign check as a negative long and the row loop would never
+    // run, leaking an ImageMedia with height -2^31 (r13 advisory) —
+    // reject the unnegatable height explicitly
+    if (hRaw == Int.MinValue) return UnknownMedia(b.length)
     val h = math.abs(hRaw)
     // the raster bound also keeps 3*w+3 (stride) and 3*w*h (alloc)
     // inside Int — wrapped values only failed through caught
@@ -278,7 +504,11 @@ object MediaCodec extends Serializable {
           sampleRate = getIntLE(b, pos + 12)
           val bits = getShortLE(b, pos + 22)
           fmtOk = audioFormat == 1 && channels == 1 && bits == 16
-        case "data" =>
+        // first data chunk WINS — well-formed WAVs carry exactly one,
+        // and common readers keep the first if a malformed file ships
+        // two; the old fall-through silently overwrote the first
+        // chunk's samples with the second's (r13 advisory)
+        case "data" if samples == null =>
           val n = size / 2
           samples = new Array[Short](n)
           var i = 0
@@ -418,22 +648,47 @@ object MediaCodec extends Serializable {
     aHashExact(sums, cnts)
   }
 
+  /** Canonical sample rate every audio signal is NN-resampled to
+    * before perceptual hashing. */
+  val canonicalRate = 8000
+
+  /** Canonical-rate view of an audio signal for perceptual hashing:
+    * nearest-neighbor resample to [[canonicalRate]] via the integer-
+    * floor index map j → j·rate/8000 (the 1-D twin of [[resizeRgbNN]]
+    * — and exactly mirrorable in oracle SQL). Rate-invariance is the
+    * audio analog of container-invariance: the same signal shipped at
+    * 8 kHz and NN-upsampled to 16 kHz canonicalizes to IDENTICAL
+    * samples, so the hashes collide at Hamming 0 (MultimodalSpec pins
+    * the planted pair). At the canonical rate the map is the
+    * identity, so legacy 8 kHz hashes are unchanged. */
+  private[operators] def canonicalSamples(rate: Int, samples: Array[Short]): Array[Short] = {
+    if (rate == canonicalRate || rate <= 0) return samples
+    val n = samples.length
+    val outN = (n.toLong * canonicalRate / rate).toInt
+    val out = new Array[Short](outN)
+    var j = 0
+    while (j < outN) { out(j) = samples((j.toLong * rate / canonicalRate).toInt); j += 1 }
+    out
+  }
+
   /** 64-bit perceptual hash of DECODED content:
     *  - image: aHash of the luma raster ((r+g+b)/3 per pixel)
-    *  - audio: aHash structure over 64 equal sample spans (the 1-D
-    *    signal analog: span means vs global mean)
+    *  - audio: aHash structure over 64 equal spans of the
+    *    CANONICAL-RATE signal ([[canonicalSamples]] — the 1-D signal
+    *    analog: span means vs global mean, rate-invariant)
     *  - video: aHash of the FIRST frame's Y plane (the thumbnail
     *    heuristic real video-dedup pipelines use for the cheap tier)
     *  - unknown: 0
     * Container-invariant by construction: the same pixels hash the
-    * same from PPM and BMP. */
+    * same from PPM, BMP and PNG. */
   def aHash64(m: Media): Long = m match {
     case ImageMedia(w, h, _, rgb) =>
       aHashGray(w, h, (x, y) => {
         val i = (y * w + x) * 3
         ((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)) / 3
       })
-    case AudioMedia(_, samples) =>
+    case AudioMedia(rate, samples0) =>
+      val samples = canonicalSamples(rate, samples0)
       val n = samples.length
       if (n == 0) return 0L
       val sums = new Array[Long](64)

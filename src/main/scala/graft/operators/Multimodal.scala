@@ -46,13 +46,14 @@ object Multimodal {
 
   /** Deterministic fixture generator: REAL container bytes derived
     * from a document row. Kind cycles image/audio/video by id;
-    * images alternate PPM and BMP containers (the two decoders must
-    * agree on the logical pixels — MultimodalSpec pins the
+    * images rotate PPM, BMP and PNG containers (all three decoders
+    * must agree on the logical pixels — MultimodalSpec pins the
     * container-invariance); dimensions / sample counts / frame
     * counts are closed-form in the id, and all data units cycle the
     * document's CODE POINTS (non-ASCII folding to '?' — see the rule
     * comment in the body) — the two facts the DuckDB oracle rebuilds
-    * the expected decode from. */
+    * the expected decode from (PNG sizes stay closed-form because
+    * [[MediaCodec.encodePng]] emits stored-deflate blocks). */
   private[graft] def genPayload(id: Long, text: String): (String, Array[Byte]) = {
     // CODEPOINT-based content rule, not raw UTF-8 bytes (r12
     // self-review): one unit per code point, non-ASCII folding to '?'
@@ -72,9 +73,14 @@ object Multimodal {
         val w = (8 + java.lang.Math.floorMod(id, 57L)).toInt
         val h = (8 + java.lang.Math.floorMod(id * 7, 57L)).toInt
         val rgb = Array.tabulate(3 * w * h)(i => unit(i.toLong))
-        val payload =
-          if (java.lang.Math.floorMod(id / 3, 2L) == 0L) MediaCodec.encodePpm(w, h, rgb)
-          else MediaCodec.encodeBmp(w, h, rgb)
+        // container cycles PPM → BMP → PNG (r13: the compressed
+        // container joins the rotation; all three must agree on the
+        // logical pixels — container-invariance is spec-pinned)
+        val payload = java.lang.Math.floorMod(id / 3, 3L) match {
+          case 0L => MediaCodec.encodePpm(w, h, rgb)
+          case 1L => MediaCodec.encodeBmp(w, h, rgb)
+          case _  => MediaCodec.encodePng(w, h, rgb)
+        }
         ("image", payload)
       case 1 =>
         val rate = (8000 + java.lang.Math.floorMod(id, 5L) * 1000).toInt
@@ -111,17 +117,22 @@ object Multimodal {
     * landing shape (one object per file; payload/path/length come
     * from the source, kind derives from the extension; pass
     * `pathGlobFilter`/`recursiveFileLookup` options for selective or
-    * nested layouts). media_id is the path hash: deterministic across
-    * runs, no driver-side numbering. Everything downstream
-    * ([[decodeAll]], [[extractFeatures]], [[phashDedup]]'s hash) is
-    * source-agnostic, so the synthetic table and a real file lake
-    * share every operator; foreign formats (jpeg/mp3/…) decode to
-    * UnknownMedia totality-style until their parser lands in
-    * [[MediaCodec]]. */
+    * nested layouts). media_id: a lake whose filenames carry a
+    * numeric stem (`<id>.<ext>` — the [[mediaLakeDir]] staging
+    * convention) keeps that id, which is what lets `mm_files_meta`
+    * join the DuckDB oracle on it; any other filename falls back to
+    * the path hash — deterministic across runs either way, no
+    * driver-side numbering. Everything downstream ([[decodeAll]],
+    * [[extractFeatures]], [[phashDedup]]'s hash) is source-agnostic,
+    * so the synthetic table and a real file lake share every
+    * operator; foreign formats (jpeg/mp3/…) decode to UnknownMedia
+    * totality-style until their parser lands in [[MediaCodec]]. */
   def mediaFromFiles(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
+    val stem = regexp_extract(element_at(split($"path", "/"), -1), "^(\\d+)\\.[^.]+$", 1)
     s.read.format("binaryFile").load(dir)
-      .select(xxhash64($"path").as("media_id"),
+      .select(
+        when(stem =!= "", stem.cast("long")).otherwise(xxhash64($"path")).as("media_id"),
         lower(element_at(split($"path", "\\."), -1)).as("ext"),
         $"content".as("payload"))
       .withColumn("kind",
@@ -130,6 +141,49 @@ object Multimodal {
           .when($"ext".isin("mp4", "webm", "mkv", "y4m"), "video")
           .otherwise("binary"))
       .select($"media_id", $"kind", $"payload").as[MediaRow]
+  }
+
+  /** Session-scoped staging of the synthetic media lake as REAL FILES
+    * — one object per file named `<doc_id>.<container-ext>`, written
+    * EXECUTOR-SIDE (foreachPartition; the driver never sees a
+    * payload), once per source dir per session. Staging is test
+    * scaffolding: a production lake's objects already sit in object
+    * storage — so [[filesMeta]]'s timed runs measure the binaryFile
+    * scan + decode, not the one-time fixture write ([[graft.streaming.StreamingOps.preStage]]
+    * discipline; Bench pre-stages this dir in warm-up). */
+  private val mediaLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def mediaLakeDir(s: SparkSession, dir: String): String =
+    mediaLakeDirs.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft-media-lake").toString
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          it.foreach { case (id, text) =>
+            val (_, payload) = genPayload(id, text)
+            // extension = sniffed container (ppm/bmp/png/wav/y4m), so
+            // the lake's kind-from-extension rule is exercised too
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"$id.${MediaCodec.sniff(payload)}"), payload)
+          }
+        }
+      out
+    })
+
+  /** `mm_media_meta` over the FILE lake (`mm_files_meta`): the same
+    * decode contract, but ingested through Spark's binaryFile source
+    * from real files staged by [[mediaLakeDir]] — the one O1 source
+    * shape that was spec-only until r13. Filename-stem ids make the
+    * result row-identical to [[mediaMeta]], so the TWO paths share
+    * one DuckDB oracle: a divergence between the binaryFile ingest
+    * and the typed-map generation path is a hash mismatch. */
+  def filesMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeAll(mediaFromFiles(s, mediaLakeDir(s, dir)), withSha = false)
+      .select($"media_id", $"kind", $"format", $"n_bytes", $"width", $"height",
+        $"n_frames", $"sample_rate", $"n_samples", $"data_sum", $"data_wsum")
+      .orderBy($"media_id")
   }
 
   /** Parse one payload into its [[DecodedRow]] facts: container parse

@@ -24,6 +24,55 @@ class MultimodalSpec extends SparkSpec {
       (w, h, b.slice(m.end, m.end + 3 * w * h)) // ISO-8859-1: char off == byte off
     }
 
+    /** Independent PNG read: ByteBuffer big-endian chunk scan (no CRC
+      * math — corruption detection is the codec's job, not the
+      * reference recompute's), `Inflater` for the zlib stream, and a
+      * functional unfilter whose Paeth arm picks via `minBy` over the
+      * (distance, predictor) triple — first-minimal tie-breaking in
+      * a/up/up-left order IS the spec rule, arrived at by a different
+      * construction than the codec's if-chain. */
+    def png(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val bb = ByteBuffer.wrap(b) // big-endian by default
+      require(bb.getLong(0) == 0x89504e470d0a1a0aL)
+      var p = 8; var w = 0; var h = 0
+      val idat = Seq.newBuilder[Array[Byte]]
+      var stop = false
+      while (!stop) {
+        val len = bb.getInt(p)
+        new String(b, p + 4, 4, "US-ASCII") match {
+          case "IHDR" =>
+            w = bb.getInt(p + 8); h = bb.getInt(p + 12)
+            require(b(p + 16) == 8 && b(p + 17) == 2, "8-bit truecolor only")
+          case "IDAT" => idat += b.slice(p + 8, p + 8 + len)
+          case "IEND" => stop = true
+          case _      => // ancillary
+        }
+        p += 12 + len
+      }
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.result().toArray.flatten)
+      val rowLen = 3 * w
+      val raw = new Array[Byte](h * (1 + rowLen))
+      var got = 0
+      while (got < raw.length) got += inf.inflate(raw, got, raw.length - got)
+      inf.end()
+      val rgb = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until rowLen) {
+        def at(yy: Int, xx: Int): Int = if (yy < 0 || xx < 0) 0 else rgb(yy * rowLen + xx) & 0xff
+        val (a, u, c) = (at(y, x - 3), at(y - 1, x), at(y - 1, x - 3))
+        val pp = a + u - c
+        val pred = (raw(y * (1 + rowLen)) & 0xff) match {
+          case 0 => 0
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) / 2
+          case 4 => Seq((math.abs(pp - a), a), (math.abs(pp - u), u), (math.abs(pp - c), c)).minBy(_._1)._2
+        }
+        rgb(y * rowLen + x) = ((raw(y * (1 + rowLen) + 1 + x) & 0xff) + pred).toByte
+      }
+      (w, h, rgb)
+    }
+
     def bmp(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       val bb = le(b)
       val off = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
@@ -103,7 +152,14 @@ class MultimodalSpec extends SparkSpec {
         ((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)) / 3
       })
 
-    def aHashAudio(samples: Array[Short]): Long = {
+    def aHashAudio(rate: Int, samples0: Array[Short]): Long = {
+      // canonical-rate view FIRST (the r13 rate-invariance contract):
+      // independent recompute via a tabulated index map rather than
+      // the codec's while-loop fill
+      val samples =
+        if (rate == 8000) samples0
+        else Array.tabulate((samples0.length.toLong * 8000 / rate).toInt)(j =>
+          samples0((j.toLong * rate / 8000).toInt))
       val n = samples.length
       if (n == 0) return 0L
       exactBits((0 until 64).map { i =>
@@ -117,7 +173,8 @@ class MultimodalSpec extends SparkSpec {
     def hash(payload: Array[Byte]): Long = new String(payload.take(2), "ISO-8859-1") match {
       case "P6" => val (w, h, rgb) = ppm(payload); aHashImage(w, h, rgb)
       case "BM" => val (w, h, rgb) = bmp(payload); aHashImage(w, h, rgb)
-      case "RI" => val (_, s) = wav(payload); aHashAudio(s)
+      case "\u0089P" => val (w, h, rgb) = png(payload); aHashImage(w, h, rgb)
+      case "RI" => val (r, s) = wav(payload); aHashAudio(r, s)
       case "YU" =>
         val (w, h, frames) = y4m(payload)
         aHashGray(w, h, (x, y) => frames.head(y * w + x) & 0xff) // first-frame Y plane
@@ -132,26 +189,89 @@ class MultimodalSpec extends SparkSpec {
       assert(r.kind == Seq("image", "audio", "video")((r.media_id % 3).toInt))
       val fmt = MediaCodec.sniff(r.payload)
       r.kind match {
-        case "image" => assert(fmt == (if ((r.media_id / 3) % 2 == 0) "ppm" else "bmp"))
+        case "image" => assert(fmt == Seq("ppm", "bmp", "png")(((r.media_id / 3) % 3).toInt))
         case "audio" => assert(fmt == "wav")
         case "video" => assert(fmt == "y4m")
       }
     }
   }
 
-  test("codec round-trips + container parity: PPM and BMP agree on the logical pixels") {
+  test("codec round-trips + container parity: PPM, BMP and PNG agree on the logical pixels") {
     val rnd = new scala.util.Random(11)
-    // odd widths exercise BMP's 4-byte row padding (w=9 -> stride 28)
+    // odd widths exercise BMP's 4-byte row padding (w=9 -> stride 28);
+    // heights ≥ 5 exercise every PNG row filter (the encoder cycles
+    // None/Sub/Up/Average/Paeth by y % 5)
     for (w <- Seq(1, 3, 8, 9, 17); h <- Seq(1, 2, 8, 13)) {
       val rgb = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
       val viaPpm = MediaCodec.decode(MediaCodec.encodePpm(w, h, rgb))
       val viaBmp = MediaCodec.decode(MediaCodec.encodeBmp(w, h, rgb))
-      (viaPpm, viaBmp) match {
-        case (ImageMedia(pw, ph, "ppm", prgb), ImageMedia(bw, bh, "bmp", brgb)) =>
-          assert(pw == w && ph == h && bw == w && bh == h)
+      val viaPng = MediaCodec.decode(MediaCodec.encodePng(w, h, rgb))
+      (viaPpm, viaBmp, viaPng) match {
+        case (ImageMedia(pw, ph, "ppm", prgb), ImageMedia(bw, bh, "bmp", brgb),
+              ImageMedia(nw, nh, "png", nrgb)) =>
+          assert(pw == w && ph == h && bw == w && bh == h && nw == w && nh == h)
           assert(java.util.Arrays.equals(prgb, rgb), s"ppm $w x $h")
           assert(java.util.Arrays.equals(brgb, rgb), s"bmp $w x $h")
+          assert(java.util.Arrays.equals(nrgb, rgb), s"png $w x $h")
         case other => fail(s"$w x $h decoded to $other")
+      }
+      // the PNG codec's independent size contract (what the oracle
+      // computes closed-form): stored-deflate layout, 63 + h(1+3w) + 5/block
+      val rawLen = h * (1 + 3 * w)
+      assert(MediaCodec.encodePng(w, h, rgb).length ==
+        63 + rawLen + 5 * ((rawLen + 65534) / 65535))
+    }
+    // multi-block stored stream: raw > 65535 forces a second deflate block
+    {
+      val w = 200; val h = 150 // raw = 150·601 = 90150 -> 2 stored blocks
+      val rgb = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
+      val png = MediaCodec.encodePng(w, h, rgb)
+      assert(png.length == 63 + 90150 + 10)
+      MediaCodec.decode(png) match {
+        case ImageMedia(`w`, `h`, "png", got) => assert(java.util.Arrays.equals(got, rgb))
+        case other => fail(s"multi-block png: $other")
+      }
+    }
+    // the decoder accepts REAL compressed streams, not just the
+    // encoder's stored blocks: re-deflate the same scanlines with
+    // Huffman compression and rebuild the IDAT chunk
+    {
+      val w = 17; val h = 13
+      val rgb = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
+      val stored = MediaCodec.encodePng(w, h, rgb)
+      // extract the scanline stream by inflating the stored IDAT
+      // (sig 8 + IHDR 25 + IDAT header 8 = offset 41 to zlib data)
+      val zlen = stored.length - 41 - 4 - 12
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(stored, 41, zlen)
+      val raw = new Array[Byte](h * (1 + 3 * w))
+      var got = 0
+      while (got < raw.length) got += inf.inflate(raw, got, raw.length - got)
+      inf.end()
+      val packed = {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = d.deflate(buf)
+        assert(d.finished, "deflate buffer too small for fixture")
+        d.end()
+        buf.take(n)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(stored, 0, 33) // sig + IHDR
+      val head = new Array[Byte](8)
+      head(0) = (packed.length >>> 24).toByte; head(1) = (packed.length >>> 16).toByte
+      head(2) = (packed.length >>> 8).toByte; head(3) = packed.length.toByte
+      "IDAT".getBytes("US-ASCII").copyToArray(head, 4)
+      out.write(head); out.write(packed)
+      val crc = new java.util.zip.CRC32()
+      crc.update(head, 4, 4); crc.update(packed, 0, packed.length)
+      out.write(Array((crc.getValue >>> 24).toByte, (crc.getValue >>> 16).toByte,
+        (crc.getValue >>> 8).toByte, crc.getValue.toByte))
+      out.write(stored, stored.length - 12, 12) // IEND
+      MediaCodec.decode(out.toByteArray) match {
+        case ImageMedia(`w`, `h`, "png", dec) => assert(java.util.Arrays.equals(dec, rgb))
+        case other => fail(s"huffman png: $other")
       }
     }
     // audio: full signed 16-bit range round-trips through LE encoding
@@ -246,6 +366,29 @@ class MultimodalSpec extends SparkSpec {
     // C420 (subsampled) is a different plane geometry -> honest Unknown, not garbage
     val c420 = "YUV4MPEG2 W4 H2 C420\nFRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0)
     assert(MediaCodec.decode(c420) == UnknownMedia(c420.length))
+    // PNG with an ancillary tEXt chunk between IHDR and IDAT (real
+    // writers ship these): CRC-validated, then skipped — pixels intact
+    val pngRgb = Array.tabulate[Byte](3 * 4 * 3)(i => (i * 7).toByte)
+    val basePng = MediaCodec.encodePng(4, 3, pngRgb)
+    val withText = {
+      val text = "Comment made by graft".getBytes("ISO-8859-1")
+      val chunk = new Array[Byte](12 + text.length)
+      chunk(0) = 0; chunk(1) = 0; chunk(2) = 0; chunk(3) = text.length.toByte
+      "tEXt".getBytes("US-ASCII").copyToArray(chunk, 4)
+      text.copyToArray(chunk, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(chunk, 4, 4 + text.length)
+      val cv = crc.getValue
+      chunk(8 + text.length) = (cv >>> 24).toByte
+      chunk(9 + text.length) = (cv >>> 16).toByte
+      chunk(10 + text.length) = (cv >>> 8).toByte
+      chunk(11 + text.length) = cv.toByte
+      basePng.take(33) ++ chunk ++ basePng.drop(33) // after IHDR
+    }
+    MediaCodec.decode(withText) match {
+      case ImageMedia(4, 3, "png", got) => assert(java.util.Arrays.equals(got, pngRgb))
+      case other => fail(s"tEXt-bearing png: $other")
+    }
   }
 
   test("payload content cycles CODE POINTS, non-ASCII folding to '?' (the oracle's exact rule)") {
@@ -292,13 +435,88 @@ class MultimodalSpec extends SparkSpec {
         Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte),
       // BMP header declaring a raster past Int range
       MediaCodec.encodeBmp(4, 2, Array.tabulate[Byte](24)(_.toByte))
-        .patch(18, Array[Byte](0x00, 0x00, 0x00, 0x40), 4)) // w = 2^30
+        .patch(18, Array[Byte](0x00, 0x00, 0x00, 0x40), 4), // w = 2^30
+      // BMP height = Int.MinValue: math.abs stays negative, 3L*w*h
+      // goes negative past the sign check, and the old code leaked an
+      // ImageMedia with height -2^31 (r13 advisory)
+      MediaCodec.encodeBmp(4, 2, Array.tabulate[Byte](24)(_.toByte))
+        .patch(22, Array[Byte](0x00, 0x00, 0x00, 0x80.toByte), 4),
+      // ~20-digit PPM dimension: v*10+d wraps Int and can alias a
+      // small positive value (r12 verdict #3) — must reject, not parse
+      "P6\n99999999999999999999 2\n255\n".getBytes("US-ASCII"),
+      // maxval abutting the raster (no single-whitespace terminator):
+      // the old parser silently ate the first raster byte (r13
+      // advisory) — malformed header must reject
+      ("P6\n2 2\n255" + "x" * 12).getBytes("US-ASCII"),
+      // PNG: truncated mid-IDAT, corrupt byte (CRC mismatch), and a
+      // wrapped-dimension IHDR with a VALID CRC (the CRC walk must
+      // not be the only line of defense)
+      MediaCodec.encodePng(8, 8, Array.tabulate[Byte](192)(_.toByte)).take(50),
+      { val p = MediaCodec.encodePng(8, 8, Array.tabulate[Byte](192)(_.toByte))
+        p(45) = (p(45) ^ 0x55).toByte; p },
+      pngWithHeader(46341, 46341),
+      // PNG whose declared chunk length is near 2^31: pos+12+len
+      // wraps Int — the LONG bounds must reject before any read
+      MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte))
+        .patch(8, Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte), 4))
     cases.foreach { b =>
       MediaCodec.decode(b) match {
         case UnknownMedia(n) => assert(n == b.length)
         case other => fail(s"expected UnknownMedia, got $other for ${b.length} bytes")
       }
     }
+    // WAV with TWO data chunks: first chunk wins (common-reader
+    // convention, r13 advisory) — the second must not overwrite it
+    val first = Array.tabulate(40)(i => i.toShort)
+    val second = Array.tabulate(40)(i => (1000 + i).toShort)
+    val w1 = MediaCodec.encodeWav(8000, first)
+    val extra = {
+      val d = new Array[Byte](8 + 80)
+      "data".getBytes("US-ASCII").copyToArray(d, 0)
+      d(4) = 80.toByte
+      (0 until 40).foreach { i =>
+        d(8 + 2 * i) = second(i).toByte; d(9 + 2 * i) = (second(i) >> 8).toByte
+      }
+      d
+    }
+    val doubled = w1 ++ extra
+    val riffSize = doubled.length - 8
+    doubled(4) = riffSize.toByte; doubled(5) = (riffSize >> 8).toByte
+    doubled(6) = (riffSize >> 16).toByte; doubled(7) = (riffSize >> 24).toByte
+    MediaCodec.decode(doubled) match {
+      case AudioMedia(8000, got) =>
+        assert(java.util.Arrays.equals(got, first), "first data chunk must win")
+      case other => fail(s"double-data wav: $other")
+    }
+  }
+
+  /** A syntactically valid PNG (correct signature, chunk layout and
+    * CRCs) whose IHDR declares the given dimensions — the adversarial
+    * wrapped-dimension shape. */
+  private def pngWithHeader(w: Int, h: Int): Array[Byte] = {
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val head = new Array[Byte](8)
+      head(0) = (data.length >>> 24).toByte; head(1) = (data.length >>> 16).toByte
+      head(2) = (data.length >>> 8).toByte; head(3) = data.length.toByte
+      typ.getBytes("US-ASCII").copyToArray(head, 4)
+      out.write(head); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(head, 4, 4); crc.update(data, 0, data.length)
+      out.write(Array((crc.getValue >>> 24).toByte, (crc.getValue >>> 16).toByte,
+        (crc.getValue >>> 8).toByte, crc.getValue.toByte))
+    }
+    chunk("IHDR", ihdr)
+    chunk("IDAT", Array[Byte](0x78, 0x01))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   test("decoded facts match the generation formulas; decode is deterministic") {
@@ -309,7 +527,7 @@ class MultimodalSpec extends SparkSpec {
       val id = d.media_id
       (id % 3) match {
         case 0 =>
-          assert(d.format == (if ((id / 3) % 2 == 0) "ppm" else "bmp"))
+          assert(d.format == Seq("ppm", "bmp", "png")(((id / 3) % 3).toInt))
           assert(d.width == 8 + id % 57 && d.height == 8 + (id * 7) % 57)
           assert(d.n_frames == 1 && d.n_samples == 0)
         case 1 =>
@@ -398,7 +616,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("query phash ≡ independent-parser recompute; container-invariant across PPM and BMP") {
+  test("query phash ≡ independent-parser recompute; container-invariant across PPM, BMP and PNG; rate-invariant") {
     val byId = Multimodal.mediaTable(spark, sfDir).collect()
       .map(r => r.media_id -> r.payload).toMap
     val queryHashes = Multimodal.phashDedup(spark, sfDir).collect()
@@ -406,13 +624,26 @@ class MultimodalSpec extends SparkSpec {
     byId.foreach { case (id, payload) =>
       assert(queryHashes(id) == Ref.hash(payload), s"media $id")
     }
-    // container invariance: the same pixels hash identically from PPM
-    // and BMP (what makes the hash PERCEPTUAL, not a byte hash)
+    // container invariance: the same pixels hash identically from all
+    // THREE image containers — uncompressed (PPM), flipped-BGR (BMP)
+    // and compressed (PNG) — at Hamming 0 (what makes the hash
+    // PERCEPTUAL, not a byte hash)
     val rnd = new scala.util.Random(5)
     val rgb = Array.fill[Byte](3 * 16 * 16)(rnd.nextInt(256).toByte)
     val viaPpm = MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodePpm(16, 16, rgb)))
     val viaBmp = MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeBmp(16, 16, rgb)))
-    assert(viaPpm == viaBmp && viaPpm != 0L)
+    val viaPng = MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodePng(16, 16, rgb)))
+    assert(viaPpm == viaBmp && viaBmp == viaPng && viaPpm != 0L)
+    // RATE invariance (the audio twin, r13): the same signal shipped
+    // at 8 kHz and NN-upsampled to 16 kHz must collide at Hamming 0 —
+    // both canonicalize to the identical 8 kHz sample sequence
+    val s8 = Array.tabulate(1500)(i => ((i * 37) % 256 - 128).toShort)
+    val s16 = Array.tabulate(3000)(i => s8(i / 2))
+    val h8 = MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(8000, s8)))
+    val h16 = MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(16000, s16)))
+    assert(h8 == h16 && h8 != 0L, "audio hash must be sample-rate invariant")
+    // and the independent recompute agrees on the upsampled variant
+    assert(Ref.aHashAudio(16000, s16) == h16)
   }
 
   test("phash dedup banding ≡ brute-force Hamming scan (complete by pigeonhole)") {
@@ -435,14 +666,15 @@ class MultimodalSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("phash").toString
     // ids 0, 57, 114 are all 8x8 IMAGES (w = 8 + id%57, h = 8 + (id*7)%57
     // both collapse to 8 when id ≡ 0 mod 57·... — 57 | id and 57 | 7id),
-    // but the CONTAINER alternates: 0 -> ppm, 57 -> bmp (57/3 = 19 odd),
-    // 114 -> ppm. An 8x8 image reads its 192 pixel bytes from the first
-    // 192 text bytes, so:
+    // and the r13 container rotation places one in EACH container:
+    // 0 -> ppm (0%3), 57 -> bmp (19%3=1), 114 -> png (38%3=2). An 8x8
+    // image reads its 192 pixel bytes from the first 192 text bytes, so:
     //   id 57: same text as id 0      -> same pixels, DIFFERENT container
-    //   id 114: same first 192 bytes, different tail -> same pixels
-    // Both must flag at Hamming 0 — content dedup through container
-    // and through trailing-text change. ids 3, 6 are images with
-    // different content -> clean.
+    //   id 114: same first 192 bytes, different tail -> same pixels,
+    //           THIRD container (compressed)
+    // All three must flag at Hamming 0 — content dedup across all three
+    // containers and through trailing-text change. ids 3, 6 are images
+    // with different content -> clean.
     val base = "The quick brown fox jumps over the lazy dog while seventeen " +
       "zebras inspect 42 crates of parquet files stacked neatly beside " +
       "the columnar warehouse entrance on a bright Tuesday morning in " +
@@ -461,7 +693,8 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(flags(0L) == 1L && flags(57L) == 1L,
       "same pixels in different containers (ppm vs bmp) must flag")
-    assert(flags(114L) == 1L, "same pixels from tail-edited text must flag")
+    assert(flags(114L) == 1L,
+      "same pixels from tail-edited text in the COMPRESSED container must flag")
     assert(flags(3L) == 0L && flags(6L) == 0L, "unrelated images must not flag")
   }
 
@@ -518,14 +751,21 @@ class MultimodalSpec extends SparkSpec {
     // camera-style UPPERCASE extension must classify, not fall through
     java.nio.file.Files.write(dir.resolve("photo2.PPM"),
       MediaCodec.encodePpm(1, 1, Array[Byte](9, 9, 9)))
+    // numeric filename stem => that id verbatim (the oracle-joinable
+    // media-lake convention, r13); PNG classifies image
+    java.nio.file.Files.write(dir.resolve("123.png"),
+      MediaCodec.encodePng(1, 1, Array[Byte](5, 5, 5)))
     val media = Multimodal.mediaFromFiles(spark, dir.toString).collect()
-    assert(media.length == 7)
-    assert(media.count(_.kind == "image") == 4, "ppm/bmp/jpg/PPM must classify image")
+    assert(media.length == 8)
+    assert(media.count(_.kind == "image") == 5, "ppm/bmp/jpg/PPM/png must classify image")
+    assert(media.exists(r => r.media_id == 123L && r.kind == "image"),
+      "numeric stem must become the media_id")
     assert(media.count(_.kind == "audio") == 1 && media.count(_.kind == "video") == 1)
     // payload bytes round-trip exactly
     media.foreach { r =>
       assert(files.values.exists(java.util.Arrays.equals(_, r.payload)) ||
-        java.util.Arrays.equals(r.payload, MediaCodec.encodePpm(1, 1, Array[Byte](9, 9, 9))))
+        java.util.Arrays.equals(r.payload, MediaCodec.encodePpm(1, 1, Array[Byte](9, 9, 9))) ||
+        java.util.Arrays.equals(r.payload, MediaCodec.encodePng(1, 1, Array[Byte](5, 5, 5))))
     }
     // deterministic ids: same directory, same ids
     val again = Multimodal.mediaFromFiles(spark, dir.toString).collect()
@@ -534,13 +774,31 @@ class MultimodalSpec extends SparkSpec {
     // foreign bytes report unknown instead of throwing
     val decoded = Multimodal.decodeAll(
       Multimodal.mediaFromFiles(spark, dir.toString)).collect()
-    assert(decoded.length == 7)
+    assert(decoded.length == 8)
     val byFormat = decoded.groupBy(_.format)
     assert(byFormat("ppm").exists(d => d.width == 6 && d.height == 4))
     assert(byFormat("bmp").exists(d => d.width == 6 && d.height == 4))
     assert(byFormat("wav").head.n_samples == 500 && byFormat("wav").head.sample_rate == 16000)
     assert(byFormat("y4m").head.n_frames == 2)
+    assert(byFormat("png").exists(d => d.width == 1 && d.height == 1),
+      "file-lake PNG must decode through the compressed-container parser")
     assert(byFormat("unknown").length == 2) // jpg + bin
     decoded.foreach(d => assert(d.n_bytes > 0))
+  }
+
+  test("staged media lake: filesMeta ≡ mediaMeta row-for-row (the binaryFile ingest contract)") {
+    // mm_files_meta's whole promotion argument: the file-lake path
+    // (stage real files -> binaryFile scan -> stem ids -> decode)
+    // must produce EXACTLY the typed-map generation path's rows, so
+    // the two share one DuckDB oracle and cannot drift apart
+    val viaFiles = Multimodal.filesMeta(spark, sfDir).collect().toSeq
+    val viaDocs = Multimodal.mediaMeta(spark, sfDir).collect().toSeq
+    assert(viaFiles.size == 500)
+    assert(viaFiles == viaDocs)
+    // and the staged lake carries every container the generator emits,
+    // including the compressed one
+    val exts = new java.io.File(Multimodal.mediaLakeDir(spark, sfDir)).list()
+      .map(_.split('.').last).toSet
+    assert(exts == Set("ppm", "bmp", "png", "wav", "y4m"))
   }
 }

@@ -475,6 +475,38 @@ class PlanSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n_tokens")).sum)
   }
 
+  test("IVF serving plan reads the persisted index: one embeddings scan, no training jobs") {
+    // pipe_ivf_serve's structural pin. The serve-time plan must get
+    // the corpus side from the PERSISTED cid-partitioned lists table
+    // (the artifact ivfIndexDir wrote), NOT from a fresh assignment
+    // over embeddings.parquet — a regression that re-assigns at serve
+    // time needs a second embeddings scan, which this count forbids.
+    // Training (k-means) runs driver-side in the build step only, so
+    // the serving DataFrame's plan existing at all proves no Lloyd's
+    // jobs ride each query; what's assertable in the plan is the
+    // scan inventory.
+    val df = graft.operators.Similarity.ivfServeTopK(spark, sfDir)
+    // walk the physical tree, not the plan STRING: the DPP subquery's
+    // rendering echoes the probe subtree (a broadcast REUSE at
+    // runtime, not a second scan), so string-counting double-counts.
+    // sparkPlan, not executedPlan — AdaptiveSparkPlanExec hides its
+    // input from collect()
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("embeddings.parquet")) == 1,
+      s"exactly one embeddings scan (the probe side) — the corpus must come from the index artifact: $scans")
+    assert(scans.count(_.contains("graft-ivf-index")) == 1,
+      s"the corpus scan must read the persisted index's lists table: $scans")
+    // and the lists scan is pruned AT THE FILE LEVEL by the probed
+    // cids: dynamic partition pruning rides the broadcast probe side
+    // (at 10⁵ lists a nProbe=4 query opens 4 directories, not the
+    // corpus — the whole point of persisting the layout)
+    assert(plan(df).contains("dynamicpruning"),
+      "lists scan must carry a dynamic partition-pruning filter on cid")
+  }
+
   test("word count stays inside whole-stage codegen") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     // Codegen'd operators are marked "*(n)" in the final plan string.

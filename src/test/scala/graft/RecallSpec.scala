@@ -265,6 +265,28 @@ class RecallSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - expected) < 1e-9,
         s"(${r.getLong(0)},${r.getLong(1)})")
     }
+    // ULP-TIE MARGIN (r13 advisory): ann_mrl_topk's DuckDB oracle
+    // ranks the stage-1 shortlist on the UNROUNDED prefix cosine —
+    // safe only while no two candidates sit within engine-fold ulp
+    // distance of the shortlist boundary. Measure the smallest
+    // nonzero adjacent gap around the cut so a future engine-upgrade
+    // hash flake is immediately diagnosable as ulp drift (gap below
+    // this floor) rather than a kernel bug. Exact ties are fine —
+    // both engines break them on vec_id.
+    val shortlistK = 40
+    val prefixGaps = (0L until 10L).flatMap { q =>
+      val qv = emb(q).take(16)
+      val ranked = emb.toSeq.filter(_._1 != q)
+        .map { case (id, e) => (cos(qv, e.take(16)), -id) }.sorted.reverse
+        .map(_._1)
+      ranked.sliding(2).toSeq
+        .slice(shortlistK - 3, shortlistK + 2) // the cut neighborhood
+        .collect { case Seq(a, b) if a != b => a - b }
+    }
+    val minGap = prefixGaps.min
+    info(f"mrl stage-1 shortlist-boundary min nonzero gap = $minGap%.3e")
+    assert(minGap > 1e-12,
+      f"shortlist boundary sits within ulp noise ($minGap%.3e) — the unrounded oracle is fragile")
   }
 
   test("q20 sketches stay inside their error bounds vs exact counterparts") {
@@ -366,5 +388,31 @@ class RecallSpec extends SparkSpec {
     val again = operators.Similarity.ivfLifecycle(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == m)
+  }
+
+  test("persisted-index serving ≡ in-session trained IVF; recall holds; deterministic") {
+    // pipe_ivf_serve's gate. Parquet round-trips doubles bit-exactly,
+    // so reading the centroid artifact back and serving from the
+    // cid-partitioned lists must reproduce ivfTrainedTopK's result
+    // EXACTLY — same centroids, same assignment kernel, same rescoring
+    // — while the serving plan does no training or corpus-assignment
+    // work (PlanSpec pins that shape). A mismatch here means the
+    // artifact write/read mangled the index.
+    val served = Similarity.ivfServeTopK(spark, sfDir, numQueries = 10, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val trained = Similarity.ivfTrainedTopK(spark, sfDir, numQueries = 10, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(served == trained,
+      "serving from the persisted artifact must equal the in-session trained index")
+    // recall vs exact brute force — same measured floor as trained IVF
+    val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val got = served.map(t => (t._1, t._2)).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"served-ivf recall@5 = $recall%.3f")
+    assert(recall >= 0.40, f"served recall collapsed: $recall%.3f")
+    // deterministic: a second serve reads the same artifact
+    val again = Similarity.ivfServeTopK(spark, sfDir, numQueries = 10, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(again == served)
   }
 }

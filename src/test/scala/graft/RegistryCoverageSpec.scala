@@ -40,6 +40,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "ann_ivf_pq" -> ("RecallSpec.scala", "ivfPqTopK"),
     "ann_near_dup" -> ("RecallSpec.scala", "embeddingNearDup"),
     "pipe_ivf_retrain" -> ("RecallSpec.scala", "ivfLifecycle"),
+    "pipe_ivf_serve" -> ("RecallSpec.scala", "ivfServeTopK"),
     "dd_minhash_lsh" -> ("RecallSpec.scala", "minhashLsh"),
     "dd_simhash" -> ("RecallSpec.scala", "simhash"),
     "dd_semantic" -> ("RecallSpec.scala", "semanticDedup"),
@@ -151,6 +152,26 @@ class RegistryCoverageSpec extends AnyFunSuite {
       s"SURVEY.md status must state $q queries / $o oracle-checked")
     assert(survey.contains(s"every one of the ${q - o}\nrows-only queries"),
       s"SURVEY.md status must state ${q - o} rows-only queries")
+  }
+
+  test("SURVEY.md implementation-status label names the round being built (label-rot guard)") {
+    // r12 shipped correct guard-pinned FIGURES under a stale
+    // "(round 11)" label — numbers can't rot, labels could. The round
+    // being built is always the last VERDICT's round + 1, so the
+    // label is now derived, not remembered. (Skipped before round 2:
+    // no VERDICT.md exists yet.)
+    val verdictPath = java.nio.file.Paths.get("VERDICT.md")
+    if (java.nio.file.Files.exists(verdictPath)) {
+      val verdict = new String(java.nio.file.Files.readAllBytes(verdictPath), "UTF-8")
+      """# VERDICT — round (\d+)""".r.findFirstMatchIn(verdict).foreach { m =>
+        val round = m.group(1).toInt + 1
+        val survey = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+        assert(survey.contains(s"Implementation status (round $round)"),
+          s"SURVEY.md status label must read '(round $round)' — VERDICT.md is round ${m.group(1)}, " +
+            "so this build is round " + round)
+      }
+    }
   }
 
   test("RESULTS.md current-claims section states live run counts (run-count rot guard)") {
