@@ -73,14 +73,23 @@ object Bench {
       // let Catalyst prune computed columns and measure a cheaper plan).
       // min over runs: later runs reuse compiled codegen, so the
       // reported number is steady-state query time, not janino time.
+      // A FAILED repetition times as +Infinity, never as its wall
+      // time: a swallowed exception measures ~0.01 s, and min() would
+      // adopt that as a legitimate number — in the rerun phase it
+      // would even silently REPLACE a real first-phase measurement
+      // (review r13). All-runs-failed surfaces as -1 in the artifact.
       val times = (1 to runs).map { _ =>
         preRun.get(name).foreach(_.apply())
+        var failed = false
         val t0 = System.nanoTime()
         val run = () =>
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+          catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name: ${e.getMessage}")
+          }
         aroundRun.getOrElse(name, (b: () => Unit) => b())(run)
-        (System.nanoTime() - t0) / 1e9
+        if (failed) Double.PositiveInfinity else (System.nanoTime() - t0) / 1e9
       }
       if (runs > 2) System.err.println(
         s"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(" ")}")
@@ -113,14 +122,19 @@ object Bench {
     val rerunMin = rerun.map { case (n, _, second, _) => n -> second }.toMap
     val results = mainPhase.map { case (name, t, _) =>
       name -> math.min(t, rerunMin.getOrElse(name, t)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Infinity is not JSON: an all-runs-failed query serializes as -1
+    // (an impossible duration — unmistakably a failure marker, where
+    // the old ~0.01 s ghost looked like a fast query) and is excluded
+    // from the total.
+    def jnum(v: Double): String = if (v.isInfinite) "-1" else v.toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val loads = mainPhase.map { case (k, _, la) => s"\"" + k + "\":\"" + la + "\"" }
       .mkString("{", ",", "}")
     val rr = rerun.map { case (k, first, second, la) =>
-      s"\"" + k + "\":{\"first\":" + first + ",\"rerun\":" + second + ",\"loadavg\":\"" + la + "\"}" }
+      s"\"" + k + "\":{\"first\":" + jnum(first) + ",\"rerun\":" + jnum(second) + ",\"loadavg\":\"" + la + "\"}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filterNot(_.isInfinite).sum
     // Ambient machine load, recorded INTO the artifact so reviewers can
     // adjudicate a polluted run without re-benching (r10/r11 both
     // needed a judge re-run to establish the numbers were load noise).

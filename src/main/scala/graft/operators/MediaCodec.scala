@@ -300,18 +300,20 @@ object MediaCodec extends Serializable {
     }
     def readInt(): Int = {
       skipSeparators()
-      var v = 0; var any = false
+      // accumulate in LONG with the clamp checked after every digit:
+      // an Int accumulator with a pre-multiply threshold still wraps
+      // for prefixes in [2^31/10, threshold] and can alias a small
+      // positive value (review r13 — "21474836485" would parse as 5);
+      // the Long accumulator cannot wrap before the clamp fires. No
+      // real raster dimension exceeds 2^28 (r12 verdict #3).
+      var v = 0L; var any = false
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
-        // clamp BEFORE the multiply: a ~20-digit header dimension
-        // would wrap v*10+d around Int and could alias a small
-        // positive value — the one parser corner where overflow
-        // discipline was an indirect argument (r12 verdict #3). No
-        // real raster dimension exceeds 2^28.
-        if (v > (1 << 28)) throw new NumberFormatException("ppm dim overflow")
-        v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+        v = v * 10 + (b(pos) - '0')
+        if (v > (1L << 28)) throw new NumberFormatException("ppm dim overflow")
+        pos += 1; any = true
       }
       if (!any) throw new NumberFormatException("ppm header")
-      v
+      v.toInt
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     // exactly ONE whitespace byte terminates the header (spec); a
@@ -384,6 +386,11 @@ object MediaCodec extends Serializable {
       }
       pos += 12 + len
     }
+    // IEND is the LAST chunk by spec — trailing foreign bytes mean
+    // the payload is not the PNG it claims to be (review r13: the
+    // docstring promised this rejection; the walk only enforced it
+    // for truncation, not for surplus)
+    if (pos != b.length) return UnknownMedia(b.length)
     if (!seenIhdr || idat.size == 0) return UnknownMedia(b.length)
     val rowLen = 3 * w
     val rawLen = h * (1 + rowLen)
@@ -401,6 +408,15 @@ object MediaCodec extends Serializable {
         got += n
       }
       if (got < rawLen) return UnknownMedia(b.length)
+      // surplus raw data beyond the declared raster (libpng rejects
+      // this) must not silently decode from a prefix: probe one more
+      // byte — a well-formed stream yields 0 here (the trailing
+      // Adler-32 is consumed and `finished` flips), a surplus-data
+      // stream yields a byte (review r13)
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        if (inf.inflate(probe, 0, 1) > 0) return UnknownMedia(b.length)
+      }
     } catch {
       case _: java.util.zip.DataFormatException => return UnknownMedia(b.length)
     } finally inf.end()

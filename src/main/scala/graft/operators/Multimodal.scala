@@ -129,7 +129,11 @@ object Multimodal {
     * totality-style until their parser lands in [[MediaCodec]]. */
   def mediaFromFiles(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    val stem = regexp_extract(element_at(split($"path", "/"), -1), "^(\\d+)\\.[^.]+$", 1)
+    // stem bounded to 18 digits: always inside Long, so the cast can
+    // never ANSI-throw (review r13 — an unbounded \d+ stem of 20
+    // digits would kill the whole scan via CAST_OVERFLOW); longer
+    // digit runs fall through to the path hash like any other name
+    val stem = regexp_extract(element_at(split($"path", "/"), -1), "^(\\d{1,18})\\.[^.]+$", 1)
     s.read.format("binaryFile").load(dir)
       .select(
         when(stem =!= "", stem.cast("long")).otherwise(xxhash64($"path")).as("media_id"),

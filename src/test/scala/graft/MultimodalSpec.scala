@@ -257,19 +257,9 @@ class MultimodalSpec extends SparkSpec {
         d.end()
         buf.take(n)
       }
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(stored, 0, 33) // sig + IHDR
-      val head = new Array[Byte](8)
-      head(0) = (packed.length >>> 24).toByte; head(1) = (packed.length >>> 16).toByte
-      head(2) = (packed.length >>> 8).toByte; head(3) = packed.length.toByte
-      "IDAT".getBytes("US-ASCII").copyToArray(head, 4)
-      out.write(head); out.write(packed)
-      val crc = new java.util.zip.CRC32()
-      crc.update(head, 4, 4); crc.update(packed, 0, packed.length)
-      out.write(Array((crc.getValue >>> 24).toByte, (crc.getValue >>> 16).toByte,
-        (crc.getValue >>> 8).toByte, crc.getValue.toByte))
-      out.write(stored, stored.length - 12, 12) // IEND
-      MediaCodec.decode(out.toByteArray) match {
+      val rebuilt = stored.take(33) ++ pngChunkBytes("IDAT", packed) ++
+        stored.takeRight(12) // sig + IHDR, swapped IDAT, IEND
+      MediaCodec.decode(rebuilt) match {
         case ImageMedia(`w`, `h`, "png", dec) => assert(java.util.Arrays.equals(dec, rgb))
         case other => fail(s"huffman png: $other")
       }
@@ -370,21 +360,9 @@ class MultimodalSpec extends SparkSpec {
     // writers ship these): CRC-validated, then skipped — pixels intact
     val pngRgb = Array.tabulate[Byte](3 * 4 * 3)(i => (i * 7).toByte)
     val basePng = MediaCodec.encodePng(4, 3, pngRgb)
-    val withText = {
-      val text = "Comment made by graft".getBytes("ISO-8859-1")
-      val chunk = new Array[Byte](12 + text.length)
-      chunk(0) = 0; chunk(1) = 0; chunk(2) = 0; chunk(3) = text.length.toByte
-      "tEXt".getBytes("US-ASCII").copyToArray(chunk, 4)
-      text.copyToArray(chunk, 8)
-      val crc = new java.util.zip.CRC32()
-      crc.update(chunk, 4, 4 + text.length)
-      val cv = crc.getValue
-      chunk(8 + text.length) = (cv >>> 24).toByte
-      chunk(9 + text.length) = (cv >>> 16).toByte
-      chunk(10 + text.length) = (cv >>> 8).toByte
-      chunk(11 + text.length) = cv.toByte
-      basePng.take(33) ++ chunk ++ basePng.drop(33) // after IHDR
-    }
+    val withText = basePng.take(33) ++
+      pngChunkBytes("tEXt", "Comment made by graft".getBytes("ISO-8859-1")) ++
+      basePng.drop(33) // after IHDR
     MediaCodec.decode(withText) match {
       case ImageMedia(4, 3, "png", got) => assert(java.util.Arrays.equals(got, pngRgb))
       case other => fail(s"tEXt-bearing png: $other")
@@ -458,7 +436,29 @@ class MultimodalSpec extends SparkSpec {
       // PNG whose declared chunk length is near 2^31: pos+12+len
       // wraps Int — the LONG bounds must reject before any read
       MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte))
-        .patch(8, Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte), 4))
+        .patch(8, Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte), 4),
+      // PPM dimension whose DIGIT-WISE accumulation wraps Int onto a
+      // small positive value (review r13: 21474836485 = prefix
+      // 2147483648 wrapping to -2^31, then *10+5 landing on exactly 5
+      // — an Int accumulator with a pre-multiply clamp parses this as
+      // a "valid" 5-wide image); the Long accumulator must reject
+      ("P6\n21474836485 2\n255\n" + "x" * 30).getBytes("US-ASCII"),
+      // trailing foreign bytes after IEND: the payload is not the PNG
+      // it claims to be (review r13 — the docstring promised this)
+      MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte)) ++
+        "trailing junk".getBytes("US-ASCII"),
+      // IDAT inflating to MORE than the declared raster (libpng
+      // rejects surplus data; review r13): a 3x2 image's IDAT behind
+      // a valid 2x2 IHDR must reject, not decode from a prefix
+      {
+        val donor = MediaCodec.encodePng(3, 2, Array.tabulate[Byte](18)(_.toByte))
+        val idatChunk = donor.slice(33, donor.length - 12)
+        val ihdr = new Array[Byte](13)
+        ihdr(3) = 2; ihdr(7) = 2; ihdr(8) = 8; ihdr(9) = 2 // 2x2, depth 8, RGB
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+          pngChunkBytes("IHDR", ihdr) ++ idatChunk ++
+          pngChunkBytes("IEND", Array.emptyByteArray)
+      })
     cases.foreach { b =>
       MediaCodec.decode(b) match {
         case UnknownMedia(n) => assert(n == b.length)
@@ -490,6 +490,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** One PNG chunk as bytes (BE length + type + data + CRC-32) — the
+    * single chunk writer every fixture-building site in this spec
+    * shares (Huffman re-encode, tEXt injection, adversarial headers).
+    * Independence from the codec applies to DECODING; triplicated
+    * chunk-emit boilerplate was just boilerplate (review r13). */
+  private def pngChunkBytes(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    out(0) = (data.length >>> 24).toByte; out(1) = (data.length >>> 16).toByte
+    out(2) = (data.length >>> 8).toByte; out(3) = data.length.toByte
+    typ.getBytes("US-ASCII").copyToArray(out, 4)
+    data.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    val cv = crc.getValue
+    out(8 + data.length) = (cv >>> 24).toByte
+    out(9 + data.length) = (cv >>> 16).toByte
+    out(10 + data.length) = (cv >>> 8).toByte
+    out(11 + data.length) = cv.toByte
+    out
+  }
+
   /** A syntactically valid PNG (correct signature, chunk layout and
     * CRCs) whose IHDR declares the given dimensions — the adversarial
     * wrapped-dimension shape. */
@@ -500,23 +521,10 @@ class MultimodalSpec extends SparkSpec {
     ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
     ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
     ihdr(8) = 8; ihdr(9) = 2
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      val head = new Array[Byte](8)
-      head(0) = (data.length >>> 24).toByte; head(1) = (data.length >>> 16).toByte
-      head(2) = (data.length >>> 8).toByte; head(3) = data.length.toByte
-      typ.getBytes("US-ASCII").copyToArray(head, 4)
-      out.write(head); out.write(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(head, 4, 4); crc.update(data, 0, data.length)
-      out.write(Array((crc.getValue >>> 24).toByte, (crc.getValue >>> 16).toByte,
-        (crc.getValue >>> 8).toByte, crc.getValue.toByte))
-    }
-    chunk("IHDR", ihdr)
-    chunk("IDAT", Array[Byte](0x78, 0x01))
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      pngChunkBytes("IHDR", ihdr) ++
+      pngChunkBytes("IDAT", Array[Byte](0x78, 0x01)) ++
+      pngChunkBytes("IEND", Array.emptyByteArray)
   }
 
   test("decoded facts match the generation formulas; decode is deterministic") {
@@ -755,17 +763,24 @@ class MultimodalSpec extends SparkSpec {
     // media-lake convention, r13); PNG classifies image
     java.nio.file.Files.write(dir.resolve("123.png"),
       MediaCodec.encodePng(1, 1, Array[Byte](5, 5, 5)))
+    // a stem LONGER than Long must fall back to the path hash, not
+    // ANSI-overflow the cast and kill the whole scan (review r13)
+    java.nio.file.Files.write(dir.resolve("99999999999999999999.png"),
+      MediaCodec.encodePng(1, 1, Array[Byte](7, 7, 7)))
     val media = Multimodal.mediaFromFiles(spark, dir.toString).collect()
-    assert(media.length == 8)
-    assert(media.count(_.kind == "image") == 5, "ppm/bmp/jpg/PPM/png must classify image")
+    assert(media.length == 9)
+    assert(media.count(_.kind == "image") == 6, "ppm/bmp/jpg/PPM/png must classify image")
     assert(media.exists(r => r.media_id == 123L && r.kind == "image"),
       "numeric stem must become the media_id")
+    assert(media.length == media.map(_.media_id).distinct.length,
+      "overlong stem must hash-fallback to a distinct id, not crash or collide")
     assert(media.count(_.kind == "audio") == 1 && media.count(_.kind == "video") == 1)
     // payload bytes round-trip exactly
     media.foreach { r =>
       assert(files.values.exists(java.util.Arrays.equals(_, r.payload)) ||
         java.util.Arrays.equals(r.payload, MediaCodec.encodePpm(1, 1, Array[Byte](9, 9, 9))) ||
-        java.util.Arrays.equals(r.payload, MediaCodec.encodePng(1, 1, Array[Byte](5, 5, 5))))
+        java.util.Arrays.equals(r.payload, MediaCodec.encodePng(1, 1, Array[Byte](5, 5, 5))) ||
+        java.util.Arrays.equals(r.payload, MediaCodec.encodePng(1, 1, Array[Byte](7, 7, 7))))
     }
     // deterministic ids: same directory, same ids
     val again = Multimodal.mediaFromFiles(spark, dir.toString).collect()
@@ -774,7 +789,7 @@ class MultimodalSpec extends SparkSpec {
     // foreign bytes report unknown instead of throwing
     val decoded = Multimodal.decodeAll(
       Multimodal.mediaFromFiles(spark, dir.toString)).collect()
-    assert(decoded.length == 8)
+    assert(decoded.length == 9)
     val byFormat = decoded.groupBy(_.format)
     assert(byFormat("ppm").exists(d => d.width == 6 && d.height == 4))
     assert(byFormat("bmp").exists(d => d.width == 6 && d.height == 4))
