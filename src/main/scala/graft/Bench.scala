@@ -53,6 +53,8 @@ object Bench {
     // warm-up — the decoupling is the point of the query.
     if (selected.exists(_._1 == "pipe_ivf_serve"))
       operators.Similarity.ivfIndexDir(spark, sfDir)
+    if (selected.exists(_._1 == "pipe_ivf_append"))
+      operators.Similarity.ivfAppendIndexDir(spark, sfDir)
     // Honest-accounting hooks, run before EVERY timed repetition:
     // dd_clusters must pay pair generation + propagation each run (the
     // session-scoped labelCache would otherwise make min-of-N report a

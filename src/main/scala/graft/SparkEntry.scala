@@ -185,6 +185,13 @@ object SparkEntry {
     // trained-float-artifact class); RecallSpec pins served ≡ trained
     // parity + recall, PlanSpec pins the single-embeddings-scan shape
     "pipe_ivf_serve" -> ((s, dir) => Similarity.ivfServeTopK(s, dir)),
+    // the artifact lifecycle's INGEST verb: index built from history,
+    // a batch appended as NEW FILES into the cid-partitioned lists
+    // (assigned against centroids read back from the artifact — no
+    // retraining, history data files never rewritten; RecallSpec
+    // proves the file-level claim), then served through the same
+    // partition-pruned plan. Rows-only (trained-float-artifact class)
+    "pipe_ivf_append" -> ((s, dir) => Similarity.ivfAppendServeTopK(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked

@@ -468,23 +468,24 @@ object Similarity {
       out
     })
 
-  /** IVF serving from the PERSISTED index (`pipe_ivf_serve`): read
-    * the ≤ nLists centroid rows back from the artifact (parquet
-    * round-trips doubles bit-exactly, so served results are IDENTICAL
-    * to [[ivfTrainedTopK]]'s — RecallSpec pins the parity), route
-    * each probe to its nProbe lists with the same assignment kernel,
-    * and rescore ONLY inside the probed list partitions of the
-    * `lists/` table. No k-means job, no corpus assignment pass —
-    * training cost lives in [[ivfIndexDir]], serving cost is the
-    * probe-bounded scan (the decoupling the bench shows). */
-  def ivfServeTopK(s: SparkSession, dir: String, nLists: Int = 16,
-                   iters: Int = 5, nProbe: Int = 4,
-                   numQueries: Int = 10, topK: Int = 5): DataFrame = {
+  /** Read a persisted index's ≤ nLists centroid rows back (a bounded
+    * driver pull; parquet round-trips doubles bit-exactly). */
+  private def readCentroids(s: SparkSession, idx: String): (Seq[Long], Seq[Seq[Double]]) = {
+    val cent = s.read.parquet(idx + "/centroids").orderBy("cid").collect()
+    (cent.map(_.getLong(0)).toSeq, cent.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  /** The serving plan over ANY persisted index dir: centroid routing
+    * for the probes, broadcast probe join against the
+    * cid-partitioned `lists/` table (dynamic partition pruning at
+    * the file level), exact rescore + rank inside probed lists only.
+    * Shared by [[ivfServeTopK]] and [[ivfAppendServeTopK]] — the
+    * serve shape is a property of the ARTIFACT LAYOUT, not of how
+    * the index was built or grown. */
+  private def serveFromIndex(s: SparkSession, dir: String, idx: String,
+                             nProbe: Int, numQueries: Int, topK: Int): DataFrame = {
     import s.implicits._
-    val idx = ivfIndexDir(s, dir, nLists, iters)
-    val cent = s.read.parquet(idx + "/centroids").orderBy($"cid").collect()
-    val cids = cent.map(_.getLong(0)).toSeq
-    val cvecs = cent.map(_.getSeq[Double](1)).toSeq
+    val (cids, cvecs) = readCentroids(s, idx)
     // partitionBy wrote cid as a directory key (read back as a
     // partition column — cast restores the long join type)
     val lists = s.read.parquet(idx + "/lists")
@@ -503,6 +504,78 @@ object Similarity {
       .select($"query_id", $"vec_id", $"cos_sim", $"rk")
       .orderBy($"query_id", $"rk")
   }
+
+  /** IVF serving from the PERSISTED index (`pipe_ivf_serve`): read
+    * the ≤ nLists centroid rows back from the artifact (parquet
+    * round-trips doubles bit-exactly, so served results are IDENTICAL
+    * to [[ivfTrainedTopK]]'s — RecallSpec pins the parity), route
+    * each probe to its nProbe lists with the same assignment kernel,
+    * and rescore ONLY inside the probed list partitions of the
+    * `lists/` table. No k-means job, no corpus assignment pass —
+    * training cost lives in [[ivfIndexDir]], serving cost is the
+    * probe-bounded scan (the decoupling the bench shows). */
+  def ivfServeTopK(s: SparkSession, dir: String, nLists: Int = 16,
+                   iters: Int = 5, nProbe: Int = 4,
+                   numQueries: Int = 10, topK: Int = 5): DataFrame =
+    serveFromIndex(s, dir, ivfIndexDir(s, dir, nLists, iters),
+      nProbe, numQueries, topK)
+
+  /** APPEND-grown persisted index (`pipe_ivf_append`) — the ingest
+    * verb of the artifact lifecycle: the index is built from the
+    * HISTORY partition of the corpus (md5-bucket split, the shared
+    * incremental-dedup rule), then the BATCH arrives and is ingested
+    * by assigning it map-side against centroids READ BACK FROM THE
+    * ARTIFACT (no retraining, no history re-read) and appending the
+    * assigned rows as NEW FILES into the same cid-partitioned
+    * `lists/` layout. History data files are never rewritten —
+    * RecallSpec proves it at the file level (no parquet file holds
+    * both history and batch rows) — which is the 100 TB property:
+    * a PB-scale index absorbs a daily batch by writing only that
+    * batch, and every serving query sees the union through the same
+    * partition-pruned scan. Serving after append must equal an
+    * in-session IVF over the combined corpus under the same frozen
+    * centroids (parity-gated). */
+  private val ivfAppendDirs = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Long), String]()
+
+  def ivfAppendIndexDir(s: SparkSession, dir: String, nLists: Int = 16,
+                        iters: Int = 5, historyBuckets: Long = 3277): String =
+    ivfAppendDirs.computeIfAbsent((dir, nLists, iters, historyBuckets), _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+      val hb = conv(substring(md5($"vec_id".cast("string")), 1, 3), 16, 10).cast("long")
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"), hb.as("hb"))
+      val history = emb.filter($"hb" < historyBuckets).select($"vec_id", $"embedding")
+      // phase 1 — BUILD from history only
+      val (cids, cvecs) = kmeansCentroids(s, history, nLists, iters)
+      cids.zip(cvecs).toDF("cid", "cvec").coalesce(1)
+        .write.mode("overwrite").parquet(out + "/centroids")
+      val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+      history.select($"vec_id", $"embedding",
+          nearest($"embedding", 1).getItem(0).as("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(out + "/lists")
+      // phase 2 — INGEST the batch against the persisted artifact:
+      // centroids come from the parquet just written (the ingest job
+      // owns no training state), batch rows append as new files
+      val (cids2, cvecs2) = readCentroids(s, out)
+      val nearest2 = centroidAssigner(s, cids2, cvecs2, bcastCentroidThreshold)
+      emb.filter($"hb" >= historyBuckets)
+        .select($"vec_id", $"embedding",
+          nearest2($"embedding", 1).getItem(0).as("cid"))
+        .write.mode("append").partitionBy("cid").parquet(out + "/lists")
+      out
+    })
+
+  /** Serve from the append-grown index — same plan as
+    * [[ivfServeTopK]], different artifact. */
+  def ivfAppendServeTopK(s: SparkSession, dir: String, nLists: Int = 16,
+                         iters: Int = 5, nProbe: Int = 4,
+                         numQueries: Int = 10, topK: Int = 5,
+                         historyBuckets: Long = 3277): DataFrame =
+    serveFromIndex(s, dir,
+      ivfAppendIndexDir(s, dir, nLists, iters, historyBuckets),
+      nProbe, numQueries, topK)
 
   /** Lloyd's k-means over the corpus, built from the two scale-correct
     * pieces: assignment is the map-side [[graft.functions.NearestCentroids]]

@@ -801,6 +801,53 @@ class MultimodalSpec extends SparkSpec {
     decoded.foreach(d => assert(d.n_bytes > 0))
   }
 
+  test("corruption fuzz: decode NEVER throws over seeded mutations of every container") {
+    // The totality contract, exercised adversarially at volume: take
+    // one valid payload per container, then hammer it with seeded
+    // random mutations — byte flips anywhere (headers, chunk lengths,
+    // CRCs, raster), truncations at arbitrary offsets, and random
+    // prefixes — asserting decode() returns a Media (usually
+    // UnknownMedia, sometimes a still-valid parse) and never escapes
+    // an exception. 100 TB framing: this is the property that lets
+    // one executor survive a corrupt object instead of failing the
+    // stage. Deterministic seed — failures replay exactly.
+    val rnd = new scala.util.Random(42)
+    val seeds = Seq(
+      MediaCodec.encodePpm(9, 7, Array.tabulate[Byte](189)(_.toByte)),
+      MediaCodec.encodeBmp(9, 7, Array.tabulate[Byte](189)(_.toByte)),
+      MediaCodec.encodePng(9, 7, Array.tabulate[Byte](189)(_.toByte)),
+      MediaCodec.encodeWav(8000, Array.tabulate(300)(i => (i * 13 - 150).toShort)),
+      MediaCodec.encodeY4m(5, 4, Array.tabulate(2)(f =>
+        Array.fill[Byte](60)((f * 9 + 1).toByte))))
+    var decodedOk = 0
+    seeds.foreach { base =>
+      (1 to 400).foreach { i =>
+        val mutated = rnd.nextInt(3) match {
+          case 0 => // flip 1-4 bytes anywhere
+            val m = base.clone()
+            (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+              val p = rnd.nextInt(m.length)
+              m(p) = (m(p) ^ (1 << rnd.nextInt(8))).toByte
+            }
+            m
+          case 1 => base.take(rnd.nextInt(base.length + 1)) // truncate
+          case 2 => // random garbage splice at a random offset
+            val p = rnd.nextInt(base.length)
+            base.take(p) ++ Array.fill[Byte](rnd.nextInt(16))(rnd.nextInt(256).toByte) ++
+              base.drop(p)
+        }
+        val media = try MediaCodec.decode(mutated) catch {
+          case e: Throwable => fail(s"decode threw ${e.getClass.getSimpleName} on mutation $i: ${e.getMessage}")
+        }
+        if (!media.isInstanceOf[UnknownMedia]) decodedOk += 1
+      }
+    }
+    // sanity: the fuzz isn't vacuous — some mutations still decode
+    // (e.g. a flipped raster byte in a CRC-less container)
+    info(s"fuzz survivors decoded as valid media: $decodedOk / 2000")
+    assert(decodedOk > 0)
+  }
+
   test("staged media lake: filesMeta ≡ mediaMeta row-for-row (the binaryFile ingest contract)") {
     // mm_files_meta's whole promotion argument: the file-lake path
     // (stage real files -> binaryFile scan -> stem ids -> decode)

@@ -415,4 +415,45 @@ class RecallSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(again == served)
   }
+
+  test("append-grown index: served ≡ frozen-centroid IVF over the combined corpus; history files untouched") {
+    // pipe_ivf_append's gate, two claims:
+    // (1) PARITY — serving the history-built-then-batch-appended
+    //     artifact must equal an in-session IVF over the COMBINED
+    //     corpus under the SAME history-trained centroids (the append
+    //     changed storage, not semantics);
+    // (2) FILE ISOLATION — the ingest wrote ONLY new files: no
+    //     parquet data file in lists/ holds both a history row and a
+    //     batch row. At 100 TB this is the difference between a daily
+    //     ingest writing the batch and rewriting the index.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val served = rows(Similarity.ivfAppendServeTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val hbExpr = conv(substring(md5(col("vec_id").cast("string")), 1, 3), 16, 10).cast("long")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        hbExpr.as("hb"))
+    val history = emb.filter(col("hb") < 3277L).select("vec_id", "embedding")
+    val (cids, cvecs) = Similarity.kmeansCentroids(spark, history, 16, 5)
+    val expected = rows(Similarity.ivfWithCentroids(spark,
+      emb.select("vec_id", "embedding"), cids, cvecs,
+      nProbe = 4, numQueries = 10, topK = 5))
+    assert(served == expected,
+      "append-grown artifact must serve exactly the frozen-centroid combined-corpus result")
+    // batch members must actually be servable (the append is visible)
+    val batchIds = emb.filter(col("hb") >= 3277L).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(served.exists(t => batchIds(t._2)),
+      "at least one appended batch vector should surface in some top-k")
+    // file isolation: group lists rows by physical file, assert no
+    // file mixes the two populations
+    val idx = Similarity.ivfAppendIndexDir(spark, sfDir)
+    val mixed = spark.read.parquet(idx + "/lists")
+      .select(col("vec_id"), input_file_name().as("f"))
+      .withColumn("is_hist", (hbExpr < 3277L).cast("int"))
+      .groupBy("f").agg(countDistinct(col("is_hist")).as("kinds"))
+      .filter(col("kinds") > 1)
+    assert(mixed.count() == 0L,
+      "ingest must append NEW files — history data files may not be rewritten")
+  }
 }

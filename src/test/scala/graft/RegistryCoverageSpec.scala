@@ -41,6 +41,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "ann_near_dup" -> ("RecallSpec.scala", "embeddingNearDup"),
     "pipe_ivf_retrain" -> ("RecallSpec.scala", "ivfLifecycle"),
     "pipe_ivf_serve" -> ("RecallSpec.scala", "ivfServeTopK"),
+    "pipe_ivf_append" -> ("RecallSpec.scala", "ivfAppendServeTopK"),
     "dd_minhash_lsh" -> ("RecallSpec.scala", "minhashLsh"),
     "dd_simhash" -> ("RecallSpec.scala", "simhash"),
     "dd_semantic" -> ("RecallSpec.scala", "semanticDedup"),
