@@ -118,7 +118,7 @@ object Dedup {
                             k: Int = 5, numHashes: Int = 16, bands: Int = 4,
                             threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"doc_id")
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
     val historyIdx = bandedSignatures(
       docs.filter($"hb" < historyBuckets), k, numHashes, bands)
@@ -871,7 +871,7 @@ object Dedup {
                        fpp: Double = 0.01,
                        bloomLiteralMax: Int = bloomLiteralMaxBytes): DataFrame = {
     import s.implicits._
-    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"doc_id")
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
     val history = docs.filter($"hb" < historyBuckets)
       .select(sha2($"text", 256).as("digest"))
@@ -1110,7 +1110,7 @@ object Dedup {
                        historyBuckets: Long = 3277): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"doc_id")
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", hb.as("hb"))
     val historyGrams = docs.filter($"hb" < historyBuckets)
       .select(explode_outer(TextFunctions.tokenNgrams(lower($"text"), n)).as("gram"))

@@ -173,7 +173,7 @@ object Pipeline {
                      cap: Int = 50, targetFrom: Long = 3891): DataFrame = {
     import s.implicits._
     val table = TextAnalysis.dsirLlrTable(s, dir, targetFrom)
-    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"doc_id")
     val enriched = TextAnalysis.withQualityScore(Tables.documents(s, dir))
       .filter(hb < targetFrom)
       .withColumn("r", graft.functions.TextFunctions.dsirLlr(lower($"text"), table))

@@ -22,8 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hex-prefix hash bucket in [0, 4096): first 3 md5 nibbles. */
-  private def hashBucket(idCol: org.apache.spark.sql.Column) =
+  /** Hex-prefix hash bucket in [0, 4096): first 3 md5 nibbles.
+    * THE batch/history split rule — shared by every incremental
+    * operator (dedup, spans, DSIR, IVF lifecycle/append) and their
+    * spec gates, so a prefix-width change cannot desynchronize them
+    * (review r13: the expression had been copy-pasted 8×). The SQL
+    * oracles mirror it textually; those stay lockstep by the shared
+    * CTE discipline in SparkEntry. */
+  private[graft] def hashBucket(idCol: org.apache.spark.sql.Column) =
     conv(substring(md5(idCol.cast("string")), 1, 3), 16, 10).cast("long")
 
   /** Consistent ~1/16 sample: md5(doc_id) prefix below the threshold.

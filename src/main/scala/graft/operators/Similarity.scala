@@ -250,7 +250,7 @@ object Similarity {
   def ivfIncremental(s: SparkSession, dir: String, nLists: Int = 16,
                      historyBuckets: Long = 3277): DataFrame = {
     import s.implicits._
-    val hb = conv(substring(md5($"vec_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"vec_id")
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
         hb.as("hb"))
@@ -317,7 +317,7 @@ object Similarity {
                    historyBuckets: Long = 3277,
                    driftThresholdPpm: Long = 50000L): DataFrame = {
     import s.implicits._
-    val hb = conv(substring(md5($"vec_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"vec_id")
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
         hb.as("hb"))
@@ -450,21 +450,34 @@ object Similarity {
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int), String]()
 
+  /** Train on `corpus` and write the index layout into `out` — the
+    * ONE builder both artifact paths share ([[ivfIndexDir]] trains on
+    * the full corpus, [[ivfAppendIndexDir]] on the history split), so
+    * a layout change cannot drift the two artifacts apart while
+    * [[serveFromIndex]] assumes they are identical (review r13 —
+    * the serve side was factored for exactly this reason, the build
+    * side had been duplicated). */
+  private def buildIndexInto(s: SparkSession, out: String, corpus: DataFrame,
+                             nLists: Int, iters: Int): Unit = {
+    import s.implicits._
+    val (cids, cvecs) = kmeansCentroids(s, corpus, nLists, iters)
+    // ≤ nLists rows: one file, not 32 near-empty shuffle outputs
+    cids.zip(cvecs).toDF("cid", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(out + "/centroids")
+    val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+    corpus.select($"vec_id", $"embedding",
+        nearest($"embedding", 1).getItem(0).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(out + "/lists")
+  }
+
   def ivfIndexDir(s: SparkSession, dir: String, nLists: Int = 16,
                   iters: Int = 5): String =
     ivfIndexDirs.computeIfAbsent((dir, nLists, iters), _ => {
       import s.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
-      val emb = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      val (cids, cvecs) = kmeansCentroids(s, emb, nLists, iters)
-      // ≤ nLists rows: one file, not 32 near-empty shuffle outputs
-      cids.zip(cvecs).toDF("cid", "cvec").coalesce(1)
-        .write.mode("overwrite").parquet(out + "/centroids")
-      val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
-      emb.select($"vec_id", $"embedding",
-          nearest($"embedding", 1).getItem(0).as("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(out + "/lists")
+      buildIndexInto(s, out, Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
+        nLists, iters)
       out
     })
 
@@ -543,18 +556,12 @@ object Similarity {
     ivfAppendDirs.computeIfAbsent((dir, nLists, iters, historyBuckets), _ => {
       import s.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
-      val hb = conv(substring(md5($"vec_id".cast("string")), 1, 3), 16, 10).cast("long")
+      val hb = Sampling.hashBucket($"vec_id")
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("embedding"), hb.as("hb"))
       val history = emb.filter($"hb" < historyBuckets).select($"vec_id", $"embedding")
-      // phase 1 — BUILD from history only
-      val (cids, cvecs) = kmeansCentroids(s, history, nLists, iters)
-      cids.zip(cvecs).toDF("cid", "cvec").coalesce(1)
-        .write.mode("overwrite").parquet(out + "/centroids")
-      val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
-      history.select($"vec_id", $"embedding",
-          nearest($"embedding", 1).getItem(0).as("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(out + "/lists")
+      // phase 1 — BUILD from history only (the shared builder)
+      buildIndexInto(s, out, history, nLists, iters)
       // phase 2 — INGEST the batch against the persisted artifact:
       // centroids come from the parquet just written (the ingest job
       // owns no training state), batch rows append as new files

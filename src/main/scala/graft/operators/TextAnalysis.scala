@@ -561,7 +561,7 @@ object TextAnalysis {
   def contamination(s: SparkSession, dir: String, n: Int = 4,
                     benchFrom: Long = 3891, trainBelow: Long = 3686): DataFrame = {
     import s.implicits._
-    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"doc_id")
     val docs = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
       TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
     // explode_outer, not explode: InferFiltersFromGenerate only fires
@@ -622,7 +622,7 @@ object TextAnalysis {
   private[graft] def dsirLm(s: SparkSession, dir: String,
                             targetFrom: Long): (DataFrame, Double, Double) = {
     import s.implicits._
-    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"doc_id")
     val toks = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
         explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("tok"))
       .withColumn("bucket",
@@ -687,7 +687,7 @@ object TextAnalysis {
   def dsir(s: SparkSession, dir: String, targetFrom: Long = 3891,
            alpha: Double = 0.5): DataFrame = {
     import s.implicits._
-    val hb = conv(substring(md5($"doc_id".cast("string")), 1, 3), 16, 10).cast("long")
+    val hb = Sampling.hashBucket($"doc_id")
     val toks = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
         explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("tok"))
       .withColumn("bucket",

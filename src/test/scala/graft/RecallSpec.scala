@@ -429,7 +429,7 @@ class RecallSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     val served = rows(Similarity.ivfAppendServeTopK(spark, sfDir, numQueries = 10, topK = 5))
-    val hbExpr = conv(substring(md5(col("vec_id").cast("string")), 1, 3), 16, 10).cast("long")
+    val hbExpr = graft.operators.Sampling.hashBucket(col("vec_id"))
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
         hbExpr.as("hb"))
