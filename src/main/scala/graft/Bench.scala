@@ -55,6 +55,8 @@ object Bench {
       operators.Similarity.ivfIndexDir(spark, sfDir)
     if (selected.exists(_._1 == "pipe_ivf_append"))
       operators.Similarity.ivfAppendIndexDir(spark, sfDir)
+    if (selected.exists(_._1 == "pipe_ivf_sq8_serve"))
+      operators.Similarity.ivfSq8IndexDir(spark, sfDir)
     // Honest-accounting hooks, run before EVERY timed repetition:
     // dd_clusters must pay pair generation + propagation each run (the
     // session-scoped labelCache would otherwise make min-of-N report a

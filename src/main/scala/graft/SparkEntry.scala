@@ -192,6 +192,12 @@ object SparkEntry {
     // proves the file-level claim), then served through the same
     // partition-pruned plan. Rows-only (trained-float-artifact class)
     "pipe_ivf_append" -> ((s, dir) => Similarity.ivfAppendServeTopK(s, dir)),
+    // the deployable FAISS IVF<n>,SQ8 recipe as a STORED artifact:
+    // lists hold 1-byte/dim codes (~8× smaller on disk — RecallSpec
+    // measures the parquet footprint ratio), bounds are a 1-row
+    // table, serving dequantizes on-the-fly through the same
+    // partition-pruned plan. Rows-only (trained-float-artifact class)
+    "pipe_ivf_sq8_serve" -> ((s, dir) => Similarity.ivfSq8ServeTopK(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked

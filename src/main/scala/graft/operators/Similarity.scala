@@ -491,18 +491,23 @@ object Similarity {
   /** The serving plan over ANY persisted index dir: centroid routing
     * for the probes, broadcast probe join against the
     * cid-partitioned `lists/` table (dynamic partition pruning at
-    * the file level), exact rescore + rank inside probed lists only.
-    * Shared by [[ivfServeTopK]] and [[ivfAppendServeTopK]] — the
-    * serve shape is a property of the ARTIFACT LAYOUT, not of how
-    * the index was built or grown. */
+    * the file level), rescore + rank inside probed lists only.
+    * Shared by [[ivfServeTopK]], [[ivfAppendServeTopK]] and
+    * [[ivfSq8ServeTopK]] — the serve shape is a property of the
+    * ARTIFACT LAYOUT, not of how the index was built, grown, or
+    * encoded; `payload`/`scorer` are the only degrees of freedom an
+    * encoding adds (float column + exact cosine vs SQ8 codes +
+    * asymmetric distance). */
   private def serveFromIndex(s: SparkSession, dir: String, idx: String,
-                             nProbe: Int, numQueries: Int, topK: Int): DataFrame = {
+                             nProbe: Int, numQueries: Int, topK: Int,
+                             payload: String = "embedding",
+                             scorer: (Column, Column) => Column = cosine): DataFrame = {
     import s.implicits._
     val (cids, cvecs) = readCentroids(s, idx)
     // partitionBy wrote cid as a directory key (read back as a
     // partition column — cast restores the long join type)
     val lists = s.read.parquet(idx + "/lists")
-      .select($"vec_id", $"embedding", $"cid".cast("long").as("cid"))
+      .select($"vec_id", col(payload), $"cid".cast("long").as("cid"))
     val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
     val probes = Tables.embeddings(s, dir)
       .filter($"vec_id" < numQueries)
@@ -511,7 +516,7 @@ object Similarity {
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     lists.join(broadcast(probes), Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"))
+      .select($"query_id", $"vec_id", round(scorer($"q", col(payload)), 6).as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)
       .select($"query_id", $"vec_id", $"cos_sim", $"rk")
@@ -583,6 +588,62 @@ object Similarity {
     serveFromIndex(s, dir,
       ivfAppendIndexDir(s, dir, nLists, iters, historyBuckets),
       nProbe, numQueries, topK)
+
+  /** Persisted IVF×SQ8 index (`pipe_ivf_sq8_serve`) — the deployable
+    * FAISS `IVF<n>,SQ8` recipe as a STORED artifact, not a session
+    * computation: `centroids/` + a 1-row `bounds/` table (the trained
+    * per-dimension [lo, hi] — the quantizer's entire state) + `lists/`
+    * holding 1-byte/dim SQ8 CODES partitioned by cid. The float
+    * embeddings never reach the artifact: on disk the lists are ~8×
+    * smaller than the float index (RecallSpec measures the actual
+    * parquet footprint ratio), which at 100 TB of embeddings is the
+    * difference between an index that fits hot storage and one that
+    * doesn't. Serving reads codes + bounds and scores with the
+    * asymmetric-distance kernel (exact float probes against
+    * dequantize-on-the-fly codes) through the same partition-pruned
+    * plan as the float artifact — parity-gated bit-for-bit against
+    * the in-session [[ivfSq8TopK]]. */
+  private val ivfSq8Dirs = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), String]()
+
+  def ivfSq8IndexDir(s: SparkSession, dir: String, nLists: Int = 16,
+                     iters: Int = 5): String =
+    ivfSq8Dirs.computeIfAbsent((dir, nLists, iters), _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-sq8").toString
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      val (cids, cvecs) = kmeansCentroids(s, emb, nLists, iters)
+      val (los, his) = sq8Bounds(emb)
+      cids.zip(cvecs).toDF("cid", "cvec").coalesce(1)
+        .write.mode("overwrite").parquet(out + "/centroids")
+      Seq((los, his)).toDF("los", "his").coalesce(1)
+        .write.mode("overwrite").parquet(out + "/bounds")
+      val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+      // the artifact carries ONLY (vec_id, code) per list row — the
+      // float embedding is dropped before the write, which is the
+      // whole footprint argument
+      emb.select($"vec_id",
+          VectorFunctions.quantizeSq8($"embedding", los, his).as("code"),
+          nearest($"embedding", 1).getItem(0).as("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(out + "/lists")
+      out
+    })
+
+  /** Serve from the persisted SQ8 artifact: bounds read back (a 1-row
+    * driver pull), codes scored with [[graft.functions.CosineSq8Asym]]
+    * through the shared [[serveFromIndex]] plan. */
+  def ivfSq8ServeTopK(s: SparkSession, dir: String, nLists: Int = 16,
+                      iters: Int = 5, nProbe: Int = 4,
+                      numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    val idx = ivfSq8IndexDir(s, dir, nLists, iters)
+    val b = s.read.parquet(idx + "/bounds").collect()(0)
+    val los = b.getSeq[Double](0)
+    val his = b.getSeq[Double](1)
+    serveFromIndex(s, dir, idx, nProbe, numQueries, topK,
+      payload = "code",
+      scorer = (q, code) => VectorFunctions.cosineSq8Asym(q, code, los, his))
+  }
 
   /** Lloyd's k-means over the corpus, built from the two scale-correct
     * pieces: assignment is the map-side [[graft.functions.NearestCentroids]]

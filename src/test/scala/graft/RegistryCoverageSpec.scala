@@ -42,6 +42,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "pipe_ivf_retrain" -> ("RecallSpec.scala", "ivfLifecycle"),
     "pipe_ivf_serve" -> ("RecallSpec.scala", "ivfServeTopK"),
     "pipe_ivf_append" -> ("RecallSpec.scala", "ivfAppendServeTopK"),
+    "pipe_ivf_sq8_serve" -> ("RecallSpec.scala", "ivfSq8ServeTopK"),
     "dd_minhash_lsh" -> ("RecallSpec.scala", "minhashLsh"),
     "dd_simhash" -> ("RecallSpec.scala", "simhash"),
     "dd_semantic" -> ("RecallSpec.scala", "semanticDedup"),
