@@ -458,14 +458,20 @@ object Similarity {
     * the serve side was factored for exactly this reason, the build
     * side had been duplicated). */
   private def buildIndexInto(s: SparkSession, out: String, corpus: DataFrame,
-                             nLists: Int, iters: Int): Unit = {
+                             nLists: Int, iters: Int,
+                             payload: String = "embedding",
+                             encode: Column => Column = identity): Unit = {
     import s.implicits._
     val (cids, cvecs) = kmeansCentroids(s, corpus, nLists, iters)
     // ≤ nLists rows: one file, not 32 near-empty shuffle outputs
     cids.zip(cvecs).toDF("cid", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(out + "/centroids")
     val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
-    corpus.select($"vec_id", $"embedding",
+    // `encode`/`payload` are the storage-encoding hook (identity
+    // float column, or SQ8 codes) — the ONE layout writer, so an
+    // encoding can never fork the artifact layout from what
+    // serveFromIndex expects (review r13, second occurrence)
+    corpus.select($"vec_id", encode($"embedding").as(payload),
         nearest($"embedding", 1).getItem(0).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(out + "/lists")
   }
@@ -613,20 +619,15 @@ object Similarity {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-sq8").toString
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      val (cids, cvecs) = kmeansCentroids(s, emb, nLists, iters)
       val (los, his) = sq8Bounds(emb)
-      cids.zip(cvecs).toDF("cid", "cvec").coalesce(1)
-        .write.mode("overwrite").parquet(out + "/centroids")
       Seq((los, his)).toDF("los", "his").coalesce(1)
         .write.mode("overwrite").parquet(out + "/bounds")
-      val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
-      // the artifact carries ONLY (vec_id, code) per list row — the
-      // float embedding is dropped before the write, which is the
-      // whole footprint argument
-      emb.select($"vec_id",
-          VectorFunctions.quantizeSq8($"embedding", los, his).as("code"),
-          nearest($"embedding", 1).getItem(0).as("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(out + "/lists")
+      // the shared layout writer with the SQ8 encoding hook: lists
+      // carry ONLY (vec_id, code, cid) — the float embedding is
+      // dropped before the write, which is the whole footprint
+      // argument
+      buildIndexInto(s, out, emb, nLists, iters, payload = "code",
+        encode = e => VectorFunctions.quantizeSq8(e, los, his))
       out
     })
 

@@ -485,26 +485,36 @@ class PlanSpec extends SparkSpec {
     // the serving DataFrame's plan existing at all proves no Lloyd's
     // jobs ride each query; what's assertable in the plan is the
     // scan inventory.
-    val df = graft.operators.Similarity.ivfServeTopK(spark, sfDir)
-    // walk the physical tree, not the plan STRING: the DPP subquery's
-    // rendering echoes the probe subtree (a broadcast REUSE at
-    // runtime, not a second scan), so string-counting double-counts.
-    // sparkPlan, not executedPlan — AdaptiveSparkPlanExec hides its
-    // input from collect()
-    val scans = df.queryExecution.sparkPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.rootPaths.mkString(",")
+    // both persisted-artifact serves (float lists and SQ8 code lists)
+    // must show the same scan inventory — the serve shape is a
+    // property of the layout, not the encoding
+    val serves = Seq(
+      ("pipe_ivf_serve", "graft-ivf-index",
+        () => graft.operators.Similarity.ivfServeTopK(spark, sfDir)),
+      ("pipe_ivf_sq8_serve", "graft-ivf-sq8",
+        () => graft.operators.Similarity.ivfSq8ServeTopK(spark, sfDir)))
+    serves.foreach { case (name, artifactTag, mk) =>
+      val df = mk()
+      // walk the physical tree, not the plan STRING: the DPP
+      // subquery's rendering echoes the probe subtree (a broadcast
+      // REUSE at runtime, not a second scan), so string-counting
+      // double-counts. sparkPlan, not executedPlan —
+      // AdaptiveSparkPlanExec hides its input from collect()
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+      assert(scans.count(_.contains("embeddings.parquet")) == 1,
+        s"$name: exactly one embeddings scan (the probe side) — the corpus must come from the index artifact: $scans")
+      assert(scans.count(_.contains(artifactTag)) == 1,
+        s"$name: the corpus scan must read the persisted index's lists table: $scans")
+      // and the lists scan is pruned AT THE FILE LEVEL by the probed
+      // cids: dynamic partition pruning rides the broadcast probe
+      // side (at 10⁵ lists a nProbe=4 query opens 4 directories, not
+      // the corpus — the whole point of persisting the layout)
+      assert(plan(df).contains("dynamicpruning"),
+        s"$name: lists scan must carry a dynamic partition-pruning filter on cid")
     }
-    assert(scans.count(_.contains("embeddings.parquet")) == 1,
-      s"exactly one embeddings scan (the probe side) — the corpus must come from the index artifact: $scans")
-    assert(scans.count(_.contains("graft-ivf-index")) == 1,
-      s"the corpus scan must read the persisted index's lists table: $scans")
-    // and the lists scan is pruned AT THE FILE LEVEL by the probed
-    // cids: dynamic partition pruning rides the broadcast probe side
-    // (at 10⁵ lists a nProbe=4 query opens 4 directories, not the
-    // corpus — the whole point of persisting the layout)
-    assert(plan(df).contains("dynamicpruning"),
-      "lists scan must carry a dynamic partition-pruning filter on cid")
   }
 
   test("word count stays inside whole-stage codegen") {

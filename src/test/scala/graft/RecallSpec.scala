@@ -19,6 +19,12 @@ class RecallSpec extends SparkSpec {
     df.select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Full (query_id, vec_id, cos_sim, rk) extraction of a serve-shaped
+    * result — ONE copy for every exact-parity gate (review r13: four
+    * inline copies made a schema change a four-edit hazard). */
+  private def servedRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
   test("multi-table sign-LSH top-k recall vs exact brute force") {
     val truth = topkPairs(Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, topK = 5))
     val got = topkPairs(Similarity.lshTopK(spark, sfDir, numQueries = 10, topK = 5))
@@ -398,10 +404,8 @@ class RecallSpec extends SparkSpec {
     // — while the serving plan does no training or corpus-assignment
     // work (PlanSpec pins that shape). A mismatch here means the
     // artifact write/read mangled the index.
-    val served = Similarity.ivfServeTopK(spark, sfDir, numQueries = 10, topK = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
-    val trained = Similarity.ivfTrainedTopK(spark, sfDir, numQueries = 10, topK = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val served = servedRows(Similarity.ivfServeTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val trained = servedRows(Similarity.ivfTrainedTopK(spark, sfDir, numQueries = 10, topK = 5))
     assert(served == trained,
       "serving from the persisted artifact must equal the in-session trained index")
     // recall vs exact brute force — same measured floor as trained IVF
@@ -411,8 +415,7 @@ class RecallSpec extends SparkSpec {
     info(f"served-ivf recall@5 = $recall%.3f")
     assert(recall >= 0.40, f"served recall collapsed: $recall%.3f")
     // deterministic: a second serve reads the same artifact
-    val again = Similarity.ivfServeTopK(spark, sfDir, numQueries = 10, topK = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val again = servedRows(Similarity.ivfServeTopK(spark, sfDir, numQueries = 10, topK = 5))
     assert(again == served)
   }
 
@@ -426,16 +429,14 @@ class RecallSpec extends SparkSpec {
     //     parquet data file in lists/ holds both a history row and a
     //     batch row. At 100 TB this is the difference between a daily
     //     ingest writing the batch and rewriting the index.
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
-    val served = rows(Similarity.ivfAppendServeTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val served = servedRows(Similarity.ivfAppendServeTopK(spark, sfDir, numQueries = 10, topK = 5))
     val hbExpr = graft.operators.Sampling.hashBucket(col("vec_id"))
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
         hbExpr.as("hb"))
     val history = emb.filter(col("hb") < 3277L).select("vec_id", "embedding")
     val (cids, cvecs) = Similarity.kmeansCentroids(spark, history, 16, 5)
-    val expected = rows(Similarity.ivfWithCentroids(spark,
+    val expected = servedRows(Similarity.ivfWithCentroids(spark,
       emb.select("vec_id", "embedding"), cids, cvecs,
       nProbe = 4, numQueries = 10, topK = 5))
     assert(served == expected,
@@ -462,10 +463,8 @@ class RecallSpec extends SparkSpec {
     // and codes round-trip parquet exactly (doubles and bytes), so
     // serving the stored artifact must reproduce the in-session
     // composition bit-for-bit.
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
-    val served = rows(Similarity.ivfSq8ServeTopK(spark, sfDir, numQueries = 10, topK = 5))
-    val inSession = rows(Similarity.ivfSq8TopK(spark, sfDir, numQueries = 10, topK = 5))
+    val served = servedRows(Similarity.ivfSq8ServeTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val inSession = servedRows(Similarity.ivfSq8TopK(spark, sfDir, numQueries = 10, topK = 5))
     assert(served == inSession,
       "stored SQ8 artifact must serve exactly the in-session IVF×SQ8 result")
     // the footprint claim, MEASURED on the actual artifacts: the SQ8
@@ -485,6 +484,6 @@ class RecallSpec extends SparkSpec {
     assert(sq8Bytes > 0 && floatBytes / sq8Bytes >= 3,
       s"SQ8 artifact should be several times smaller on disk: $sq8Bytes vs $floatBytes")
     // deterministic: a second serve reads the same artifact
-    assert(rows(Similarity.ivfSq8ServeTopK(spark, sfDir, numQueries = 10, topK = 5)) == served)
+    assert(servedRows(Similarity.ivfSq8ServeTopK(spark, sfDir, numQueries = 10, topK = 5)) == served)
   }
 }
