@@ -363,6 +363,10 @@ object MediaCodec extends Serializable {
       crc.update(b, pos + 4, 4 + len)
       if (crc.getValue.toInt != getIntBE(b, pos + 8 + len))
         return UnknownMedia(b.length)
+      // IHDR must be the FIRST chunk (spec; libpng rejects files with
+      // any chunk — ancillary included — ahead of it; max-effort
+      // review r13: the walk only rejected IDAT-before-IHDR)
+      if (!seenIhdr && typ != "IHDR") return UnknownMedia(b.length)
       typ match {
         case "IHDR" =>
           if (seenIhdr || len != 13) return UnknownMedia(b.length)
@@ -668,6 +672,15 @@ object MediaCodec extends Serializable {
     * before perceptual hashing. */
   val canonicalRate = 8000
 
+  /** Upper bound on the canonical-signal length (2²⁶ samples ≈ 2.3 h
+    * at 8 kHz): a decoded WAV declaring a tiny sample rate would
+    * otherwise make the resample ALLOCATE far beyond its input — and
+    * past Int range the length wraps negative, throwing
+    * NegativeArraySizeException from [[aHash64]], which runs OUTSIDE
+    * decode()'s totality catch (phashDedup's mapPartitions has no
+    * net; max-effort review r13). Such a signal hashes raw instead. */
+  private val maxCanonicalSamples = 1 << 26
+
   /** Canonical-rate view of an audio signal for perceptual hashing:
     * nearest-neighbor resample to [[canonicalRate]] via the integer-
     * floor index map j → j·rate/8000 (the 1-D twin of [[resizeRgbNN]]
@@ -676,11 +689,16 @@ object MediaCodec extends Serializable {
     * 8 kHz and NN-upsampled to 16 kHz canonicalizes to IDENTICAL
     * samples, so the hashes collide at Hamming 0 (MultimodalSpec pins
     * the planted pair). At the canonical rate the map is the
-    * identity, so legacy 8 kHz hashes are unchanged. */
+    * identity, so legacy 8 kHz hashes are unchanged; a signal whose
+    * canonical form would exceed [[maxCanonicalSamples]] (only
+    * possible for rates far BELOW canonical — hostile or nonsense
+    * metadata) also hashes as-is rather than allocating unboundedly. */
   private[operators] def canonicalSamples(rate: Int, samples: Array[Short]): Array[Short] = {
     if (rate == canonicalRate || rate <= 0) return samples
     val n = samples.length
-    val outN = (n.toLong * canonicalRate / rate).toInt
+    val outLen = n.toLong * canonicalRate / rate
+    if (outLen > maxCanonicalSamples) return samples
+    val outN = outLen.toInt
     val out = new Array[Short](outN)
     var j = 0
     while (j < outN) { out(j) = samples((j.toLong * rate / canonicalRate).toInt); j += 1 }

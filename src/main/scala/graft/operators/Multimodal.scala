@@ -159,6 +159,14 @@ object Multimodal {
 
   def mediaLakeDir(s: SparkSession, dir: String): String =
     mediaLakeDirs.computeIfAbsent(dir, d => {
+      // staging writes executor-side into a DRIVER-created temp dir —
+      // sound only when they share a filesystem. Guard loudly: on a
+      // real cluster this helper has no business existing (the lake's
+      // objects are already in object storage); a silent empty dir
+      // would hash-mismatch at best (max-effort review r13)
+      require(s.sparkContext.isLocal,
+        "mediaLakeDir stages fixture files and requires a local master; " +
+          "production media lakes are read directly via mediaFromFiles")
       val out = java.nio.file.Files.createTempDirectory("graft-media-lake").toString
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(

@@ -433,6 +433,12 @@ class MultimodalSpec extends SparkSpec {
       { val p = MediaCodec.encodePng(8, 8, Array.tabulate[Byte](192)(_.toByte))
         p(45) = (p(45) ^ 0x55).toByte; p },
       pngWithHeader(46341, 46341),
+      // any chunk BEFORE IHDR (even ancillary, CRC-valid) violates
+      // the spec's IHDR-first rule — libpng rejects, so do we
+      {
+        val base = MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte))
+        base.take(8) ++ pngChunkBytes("tEXt", "early".getBytes("US-ASCII")) ++ base.drop(8)
+      },
       // PNG whose declared chunk length is near 2^31: pos+12+len
       // wraps Int — the LONG bounds must reject before any read
       MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte))
@@ -463,6 +469,22 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.decode(b) match {
         case UnknownMedia(n) => assert(n == b.length)
         case other => fail(s"expected UnknownMedia, got $other for ${b.length} bytes")
+      }
+    }
+    // WAV declaring a NONSENSE sample rate (1 Hz): canonical-rate
+    // resampling would want 8000x the input — the cap must hash the
+    // raw samples instead of allocating unboundedly (or, past Int
+    // range, throwing NegativeArraySizeException outside decode's
+    // catch — max-effort review r13)
+    locally {
+      val hostile = MediaCodec.encodeWav(1, Array.tabulate(10000)(i => (i % 251).toShort))
+      MediaCodec.decode(hostile) match {
+        case m @ AudioMedia(1, got) =>
+          assert(got.length == 10000)
+          val h = MediaCodec.aHash64(m) // must not throw, must not blow memory
+          // cap fallback = hash of the raw samples (identity view)
+          assert(h == MediaCodec.aHash64(AudioMedia(8000, got)))
+        case other => fail(s"hostile-rate wav: $other")
       }
     }
     // WAV with TWO data chunks: first chunk wins (common-reader
@@ -836,8 +858,15 @@ class MultimodalSpec extends SparkSpec {
             base.take(p) ++ Array.fill[Byte](rnd.nextInt(16))(rnd.nextInt(256).toByte) ++
               base.drop(p)
         }
+        // the WHOLE derived-op chain must be total, not just decode:
+        // aHash64/contentUnits run on decoded media outside decode()'s
+        // catch (phashDedup's mapPartitions has no net — the r13
+        // max-effort review found canonicalSamples could throw there)
         val media = try MediaCodec.decode(mutated) catch {
           case e: Throwable => fail(s"decode threw ${e.getClass.getSimpleName} on mutation $i: ${e.getMessage}")
+        }
+        try { MediaCodec.aHash64(media); MediaCodec.contentUnits(media) } catch {
+          case e: Throwable => fail(s"hash/units threw ${e.getClass.getSimpleName} on mutation $i: ${e.getMessage}")
         }
         if (!media.isInstanceOf[UnknownMedia]) decodedOk += 1
       }
