@@ -382,9 +382,7 @@ object MediaCodec extends Serializable {
               3L * w * h > Int.MaxValue.toLong ||
               h.toLong * (1L + 3L * w) > Int.MaxValue.toLong)
             return UnknownMedia(b.length)
-        case "IDAT" =>
-          if (!seenIhdr) return UnknownMedia(b.length)
-          idat.write(b, pos + 8, len)
+        case "IDAT" => idat.write(b, pos + 8, len)
         case "IEND" => seenIend = true
         case _ => // ancillary chunk: CRC already validated, skip
       }
@@ -393,9 +391,11 @@ object MediaCodec extends Serializable {
     // IEND is the LAST chunk by spec — trailing foreign bytes mean
     // the payload is not the PNG it claims to be (review r13: the
     // docstring promised this rejection; the walk only enforced it
-    // for truncation, not for surplus)
+    // for truncation, not for surplus). seenIhdr is necessarily true
+    // here: the first-chunk guard above rejects ANY pre-IHDR chunk,
+    // IEND included, so the ordering invariant lives in ONE place.
     if (pos != b.length) return UnknownMedia(b.length)
-    if (!seenIhdr || idat.size == 0) return UnknownMedia(b.length)
+    if (idat.size == 0) return UnknownMedia(b.length)
     val rowLen = 3 * w
     val rawLen = h * (1 + rowLen)
     val raw = new Array[Byte](rawLen)
@@ -689,15 +689,18 @@ object MediaCodec extends Serializable {
     * 8 kHz and NN-upsampled to 16 kHz canonicalizes to IDENTICAL
     * samples, so the hashes collide at Hamming 0 (MultimodalSpec pins
     * the planted pair). At the canonical rate the map is the
-    * identity, so legacy 8 kHz hashes are unchanged; a signal whose
-    * canonical form would exceed [[maxCanonicalSamples]] (only
-    * possible for rates far BELOW canonical — hostile or nonsense
-    * metadata) also hashes as-is rather than allocating unboundedly. */
+    * identity, so legacy 8 kHz hashes are unchanged. The cap applies
+    * ONLY in the UPSAMPLING direction (outLen > n — rates below
+    * canonical, i.e. hostile or nonsense metadata): downsampling can
+    * never exceed the input length, so long legitimate high-rate
+    * audio keeps its rate-invariant canonical hash (review r13 — an
+    * unconditional cap silently broke invariance for ~2 h 44.1 kHz
+    * signals where no allocation hazard exists). */
   private[operators] def canonicalSamples(rate: Int, samples: Array[Short]): Array[Short] = {
     if (rate == canonicalRate || rate <= 0) return samples
     val n = samples.length
     val outLen = n.toLong * canonicalRate / rate
-    if (outLen > maxCanonicalSamples) return samples
+    if (outLen > maxCanonicalSamples && outLen > n) return samples
     val outN = outLen.toInt
     val out = new Array[Short](outN)
     var j = 0

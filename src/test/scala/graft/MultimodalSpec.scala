@@ -155,10 +155,15 @@ class MultimodalSpec extends SparkSpec {
     def aHashAudio(rate: Int, samples0: Array[Short]): Long = {
       // canonical-rate view FIRST (the r13 rate-invariance contract):
       // independent recompute via a tabulated index map rather than
-      // the codec's while-loop fill
+      // the codec's while-loop fill. Mirrors the codec's UPSAMPLING
+      // cap (canonical form > 2^26 AND > input length hashes raw) —
+      // the contract's fallback must live in the mirror too, or a
+      // cap-triggering signal desyncs the reference from the codec
+      val outLen = samples0.length.toLong * 8000 / rate
       val samples =
         if (rate == 8000) samples0
-        else Array.tabulate((samples0.length.toLong * 8000 / rate).toInt)(j =>
+        else if (outLen > (1L << 26) && outLen > samples0.length) samples0
+        else Array.tabulate(outLen.toInt)(j =>
           samples0((j.toLong * rate / 8000).toInt))
       val n = samples.length
       if (n == 0) return 0L
@@ -482,10 +487,21 @@ class MultimodalSpec extends SparkSpec {
         case m @ AudioMedia(1, got) =>
           assert(got.length == 10000)
           val h = MediaCodec.aHash64(m) // must not throw, must not blow memory
-          // cap fallback = hash of the raw samples (identity view)
+          // cap fallback = hash of the raw samples (identity view) —
+          // and the INDEPENDENT mirror must take the same fallback
           assert(h == MediaCodec.aHash64(AudioMedia(8000, got)))
+          assert(h == Ref.hash(hostile))
         case other => fail(s"hostile-rate wav: $other")
       }
+      // DOWNSAMPLING must never cap (no allocation hazard: output is
+      // shorter than input) — a high-rate signal keeps its canonical
+      // rate-invariant hash (review r13: an unconditional cap broke
+      // invariance exactly here). 48 kHz NN-upsample of an 8 kHz
+      // base still collides at Hamming 0.
+      val base = Array.tabulate(2000)(i => ((i * 29) % 256 - 128).toShort)
+      val hi = Array.tabulate(12000)(i => base(i / 6)) // 48 kHz view
+      assert(MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(48000, hi))) ==
+        MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(8000, base))))
     }
     // WAV with TWO data chunks: first chunk wins (common-reader
     // convention, r13 advisory) — the second must not overwrite it
