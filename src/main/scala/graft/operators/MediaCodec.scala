@@ -341,15 +341,19 @@ object MediaCodec extends Serializable {
     * `java.util.zip.Inflater` (so Huffman-compressed streams from
     * real writers decode, not just [[zlibStored]]'s stored blocks),
     * then per-row unfiltering of all five filter types. Profile:
-    * 8-bit truecolor RGB, non-interlaced — anything else (palette,
-    * alpha, 16-bit, Adam7) is honest [[UnknownMedia]], as are
+    * 8-bit truecolor RGB (color type 2) and 8-bit GRAYSCALE (color
+    * type 0 — scientific/medical writers ship these; the single
+    * channel expands to r=g=b so every downstream consumer sees one
+    * pixel format), non-interlaced — anything else (palette, alpha,
+    * 16-bit, Adam7) is honest [[UnknownMedia]], as are
     * truncated streams, foreign trailing bytes and wrapped-dimension
     * headers (LONG bounds before every allocation). Ancillary chunks
     * (tEXt/pHYs/…) are skipped after their CRC validates. */
   private[operators] def decodePng(b: Array[Byte]): Media = {
     if (b.length < 8 + 25 + 12 + 12) return UnknownMedia(b.length) // sig+IHDR+IDAT+IEND minimum
     var pos = 8
-    var w = 0; var h = 0; var seenIhdr = false; var seenIend = false
+    var w = 0; var h = 0; var bpp = 0
+    var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       if (pos + 8 > b.length) return UnknownMedia(b.length)
@@ -374,13 +378,15 @@ object MediaCodec extends Serializable {
           w = getIntBE(b, pos + 8); h = getIntBE(b, pos + 12)
           val depth = b(pos + 16); val color = b(pos + 17)
           val comp = b(pos + 18); val filt = b(pos + 19); val inter = b(pos + 20)
+          bpp = color match { case 2 => 3; case 0 => 1; case _ => 0 }
           // raster and scanline sizes in LONG first: 3·w·h and
-          // h·(1+3w) both wrap Int for dims ~46341 (the r12 PPM/Y4M
-          // lesson applied to the new parser from day one)
-          if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
+          // h·(1+bpp·w) both wrap Int for dims ~46341 (the r12
+          // PPM/Y4M lesson applied to the new parser from day one);
+          // the OUTPUT raster is always 3·w·h — grayscale expands
+          if (w <= 0 || h <= 0 || depth != 8 || bpp == 0 ||
               comp != 0 || filt != 0 || inter != 0 ||
               3L * w * h > Int.MaxValue.toLong ||
-              h.toLong * (1L + 3L * w) > Int.MaxValue.toLong)
+              h.toLong * (1L + bpp.toLong * w) > Int.MaxValue.toLong)
             return UnknownMedia(b.length)
         case "IDAT" => idat.write(b, pos + 8, len)
         case "IEND" => seenIend = true
@@ -396,7 +402,7 @@ object MediaCodec extends Serializable {
     // IEND included, so the ordering invariant lives in ONE place.
     if (pos != b.length) return UnknownMedia(b.length)
     if (idat.size == 0) return UnknownMedia(b.length)
-    val rowLen = 3 * w
+    val rowLen = bpp * w
     val rawLen = h * (1 + rowLen)
     val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
@@ -426,8 +432,9 @@ object MediaCodec extends Serializable {
     } finally inf.end()
     // unfilter: each row's filter byte selects the inverse transform;
     // the reconstruction reads already-reconstructed neighbors (left,
-    // up, up-left), exactly the spec's sequential dependency
-    val rgb = new Array[Byte](3 * w * h)
+    // up, up-left — at BPP offsets, so the same loop serves truecolor
+    // and grayscale), exactly the spec's sequential dependency
+    val recon = new Array[Byte](h * rowLen)
     var y = 0
     while (y < h) {
       val f = raw(y * (1 + rowLen)) & 0xff
@@ -435,9 +442,9 @@ object MediaCodec extends Serializable {
       var x = 0
       while (x < rowLen) {
         val v = raw(y * (1 + rowLen) + 1 + x) & 0xff
-        val left = if (x >= 3) rgb(y * rowLen + x - 3) & 0xff else 0
-        val up = if (y > 0) rgb((y - 1) * rowLen + x) & 0xff else 0
-        val ul = if (x >= 3 && y > 0) rgb((y - 1) * rowLen + x - 3) & 0xff else 0
+        val left = if (x >= bpp) recon(y * rowLen + x - bpp) & 0xff else 0
+        val up = if (y > 0) recon((y - 1) * rowLen + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) recon((y - 1) * rowLen + x - bpp) & 0xff else 0
         val r = f match {
           case 0 => v
           case 1 => v + left
@@ -445,11 +452,22 @@ object MediaCodec extends Serializable {
           case 3 => v + (left + up) / 2
           case _ => v + paeth(left, up, ul)
         }
-        rgb(y * rowLen + x) = r.toByte
+        recon(y * rowLen + x) = r.toByte
         x += 1
       }
       y += 1
     }
+    val rgb =
+      if (bpp == 3) recon
+      else { // grayscale: expand the single channel to r = g = b
+        val out = new Array[Byte](3 * w * h)
+        var i = 0
+        while (i < recon.length) {
+          out(3 * i) = recon(i); out(3 * i + 1) = recon(i); out(3 * i + 2) = recon(i)
+          i += 1
+        }
+        out
+      }
     ImageMedia(w, h, "png", rgb)
   }
 

@@ -839,6 +839,66 @@ class MultimodalSpec extends SparkSpec {
     decoded.foreach(d => assert(d.n_bytes > 0))
   }
 
+  test("grayscale PNG (color type 0): decodes with r=g=b expansion, filters invert, hash matches the RGB twin") {
+    // foreign scientific/medical writers ship 8-bit grayscale PNGs;
+    // the decoder expands the single channel so every downstream
+    // consumer (hash, resize, embed) sees ONE pixel format. Fixture
+    // built INDEPENDENTLY of the codec's encoder: gray scanlines with
+    // a cycling filter type, deflated with java.util.zip.Deflater
+    // (Huffman path, not the codec's stored blocks), chunked via the
+    // spec-local writer.
+    val w = 11; val h = 9
+    val gray = Array.tabulate[Byte](w * h)(i => ((i * 37 + 5) % 256).toByte)
+    // apply PNG filters 0..4 cycling by row, bpp = 1
+    val rowLen = w
+    val raw = new Array[Byte](h * (1 + rowLen))
+    for (y <- 0 until h) {
+      val f = (y + 2) % 5 // different phase than the codec's encoder
+      raw(y * (1 + rowLen)) = f.toByte
+      for (x <- 0 until rowLen) {
+        def at(yy: Int, xx: Int): Int =
+          if (yy < 0 || xx < 0) 0 else gray(yy * rowLen + xx) & 0xff
+        val cur = at(y, x); val left = at(y, x - 1)
+        val up = at(y - 1, x); val ul = at(y - 1, x - 1)
+        val pp = left + up - ul
+        val paeth = Seq((math.abs(pp - left), left), (math.abs(pp - up), up),
+          (math.abs(pp - ul), ul)).minBy(_._1)._2
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth
+        }
+        raw(y * (1 + rowLen) + 1 + x) = v.toByte
+      }
+    }
+    val packed = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf)
+      assert(d.finished); d.end()
+      buf.take(n)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 0 // color type 0
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      pngChunkBytes("IHDR", ihdr) ++ pngChunkBytes("IDAT", packed) ++
+      pngChunkBytes("IEND", Array.emptyByteArray)
+    MediaCodec.decode(png) match {
+      case m @ ImageMedia(`w`, `h`, "png", rgb) =>
+        assert(rgb.length == 3 * w * h)
+        for (i <- 0 until w * h; c <- 0 until 3)
+          assert(rgb(3 * i + c) == gray(i), s"pixel $i channel $c")
+        // hash equivalence: a grayscale image IS its (v,v,v) RGB twin
+        val twin = Array.tabulate[Byte](3 * w * h)(j => gray(j / 3))
+        assert(MediaCodec.aHash64(m) ==
+          MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodePpm(w, h, twin))))
+      case other => fail(s"grayscale png: $other")
+    }
+  }
+
   test("corruption fuzz: decode NEVER throws over seeded mutations of every container") {
     // The totality contract, exercised adversarially at volume: take
     // one valid payload per container, then hammer it with seeded
