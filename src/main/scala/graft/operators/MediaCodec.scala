@@ -354,6 +354,7 @@ object MediaCodec extends Serializable {
     var pos = 8
     var w = 0; var h = 0; var bpp = 0
     var seenIhdr = false; var seenIend = false
+    var inIdat = false; var idatClosed = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       if (pos + 8 > b.length) return UnknownMedia(b.length)
@@ -388,9 +389,15 @@ object MediaCodec extends Serializable {
               3L * w * h > Int.MaxValue.toLong ||
               h.toLong * (1L + bpp.toLong * w) > Int.MaxValue.toLong)
             return UnknownMedia(b.length)
-        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IDAT" =>
+          // IDAT chunks must be CONSECUTIVE (spec; libpng rejects an
+          // IDAT resuming after a foreign chunk — review r13)
+          if (idatClosed) return UnknownMedia(b.length)
+          inIdat = true
+          idat.write(b, pos + 8, len)
         case "IEND" => seenIend = true
         case _ => // ancillary chunk: CRC already validated, skip
+          if (inIdat) idatClosed = true
       }
       pos += 12 + len
     }
@@ -714,11 +721,20 @@ object MediaCodec extends Serializable {
     * audio keeps its rate-invariant canonical hash (review r13 — an
     * unconditional cap silently broke invariance for ~2 h 44.1 kHz
     * signals where no allocation hazard exists). */
+  /** The cap decision, extracted so its BOUNDARY is directly
+    * testable (a fixture exercising it in vivo would need a >2²⁶-
+    * sample array): cap iff the canonical form exceeds the bound AND
+    * would GROW the signal — downsampling (outLen ≤ n) never caps,
+    * whatever its length, because its allocation is bounded by the
+    * input that already exists. */
+  private[graft] def canonicalCapApplies(outLen: Long, n: Int): Boolean =
+    outLen > maxCanonicalSamples && outLen > n
+
   private[operators] def canonicalSamples(rate: Int, samples: Array[Short]): Array[Short] = {
     if (rate == canonicalRate || rate <= 0) return samples
     val n = samples.length
     val outLen = n.toLong * canonicalRate / rate
-    if (outLen > maxCanonicalSamples && outLen > n) return samples
+    if (canonicalCapApplies(outLen, n)) return samples
     val outN = outLen.toInt
     val out = new Array[Short](outN)
     var j = 0

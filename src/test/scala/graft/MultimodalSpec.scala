@@ -34,7 +34,7 @@ class MultimodalSpec extends SparkSpec {
     def png(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       val bb = ByteBuffer.wrap(b) // big-endian by default
       require(bb.getLong(0) == 0x89504e470d0a1a0aL)
-      var p = 8; var w = 0; var h = 0
+      var p = 8; var w = 0; var h = 0; var chans = 0
       val idat = Seq.newBuilder[Array[Byte]]
       var stop = false
       while (!stop) {
@@ -42,7 +42,12 @@ class MultimodalSpec extends SparkSpec {
         new String(b, p + 4, 4, "US-ASCII") match {
           case "IHDR" =>
             w = bb.getInt(p + 8); h = bb.getInt(p + 12)
-            require(b(p + 16) == 8 && b(p + 17) == 2, "8-bit truecolor only")
+            require(b(p + 16) == 8, "8-bit only")
+            chans = b(p + 17) match {
+              case 2 => 3
+              case 0 => 1 // grayscale (r13): one channel, expanded below
+              case other => sys.error(s"color type $other")
+            }
           case "IDAT" => idat += b.slice(p + 8, p + 8 + len)
           case "IEND" => stop = true
           case _      => // ancillary
@@ -51,15 +56,15 @@ class MultimodalSpec extends SparkSpec {
       }
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.result().toArray.flatten)
-      val rowLen = 3 * w
+      val rowLen = chans * w
       val raw = new Array[Byte](h * (1 + rowLen))
       var got = 0
       while (got < raw.length) got += inf.inflate(raw, got, raw.length - got)
       inf.end()
-      val rgb = new Array[Byte](3 * w * h)
+      val rec = new Array[Byte](h * rowLen)
       for (y <- 0 until h; x <- 0 until rowLen) {
-        def at(yy: Int, xx: Int): Int = if (yy < 0 || xx < 0) 0 else rgb(yy * rowLen + xx) & 0xff
-        val (a, u, c) = (at(y, x - 3), at(y - 1, x), at(y - 1, x - 3))
+        def at(yy: Int, xx: Int): Int = if (yy < 0 || xx < 0) 0 else rec(yy * rowLen + xx) & 0xff
+        val (a, u, c) = (at(y, x - chans), at(y - 1, x), at(y - 1, x - chans))
         val pp = a + u - c
         val pred = (raw(y * (1 + rowLen)) & 0xff) match {
           case 0 => 0
@@ -68,8 +73,10 @@ class MultimodalSpec extends SparkSpec {
           case 3 => (a + u) / 2
           case 4 => Seq((math.abs(pp - a), a), (math.abs(pp - u), u), (math.abs(pp - c), c)).minBy(_._1)._2
         }
-        rgb(y * rowLen + x) = ((raw(y * (1 + rowLen) + 1 + x) & 0xff) + pred).toByte
+        rec(y * rowLen + x) = ((raw(y * (1 + rowLen) + 1 + x) & 0xff) + pred).toByte
       }
+      val rgb = if (chans == 3) rec
+        else rec.flatMap(v => Array(v, v, v)) // grayscale expansion
       (w, h, rgb)
     }
 
@@ -159,12 +166,14 @@ class MultimodalSpec extends SparkSpec {
       // cap (canonical form > 2^26 AND > input length hashes raw) —
       // the contract's fallback must live in the mirror too, or a
       // cap-triggering signal desyncs the reference from the codec
-      val outLen = samples0.length.toLong * 8000 / rate
       val samples =
-        if (rate == 8000) samples0
-        else if (outLen > (1L << 26) && outLen > samples0.length) samples0
-        else Array.tabulate(outLen.toInt)(j =>
-          samples0((j.toLong * rate / 8000).toInt))
+        if (rate == 8000 || rate <= 0) samples0 // codec's identity paths
+        else {
+          val outLen = samples0.length.toLong * 8000 / rate
+          if (outLen > (1L << 26) && outLen > samples0.length) samples0
+          else Array.tabulate(outLen.toInt)(j =>
+            samples0((j.toLong * rate / 8000).toInt))
+        }
       val n = samples.length
       if (n == 0) return 0L
       exactBits((0 until 64).map { i =>
@@ -267,6 +276,22 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.decode(rebuilt) match {
         case ImageMedia(`w`, `h`, "png", dec) => assert(java.util.Arrays.equals(dec, rgb))
         case other => fail(s"huffman png: $other")
+      }
+    }
+    // CONSECUTIVE multi-IDAT is valid (real writers emit 8 KB IDAT
+    // windows): the same zlib stream split across two adjacent chunks
+    // must decode identically
+    locally {
+      val w = 5; val h = 4
+      val rgb2 = Array.tabulate[Byte](3 * w * h)(i => (i * 11).toByte)
+      val one = MediaCodec.encodePng(w, h, rgb2)
+      val z = one.slice(41, one.length - 16)
+      val split = one.take(33) ++
+        pngChunkBytes("IDAT", z.take(7)) ++ pngChunkBytes("IDAT", z.drop(7)) ++
+        one.takeRight(12)
+      MediaCodec.decode(split) match {
+        case ImageMedia(`w`, `h`, "png", got) => assert(java.util.Arrays.equals(got, rgb2))
+        case other => fail(s"split-IDAT png: $other")
       }
     }
     // audio: full signed 16-bit range round-trips through LE encoding
@@ -444,6 +469,19 @@ class MultimodalSpec extends SparkSpec {
         val base = MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte))
         base.take(8) ++ pngChunkBytes("tEXt", "early".getBytes("US-ASCII")) ++ base.drop(8)
       },
+      // IDAT chunks must be CONSECUTIVE: an IDAT resuming after a
+      // foreign chunk is spec-invalid (libpng rejects; review r13).
+      // Split the valid IDAT's zlib data across two chunks with a
+      // tEXt wedged between — all CRCs valid, still malformed
+      {
+        val base = MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte))
+        val z = base.slice(41, base.length - 16) // zlib stream inside IDAT
+        base.take(33) ++
+          pngChunkBytes("IDAT", z.take(4)) ++
+          pngChunkBytes("tEXt", "wedge".getBytes("US-ASCII")) ++
+          pngChunkBytes("IDAT", z.drop(4)) ++
+          base.takeRight(12)
+      },
       // PNG whose declared chunk length is near 2^31: pos+12+len
       // wraps Int — the LONG bounds must reject before any read
       MediaCodec.encodePng(2, 2, Array.tabulate[Byte](12)(_.toByte))
@@ -502,6 +540,18 @@ class MultimodalSpec extends SparkSpec {
       val hi = Array.tabulate(12000)(i => base(i / 6)) // 48 kHz view
       assert(MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(48000, hi))) ==
         MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(8000, base))))
+      // the cap DECISION at its boundary, on the extracted predicate
+      // (an in-vivo fixture needs a >2^26-sample array; review r13:
+      // the in-vivo case above cannot discriminate the direction
+      // logic because its canonical form is far below the bound):
+      // growing past the bound caps; a long DOWNSAMPLED signal whose
+      // canonical form exceeds the bound but not its own input never
+      // caps — the exact regression an unconditional bound had
+      val bound = (1L << 26)
+      assert(MediaCodec.canonicalCapApplies(bound + 1, 1000), "upsampling past the bound must cap")
+      assert(!MediaCodec.canonicalCapApplies(bound + 1, Int.MaxValue),
+        "downsampling must NEVER cap, whatever its canonical length")
+      assert(!MediaCodec.canonicalCapApplies(bound, 1000), "at the bound: no cap")
     }
     // WAV with TWO data chunks: first chunk wins (common-reader
     // convention, r13 advisory) — the second must not overwrite it
@@ -895,6 +945,9 @@ class MultimodalSpec extends SparkSpec {
         val twin = Array.tabulate[Byte](3 * w * h)(j => gray(j / 3))
         assert(MediaCodec.aHash64(m) ==
           MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodePpm(w, h, twin))))
+        // and the INDEPENDENT reference parser agrees end-to-end
+        // (review r13: codec-vs-codec alone could self-certify)
+        assert(MediaCodec.aHash64(m) == Ref.hash(png))
       case other => fail(s"grayscale png: $other")
     }
   }
