@@ -37,12 +37,14 @@ object Bench {
     // land in a directory), so timed ev_stream_* runs should measure
     // pure stream execution, not a one-time fixture write.
     val docsStreamers = Set("tx_stream_quality", "mm_stream_meta")
-    if (selected.exists(p => p._1.startsWith("ev_stream") || docsStreamers(p._1)))
+    if (selected.exists(p => p._1.startsWith("ev_stream") || docsStreamers(p._1) ||
+        p._1 == "ann_stream_serve"))
       streaming.StreamingOps.preStage(spark, sfDir,
         plain = selected.exists(p =>
           p._1.startsWith("ev_stream") && p._1 != "ev_stream_dedup"),
         dedup = selected.exists(_._1 == "ev_stream_dedup"),
-        docs = selected.exists(p => docsStreamers(p._1)))
+        docs = selected.exists(p => docsStreamers(p._1)),
+        probes = selected.exists(_._1 == "ann_stream_serve"))
     // Same discipline for the file-lake fixture: production media
     // objects already sit in storage, so mm_files_meta's timed runs
     // measure the binaryFile scan + decode, not the one-time staging.
@@ -51,8 +53,13 @@ object Bench {
     // And the persisted IVF index: pipe_ivf_serve measures SERVING
     // (the artifact-read plan), so the one-time train+write build is
     // warm-up — the decoupling is the point of the query.
-    if (selected.exists(_._1 == "pipe_ivf_serve"))
+    if (selected.exists(p => p._1 == "pipe_ivf_serve" || p._1 == "ann_stream_serve"))
       operators.Similarity.ivfIndexDir(spark, sfDir)
+    // the versioned lifecycle's build (v1 + drift detect + v2 +
+    // manifest) is warm-up for the same reason: pipe_ivf_reserve's
+    // timed number is manifest-resolved SERVING
+    if (selected.exists(_._1 == "pipe_ivf_reserve"))
+      operators.Similarity.ivfVersionedDir(spark, sfDir)
     if (selected.exists(_._1 == "pipe_ivf_append"))
       operators.Similarity.ivfAppendIndexDir(spark, sfDir)
     if (selected.exists(_._1 == "pipe_ivf_sq8_serve"))
@@ -145,6 +152,17 @@ object Bench {
     // loadavg_before is the honest ambient signal; the 1-minute figure
     // should be near 0 on a clean run.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_before":"$loadBefore","loadavg_per_query":$loads,"rerun_worst":$rr}""")
+    // Truncation-proof summary LAST (r13 verdict): the driver captures
+    // only the TAIL of stdout, and the full JSON leads with per-query
+    // times — so a truncated capture kept loadavg but lost the total.
+    // This compact line keeps the decision-relevant numbers (total,
+    // slowest-10, failure count) in the bytes truncation preserves.
+    // Keyed "total", NOT "metric": the driver extracts the artifact
+    // line by its "metric" prefix, and this line must never shadow it.
+    val slowest = results.filterNot(_._2.isInfinite).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val nFailed = results.count(_._2.isInfinite)
+    println(s"""{"total":${f"$total%.3f"},"n_queries":${results.size},"n_failed":$nFailed,"slowest":$slowest,"loadavg_before":"$loadBefore"}""")
     spark.stop()
   }
 }

@@ -96,7 +96,10 @@ object Probe {
         // literals are ≤ 16 cells here — safe for the printer,
         // unlike ann_ivf_topk's corpus)
         "mm_files_meta", "pipe_ivf_serve", "pipe_ivf_append",
-        "pipe_ivf_sq8_serve")
+        "pipe_ivf_sq8_serve",
+        // r14: serving THROUGH the version manifest (the lifecycle's
+        // closing verb; same bounded centroid literals)
+        "pipe_ivf_reserve")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

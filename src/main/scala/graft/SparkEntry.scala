@@ -198,6 +198,15 @@ object SparkEntry {
     // table, serving dequantizes on-the-fly through the same
     // partition-pruned plan. Rows-only (trained-float-artifact class)
     "pipe_ivf_sq8_serve" -> ((s, dir) => Similarity.ivfSq8ServeTopK(s, dir)),
+    // the lifecycle loop CLOSED (r14): drift detected under the
+    // manifest version's centroids → retrain writes v2 as a NEW
+    // immutable directory → the 1-row manifest swings serving to it
+    // atomically → this query serves THROUGH the manifest. Rows-only
+    // (trained-float-artifact class); RecallSpec gates served ≡
+    // in-session retrained IVF exactly, v1 data files byte-untouched
+    // after the swap, and the drift decision; PlanSpec pins the serve
+    // shape through the indirection
+    "pipe_ivf_reserve" -> ((s, dir) => Similarity.ivfReserveTopK(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked
@@ -299,6 +308,14 @@ object SparkEntry {
     // reproducible arithmetic), so DuckDB mirrors shortlist AND
     // rerank; recall vs brute force additionally gated in RecallSpec
     "ann_mrl_topk" -> ((s, dir) => Similarity.mrlTopK(s, dir)),
+    // the 14th real streaming execution (r14): probe vectors arrive as
+    // a readStream and are served against the SAME persisted IVF
+    // artifact pipe_ivf_serve reads — stream-static join on cid,
+    // stateless Append, rank post-sink. Rows-only (trained-float-
+    // artifact class); RecallSpec gates streamed ≡ batch serve
+    // row-for-row — the artifact serves incremental traffic too
+    "ann_stream_serve" -> ((s, dir) =>
+      graft.streaming.StreamingOps.annServeViaStream(s, dir)),
     // REAL codec chain (MediaCodec): encode genuine PPM/BMP/WAV/Y4M
     // fixture bytes, parse them back with real header/chunk parsers,
     // report parsed dims + content checksums — fully oracle-checked
@@ -433,8 +450,17 @@ object SparkEntry {
     // must never again require five synchronized edits). mmTbExpr
     // needs `text` and `n` in scope; mmBaseCtes ends with CTE `v`
     // carrying every generation fact (kind/format/dims/rate/counts/
-    // nunits/n_bytes/q/r) plus the per-doc unit list `tb` (code
-    // points, non-ASCII folded to 63 = '?').
+    // nunits/n_bytes/q/r) plus TWO unit lists: `tb` — the per-doc
+    // code points (non-ASCII folded to 63 = '?'), which the RAW data
+    // units (samples, index bytes, truecolor rasters) cycle with
+    // period `n` — and `ub`/`m`, the DECODED-raster cycle: identical
+    // to tb/n everywhere except palette-PNG rows (r14), where the
+    // decoded stream is each unit expanded through the fixture PLTE's
+    // three channel maps (v, 255−v, 3v mod 256 — Multimodal
+    // .paletteChan), so ub = that expansion and m = 3n. Every
+    // downstream fragment indexes the decoded stream as ub[pos % m],
+    // which makes the palette profile a v-CTE change, not five
+    // synchronized oracle edits.
     val mmTbExpr =
       """list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
         |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
@@ -447,6 +473,9 @@ object SparkEntry {
          |      WHEN 0 THEN CASE CAST((doc_id // 3) % 3 AS INTEGER)
          |        WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END
          |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+         |    -- the PNG slot sub-cycles truecolor / palette (r14)
+         |    CASE WHEN CAST(doc_id % 3 AS INTEGER) = 0 AND CAST((doc_id // 3) % 3 AS INTEGER) = 2
+         |         AND CAST((doc_id // 9) % 2 AS INTEGER) = 1 THEN 1 ELSE 0 END AS pal,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
@@ -455,21 +484,28 @@ object SparkEntry {
          |  FROM documents),
          |u AS (
          |  SELECT *, CASE kind WHEN 'image' THEN 3*w*h WHEN 'audio' THEN ns ELSE nfr*3*w*h END AS nunits,
-         |    CASE format
-         |      WHEN 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
-         |      WHEN 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
+         |    CASE
+         |      WHEN format = 'ppm' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+         |      WHEN format = 'bmp' THEN 54 + h * (((3*w + 3) // 4) * 4)
          |      -- png (stored-deflate IDAT): sig 8 + IHDR 25 + IDAT 12 +
-         |      -- IEND 12 + zlib 6 + scanlines h*(1+3w) + 5 per stored block
-         |      WHEN 'png' THEN 63 + h*(1 + 3*w) + 5*((h*(1 + 3*w) + 65534)//65535)
-         |      WHEN 'wav' THEN 44 + 2*ns
+         |      -- IEND 12 + zlib 6 + scanlines h*(1+bpp*w) + 5 per stored
+         |      -- block; the palette profile adds the 256-entry PLTE
+         |      -- chunk (12 + 768) and stores 1-byte pixels
+         |      WHEN format = 'png' AND pal = 1 THEN 843 + h*(1 + w) + 5*((h*(1 + w) + 65534)//65535)
+         |      WHEN format = 'png' THEN 63 + h*(1 + 3*w) + 5*((h*(1 + 3*w) + 65534)//65535)
+         |      WHEN format = 'wav' THEN 44 + 2*ns
          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
          |    END AS n_bytes,
          |    -- canonical-rate sample count (aHash64's 8 kHz NN resample)
          |    CASE WHEN rate > 0 THEN ns * 8000 // rate ELSE 0 END AS ns2
          |  FROM base),
-         |v AS (SELECT *, nunits // n AS q, nunits % n AS r,
-         |    $mmTbExpr AS tb
-         |  FROM u)""".stripMargin
+         |v0 AS (SELECT *, $mmTbExpr AS tb FROM u),
+         |v1 AS (SELECT *,
+         |    CASE WHEN pal = 1 THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
+         |         ELSE tb END AS ub,
+         |    CASE WHEN pal = 1 THEN 3*n ELSE n END AS m
+         |  FROM v0),
+         |v AS (SELECT *, nunits // m AS q, nunits % m AS r FROM v1)""".stripMargin
     // mm_phash_dup oracle fragments: 8×8 box decomposition of cell ci
     // over a w×h raster (box width/height, pixel coords from the
     // box-local flat index `pix`)
@@ -477,11 +513,11 @@ object SparkEntry {
     val phBh = "(((ci//8)+1)*h//8 - (ci//8)*h//8)"
     val phIdx = s"(((ci//8)*h//8 + pix // $phBw) * w + ((ci%8)*w//8 + pix % $phBw))"
     val mmDataSum =
-      "q * list_sum(tb) + coalesce(list_sum(tb[1:CAST(r AS INTEGER)]), 0)"
+      "q * list_sum(ub) + coalesce(list_sum(ub[1:CAST(r AS INTEGER)]), 0)"
     val mmDataWsum =
-      """list_sum(list_transform(range(0, CAST(n AS INTEGER)), k ->
-        |      CAST(tb[CAST(k AS INTEGER) + 1] AS BIGINT) *
-        |      (n * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
+      """list_sum(list_transform(range(0, CAST(m AS INTEGER)), k ->
+        |      CAST(ub[CAST(k AS INTEGER) + 1] AS BIGINT) *
+        |      (m * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
         |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END))))""".stripMargin
     val mmMetaSql =
       s"""$mmBaseCtes
@@ -1729,7 +1765,7 @@ object SparkEntry {
           |cells AS (SELECT media_id, list_transform(range(0, 64), ci ->
           |    CAST(coalesce(list_sum(list_transform(
           |        range(CAST(ci * nunits // 64 AS INTEGER), CAST((ci+1) * nunits // 64 AS INTEGER)),
-          |        j -> tb[1 + CAST(j % n AS INTEGER)])), 0) AS DOUBLE)
+          |        j -> ub[1 + CAST(j % m AS INTEGER)])), 0) AS DOUBLE)
           |      / ((ci+1) * nunits // 64 - ci * nunits // 64)) AS cell
           |  FROM v),
           |emb AS (SELECT media_id, list_transform(cell, x -> x / sqrt(list_dot_product(cell, cell))) AS e FROM cells),
@@ -1923,7 +1959,7 @@ object SparkEntry {
       // return is exact before the BIGINT cast.
       "mm_phash_dup" ->
         s"""$mmBaseCtes,
-          |cg AS (SELECT media_id, kind, w, h, n, ns, ns2, rate, tb,
+          |cg AS (SELECT media_id, kind, w, h, n, ns, ns2, rate, tb, ub, m,
           |    CASE kind
           |      -- audio spans run over the CANONICAL-RATE signal (ns2
           |      -- samples; canonical sample j = source sample
@@ -1933,15 +1969,17 @@ object SparkEntry {
           |        CAST(coalesce(list_sum(list_transform(
           |          range(CAST(ci*ns2//64 AS INTEGER), CAST((ci+1)*ns2//64 AS INTEGER)),
           |          j -> tb[1 + CAST((j*rate//8000) % n AS INTEGER)])), 0) AS BIGINT))
+          |      -- image luma reads the DECODED raster (ub cycle, so the
+          |      -- palette profile's PLTE expansion is included — r14)
           |      ELSE list_transform(range(0, 64), ci ->
           |        CAST(coalesce(list_sum(list_transform(
           |          range(0, CAST($phBh * $phBw AS INTEGER)),
           |          pix ->
           |            CASE WHEN kind = 'video'
-          |              THEN tb[1 + CAST($phIdx % n AS INTEGER)]
-          |              ELSE (tb[1 + CAST(($phIdx * 3) % n AS INTEGER)]
-          |                    + tb[1 + CAST(($phIdx * 3 + 1) % n AS INTEGER)]
-          |                    + tb[1 + CAST(($phIdx * 3 + 2) % n AS INTEGER)]) // 3
+          |              THEN ub[1 + CAST($phIdx % m AS INTEGER)]
+          |              ELSE (ub[1 + CAST(($phIdx * 3) % m AS INTEGER)]
+          |                    + ub[1 + CAST(($phIdx * 3 + 1) % m AS INTEGER)]
+          |                    + ub[1 + CAST(($phIdx * 3 + 2) % m AS INTEGER)]) // 3
           |            END)), 0) AS BIGINT))
           |    END AS sl,
           |    CASE kind
@@ -2003,14 +2041,16 @@ object SparkEntry {
           |    ELSE 33 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR)) + nfr * (6 + 3*ow*oh)
           |  END AS BIGINT) AS kept_bytes,
           |  CAST(CASE kind
+          |    -- image: the resample SOURCE is the decoded raster — the
+          |    -- ub cycle, so palette rows read PLTE-expanded bytes (r14)
           |    WHEN 'image' THEN list_sum(list_transform(range(0, CAST(3*ow*oh AS INTEGER)), j ->
-          |      tb[1 + CAST(((((j // (3*ow)) * h // oh) * w + ((j % (3*ow)) // 3) * w // ow) * 3 + (j % 3)) % n AS INTEGER)]))
+          |      ub[1 + CAST(((((j // (3*ow)) * h // oh) * w + ((j % (3*ow)) // 3) * w // ow) * 3 + (j % 3)) % m AS INTEGER)]))
           |    WHEN 'audio' THEN list_sum(list_transform(range(0, CAST(nout AS INTEGER)), j ->
-          |      tb[1 + CAST((2*j) % n AS INTEGER)]))
+          |      ub[1 + CAST((2*j) % m AS INTEGER)]))
           |    ELSE list_sum(list_transform(range(0, CAST(nfr*3*ow*oh AS INTEGER)), j ->
-          |      tb[1 + CAST((
+          |      ub[1 + CAST((
           |        (j // (3*ow*oh)) * 3*w*h + ((j % (3*ow*oh)) // (ow*oh)) * w*h
-          |        + (((j % (ow*oh)) // ow) * h // oh) * w + ((j % ow) * w // ow)) % n AS INTEGER)]))
+          |        + (((j % (ow*oh)) // ow) * h // oh) * w + ((j % ow) * w // ow)) % m AS INTEGER)]))
           |  END AS BIGINT) AS data_sum
           |FROM o ORDER BY media_id""".stripMargin,
       // Per-KEPT-frame oracle: parsed Y4M frames / 1024-sample audio
@@ -2029,7 +2069,7 @@ object SparkEntry {
           |  CAST(units AS BIGINT) AS frame_units,
           |  CAST(CASE kind WHEN 'audio' THEN 2 * units ELSE units END AS BIGINT) AS frame_bytes,
           |  CAST(list_sum(list_transform(range(0, CAST(units AS INTEGER)), i ->
-          |    tb[1 + CAST((off + i) % n AS INTEGER)])) AS BIGINT) AS frame_sum
+          |    ub[1 + CAST((off + i) % m AS INTEGER)])) AS BIGINT) AS frame_sum
           |FROM s ORDER BY media_id, frame_no""".stripMargin,
       "ev_tumbling" ->
         """SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS win_start_s,

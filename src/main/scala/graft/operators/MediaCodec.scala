@@ -219,6 +219,57 @@ object MediaCodec extends Serializable {
     out.toByteArray
   }
 
+  /** PNG, 8-bit PALETTE (color type 3): signature + IHDR + PLTE +
+    * one IDAT + IEND. `indices` is the w·h index raster, `palette`
+    * holds 3·entries RGB bytes (1–256 entries). The filter type
+    * cycles y % 5 like [[encodePng]] — on a 1-byte/pixel scanline
+    * the left neighbor sits at offset 1, so the indexed profile
+    * exercises all five filters at the OTHER bpp. IDAT uses
+    * [[zlibStored]], so total size is closed-form:
+    * 63 + (12 + palette.length) + h·(1+w) + 5·⌈h·(1+w)/65535⌉
+    * (the [[encodePng]] formula with 1-byte pixels plus the PLTE
+    * chunk's 12 + len bytes). */
+  def encodePalettePng(w: Int, h: Int, indices: Array[Byte],
+                       palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == w * h, s"index raster ${indices.length} != $w*$h")
+    require(palette.length % 3 == 0 && palette.length > 0 && palette.length <= 768,
+      s"palette must hold 1-256 RGB entries, got ${palette.length} bytes")
+    val raw = new Array[Byte](h * (1 + w))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      val o = y * (1 + w)
+      raw(o) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = indices(y * w + x) & 0xff
+        val left = if (x >= 1) indices(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) indices((y - 1) * w + x) & 0xff else 0
+        val ul = if (x >= 1 && y > 0) indices((y - 1) * w + x - 1) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(o + 1 + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 3 // bit depth 8, color type 3 (palette)
+    val out = new java.io.ByteArrayOutputStream(75 + palette.length + raw.length + 5)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "PLTE", palette)
+    pngChunk(out, "IDAT", zlibStored(raw))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** RIFF/WAVE, PCM 16-bit mono little-endian: 44-byte canonical
     * header + 2 bytes per sample. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -340,21 +391,29 @@ object MediaCodec extends Serializable {
     * concatenated into one zlib stream and inflated with
     * `java.util.zip.Inflater` (so Huffman-compressed streams from
     * real writers decode, not just [[zlibStored]]'s stored blocks),
-    * then per-row unfiltering of all five filter types. Profile:
-    * 8-bit truecolor RGB (color type 2) and 8-bit GRAYSCALE (color
+    * then per-row unfiltering of all five filter types. Profiles:
+    * 8-bit truecolor RGB (color type 2), 8-bit GRAYSCALE (color
     * type 0 — scientific/medical writers ship these; the single
     * channel expands to r=g=b so every downstream consumer sees one
-    * pixel format), non-interlaced — anything else (palette, alpha,
-    * 16-bit, Adam7) is honest [[UnknownMedia]], as are
-    * truncated streams, foreign trailing bytes and wrapped-dimension
-    * headers (LONG bounds before every allocation). Ancillary chunks
-    * (tEXt/pHYs/…) are skipped after their CRC validates. */
+    * pixel format) and 8-bit PALETTE (color type 3 — the most common
+    * indexed profile on the real web; PLTE must precede IDAT, hold
+    * 1–256 whole RGB entries, and every decoded index must be inside
+    * it — an out-of-range index rejects, as libpng errors), all
+    * non-interlaced — anything else (alpha, 16-bit, Adam7) is honest
+    * [[UnknownMedia]], as are truncated streams, foreign trailing
+    * bytes and wrapped-dimension headers (LONG bounds before every
+    * allocation). Ancillary chunks (tEXt/pHYs/…) are skipped after
+    * their CRC validates; UNKNOWN CRITICAL chunks (ancillary bit
+    * clear) reject the file — libpng errors on a critical chunk it
+    * cannot interpret, and silently skipping one would decode an
+    * image whose spec-mandated meaning we ignored (r13 advisory). */
   private[operators] def decodePng(b: Array[Byte]): Media = {
     if (b.length < 8 + 25 + 12 + 12) return UnknownMedia(b.length) // sig+IHDR+IDAT+IEND minimum
     var pos = 8
-    var w = 0; var h = 0; var bpp = 0
+    var w = 0; var h = 0; var bpp = 0; var colorType = -1
     var seenIhdr = false; var seenIend = false
     var inIdat = false; var idatClosed = false
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       if (pos + 8 > b.length) return UnknownMedia(b.length)
@@ -377,30 +436,53 @@ object MediaCodec extends Serializable {
           if (seenIhdr || len != 13) return UnknownMedia(b.length)
           seenIhdr = true
           w = getIntBE(b, pos + 8); h = getIntBE(b, pos + 12)
-          val depth = b(pos + 16); val color = b(pos + 17)
+          val depth = b(pos + 16); colorType = b(pos + 17) & 0xff
           val comp = b(pos + 18); val filt = b(pos + 19); val inter = b(pos + 20)
-          bpp = color match { case 2 => 3; case 0 => 1; case _ => 0 }
+          bpp = colorType match { case 2 => 3; case 0 => 1; case 3 => 1; case _ => 0 }
           // raster and scanline sizes in LONG first: 3·w·h and
           // h·(1+bpp·w) both wrap Int for dims ~46341 (the r12
           // PPM/Y4M lesson applied to the new parser from day one);
-          // the OUTPUT raster is always 3·w·h — grayscale expands
+          // the OUTPUT raster is always 3·w·h — grayscale and palette
+          // profiles expand
           if (w <= 0 || h <= 0 || depth != 8 || bpp == 0 ||
               comp != 0 || filt != 0 || inter != 0 ||
               3L * w * h > Int.MaxValue.toLong ||
               h.toLong * (1L + bpp.toLong * w) > Int.MaxValue.toLong)
             return UnknownMedia(b.length)
+        case "PLTE" =>
+          // spec §11.2.3: one PLTE, before IDAT, 1–256 whole RGB
+          // entries; REQUIRED for color type 3, a legal suggested
+          // palette for type 2 (stored then unused), FORBIDDEN for
+          // grayscale
+          if (palette != null || inIdat || idatClosed || colorType == 0 ||
+              len == 0 || len % 3 != 0 || len / 3 > 256)
+            return UnknownMedia(b.length)
+          palette = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
         case "IDAT" =>
           // IDAT chunks must be CONSECUTIVE (spec; libpng rejects an
           // IDAT resuming after a foreign chunk — review r13)
           if (idatClosed) return UnknownMedia(b.length)
           inIdat = true
           idat.write(b, pos + 8, len)
-        case "IEND" => seenIend = true
-        case _ => // ancillary chunk: CRC already validated, skip
+        case "IEND" =>
+          // IEND's data length is 0 by spec — a CRC-valid 'IEND'
+          // carrying payload bytes is not a PNG trailer (r13 advisory)
+          if (len != 0) return UnknownMedia(b.length)
+          seenIend = true
+        case _ =>
+          // bit 5 of the type's first byte: set = ancillary (safe to
+          // skip once its CRC validated), clear = CRITICAL — a chunk
+          // the spec says a decoder must understand to render the
+          // image; skipping one silently is how foreign profiles
+          // decode to garbage (r13 advisory)
+          if ((b(pos + 4) & 0x20) == 0) return UnknownMedia(b.length)
           if (inIdat) idatClosed = true
       }
       pos += 12 + len
     }
+    // palette presence is part of the profile contract: type 3 cannot
+    // decode without one
+    if (colorType == 3 && palette == null) return UnknownMedia(b.length)
     // IEND is the LAST chunk by spec — trailing foreign bytes mean
     // the payload is not the PNG it claims to be (review r13: the
     // docstring promised this rejection; the walk only enforced it
@@ -464,9 +546,25 @@ object MediaCodec extends Serializable {
       }
       y += 1
     }
-    val rgb =
-      if (bpp == 3) recon
-      else { // grayscale: expand the single channel to r = g = b
+    val rgb = colorType match {
+      case 2 => recon
+      case 3 => // palette: each index → its PLTE triple; an index beyond
+        // the palette is a spec violation (libpng errors), not a
+        // clamp — rejecting keeps "decoded" meaning "every byte was
+        // interpreted by the book"
+        val entries = palette.length / 3
+        val out = new Array[Byte](3 * w * h)
+        var i = 0
+        while (i < recon.length) {
+          val idx = recon(i) & 0xff
+          if (idx >= entries) return UnknownMedia(b.length)
+          out(3 * i) = palette(3 * idx)
+          out(3 * i + 1) = palette(3 * idx + 1)
+          out(3 * i + 2) = palette(3 * idx + 2)
+          i += 1
+        }
+        out
+      case _ => // grayscale: expand the single channel to r = g = b
         val out = new Array[Byte](3 * w * h)
         var i = 0
         while (i < recon.length) {
@@ -474,7 +572,7 @@ object MediaCodec extends Serializable {
           i += 1
         }
         out
-      }
+    }
     ImageMedia(w, h, "png", rgb)
   }
 
@@ -735,6 +833,13 @@ object MediaCodec extends Serializable {
     val n = samples.length
     val outLen = n.toLong * canonicalRate / rate
     if (canonicalCapApplies(outLen, n)) return samples
+    // a few-sample clip at a high declared rate (rate > 8000·n) floors
+    // outLen to ZERO — hashing the empty canonical form would return
+    // 0, colliding with UnknownMedia's hash and with every other such
+    // clip in phashDedup's banding (r13 advisory). Non-empty input
+    // must keep a non-degenerate hash: fall back to the raw samples,
+    // the same rule as the cap path.
+    if (outLen == 0 && n > 0) return samples
     val outN = outLen.toInt
     val out = new Array[Short](outN)
     var j = 0

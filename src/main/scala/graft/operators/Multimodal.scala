@@ -44,6 +44,21 @@ object Multimodal {
                               n_samples: Long, data_sum: Long,
                               data_wsum: Long, payload_sha: String)
 
+  /** The fixture PLTE: 256 entries, entry e = (e, 255−e, 3e mod 256).
+    * Three distinct closed-form channel maps (identity / reflection /
+    * wrapping ramp) so palette decode bugs — transposed PLTE layout,
+    * single-channel reads, truncated tables — shift the plain or
+    * position-weighted content sums the oracle rebuilds. */
+  private[graft] val palettePlte: Array[Byte] = Array.tabulate(768) { j =>
+    val e = j / 3
+    (j % 3 match { case 0 => e; case 1 => 255 - e; case _ => (3 * e) % 256 }).toByte
+  }
+
+  /** Palette channel map as plain Ints — the spec recomputes and the
+    * oracle SQL mirror this exact rule. */
+  private[graft] def paletteChan(v: Int, c: Int): Int =
+    c match { case 0 => v; case 1 => 255 - v; case _ => (3 * v) % 256 }
+
   /** Deterministic fixture generator: REAL container bytes derived
     * from a document row. Kind cycles image/audio/video by id;
     * images rotate PPM, BMP and PNG containers (all three decoders
@@ -72,14 +87,27 @@ object Multimodal {
       case 0 =>
         val w = (8 + java.lang.Math.floorMod(id, 57L)).toInt
         val h = (8 + java.lang.Math.floorMod(id * 7, 57L)).toInt
-        val rgb = Array.tabulate(3 * w * h)(i => unit(i.toLong))
         // container cycles PPM → BMP → PNG (r13: the compressed
         // container joins the rotation; all three must agree on the
-        // logical pixels — container-invariance is spec-pinned)
+        // logical pixels — container-invariance is spec-pinned). The
+        // PNG slot sub-cycles truecolor / PALETTE (r14): palette rows
+        // carry a w·h INDEX raster (one unit per pixel) through a
+        // 256-entry PLTE whose channels are three DIFFERENT byte maps
+        // (e, 255−e, 3e mod 256) — a decoder that transposes PLTE
+        // layout or reads one channel for all three breaks the
+        // weighted content sums. Decoded rgb[3i+c] = chan(unit(i), c),
+        // which is the `ub` cycle (period 3·n) the DuckDB oracles
+        // rebuild.
         val payload = java.lang.Math.floorMod(id / 3, 3L) match {
-          case 0L => MediaCodec.encodePpm(w, h, rgb)
-          case 1L => MediaCodec.encodeBmp(w, h, rgb)
-          case _  => MediaCodec.encodePng(w, h, rgb)
+          case 0L => MediaCodec.encodePpm(w, h,
+            Array.tabulate(3 * w * h)(i => unit(i.toLong)))
+          case 1L => MediaCodec.encodeBmp(w, h,
+            Array.tabulate(3 * w * h)(i => unit(i.toLong)))
+          case _ if java.lang.Math.floorMod(id / 9, 2L) == 1L =>
+            MediaCodec.encodePalettePng(w, h,
+              Array.tabulate(w * h)(i => unit(i.toLong)), palettePlte)
+          case _ => MediaCodec.encodePng(w, h,
+            Array.tabulate(3 * w * h)(i => unit(i.toLong)))
         }
         ("image", payload)
       case 1 =>

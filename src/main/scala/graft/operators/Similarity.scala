@@ -311,28 +311,63 @@ object Similarity {
     * trained-float-artifact no-go class); RecallSpec gates drift
     * detection, the retrain decision, STRICT fit recovery and
     * recall non-degradation, plus determinism. */
-  def ivfLifecycle(s: SparkSession, dir: String, nLists: Int = 16,
-                   iters: Int = 5, nProbe: Int = 4,
-                   numQueries: Int = 10, topK: Int = 5,
-                   historyBuckets: Long = 3277,
-                   driftThresholdPpm: Long = 50000L): DataFrame = {
+  /** The drifted-corpus fixture SHARED by the in-session lifecycle
+    * (`pipe_ivf_retrain`) and the versioned-artifact lifecycle
+    * (`pipe_ivf_reserve`): history = md5-bucket split below
+    * `historyBuckets`; the batch is the rest, pushed through a fixed
+    * affine drift (a tight cluster the history-trained index has no
+    * centroid near — what makes the retrain decision fire BY
+    * CONSTRUCTION). Materialized once per call: the lifecycle runs
+    * ~8 downstream actions over it (self-review r12 — the
+    * lshClusters localCheckpoint discipline). */
+  private[graft] def driftedTagged(s: SparkSession, dir: String,
+                                   historyBuckets: Long): DataFrame = {
     import s.implicits._
     val hb = Sampling.hashBucket($"vec_id")
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
         hb.as("hb"))
-    // drifted batch (fixture transform — generation, not a hot path)
-    // materialized ONCE: ~8 downstream actions (training, drift,
-    // 2×fit, 2×recall, brute) otherwise each re-run the parquet scan
-    // + md5 bucketing + drift transform (self-review r12 — the
-    // lshClusters localCheckpoint discipline)
-    val tagged = base.filter($"hb" < historyBuckets)
+    base.filter($"hb" < historyBuckets)
       .select($"vec_id", $"embedding", lit(0L).as("is_b"))
       .union(base.filter($"hb" >= historyBuckets)
         .select($"vec_id", expr(
           "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x * 0.2D + 1.0D ELSE x * 0.2D END)")
           .as("embedding"), lit(1L).as("is_b")))
       .localCheckpoint(false)
+  }
+
+  /** `ivfIncremental`'s share-drift metric over a tagged corpus under
+    * a given assignment kernel: max |batch share − history share| in
+    * ppm across lists — the detector both lifecycle paths share, so
+    * the in-session and versioned-artifact retrain decisions cannot
+    * use different arithmetic. */
+  private def maxShareDriftPpm(tagged: DataFrame,
+                               nearest: (Column, Int) => Column): Long = {
+    import tagged.sparkSession.implicits._
+    // localCheckpoint: counts feeds both the crossJoin probe side and
+    // its own global-totals aggregate — without materializing these
+    // ≤ nLists rows, the full-corpus assignment job runs twice
+    // (max-effort review, r12)
+    val counts = tagged
+      .select($"is_b", nearest($"embedding", 1).getItem(0).as("cid"))
+      .groupBy($"cid")
+      .agg(sum(when($"is_b" === 0L, 1L).otherwise(0L)).as("nh"),
+        sum($"is_b").as("nb"))
+      .localCheckpoint(false)
+    val drifts = counts
+      .crossJoin(broadcast(counts.agg(sum($"nh").as("th"), sum($"nb").as("tb"))))
+      .select((when($"tb" > 0L, expr("nb * 1000000L div tb")).otherwise(0L)
+        - when($"th" > 0L, expr("nh * 1000000L div th")).otherwise(0L)).as("drift"))
+    drifts.agg(coalesce(max(abs($"drift")), lit(0L))).head().getLong(0)
+  }
+
+  def ivfLifecycle(s: SparkSession, dir: String, nLists: Int = 16,
+                   iters: Int = 5, nProbe: Int = 4,
+                   numQueries: Int = 10, topK: Int = 5,
+                   historyBuckets: Long = 3277,
+                   driftThresholdPpm: Long = 50000L): DataFrame = {
+    import s.implicits._
+    val tagged = driftedTagged(s, dir, historyBuckets)
     val history = tagged.filter($"is_b" === 0L).select($"vec_id", $"embedding")
     if (history.isEmpty) {
       return Seq.empty[(String, Long)].toDF("metric", "value")
@@ -342,21 +377,7 @@ object Similarity {
 
     // 3. detect: ivfIncremental's share-drift metric under OLD lists
     val nearestOld = centroidAssigner(s, oldIds, oldVecs, bcastCentroidThreshold)
-    // localCheckpoint: counts feeds both the crossJoin probe side and
-    // its own global-totals aggregate — without materializing these
-    // ≤ nLists rows, the full-corpus assignment job runs twice
-    // (max-effort review, r12)
-    val counts = tagged
-      .select($"is_b", nearestOld($"embedding", 1).getItem(0).as("cid"))
-      .groupBy($"cid")
-      .agg(sum(when($"is_b" === 0L, 1L).otherwise(0L)).as("nh"),
-        sum($"is_b").as("nb"))
-      .localCheckpoint(false)
-    val drifts = counts
-      .crossJoin(broadcast(counts.agg(sum($"nh").as("th"), sum($"nb").as("tb"))))
-      .select((when($"tb" > 0L, expr("nb * 1000000L div tb")).otherwise(0L)
-        - when($"th" > 0L, expr("nh * 1000000L div th")).otherwise(0L)).as("drift"))
-    val maxDrift = drifts.agg(coalesce(max(abs($"drift")), lit(0L))).head().getLong(0)
+    val maxDrift = maxShareDriftPpm(tagged, nearestOld)
 
     // 4. decide + retrain on history+batch
     val retrained = maxDrift >= driftThresholdPpm
@@ -507,7 +528,8 @@ object Similarity {
   private def serveFromIndex(s: SparkSession, dir: String, idx: String,
                              nProbe: Int, numQueries: Int, topK: Int,
                              payload: String = "embedding",
-                             scorer: (Column, Column) => Column = cosine): DataFrame = {
+                             scorer: (Column, Column) => Column = cosine,
+                             probeSource: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val (cids, cvecs) = readCentroids(s, idx)
     // partitionBy wrote cid as a directory key (read back as a
@@ -515,9 +537,14 @@ object Similarity {
     val lists = s.read.parquet(idx + "/lists")
       .select($"vec_id", col(payload), $"cid".cast("long").as("cid"))
     val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
-    val probes = Tables.embeddings(s, dir)
-      .filter($"vec_id" < numQueries)
-      .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("q"))
+    // probeSource: an explicit (query_id, q) traffic frame — the
+    // versioned lifecycle's probes live in its drifted combined
+    // corpus, not the raw embeddings table. Default is the table's
+    // bounded id prefix (pushdown-provable for the broadcast guard).
+    val probes = probeSource.getOrElse(
+        Tables.embeddings(s, dir)
+          .filter($"vec_id" < numQueries)
+          .select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("q")))
       .select($"query_id", $"q", explode(nearest($"q", nProbe)).as("cid"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     lists.join(broadcast(probes), Seq("cid"))
@@ -644,6 +671,143 @@ object Similarity {
     serveFromIndex(s, dir, idx, nProbe, numQueries, topK,
       payload = "code",
       scorer = (q, code) => VectorFunctions.cosineSq8Asym(q, code, los, his))
+  }
+
+  /** VERSIONED index artifact with a manifest swing
+    * (`pipe_ivf_reserve`) — the last verb of the lifecycle the
+    * r12→r13 arc built: r12 DETECTED drift and retrained in-session,
+    * r13 PERSISTED and served a frozen artifact; this closes the seam
+    * by making the retrain WRITE a new artifact VERSION and serving
+    * swing to it atomically. Layout under one root:
+    *
+    *  - `v1/`, `v2/`, …: complete immutable index versions, each a
+    *    [[buildIndexInto]] layout (`centroids/` + cid-partitioned
+    *    `lists/`) — a retrain only ever CREATES a new `v<N+1>/`
+    *    directory; committed versions' data files are never touched
+    *    again (RecallSpec proves it byte-for-byte);
+    *  - `manifest/`: a 1-row parquet naming the serving version — the
+    *    POINTER. Committing a retrain = overwriting this one tiny
+    *    table, so the swing is a metadata operation: stale readers
+    *    holding `v1` paths keep working (their files still exist),
+    *    new queries resolve `v2`, and a crashed retrain before the
+    *    manifest write leaves serving untouched on `v1`.
+    *
+    * At 100 TB this is how real vector platforms roll indexes: build
+    * the new generation beside the old, flip a pointer, garbage-
+    * collect old generations asynchronously. The lifecycle:
+    * [[versionedBuildV1]] trains v1 on HISTORY; the drifted batch
+    * arrives; [[versionedRetrainIfDrifted]] re-detects the
+    * [[maxShareDriftPpm]] signal under the MANIFEST version's
+    * centroids (read from the artifact — the detector owns no
+    * training state) and, past threshold, retrains on the combined
+    * corpus into `v2` and commits the pointer. Phases are exposed
+    * separately so RecallSpec can inventory v1's files between them. */
+  private val ivfVersionedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Long, Long), String]()
+
+  private def commitManifest(s: SparkSession, root: String, version: Long): Unit = {
+    import s.implicits._
+    Seq(Tuple1(version)).toDF("version").coalesce(1)
+      .write.mode("overwrite").parquet(root + "/manifest")
+  }
+
+  /** The serving pointer — a bounded 1-row driver pull. */
+  private[graft] def manifestVersion(s: SparkSession, root: String): Long =
+    s.read.parquet(root + "/manifest").collect()(0).getLong(0)
+
+  /** Lifecycle phase 1: v1 trained on the HISTORY split, manifest → 1. */
+  private[graft] def versionedBuildV1(s: SparkSession, root: String, dir: String,
+                                      nLists: Int, iters: Int,
+                                      historyBuckets: Long): Unit = {
+    import s.implicits._
+    val history = driftedTagged(s, dir, historyBuckets)
+      .filter($"is_b" === 0L).select($"vec_id", $"embedding")
+    buildIndexInto(s, root + "/v1", history, nLists, iters)
+    commitManifest(s, root, 1L)
+  }
+
+  /** Lifecycle phase 2: detect share drift under the CURRENT manifest
+    * version's centroids; past threshold, retrain on the combined
+    * corpus into a NEW `v<N+1>/` directory and swing the manifest.
+    * Returns whether a retrain committed. The existing version's
+    * directories are never written to — only a fresh sibling and the
+    * 1-row manifest. */
+  private[graft] def versionedRetrainIfDrifted(s: SparkSession, root: String, dir: String,
+                                               nLists: Int, iters: Int,
+                                               historyBuckets: Long,
+                                               driftThresholdPpm: Long): Boolean = {
+    import s.implicits._
+    val tagged = driftedTagged(s, dir, historyBuckets)
+    val ver = manifestVersion(s, root)
+    val (cids, cvecs) = readCentroids(s, s"$root/v$ver")
+    val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+    if (maxShareDriftPpm(tagged, nearest) < driftThresholdPpm) false
+    else {
+      buildIndexInto(s, s"$root/v${ver + 1}", tagged.select($"vec_id", $"embedding"),
+        nLists, iters)
+      commitManifest(s, root, ver + 1)
+      true
+    }
+  }
+
+  def ivfVersionedDir(s: SparkSession, dir: String, nLists: Int = 16,
+                      iters: Int = 5, historyBuckets: Long = 3277,
+                      driftThresholdPpm: Long = 50000L): String =
+    ivfVersionedDirs.computeIfAbsent((dir, nLists, iters, historyBuckets, driftThresholdPpm), _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-versioned").toString
+      versionedBuildV1(s, root, dir, nLists, iters, historyBuckets)
+      versionedRetrainIfDrifted(s, root, dir, nLists, iters, historyBuckets, driftThresholdPpm)
+      root
+    })
+
+  /** Serve THROUGH the manifest (`pipe_ivf_reserve`): resolve the
+    * pointer (1-row pull), then the shared [[serveFromIndex]] plan
+    * over `v<manifest>/` — the same broadcast-probe + file-level-DPP
+    * shape as every other artifact serve (PlanSpec pins it holds
+    * through the indirection). Probe traffic comes from the drifted
+    * combined corpus — the queries a post-drift deployment actually
+    * receives — so served results are gated EXACTLY equal to an
+    * in-session IVF under the retrained centroids (RecallSpec). */
+  def ivfReserveTopK(s: SparkSession, dir: String, nLists: Int = 16,
+                     iters: Int = 5, nProbe: Int = 4,
+                     numQueries: Int = 10, topK: Int = 5,
+                     historyBuckets: Long = 3277,
+                     driftThresholdPpm: Long = 50000L): DataFrame = {
+    import s.implicits._
+    val root = ivfVersionedDir(s, dir, nLists, iters, historyBuckets, driftThresholdPpm)
+    val ver = manifestVersion(s, root)
+    val probes = driftedTagged(s, dir, historyBuckets)
+      .filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    serveFromIndex(s, dir, s"$root/v$ver", nProbe, numQueries, topK,
+      probeSource = Some(probes))
+  }
+
+  /** Stream-side scoring against a persisted index
+    * (`ann_stream_serve`'s corpus-sized work): a PROBE STREAM's rows
+    * route to their nProbe lists with the same assignment kernel
+    * (map-side — centroids are a bounded driver pull made BEFORE the
+    * stream starts, the frozen-LM rule), then stream-static equi-join
+    * the cid-partitioned `lists/` table per micro-batch. Stateless
+    * Append shape: the artifact is the static side, the probes drive,
+    * and each match emits exactly once — which is why an unbounded
+    * query stream can serve from the same artifact batch sweeps read.
+    * Emits UNRANKED (query_id, vec_id, cos_sim) matches; rank/top-k
+    * is bounded post-sink work (the dd_stream_spans discipline),
+    * keeping the stream free of unsupported streaming windows. */
+  private[graft] def serveStreamScored(s: SparkSession, idx: String,
+                                       probeStream: DataFrame,
+                                       nProbe: Int): DataFrame = {
+    import s.implicits._
+    val (cids, cvecs) = readCentroids(s, idx)
+    val lists = s.read.parquet(idx + "/lists")
+      .select($"vec_id", $"embedding", $"cid".cast("long").as("cid"))
+    val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
+    probeStream
+      .select($"query_id", $"q", explode(nearest($"q", nProbe)).as("cid"))
+      .join(lists, Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", round(cosine($"q", $"embedding"), 6).as("cos_sim"))
   }
 
   /** Lloyd's k-means over the corpus, built from the two scale-correct

@@ -432,10 +432,11 @@ object StreamingOps {
     * should not pay the other fixture's write. */
   def preStage(s: SparkSession, dir: String,
                plain: Boolean = true, dedup: Boolean = true,
-               docs: Boolean = false): Unit = {
+               docs: Boolean = false, probes: Boolean = false): Unit = {
     if (plain) stagedDir(s, dir)
     if (dedup) dupStagedDir(s, dir)
     if (docs) docsStagedDir(s, dir)
+    if (probes) probesStagedDir(s, dir)
   }
 
   private val docsStagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -766,6 +767,55 @@ object StreamingOps {
       .select($"user_id", $"n_events",
         round($"total_value", 2).as("total_value"))
       .orderBy($"user_id")
+  }
+
+  /** Staged ANN probe-traffic dir: the embeddings table's bounded id
+    * prefix written once per source dir — the ingest directory an
+    * online query stream would land in. */
+  private val probesStagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def probesStagedDir(s: SparkSession, dir: String,
+                              numQueries: Int = 10): String =
+    probesStagedDirs.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/probes"
+      graft.Tables.embeddings(s, d).filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("q"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Streaming ANN serving from the persisted IVF index
+    * (`ann_stream_serve`) — the 14th real streaming execution: probe
+    * vectors arrive as a `readStream` (the online-query-traffic
+    * shape) and are served against the SAME `centroids/` + cid-
+    * partitioned `lists/` artifact `pipe_ivf_serve` reads — via
+    * [[graft.operators.Similarity.serveStreamScored]], so the batch
+    * and streaming serves share the routing kernel, the scorer, and
+    * the artifact layout and cannot drift. The stream-static join is
+    * stateless Append (no watermark state to size: the artifact is
+    * static, each probe's matches emit once); rank/top-k runs
+    * post-sink over the bounded match set (numQueries × nProbe
+    * lists), the dd_stream_spans discipline. Result contract is
+    * `pipe_ivf_serve`'s exactly — RecallSpec gates streamed ≡ batch
+    * serve row-for-row, proving the artifact serves incremental
+    * traffic, not just batch sweeps. */
+  def annServeViaStream(s: SparkSession, dir: String, nProbe: Int = 4,
+                        numQueries: Int = 10, topK: Int = 5): DataFrame = {
+    val idx = graft.operators.Similarity.ivfIndexDir(s, dir)
+    val staged = probesStagedDir(s, dir, numQueries)
+    val probeStream = s.readStream
+      .schema(s.read.parquet(staged).schema)
+      .parquet(staged)
+    val scored = graft.operators.Similarity.serveStreamScored(s, idx, probeStream, nProbe)
+    val mem = runToMemory(scored, "ann_stream_serve_q", OutputMode.Append,
+      statePartitions = Some(8))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    mem.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** Staged dirs where every event appears TWICE — the dedup fixture. */

@@ -538,6 +538,27 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.toSeq == batch.toSeq, "stream twin diverged from batch")
   }
 
+  test("streaming ANN serve plan: stateless stream-static join against the artifact lists") {
+    StreamingOps.annServeViaStream(spark, sfDir)
+    val p = StreamingOps.lastStreamPlan
+    assert(p.nonEmpty, "runToMemory captured no plan")
+    info(p.linesIterator.filter(l => l.contains("Join") || l.contains("Scan") ||
+      l.contains("StateStore") || l.contains("Partition")).mkString("\n"))
+    // each micro-batch of probes joins the STATIC lists table — the
+    // probe side is bounded (numQueries × nProbe rows), so the join
+    // must resolve as a broadcast, never a shuffle of the artifact
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the artifact lists must not shuffle per micro-batch")
+    // stateless Append: the artifact is static, matches emit once —
+    // an unbounded probe stream accumulates no state
+    assert(!p.contains("StateStore"), "serving must carry no streaming state")
+    // and the corpus side is the persisted index, not an embeddings
+    // re-read
+    assert(p.contains("graft-ivf-index"),
+      s"the static side must scan the persisted lists artifact:\n$p")
+  }
+
   test("streaming incremental dedup: empty history passes everything through") {
     // historyBuckets=0 → history is empty → the bloom builder returns
     // None and the stream must pass through unjoined

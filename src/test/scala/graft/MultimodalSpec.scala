@@ -35,6 +35,8 @@ class MultimodalSpec extends SparkSpec {
       val bb = ByteBuffer.wrap(b) // big-endian by default
       require(bb.getLong(0) == 0x89504e470d0a1a0aL)
       var p = 8; var w = 0; var h = 0; var chans = 0
+      var colorType = -1
+      var plte: Array[Byte] = null
       val idat = Seq.newBuilder[Array[Byte]]
       var stop = false
       while (!stop) {
@@ -43,11 +45,14 @@ class MultimodalSpec extends SparkSpec {
           case "IHDR" =>
             w = bb.getInt(p + 8); h = bb.getInt(p + 12)
             require(b(p + 16) == 8, "8-bit only")
-            chans = b(p + 17) match {
+            colorType = b(p + 17) & 0xff
+            chans = colorType match {
               case 2 => 3
               case 0 => 1 // grayscale (r13): one channel, expanded below
+              case 3 => 1 // palette (r14): index bytes, PLTE lookup below
               case other => sys.error(s"color type $other")
             }
+          case "PLTE" => plte = b.slice(p + 8, p + 8 + len)
           case "IDAT" => idat += b.slice(p + 8, p + 8 + len)
           case "IEND" => stop = true
           case _      => // ancillary
@@ -75,7 +80,10 @@ class MultimodalSpec extends SparkSpec {
         }
         rec(y * rowLen + x) = ((raw(y * (1 + rowLen) + 1 + x) & 0xff) + pred).toByte
       }
-      val rgb = if (chans == 3) rec
+      val rgb =
+        if (chans == 3) rec
+        else if (colorType == 3) // palette lookup (r14): functional
+          rec.flatMap { iv => val e = iv & 0xff; plte.slice(3 * e, 3 * e + 3) }
         else rec.flatMap(v => Array(v, v, v)) // grayscale expansion
       (w, h, rgb)
     }
@@ -170,7 +178,11 @@ class MultimodalSpec extends SparkSpec {
         if (rate == 8000 || rate <= 0) samples0 // codec's identity paths
         else {
           val outLen = samples0.length.toLong * 8000 / rate
-          if (outLen > (1L << 26) && outLen > samples0.length) samples0
+          // cap path AND the zero-length floor (rate > 8000·n) both
+          // hash raw — r13 advisory: an empty canonical form would
+          // hash to 0, colliding with UnknownMedia
+          if ((outLen > (1L << 26) && outLen > samples0.length) ||
+              (outLen == 0 && samples0.nonEmpty)) samples0
           else Array.tabulate(outLen.toInt)(j =>
             samples0((j.toLong * rate / 8000).toInt))
         }
@@ -203,7 +215,14 @@ class MultimodalSpec extends SparkSpec {
       assert(r.kind == Seq("image", "audio", "video")((r.media_id % 3).toInt))
       val fmt = MediaCodec.sniff(r.payload)
       r.kind match {
-        case "image" => assert(fmt == Seq("ppm", "bmp", "png")(((r.media_id / 3) % 3).toInt))
+        case "image" =>
+          assert(fmt == Seq("ppm", "bmp", "png")(((r.media_id / 3) % 3).toInt))
+          // the PNG slot sub-cycles truecolor / palette by (id/9)%2
+          // (r14) — color type byte sits at offset 25 (sig 8 + IHDR
+          // len/type 8 + 9 data bytes)
+          if (fmt == "png")
+            assert(r.payload(25) == (if ((r.media_id / 9) % 2 == 1) 3 else 2),
+              s"png color type for id ${r.media_id}")
         case "audio" => assert(fmt == "wav")
         case "video" => assert(fmt == "y4m")
       }
@@ -952,6 +971,167 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("palette PNG (color type 3): PLTE lookup decodes, filters invert, hash matches the RGB twin") {
+    // the most common indexed profile on the real web. Fixture built
+    // INDEPENDENTLY of the codec's encoder (the grayscale-precedent
+    // discipline): index scanlines with a cycling filter phase the
+    // codec's encoder never uses, deflated with java.util.zip.Deflater
+    // (Huffman path, not stored blocks), chunked via the spec-local
+    // writer — and a NON-TRIVIAL palette whose three channels differ,
+    // so a transposed PLTE read or single-channel decode cannot pass.
+    val w = 13; val h = 7
+    val nEntries = 40
+    val plte = Array.tabulate[Byte](3 * nEntries) { j =>
+      val e = j / 3
+      (j % 3 match { case 0 => e * 6; case 1 => 250 - e; case _ => e * e % 251 }).toByte
+    }
+    val idxs = Array.tabulate[Byte](w * h)(i => ((i * 17 + 3) % nEntries).toByte)
+    def packIdx(phase: Int): Array[Byte] = {
+      val raw = new Array[Byte](h * (1 + w))
+      for (y <- 0 until h) {
+        val f = (y + phase) % 5
+        raw(y * (1 + w)) = f.toByte
+        for (x <- 0 until w) {
+          def at(yy: Int, xx: Int): Int =
+            if (yy < 0 || xx < 0) 0 else idxs(yy * w + xx) & 0xff
+          val cur = at(y, x); val left = at(y, x - 1)
+          val up = at(y - 1, x); val ul = at(y - 1, x - 1)
+          val pp = left + up - ul
+          val paeth = Seq((math.abs(pp - left), left), (math.abs(pp - up), up),
+            (math.abs(pp - ul), ul)).minBy(_._1)._2
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case _ => cur - paeth
+          }
+          raw(y * (1 + w) + 1 + x) = v.toByte
+        }
+      }
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf)
+      assert(d.finished); d.end()
+      buf.take(n)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 3 // color type 3
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def build(palChunk: Array[Byte], idat: Array[Byte], plteAfterIdat: Boolean = false,
+              dupPlte: Boolean = false): Array[Byte] = {
+      val pc = pngChunkBytes("PLTE", palChunk)
+      val ic = pngChunkBytes("IDAT", idat)
+      val mid =
+        if (plteAfterIdat) ic ++ pc
+        else if (dupPlte) pc ++ pc ++ ic
+        else pc ++ ic
+      sig ++ pngChunkBytes("IHDR", ihdr) ++ mid ++
+        pngChunkBytes("IEND", Array.emptyByteArray)
+    }
+    val png = build(plte, packIdx(2))
+    MediaCodec.decode(png) match {
+      case m @ ImageMedia(`w`, `h`, "png", rgb) =>
+        for (i <- 0 until w * h; c <- 0 until 3)
+          assert(rgb(3 * i + c) == plte(3 * (idxs(i) & 0xff) + c), s"pixel $i channel $c")
+        // hash equivalence: a palette image IS its pre-expanded RGB twin
+        val twin = Array.tabulate[Byte](3 * w * h)(j => plte(3 * (idxs(j / 3) & 0xff) + j % 3))
+        assert(MediaCodec.aHash64(m) ==
+          MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodePpm(w, h, twin))))
+        // and the INDEPENDENT reference parser agrees end-to-end
+        assert(MediaCodec.aHash64(m) == Ref.hash(png))
+      case other => fail(s"palette png: $other")
+    }
+    // codec encoder round-trip + the closed-form size the oracle uses
+    val enc = MediaCodec.encodePalettePng(w, h, idxs, plte)
+    assert(java.util.Arrays.equals(
+      MediaCodec.contentUnits(MediaCodec.decode(enc)),
+      MediaCodec.contentUnits(MediaCodec.decode(png))))
+    val rawLen = h * (1 + w)
+    assert(enc.length ==
+      63 + (12 + plte.length) + rawLen + 5 * ((rawLen + 65534) / 65535))
+    // adversarial profile violations — each must reject, never decode:
+    val outOfRange = Array.tabulate[Byte](w * h)(i =>
+      if (i == 5) nEntries.toByte else idxs(i)) // index == nEntries
+    assert(MediaCodec.decode(build(plte, {
+      val d = new java.util.zip.Deflater(6)
+      val raw = new Array[Byte](h * (1 + w))
+      for (y <- 0 until h; x <- 0 until w) raw(y * (1 + w) + 1 + x) = outOfRange(y * w + x)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64); val n = d.deflate(buf); d.end()
+      buf.take(n)
+    })).isInstanceOf[UnknownMedia], "out-of-range palette index must reject")
+    val idat = packIdx(2)
+    assert(MediaCodec.decode(sig ++ pngChunkBytes("IHDR", ihdr) ++
+      pngChunkBytes("IDAT", idat) ++ pngChunkBytes("IEND", Array.emptyByteArray))
+      .isInstanceOf[UnknownMedia], "color type 3 without PLTE must reject")
+    assert(MediaCodec.decode(build(plte, idat, plteAfterIdat = true))
+      .isInstanceOf[UnknownMedia], "PLTE after IDAT must reject")
+    assert(MediaCodec.decode(build(plte, idat, dupPlte = true))
+      .isInstanceOf[UnknownMedia], "duplicate PLTE must reject")
+    assert(MediaCodec.decode(build(plte.take(4), idat))
+      .isInstanceOf[UnknownMedia], "PLTE length not divisible by 3 must reject")
+    assert(MediaCodec.decode(build(Array.emptyByteArray, idat))
+      .isInstanceOf[UnknownMedia], "empty PLTE must reject")
+    assert(MediaCodec.decode(build(new Array[Byte](771), idat))
+      .isInstanceOf[UnknownMedia], "257-entry PLTE must reject")
+    // PLTE on a GRAYSCALE image is forbidden by spec §11.2.3
+    val gihdr = ihdr.clone(); gihdr(9) = 0
+    assert(MediaCodec.decode(sig ++ pngChunkBytes("IHDR", gihdr) ++
+      pngChunkBytes("PLTE", plte) ++ pngChunkBytes("IDAT", packIdx(0)) ++
+      pngChunkBytes("IEND", Array.emptyByteArray))
+      .isInstanceOf[UnknownMedia], "PLTE on grayscale must reject")
+    // the fixture-cycle generator: palette rows decode to the SAME
+    // facts the oracle rebuilds (chan(unit, c) raster)
+    locally {
+      val text = "palette fixture text!"
+      val id = 33L // id%3=0 image; (id/3)%3=2 png slot; (id/9)%2=1 palette
+      val (_, payload) = Multimodal.genPayload(id, text)
+      assert(payload(25) == 3, "fixture id 33 must be a palette PNG (color type byte)")
+      val units = text.codePoints().toArray.map(cp => if (cp <= 127) cp else 63)
+      val pw = (8 + id % 57).toInt; val ph = (8 + id * 7 % 57).toInt
+      MediaCodec.decode(payload) match {
+        case ImageMedia(`pw`, `ph`, "png", rgb) =>
+          for (i <- 0 until pw * ph; c <- 0 until 3)
+            assert((rgb(3 * i + c) & 0xff) ==
+              Multimodal.paletteChan(units(i % units.length), c), s"pixel $i chan $c")
+        case other => fail(s"fixture palette png: $other")
+      }
+    }
+  }
+
+  test("PNG strictness: unknown critical chunks and payload-bearing IEND reject (r13 advisories)") {
+    val base = MediaCodec.encodePng(6, 5, Array.tabulate[Byte](90)(_.toByte))
+    // sig(8) + IHDR(25) = 33: splice a chunk between IHDR and IDAT
+    def splice(chunk: Array[Byte]): Array[Byte] =
+      base.take(33) ++ chunk ++ base.drop(33)
+    // ancillary (bit 5 of first type byte SET — lowercase) is skipped
+    assert(!MediaCodec.decode(splice(pngChunkBytes("teXt", Array[Byte](1, 2, 3))))
+      .isInstanceOf[UnknownMedia], "ancillary chunk must still be skipped")
+    // critical (uppercase first byte) but unknown: libpng errors — so do we
+    assert(MediaCodec.decode(splice(pngChunkBytes("CrIT", Array[Byte](1, 2, 3))))
+      .isInstanceOf[UnknownMedia], "unknown critical chunk must reject")
+    // IEND carrying payload bytes: spec requires length 0
+    val iendAt = base.length - 12
+    val fatIend = base.take(iendAt) ++ pngChunkBytes("IEND", Array[Byte](7))
+    assert(MediaCodec.decode(fatIend).isInstanceOf[UnknownMedia],
+      "IEND with nonzero length must reject")
+  }
+
+  test("tiny high-rate audio keeps a non-degenerate hash (canonical length floors to 0 — r13 advisory)") {
+    // 3 samples at 48 kHz: outLen = 3·8000/48000 = 0 — the canonical
+    // form is EMPTY, and hashing it returned 0, colliding with
+    // UnknownMedia and with every other such clip in phashDedup's
+    // banding. The rule: a zero-length canonical form falls back to
+    // the raw samples (like the cap path).
+    val clip = MediaCodec.decode(MediaCodec.encodeWav(48000, Array[Short](100, -50, 7)))
+    val raw8k = MediaCodec.decode(MediaCodec.encodeWav(8000, Array[Short](100, -50, 7)))
+    assert(MediaCodec.aHash64(clip) != 0L, "few-sample high-rate clip must not hash to 0")
+    assert(MediaCodec.aHash64(clip) == MediaCodec.aHash64(raw8k),
+      "zero-length canonical form must hash the raw samples")
+  }
+
   test("corruption fuzz: decode NEVER throws over seeded mutations of every container") {
     // The totality contract, exercised adversarially at volume: take
     // one valid payload per container, then hammer it with seeded
@@ -967,6 +1147,8 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.encodePpm(9, 7, Array.tabulate[Byte](189)(_.toByte)),
       MediaCodec.encodeBmp(9, 7, Array.tabulate[Byte](189)(_.toByte)),
       MediaCodec.encodePng(9, 7, Array.tabulate[Byte](189)(_.toByte)),
+      MediaCodec.encodePalettePng(9, 7, Array.tabulate[Byte](63)(i => (i % 40).toByte),
+        Array.tabulate[Byte](120)(j => (j * 5).toByte)),
       MediaCodec.encodeWav(8000, Array.tabulate(300)(i => (i * 13 - 150).toShort)),
       MediaCodec.encodeY4m(5, 4, Array.tabulate(2)(f =>
         Array.fill[Byte](60)((f * 9 + 1).toByte))))
@@ -1002,7 +1184,7 @@ class MultimodalSpec extends SparkSpec {
     }
     // sanity: the fuzz isn't vacuous — some mutations still decode
     // (e.g. a flipped raster byte in a CRC-less container)
-    info(s"fuzz survivors decoded as valid media: $decodedOk / 2000")
+    info(s"fuzz survivors decoded as valid media: $decodedOk / 2400")
     assert(decodedOk > 0)
   }
 

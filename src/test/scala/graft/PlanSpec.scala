@@ -485,15 +485,23 @@ class PlanSpec extends SparkSpec {
     // the serving DataFrame's plan existing at all proves no Lloyd's
     // jobs ride each query; what's assertable in the plan is the
     // scan inventory.
-    // both persisted-artifact serves (float lists and SQ8 code lists)
-    // must show the same scan inventory — the serve shape is a
-    // property of the layout, not the encoding
+    // all persisted-artifact serves (float lists, SQ8 code lists, and
+    // the manifest-resolved versioned lists) must show the same scan
+    // inventory — the serve shape is a property of the layout, not of
+    // the encoding or the version indirection. probeScans: the float
+    // and SQ8 serves probe the embeddings table directly (1 parquet
+    // scan); pipe_ivf_reserve's probe traffic is the drifted combined
+    // corpus (a checkpointed fixture frame — an RDD scan, not a file
+    // scan), so its embeddings-scan count must be ZERO: the manifest
+    // indirection may add no hidden corpus re-read.
     val serves = Seq(
-      ("pipe_ivf_serve", "graft-ivf-index",
+      ("pipe_ivf_serve", "graft-ivf-index", 1,
         () => graft.operators.Similarity.ivfServeTopK(spark, sfDir)),
-      ("pipe_ivf_sq8_serve", "graft-ivf-sq8",
-        () => graft.operators.Similarity.ivfSq8ServeTopK(spark, sfDir)))
-    serves.foreach { case (name, artifactTag, mk) =>
+      ("pipe_ivf_sq8_serve", "graft-ivf-sq8", 1,
+        () => graft.operators.Similarity.ivfSq8ServeTopK(spark, sfDir)),
+      ("pipe_ivf_reserve", "graft-ivf-versioned", 0,
+        () => graft.operators.Similarity.ivfReserveTopK(spark, sfDir)))
+    serves.foreach { case (name, artifactTag, probeScans, mk) =>
       val df = mk()
       // walk the physical tree, not the plan STRING: the DPP
       // subquery's rendering echoes the probe subtree (a broadcast
@@ -504,8 +512,8 @@ class PlanSpec extends SparkSpec {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.mkString(",")
       }
-      assert(scans.count(_.contains("embeddings.parquet")) == 1,
-        s"$name: exactly one embeddings scan (the probe side) — the corpus must come from the index artifact: $scans")
+      assert(scans.count(_.contains("embeddings.parquet")) == probeScans,
+        s"$name: expected $probeScans embeddings scans — the corpus must come from the index artifact: $scans")
       assert(scans.count(_.contains(artifactTag)) == 1,
         s"$name: the corpus scan must read the persisted index's lists table: $scans")
       // and the lists scan is pruned AT THE FILE LEVEL by the probed

@@ -289,7 +289,12 @@ class RecallSpec extends SparkSpec {
         .slice(shortlistK - 3, shortlistK + 2) // the cut neighborhood
         .collect { case Seq(a, b) if a != b => a - b }
     }
-    val minGap = prefixGaps.min
+    // minOption: a degenerate fixture where every adjacent pair in the
+    // cut neighborhood ties exactly would otherwise throw
+    // NoSuchElementException instead of failing legibly (r13 advisory)
+    val minGap = prefixGaps.minOption.getOrElse(
+      fail("every adjacent pair in the shortlist-cut neighborhood is an " +
+        "exact tie — the ulp-margin gauge is degenerate; regenerate fixtures"))
     info(f"mrl stage-1 shortlist-boundary min nonzero gap = $minGap%.3e")
     assert(minGap > 1e-12,
       f"shortlist boundary sits within ulp noise ($minGap%.3e) — the unrounded oracle is fragile")
@@ -485,5 +490,65 @@ class RecallSpec extends SparkSpec {
       s"SQ8 artifact should be several times smaller on disk: $sq8Bytes vs $floatBytes")
     // deterministic: a second serve reads the same artifact
     assert(servedRows(Similarity.ivfSq8ServeTopK(spark, sfDir, numQueries = 10, topK = 5)) == served)
+  }
+
+  test("streaming serve ≡ batch serve from the same persisted index, row for row") {
+    // ann_stream_serve's gate (annServeViaStream): a REAL readStream
+    // of probe vectors, stream-static joined against the persisted
+    // lists, must reproduce pipe_ivf_serve's result EXACTLY — same
+    // artifact, same routing kernel, same scorer, so any divergence
+    // is a bug in the streaming deployment, not approximation.
+    val streamed = servedRows(
+      graft.streaming.StreamingOps.annServeViaStream(spark, sfDir, numQueries = 10, topK = 5))
+    val batch = servedRows(Similarity.ivfServeTopK(spark, sfDir, numQueries = 10, topK = 5))
+    assert(streamed == batch,
+      "streamed serve must equal the batch serve from the same artifact row-for-row")
+    assert(streamed.nonEmpty, "the streamed serve must actually produce matches")
+  }
+
+  test("versioned artifact: retrain commits v2 + manifest swing; v1 bytes untouched; served ≡ retrained IVF") {
+    // pipe_ivf_reserve's gate — the lifecycle loop closed (r14).
+    // Phase-driven on a spec-local root so v1's files can be
+    // inventoried BETWEEN build and retrain: the commit must create
+    // only a new v2/ directory and overwrite the 1-row manifest.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-ver-spec").toString
+    Similarity.versionedBuildV1(spark, root, sfDir, 16, 5, 3277L)
+    assert(Similarity.manifestVersion(spark, root) == 1L, "build must commit manifest -> v1")
+    def inventory(dir: String): Map[String, String] = {
+      val p = java.nio.file.Paths.get(dir)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).map { f =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(java.nio.file.Files.readAllBytes(f))
+        p.relativize(f).toString -> sha.map("%02x".format(_)).mkString
+      }.toMap
+      finally walk.close()
+    }
+    val before = inventory(root + "/v1")
+    assert(before.nonEmpty, "v1 must contain data files")
+    val retrained = Similarity.versionedRetrainIfDrifted(spark, root, sfDir, 16, 5, 3277L, 50000L)
+    assert(retrained, "the drifted fixture must trigger the retrain")
+    assert(Similarity.manifestVersion(spark, root) == 2L, "retrain must swing the manifest to v2")
+    assert(inventory(root + "/v1") == before,
+      "v1 data files must be BYTE-untouched by the v2 commit (stale readers keep working)")
+    // PARITY: serving through the manifest (the registry path, its own
+    // cached root) must equal an in-session IVF over the combined
+    // corpus under centroids retrained on it — the artifact
+    // indirection changed storage, not semantics. The retrain is
+    // deterministic in-session (frozen split, seeded k-means), so the
+    // spec recomputes the v2 centroids directly.
+    val served = servedRows(Similarity.ivfReserveTopK(spark, sfDir, numQueries = 10, topK = 5))
+    val combined = Similarity.driftedTagged(spark, sfDir, 3277L)
+      .select(col("vec_id"), col("embedding"))
+    val (cids2, cvecs2) = Similarity.kmeansCentroids(spark, combined, 16, 5)
+    val expected = servedRows(Similarity.ivfWithCentroids(spark, combined, cids2, cvecs2,
+      nProbe = 4, numQueries = 10, topK = 5))
+    assert(served == expected,
+      "serving through the manifest must equal the in-session retrained IVF exactly")
+    // the registry root's manifest also points at v2, and a second
+    // serve is deterministic
+    assert(Similarity.manifestVersion(spark, Similarity.ivfVersionedDir(spark, sfDir)) == 2L)
+    assert(servedRows(Similarity.ivfReserveTopK(spark, sfDir, numQueries = 10, topK = 5)) == served)
   }
 }

@@ -43,6 +43,8 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "pipe_ivf_serve" -> ("RecallSpec.scala", "ivfServeTopK"),
     "pipe_ivf_append" -> ("RecallSpec.scala", "ivfAppendServeTopK"),
     "pipe_ivf_sq8_serve" -> ("RecallSpec.scala", "ivfSq8ServeTopK"),
+    "pipe_ivf_reserve" -> ("RecallSpec.scala", "ivfReserveTopK"),
+    "ann_stream_serve" -> ("RecallSpec.scala", "annServeViaStream"),
     "dd_minhash_lsh" -> ("RecallSpec.scala", "minhashLsh"),
     "dd_simhash" -> ("RecallSpec.scala", "simhash"),
     "dd_semantic" -> ("RecallSpec.scala", "semanticDedup"),
