@@ -50,6 +50,8 @@ object Bench {
     // measure the binaryFile scan + decode, not the one-time staging.
     if (selected.exists(_._1 == "mm_files_meta"))
       operators.Multimodal.mediaLakeDir(spark, sfDir)
+    if (selected.exists(_._1 == "mm_jpeg_files"))
+      operators.Multimodal.jpegLakeDir(spark, sfDir)
     // And the persisted IVF index: pipe_ivf_serve measures SERVING
     // (the artifact-read plan), so the one-time train+write build is
     // warm-up — the decoupling is the point of the query.

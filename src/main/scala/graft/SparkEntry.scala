@@ -200,7 +200,7 @@ object SparkEntry {
     "pipe_ivf_sq8_serve" -> ((s, dir) => Similarity.ivfSq8ServeTopK(s, dir)),
     // the lifecycle loop CLOSED (r14): drift detected under the
     // manifest version's centroids → retrain writes v2 as a NEW
-    // immutable directory → the 1-row manifest swings serving to it
+    // immutable directory → an appended manifest record swings serving to it
     // atomically → this query serves THROUGH the manifest. Rows-only
     // (trained-float-artifact class); RecallSpec gates served ≡
     // in-session retrained IVF exactly, v1 data files byte-untouched
@@ -327,6 +327,21 @@ object SparkEntry {
     // filename stems) — the media-lake landing shape, oracle-shared
     // with mm_media_meta so ingest-path divergence is a hash mismatch
     "mm_files_meta" -> ((s, dir) => Multimodal.filesMeta(s, dir)),
+    // baseline JPEG (r14): block-constant grayscale fixtures through
+    // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
+    // DC prediction, MCU interleave, 4:2:0 subsampling and restart
+    // markers all sit between the generated value and the verified
+    // sums, and the DC-only/chroma-128 profile reconstructs
+    // BIT-EXACTLY, so the whole chain is DuckDB-oracle-checked
+    // (dims + sampling profile parsed from SOF, closed-form per-block
+    // positional sums over the decoded raster)
+    "mm_jpeg_meta" -> ((s, dir) => Multimodal.jpegMeta(s, dir)),
+    // the same JPEG decode contract ingested through Spark's
+    // binaryFile source from REAL staged .jpg files — oracle-shared
+    // with mm_jpeg_meta (the mm_files_meta precedent), so the
+    // compressed container cannot decode differently between the
+    // generation path and the lake path without a hash mismatch
+    "mm_jpeg_files" -> ((s, dir) => Multimodal.jpegFilesMeta(s, dir)),
     // per-kept-frame extraction (parsed Y4M frames / 1024-sample audio
     // windows / single image frame), stride-sampled; oracle-checked
     // per (media, frame)
@@ -519,6 +534,30 @@ object SparkEntry {
         |      CAST(ub[CAST(k AS INTEGER) + 1] AS BIGINT) *
         |      (m * ((q + CASE WHEN k < r THEN 1 ELSE 0 END) * (q + CASE WHEN k < r THEN 1 ELSE 0 END - 1) // 2)
         |       + k * (q + CASE WHEN k < r THEN 1 ELSE 0 END))))""".stripMargin
+    val jpegMetaSql =
+      """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'gray' WHEN 1 THEN '444' ELSE '420' END AS profile,
+          |    16 * (1 + CAST((doc_id // 3) % 3 AS INTEGER)) AS w,
+          |    16 * (1 + CAST((doc_id // 5) % 3 AS INTEGER)) AS h,
+          |    list_transform(range(1, CAST(length(text) AS INTEGER) + 1), i ->
+          |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
+          |           THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 63 END) AS tb0
+          |  FROM documents),
+          |q AS (
+          |  SELECT doc_id, profile, w, h,
+          |    CASE WHEN len(tb0) = 0 THEN [0] ELSE tb0 END AS tb,
+          |    w // 8 AS nbx, (w // 8) * (h // 8) AS nb
+          |  FROM p)
+          |SELECT doc_id AS media_id, 'jpg' AS format, profile,
+          |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  CAST(192 * list_sum(list_transform(range(0, nb), b ->
+          |    CAST(tb[CAST(b % len(tb) AS INTEGER) + 1] AS BIGINT))) AS BIGINT) AS data_sum,
+          |  CAST(list_sum(list_transform(range(0, nb), b ->
+          |    CAST(tb[CAST(b % len(tb) AS INTEGER) + 1] AS BIGINT) *
+          |    (9 * (8 * w * (64 * (b // nbx) + 28) + 8 * (64 * (b % nbx) + 28)) + 192)
+          |  )) AS BIGINT) AS data_wsum
+          |FROM q ORDER BY media_id""".stripMargin
     val mmMetaSql =
       s"""$mmBaseCtes
         |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -2007,6 +2046,22 @@ object SparkEntry {
       // (filename-stem ids) — ONE oracle serves both, so the two
       // ingest paths cannot drift apart without a hash mismatch
       "mm_files_meta" -> mmMetaSql,
+      // mm_jpeg_meta: the JPEG fixtures are BLOCK-constant (one value
+      // per 8×8 block, cycling the doc's code points in raster
+      // order), the profile the full codec round-trips bit-exactly —
+      // so the decoded raster is closed-form: each block contributes
+      // v·192 to the plain sum and v·(9·S_b + 192) to the
+      // position-weighted sum, where S_b = Σ (y·w + x) over the
+      // block's 64 pixels = 8w(64·by + 28) + 8(64·bx + 28) (rgb index
+      // of pixel p channel c is 3p + c, hence the 9 = 3·Σc and
+      // 192 = 64·(0+1+2)). Profile and dims mirror the generator's
+      // id cycles; DuckDB's `//` is floor division, matched by
+      // floorDiv/floorMod on the Scala side.
+      "mm_jpeg_meta" -> jpegMetaSql,
+      // mm_jpeg_files: binaryFile ingest of the staged .jpg lake is
+      // row-identical to the generation path (filename-stem ids) —
+      // ONE oracle serves both (the mm_files_meta precedent)
+      "mm_jpeg_files" -> jpegMetaSql,
       // Streamed rollup ≡ batch GROUP BY over the same closed forms
       // the mm_media_meta oracle rebuilds (sizes + content checksums
       // per kind/format) — the stream never gets its own truth source.

@@ -52,6 +52,7 @@ object MediaCodec extends Serializable {
     else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G' &&
       at(4) == 0x0d && at(5) == 0x0a && at(6) == 0x1a && at(7) == 0x0a) "png"
     else if (at(0) == 'B' && at(1) == 'M') "bmp"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpg"
     else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE") "wav"
     else if (b.length >= 9 && new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
@@ -324,6 +325,7 @@ object MediaCodec extends Serializable {
       case "ppm" => decodePpm(b)
       case "png" => decodePng(b)
       case "bmp" => decodeBmp(b)
+      case "jpg" => decodeJpeg(b)
       case "wav" => decodeWav(b)
       case "y4m" => decodeY4m(b)
       case _     => UnknownMedia(b.length)
@@ -395,11 +397,15 @@ object MediaCodec extends Serializable {
     * 8-bit truecolor RGB (color type 2), 8-bit GRAYSCALE (color
     * type 0 — scientific/medical writers ship these; the single
     * channel expands to r=g=b so every downstream consumer sees one
-    * pixel format) and 8-bit PALETTE (color type 3 — the most common
+    * pixel format), 8-bit PALETTE (color type 3 — the most common
     * indexed profile on the real web; PLTE must precede IDAT, hold
     * 1–256 whole RGB entries, and every decoded index must be inside
-    * it — an out-of-range index rejects, as libpng errors), all
-    * non-interlaced — anything else (alpha, 16-bit, Adam7) is honest
+    * it — an out-of-range index rejects, as libpng errors) and 16-BIT
+    * grayscale/truecolor (r14 — unfiltered at the wider
+    * bytes-per-pixel offset, then down-shifted to each big-endian
+    * sample's high byte; 16-bit palette is illegal per spec Table
+    * 11.1 and rejects), all non-interlaced — anything else (alpha,
+    * Adam7) is honest
     * [[UnknownMedia]], as are truncated streams, foreign trailing
     * bytes and wrapped-dimension headers (LONG bounds before every
     * allocation). Ancillary chunks (tEXt/pHYs/…) are skipped after
@@ -411,6 +417,7 @@ object MediaCodec extends Serializable {
     if (b.length < 8 + 25 + 12 + 12) return UnknownMedia(b.length) // sig+IHDR+IDAT+IEND minimum
     var pos = 8
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
+    var sampleBytes = 1
     var seenIhdr = false; var seenIend = false
     var inIdat = false; var idatClosed = false
     var palette: Array[Byte] = null
@@ -436,15 +443,25 @@ object MediaCodec extends Serializable {
           if (seenIhdr || len != 13) return UnknownMedia(b.length)
           seenIhdr = true
           w = getIntBE(b, pos + 8); h = getIntBE(b, pos + 12)
-          val depth = b(pos + 16); colorType = b(pos + 17) & 0xff
+          val depth = b(pos + 16) & 0xff; colorType = b(pos + 17) & 0xff
           val comp = b(pos + 18); val filt = b(pos + 19); val inter = b(pos + 20)
-          bpp = colorType match { case 2 => 3; case 0 => 1; case 3 => 1; case _ => 0 }
+          val channels = colorType match { case 2 => 3; case 0 => 1; case 3 => 1; case _ => 0 }
+          // 16-bit depth (r14): legal for grayscale/truecolor, decoded
+          // by down-shifting to each sample's HIGH byte (big-endian
+          // per spec) after unfiltering — the standard 8-bit view of a
+          // deep raster. 16-bit palette is illegal (spec Table 11.1).
+          sampleBytes = depth match {
+            case 8                       => 1
+            case 16 if colorType != 3    => 2
+            case _                       => 0
+          }
+          bpp = channels * sampleBytes // the unfilter's left-neighbor byte offset
           // raster and scanline sizes in LONG first: 3·w·h and
           // h·(1+bpp·w) both wrap Int for dims ~46341 (the r12
           // PPM/Y4M lesson applied to the new parser from day one);
           // the OUTPUT raster is always 3·w·h — grayscale and palette
           // profiles expand
-          if (w <= 0 || h <= 0 || depth != 8 || bpp == 0 ||
+          if (w <= 0 || h <= 0 || bpp == 0 ||
               comp != 0 || filt != 0 || inter != 0 ||
               3L * w * h > Int.MaxValue.toLong ||
               h.toLong * (1L + bpp.toLong * w) > Int.MaxValue.toLong)
@@ -469,6 +486,14 @@ object MediaCodec extends Serializable {
           // carrying payload bytes is not a PNG trailer (r13 advisory)
           if (len != 0) return UnknownMedia(b.length)
           seenIend = true
+        case "tRNS" =>
+          // transparency is ALPHA arriving through an ancillary chunk
+          // (the common transparent-PNG form) — silently dropping it
+          // would hash pixels a conforming decoder treats as
+          // transparent, while the same alpha in color types 4/6
+          // rejects; honest UnknownMedia keeps the one alpha contract
+          // (review r14)
+          return UnknownMedia(b.length)
         case _ =>
           // bit 5 of the type's first byte: set = ancillary (safe to
           // skip once its CRC validated), clear = CRITICAL — a chunk
@@ -546,8 +571,14 @@ object MediaCodec extends Serializable {
       }
       y += 1
     }
+    // 16-bit rasters fold to their high bytes AFTER unfiltering (the
+    // filter operates on raw scanline bytes at bpp offsets; the
+    // down-shift is a view of the reconstructed samples)
+    val samples =
+      if (sampleBytes == 1) recon
+      else Array.tabulate[Byte](recon.length / 2)(i => recon(2 * i))
     val rgb = colorType match {
-      case 2 => recon
+      case 2 => samples
       case 3 => // palette: each index → its PLTE triple; an index beyond
         // the palette is a spec violation (libpng errors), not a
         // clamp — rejecting keeps "decoded" meaning "every byte was
@@ -555,8 +586,8 @@ object MediaCodec extends Serializable {
         val entries = palette.length / 3
         val out = new Array[Byte](3 * w * h)
         var i = 0
-        while (i < recon.length) {
-          val idx = recon(i) & 0xff
+        while (i < samples.length) {
+          val idx = samples(i) & 0xff
           if (idx >= entries) return UnknownMedia(b.length)
           out(3 * i) = palette(3 * idx)
           out(3 * i + 1) = palette(3 * idx + 1)
@@ -567,8 +598,8 @@ object MediaCodec extends Serializable {
       case _ => // grayscale: expand the single channel to r = g = b
         val out = new Array[Byte](3 * w * h)
         var i = 0
-        while (i < recon.length) {
-          out(3 * i) = recon(i); out(3 * i + 1) = recon(i); out(3 * i + 2) = recon(i)
+        while (i < samples.length) {
+          out(3 * i) = samples(i); out(3 * i + 1) = samples(i); out(3 * i + 2) = samples(i)
           i += 1
         }
         out
@@ -701,6 +732,798 @@ object MediaCodec extends Serializable {
       pos += frameSize
     }
     VideoMedia(w, h, frames.toArray)
+  }
+
+  // ----------------------------------------------------------------- jpeg
+  //
+  // Baseline sequential JPEG (ITU-T T.81 / ISO-IEC 10918-1, SOF0):
+  // the real web's image format, implemented from the public spec —
+  // 8-bit samples, Huffman entropy coding, grayscale / 4:4:4 / 4:2:0
+  // profiles, DRI restart intervals. The encoder ships the spec's
+  // Annex K example Huffman tables; the decoder builds its tables
+  // from whatever DHT segments the file carries (foreign baseline
+  // writers decode, not just our own bytes). Anything non-baseline
+  // (progressive SOF2, arithmetic coding, 12-bit, 4-component) is
+  // honest [[UnknownMedia]], as are truncated streams, trailing
+  // bytes, out-of-sequence restarts and wrapped-dimension headers.
+
+  /** Scan index → natural (row-major) index, spec Figure A.6. */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Spec Annex K.3 example Huffman tables (BITS counts per code
+  // length 1..16, then the symbol list in code order) — the tables
+  // virtually every baseline encoder ships.
+  private val jpegDcLumaCounts = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val jpegDcLumaSyms = Array.range(0, 12)
+  private val jpegDcChromaCounts = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val jpegDcChromaSyms = Array.range(0, 12)
+  private val jpegAcLumaCounts = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val jpegAcLumaSyms = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+  private val jpegAcChromaCounts = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val jpegAcChromaSyms = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Fixed-point IDCT basis: K(u)(x) = round(2048 · Cu ·
+    * cos((2x+1)uπ/16)), Cu = 1/√2 for u = 0 else 1 (StrictMath so the
+    * table is identical on every JVM). Two separable passes scale by
+    * 2048² and the output descale divides by 4·2²² (the spec's 1/4),
+    * i.e. `(acc + 2²³) >> 24`. A DC-only block then reconstructs its
+    * level-shifted DC/8 EXACTLY for all 8-bit inputs: the basis
+    * rounding error is ≤ 2.2e-4 relative, far inside the half-ulp the
+    * final rounding absorbs — which is what lets block-constant
+    * fixtures round-trip bit-exactly and the mm_jpeg_meta oracle
+    * rebuild decoded rasters closed-form. */
+  private val jpegIdctK: Array[Array[Int]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    Math.round(2048.0 * cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)).toInt
+  }
+
+  /** Encoder FDCT basis (double): C(u)(x) = cos((2x+1)uπ/16), plus
+    * the Cu normalization (1/√2 at u = 0). */
+  private val jpegFdctC: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+  private val jpegFdctHalf: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0)
+
+  /** Inverse DCT of one dequantized 8×8 block (natural order), into
+    * level-shifted clamped samples. Long accumulators: coefficients
+    * reach ±255·1023 under large quantizers and two 2048-scale passes
+    * exceed Int range. */
+  private def jpegIdctBlock(coef: Array[Long], out: Array[Int]): Unit = {
+    val t = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var u = 0
+        while (u < 8) { acc += coef(8 * v + u) * jpegIdctK(u)(x); u += 1 }
+        t(8 * v + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var vv = 0
+        while (vv < 8) { acc += t(8 * vv + x) * jpegIdctK(vv)(y); vv += 1 }
+        val s = ((acc + (1L << 23)) >> 24) + 128L
+        out(8 * y + x) = if (s < 0) 0 else if (s > 255) 255 else s.toInt
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** MSB-first bit writer over the entropy-coded segment, with the
+    * spec's 0x00 stuffing after every emitted 0xFF data byte. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def put(bits: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (spec F.1.2.3). */
+    def flush(): Unit = if (nBits > 0) put((1 << (8 - nBits)) - 1, 8 - nBits)
+  }
+
+  private def jpegWriteSeg(out: java.io.ByteArrayOutputStream, marker: Int,
+                           payload: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload, 0, payload.length)
+  }
+
+  /** Huffman ENCODE table from (counts, symbols): canonical code
+    * assignment (spec C.2) — symbol → (code, length). */
+  private def jpegEncTable(counts: Array[Int], syms: Array[Int]): (Array[Int], Array[Int]) = {
+    val code = new Array[Int](256)
+    val size = new Array[Int](256)
+    var k = 0; var c = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l)) {
+        code(syms(k)) = c; size(syms(k)) = l
+        c += 1; k += 1; i += 1
+      }
+      c <<= 1
+      l += 1
+    }
+    (code, size)
+  }
+
+  /** Magnitude category of a DC diff / AC value (spec F.1.2.1.2). */
+  private def jpegCat(v: Int): Int = {
+    var a = if (v < 0) -v else v
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Baseline JPEG encoder. `profile`: "gray" (one component),
+    * "444" (3 components, no subsampling) or "420" (2×2-subsampled
+    * chroma; w and h must be even so the subsampled planes tile
+    * exactly). Quantizer is all-ones (the near-lossless end of the
+    * scale — fixture realism wants exact block-constant round-trips,
+    * not rate control); `restartInterval` > 0 emits DRI + RSTn
+    * markers every that-many MCUs. RGB→YCbCr uses integer 1/65536
+    * fixed point whose coefficient rows sum to exactly 65536 / 0 / 0,
+    * so an R=G=B input maps to (Y=v, Cb=Cr=128) EXACTLY — the
+    * grayscale-content invariant the oracle leans on. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], profile: String,
+                 restartInterval: Int = 0): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
+      s"dims $w x $h outside the 16-bit SOF range")
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    require(profile == "gray" || profile == "444" || profile == "420",
+      s"unsupported profile $profile")
+    require(profile != "420" || (w % 2 == 0 && h % 2 == 0),
+      "420 needs even dimensions")
+    val nComp = if (profile == "gray") 1 else 3
+    // color conversion into full-resolution planes
+    val yP = new Array[Int](w * h)
+    val cbP = if (nComp == 3) new Array[Int](w * h) else null
+    val crP = if (nComp == 3) new Array[Int](w * h) else null
+    var i = 0
+    while (i < w * h) {
+      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
+      yP(i) = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+      if (nComp == 3) {
+        cbP(i) = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+        crP(i) = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+      }
+      i += 1
+    }
+    val sub420 = profile == "420"
+    // chroma planes, subsampled for 420 by 2×2 rounding average
+    def subsample(p: Array[Int]): Array[Int] =
+      if (!sub420) p
+      else Array.tabulate((w / 2) * (h / 2)) { j =>
+        val cy = j / (w / 2); val cx = j % (w / 2)
+        (p(2 * cy * w + 2 * cx) + p(2 * cy * w + 2 * cx + 1) +
+          p((2 * cy + 1) * w + 2 * cx) + p((2 * cy + 1) * w + 2 * cx + 1) + 2) >> 2
+      }
+    val cbS = if (nComp == 3) subsample(cbP) else null
+    val crS = if (nComp == 3) subsample(crP) else null
+    val cw = if (sub420) w / 2 else w
+    val ch = if (sub420) h / 2 else h
+
+    // headers
+    val out = new java.io.ByteArrayOutputStream(1024 + 3 * w * h / 2)
+    out.write(0xff); out.write(0xd8) // SOI
+    val dqt = new Array[Byte](65); dqt(0) = 0 // Pq=0 Tq=0, all-ones
+    java.util.Arrays.fill(dqt, 1, 65, 1.toByte)
+    jpegWriteSeg(out, 0xdb, dqt)
+    if (restartInterval > 0)
+      jpegWriteSeg(out, 0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write((h >> 8) & 0xff); sof.write(h & 0xff)
+    sof.write((w >> 8) & 0xff); sof.write(w & 0xff)
+    sof.write(nComp)
+    sof.write(1); sof.write(if (sub420) 0x22 else 0x11); sof.write(0) // Y: id, HiVi, Tq
+    if (nComp == 3) {
+      sof.write(2); sof.write(0x11); sof.write(0)
+      sof.write(3); sof.write(0x11); sof.write(0)
+    }
+    jpegWriteSeg(out, 0xc0, sof.toByteArray)
+    def dht(cls: Int, id: Int, counts: Array[Int], syms: Array[Int]): Unit = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write((cls << 4) | id)
+      var l = 1
+      while (l <= 16) { p.write(counts(l)); l += 1 }
+      syms.foreach(p.write)
+      jpegWriteSeg(out, 0xc4, p.toByteArray)
+    }
+    dht(0, 0, jpegDcLumaCounts, jpegDcLumaSyms)
+    dht(1, 0, jpegAcLumaCounts, jpegAcLumaSyms)
+    if (nComp == 3) {
+      dht(0, 1, jpegDcChromaCounts, jpegDcChromaSyms)
+      dht(1, 1, jpegAcChromaCounts, jpegAcChromaSyms)
+    }
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(nComp)
+    sos.write(1); sos.write(0x00)
+    if (nComp == 3) { sos.write(2); sos.write(0x11); sos.write(3); sos.write(0x11) }
+    sos.write(0); sos.write(63); sos.write(0) // Ss Se AhAl
+    jpegWriteSeg(out, 0xda, sos.toByteArray)
+
+    // entropy-coded scan
+    val (dcLc, dcLs) = jpegEncTable(jpegDcLumaCounts, jpegDcLumaSyms)
+    val (acLc, acLs) = jpegEncTable(jpegAcLumaCounts, jpegAcLumaSyms)
+    val (dcCc, dcCs) = jpegEncTable(jpegDcChromaCounts, jpegDcChromaSyms)
+    val (acCc, acCs) = jpegEncTable(jpegAcChromaCounts, jpegAcChromaSyms)
+    val bw = new JpegBitWriter(out)
+    val samp = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val coefD = new Array[Double](64)
+    val zz = new Array[Int](64)
+    val dcPred = new Array[Int](3)
+
+    // FDCT (double, precomputed basis, two separable 1-D passes —
+    // review r14: the first cut called StrictMath.cos twice per
+    // sample per coefficient, 8,192 libm calls per block, and
+    // mm_jpeg_meta benched 47 s at sf0.1; the table + separable form
+    // is the standard O(2·8³) shape) + quantize(1) + zigzag +
+    // Huffman-code one block whose top-left corner is (bx·8, by·8)
+    // in plane p (pw×ph, edge-replicated past the boundary).
+    // Block-constant exactness is preserved: the DC chain is products
+    // of exact small integers and powers of two, and AC row/column
+    // basis sums cancel to ~1e-15, far below the quantizer's rounding.
+    def codeBlock(p: Array[Int], pw: Int, ph: Int, bx: Int, by: Int, comp: Int): Unit = {
+      val dcC = if (comp == 0) dcLc else dcCc; val dcS = if (comp == 0) dcLs else dcCs
+      val acC = if (comp == 0) acLc else acCc; val acS = if (comp == 0) acLs else acCs
+      var y = 0
+      while (y < 8) {
+        val sy = math.min(by * 8 + y, ph - 1)
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(bx * 8 + x, pw - 1)
+          samp(8 * y + x) = (p(sy * pw + sx) - 128).toDouble
+          x += 1
+        }
+        y += 1
+      }
+      // pass 1 over y: tmp(v)(x) = Σ_y samp(y)(x) · C(v)(y)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var yy = 0
+          while (yy < 8) { acc += samp(8 * yy + x) * jpegFdctC(v)(yy); yy += 1 }
+          tmp(8 * v + x) = acc
+          x += 1
+        }
+        v += 1
+      }
+      // pass 2 over x: F(v)(u) = 0.25 · Cu · Cv · Σ_x tmp(v)(x) · C(u)(x)
+      v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0.0
+          var xx = 0
+          while (xx < 8) { acc += tmp(8 * v + xx) * jpegFdctC(u)(xx); xx += 1 }
+          coefD(8 * v + u) = 0.25 * jpegFdctHalf(u) * jpegFdctHalf(v) * acc
+          u += 1
+        }
+        v += 1
+      }
+      var k = 0
+      while (k < 64) { zz(k) = Math.round(coefD(jpegZigzag(k))).toInt; k += 1 }
+      val diff = zz(0) - dcPred(comp); dcPred(comp) = zz(0)
+      val s0 = jpegCat(diff)
+      bw.put(dcC(s0), dcS(s0))
+      if (s0 > 0) bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+      var run = 0
+      k = 1
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) { bw.put(acC(0xf0), acS(0xf0)); run -= 16 } // ZRL
+          val s = jpegCat(zz(k))
+          val rs = (run << 4) | s
+          bw.put(acC(rs), acS(rs))
+          bw.put(if (zz(k) < 0) zz(k) + (1 << s) - 1 else zz(k), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.put(acC(0x00), acS(0x00)) // EOB
+    }
+
+    val mcuW = if (sub420) 16 else 8
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuW - 1) / mcuW
+    var rstCount = 0
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        out.write(0xff); out.write(0xd0 + (rstCount % 8))
+        rstCount += 1
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      if (sub420) {
+        codeBlock(yP, w, h, 2 * mx, 2 * my, 0)
+        codeBlock(yP, w, h, 2 * mx + 1, 2 * my, 0)
+        codeBlock(yP, w, h, 2 * mx, 2 * my + 1, 0)
+        codeBlock(yP, w, h, 2 * mx + 1, 2 * my + 1, 0)
+        codeBlock(cbS, cw, ch, mx, my, 1)
+        codeBlock(crS, cw, ch, mx, my, 2)
+      } else {
+        codeBlock(yP, w, h, mx, my, 0)
+        if (nComp == 3) {
+          codeBlock(cbS, cw, ch, mx, my, 1)
+          codeBlock(crS, cw, ch, mx, my, 2)
+        }
+      }
+      mcu += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Huffman DECODE table built from a DHT segment's (counts,
+    * symbols): the spec F.2.2.3 canonical ranges — per code length,
+    * the smallest/largest code and the symbol-array offset. */
+  private final class JpegHuffTable(counts: Array[Int], syms: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var c = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = c
+        c += counts(l); k += counts(l)
+        maxCode(l) = c - 1 // -1 when the length is empty (c == minCode)
+        if (counts(l) == 0) maxCode(l) = -1
+        c <<= 1
+        l += 1
+      }
+    }
+    def symbol(len: Int, code: Int): Int = syms(valPtr(len) + code - minCode(len))
+    def inRange(len: Int, code: Int): Boolean =
+      maxCode(len) >= 0 && code <= maxCode(len)
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment: un-stuffs
+    * FF00, STOPS at any real marker (the caller decides whether a
+    * marker is legal there). Throws IndexOutOfBounds past the end —
+    * decode()'s totality net. */
+  private final class JpegBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var hitMarker = false
+
+    def readBit(): Int = {
+      if (nBits == 0) {
+        if (hitMarker) throw new IndexOutOfBoundsException("read past marker")
+        val v = b(pos) & 0xff
+        if (v == 0xff) {
+          val next = b(pos + 1) & 0xff
+          if (next == 0x00) { acc = 0xff; pos += 2 }
+          else { hitMarker = true; throw new IndexOutOfBoundsException("marker in scan") }
+        } else { acc = v; pos += 1 }
+        nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decodeHuff(t: JpegHuffTable): Int = {
+      var code = readBit()
+      var len = 1
+      while (!t.inRange(len, code)) {
+        if (len >= 16) throw new IndexOutOfBoundsException("bad huffman code")
+        code = (code << 1) | readBit()
+        len += 1
+      }
+      t.symbol(len, code)
+    }
+    /** Drop pad bits so the next read starts at a byte boundary. */
+    def align(): Unit = { nBits = 0 }
+  }
+
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** The SOF profile of a JPEG payload — "gray" / "444" / "420" /
+    * "" (anything else or not a decodable baseline file). A light
+    * marker walk so oracle queries can report the sampling shape as a
+    * parsed-from-container fact. */
+  private[graft] def jpegProfile(b: Array[Byte]): String = {
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return ""
+      var pos = 2
+      while (pos + 4 <= b.length) {
+        if ((b(pos) & 0xff) != 0xff) return ""
+        var m = b(pos + 1) & 0xff
+        while (m == 0xff && pos + 2 < b.length) { pos += 1; m = b(pos + 1) & 0xff }
+        if (m == 0xc0) {
+          val nComp = b(pos + 9) & 0xff
+          if (nComp == 1) return "gray"
+          if (nComp != 3) return ""
+          return (b(pos + 11) & 0xff) match {
+            case 0x11 => "444"
+            case 0x22 => "420"
+            case _    => ""
+          }
+        }
+        if (m == 0xd9 || m == 0xda) return "" // hit scan/EOI without SOF0
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        if (len < 2) return ""
+        pos += 2 + len
+      }
+      ""
+    } catch { case _: IndexOutOfBoundsException => "" }
+  }
+
+  /** Baseline JPEG decoder (SOF0, 8-bit, Huffman): marker walk →
+    * table collection → interleaved MCU entropy decode with restart
+    * handling → dequantize → fixed-point IDCT → chroma upsample (NN
+    * for 4:2:0) → integer YCbCr→RGB → crop to the SOF dimensions.
+    * Strict where the spec is strict: only baseline SOF0 decodes
+    * (SOF1/2/…, arithmetic coding and 4-component scans are honest
+    * UnknownMedia), DQT must be 8-bit, restart markers must arrive in
+    * sequence exactly where DRI says, the scan must end in EOI, and
+    * trailing bytes after EOI reject (the PNG discipline). All
+    * dimension arithmetic bounds in Long before any allocation. */
+  private[operators] def decodeJpeg(b: Array[Byte]): Media = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return UnknownMedia(b.length)
+    var pos = 2
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[JpegHuffTable](4)
+    val acTables = new Array[JpegHuffTable](4)
+    var w = 0; var h = 0; var nComp = 0
+    var sampH0 = 0; var sampV0 = 0
+    val compQ = new Array[Int](3)
+    var restartInterval = 0
+    var seenSof = false
+
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+
+    // ---- marker walk up to SOS
+    var sosAt = -1
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    while (sosAt < 0) {
+      if (pos + 2 > b.length) return UnknownMedia(b.length)
+      if ((b(pos) & 0xff) != 0xff) return UnknownMedia(b.length)
+      var m = b(pos + 1) & 0xff
+      while (m == 0xff) { // fill bytes are legal before a marker code
+        pos += 1
+        if (pos + 2 > b.length) return UnknownMedia(b.length)
+        m = b(pos + 1) & 0xff
+      }
+      pos += 2
+      m match {
+        case 0xd8 => return UnknownMedia(b.length) // second SOI
+        case 0xd9 => return UnknownMedia(b.length) // EOI before any scan
+        case 0xc0 =>
+          if (seenSof || pos + 2 > b.length) return UnknownMedia(b.length)
+          val len = u16(pos)
+          if (len < 8 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          if ((b(pos + 2) & 0xff) != 8) return UnknownMedia(b.length) // 12-bit
+          h = u16(pos + 3); w = u16(pos + 5)
+          nComp = b(pos + 7) & 0xff
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
+              len != 8 + 3 * nComp || 3L * w * h > Int.MaxValue.toLong)
+            return UnknownMedia(b.length)
+          var c = 0
+          while (c < nComp) {
+            val hv = b(pos + 9 + 3 * c) & 0xff
+            val tq = b(pos + 10 + 3 * c) & 0xff
+            if (tq > 3) return UnknownMedia(b.length)
+            compQ(c) = tq
+            if (c == 0) { sampH0 = hv >> 4; sampV0 = hv & 15 }
+            else if (hv != 0x11) return UnknownMedia(b.length)
+            c += 1
+          }
+          // supported sampling: 1×1 everywhere, or 2×2 luma over 1×1
+          // chroma (4:2:0); grayscale must be 1×1
+          if (!((sampH0 == 1 && sampV0 == 1) ||
+                (nComp == 3 && sampH0 == 2 && sampV0 == 2)))
+            return UnknownMedia(b.length)
+          seenSof = true
+          pos += len
+        case 0xc4 =>
+          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          val len = u16(pos)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          var p = pos + 2
+          val end = pos + len
+          while (p < end) {
+            if (p + 17 > end) return UnknownMedia(b.length)
+            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return UnknownMedia(b.length)
+            val counts = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) { counts(l) = b(p + l) & 0xff; total += counts(l); l += 1 }
+            if (total > 256 || p + 17 + total > end) return UnknownMedia(b.length)
+            val syms = new Array[Int](total)
+            var i = 0
+            while (i < total) { syms(i) = b(p + 17 + i) & 0xff; i += 1 }
+            // canonical-code overflow (more codes at a length than the
+            // code space holds) would make decode ambiguous — reject
+            var c2 = 0; var ok = true
+            l = 1
+            while (l <= 16) { c2 = (c2 + counts(l)) << 1; if (c2 > (2 << l)) ok = false; l += 1 }
+            if (!ok) return UnknownMedia(b.length)
+            val t = new JpegHuffTable(counts, syms)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            p += 17 + total
+          }
+          pos = end
+        case 0xdb =>
+          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          val len = u16(pos)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          var p = pos + 2
+          val end = pos + len
+          while (p < end) {
+            val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > end) return UnknownMedia(b.length) // 16-bit DQT: not baseline-8
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) { q(i) = b(p + 1 + i) & 0xff; i += 1 }
+            qTables(tq) = q
+            p += 65
+          }
+          pos = end
+        case 0xdd =>
+          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          val len = u16(pos)
+          if (len != 4 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          restartInterval = u16(pos + 2)
+          pos += len
+        case 0xda =>
+          if (!seenSof || pos + 2 > b.length) return UnknownMedia(b.length)
+          val len = u16(pos)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          val ns = b(pos + 2) & 0xff
+          if (ns != nComp || len != 6 + 2 * ns) return UnknownMedia(b.length)
+          var c = 0
+          while (c < ns) {
+            // component ids must appear in SOF order (index c maps by
+            // position; our strictness — interleaved baseline anyway)
+            val td = (b(pos + 4 + 2 * c) & 0xff) >> 4
+            val ta = b(pos + 4 + 2 * c) & 0x0f
+            if (td > 3 || ta > 3) return UnknownMedia(b.length)
+            compDc(c) = td; compAc(c) = ta
+            c += 1
+          }
+          // baseline spectral selection: full band, no approximation
+          // (payload layout: [ns][Cs,TdTa]×ns then Ss at pos+3+2ns)
+          if ((b(pos + 3 + 2 * ns) & 0xff) != 0 ||
+              (b(pos + 4 + 2 * ns) & 0xff) != 63 ||
+              (b(pos + 5 + 2 * ns) & 0xff) != 0) return UnknownMedia(b.length)
+          sosAt = pos + len
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca |
+             0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
+          return UnknownMedia(b.length) // progressive/arith/hierarchical
+        case mm if mm >= 0xe0 && mm <= 0xef => // APPn
+          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          val len = u16(pos)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          pos += len
+        case 0xfe => // COM
+          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          val len = u16(pos)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          pos += len
+        case _ => return UnknownMedia(b.length) // RST/DNL/unknown outside scan
+      }
+    }
+    // every referenced table must have arrived
+    var c = 0
+    while (c < nComp) {
+      if (qTables(compQ(c)) == null || dcTables(compDc(c)) == null ||
+          acTables(compAc(c)) == null) return UnknownMedia(b.length)
+      c += 1
+    }
+
+    // ---- plane geometry (padded to whole MCUs)
+    val sub420 = sampH0 == 2
+    val mcuPx = if (sub420) 16 else 8
+    val mcusX = (w + mcuPx - 1) / mcuPx
+    val mcusY = (h + mcuPx - 1) / mcuPx
+    val yW = mcusX * mcuPx; val yH = mcusY * mcuPx
+    if (yW.toLong * yH > Int.MaxValue.toLong / 4) return UnknownMedia(b.length)
+    val yPlane = new Array[Int](yW * yH)
+    val cW = if (sub420) mcusX * 8 else yW
+    val cH = if (sub420) mcusY * 8 else yH
+    val cbPlane = if (nComp == 3) new Array[Int](cW * cH) else null
+    val crPlane = if (nComp == 3) new Array[Int](cW * cH) else null
+
+    // ---- entropy decode
+    val br = new JpegBitReader(b, sosAt)
+    val coef = new Array[Long](64)
+    val px = new Array[Int](64)
+    val dcPred = new Array[Int](3)
+    val totalMcus = mcusX * mcusY
+    var rstExpect = 0
+    try {
+      def decodeBlock(comp: Int, plane: Array[Int], pw: Int, bx: Int, by: Int): Unit = {
+        val q = qTables(compQ(comp))
+        java.util.Arrays.fill(coef, 0L)
+        val sDc = br.decodeHuff(dcTables(compDc(comp)))
+        if (sDc > 11) throw new IndexOutOfBoundsException("dc category")
+        val diff = jpegExtend(br.receive(sDc), sDc)
+        dcPred(comp) += diff
+        // a valid 8-bit baseline stream's cumulative DC is a quantized
+        // DCT coefficient — 11 bits + sign (T.81 Table F.1 tops out at
+        // category 11). An adversarial diff chain could otherwise grow
+        // the predictor without bound (and wrap Int into garbage
+        // pixels instead of an honest rejection)
+        if (dcPred(comp) > 2047 || dcPred(comp) < -2048)
+          throw new IndexOutOfBoundsException("dc out of range")
+        coef(0) = dcPred(comp).toLong * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = br.decodeHuff(acTables(compAc(comp)))
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            if (k > 63 || s > 10) throw new IndexOutOfBoundsException("ac overflow")
+            coef(jpegZigzag(k)) = jpegExtend(br.receive(s), s).toLong * q(k)
+            k += 1
+          }
+        }
+        jpegIdctBlock(coef, px)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            plane((by * 8 + y) * pw + bx * 8 + x) = px(8 * y + x)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      var mcu = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.align()
+          // the RSTn sequence is modulo-8 and mandatory exactly here
+          if ((b(br.pos) & 0xff) != 0xff ||
+              (b(br.pos + 1) & 0xff) != 0xd0 + (rstExpect % 8))
+            return UnknownMedia(b.length)
+          br.pos += 2
+          br.hitMarker = false
+          rstExpect += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        if (sub420) {
+          decodeBlock(0, yPlane, yW, 2 * mx, 2 * my)
+          decodeBlock(0, yPlane, yW, 2 * mx + 1, 2 * my)
+          decodeBlock(0, yPlane, yW, 2 * mx, 2 * my + 1)
+          decodeBlock(0, yPlane, yW, 2 * mx + 1, 2 * my + 1)
+          decodeBlock(1, cbPlane, cW, mx, my)
+          decodeBlock(2, crPlane, cW, mx, my)
+        } else {
+          decodeBlock(0, yPlane, yW, mx, my)
+          if (nComp == 3) {
+            decodeBlock(1, cbPlane, cW, mx, my)
+            decodeBlock(2, crPlane, cW, mx, my)
+          }
+        }
+        mcu += 1
+      }
+    } catch {
+      case _: IndexOutOfBoundsException => return UnknownMedia(b.length)
+    }
+    // scan must close with EOI at the very end — trailing bytes mean
+    // the payload is not the JPEG it claims to be (the PNG rule)
+    br.align()
+    if (br.pos + 2 != b.length || (b(br.pos) & 0xff) != 0xff ||
+        (b(br.pos + 1) & 0xff) != 0xd9) return UnknownMedia(b.length)
+
+    // ---- upsample + color convert + crop
+    val rgb = new Array[Byte](3 * w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val yv = yPlane(yy * yW + xx)
+        val o = 3 * (yy * w + xx)
+        if (nComp == 1) {
+          rgb(o) = yv.toByte; rgb(o + 1) = yv.toByte; rgb(o + 2) = yv.toByte
+        } else {
+          val ci = if (sub420) (yy / 2) * cW + (xx / 2) else yy * cW + xx
+          val cb = cbPlane(ci) - 128; val cr = crPlane(ci) - 128
+          var r = yv + ((91881 * cr + 32768) >> 16)
+          var g = yv - ((22554 * cb + 46802 * cr + 32768) >> 16)
+          var bl = yv + ((116130 * cb + 32768) >> 16)
+          if (r < 0) r = 0 else if (r > 255) r = 255
+          if (g < 0) g = 0 else if (g > 255) g = 255
+          if (bl < 0) bl = 0 else if (bl > 255) bl = 255
+          rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = bl.toByte
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    ImageMedia(w, h, "jpg", rgb)
   }
 
   // --------------------------------------------------------- derived ops

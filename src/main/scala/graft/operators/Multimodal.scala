@@ -98,16 +98,16 @@ object Multimodal {
         // weighted content sums. Decoded rgb[3i+c] = chan(unit(i), c),
         // which is the `ub` cycle (period 3·n) the DuckDB oracles
         // rebuild.
+        // lazy: the palette arm never allocates the truecolor raster
+        // (review r14 — one definition of the unit rule, not three)
+        lazy val rgb = Array.tabulate(3 * w * h)(i => unit(i.toLong))
         val payload = java.lang.Math.floorMod(id / 3, 3L) match {
-          case 0L => MediaCodec.encodePpm(w, h,
-            Array.tabulate(3 * w * h)(i => unit(i.toLong)))
-          case 1L => MediaCodec.encodeBmp(w, h,
-            Array.tabulate(3 * w * h)(i => unit(i.toLong)))
+          case 0L => MediaCodec.encodePpm(w, h, rgb)
+          case 1L => MediaCodec.encodeBmp(w, h, rgb)
           case _ if java.lang.Math.floorMod(id / 9, 2L) == 1L =>
             MediaCodec.encodePalettePng(w, h,
               Array.tabulate(w * h)(i => unit(i.toLong)), palettePlte)
-          case _ => MediaCodec.encodePng(w, h,
-            Array.tabulate(3 * w * h)(i => unit(i.toLong)))
+          case _ => MediaCodec.encodePng(w, h, rgb)
         }
         ("image", payload)
       case 1 =>
@@ -489,6 +489,117 @@ object Multimodal {
     frameSample(mediaTable(s, dir), stride).orderBy($"media_id", $"frame_no")
   }
 
+  /** Deterministic baseline-JPEG fixture for a document row
+    * (`mm_jpeg_meta`): a BLOCK-CONSTANT grayscale raster — every 8×8
+    * block holds one value, block (by,bx) cycling the document's code
+    * points in raster order — encoded through the real
+    * [[MediaCodec.encodeJpeg]]. Block-constant grayscale content is
+    * the profile the full JPEG pipeline reconstructs BIT-EXACTLY
+    * (DC-only blocks survive quantize→Huffman→IDCT exactly; R=G=B
+    * maps to chroma 128, which the integer color transforms carry
+    * through as an identity), so the DuckDB oracle rebuilds the
+    * decoded raster closed-form — Huffman tables, DC prediction
+    * chains, MCU interleave, restart markers and the color transform
+    * all sit between the generated value and the verified sum. The
+    * profile cycles gray / 4:4:4 / 4:2:0 by id (4:2:0 rows also carry
+    * a DRI restart interval, so the RSTn path is oracle-covered);
+    * dimensions are multiples of 16 so every profile tiles whole
+    * MCUs. */
+  private[graft] def genJpegPayload(id: Long, text: String): Array[Byte] = {
+    val tb0 = text.codePoints().toArray
+      .map(cp => if (cp <= 127) cp.toByte else 63.toByte)
+    val tb = if (tb0.isEmpty) Array[Byte](0) else tb0
+    val n = tb.length
+    val profile = java.lang.Math.floorMod(id, 3L) match {
+      case 0L => "gray"; case 1L => "444"; case _ => "420"
+    }
+    // floorDiv mirrors SQL's floor-division `//` for any sign
+    val w = 16 * (1 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 3L), 3L)).toInt
+    val h = 16 * (1 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 5L), 3L)).toInt
+    val nbx = w / 8
+    val rgb = Array.tabulate(3 * w * h) { i =>
+      val p = i / 3; val y = p / w; val x = p % w
+      tb(((y / 8) * nbx + (x / 8)) % n)
+    }
+    MediaCodec.encodeJpeg(w, h, rgb, profile, if (profile == "420") 2 else 0)
+  }
+
+  /** Oracle-checked decode report over the JPEG fixture lake
+    * (`mm_jpeg_meta`): dimensions and the sampling profile are parsed
+    * from the container's SOF marker, the content sums run over the
+    * DECODED RGB raster — DuckDB rebuilds every column closed-form
+    * from `documents` (per-block value × closed-form positional
+    * weights), so a single wrong bit anywhere in the entropy decoder,
+    * the IDCT, the MCU placement or the upsampler is a hash
+    * mismatch. */
+  /** One JPEG payload → its oracle row: SOF profile (parsed), decoded
+    * dims, content sums. Shared by the generation path and the
+    * binaryFile lake path so the two cannot drift. */
+  private def jpegDescribe(id: Long, payload: Array[Byte]): (Long, String, String, Long, Long, Long, Long) = {
+    val profile = MediaCodec.jpegProfile(payload)
+    val media = MediaCodec.decode(payload)
+    val units = MediaCodec.contentUnits(media)
+    var sum = 0L; var wsum = 0L; var i = 0
+    while (i < units.length) {
+      val v = units(i) & 0xff
+      sum += v; wsum += i.toLong * v; i += 1
+    }
+    val (w, h, fmt) = media match {
+      case MediaCodec.ImageMedia(ww, hh, f, _) => (ww.toLong, hh.toLong, f)
+      case _                                   => (0L, 0L, "unknown")
+    }
+    (id, fmt, profile, w, h, sum, wsum)
+  }
+
+  def jpegMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        jpegDescribe(id, genJpegPayload(id, text))
+      })
+      .toDF("media_id", "format", "profile", "width", "height", "data_sum", "data_wsum")
+      .orderBy($"media_id")
+  }
+
+  /** Session-scoped staging of the JPEG fixtures as REAL `<id>.jpg`
+    * files — the [[mediaLakeDir]] discipline (executor-side writes,
+    * local-master guard, one-time scaffolding a production lake
+    * already has). */
+  private val jpegLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def jpegLakeDir(s: SparkSession, dir: String): String =
+    jpegLakeDirs.computeIfAbsent(dir, d => {
+      require(s.sparkContext.isLocal,
+        "jpegLakeDir stages fixture files and requires a local master; " +
+          "production media lakes are read directly via mediaFromFiles")
+      val out = java.nio.file.Files.createTempDirectory("graft-jpeg-lake").toString
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          it.foreach { case (id, text) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"$id.jpg"), genJpegPayload(id, text))
+          }
+        }
+      out
+    })
+
+  /** `mm_jpeg_meta` over a binaryFile JPEG lake (`mm_jpeg_files`):
+    * real `.jpg` files through Spark's binaryFile source, then the
+    * SAME describe kernel — filename-stem ids make it row-identical
+    * to [[jpegMeta]], so the two ingest paths share ONE DuckDB
+    * oracle (the mm_files_meta precedent): a compressed-container
+    * divergence between generation and lake ingest is a hash
+    * mismatch. */
+  def jpegFilesMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFromFiles(s, jpegLakeDir(s, dir))
+      .mapPartitions(_.map(r => jpegDescribe(r.media_id, r.payload)))
+      .toDF("media_id", "format", "profile", "width", "height", "data_sum", "data_wsum")
+      .orderBy($"media_id")
+  }
+
   /** Perceptual-hash near-duplicate detection over the media table —
     * the image-dedup stage of a multimodal pipeline: decode →
     * 64-bit average-hash over DECODED content ([[MediaCodec.aHash64]]:
@@ -509,12 +620,21 @@ object Multimodal {
     * MultimodalSpec additionally pins the hash against an
     * independent parser + recompute (lcm-based exact threshold) and
     * the banding against a spec-side brute-force scan. */
-  def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def phashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    phashDedupOver(mediaTable(s, dir), maxHamming)
+
+  /** [[phashDedup]] over an explicit media frame — the operator is
+    * source-agnostic (synthetic table, binaryFile lake, or a
+    * spec-planted mix of containers: the JPEG/PPM pixel-identical
+    * collision gate drives this entry point directly). */
+  private[graft] def phashDedupOver(media: Dataset[MediaRow],
+                                    maxHamming: Int = 3): DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
     // 4 bands of 16 bits are pigeonhole-complete ONLY for Hamming ≤ 3;
     // a larger radius would silently lose pairs that differ in every band
     require(maxHamming <= 3, s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
-    val hashed = mediaTable(s, dir)
+    val hashed = media
       .mapPartitions(it => it.map(r =>
         (r.media_id, MediaCodec.aHash64(MediaCodec.decode(r.payload)))))
       .toDF("media_id", "phash")

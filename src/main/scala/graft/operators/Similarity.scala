@@ -319,21 +319,33 @@ object Similarity {
     * centroid near — what makes the retrain decision fire BY
     * CONSTRUCTION). Materialized once per call: the lifecycle runs
     * ~8 downstream actions over it (self-review r12 — the
-    * lshClusters localCheckpoint discipline). */
+    * lshClusters localCheckpoint discipline). `idBound` pre-filters
+    * on vec_id BELOW the union — a pushdown-provable bounded probe
+    * frame for SERVING paths, which therefore skip the corpus-sized
+    * localCheckpoint too (review r14: the serve query must never pay
+    * a full-corpus materialization per call; checkpoint blocks are
+    * non-recomputable and would leak until session end). The per-row
+    * arithmetic is IDENTICAL either way, so a bounded frame is
+    * row-equal to filtering the full one. */
   private[graft] def driftedTagged(s: SparkSession, dir: String,
-                                   historyBuckets: Long): DataFrame = {
+                                   historyBuckets: Long,
+                                   idBound: Option[Long] = None): DataFrame = {
     import s.implicits._
     val hb = Sampling.hashBucket($"vec_id")
-    val base = Tables.embeddings(s, dir)
+    val base0 = Tables.embeddings(s, dir)
+    val base = idBound.fold(base0)(b => base0.filter($"vec_id" < b))
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"),
         hb.as("hb"))
-    base.filter($"hb" < historyBuckets)
-      .select($"vec_id", $"embedding", lit(0L).as("is_b"))
-      .union(base.filter($"hb" >= historyBuckets)
-        .select($"vec_id", expr(
-          "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x * 0.2D + 1.0D ELSE x * 0.2D END)")
-          .as("embedding"), lit(1L).as("is_b")))
-      .localCheckpoint(false)
+    // single scan with a per-row CASE, not a union of two filtered
+    // branches: row-for-row identical arithmetic, half the corpus
+    // reads for the fixture build, and the bounded probe frame plans
+    // as exactly ONE pushdown-filtered embeddings scan (review r14)
+    val tagged = base.select($"vec_id",
+      when($"hb" < historyBuckets, $"embedding").otherwise(expr(
+        "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x * 0.2D + 1.0D ELSE x * 0.2D END)"))
+        .as("embedding"),
+      when($"hb" < historyBuckets, lit(0L)).otherwise(lit(1L)).as("is_b"))
+    if (idBound.isDefined) tagged else tagged.localCheckpoint(false)
   }
 
   /** `ivfIncremental`'s share-drift metric over a tagged corpus under
@@ -685,12 +697,15 @@ object Similarity {
     *    `lists/`) — a retrain only ever CREATES a new `v<N+1>/`
     *    directory; committed versions' data files are never touched
     *    again (RecallSpec proves it byte-for-byte);
-    *  - `manifest/`: a 1-row parquet naming the serving version — the
-    *    POINTER. Committing a retrain = overwriting this one tiny
-    *    table, so the swing is a metadata operation: stale readers
-    *    holding `v1` paths keep working (their files still exist),
-    *    new queries resolve `v2`, and a crashed retrain before the
-    *    manifest write leaves serving untouched on `v1`.
+    *  - `manifest/`: an append-only log of one-row version records;
+    *    readers resolve the MAX committed version — the POINTER.
+    *    Committing a retrain = appending one tiny file, so the swing
+    *    is a metadata operation: stale readers holding `v1` paths
+    *    keep working (their files still exist), new queries resolve
+    *    `v2`, and a crashed retrain mid-commit leaves only an
+    *    uncommitted temp the readers ignore — serving stays on `v1`
+    *    (review r14: an overwrite's delete-then-write window would
+    *    have emptied the pointer instead).
     *
     * At 100 TB this is how real vector platforms roll indexes: build
     * the new generation beside the old, flip a pointer, garbage-
@@ -705,15 +720,28 @@ object Similarity {
   private val ivfVersionedDirs = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int, Long, Long), String]()
 
+  /** Manifest commit = APPENDING a one-row version record; readers
+    * resolve the MAX committed version. Append lands as a brand-new
+    * file through the committer's write-temp-then-rename, so a crash
+    * mid-commit leaves only an uncommitted temp (which parquet reads
+    * ignore) and serving stays on the previous version — an
+    * overwrite's delete-then-write window would instead leave the
+    * pointer EMPTY and take down both versions (review r14). This is
+    * the log-of-versions shape real table formats use for exactly
+    * this reason. */
   private def commitManifest(s: SparkSession, root: String, version: Long): Unit = {
     import s.implicits._
     Seq(Tuple1(version)).toDF("version").coalesce(1)
-      .write.mode("overwrite").parquet(root + "/manifest")
+      .write.mode("append").parquet(root + "/manifest")
   }
 
-  /** The serving pointer — a bounded 1-row driver pull. */
-  private[graft] def manifestVersion(s: SparkSession, root: String): Long =
-    s.read.parquet(root + "/manifest").collect()(0).getLong(0)
+  /** The serving pointer — the max committed version, a bounded
+    * driver pull over the few-row manifest log. */
+  private[graft] def manifestVersion(s: SparkSession, root: String): Long = {
+    import s.implicits._
+    s.read.parquet(root + "/manifest")
+      .agg(org.apache.spark.sql.functions.max($"version")).collect()(0).getLong(0)
+  }
 
   /** Lifecycle phase 1: v1 trained on the HISTORY split, manifest → 1. */
   private[graft] def versionedBuildV1(s: SparkSession, root: String, dir: String,
@@ -731,7 +759,7 @@ object Similarity {
     * corpus into a NEW `v<N+1>/` directory and swing the manifest.
     * Returns whether a retrain committed. The existing version's
     * directories are never written to — only a fresh sibling and the
-    * 1-row manifest. */
+    * appended manifest record. */
   private[graft] def versionedRetrainIfDrifted(s: SparkSession, root: String, dir: String,
                                                nLists: Int, iters: Int,
                                                historyBuckets: Long,
@@ -776,8 +804,11 @@ object Similarity {
     import s.implicits._
     val root = ivfVersionedDir(s, dir, nLists, iters, historyBuckets, driftThresholdPpm)
     val ver = manifestVersion(s, root)
-    val probes = driftedTagged(s, dir, historyBuckets)
-      .filter($"vec_id" < numQueries)
+    // bounded probe frame: the vec_id filter pushes to the embeddings
+    // scan BELOW the drift transform (no corpus scan, no checkpoint —
+    // review r14), with per-row arithmetic identical to the full
+    // tagged frame's, so served rows are unchanged
+    val probes = driftedTagged(s, dir, historyBuckets, idBound = Some(numQueries.toLong))
       .select($"vec_id".as("query_id"), $"embedding".as("q"))
     serveFromIndex(s, dir, s"$root/v$ver", nProbe, numQueries, topK,
       probeSource = Some(probes))

@@ -772,13 +772,16 @@ object StreamingOps {
   /** Staged ANN probe-traffic dir: the embeddings table's bounded id
     * prefix written once per source dir — the ingest directory an
     * online query stream would land in. */
-  private val probesStagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val probesStagedDirs = new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   private def probesStagedDir(s: SparkSession, dir: String,
                               numQueries: Int = 10): String =
-    probesStagedDirs.computeIfAbsent(dir, d => {
+    // keyed by (dir, numQueries): a cache keyed on dir alone would
+    // silently serve the FIRST call's staged traffic to a later call
+    // with a different probe count (review r14)
+    probesStagedDirs.computeIfAbsent((dir, numQueries), { case (d, nq) =>
       val out = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/probes"
-      graft.Tables.embeddings(s, d).filter(col("vec_id") < numQueries)
+      graft.Tables.embeddings(s, d).filter(col("vec_id") < nq)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("q"))
         .write.mode("overwrite").parquet(out)

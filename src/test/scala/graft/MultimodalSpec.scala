@@ -1101,6 +1101,78 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("16-bit PNG: grayscale and truecolor down-shift to sample high bytes; 16-bit palette rejects") {
+    // deep rasters from scientific writers: each sample is two bytes,
+    // MSB first (spec 7.2) — the decoder's 8-bit view is the high
+    // byte. The filter runs at the WIDER byte-per-pixel offset (2 for
+    // 16-bit gray, 6 for 16-bit RGB), so a filtered fixture proves
+    // the unfilter offset switched with the depth. Low bytes are
+    // deliberately non-zero noise: a decoder reading the wrong half
+    // shows immediately.
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf)
+      assert(d.finished); d.end()
+      buf.take(n)
+    }
+    def png16(w: Int, h: Int, colorType: Int, samples: Array[Int]): Array[Byte] = {
+      val channels = if (colorType == 2) 3 else 1
+      val bpp = 2 * channels
+      val rowLen = bpp * w
+      val raw = new Array[Byte](h * (1 + rowLen))
+      for (y <- 0 until h) {
+        val f = y % 2 // None / Sub rows — enough to pin the offset
+        raw(y * (1 + rowLen)) = f.toByte
+        for (x <- 0 until rowLen) {
+          val si = y * w * channels + x / 2
+          val cur = if (x % 2 == 0) samples(si) else (si * 89 + 17) % 256 // hi : lo-noise
+          val left = if (x >= bpp) {
+            val lsi = y * w * channels + (x - bpp) / 2
+            if (x % 2 == 0) samples(lsi) else (lsi * 89 + 17) % 256
+          } else 0
+          raw(y * (1 + rowLen) + 1 + x) = (if (f == 0) cur else cur - left).toByte
+        }
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 16; ihdr(9) = colorType.toByte
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        pngChunkBytes("IHDR", ihdr) ++ pngChunkBytes("IDAT", deflate(raw)) ++
+        pngChunkBytes("IEND", Array.emptyByteArray)
+    }
+    val w = 9; val h = 6
+    val gray = Array.tabulate(w * h)(i => (i * 41 + 3) % 256)
+    MediaCodec.decode(png16(w, h, 0, gray)) match {
+      case ImageMedia(`w`, `h`, "png", rgb) =>
+        for (i <- 0 until w * h; c <- 0 until 3)
+          assert((rgb(3 * i + c) & 0xff) == gray(i), s"16-bit gray pixel $i channel $c")
+      case other => fail(s"16-bit grayscale png: $other")
+    }
+    val color = Array.tabulate(3 * w * h)(i => (i * 23 + 11) % 256)
+    MediaCodec.decode(png16(w, h, 2, color)) match {
+      case ImageMedia(`w`, `h`, "png", rgb) =>
+        for (i <- 0 until 3 * w * h)
+          assert((rgb(i) & 0xff) == color(i), s"16-bit rgb byte $i")
+      case other => fail(s"16-bit truecolor png: $other")
+    }
+    // 16-bit palette is illegal (spec Table 11.1) — flip a valid
+    // 8-bit palette fixture's depth byte to 16; the CRC must be
+    // recomputed or the walk rejects for the wrong reason, so rebuild
+    // the IHDR chunk wholesale
+    val pal8 = MediaCodec.encodePalettePng(8, 8,
+      Array.tabulate[Byte](64)(i => (i % 30).toByte),
+      Array.tabulate[Byte](90)(j => (j * 3).toByte))
+    val ihdr16 = {
+      val d = java.util.Arrays.copyOfRange(pal8, 16, 29) // IHDR payload
+      d(8) = 16
+      d
+    }
+    val pal16 = pal8.take(8) ++ pngChunkBytes("IHDR", ihdr16) ++ pal8.drop(33)
+    assert(MediaCodec.decode(pal16).isInstanceOf[UnknownMedia],
+      "16-bit palette must reject")
+  }
+
   test("PNG strictness: unknown critical chunks and payload-bearing IEND reject (r13 advisories)") {
     val base = MediaCodec.encodePng(6, 5, Array.tabulate[Byte](90)(_.toByte))
     // sig(8) + IHDR(25) = 33: splice a chunk between IHDR and IDAT
@@ -1117,6 +1189,12 @@ class MultimodalSpec extends SparkSpec {
     val fatIend = base.take(iendAt) ++ pngChunkBytes("IEND", Array[Byte](7))
     assert(MediaCodec.decode(fatIend).isInstanceOf[UnknownMedia],
       "IEND with nonzero length must reject")
+    // tRNS is alpha through an ancillary chunk (the common
+    // transparent-PNG form): silently dropping it would hash pixels a
+    // conforming decoder treats as transparent, so it rejects like
+    // the alpha color types do (review r14)
+    assert(MediaCodec.decode(splice(pngChunkBytes("tRNS", Array[Byte](0, 10))))
+      .isInstanceOf[UnknownMedia], "tRNS (transparency) must reject, not silently drop")
   }
 
   test("tiny high-rate audio keeps a non-degenerate hash (canonical length floors to 0 — r13 advisory)") {
@@ -1130,6 +1208,156 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.aHash64(clip) != 0L, "few-sample high-rate clip must not hash to 0")
     assert(MediaCodec.aHash64(clip) == MediaCodec.aHash64(raw8k),
       "zero-length canonical form must hash the raw samples")
+  }
+
+  test("baseline JPEG: block-constant fixtures round-trip bit-exactly across gray/444/420 + restarts") {
+    // The mm_jpeg_meta contract, recomputed independently: the
+    // expected raster comes straight from the generation rule (code
+    // points → per-block values), NEVER through the codec — so the
+    // Huffman tables, DC prediction chain, MCU interleave, 4:2:0
+    // subsample/upsample, restart markers and the integer color
+    // transforms all have to reproduce it bit-for-bit.
+    for (id <- 0L until 18L) {
+      val text = s"jpeg fixture text for document $id with mixed content ${id * 37} end"
+      val payload = Multimodal.genJpegPayload(id, text)
+      val tb = text.codePoints().toArray.map(cp => if (cp <= 127) cp.toByte else 63.toByte)
+      val n = tb.length
+      val w = 16 * (1 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 3L), 3L)).toInt
+      val h = 16 * (1 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 5L), 3L)).toInt
+      val expected = Array.tabulate[Byte](3 * w * h) { i =>
+        val p = i / 3; val y = p / w; val x = p % w
+        tb(((y / 8) * (w / 8) + (x / 8)) % n)
+      }
+      val expProfile = java.lang.Math.floorMod(id, 3L) match {
+        case 0L => "gray"; case 1L => "444"; case _ => "420"
+      }
+      assert(MediaCodec.jpegProfile(payload) == expProfile,
+        s"id $id: SOF profile must parse back as $expProfile")
+      MediaCodec.decode(payload) match {
+        case ImageMedia(dw, dh, "jpg", rgb) =>
+          assert(dw == w && dh == h, s"id $id: dims $dw x $dh != $w x $h")
+          assert(java.util.Arrays.equals(rgb, expected),
+            s"id $id ($expProfile): decoded raster differs from the generation rule")
+        case other => fail(s"id $id decoded to $other")
+      }
+    }
+  }
+
+  test("baseline JPEG: textured content bounds round-trip error; MCU padding crops; color decodes") {
+    val rnd = new scala.util.Random(7)
+    // gray textured (R=G=B → chroma 128): the only loss is luma DCT
+    // rounding under the all-ones quantizer — a 1-count bound. 24×24
+    // is NOT a multiple of 16, so the 420 arm also exercises MCU edge
+    // padding + crop.
+    for (profile <- Seq("gray", "444", "420")) {
+      val w = 24; val h = 24
+      val gray = Array.tabulate(w * h)(_ => rnd.nextInt(256))
+      val rgb = Array.tabulate[Byte](3 * w * h)(i => gray(i / 3).toByte)
+      MediaCodec.decode(MediaCodec.encodeJpeg(w, h, rgb, profile)) match {
+        case ImageMedia(dw, dh, _, drgb) =>
+          assert(dw == w && dh == h)
+          val maxErr = drgb.indices.map(i => math.abs((drgb(i) & 0xff) - (rgb(i) & 0xff))).max
+          assert(maxErr <= 2, s"textured gray $profile: maxErr $maxErr > 2")
+        case other => fail(s"textured $profile decoded to $other")
+      }
+    }
+    // full-color textured through 4:4:4: adds per-pixel chroma DCT
+    // rounding + the YCbCr round trip (both a few counts)
+    locally {
+      val w = 16; val h = 16
+      val rgb = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
+      MediaCodec.decode(MediaCodec.encodeJpeg(w, h, rgb, "444")) match {
+        case ImageMedia(_, _, _, drgb) =>
+          val maxErr = drgb.indices.map(i => math.abs((drgb(i) & 0xff) - (rgb(i) & 0xff))).max
+          assert(maxErr <= 5, s"textured color 444: maxErr $maxErr > 5")
+        case other => fail(s"textured color decoded to $other")
+      }
+    }
+    // constant COLOR through 4:2:0: a nonzero chroma DC must survive
+    // subsample (average of a constant) → quantize → IDCT → NN
+    // upsample, leaving only the color-transform round trip (≤ 2)
+    locally {
+      val w = 16; val h = 16
+      val rgb = Array.tabulate[Byte](3 * w * h)(i =>
+        (i % 3 match { case 0 => 200; case 1 => 30; case _ => 90 }).toByte)
+      MediaCodec.decode(MediaCodec.encodeJpeg(w, h, rgb, "420")) match {
+        case ImageMedia(_, _, _, drgb) =>
+          val maxErr = drgb.indices.map(i => math.abs((drgb(i) & 0xff) - (rgb(i) & 0xff))).max
+          assert(maxErr <= 2, s"const-color 420: maxErr $maxErr > 2")
+        case other => fail(s"const-color 420 decoded to $other")
+      }
+    }
+  }
+
+  test("baseline JPEG: phashDedup collides a planted JPEG/PPM pixel-identical pair") {
+    // The cross-codec-family dedup claim: the same pixels shipped as
+    // an uncompressed PPM and as a Huffman-coded JPEG must land in
+    // the same phash band buckets (aHash runs over DECODED content,
+    // and block-constant grayscale JPEG decode is bit-exact). Planted
+    // alongside a different-content image that must stay clean.
+    val w = 16; val h = 16
+    val rgb = Array.tabulate[Byte](3 * w * h) { i =>
+      val p = i / 3
+      (40 + 20 * ((p / w / 8) * 2 + (p % w) / 8)).toByte
+    }
+    val other = Array.tabulate[Byte](3 * w * h)(i => ((i * 31) % 256).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", MediaCodec.encodePpm(w, h, rgb)),
+      Multimodal.MediaRow(2L, "image", MediaCodec.encodeJpeg(w, h, rgb, "444")),
+      Multimodal.MediaRow(3L, "image", MediaCodec.encodePpm(w, h, other)))
+    val flags = Multimodal.phashDedupOver(spark.createDataset(rows)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flags(1L) == 1L && flags(2L) == 1L,
+      "pixel-identical PPM and JPEG must flag as dups")
+    assert(flags(3L) == 0L, "different content must stay clean")
+  }
+
+  test("baseline JPEG strictness: non-baseline and malformed containers reject") {
+    val rgb = Array.fill[Byte](768)(100.toByte)
+    val good = MediaCodec.encodeJpeg(16, 16, rgb, "444")
+    assert(!MediaCodec.decode(good).isInstanceOf[UnknownMedia], "the fixture itself decodes")
+    // trailing bytes after EOI: not the JPEG it claims to be (PNG rule)
+    assert(MediaCodec.decode(good :+ 0.toByte).isInstanceOf[UnknownMedia],
+      "trailing byte must reject")
+    // truncated mid-scan
+    assert(MediaCodec.decode(good.take(good.length / 2)).isInstanceOf[UnknownMedia],
+      "truncation must reject")
+    def flipMarker(from: Int, to: Int): Array[Byte] = {
+      val m = good.clone()
+      var p = 2
+      while (!((m(p) & 0xff) == 0xff && (m(p + 1) & 0xff) == from)) p += 1
+      m(p + 1) = to.toByte
+      m
+    }
+    // progressive (SOF2) and arithmetic-coded (SOF9): honest unknowns
+    assert(MediaCodec.decode(flipMarker(0xc0, 0xc2)).isInstanceOf[UnknownMedia],
+      "progressive SOF2 must reject")
+    assert(MediaCodec.decode(flipMarker(0xc0, 0xc9)).isInstanceOf[UnknownMedia],
+      "arithmetic SOF9 must reject")
+    // 16-bit DQT (Pq=1): not baseline-8
+    locally {
+      val m = good.clone()
+      var p = 2
+      while (!((m(p) & 0xff) == 0xff && (m(p + 1) & 0xff) == 0xdb)) p += 1
+      m(p + 4) = 0x10.toByte // Pq=1, Tq=0
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia], "16-bit DQT must reject")
+    }
+    // out-of-sequence restart marker: RST0 expected first, RST1 found
+    // (FF in entropy data is always stuffed FF00, so the first FFD0
+    // in the byte stream IS the first restart marker)
+    locally {
+      val wide = Array.tabulate[Byte](3 * 32 * 16)(i => (((i / 3) % 32 / 8) * 40 + 20).toByte)
+      val withRst = MediaCodec.encodeJpeg(32, 16, wide, "gray", 2)
+      var p = 2
+      while (!((withRst(p) & 0xff) == 0xff && (withRst(p + 1) & 0xff) == 0xd0)) p += 1
+      val m = withRst.clone()
+      m(p + 1) = 0xd1.toByte
+      assert(MediaCodec.decode(withRst) match {
+        case ImageMedia(32, 16, _, _) => true; case _ => false
+      }, "the restart fixture itself decodes")
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
+        "out-of-sequence RSTn must reject")
+    }
   }
 
   test("corruption fuzz: decode NEVER throws over seeded mutations of every container") {
@@ -1151,7 +1379,11 @@ class MultimodalSpec extends SparkSpec {
         Array.tabulate[Byte](120)(j => (j * 5).toByte)),
       MediaCodec.encodeWav(8000, Array.tabulate(300)(i => (i * 13 - 150).toShort)),
       MediaCodec.encodeY4m(5, 4, Array.tabulate(2)(f =>
-        Array.fill[Byte](60)((f * 9 + 1).toByte))))
+        Array.fill[Byte](60)((f * 9 + 1).toByte))),
+      // the Huffman-coded container, with restarts: bit-level damage
+      // in the entropy segment must land in UnknownMedia, never escape
+      MediaCodec.encodeJpeg(32, 16, Array.tabulate[Byte](3 * 32 * 16)(i =>
+        ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2))
     var decodedOk = 0
     seeds.foreach { base =>
       (1 to 400).foreach { i =>
@@ -1184,7 +1416,7 @@ class MultimodalSpec extends SparkSpec {
     }
     // sanity: the fuzz isn't vacuous — some mutations still decode
     // (e.g. a flipped raster byte in a CRC-less container)
-    info(s"fuzz survivors decoded as valid media: $decodedOk / 2400")
+    info(s"fuzz survivors decoded as valid media: $decodedOk / ${seeds.size * 400}")
     assert(decodedOk > 0)
   }
 
@@ -1202,5 +1434,19 @@ class MultimodalSpec extends SparkSpec {
     val exts = new java.io.File(Multimodal.mediaLakeDir(spark, sfDir)).list()
       .map(_.split('.').last).toSet
     assert(exts == Set("ppm", "bmp", "png", "wav", "y4m"))
+  }
+
+  test("staged JPEG lake: jpegFilesMeta ≡ jpegMeta row-for-row (the compressed-container lake contract)") {
+    // mm_jpeg_files' promotion argument, the filesMeta precedent for
+    // the Huffman-coded container: real .jpg files -> binaryFile scan
+    // -> stem ids -> the SAME describe kernel must reproduce the
+    // generation path exactly, so one DuckDB oracle serves both
+    val viaFiles = Multimodal.jpegFilesMeta(spark, sfDir).collect().toSeq
+    val viaDocs = Multimodal.jpegMeta(spark, sfDir).collect().toSeq
+    assert(viaFiles.size == 500)
+    assert(viaFiles == viaDocs)
+    val exts = new java.io.File(Multimodal.jpegLakeDir(spark, sfDir)).list()
+      .map(_.split('.').last).toSet
+    assert(exts == Set("jpg"))
   }
 }

@@ -491,15 +491,19 @@ class PlanSpec extends SparkSpec {
     // the encoding or the version indirection. probeScans: the float
     // and SQ8 serves probe the embeddings table directly (1 parquet
     // scan); pipe_ivf_reserve's probe traffic is the drifted combined
-    // corpus (a checkpointed fixture frame — an RDD scan, not a file
-    // scan), so its embeddings-scan count must be ZERO: the manifest
-    // indirection may add no hidden corpus re-read.
+    // corpus, rebuilt as an id-BOUNDED embeddings scan (the vec_id
+    // filter pushes below the drift transform — review r14: the first
+    // cut read the full checkpointed fixture frame per serve, a
+    // corpus-sized materialization hiding inside "serving"), so like
+    // the other serves it shows exactly ONE probe-side embeddings
+    // scan and the manifest indirection adds no hidden corpus
+    // re-read.
     val serves = Seq(
       ("pipe_ivf_serve", "graft-ivf-index", 1,
         () => graft.operators.Similarity.ivfServeTopK(spark, sfDir)),
       ("pipe_ivf_sq8_serve", "graft-ivf-sq8", 1,
         () => graft.operators.Similarity.ivfSq8ServeTopK(spark, sfDir)),
-      ("pipe_ivf_reserve", "graft-ivf-versioned", 0,
+      ("pipe_ivf_reserve", "graft-ivf-versioned", 1,
         () => graft.operators.Similarity.ivfReserveTopK(spark, sfDir)))
     serves.foreach { case (name, artifactTag, probeScans, mk) =>
       val df = mk()

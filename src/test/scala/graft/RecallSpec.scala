@@ -510,7 +510,7 @@ class RecallSpec extends SparkSpec {
     // pipe_ivf_reserve's gate — the lifecycle loop closed (r14).
     // Phase-driven on a spec-local root so v1's files can be
     // inventoried BETWEEN build and retrain: the commit must create
-    // only a new v2/ directory and overwrite the 1-row manifest.
+    // only a new v2/ directory and append one manifest record.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-ver-spec").toString
     Similarity.versionedBuildV1(spark, root, sfDir, 16, 5, 3277L)
