@@ -161,10 +161,15 @@ object Bench {
     // slowest-10, failure count) in the bytes truncation preserves.
     // Keyed "total", NOT "metric": the driver extracts the artifact
     // line by its "metric" prefix, and this line must never shadow it.
+    // Locale.ROOT: the f interpolator uses the default locale, and a
+    // comma-decimal locale would make this very line — the one that
+    // exists to survive machine parsing after truncation — invalid
+    // JSON (review r14)
+    def num3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = results.filterNot(_._2.isInfinite).sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + num3(v) }.mkString("{", ",", "}")
     val nFailed = results.count(_._2.isInfinite)
-    println(s"""{"total":${f"$total%.3f"},"n_queries":${results.size},"n_failed":$nFailed,"slowest":$slowest,"loadavg_before":"$loadBefore"}""")
+    println(s"""{"total":${num3(total)},"n_queries":${results.size},"n_failed":$nFailed,"slowest":$slowest,"loadavg_before":"$loadBefore"}""")
     spark.stop()
   }
 }

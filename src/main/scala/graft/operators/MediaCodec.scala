@@ -1252,6 +1252,7 @@ object MediaCodec extends Serializable {
     var w = 0; var h = 0; var nComp = 0
     var sampH0 = 0; var sampV0 = 0
     val compQ = new Array[Int](3)
+    val compId = new Array[Int](3)
     var restartInterval = 0
     var seenSof = false
 
@@ -1289,6 +1290,7 @@ object MediaCodec extends Serializable {
             val hv = b(pos + 9 + 3 * c) & 0xff
             val tq = b(pos + 10 + 3 * c) & 0xff
             if (tq > 3) return UnknownMedia(b.length)
+            compId(c) = b(pos + 8 + 3 * c) & 0xff
             compQ(c) = tq
             if (c == 0) { sampH0 = hv >> 4; sampV0 = hv & 15 }
             else if (hv != 0x11) return UnknownMedia(b.length)
@@ -1360,8 +1362,13 @@ object MediaCodec extends Serializable {
           if (ns != nComp || len != 6 + 2 * ns) return UnknownMedia(b.length)
           var c = 0
           while (c < ns) {
-            // component ids must appear in SOF order (index c maps by
-            // position; our strictness — interleaved baseline anyway)
+            // component selectors must NAME the SOF components in SOF
+            // order (T.81 B.2.3; our interleaved-baseline strictness)
+            // — assigning tables positionally without checking Cs
+            // would decode luma with chroma tables on a
+            // non-conforming scan header and return garbage as a
+            // "valid" image (review r14)
+            if ((b(pos + 3 + 2 * c) & 0xff) != compId(c)) return UnknownMedia(b.length)
             val td = (b(pos + 4 + 2 * c) & 0xff) >> 4
             val ta = b(pos + 4 + 2 * c) & 0x0f
             if (td > 3 || ta > 3) return UnknownMedia(b.length)

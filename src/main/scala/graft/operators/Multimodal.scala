@@ -524,14 +524,6 @@ object Multimodal {
     MediaCodec.encodeJpeg(w, h, rgb, profile, if (profile == "420") 2 else 0)
   }
 
-  /** Oracle-checked decode report over the JPEG fixture lake
-    * (`mm_jpeg_meta`): dimensions and the sampling profile are parsed
-    * from the container's SOF marker, the content sums run over the
-    * DECODED RGB raster — DuckDB rebuilds every column closed-form
-    * from `documents` (per-block value × closed-form positional
-    * weights), so a single wrong bit anywhere in the entropy decoder,
-    * the IDCT, the MCU placement or the upsampler is a hash
-    * mismatch. */
   /** One JPEG payload → its oracle row: SOF profile (parsed), decoded
     * dims, content sums. Shared by the generation path and the
     * binaryFile lake path so the two cannot drift. */
@@ -551,6 +543,14 @@ object Multimodal {
     (id, fmt, profile, w, h, sum, wsum)
   }
 
+  /** Oracle-checked decode report over the JPEG fixture lake
+    * (`mm_jpeg_meta`): dimensions and the sampling profile are parsed
+    * from the container's SOF marker, the content sums run over the
+    * DECODED RGB raster — DuckDB rebuilds every column closed-form
+    * from `documents` (per-block value × closed-form positional
+    * weights), so a single wrong bit anywhere in the entropy decoder,
+    * the IDCT, the MCU placement or the upsampler is a hash
+    * mismatch. */
   def jpegMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]

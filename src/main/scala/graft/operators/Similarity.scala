@@ -746,9 +746,10 @@ object Similarity {
   /** Lifecycle phase 1: v1 trained on the HISTORY split, manifest → 1. */
   private[graft] def versionedBuildV1(s: SparkSession, root: String, dir: String,
                                       nLists: Int, iters: Int,
-                                      historyBuckets: Long): Unit = {
+                                      historyBuckets: Long,
+                                      tagged0: Option[DataFrame] = None): Unit = {
     import s.implicits._
-    val history = driftedTagged(s, dir, historyBuckets)
+    val history = tagged0.getOrElse(driftedTagged(s, dir, historyBuckets))
       .filter($"is_b" === 0L).select($"vec_id", $"embedding")
     buildIndexInto(s, root + "/v1", history, nLists, iters)
     commitManifest(s, root, 1L)
@@ -763,9 +764,10 @@ object Similarity {
   private[graft] def versionedRetrainIfDrifted(s: SparkSession, root: String, dir: String,
                                                nLists: Int, iters: Int,
                                                historyBuckets: Long,
-                                               driftThresholdPpm: Long): Boolean = {
+                                               driftThresholdPpm: Long,
+                                               tagged0: Option[DataFrame] = None): Boolean = {
     import s.implicits._
-    val tagged = driftedTagged(s, dir, historyBuckets)
+    val tagged = tagged0.getOrElse(driftedTagged(s, dir, historyBuckets))
     val ver = manifestVersion(s, root)
     val (cids, cvecs) = readCentroids(s, s"$root/v$ver")
     val nearest = centroidAssigner(s, cids, cvecs, bcastCentroidThreshold)
@@ -783,8 +785,14 @@ object Similarity {
                       driftThresholdPpm: Long = 50000L): String =
     ivfVersionedDirs.computeIfAbsent((dir, nLists, iters, historyBuckets, driftThresholdPpm), _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-ivf-versioned").toString
-      versionedBuildV1(s, root, dir, nLists, iters, historyBuckets)
-      versionedRetrainIfDrifted(s, root, dir, nLists, iters, historyBuckets, driftThresholdPpm)
+      // ONE checkpointed drifted frame shared by both phases — each
+      // phase calling driftedTagged itself would materialize (and
+      // leak, checkpoint blocks being non-recomputable) the corpus
+      // TWICE per build (review r14). The phase functions keep their
+      // self-building default for the spec's phase-isolated gates.
+      val tagged = Some(driftedTagged(s, dir, historyBuckets))
+      versionedBuildV1(s, root, dir, nLists, iters, historyBuckets, tagged)
+      versionedRetrainIfDrifted(s, root, dir, nLists, iters, historyBuckets, driftThresholdPpm, tagged)
       root
     })
 

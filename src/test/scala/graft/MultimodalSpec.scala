@@ -1342,6 +1342,20 @@ class MultimodalSpec extends SparkSpec {
       m(p + 4) = 0x10.toByte // Pq=1, Tq=0
       assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia], "16-bit DQT must reject")
     }
+    // SOS component selectors must NAME the SOF components in order
+    // (T.81 B.2.3): swap the first selector to a wrong id — a decoder
+    // assigning tables positionally would decode luma with chroma
+    // tables and return garbage as "valid" (review r14)
+    locally {
+      val m = good.clone()
+      var p = 2
+      while (!((m(p) & 0xff) == 0xff && (m(p + 1) & 0xff) == 0xda)) p += 1
+      // SOS payload: len(2) ns(1) then [Cs, TdTa]×ns — Cs1 at p+5
+      assert((m(p + 5) & 0xff) == 1, "fixture layout: first selector is component 1")
+      m(p + 5) = 7.toByte
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
+        "SOS selector naming a non-SOF component must reject")
+    }
     // out-of-sequence restart marker: RST0 expected first, RST1 found
     // (FF in entropy data is always stuffed FF00, so the first FFD0
     // in the byte stream IS the first restart marker)
