@@ -1232,19 +1232,44 @@ object MediaCodec extends Serializable {
     } catch { case _: IndexOutOfBoundsException => "" }
   }
 
-  /** Baseline JPEG decoder (SOF0, 8-bit, Huffman): marker walk →
-    * table collection → interleaved MCU entropy decode with restart
-    * handling → dequantize → fixed-point IDCT → chroma upsample (NN
-    * for 4:2:0) → integer YCbCr→RGB → crop to the SOF dimensions.
-    * Strict where the spec is strict: only baseline SOF0 decodes
-    * (SOF1/2/…, arithmetic coding and 4-component scans are honest
-    * UnknownMedia), DQT must be 8-bit, restart markers must arrive in
-    * sequence exactly where DRI says, the scan must end in EOI, and
-    * trailing bytes after EOI reject (the PNG discipline). All
-    * dimension arithmetic bounds in Long before any allocation. */
-  private[operators] def decodeJpeg(b: Array[Byte]): Media = {
+  /** Parsed JPEG header state: everything the marker walk up to SOS
+    * establishes — the shared input of the sequential and the
+    * segment-parallel entropy decoders. */
+  private final class JpegHeader(
+      val w: Int, val h: Int, val nComp: Int, val sub420: Boolean,
+      val restartInterval: Int, val sosAt: Int,
+      val qTables: Array[Array[Int]],
+      val dcTables: Array[JpegHuffTable], val acTables: Array[JpegHuffTable],
+      val compQ: Array[Int], val compDc: Array[Int], val compAc: Array[Int]) {
+    val mcuPx: Int = if (sub420) 16 else 8
+    val mcusX: Int = (w + mcuPx - 1) / mcuPx
+    val mcusY: Int = (h + mcuPx - 1) / mcuPx
+    val totalMcus: Int = mcusX * mcusY
+    val yW: Int = mcusX * mcuPx
+    val yH: Int = mcusY * mcuPx
+    val cW: Int = if (sub420) mcusX * 8 else yW
+    val cH: Int = if (sub420) mcusY * 8 else yH
+  }
+
+  /** Padded component planes one decode fills. Per-MCU writes land in
+    * DISJOINT plane regions, which is what makes restart-segment
+    * decode safely parallel over shared planes. */
+  private final class JpegPlanes(hdr: JpegHeader) {
+    val y = new Array[Int](hdr.yW * hdr.yH)
+    val cb: Array[Int] = if (hdr.nComp == 3) new Array[Int](hdr.cW * hdr.cH) else null
+    val cr: Array[Int] = if (hdr.nComp == 3) new Array[Int](hdr.cW * hdr.cH) else null
+  }
+
+  /** Marker walk up to (and including) SOS: SOI, DQT/DHT/DRI/APPn/COM
+    * collection, SOF0 geometry, SOS table bindings — null on anything
+    * non-baseline or malformed (the caller's UnknownMedia). Strictness
+    * lives here: only SOF0, 8-bit DQT, 1- or 3-component 1×1 / 2×2
+    * sampling, SOS selectors naming the SOF components in order,
+    * baseline spectral selection — and LONG bounds before every
+    * allocation-relevant read. */
+  private def parseJpegHeader(b: Array[Byte]): JpegHeader = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
-      return UnknownMedia(b.length)
+      return null
     var pos = 2
     val qTables = new Array[Array[Int]](4)
     val dcTables = new Array[JpegHuffTable](4)
@@ -1258,66 +1283,65 @@ object MediaCodec extends Serializable {
 
     def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
 
-    // ---- marker walk up to SOS
     var sosAt = -1
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
     while (sosAt < 0) {
-      if (pos + 2 > b.length) return UnknownMedia(b.length)
-      if ((b(pos) & 0xff) != 0xff) return UnknownMedia(b.length)
+      if (pos + 2 > b.length) return null
+      if ((b(pos) & 0xff) != 0xff) return null
       var m = b(pos + 1) & 0xff
       while (m == 0xff) { // fill bytes are legal before a marker code
         pos += 1
-        if (pos + 2 > b.length) return UnknownMedia(b.length)
+        if (pos + 2 > b.length) return null
         m = b(pos + 1) & 0xff
       }
       pos += 2
       m match {
-        case 0xd8 => return UnknownMedia(b.length) // second SOI
-        case 0xd9 => return UnknownMedia(b.length) // EOI before any scan
+        case 0xd8 => return null // second SOI
+        case 0xd9 => return null // EOI before any scan
         case 0xc0 =>
-          if (seenSof || pos + 2 > b.length) return UnknownMedia(b.length)
+          if (seenSof || pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len < 8 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
-          if ((b(pos + 2) & 0xff) != 8) return UnknownMedia(b.length) // 12-bit
+          if (len < 8 || pos.toLong + len > b.length.toLong) return null
+          if ((b(pos + 2) & 0xff) != 8) return null // 12-bit
           h = u16(pos + 3); w = u16(pos + 5)
           nComp = b(pos + 7) & 0xff
           if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3) ||
               len != 8 + 3 * nComp || 3L * w * h > Int.MaxValue.toLong)
-            return UnknownMedia(b.length)
+            return null
           var c = 0
           while (c < nComp) {
             val hv = b(pos + 9 + 3 * c) & 0xff
             val tq = b(pos + 10 + 3 * c) & 0xff
-            if (tq > 3) return UnknownMedia(b.length)
+            if (tq > 3) return null
             compId(c) = b(pos + 8 + 3 * c) & 0xff
             compQ(c) = tq
             if (c == 0) { sampH0 = hv >> 4; sampV0 = hv & 15 }
-            else if (hv != 0x11) return UnknownMedia(b.length)
+            else if (hv != 0x11) return null
             c += 1
           }
           // supported sampling: 1×1 everywhere, or 2×2 luma over 1×1
           // chroma (4:2:0); grayscale must be 1×1
           if (!((sampH0 == 1 && sampV0 == 1) ||
                 (nComp == 3 && sampH0 == 2 && sampV0 == 2)))
-            return UnknownMedia(b.length)
+            return null
           seenSof = true
           pos += len
         case 0xc4 =>
-          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          if (pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return null
           var p = pos + 2
           val end = pos + len
           while (p < end) {
-            if (p + 17 > end) return UnknownMedia(b.length)
+            if (p + 17 > end) return null
             val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
-            if (tc > 1 || th > 3) return UnknownMedia(b.length)
+            if (tc > 1 || th > 3) return null
             val counts = new Array[Int](17)
             var total = 0
             var l = 1
             while (l <= 16) { counts(l) = b(p + l) & 0xff; total += counts(l); l += 1 }
-            if (total > 256 || p + 17 + total > end) return UnknownMedia(b.length)
+            if (total > 256 || p + 17 + total > end) return null
             val syms = new Array[Int](total)
             var i = 0
             while (i < total) { syms(i) = b(p + 17 + i) & 0xff; i += 1 }
@@ -1326,21 +1350,21 @@ object MediaCodec extends Serializable {
             var c2 = 0; var ok = true
             l = 1
             while (l <= 16) { c2 = (c2 + counts(l)) << 1; if (c2 > (2 << l)) ok = false; l += 1 }
-            if (!ok) return UnknownMedia(b.length)
+            if (!ok) return null
             val t = new JpegHuffTable(counts, syms)
             if (tc == 0) dcTables(th) = t else acTables(th) = t
             p += 17 + total
           }
           pos = end
         case 0xdb =>
-          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          if (pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return null
           var p = pos + 2
           val end = pos + len
           while (p < end) {
             val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
-            if (pq != 0 || tq > 3 || p + 65 > end) return UnknownMedia(b.length) // 16-bit DQT: not baseline-8
+            if (pq != 0 || tq > 3 || p + 65 > end) return null // 16-bit DQT: not baseline-8
             val q = new Array[Int](64)
             var i = 0
             while (i < 64) { q(i) = b(p + 1 + i) & 0xff; i += 1 }
@@ -1349,17 +1373,17 @@ object MediaCodec extends Serializable {
           }
           pos = end
         case 0xdd =>
-          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          if (pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len != 4 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          if (len != 4 || pos.toLong + len > b.length.toLong) return null
           restartInterval = u16(pos + 2)
           pos += len
         case 0xda =>
-          if (!seenSof || pos + 2 > b.length) return UnknownMedia(b.length)
+          if (!seenSof || pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return null
           val ns = b(pos + 2) & 0xff
-          if (ns != nComp || len != 6 + 2 * ns) return UnknownMedia(b.length)
+          if (ns != nComp || len != 6 + 2 * ns) return null
           var c = 0
           while (c < ns) {
             // component selectors must NAME the SOF components in SOF
@@ -1368,10 +1392,10 @@ object MediaCodec extends Serializable {
             // would decode luma with chroma tables on a
             // non-conforming scan header and return garbage as a
             // "valid" image (review r14)
-            if ((b(pos + 3 + 2 * c) & 0xff) != compId(c)) return UnknownMedia(b.length)
+            if ((b(pos + 3 + 2 * c) & 0xff) != compId(c)) return null
             val td = (b(pos + 4 + 2 * c) & 0xff) >> 4
             val ta = b(pos + 4 + 2 * c) & 0x0f
-            if (td > 3 || ta > 3) return UnknownMedia(b.length)
+            if (td > 3 || ta > 3) return null
             compDc(c) = td; compAc(c) = ta
             c += 1
           }
@@ -1379,145 +1403,131 @@ object MediaCodec extends Serializable {
           // (payload layout: [ns][Cs,TdTa]×ns then Ss at pos+3+2ns)
           if ((b(pos + 3 + 2 * ns) & 0xff) != 0 ||
               (b(pos + 4 + 2 * ns) & 0xff) != 63 ||
-              (b(pos + 5 + 2 * ns) & 0xff) != 0) return UnknownMedia(b.length)
+              (b(pos + 5 + 2 * ns) & 0xff) != 0) return null
           sosAt = pos + len
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca |
              0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
-          return UnknownMedia(b.length) // progressive/arith/hierarchical
+          return null // progressive/arith/hierarchical
         case mm if mm >= 0xe0 && mm <= 0xef => // APPn
-          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          if (pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return null
           pos += len
         case 0xfe => // COM
-          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          if (pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len < 2 || pos.toLong + len > b.length.toLong) return UnknownMedia(b.length)
+          if (len < 2 || pos.toLong + len > b.length.toLong) return null
           pos += len
-        case _ => return UnknownMedia(b.length) // RST/DNL/unknown outside scan
+        case _ => return null // RST/DNL/unknown outside scan
       }
     }
     // every referenced table must have arrived
     var c = 0
     while (c < nComp) {
       if (qTables(compQ(c)) == null || dcTables(compDc(c)) == null ||
-          acTables(compAc(c)) == null) return UnknownMedia(b.length)
+          acTables(compAc(c)) == null) return null
       c += 1
     }
+    val hdr = new JpegHeader(w, h, nComp, sampH0 == 2, restartInterval, sosAt,
+      qTables, dcTables, acTables, compQ, compDc, compAc)
+    // padded-plane allocation bound (Long first)
+    if (hdr.yW.toLong * hdr.yH > Int.MaxValue.toLong / 4) return null
+    hdr
+  }
 
-    // ---- plane geometry (padded to whole MCUs)
-    val sub420 = sampH0 == 2
-    val mcuPx = if (sub420) 16 else 8
-    val mcusX = (w + mcuPx - 1) / mcuPx
-    val mcusY = (h + mcuPx - 1) / mcuPx
-    val yW = mcusX * mcuPx; val yH = mcusY * mcuPx
-    if (yW.toLong * yH > Int.MaxValue.toLong / 4) return UnknownMedia(b.length)
-    val yPlane = new Array[Int](yW * yH)
-    val cW = if (sub420) mcusX * 8 else yW
-    val cH = if (sub420) mcusY * 8 else yH
-    val cbPlane = if (nComp == 3) new Array[Int](cW * cH) else null
-    val crPlane = if (nComp == 3) new Array[Int](cW * cH) else null
-
-    // ---- entropy decode
-    val br = new JpegBitReader(b, sosAt)
+  /** Entropy-decode MCUs [startMcu, endMcu) from byte offset
+    * `startPos` into `planes`, with FRESH DC predictors and a fresh
+    * bit reader — exactly one restart interval's contract (T.81
+    * F.2.1.3.1: DC prediction and bit alignment reset at every RSTn),
+    * which is why an interval needs nothing from the intervals before
+    * it. Returns the byte position after the interval's last entropy
+    * byte (aligned). Throws IndexOutOfBounds on malformed data — the
+    * caller's totality net. */
+  private def decodeJpegSegment(b: Array[Byte], hdr: JpegHeader,
+                                planes: JpegPlanes,
+                                startMcu: Int, endMcu: Int, startPos: Int): Int = {
+    val br = new JpegBitReader(b, startPos)
     val coef = new Array[Long](64)
     val px = new Array[Int](64)
     val dcPred = new Array[Int](3)
-    val totalMcus = mcusX * mcusY
-    var rstExpect = 0
-    try {
-      def decodeBlock(comp: Int, plane: Array[Int], pw: Int, bx: Int, by: Int): Unit = {
-        val q = qTables(compQ(comp))
-        java.util.Arrays.fill(coef, 0L)
-        val sDc = br.decodeHuff(dcTables(compDc(comp)))
-        if (sDc > 11) throw new IndexOutOfBoundsException("dc category")
-        val diff = jpegExtend(br.receive(sDc), sDc)
-        dcPred(comp) += diff
-        // a valid 8-bit baseline stream's cumulative DC is a quantized
-        // DCT coefficient — 11 bits + sign (T.81 Table F.1 tops out at
-        // category 11). An adversarial diff chain could otherwise grow
-        // the predictor without bound (and wrap Int into garbage
-        // pixels instead of an honest rejection)
-        if (dcPred(comp) > 2047 || dcPred(comp) < -2048)
-          throw new IndexOutOfBoundsException("dc out of range")
-        coef(0) = dcPred(comp).toLong * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = br.decodeHuff(acTables(compAc(comp)))
-          val r = rs >> 4; val s = rs & 15
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += r
-            if (k > 63 || s > 10) throw new IndexOutOfBoundsException("ac overflow")
-            coef(jpegZigzag(k)) = jpegExtend(br.receive(s), s).toLong * q(k)
-            k += 1
-          }
-        }
-        jpegIdctBlock(coef, px)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            plane((by * 8 + y) * pw + bx * 8 + x) = px(8 * y + x)
-            x += 1
-          }
-          y += 1
-        }
-      }
-      var mcu = 0
-      while (mcu < totalMcus) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.align()
-          // the RSTn sequence is modulo-8 and mandatory exactly here
-          if ((b(br.pos) & 0xff) != 0xff ||
-              (b(br.pos + 1) & 0xff) != 0xd0 + (rstExpect % 8))
-            return UnknownMedia(b.length)
-          br.pos += 2
-          br.hitMarker = false
-          rstExpect += 1
-          java.util.Arrays.fill(dcPred, 0)
-        }
-        val my = mcu / mcusX; val mx = mcu % mcusX
-        if (sub420) {
-          decodeBlock(0, yPlane, yW, 2 * mx, 2 * my)
-          decodeBlock(0, yPlane, yW, 2 * mx + 1, 2 * my)
-          decodeBlock(0, yPlane, yW, 2 * mx, 2 * my + 1)
-          decodeBlock(0, yPlane, yW, 2 * mx + 1, 2 * my + 1)
-          decodeBlock(1, cbPlane, cW, mx, my)
-          decodeBlock(2, crPlane, cW, mx, my)
+    def decodeBlock(comp: Int, plane: Array[Int], pw: Int, bx: Int, by: Int): Unit = {
+      val q = hdr.qTables(hdr.compQ(comp))
+      java.util.Arrays.fill(coef, 0L)
+      val sDc = br.decodeHuff(hdr.dcTables(hdr.compDc(comp)))
+      if (sDc > 11) throw new IndexOutOfBoundsException("dc category")
+      val diff = jpegExtend(br.receive(sDc), sDc)
+      dcPred(comp) += diff
+      // a valid 8-bit baseline stream's cumulative DC is a quantized
+      // DCT coefficient — 11 bits + sign (T.81 Table F.1 tops out at
+      // category 11). An adversarial diff chain could otherwise grow
+      // the predictor without bound (and wrap Int into garbage
+      // pixels instead of an honest rejection)
+      if (dcPred(comp) > 2047 || dcPred(comp) < -2048)
+        throw new IndexOutOfBoundsException("dc out of range")
+      coef(0) = dcPred(comp).toLong * q(0)
+      var k = 1
+      while (k < 64) {
+        val rs = br.decodeHuff(hdr.acTables(hdr.compAc(comp)))
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else k = 64 // EOB
         } else {
-          decodeBlock(0, yPlane, yW, mx, my)
-          if (nComp == 3) {
-            decodeBlock(1, cbPlane, cW, mx, my)
-            decodeBlock(2, crPlane, cW, mx, my)
-          }
+          k += r
+          if (k > 63 || s > 10) throw new IndexOutOfBoundsException("ac overflow")
+          coef(jpegZigzag(k)) = jpegExtend(br.receive(s), s).toLong * q(k)
+          k += 1
         }
-        mcu += 1
       }
-    } catch {
-      case _: IndexOutOfBoundsException => return UnknownMedia(b.length)
+      jpegIdctBlock(coef, px)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          plane((by * 8 + y) * pw + bx * 8 + x) = px(8 * y + x)
+          x += 1
+        }
+        y += 1
+      }
     }
-    // scan must close with EOI at the very end — trailing bytes mean
-    // the payload is not the JPEG it claims to be (the PNG rule)
+    var mcu = startMcu
+    while (mcu < endMcu) {
+      val my = mcu / hdr.mcusX; val mx = mcu % hdr.mcusX
+      if (hdr.sub420) {
+        decodeBlock(0, planes.y, hdr.yW, 2 * mx, 2 * my)
+        decodeBlock(0, planes.y, hdr.yW, 2 * mx + 1, 2 * my)
+        decodeBlock(0, planes.y, hdr.yW, 2 * mx, 2 * my + 1)
+        decodeBlock(0, planes.y, hdr.yW, 2 * mx + 1, 2 * my + 1)
+        decodeBlock(1, planes.cb, hdr.cW, mx, my)
+        decodeBlock(2, planes.cr, hdr.cW, mx, my)
+      } else {
+        decodeBlock(0, planes.y, hdr.yW, mx, my)
+        if (hdr.nComp == 3) {
+          decodeBlock(1, planes.cb, hdr.cW, mx, my)
+          decodeBlock(2, planes.cr, hdr.cW, mx, my)
+        }
+      }
+      mcu += 1
+    }
     br.align()
-    if (br.pos + 2 != b.length || (b(br.pos) & 0xff) != 0xff ||
-        (b(br.pos + 1) & 0xff) != 0xd9) return UnknownMedia(b.length)
+    br.pos
+  }
 
-    // ---- upsample + color convert + crop
-    val rgb = new Array[Byte](3 * w * h)
+  /** Upsample (NN for 4:2:0) + integer YCbCr→RGB + crop to the SOF
+    * dimensions. */
+  private def assembleJpegRgb(hdr: JpegHeader, planes: JpegPlanes): Array[Byte] = {
+    val rgb = new Array[Byte](3 * hdr.w * hdr.h)
     var yy = 0
-    while (yy < h) {
+    while (yy < hdr.h) {
       var xx = 0
-      while (xx < w) {
-        val yv = yPlane(yy * yW + xx)
-        val o = 3 * (yy * w + xx)
-        if (nComp == 1) {
+      while (xx < hdr.w) {
+        val yv = planes.y(yy * hdr.yW + xx)
+        val o = 3 * (yy * hdr.w + xx)
+        if (hdr.nComp == 1) {
           rgb(o) = yv.toByte; rgb(o + 1) = yv.toByte; rgb(o + 2) = yv.toByte
         } else {
-          val ci = if (sub420) (yy / 2) * cW + (xx / 2) else yy * cW + xx
-          val cb = cbPlane(ci) - 128; val cr = crPlane(ci) - 128
+          val ci = if (hdr.sub420) (yy / 2) * hdr.cW + (xx / 2) else yy * hdr.cW + xx
+          val cb = planes.cb(ci) - 128; val cr = planes.cr(ci) - 128
           var r = yv + ((91881 * cr + 32768) >> 16)
           var g = yv - ((22554 * cb + 46802 * cr + 32768) >> 16)
           var bl = yv + ((116130 * cb + 32768) >> 16)
@@ -1530,7 +1540,131 @@ object MediaCodec extends Serializable {
       }
       yy += 1
     }
-    ImageMedia(w, h, "jpg", rgb)
+    rgb
+  }
+
+  /** Baseline JPEG decoder (SOF0, 8-bit, Huffman): header walk
+    * ([[parseJpegHeader]]) → per-restart-interval entropy decode
+    * ([[decodeJpegSegment]] — fresh DC state per interval, the spec's
+    * own reset rule) with the modulo-8 RSTn sequence enforced exactly
+    * where DRI says → dequantize → fixed-point IDCT → chroma upsample
+    * → integer YCbCr→RGB → crop. Strict where the spec is strict:
+    * only baseline SOF0 decodes (SOF1/2/…, arithmetic coding and
+    * 4-component scans are honest UnknownMedia), DQT must be 8-bit,
+    * the scan must end in EOI, and trailing bytes after EOI reject
+    * (the PNG discipline). All dimension arithmetic bounds in Long
+    * before any allocation. */
+  private[operators] def decodeJpeg(b: Array[Byte]): Media = {
+    val hdr = parseJpegHeader(b)
+    if (hdr == null) return UnknownMedia(b.length)
+    val planes = new JpegPlanes(hdr)
+    val ri = hdr.restartInterval
+    val nSeg = if (ri > 0) (hdr.totalMcus + ri - 1) / ri else 1
+    var pos = hdr.sosAt
+    try {
+      var seg = 0
+      while (seg < nSeg) {
+        if (seg > 0) {
+          // the RSTn sequence is modulo-8 and mandatory exactly here
+          if ((b(pos) & 0xff) != 0xff ||
+              (b(pos + 1) & 0xff) != 0xd0 + ((seg - 1) % 8))
+            return UnknownMedia(b.length)
+          pos += 2
+        }
+        val start = if (ri > 0) seg * ri else 0
+        val end = if (ri > 0) math.min(start + ri, hdr.totalMcus) else hdr.totalMcus
+        pos = decodeJpegSegment(b, hdr, planes, start, end, pos)
+        seg += 1
+      }
+    } catch {
+      case _: IndexOutOfBoundsException => return UnknownMedia(b.length)
+    }
+    // scan must close with EOI at the very end — trailing bytes mean
+    // the payload is not the JPEG it claims to be (the PNG rule)
+    if (pos + 2 != b.length || (b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != 0xd9) return UnknownMedia(b.length)
+    ImageMedia(hdr.w, hdr.h, "jpg", assembleJpegRgb(hdr, planes))
+  }
+
+  /** Byte offset of every restart segment's entropy data — segment 0
+    * at SOS, segment i > 0 right after its RSTn marker, found by BYTE
+    * SCAN: inside entropy data every 0xFF is stuffed (FF00), so a
+    * bare FF D0–D7 is unambiguously a restart marker. The modulo-8
+    * numbering is validated during the scan. Null when the count or
+    * sequence is wrong. */
+  private def jpegSegmentOffsets(b: Array[Byte], hdr: JpegHeader, nSeg: Int): Array[Int] = {
+    val offs = new Array[Int](nSeg)
+    offs(0) = hdr.sosAt
+    var found = 1
+    var p = hdr.sosAt
+    while (found < nSeg && p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val n = b(p + 1) & 0xff
+        if (n >= 0xd0 && n <= 0xd7) {
+          if (n != 0xd0 + ((found - 1) % 8)) return null
+          offs(found) = p + 2
+          found += 1
+        }
+        p += 2 // stuffed 00, a restart, or a stray marker — all 2 bytes
+      } else p += 1
+    }
+    if (found == nSeg) offs else null
+  }
+
+  /** Restart-segment-PARALLEL decode: every interval entropy-decodes
+    * independently — its own bit reader at its own byte offset, fresh
+    * DC predictors (T.81 F.2.1.3.1 resets both at every RSTn) — into
+    * disjoint regions of shared planes, so the intervals run in ANY
+    * order or concurrently (here: the JDK common pool). This is the
+    * 100 TB splitter property made executable: one multi-gigabyte
+    * object's restart intervals can fan out across threads — or,
+    * given byte-range reads, across executors — instead of forcing a
+    * single sequential scan. Extra strictness the sequential path
+    * gets by construction is checked explicitly here: each interior
+    * segment must END exactly at the next RSTn (no slack bytes), and
+    * the last at EOI. MultimodalSpec gates the result bit-identical
+    * to [[decodeJpeg]], including under reversed and shuffled
+    * explicit orders. */
+  private[graft] def decodeJpegParallel(b: Array[Byte],
+                                        order: Option[Seq[Int]] = None): Media = {
+    val hdr = parseJpegHeader(b)
+    if (hdr == null) return UnknownMedia(b.length)
+    val ri = hdr.restartInterval
+    if (ri <= 0) return decodeJpeg(b) // no restart structure to split on
+    val nSeg = (hdr.totalMcus + ri - 1) / ri
+    val offs = jpegSegmentOffsets(b, hdr, nSeg)
+    if (offs == null) return UnknownMedia(b.length)
+    val planes = new JpegPlanes(hdr)
+    val ends = new Array[Int](nSeg)
+    def one(i: Int): Unit = {
+      val start = i * ri
+      val end = math.min(start + ri, hdr.totalMcus)
+      ends(i) = decodeJpegSegment(b, hdr, planes, start, end, offs(i))
+    }
+    try {
+      order match {
+        case Some(ord) =>
+          if (ord.sorted != (0 until nSeg)) return UnknownMedia(b.length)
+          ord.foreach(one)
+        case None =>
+          val err = new java.util.concurrent.atomic.AtomicBoolean(false)
+          java.util.stream.IntStream.range(0, nSeg).parallel().forEach { i =>
+            try one(i)
+            catch { case _: IndexOutOfBoundsException => err.set(true) }
+          }
+          if (err.get) return UnknownMedia(b.length)
+      }
+    } catch {
+      case _: IndexOutOfBoundsException => return UnknownMedia(b.length)
+    }
+    var i = 0
+    while (i < nSeg - 1) {
+      if (ends(i) + 2 != offs(i + 1)) return UnknownMedia(b.length)
+      i += 1
+    }
+    if (ends(nSeg - 1) + 2 != b.length || (b(ends(nSeg - 1)) & 0xff) != 0xff ||
+        (b(ends(nSeg - 1) + 1) & 0xff) != 0xd9) return UnknownMedia(b.length)
+    ImageMedia(hdr.w, hdr.h, "jpg", assembleJpegRgb(hdr, planes))
   }
 
   // --------------------------------------------------------- derived ops

@@ -1374,6 +1374,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("baseline JPEG: restart intervals decode independently — parallel/reversed/shuffled ≡ sequential") {
+    // The 100 TB splitter property, executed: T.81 resets DC
+    // prediction and bit alignment at every RSTn, so each restart
+    // interval needs NOTHING from the intervals before it —
+    // decodeJpegParallel entropy-decodes every interval from its own
+    // byte offset (found by scan: stuffing makes a bare FF D0-D7
+    // unambiguous) with fresh state into disjoint plane regions.
+    // Gate: bit-identical to the sequential decoder under the JDK
+    // common pool AND under explicit reversed/shuffled segment
+    // orders — order-independence is the property that lets a
+    // splitter fan one huge object's intervals across executors.
+    val rnd = new scala.util.Random(19)
+    val fixtures = Seq(
+      ("gray blocky", MediaCodec.encodeJpeg(32, 16,
+        Array.tabulate[Byte](3 * 32 * 16)(i => ((((i / 3) % 32) / 8 * 40) + 30).toByte),
+        "gray", 2)),                 // 8 MCUs -> 4 segments
+      ("420 blocky", MediaCodec.encodeJpeg(48, 32,
+        Array.tabulate[Byte](3 * 48 * 32)(i => (((i / 3) / 48 / 8 * 2 + ((i / 3) % 48) / 8) * 13 + 20).toByte),
+        "420", 2)),                  // 6 MCUs -> 3 segments
+      ("444 textured", MediaCodec.encodeJpeg(24, 24,
+        Array.fill[Byte](3 * 24 * 24)(rnd.nextInt(256).toByte),
+        "444", 3)))                  // 9 MCUs -> 3 segments
+    fixtures.foreach { case (name, bytes) =>
+      val seq = MediaCodec.decode(bytes) match {
+        case ImageMedia(_, _, _, rgb) => rgb
+        case other                    => fail(s"$name: sequential decode $other")
+      }
+      def rgbOf(m: MediaCodec.Media): Array[Byte] = m match {
+        case ImageMedia(_, _, _, rgb) => rgb
+        case other                    => fail(s"$name: parallel decode $other")
+      }
+      assert(java.util.Arrays.equals(rgbOf(MediaCodec.decodeJpegParallel(bytes)), seq),
+        s"$name: common-pool parallel decode must be bit-identical")
+      val nSeg = Seq("gray blocky" -> 4, "420 blocky" -> 3, "444 textured" -> 3).toMap.apply(name)
+      assert(java.util.Arrays.equals(
+        rgbOf(MediaCodec.decodeJpegParallel(bytes, Some((nSeg - 1) to 0 by -1))), seq),
+        s"$name: REVERSED segment order must be bit-identical")
+      assert(java.util.Arrays.equals(
+        rgbOf(MediaCodec.decodeJpegParallel(bytes, Some(rnd.shuffle((0 until nSeg).toList)))), seq),
+        s"$name: shuffled segment order must be bit-identical")
+    }
+    // strictness carries over: slack bytes between intervals, a bad
+    // RSTn sequence, or a missing segment reject in the parallel path
+    val base = fixtures.head._2
+    var p = 2
+    while (!((base(p) & 0xff) == 0xff && (base(p + 1) & 0xff) == 0xd0)) p += 1
+    val slack = base.take(p) ++ Array(0.toByte) ++ base.drop(p)
+    assert(MediaCodec.decodeJpegParallel(slack).isInstanceOf[UnknownMedia],
+      "slack bytes before a restart marker must reject")
+    // a non-restart fixture falls back to the sequential path whole
+    def rgbOf2(m: MediaCodec.Media): Array[Byte] = m match {
+      case ImageMedia(_, _, _, rgb) => rgb
+      case other                    => fail(s"no-restart fixture decoded to $other")
+    }
+    val noRi = MediaCodec.encodeJpeg(16, 16, Array.fill[Byte](768)(90.toByte), "gray")
+    assert(java.util.Arrays.equals(
+      rgbOf2(MediaCodec.decodeJpegParallel(noRi)), rgbOf2(MediaCodec.decode(noRi))))
+  }
+
   test("corruption fuzz: decode NEVER throws over seeded mutations of every container") {
     // The totality contract, exercised adversarially at volume: take
     // one valid payload per container, then hammer it with seeded
