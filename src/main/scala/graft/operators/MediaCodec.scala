@@ -1557,6 +1557,10 @@ object MediaCodec extends Serializable {
   private[operators] def decodeJpeg(b: Array[Byte]): Media = {
     val hdr = parseJpegHeader(b)
     if (hdr == null) return UnknownMedia(b.length)
+    decodeJpegSequential(b, hdr)
+  }
+
+  private def decodeJpegSequential(b: Array[Byte], hdr: JpegHeader): Media = {
     val planes = new JpegPlanes(hdr)
     val ri = hdr.restartInterval
     val nSeg = if (ri > 0) (hdr.totalMcus + ri - 1) / ri else 1
@@ -1630,7 +1634,9 @@ object MediaCodec extends Serializable {
     val hdr = parseJpegHeader(b)
     if (hdr == null) return UnknownMedia(b.length)
     val ri = hdr.restartInterval
-    if (ri <= 0) return decodeJpeg(b) // no restart structure to split on
+    // no restart structure to split on — reuse the already-parsed
+    // header rather than re-walking the markers (review r14)
+    if (ri <= 0) return decodeJpegSequential(b, hdr)
     val nSeg = (hdr.totalMcus + ri - 1) / ri
     val offs = jpegSegmentOffsets(b, hdr, nSeg)
     if (offs == null) return UnknownMedia(b.length)

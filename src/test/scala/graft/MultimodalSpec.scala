@@ -1484,6 +1484,14 @@ class MultimodalSpec extends SparkSpec {
         try { MediaCodec.aHash64(media); MediaCodec.contentUnits(media) } catch {
           case e: Throwable => fail(s"hash/units threw ${e.getClass.getSimpleName} on mutation $i: ${e.getMessage}")
         }
+        // the segment-parallel JPEG entry point has its own parsing
+        // code (offset byte scan, stitch/EOI checks) — it must be as
+        // total as decode(); non-JPEG mutations exercise its header
+        // rejection, JPEG-seed mutations its segment machinery
+        // (review r14)
+        try MediaCodec.decodeJpegParallel(mutated) catch {
+          case e: Throwable => fail(s"decodeJpegParallel threw ${e.getClass.getSimpleName} on mutation $i: ${e.getMessage}")
+        }
         if (!media.isInstanceOf[UnknownMedia]) decodedOk += 1
       }
     }
