@@ -404,8 +404,9 @@ object MediaCodec extends Serializable {
     * grayscale/truecolor (r14 — unfiltered at the wider
     * bytes-per-pixel offset, then down-shifted to each big-endian
     * sample's high byte; 16-bit palette is illegal per spec Table
-    * 11.1 and rejects), all non-interlaced — anything else (alpha,
-    * Adam7) is honest
+    * 11.1 and rejects), sequential AND Adam7-interlaced (r14: seven
+    * independently-filtered sub-images scattered to final positions)
+    * — anything else (alpha, including tRNS transparency) is honest
     * [[UnknownMedia]], as are truncated streams, foreign trailing
     * bytes and wrapped-dimension headers (LONG bounds before every
     * allocation). Ancillary chunks (tEXt/pHYs/…) are skipped after
@@ -418,6 +419,7 @@ object MediaCodec extends Serializable {
     var pos = 8
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
     var sampleBytes = 1
+    var interlaced = false
     var seenIhdr = false; var seenIend = false
     var inIdat = false; var idatClosed = false
     var palette: Array[Byte] = null
@@ -461,10 +463,15 @@ object MediaCodec extends Serializable {
           // PPM/Y4M lesson applied to the new parser from day one);
           // the OUTPUT raster is always 3·w·h — grayscale and palette
           // profiles expand
+          // interlace 1 = Adam7 (r14): seven sub-images, each
+          // filtered independently, scattered to final positions
+          interlaced = inter == 1
           if (w <= 0 || h <= 0 || bpp == 0 ||
-              comp != 0 || filt != 0 || inter != 0 ||
+              comp != 0 || filt != 0 || (inter != 0 && inter != 1) ||
               3L * w * h > Int.MaxValue.toLong ||
-              h.toLong * (1L + bpp.toLong * w) > Int.MaxValue.toLong)
+              // Adam7 raw ≤ pixel bytes + <2h filter bytes; the
+              // sequential bound dominates both modes with headroom
+              h.toLong * (2L + bpp.toLong * w) > Int.MaxValue.toLong)
             return UnknownMedia(b.length)
         case "PLTE" =>
           // spec §11.2.3: one PLTE, before IDAT, 1–256 whole RGB
@@ -517,7 +524,16 @@ object MediaCodec extends Serializable {
     if (pos != b.length) return UnknownMedia(b.length)
     if (idat.size == 0) return UnknownMedia(b.length)
     val rowLen = bpp * w
-    val rawLen = h * (1 + rowLen)
+    // Adam7 pass geometry (spec 8.2): origin and stride per pass;
+    // empty passes contribute NO scanlines
+    val a7x0 = Array(0, 4, 0, 2, 0, 1, 0); val a7y0 = Array(0, 0, 4, 0, 2, 0, 1)
+    val a7dx = Array(8, 8, 4, 4, 2, 2, 1); val a7dy = Array(8, 8, 8, 4, 4, 2, 2)
+    def passW(p: Int): Int = if (w > a7x0(p)) (w - a7x0(p) + a7dx(p) - 1) / a7dx(p) else 0
+    def passH(p: Int): Int = if (h > a7y0(p)) (h - a7y0(p) + a7dy(p) - 1) / a7dy(p) else 0
+    val rawLen =
+      if (!interlaced) h * (1 + rowLen)
+      else (0 until 7).map(p =>
+        if (passW(p) > 0 && passH(p) > 0) passH(p) * (1 + bpp * passW(p)) else 0).sum
     val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     try {
@@ -546,30 +562,69 @@ object MediaCodec extends Serializable {
     } finally inf.end()
     // unfilter: each row's filter byte selects the inverse transform;
     // the reconstruction reads already-reconstructed neighbors (left,
-    // up, up-left — at BPP offsets, so the same loop serves truecolor
-    // and grayscale), exactly the spec's sequential dependency
-    val recon = new Array[Byte](h * rowLen)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (1 + rowLen)) & 0xff
-      if (f > 4) return UnknownMedia(b.length)
-      var x = 0
-      while (x < rowLen) {
-        val v = raw(y * (1 + rowLen) + 1 + x) & 0xff
-        val left = if (x >= bpp) recon(y * rowLen + x - bpp) & 0xff else 0
-        val up = if (y > 0) recon((y - 1) * rowLen + x) & 0xff else 0
-        val ul = if (x >= bpp && y > 0) recon((y - 1) * rowLen + x - bpp) & 0xff else 0
-        val r = f match {
-          case 0 => v
-          case 1 => v + left
-          case 2 => v + up
-          case 3 => v + (left + up) / 2
-          case _ => v + paeth(left, up, ul)
+    // up, up-left — at BPP offsets, so the same loop serves every
+    // profile), exactly the spec's sequential dependency. One helper
+    // serves both modes: the sequential raster is a single "pass" of
+    // the full dimensions, an Adam7 sub-image is a pass of its own
+    // dimensions (each filtered independently per spec 8.2).
+    def unfilterRows(srcOff: Int, rows: Int, rowBytes: Int, dst: Array[Byte]): Boolean = {
+      var y = 0
+      while (y < rows) {
+        val f = raw(srcOff + y * (1 + rowBytes)) & 0xff
+        if (f > 4) return false
+        var x = 0
+        while (x < rowBytes) {
+          val v = raw(srcOff + y * (1 + rowBytes) + 1 + x) & 0xff
+          val left = if (x >= bpp) dst(y * rowBytes + x - bpp) & 0xff else 0
+          val up = if (y > 0) dst((y - 1) * rowBytes + x) & 0xff else 0
+          val ul = if (x >= bpp && y > 0) dst((y - 1) * rowBytes + x - bpp) & 0xff else 0
+          val r = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case _ => v + paeth(left, up, ul)
+          }
+          dst(y * rowBytes + x) = r.toByte
+          x += 1
         }
-        recon(y * rowLen + x) = r.toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      true
+    }
+    val recon = new Array[Byte](h * rowLen)
+    if (!interlaced) {
+      if (!unfilterRows(0, h, rowLen, recon)) return UnknownMedia(b.length)
+    } else {
+      // Adam7: unfilter each sub-image against its OWN neighbors,
+      // then scatter its pixels to their final raster positions
+      var off = 0
+      var p = 0
+      while (p < 7) {
+        val pw = passW(p); val ph = passH(p)
+        if (pw > 0 && ph > 0) {
+          val prow = bpp * pw
+          val prec = new Array[Byte](ph * prow)
+          if (!unfilterRows(off, ph, prow, prec)) return UnknownMedia(b.length)
+          var py = 0
+          while (py < ph) {
+            val fy = a7y0(p) + py * a7dy(p)
+            var px = 0
+            while (px < pw) {
+              val fx = a7x0(p) + px * a7dx(p)
+              var c = 0
+              while (c < bpp) {
+                recon(fy * rowLen + fx * bpp + c) = prec(py * prow + px * bpp + c)
+                c += 1
+              }
+              px += 1
+            }
+            py += 1
+          }
+          off += ph * (1 + prow)
+        }
+        p += 1
+      }
     }
     // 16-bit rasters fold to their high bytes AFTER unfiltering (the
     // filter operates on raw scanline bytes at bpp offsets; the

@@ -602,6 +602,36 @@ class MultimodalSpec extends SparkSpec {
     * shares (Huffman re-encode, tEXt injection, adversarial headers).
     * Independence from the codec applies to DECODING; triplicated
     * chunk-emit boilerplate was just boilerplate (review r13). */
+  /** Minimal Adam7-interlaced truecolor PNG (filter-0 rows) for the
+    * corruption fuzz — the full-featured interlacer lives in the
+    * Adam7 test. */
+  private def adam7FuzzSeed: Array[Byte] = {
+    val w = 9; val h = 7
+    val rgb = Array.tabulate[Byte](3 * w * h)(i => ((i * 31 + 5) % 256).toByte)
+    val x0 = Array(0, 4, 0, 2, 0, 1, 0); val y0 = Array(0, 0, 4, 0, 2, 0, 1)
+    val dx = Array(8, 8, 4, 4, 2, 2, 1); val dy = Array(8, 8, 8, 4, 4, 2, 2)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (p <- 0 until 7) {
+      val pw = if (w > x0(p)) (w - x0(p) + dx(p) - 1) / dx(p) else 0
+      val ph = if (h > y0(p)) (h - y0(p) + dy(p) - 1) / dy(p) else 0
+      if (pw > 0 && ph > 0) for (py <- 0 until ph) {
+        raw.write(0)
+        for (px <- 0 until pw; c <- 0 until 3)
+          raw.write(rgb(((y0(p) + py * dy(p)) * w + (x0(p) + px * dx(p))) * 3 + c) & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw.toByteArray); d.finish()
+    val buf = new Array[Byte](raw.size + 64)
+    val n = d.deflate(buf)
+    d.end()
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 2; ihdr(12) = 1
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      pngChunkBytes("IHDR", ihdr) ++ pngChunkBytes("IDAT", buf.take(n)) ++
+      pngChunkBytes("IEND", Array.emptyByteArray)
+  }
+
   private def pngChunkBytes(typ: String, data: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](12 + data.length)
     out(0) = (data.length >>> 24).toByte; out(1) = (data.length >>> 16).toByte
@@ -1173,6 +1203,129 @@ class MultimodalSpec extends SparkSpec {
       "16-bit palette must reject")
   }
 
+  test("Adam7 interlaced PNG: all seven passes decode and scatter correctly across profiles and sizes") {
+    // Spec 8.2: the IDAT stream is seven independently-filtered
+    // sub-images; empty passes (small dims) contribute no scanlines.
+    // The spec-local interlacer gathers pixels into pass order with
+    // None/Sub filter rows, so a decoder that mis-walks pass
+    // geometry, filters a pass against the wrong neighbors, or
+    // scatters to wrong positions diverges from the original raster.
+    val x0 = Array(0, 4, 0, 2, 0, 1, 0); val y0 = Array(0, 0, 4, 0, 2, 0, 1)
+    val dx = Array(8, 8, 4, 4, 2, 2, 1); val dy = Array(8, 8, 8, 4, 4, 2, 2)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf)
+      assert(d.finished); d.end()
+      buf.take(n)
+    }
+    // interlace `pix` (w*h logical pixels of `bpp` bytes) into the
+    // Adam7 scanline stream
+    def adam7Idat(w: Int, h: Int, bpp: Int, pix: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      for (p <- 0 until 7) {
+        val pw = if (w > x0(p)) (w - x0(p) + dx(p) - 1) / dx(p) else 0
+        val ph = if (h > y0(p)) (h - y0(p) + dy(p) - 1) / dy(p) else 0
+        if (pw > 0 && ph > 0) {
+          val prow = bpp * pw
+          val rows = Array.tabulate(ph, prow) { (py, x) =>
+            val px = x / bpp; val c = x % bpp
+            pix(((y0(p) + py * dy(p)) * w + (x0(p) + px * dx(p))) * bpp + c)
+          }
+          for (py <- 0 until ph) {
+            val f = py % 2 // None / Sub — pins per-pass filtering
+            out.write(f)
+            for (x <- 0 until prow) {
+              val cur = rows(py)(x) & 0xff
+              val left = if (x >= bpp) rows(py)(x - bpp) & 0xff else 0
+              out.write((if (f == 0) cur else cur - left) & 0xff)
+            }
+          }
+        }
+      }
+      deflate(out.toByteArray)
+    }
+    def png(w: Int, h: Int, depth: Int, colorType: Int, idat: Array[Byte],
+            plte: Array[Byte] = null): Array[Byte] = {
+      val ihdr = new Array[Byte](13)
+      ihdr(3) = w.toByte; ihdr(7) = h.toByte
+      ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte; ihdr(12) = 1 // Adam7
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        pngChunkBytes("IHDR", ihdr) ++
+        (if (plte != null) pngChunkBytes("PLTE", plte) else Array.emptyByteArray) ++
+        pngChunkBytes("IDAT", idat) ++ pngChunkBytes("IEND", Array.emptyByteArray)
+    }
+    // sizes chosen to cover: every pass nonempty (>=8x8), most passes
+    // empty (1x1 has only pass 1; 4x4 misses pass 3's y0=4; 3x2, 9x5
+    // ragged pass widths)
+    for ((w, h) <- Seq((1, 1), (3, 2), (4, 4), (8, 8), (9, 5), (13, 11))) {
+      // truecolor 8-bit
+      val rgb = Array.tabulate[Byte](3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+      MediaCodec.decode(png(w, h, 8, 2, adam7Idat(w, h, 3, rgb))) match {
+        case ImageMedia(`w`, `h`, "png", out) =>
+          assert(java.util.Arrays.equals(out, rgb), s"truecolor $w x $h")
+        case other => fail(s"truecolor $w x $h: $other")
+      }
+      // grayscale 8-bit (r = g = b expansion)
+      val gray = Array.tabulate[Byte](w * h)(i => ((i * 41 + 3) % 256).toByte)
+      MediaCodec.decode(png(w, h, 8, 0, adam7Idat(w, h, 1, gray))) match {
+        case ImageMedia(`w`, `h`, "png", out) =>
+          for (i <- 0 until w * h; c <- 0 until 3)
+            assert(out(3 * i + c) == gray(i), s"gray $w x $h pixel $i")
+        case other => fail(s"gray $w x $h: $other")
+      }
+      // palette through the interlaced path
+      val plte = Array.tabulate[Byte](90)(j => (j * 3).toByte)
+      val idx = Array.tabulate[Byte](w * h)(i => (i % 30).toByte)
+      MediaCodec.decode(png(w, h, 8, 3, adam7Idat(w, h, 1, idx), plte)) match {
+        case ImageMedia(`w`, `h`, "png", out) =>
+          for (i <- 0 until w * h; c <- 0 until 3)
+            assert(out(3 * i + c) == plte(3 * (idx(i) & 0xff) + c), s"palette $w x $h pixel $i")
+        case other => fail(s"palette $w x $h: $other")
+      }
+    }
+    // 16-bit truecolor through the interlaced path: the pass filter
+    // offset must be the WIDER 6-byte bpp
+    locally {
+      val w = 9; val h = 6
+      val hi = Array.tabulate(3 * w * h)(i => (i * 23 + 7) % 256)
+      val pix16 = Array.tabulate[Byte](6 * w * h) { x =>
+        (if (x % 2 == 0) hi(x / 2) else (x * 89 + 17) % 256).toByte // hi : lo-noise
+      }
+      MediaCodec.decode(png(w, h, 16, 2, adam7Idat(w, h, 6, pix16))) match {
+        case ImageMedia(`w`, `h`, "png", out) =>
+          for (i <- 0 until 3 * w * h)
+            assert((out(i) & 0xff) == hi(i), s"16-bit interlaced byte $i")
+        case other => fail(s"16-bit interlaced: $other")
+      }
+    }
+    // surplus / truncated interlaced streams reject like sequential
+    locally {
+      val rgb = Array.tabulate[Byte](192)(_.toByte)
+      val good = adam7Idat(8, 8, 3, rgb)
+      assert(MediaCodec.decode(png(8, 8, 8, 2, deflateConcat(good)))
+        .isInstanceOf[UnknownMedia], "surplus interlaced raw data must reject")
+    }
+    def deflateConcat(z: Array[Byte]): Array[Byte] = {
+      // re-deflate the inflated stream plus one surplus byte
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(z)
+      val buf = new Array[Byte](1 << 16)
+      val n = inf.inflate(buf)
+      inf.end()
+      deflate2(buf.take(n) :+ 0x55.toByte)
+    }
+    def deflate2(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf)
+      d.end()
+      buf.take(n)
+    }
+  }
+
   test("PNG strictness: unknown critical chunks and payload-bearing IEND reject (r13 advisories)") {
     val base = MediaCodec.encodePng(6, 5, Array.tabulate[Byte](90)(_.toByte))
     // sig(8) + IHDR(25) = 33: splice a chunk between IHDR and IDAT
@@ -1456,7 +1609,10 @@ class MultimodalSpec extends SparkSpec {
       // the Huffman-coded container, with restarts: bit-level damage
       // in the entropy segment must land in UnknownMedia, never escape
       MediaCodec.encodeJpeg(32, 16, Array.tabulate[Byte](3 * 32 * 16)(i =>
-        ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2))
+        ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2),
+      // an Adam7-interlaced PNG: damage to pass geometry bytes or the
+      // multi-sub-image stream must stay total too
+      adam7FuzzSeed)
     var decodedOk = 0
     seeds.foreach { base =>
       (1 to 400).foreach { i =>
