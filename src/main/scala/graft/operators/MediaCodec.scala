@@ -235,6 +235,17 @@ object MediaCodec extends Serializable {
     require(indices.length == w * h, s"index raster ${indices.length} != $w*$h")
     require(palette.length % 3 == 0 && palette.length > 0 && palette.length <= 768,
       s"palette must hold 1-256 RGB entries, got ${palette.length} bytes")
+    // an index past the palette would emit a PNG this file's own
+    // decoder (and libpng) rejects for an out-of-range lookup —
+    // cheap insurance, the fixture generator always ships 256 entries
+    // (advisory r14)
+    val nEntries = palette.length / 3
+    var ck = 0
+    while (ck < indices.length) {
+      require((indices(ck) & 0xff) < nEntries,
+        s"index ${indices(ck) & 0xff} at $ck outside the $nEntries-entry palette")
+      ck += 1
+    }
     val raw = new Array[Byte](h * (1 + w))
     var y = 0
     while (y < h) {
@@ -1226,6 +1237,10 @@ object MediaCodec extends Serializable {
         if (v == 0xff) {
           val next = b(pos + 1) & 0xff
           if (next == 0x00) { acc = 0xff; pos += 2 }
+          // any other FF — including FF FF, a fill byte prefixing a
+          // marker (B.1.1.2) — is a marker boundary: needing DATA
+          // bits here means the entropy segment ended early (the
+          // segment-end handlers skip the fill, jpegSkipFill)
           else { hitMarker = true; throw new IndexOutOfBoundsException("marker in scan") }
         } else { acc = v; pos += 1 }
         nBits = 8
@@ -1279,6 +1294,13 @@ object MediaCodec extends Serializable {
           }
         }
         if (m == 0xd9 || m == 0xda) return "" // hit scan/EOI without SOF0
+        // standalone markers (TEM 0x01, RSTn) carry NO length field —
+        // reading one as a length-bearing segment would jump the walk
+        // by garbage and could misreport a profile for a payload
+        // decodeJpeg rejects (advisory r14). Pre-SOS they are illegal
+        // anyway (parseJpegHeader rejects), so the walk's answer for
+        // such a payload is honestly "not a decodable profile".
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) return ""
         val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
         if (len < 2) return ""
         pos += 2 + len
@@ -1525,8 +1547,20 @@ object MediaCodec extends Serializable {
         val rs = br.decodeHuff(hdr.acTables(hdr.compAc(comp)))
         val r = rs >> 4; val s = rs & 15
         if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else k = 64 // EOB
+          if (r == 15) {
+            // ZRL codes 16 zeros PRECEDING a further coefficient
+            // (F.1.2.2.1) — only EOB may end a block early, so a ZRL
+            // whose zeros would reach past index 63 (or fill exactly
+            // to it) is a non-conforming stream, not data (advisory
+            // r14: silently accepting it decoded garbage as valid)
+            k += 16
+            if (k > 63) throw new IndexOutOfBoundsException("zrl overflow")
+          } else if (r == 0) k = 64 // EOB
+          else
+            // composite symbols with s = 0, r in 1..14 are undefined
+            // in sequential coding (they are EOBn only in progressive
+            // scans) — reject, matching the 'ac overflow' strictness
+            throw new IndexOutOfBoundsException("undefined run/size")
         } else {
           k += r
           if (k > 63 || s > 10) throw new IndexOutOfBoundsException("ac overflow")
@@ -1615,6 +1649,20 @@ object MediaCodec extends Serializable {
     decodeJpegSequential(b, hdr)
   }
 
+  /** Position of the marker's FINAL 0xFF at or after `pos0`: T.81
+    * B.1.1.2 lets a writer pad with any number of 0xFF fill bytes
+    * before a marker code, so `FF FF … FF D3` is one RST3 with fill,
+    * not malformed data (r14 conformance nit — a padding foreign
+    * writer used to reject). Inside entropy data a bare FF FF is
+    * still a stop: fill bytes only ever PRECEDE a marker, which is
+    * exactly where the decoders consult this helper. */
+  private def jpegSkipFill(b: Array[Byte], pos0: Int): Int = {
+    var p = pos0
+    while (p + 1 < b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xff)
+      p += 1
+    p
+  }
+
   private def decodeJpegSequential(b: Array[Byte], hdr: JpegHeader): Media = {
     val planes = new JpegPlanes(hdr)
     val ri = hdr.restartInterval
@@ -1625,6 +1673,8 @@ object MediaCodec extends Serializable {
       while (seg < nSeg) {
         if (seg > 0) {
           // the RSTn sequence is modulo-8 and mandatory exactly here
+          // (fill bytes before the marker are legal — B.1.1.2)
+          pos = jpegSkipFill(b, pos)
           if ((b(pos) & 0xff) != 0xff ||
               (b(pos + 1) & 0xff) != 0xd0 + ((seg - 1) % 8))
             return UnknownMedia(b.length)
@@ -1638,8 +1688,10 @@ object MediaCodec extends Serializable {
     } catch {
       case _: IndexOutOfBoundsException => return UnknownMedia(b.length)
     }
-    // scan must close with EOI at the very end — trailing bytes mean
-    // the payload is not the JPEG it claims to be (the PNG rule)
+    // scan must close with EOI at the very end (fill bytes before it
+    // are legal) — trailing bytes mean the payload is not the JPEG it
+    // claims to be (the PNG rule)
+    pos = jpegSkipFill(b, pos)
     if (pos + 2 != b.length || (b(pos) & 0xff) != 0xff ||
         (b(pos + 1) & 0xff) != 0xd9) return UnknownMedia(b.length)
     ImageMedia(hdr.w, hdr.h, "jpg", assembleJpegRgb(hdr, planes))
@@ -1663,8 +1715,11 @@ object MediaCodec extends Serializable {
           if (n != 0xd0 + ((found - 1) % 8)) return null
           offs(found) = p + 2
           found += 1
-        }
-        p += 2 // stuffed 00, a restart, or a stray marker — all 2 bytes
+          p += 2
+        } else if (n == 0xff) p += 1 // a FILL byte — the next byte may
+        // itself open the marker (B.1.1.2); consuming two would skip
+        // a restart hiding right behind the padding
+        else p += 2 // stuffed 00 or a stray marker — both 2 bytes
       } else p += 1
     }
     if (found == nSeg) offs else null
@@ -1720,11 +1775,14 @@ object MediaCodec extends Serializable {
     }
     var i = 0
     while (i < nSeg - 1) {
-      if (ends(i) + 2 != offs(i + 1)) return UnknownMedia(b.length)
+      // each interior segment must END exactly at the next RSTn —
+      // modulo any legal fill bytes before the marker (B.1.1.2)
+      if (jpegSkipFill(b, ends(i)) + 2 != offs(i + 1)) return UnknownMedia(b.length)
       i += 1
     }
-    if (ends(nSeg - 1) + 2 != b.length || (b(ends(nSeg - 1)) & 0xff) != 0xff ||
-        (b(ends(nSeg - 1) + 1) & 0xff) != 0xd9) return UnknownMedia(b.length)
+    val tail = jpegSkipFill(b, ends(nSeg - 1))
+    if (tail + 2 != b.length || (b(tail) & 0xff) != 0xff ||
+        (b(tail + 1) & 0xff) != 0xd9) return UnknownMedia(b.length)
     ImageMedia(hdr.w, hdr.h, "jpg", assembleJpegRgb(hdr, planes))
   }
 

@@ -1586,6 +1586,83 @@ class MultimodalSpec extends SparkSpec {
       rgbOf2(MediaCodec.decodeJpegParallel(noRi)), rgbOf2(MediaCodec.decode(noRi))))
   }
 
+  test("JPEG fill bytes before markers decode; ZRL overrun and undefined run/size reject (r14 advisories)") {
+    // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    // marker. A conforming foreign writer that pads before RSTn/EOI
+    // must decode — bit-identical to the unpadded twin, in BOTH the
+    // sequential and the segment-parallel paths (the r14 conformance
+    // nit, closed).
+    val rgb = Array.tabulate[Byte](3 * 32 * 16)(i => ((((i / 3) % 32) / 8 * 40) + 30).toByte)
+    val plain = MediaCodec.encodeJpeg(32, 16, rgb, "gray", 2) // 4 restart segments
+    def padBeforeMarkers(b: Array[Byte], nFill: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var p = 0
+      var inScan = false
+      while (p < b.length) {
+        val isMarker = p + 1 < b.length && (b(p) & 0xff) == 0xff && {
+          val n = b(p + 1) & 0xff
+          (n >= 0xd0 && n <= 0xd7) || n == 0xd9
+        }
+        if (inScan && isMarker) { var i = 0; while (i < nFill) { out.write(0xff); i += 1 } }
+        if (p + 1 < b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xda) inScan = true
+        out.write(b(p) & 0xff)
+        p += 1
+      }
+      out.toByteArray
+    }
+    val padded = padBeforeMarkers(plain, 2)
+    assert(padded.length == plain.length + 2 * 4, "3 RSTn + EOI each got 2 fill bytes")
+    def rgbOf(m: MediaCodec.Media, what: String): Array[Byte] = m match {
+      case ImageMedia(32, 16, _, px) => px
+      case other                     => fail(s"$what decoded to $other")
+    }
+    val want = rgbOf(MediaCodec.decode(plain), "unpadded")
+    assert(java.util.Arrays.equals(rgbOf(MediaCodec.decode(padded), "padded sequential"), want),
+      "fill-byte-padded file must decode bit-identical (sequential)")
+    assert(java.util.Arrays.equals(
+      rgbOf(MediaCodec.decodeJpegParallel(padded), "padded parallel"), want),
+      "fill-byte-padded file must decode bit-identical (parallel splitter)")
+    // a non-fill byte in the same position is still slack → reject
+    val slack = padBeforeMarkers(plain, 1).clone()
+    var sp = 2
+    while (!((slack(sp) & 0xff) == 0xff && (slack(sp + 1) & 0xff) == 0xff)) sp += 1
+    slack(sp) = 0x41.toByte
+    assert(MediaCodec.decode(slack).isInstanceOf[UnknownMedia],
+      "non-fill slack before a marker must still reject")
+
+    // Hand-built single-block grayscale container with a custom AC
+    // table whose short codes include ZRL (0xF0) and the UNDEFINED
+    // composite 0x10 (r=1, s=0 — EOBn exists only in progressive
+    // scans): the strict decoder must reject a ZRL chain overrunning
+    // index 63 and any s=0/r∈1..14 symbol, while the EOB control twin
+    // proves the container skeleton itself decodes.
+    def seg(marker: Int, payload: Array[Int]): Array[Byte] = {
+      val len = payload.length + 2
+      (Array(0xff, marker, (len >> 8) & 0xff, len & 0xff) ++ payload).map(_.toByte)
+    }
+    val dqt = seg(0xdb, 0 +: Array.fill(64)(1))
+    val sof = seg(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val dhtDc = seg(0xc4, Array(0x00, 1) ++ Array.fill(15)(0) ++ Array(0x00))
+    // AC: three length-2 codes in canonical order: 0x00→00 0xF0→01 0x10→10
+    val dhtAc = seg(0xc4, Array(0x10, 0, 3) ++ Array.fill(14)(0) ++ Array(0x00, 0xf0, 0x10))
+    val sos = seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    def jpegWith(entropy: Array[Int]): Array[Byte] =
+      Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dhtDc ++ dhtAc ++ sos ++
+        entropy.map(_.toByte) ++ Array(0xff.toByte, 0xd9.toByte)
+    // DC "0" + EOB "00" + pad 11111 = 0x1F — the valid control
+    assert(jpegWith(Array(0x1f)).length > 0 && (MediaCodec.decode(jpegWith(Array(0x1f))) match {
+      case ImageMedia(8, 8, "jpg", px) => px.forall(_ == 128.toByte)
+      case other                       => fail(s"control fixture decoded to $other")
+    }), "EOB control twin decodes to the flat DC raster")
+    // DC "0" + ZRL "01" ×4 = 001010101 + pad → 0x2A 0xFF(stuffed)00:
+    // the 4th ZRL pushes k past 63 → reject
+    assert(MediaCodec.decode(jpegWith(Array(0x2a, 0xff, 0x00))).isInstanceOf[UnknownMedia],
+      "ZRL chain overrunning the block must reject")
+    // DC "0" + 0x10 "10" = 010 + pad 11111 → 0x5F: undefined run/size
+    assert(MediaCodec.decode(jpegWith(Array(0x5f))).isInstanceOf[UnknownMedia],
+      "s=0, r=1 composite (sequential-undefined) must reject")
+  }
+
   test("corruption fuzz: decode NEVER throws over seeded mutations of every container") {
     // The totality contract, exercised adversarially at volume: take
     // one valid payload per container, then hammer it with seeded
