@@ -537,7 +537,12 @@ object SparkEntry {
     val jpegMetaSql =
       """WITH p AS (
           |  SELECT doc_id,
-          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'gray' WHEN 1 THEN '444' ELSE '420' END AS profile,
+          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'gray' WHEN 1 THEN '444' ELSE '420' END
+          |      -- coding cycle (r15): every other id//7 stripe is a
+          |      -- PROGRESSIVE (SOF2) container; jpegProfile parses the
+          |      -- suffix from the marker, so this column certifies the
+          |      -- fixture really ships progressive frames
+          |      || CASE WHEN CAST((doc_id // 7) % 2 AS INTEGER) = 1 THEN 'p' ELSE '' END AS profile,
           |    16 * (1 + CAST((doc_id // 3) % 3 AS INTEGER)) AS w,
           |    16 * (1 + CAST((doc_id // 5) % 3 AS INTEGER)) AS h,
           |    list_transform(range(1, CAST(length(text) AS INTEGER) + 1), i ->

@@ -987,6 +987,101 @@ object MediaCodec extends Serializable {
     s
   }
 
+  /** RGB → (Y, Cb, Cr) planes for an encode: integer 1/65536 fixed
+    * point whose coefficient rows sum to exactly 65536 / 0 / 0 (so
+    * R=G=B maps to Y=v, Cb=Cr=128 EXACTLY — the grayscale-content
+    * invariant the oracles lean on), chroma 2×2 rounding-average
+    * subsampled for "420". Returns (yPlane, cbPlane, crPlane,
+    * chromaW, chromaH); chroma planes are null for "gray". Shared by
+    * the baseline and progressive encoders. */
+  private def jpegColorPlanes(w: Int, h: Int, rgb: Array[Byte],
+                              profile: String)
+      : (Array[Int], Array[Int], Array[Int], Int, Int) = {
+    val nComp = if (profile == "gray") 1 else 3
+    val yP = new Array[Int](w * h)
+    val cbP = if (nComp == 3) new Array[Int](w * h) else null
+    val crP = if (nComp == 3) new Array[Int](w * h) else null
+    var i = 0
+    while (i < w * h) {
+      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
+      yP(i) = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+      if (nComp == 3) {
+        cbP(i) = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+        crP(i) = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+      }
+      i += 1
+    }
+    val sub420 = profile == "420"
+    def subsample(p: Array[Int]): Array[Int] =
+      if (!sub420) p
+      else Array.tabulate((w / 2) * (h / 2)) { j =>
+        val cy = j / (w / 2); val cx = j % (w / 2)
+        (p(2 * cy * w + 2 * cx) + p(2 * cy * w + 2 * cx + 1) +
+          p((2 * cy + 1) * w + 2 * cx) + p((2 * cy + 1) * w + 2 * cx + 1) + 2) >> 2
+      }
+    val cw = if (sub420) w / 2 else w
+    val ch = if (sub420) h / 2 else h
+    (yP, if (nComp == 3) subsample(cbP) else null,
+      if (nComp == 3) subsample(crP) else null, cw, ch)
+  }
+
+  /** FDCT (double, precomputed basis, two separable 1-D passes —
+    * review r14: the first cut called StrictMath.cos twice per sample
+    * per coefficient, 8,192 libm calls per block, and mm_jpeg_meta
+    * benched 47 s at sf0.1; the table + separable form is the
+    * standard O(2·8³) shape) + quantize(1) + zigzag of the block
+    * whose top-left corner is (bx·8, by·8) in plane `p` (pw×ph,
+    * edge-replicated past the boundary), into zzOut(zzOff..+63).
+    * Scratch arrays are caller-provided so the per-block loop
+    * allocates nothing. Block-constant exactness is preserved: the DC
+    * chain is products of exact small integers and powers of two, and
+    * AC row/column basis sums cancel to ~1e-15, far below the
+    * quantizer's rounding. Shared by both encoders. */
+  private def jpegFdctQuant(p: Array[Int], pw: Int, ph: Int, bx: Int, by: Int,
+                            samp: Array[Double], tmp: Array[Double],
+                            coefD: Array[Double],
+                            zzOut: Array[Int], zzOff: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by * 8 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, pw - 1)
+        samp(8 * y + x) = (p(sy * pw + sx) - 128).toDouble
+        x += 1
+      }
+      y += 1
+    }
+    // pass 1 over y: tmp(v)(x) = Σ_y samp(y)(x) · C(v)(y)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < 8) { acc += samp(8 * yy + x) * jpegFdctC(v)(yy); yy += 1 }
+        tmp(8 * v + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    // pass 2 over x: F(v)(u) = 0.25 · Cu · Cv · Σ_x tmp(v)(x) · C(u)(x)
+    v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var xx = 0
+        while (xx < 8) { acc += tmp(8 * v + xx) * jpegFdctC(u)(xx); xx += 1 }
+        coefD(8 * v + u) = 0.25 * jpegFdctHalf(u) * jpegFdctHalf(v) * acc
+        u += 1
+      }
+      v += 1
+    }
+    var k = 0
+    while (k < 64) { zzOut(zzOff + k) = Math.round(coefD(jpegZigzag(k))).toInt; k += 1 }
+  }
+
   /** Baseline JPEG encoder. `profile`: "gray" (one component),
     * "444" (3 components, no subsampling) or "420" (2×2-subsampled
     * chroma; w and h must be even so the subsampled planes tile
@@ -1007,33 +1102,8 @@ object MediaCodec extends Serializable {
     require(profile != "420" || (w % 2 == 0 && h % 2 == 0),
       "420 needs even dimensions")
     val nComp = if (profile == "gray") 1 else 3
-    // color conversion into full-resolution planes
-    val yP = new Array[Int](w * h)
-    val cbP = if (nComp == 3) new Array[Int](w * h) else null
-    val crP = if (nComp == 3) new Array[Int](w * h) else null
-    var i = 0
-    while (i < w * h) {
-      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
-      yP(i) = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
-      if (nComp == 3) {
-        cbP(i) = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
-        crP(i) = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
-      }
-      i += 1
-    }
     val sub420 = profile == "420"
-    // chroma planes, subsampled for 420 by 2×2 rounding average
-    def subsample(p: Array[Int]): Array[Int] =
-      if (!sub420) p
-      else Array.tabulate((w / 2) * (h / 2)) { j =>
-        val cy = j / (w / 2); val cx = j % (w / 2)
-        (p(2 * cy * w + 2 * cx) + p(2 * cy * w + 2 * cx + 1) +
-          p((2 * cy + 1) * w + 2 * cx) + p((2 * cy + 1) * w + 2 * cx + 1) + 2) >> 2
-      }
-    val cbS = if (nComp == 3) subsample(cbP) else null
-    val crS = if (nComp == 3) subsample(crP) else null
-    val cw = if (sub420) w / 2 else w
-    val ch = if (sub420) h / 2 else h
+    val (yP, cbS, crS, cw, ch) = jpegColorPlanes(w, h, rgb, profile)
 
     // headers
     val out = new java.io.ByteArrayOutputStream(1024 + 3 * w * h / 2)
@@ -1088,64 +1158,19 @@ object MediaCodec extends Serializable {
     val zz = new Array[Int](64)
     val dcPred = new Array[Int](3)
 
-    // FDCT (double, precomputed basis, two separable 1-D passes —
-    // review r14: the first cut called StrictMath.cos twice per
-    // sample per coefficient, 8,192 libm calls per block, and
-    // mm_jpeg_meta benched 47 s at sf0.1; the table + separable form
-    // is the standard O(2·8³) shape) + quantize(1) + zigzag +
-    // Huffman-code one block whose top-left corner is (bx·8, by·8)
-    // in plane p (pw×ph, edge-replicated past the boundary).
-    // Block-constant exactness is preserved: the DC chain is products
-    // of exact small integers and powers of two, and AC row/column
-    // basis sums cancel to ~1e-15, far below the quantizer's rounding.
+    // [[jpegFdctQuant]] + Huffman-code one block whose top-left
+    // corner is (bx·8, by·8) in plane p (pw×ph, edge-replicated past
+    // the boundary).
     def codeBlock(p: Array[Int], pw: Int, ph: Int, bx: Int, by: Int, comp: Int): Unit = {
       val dcC = if (comp == 0) dcLc else dcCc; val dcS = if (comp == 0) dcLs else dcCs
       val acC = if (comp == 0) acLc else acCc; val acS = if (comp == 0) acLs else acCs
-      var y = 0
-      while (y < 8) {
-        val sy = math.min(by * 8 + y, ph - 1)
-        var x = 0
-        while (x < 8) {
-          val sx = math.min(bx * 8 + x, pw - 1)
-          samp(8 * y + x) = (p(sy * pw + sx) - 128).toDouble
-          x += 1
-        }
-        y += 1
-      }
-      // pass 1 over y: tmp(v)(x) = Σ_y samp(y)(x) · C(v)(y)
-      var v = 0
-      while (v < 8) {
-        var x = 0
-        while (x < 8) {
-          var acc = 0.0
-          var yy = 0
-          while (yy < 8) { acc += samp(8 * yy + x) * jpegFdctC(v)(yy); yy += 1 }
-          tmp(8 * v + x) = acc
-          x += 1
-        }
-        v += 1
-      }
-      // pass 2 over x: F(v)(u) = 0.25 · Cu · Cv · Σ_x tmp(v)(x) · C(u)(x)
-      v = 0
-      while (v < 8) {
-        var u = 0
-        while (u < 8) {
-          var acc = 0.0
-          var xx = 0
-          while (xx < 8) { acc += tmp(8 * v + xx) * jpegFdctC(u)(xx); xx += 1 }
-          coefD(8 * v + u) = 0.25 * jpegFdctHalf(u) * jpegFdctHalf(v) * acc
-          u += 1
-        }
-        v += 1
-      }
-      var k = 0
-      while (k < 64) { zz(k) = Math.round(coefD(jpegZigzag(k))).toInt; k += 1 }
+      jpegFdctQuant(p, pw, ph, bx, by, samp, tmp, coefD, zz, 0)
       val diff = zz(0) - dcPred(comp); dcPred(comp) = zz(0)
       val s0 = jpegCat(diff)
       bw.put(dcC(s0), dcS(s0))
       if (s0 > 0) bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
       var run = 0
-      k = 1
+      var k = 1
       while (k < 64) {
         if (zz(k) == 0) run += 1
         else {
@@ -1192,6 +1217,276 @@ object MediaCodec extends Serializable {
       mcu += 1
     }
     bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Progressive JPEG encoder (SOF2 — T.81 Annex G.1), the fixture
+    * twin of [[encodeJpeg]]: same color transform, FDCT, all-ones
+    * quantizer and profiles, so the QUANTIZED COEFFICIENTS are
+    * identical to the baseline encoding of the same raster — only
+    * their entropy organization differs. Scan script (all four Annex
+    * G scan kinds, plus a split luma band so bands merge across
+    * scans):
+    *   1. DC first, Al=1 (interleaved for color, single-component for
+    *      gray), Annex K DC tables;
+    *   2. DC refine to Al=0 (raw bits);
+    *   3. per component: AC first at Al=1 (luma as two bands 1–5 and
+    *      6–63), each scan with its own optimal-ish Huffman table
+    *      (all used symbols at one canonical length — EOBn symbols
+    *      are not in the Annex K tables, so per-scan DHTs, emitted
+    *      right before their SOS and redefining slot 0 every scan,
+    *      are the real libjpeg shape);
+    *   4. per component: AC refine to Al=0.
+    * `restartInterval` > 0 applies DRI to every scan (RSTn resets DC
+    * prediction, the EOB run and bit alignment — G's rule). */
+  def encodeJpegProgressive(w: Int, h: Int, rgb: Array[Byte], profile: String,
+                            restartInterval: Int = 0): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
+      s"dims $w x $h outside the 16-bit SOF range")
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    require(profile == "gray" || profile == "444" || profile == "420",
+      s"unsupported profile $profile")
+    require(profile != "420" || (w % 2 == 0 && h % 2 == 0),
+      "420 needs even dimensions")
+    val nComp = if (profile == "gray") 1 else 3
+    val sub420 = profile == "420"
+    val (yP, cbS, crS, cw, ch) = jpegColorPlanes(w, h, rgb, profile)
+    val mcuW = if (sub420) 16 else 8
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuW - 1) / mcuW
+    def hvOf(c: Int): Int = if (sub420 && c == 0) 2 else 1
+    val padBw = Array.tabulate(nComp)(c => mcusX * hvOf(c))
+    val padBh = Array.tabulate(nComp)(c => mcusY * hvOf(c))
+    val compW = Array.tabulate(nComp)(c => if (c == 0) w else cw)
+    val compH = Array.tabulate(nComp)(c => if (c == 0) h else ch)
+    val niBw = Array.tabulate(nComp)(c => (compW(c) + 7) / 8)
+    val niBh = Array.tabulate(nComp)(c => (compH(c) + 7) / 8)
+    val planes = Array(yP, cbS, crS)
+
+    // every block's quantized coefficients up front (zigzag order per
+    // block, PADDED grid — interleaved DC scans code the padding
+    // blocks; non-interleaved AC scans skip them)
+    val samp = new Array[Double](64); val tmp = new Array[Double](64)
+    val coefD = new Array[Double](64)
+    val coefs = Array.tabulate(nComp) { c =>
+      val arr = new Array[Int](padBw(c) * padBh(c) * 64)
+      var bi = 0
+      while (bi < padBw(c) * padBh(c)) {
+        jpegFdctQuant(planes(c), compW(c), compH(c), bi % padBw(c), bi / padBw(c),
+          samp, tmp, coefD, arr, bi * 64)
+        bi += 1
+      }
+      arr
+    }
+
+    val out = new java.io.ByteArrayOutputStream(1024 + 3 * w * h / 2)
+    out.write(0xff); out.write(0xd8) // SOI
+    val dqt = new Array[Byte](65); dqt(0) = 0
+    java.util.Arrays.fill(dqt, 1, 65, 1.toByte)
+    jpegWriteSeg(out, 0xdb, dqt)
+    val ri = restartInterval
+    if (ri > 0)
+      jpegWriteSeg(out, 0xdd, Array(((ri >> 8) & 0xff).toByte, (ri & 0xff).toByte))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((h >> 8) & 0xff); sof.write(h & 0xff)
+    sof.write((w >> 8) & 0xff); sof.write(w & 0xff)
+    sof.write(nComp)
+    sof.write(1); sof.write(if (sub420) 0x22 else 0x11); sof.write(0)
+    if (nComp == 3) {
+      sof.write(2); sof.write(0x11); sof.write(0)
+      sof.write(3); sof.write(0x11); sof.write(0)
+    }
+    jpegWriteSeg(out, 0xc2, sof.toByteArray) // SOF2: progressive
+    def dht(cls: Int, id: Int, counts: Array[Int], syms: Array[Int]): Unit = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write((cls << 4) | id)
+      var l = 1
+      while (l <= 16) { p.write(counts(l)); l += 1 }
+      syms.foreach(p.write)
+      jpegWriteSeg(out, 0xc4, p.toByteArray)
+    }
+    dht(0, 0, jpegDcLumaCounts, jpegDcLumaSyms)
+    if (nComp == 3) dht(0, 1, jpegDcChromaCounts, jpegDcChromaSyms)
+    val (dcLc, dcLs) = jpegEncTable(jpegDcLumaCounts, jpegDcLumaSyms)
+    val (dcCc, dcCs) = jpegEncTable(jpegDcChromaCounts, jpegDcChromaSyms)
+    def writeRst(n: Int): Unit = { out.write(0xff); out.write(0xd0 + (n % 8)) }
+
+    // ---- DC scan (first or refine) over all components
+    def dcScan(ah: Int, al: Int): Unit = {
+      val sos = new java.io.ByteArrayOutputStream()
+      sos.write(nComp)
+      var c = 0
+      while (c < nComp) {
+        sos.write(c + 1)
+        sos.write(((if (c == 0) 0 else 1) << 4) | 0)
+        c += 1
+      }
+      sos.write(0); sos.write(0); sos.write((ah << 4) | al)
+      jpegWriteSeg(out, 0xda, sos.toByteArray)
+      val bw = new JpegBitWriter(out)
+      val pred = new Array[Int](3)
+      var rst = 0
+      def one(c: Int, off: Int): Unit =
+        if (ah == 0) {
+          val v = coefs(c)(off) >> al // arithmetic point transform (G.1.2.1)
+          val diff = v - pred(c); pred(c) = v
+          val s = jpegCat(diff)
+          val cc = if (c == 0) dcLc else dcCc
+          val cs = if (c == 0) dcLs else dcCs
+          bw.put(cc(s), cs(s))
+          if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        } else bw.put((coefs(c)(off) >> al) & 1, 1)
+      val nMcus = if (nComp == 1) niBw(0) * niBh(0) else mcusX * mcusY
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          bw.flush(); writeRst(rst); rst += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        if (nComp == 1)
+          one(0, ((mcu / niBw(0)) * padBw(0) + mcu % niBw(0)) * 64)
+        else {
+          val my = mcu / mcusX; val mx = mcu % mcusX
+          var c2 = 0
+          while (c2 < nComp) {
+            val hv = hvOf(c2)
+            var v = 0
+            while (v < hv) {
+              var hh = 0
+              while (hh < hv) {
+                one(c2, ((my * hv + v) * padBw(c2) + mx * hv + hh) * 64)
+                hh += 1
+              }
+              v += 1
+            }
+            c2 += 1
+          }
+        }
+        mcu += 1
+      }
+      bw.flush()
+    }
+
+    // ---- AC scan: one component, band [ss..se]; two passes (count →
+    // build the per-scan table → emit DHT+SOS+entropy)
+    def acScan(c: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      def run(symF: Int => Unit, bitsF: (Int, Int) => Unit,
+              restartF: () => Unit): Unit = {
+        val arr = coefs(c)
+        val nbw = niBw(c); val nMcus = nbw * niBh(c)
+        var eobrun = 0
+        val be = new scala.collection.mutable.ArrayBuffer[Int]()
+        def flushEob(): Unit = if (eobrun > 0) {
+          var nb = 0
+          while ((eobrun >> (nb + 1)) != 0) nb += 1
+          symF(nb << 4)
+          if (nb > 0) bitsF(eobrun - (1 << nb), nb)
+          be.foreach(bit => bitsF(bit, 1)); be.clear()
+          eobrun = 0
+        }
+        var mcu = 0
+        while (mcu < nMcus) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) { flushEob(); restartF() }
+          val off = ((mcu / nbw) * padBw(c) + mcu % nbw) * 64
+          if (ah == 0) {
+            // first pass: sequential run/size over the magnitude-
+            // shifted band (G.1.2.2), EOBn accumulating empty bands
+            var r = 0
+            var k = ss
+            while (k <= se) {
+              val v0 = arr(off + k)
+              val v = if (v0 < 0) -((-v0) >> al) else v0 >> al
+              if (v == 0) r += 1
+              else {
+                while (r > 15) { flushEob(); symF(0xf0); r -= 16 }
+                flushEob()
+                val s = jpegCat(v)
+                symF((r << 4) | s)
+                bitsF(if (v < 0) v + (1 << s) - 1 else v, s)
+                r = 0
+              }
+              k += 1
+            }
+            if (r > 0) { eobrun += 1; if (eobrun == 32767) flushEob() }
+          } else {
+            // refinement (G.1.2.3): newly-nonzero = |v|>>Al == 1
+            // (anything larger was already coded); runs count ZERO-
+            // HISTORY positions; every nonzero-history coefficient
+            // passed over owes one correction bit, buffered so it
+            // lands right after the symbol that carries it past
+            val brB = new scala.collection.mutable.ArrayBuffer[Int]()
+            var eobPos = ss - 1
+            var k = ss
+            while (k <= se) {
+              val v0 = arr(off + k)
+              if (((if (v0 < 0) -v0 else v0) >> al) == 1) eobPos = k
+              k += 1
+            }
+            var r = 0
+            k = ss
+            while (k <= se) {
+              val v0 = arr(off + k)
+              val a = (if (v0 < 0) -v0 else v0) >> al
+              if (a == 0) r += 1
+              else {
+                while (r > 15 && k <= eobPos) {
+                  flushEob(); symF(0xf0); r -= 16
+                  brB.foreach(bit => bitsF(bit, 1)); brB.clear()
+                }
+                if (a > 1) brB += (a & 1)
+                else {
+                  flushEob()
+                  symF((r << 4) | 1)
+                  bitsF(if (v0 < 0) 0 else 1, 1)
+                  brB.foreach(bit => bitsF(bit, 1)); brB.clear()
+                  r = 0
+                }
+              }
+              k += 1
+            }
+            if (r > 0 || brB.nonEmpty) {
+              eobrun += 1; be ++= brB
+              if (eobrun == 32767 || be.length > 900) flushEob()
+            }
+          }
+          mcu += 1
+        }
+        flushEob()
+      }
+      val freq = new Array[Int](256)
+      run(s => freq(s) += 1, (_, _) => (), () => ())
+      val syms = (0 until 256).filter(freq(_) > 0).toArray
+      // all used symbols at one canonical length L with 2^L ≥ n+1
+      // (the +1 keeps the all-ones code unused — C.2's padding rule)
+      var lL = 1
+      while ((1 << lL) < syms.length + 1) lL += 1
+      val counts = new Array[Int](17)
+      counts(lL) = syms.length
+      dht(1, 0, counts, syms)
+      val sos = new java.io.ByteArrayOutputStream()
+      sos.write(1); sos.write(c + 1); sos.write(0x00)
+      sos.write(ss); sos.write(se); sos.write((ah << 4) | al)
+      jpegWriteSeg(out, 0xda, sos.toByteArray)
+      val (ec, es) = jpegEncTable(counts, syms)
+      val bw = new JpegBitWriter(out)
+      var rst = 0
+      run(s => bw.put(ec(s), es(s)), (v, n) => bw.put(v, n),
+        () => { bw.flush(); writeRst(rst); rst += 1 })
+      bw.flush()
+    }
+
+    dcScan(0, 1)
+    dcScan(1, 0)
+    if (nComp == 1) {
+      acScan(0, 1, 63, 0, 1)
+      acScan(0, 1, 63, 1, 0)
+    } else {
+      acScan(0, 1, 5, 0, 1); acScan(0, 6, 63, 0, 1)
+      acScan(1, 1, 63, 0, 1); acScan(2, 1, 63, 0, 1)
+      acScan(0, 1, 63, 1, 0); acScan(1, 1, 63, 1, 0); acScan(2, 1, 63, 1, 0)
+    }
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
@@ -1271,10 +1566,11 @@ object MediaCodec extends Serializable {
   private def jpegExtend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** The SOF profile of a JPEG payload — "gray" / "444" / "420" /
-    * "" (anything else or not a decodable baseline file). A light
-    * marker walk so oracle queries can report the sampling shape as a
-    * parsed-from-container fact. */
+  /** The SOF profile of a JPEG payload — "gray" / "444" / "420" for
+    * baseline (SOF0), the same with a "p" suffix for progressive
+    * (SOF2), "" for anything else or not a decodable file. A light
+    * marker walk so oracle queries can report the sampling shape AND
+    * coding mode as parsed-from-container facts. */
   private[graft] def jpegProfile(b: Array[Byte]): String = {
     try {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return ""
@@ -1283,13 +1579,17 @@ object MediaCodec extends Serializable {
         if ((b(pos) & 0xff) != 0xff) return ""
         var m = b(pos + 1) & 0xff
         while (m == 0xff && pos + 2 < b.length) { pos += 1; m = b(pos + 1) & 0xff }
-        if (m == 0xc0) {
+        if (m == 0xc0 || m == 0xc2) {
+          // SOF2 reports the same sampling shape with a "p" suffix —
+          // the oracle certifies from the container that progressive
+          // fixtures really carry progressive frames
+          val suffix = if (m == 0xc2) "p" else ""
           val nComp = b(pos + 9) & 0xff
-          if (nComp == 1) return "gray"
+          if (nComp == 1) return "gray" + suffix
           if (nComp != 3) return ""
           return (b(pos + 11) & 0xff) match {
-            case 0x11 => "444"
-            case 0x22 => "420"
+            case 0x11 => "444" + suffix
+            case 0x22 => "420" + suffix
             case _    => ""
           }
         }
@@ -1309,15 +1609,20 @@ object MediaCodec extends Serializable {
     } catch { case _: IndexOutOfBoundsException => "" }
   }
 
-  /** Parsed JPEG header state: everything the marker walk up to SOS
-    * establishes — the shared input of the sequential and the
-    * segment-parallel entropy decoders. */
+  /** Parsed JPEG header state: everything the marker walk up to the
+    * first SOS establishes — the shared input of the sequential, the
+    * segment-parallel and the progressive entropy decoders. For a
+    * progressive frame (SOF2) `sosAt` is the OFFSET OF THE FIRST SOS
+    * MARKER itself and the table bindings (`compDc`/`compAc`) are
+    * placeholders — every scan carries its own. */
   private final class JpegHeader(
       val w: Int, val h: Int, val nComp: Int, val sub420: Boolean,
+      val progressive: Boolean,
       val restartInterval: Int, val sosAt: Int,
       val qTables: Array[Array[Int]],
       val dcTables: Array[JpegHuffTable], val acTables: Array[JpegHuffTable],
-      val compQ: Array[Int], val compDc: Array[Int], val compAc: Array[Int]) {
+      val compQ: Array[Int], val compId: Array[Int],
+      val compDc: Array[Int], val compAc: Array[Int]) {
     val mcuPx: Int = if (sub420) 16 else 8
     val mcusX: Int = (w + mcuPx - 1) / mcuPx
     val mcusY: Int = (h + mcuPx - 1) / mcuPx
@@ -1326,6 +1631,19 @@ object MediaCodec extends Serializable {
     val yH: Int = mcusY * mcuPx
     val cW: Int = if (sub420) mcusX * 8 else yW
     val cH: Int = if (sub420) mcusY * 8 else yH
+    // Component block geometry for progressive scans. Interleaved
+    // scans traverse the PADDED (MCU-aligned) grid — 4:2:0 luma pads
+    // to even block counts; NON-interleaved scans (every progressive
+    // AC scan, and single-component DC scans) traverse only the
+    // blocks the component's own sampled area needs (T.81 A.2.2):
+    // ceil(compPx/8), which can be SMALLER than the padded grid.
+    def sampHV(c: Int): Int = if (sub420 && c == 0) 2 else 1
+    def compWpx(c: Int): Int = if (sub420 && c > 0) (w + 1) / 2 else w
+    def compHpx(c: Int): Int = if (sub420 && c > 0) (h + 1) / 2 else h
+    def padBw(c: Int): Int = mcusX * sampHV(c)
+    def padBh(c: Int): Int = mcusY * sampHV(c)
+    def niBw(c: Int): Int = (compWpx(c) + 7) / 8
+    def niBh(c: Int): Int = (compHpx(c) + 7) / 8
   }
 
   /** Padded component planes one decode fills. Per-MCU writes land in
@@ -1335,6 +1653,44 @@ object MediaCodec extends Serializable {
     val y = new Array[Int](hdr.yW * hdr.yH)
     val cb: Array[Int] = if (hdr.nComp == 3) new Array[Int](hdr.cW * hdr.cH) else null
     val cr: Array[Int] = if (hdr.nComp == 3) new Array[Int](hdr.cW * hdr.cH) else null
+  }
+
+  /** Parse one DHT segment (`pos` at its length field) into the
+    * `dcT`/`acT` slots; returns the position after the segment, or -1
+    * on any malformation — shared by the pre-scan header walk and the
+    * progressive between-scan marker loop (scans redefine tables).
+    * Strictness: class/slot ranges, ≤256 symbols, and canonical-code
+    * overflow (more codes at a length than the code space holds would
+    * make decode ambiguous) all reject. */
+  private def parseJpegDht(b: Array[Byte], pos: Int,
+                           dcT: Array[JpegHuffTable],
+                           acT: Array[JpegHuffTable]): Int = {
+    if (pos + 2 > b.length) return -1
+    val len = ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+    if (len < 2 || pos.toLong + len > b.length.toLong) return -1
+    var p = pos + 2
+    val end = pos + len
+    while (p < end) {
+      if (p + 17 > end) return -1
+      val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+      if (tc > 1 || th > 3) return -1
+      val counts = new Array[Int](17)
+      var total = 0
+      var l = 1
+      while (l <= 16) { counts(l) = b(p + l) & 0xff; total += counts(l); l += 1 }
+      if (total > 256 || p + 17 + total > end) return -1
+      val syms = new Array[Int](total)
+      var i = 0
+      while (i < total) { syms(i) = b(p + 17 + i) & 0xff; i += 1 }
+      var c2 = 0; var ok = true
+      l = 1
+      while (l <= 16) { c2 = (c2 + counts(l)) << 1; if (c2 > (2 << l)) ok = false; l += 1 }
+      if (!ok) return -1
+      val t = new JpegHuffTable(counts, syms)
+      if (tc == 0) dcT(th) = t else acT(th) = t
+      p += 17 + total
+    }
+    end
   }
 
   /** Marker walk up to (and including) SOS: SOI, DQT/DHT/DRI/APPn/COM
@@ -1357,6 +1713,7 @@ object MediaCodec extends Serializable {
     val compId = new Array[Int](3)
     var restartInterval = 0
     var seenSof = false
+    var progressive = false
 
     def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
 
@@ -1376,7 +1733,10 @@ object MediaCodec extends Serializable {
       m match {
         case 0xd8 => return null // second SOI
         case 0xd9 => return null // EOI before any scan
-        case 0xc0 =>
+        case 0xc0 | 0xc2 =>
+          // SOF0 baseline or SOF2 progressive (T.81 Annex G) — same
+          // frame-header geometry, different entropy organization
+          progressive = m == 0xc2
           if (seenSof || pos + 2 > b.length) return null
           val len = u16(pos)
           if (len < 8 || pos.toLong + len > b.length.toLong) return null
@@ -1405,34 +1765,8 @@ object MediaCodec extends Serializable {
           seenSof = true
           pos += len
         case 0xc4 =>
-          if (pos + 2 > b.length) return null
-          val len = u16(pos)
-          if (len < 2 || pos.toLong + len > b.length.toLong) return null
-          var p = pos + 2
-          val end = pos + len
-          while (p < end) {
-            if (p + 17 > end) return null
-            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
-            if (tc > 1 || th > 3) return null
-            val counts = new Array[Int](17)
-            var total = 0
-            var l = 1
-            while (l <= 16) { counts(l) = b(p + l) & 0xff; total += counts(l); l += 1 }
-            if (total > 256 || p + 17 + total > end) return null
-            val syms = new Array[Int](total)
-            var i = 0
-            while (i < total) { syms(i) = b(p + 17 + i) & 0xff; i += 1 }
-            // canonical-code overflow (more codes at a length than the
-            // code space holds) would make decode ambiguous — reject
-            var c2 = 0; var ok = true
-            l = 1
-            while (l <= 16) { c2 = (c2 + counts(l)) << 1; if (c2 > (2 << l)) ok = false; l += 1 }
-            if (!ok) return null
-            val t = new JpegHuffTable(counts, syms)
-            if (tc == 0) dcTables(th) = t else acTables(th) = t
-            p += 17 + total
-          }
-          pos = end
+          pos = parseJpegDht(b, pos, dcTables, acTables)
+          if (pos < 0) return null
         case 0xdb =>
           if (pos + 2 > b.length) return null
           val len = u16(pos)
@@ -1457,6 +1791,13 @@ object MediaCodec extends Serializable {
           pos += len
         case 0xda =>
           if (!seenSof || pos + 2 > b.length) return null
+          if (progressive) {
+            // a progressive frame is a SEQUENCE of scans, each with
+            // its own header and tables — the scan loop
+            // (decodeJpegProgressive) owns everything from the first
+            // SOS marker on; hand it the marker offset
+            sosAt = pos - 2
+          } else {
           val len = u16(pos)
           if (len < 2 || pos.toLong + len > b.length.toLong) return null
           val ns = b(pos + 2) & 0xff
@@ -1482,9 +1823,10 @@ object MediaCodec extends Serializable {
               (b(pos + 4 + 2 * ns) & 0xff) != 63 ||
               (b(pos + 5 + 2 * ns) & 0xff) != 0) return null
           sosAt = pos + len
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca |
+          }
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca |
              0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
-          return null // progressive/arith/hierarchical
+          return null // extended-seq/arith/hierarchical/lossless
         case mm if mm >= 0xe0 && mm <= 0xef => // APPn
           if (pos + 2 > b.length) return null
           val len = u16(pos)
@@ -1498,15 +1840,20 @@ object MediaCodec extends Serializable {
         case _ => return null // RST/DNL/unknown outside scan
       }
     }
-    // every referenced table must have arrived
+    // every referenced table must have arrived. Progressive scans
+    // bind Huffman tables per scan (checked there); quantization
+    // tables are frame-wide and — since this decoder rejects DQT
+    // after the first SOS — must all be in hand here in both modes.
     var c = 0
     while (c < nComp) {
-      if (qTables(compQ(c)) == null || dcTables(compDc(c)) == null ||
-          acTables(compAc(c)) == null) return null
+      if (qTables(compQ(c)) == null) return null
+      if (!progressive && (dcTables(compDc(c)) == null ||
+          acTables(compAc(c)) == null)) return null
       c += 1
     }
-    val hdr = new JpegHeader(w, h, nComp, sampH0 == 2, restartInterval, sosAt,
-      qTables, dcTables, acTables, compQ, compDc, compAc)
+    val hdr = new JpegHeader(w, h, nComp, sampH0 == 2, progressive,
+      restartInterval, sosAt,
+      qTables, dcTables, acTables, compQ, compId, compDc, compAc)
     // padded-plane allocation bound (Long first)
     if (hdr.yW.toLong * hdr.yH > Int.MaxValue.toLong / 4) return null
     hdr
@@ -1646,7 +1993,8 @@ object MediaCodec extends Serializable {
   private[operators] def decodeJpeg(b: Array[Byte]): Media = {
     val hdr = parseJpegHeader(b)
     if (hdr == null) return UnknownMedia(b.length)
-    decodeJpegSequential(b, hdr)
+    if (hdr.progressive) decodeJpegProgressive(b, hdr)
+    else decodeJpegSequential(b, hdr)
   }
 
   /** Position of the marker's FINAL 0xFF at or after `pos0`: T.81
@@ -1697,6 +2045,398 @@ object MediaCodec extends Serializable {
     ImageMedia(hdr.w, hdr.h, "jpg", assembleJpegRgb(hdr, planes))
   }
 
+  /** One progressive scan's bindings: the SOF component indices it
+    * names (SOF order), their Huffman tables as bound by this scan's
+    * header, and the band/approximation parameters. */
+  private final class JpegProgScan(
+      val comps: Array[Int],
+      val dc: Array[JpegHuffTable], val ac: Array[JpegHuffTable],
+      val ss: Int, val se: Int, val ah: Int, val al: Int)
+
+  /** Entropy-decode one restart interval of a progressive scan —
+    * MCUs [startMcu, endMcu) — with a fresh bit reader, fresh DC
+    * predictors and a fresh EOB run (T.81 F.2.1.3.1: all three reset
+    * at every RSTn, which is what keeps intervals independent in
+    * progressive frames too). Accumulates quantized coefficients into
+    * `coefs` (zigzag order per block, padded-grid block layout);
+    * refinement scans mutate in place. Returns the byte position
+    * after the interval (aligned). Throws on malformed data — the
+    * caller's totality net.
+    *
+    * The four scan kinds of Annex G:
+    *  - DC first  (Ss=0, Ah=0): baseline DC coding of the point-
+    *    transformed value (arithmetic shift, G.1.2.1), interleaved or
+    *    single-component.
+    *  - DC refine (Ss=0, Ah>0): one raw bit per block, OR-ed in at
+    *    bit Al (the next lower bit of the two's-complement value).
+    *  - AC first  (Ss≥1, Ah=0): sequential-style run/size over the
+    *    band of magnitude-shifted values (G.1.2.2), plus EOBn symbols
+    *    (s=0, r=0..14) coding runs of 1..32767 all-zero bands.
+    *  - AC refine (Ss≥1, Ah>0): newly-nonzero coefficients arrive as
+    *    (run,1)+sign over ZERO-HISTORY positions; every nonzero-
+    *    history coefficient passed over — including inside EOB-run
+    *    blocks — consumes one correction bit (G.2's algorithm).
+    */
+  private def decodeProgSegment(b: Array[Byte], hdr: JpegHeader,
+                                scan: JpegProgScan, coefs: Array[Array[Int]],
+                                startMcu: Int, endMcu: Int, startPos: Int): Int = {
+    val br = new JpegBitReader(b, startPos)
+    val interleaved = scan.comps.length > 1
+    val dcPred = new Array[Int](3)
+    var eobrun = 0
+    val isDc = scan.ss == 0
+    val first = scan.ah == 0
+    val p1 = 1 << scan.al
+    val m1 = -1 << scan.al
+
+    def dcFirst(ci: Int, off: Int): Unit = {
+      val s = br.decodeHuff(scan.dc(ci))
+      if (s > 11) throw new IndexOutOfBoundsException("dc category")
+      dcPred(ci) += jpegExtend(br.receive(s), s)
+      // the FULL-precision DC (pred << Al) must stay a legal 8-bit
+      // quantized coefficient (±2048 — the baseline guard, G-aware):
+      // bound pred BEFORE shifting so the check itself cannot wrap
+      if (dcPred(ci) > (2047 >> scan.al) || dcPred(ci) < -(2048 >> scan.al))
+        throw new IndexOutOfBoundsException("dc out of range")
+      coefs(scan.comps(ci))(off) = dcPred(ci) << scan.al
+    }
+    def dcRefine(ci: Int, off: Int): Unit =
+      if (br.readBit() == 1) {
+        val arr = coefs(scan.comps(ci))
+        arr(off) = arr(off) | p1
+      }
+    def acFirst(comp: Int, off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val arr = coefs(comp)
+      var k = scan.ss
+      while (k <= scan.se) {
+        val rs = br.decodeHuff(scan.ac(0))
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) {
+            k += 16 // ZRL precedes a further in-band coefficient
+            if (k > scan.se) throw new IndexOutOfBoundsException("zrl overflow")
+          } else {
+            eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0) - 1
+            k = 64 // this block's band ends here
+          }
+        } else {
+          if (s > 10) throw new IndexOutOfBoundsException("ac category")
+          k += r
+          if (k > scan.se) throw new IndexOutOfBoundsException("ac overflow")
+          arr(off + k) = jpegExtend(br.receive(s), s) << scan.al
+          k += 1
+        }
+      }
+    }
+    def correct(arr: Array[Int], i: Int): Unit =
+      if (br.readBit() == 1 && (arr(i) & p1) == 0)
+        arr(i) = arr(i) + (if (arr(i) >= 0) p1 else m1)
+    def acRefine(comp: Int, off: Int): Unit = {
+      val arr = coefs(comp)
+      var k = scan.ss
+      if (eobrun == 0) {
+        var inBlock = true
+        while (inBlock && k <= scan.se) {
+          val rs = br.decodeHuff(scan.ac(0))
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0 && r != 15) {
+            // EOBn: run counts THIS block too; the correction tail
+            // below finishes it and decrements
+            eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+            inBlock = false
+          } else {
+            if (s != 0 && s != 1)
+              throw new IndexOutOfBoundsException("refine size")
+            val newVal =
+              if (s == 0) 0 else if (br.readBit() == 1) p1 else m1
+            // advance over r zero-HISTORY coefficients (16 for ZRL),
+            // appending a correction bit to every nonzero-history
+            // coefficient passed; stop AT the (r+1)-th zero — the
+            // newly-nonzero's position
+            var rr = r
+            var advancing = true
+            while (advancing) {
+              if (arr(off + k) != 0) {
+                correct(arr, off + k)
+                k += 1
+              } else {
+                rr -= 1
+                if (rr < 0) advancing = false else k += 1
+              }
+              if (advancing && k > scan.se) advancing = false
+            }
+            if (rr >= 0) // the band ended before the run did
+              throw new IndexOutOfBoundsException("refine overflow")
+            if (s != 0) {
+              if (arr(off + k) != 0)
+                throw new IndexOutOfBoundsException("refine target")
+              arr(off + k) = newVal
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // rest of the block: correction bits only
+        while (k <= scan.se) {
+          if (arr(off + k) != 0) correct(arr, off + k)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    var mcu = startMcu
+    while (mcu < endMcu) {
+      if (interleaved) {
+        val my = mcu / hdr.mcusX; val mx = mcu % hdr.mcusX
+        var ci = 0
+        while (ci < scan.comps.length) {
+          val c = scan.comps(ci)
+          val hv = hdr.sampHV(c)
+          val bw = hdr.padBw(c)
+          var v = 0
+          while (v < hv) {
+            var hh = 0
+            while (hh < hv) {
+              val off = ((my * hv + v) * bw + mx * hv + hh) * 64
+              if (first) dcFirst(ci, off) else dcRefine(ci, off)
+              hh += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+      } else {
+        val c = scan.comps(0)
+        val nbw = hdr.niBw(c)
+        val off = ((mcu / nbw) * hdr.padBw(c) + mcu % nbw) * 64
+        if (isDc) { if (first) dcFirst(0, off) else dcRefine(0, off) }
+        else { if (first) acFirst(c, off) else acRefine(c, off) }
+      }
+      mcu += 1
+    }
+    // an EOB run may not cross a restart or scan boundary — leftover
+    // run means the stream claimed blocks that don't exist
+    if (eobrun != 0) throw new IndexOutOfBoundsException("eob overrun")
+    br.align()
+    br.pos
+  }
+
+  /** Decode one progressive scan: restart-interval segmentation with
+    * the modulo-8 RSTn sequence enforced exactly where the CURRENT
+    * DRI value says (DRI may change between scans), each interval
+    * through [[decodeProgSegment]] with fresh state. Returns the
+    * position after the scan's entropy data. */
+  private def decodeProgScan(b: Array[Byte], hdr: JpegHeader,
+                             scan: JpegProgScan, coefs: Array[Array[Int]],
+                             ri: Int, startPos: Int): Int = {
+    val interleaved = scan.comps.length > 1
+    val nMcus =
+      if (interleaved) hdr.totalMcus
+      else hdr.niBw(scan.comps(0)) * hdr.niBh(scan.comps(0))
+    var pos = startPos
+    var mcu = 0
+    var seg = 0
+    while (mcu < nMcus) {
+      if (seg > 0) {
+        pos = jpegSkipFill(b, pos)
+        if ((b(pos) & 0xff) != 0xff ||
+            (b(pos + 1) & 0xff) != 0xd0 + ((seg - 1) % 8))
+          throw new IndexOutOfBoundsException("bad RSTn in scan")
+        pos += 2
+      }
+      val endMcu = if (ri > 0) math.min(mcu + ri, nMcus) else nMcus
+      pos = decodeProgSegment(b, hdr, scan, coefs, mcu, endMcu, pos)
+      mcu = endMcu
+      seg += 1
+    }
+    pos
+  }
+
+  /** Progressive JPEG decoder (SOF2, 8-bit, Huffman — T.81 Annex G):
+    * the header walk stops at the first SOS; this loop owns the rest
+    * of the file — scan headers (validated against the progression
+    * rules below), DHT/DRI redefinitions between scans, entropy
+    * decode per scan into per-component coefficient arrays, and at
+    * EOI the shared dequantize → IDCT → upsample → RGB tail.
+    *
+    * Strict where the spec is strict, and strict about completeness:
+    *  - AC scans are single-component with 1 ≤ Ss ≤ Se ≤ 63; DC
+    *    scans have Ss = Se = 0; interleaved DC scans must name every
+    *    frame component, selectors in SOF order (B.2.3's rules).
+    *  - a band's first scan has Ah = 0 on virgin coefficients; each
+    *    refinement continues exactly where the band left off
+    *    (Ah = previous Al, Al = Ah − 1) — per-coefficient state, so
+    *    bands may split/merge across scans but never skip or repeat
+    *    a bit (G.1.1.1.1).
+    *  - a component's DC must start before its AC scans (G.1.1.1.1).
+    *  - at EOI every coefficient of every component must be delivered
+    *    to full precision (Al = 0) — an interchange-format frame
+    *    fully specifies its image; spectrally-truncated files reject.
+    *  - DQT between scans rejects (a component's quantizer may not
+    *    change between its scans — G.1.1.1; conforming writers emit
+    *    all DQTs up front), trailing bytes after EOI reject, and the
+    *    EOI must follow the last scan's data directly (fill bytes
+    *    aside) — the baseline/PNG discipline. */
+  private def decodeJpegProgressive(b: Array[Byte], hdr: JpegHeader): Media = {
+    val coefs = Array.tabulate(hdr.nComp)(c =>
+      new Array[Int](hdr.padBw(c) * hdr.padBh(c) * 64))
+    // delivered-precision state per component per zigzag index:
+    // -1 = nothing yet, else the lowest delivered bit (Al)
+    val state = Array.fill(hdr.nComp, 64)(-1)
+    val dcT = hdr.dcTables.clone()
+    val acT = hdr.acTables.clone()
+    var ri = hdr.restartInterval
+    var pos = hdr.sosAt
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    try {
+      var sawEoi = false
+      while (!sawEoi) {
+        pos = jpegSkipFill(b, pos)
+        if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff)
+          return UnknownMedia(b.length)
+        val m = b(pos + 1) & 0xff
+        pos += 2
+        m match {
+          case 0xd9 => sawEoi = true
+          case 0xc4 =>
+            pos = parseJpegDht(b, pos, dcT, acT)
+            if (pos < 0) return UnknownMedia(b.length)
+          case 0xdd =>
+            if (pos + 2 > b.length) return UnknownMedia(b.length)
+            val len = u16(pos)
+            if (len != 4 || pos.toLong + len > b.length.toLong)
+              return UnknownMedia(b.length)
+            ri = u16(pos + 2)
+            pos += len
+          case mm if (mm >= 0xe0 && mm <= 0xef) || mm == 0xfe =>
+            if (pos + 2 > b.length) return UnknownMedia(b.length)
+            val len = u16(pos)
+            if (len < 2 || pos.toLong + len > b.length.toLong)
+              return UnknownMedia(b.length)
+            pos += len
+          case 0xda =>
+            if (pos + 2 > b.length) return UnknownMedia(b.length)
+            val len = u16(pos)
+            if (len < 2 || pos.toLong + len > b.length.toLong)
+              return UnknownMedia(b.length)
+            val ns = b(pos + 2) & 0xff
+            if (ns < 1 || ns > hdr.nComp || len != 6 + 2 * ns)
+              return UnknownMedia(b.length)
+            val comps = new Array[Int](ns)
+            val dcTabs = new Array[JpegHuffTable](ns)
+            val acTabs = new Array[JpegHuffTable](ns)
+            var prev = -1
+            var i = 0
+            while (i < ns) {
+              val cs = b(pos + 3 + 2 * i) & 0xff
+              var idx = -1; var j = 0
+              while (j < hdr.nComp) { if (hdr.compId(j) == cs) idx = j; j += 1 }
+              // selectors must name SOF components, in SOF order,
+              // without repeats (the baseline r14 rule carried over)
+              if (idx < 0 || idx <= prev) return UnknownMedia(b.length)
+              prev = idx; comps(i) = idx
+              val td = (b(pos + 4 + 2 * i) & 0xff) >> 4
+              val ta = b(pos + 4 + 2 * i) & 0x0f
+              if (td > 3 || ta > 3) return UnknownMedia(b.length)
+              dcTabs(i) = dcT(td); acTabs(i) = acT(ta)
+              i += 1
+            }
+            val ss = b(pos + 3 + 2 * ns) & 0xff
+            val se = b(pos + 4 + 2 * ns) & 0xff
+            val ahal = b(pos + 5 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 15
+            val isDc = ss == 0
+            if (isDc && se != 0) return UnknownMedia(b.length)
+            if (!isDc && (ns != 1 || se < ss || se > 63))
+              return UnknownMedia(b.length)
+            if (!isDc && state(comps(0))(0) < 0) // DC before AC
+              return UnknownMedia(b.length)
+            if (al > 13 || (ah != 0 && ah != al + 1))
+              return UnknownMedia(b.length)
+            if (isDc && ns > 1 && ns != hdr.nComp)
+              return UnknownMedia(b.length)
+            i = 0
+            while (i < ns) {
+              val st = state(comps(i))
+              var k = ss
+              val kEnd = if (isDc) 0 else se
+              while (k <= kEnd) {
+                if (ah == 0) { if (st(k) != -1) return UnknownMedia(b.length) }
+                else if (st(k) != ah) return UnknownMedia(b.length)
+                st(k) = al
+                k += 1
+              }
+              // every bound table the scan will consult must exist
+              if (isDc && ah == 0 && dcTabs(i) == null)
+                return UnknownMedia(b.length)
+              if (!isDc && acTabs(i) == null) return UnknownMedia(b.length)
+              i += 1
+            }
+            pos = decodeProgScan(b, hdr,
+              new JpegProgScan(comps, dcTabs, acTabs, ss, se, ah, al),
+              coefs, ri, pos + len)
+          case _ => return UnknownMedia(b.length) // DQT/SOF/RST/… here
+        }
+      }
+    } catch {
+      case _: IndexOutOfBoundsException => return UnknownMedia(b.length)
+    }
+    if (pos != b.length) return UnknownMedia(b.length)
+    var c = 0
+    while (c < hdr.nComp) {
+      var k = 0
+      while (k < 64) {
+        if (state(c)(k) != 0) return UnknownMedia(b.length)
+        k += 1
+      }
+      c += 1
+    }
+    // dequantize + IDCT every padded-grid block — the baseline tail,
+    // just driven from the accumulated coefficient arrays
+    val planes = new JpegPlanes(hdr)
+    val coefNat = new Array[Long](64)
+    val px = new Array[Int](64)
+    c = 0
+    while (c < hdr.nComp) {
+      val q = hdr.qTables(hdr.compQ(c))
+      val zz = coefs(c)
+      val plane = c match {
+        case 0 => planes.y
+        case 1 => planes.cb
+        case _ => planes.cr
+      }
+      val pw = if (c == 0) hdr.yW else hdr.cW
+      val bw = hdr.padBw(c)
+      val nBlocks = bw * hdr.padBh(c)
+      var bi = 0
+      while (bi < nBlocks) {
+        val off = bi * 64
+        var k = 0
+        while (k < 64) {
+          coefNat(jpegZigzag(k)) = zz(off + k).toLong * q(k)
+          k += 1
+        }
+        jpegIdctBlock(coefNat, px)
+        val by = bi / bw; val bx = bi % bw
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            plane((by * 8 + y) * pw + bx * 8 + x) = px(8 * y + x)
+            x += 1
+          }
+          y += 1
+        }
+        bi += 1
+      }
+      c += 1
+    }
+    ImageMedia(hdr.w, hdr.h, "jpg", assembleJpegRgb(hdr, planes))
+  }
+
   /** Byte offset of every restart segment's entropy data — segment 0
     * at SOS, segment i > 0 right after its RSTn marker, found by BYTE
     * SCAN: inside entropy data every 0xFF is stuffed (FF00), so a
@@ -1743,6 +2483,10 @@ object MediaCodec extends Serializable {
                                         order: Option[Seq[Int]] = None): Media = {
     val hdr = parseJpegHeader(b)
     if (hdr == null) return UnknownMedia(b.length)
+    // a progressive frame's split axis is per-scan (its restart
+    // intervals reset state within each scan too) — routed whole for
+    // now; the baseline splitter below is the byte-range story
+    if (hdr.progressive) return decodeJpegProgressive(b, hdr)
     val ri = hdr.restartInterval
     // no restart structure to split on — reuse the already-parsed
     // header rather than re-walking the markers (review r14)

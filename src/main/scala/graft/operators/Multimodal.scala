@@ -503,8 +503,15 @@ object Multimodal {
     * all sit between the generated value and the verified sum. The
     * profile cycles gray / 4:4:4 / 4:2:0 by id (4:2:0 rows also carry
     * a DRI restart interval, so the RSTn path is oracle-covered);
-    * dimensions are multiples of 16 so every profile tiles whole
-    * MCUs. */
+    * CODING cycles baseline / PROGRESSIVE on an independent id cycle
+    * (r15 — progressive rows route through
+    * [[MediaCodec.encodeJpegProgressive]]'s Annex G scan script, and
+    * since [[MediaCodec.jpegProfile]] reports SOF2 with a "p" suffix
+    * the oracle certifies from the container that those rows really
+    * carry progressive frames); dimensions are multiples of 16 so
+    * every profile tiles whole MCUs. A block-constant raster is
+    * DC-only under EITHER coding, so both reconstruct bit-exactly and
+    * the content-sum columns share one closed form. */
   private[graft] def genJpegPayload(id: Long, text: String): Array[Byte] = {
     val tb0 = text.codePoints().toArray
       .map(cp => if (cp <= 127) cp.toByte else 63.toByte)
@@ -521,7 +528,11 @@ object Multimodal {
       val p = i / 3; val y = p / w; val x = p % w
       tb(((y / 8) * nbx + (x / 8)) % n)
     }
-    MediaCodec.encodeJpeg(w, h, rgb, profile, if (profile == "420") 2 else 0)
+    val ri = if (profile == "420") 2 else 0
+    if (java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 7L), 2L) == 1L)
+      MediaCodec.encodeJpegProgressive(w, h, rgb, profile, ri)
+    else
+      MediaCodec.encodeJpeg(w, h, rgb, profile, ri)
   }
 
   /** One JPEG payload → its oracle row: SOF profile (parsed), decoded

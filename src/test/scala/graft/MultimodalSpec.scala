@@ -1381,9 +1381,9 @@ class MultimodalSpec extends SparkSpec {
         val p = i / 3; val y = p / w; val x = p % w
         tb(((y / 8) * (w / 8) + (x / 8)) % n)
       }
-      val expProfile = java.lang.Math.floorMod(id, 3L) match {
+      val expProfile = (java.lang.Math.floorMod(id, 3L) match {
         case 0L => "gray"; case 1L => "444"; case _ => "420"
-      }
+      }) + (if (java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 7L), 2L) == 1L) "p" else "")
       assert(MediaCodec.jpegProfile(payload) == expProfile,
         s"id $id: SOF profile must parse back as $expProfile")
       MediaCodec.decode(payload) match {
@@ -1482,9 +1482,14 @@ class MultimodalSpec extends SparkSpec {
       m(p + 1) = to.toByte
       m
     }
-    // progressive (SOF2) and arithmetic-coded (SOF9): honest unknowns
+    // SOF2 decodes since r15 — but flipping a BASELINE stream's SOF
+    // marker to SOF2 leaves a baseline SOS (Ss=0, Se=63), which the
+    // progressive scan-header rules reject (a DC scan has Se=0); the
+    // extended-sequential and arithmetic SOFs stay honest unknowns
     assert(MediaCodec.decode(flipMarker(0xc0, 0xc2)).isInstanceOf[UnknownMedia],
-      "progressive SOF2 must reject")
+      "baseline scan under a SOF2 marker must reject")
+    assert(MediaCodec.decode(flipMarker(0xc0, 0xc1)).isInstanceOf[UnknownMedia],
+      "extended-sequential SOF1 must reject")
     assert(MediaCodec.decode(flipMarker(0xc0, 0xc9)).isInstanceOf[UnknownMedia],
       "arithmetic SOF9 must reject")
     // 16-bit DQT (Pq=1): not baseline-8
@@ -1663,6 +1668,165 @@ class MultimodalSpec extends SparkSpec {
       "s=0, r=1 composite (sequential-undefined) must reject")
   }
 
+  test("progressive JPEG: decode ≡ baseline decode of the same raster across profiles, dims and restarts") {
+    // The decisive parity property: the progressive encoder shares
+    // the baseline's color transform, FDCT and all-ones quantizer, so
+    // the QUANTIZED COEFFICIENTS are identical — only their entropy
+    // organization (Annex G's spectral-selection + successive-
+    // approximation scans) differs. A correct progressive decoder
+    // must therefore reproduce the baseline decode BIT-FOR-BIT on any
+    // raster — every DC/AC first/refine path, EOBn run, ZRL-in-
+    // refinement, band split, padded-vs-non-interleaved grid and
+    // per-scan restart is inside this equality.
+    val rnd = new scala.util.Random(31)
+    for {
+      (w, h) <- Seq((16, 16), (24, 24), (48, 32), (17, 9), (8, 8), (40, 24), (30, 20))
+      profile <- Seq("gray", "444", "420")
+      if profile != "420" || (w % 2 == 0 && h % 2 == 0)
+      ri <- Seq(0, 2)
+    } {
+      val rgb = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
+      val base = MediaCodec.encodeJpeg(w, h, rgb, profile, ri)
+      val prog = MediaCodec.encodeJpegProgressive(w, h, rgb, profile, ri)
+      val want = MediaCodec.decode(base) match {
+        case ImageMedia(`w`, `h`, _, px) => px
+        case other                       => fail(s"baseline $profile ${w}x$h ri=$ri: $other")
+      }
+      MediaCodec.decode(prog) match {
+        case ImageMedia(`w`, `h`, "jpg", px) =>
+          assert(java.util.Arrays.equals(px, want),
+            s"$profile ${w}x$h ri=$ri: progressive decode must equal baseline bit-for-bit")
+        case other => fail(s"progressive $profile ${w}x$h ri=$ri decoded to $other")
+      }
+      // the parallel entry routes progressive frames whole
+      MediaCodec.decodeJpegParallel(prog) match {
+        case ImageMedia(`w`, `h`, _, px) => assert(java.util.Arrays.equals(px, want))
+        case other                       => fail(s"parallel route $other")
+      }
+      // the profile walk reports sampling + the progressive suffix
+      val wantProfile = (if (profile == "gray") "gray" else profile) + "p"
+      assert(MediaCodec.jpegProfile(prog) == wantProfile,
+        s"jpegProfile must report ${wantProfile}")
+      assert(MediaCodec.jpegProfile(base) == profile)
+    }
+  }
+
+  test("progressive JPEG: block-constant fixtures reconstruct closed-form; fill bytes tolerated") {
+    // The oracle-bearing profile: block-constant grayscale content is
+    // DC-only, and a DC-only progressive stream (DC first at Al=1,
+    // refine to 0, AC scans all EOB runs) reconstructs the input
+    // EXACTLY — same closed form the mm_jpeg_meta oracle rebuilds.
+    val vals = Array(40, 63, 99, 200, 255, 0)
+    for ((w, h) <- Seq((32, 16), (48, 48)); ri <- Seq(0, 2)) {
+      val nbx = w / 8
+      val rgb = Array.tabulate[Byte](3 * w * h) { i =>
+        val p = i / 3; val y = p / w; val x = p % w
+        vals(((y / 8) * nbx + (x / 8)) % vals.length).toByte
+      }
+      val prog = MediaCodec.encodeJpegProgressive(w, h, rgb, "gray", ri)
+      MediaCodec.decode(prog) match {
+        case ImageMedia(`w`, `h`, "jpg", px) =>
+          assert(java.util.Arrays.equals(px, rgb),
+            s"${w}x$h ri=$ri: block-constant progressive must round-trip bit-exactly")
+        case other => fail(s"${w}x$h ri=$ri decoded to $other")
+      }
+      if (ri > 0) {
+        // T.81 B.1.1.2 fill bytes before RSTn/EOI, progressive form
+        val padded = {
+          val out = new java.io.ByteArrayOutputStream()
+          var p = 0
+          var scans = 0
+          while (p < prog.length) {
+            if (p + 1 < prog.length && (prog(p) & 0xff) == 0xff) {
+              val n = prog(p + 1) & 0xff
+              if (n == 0xda) scans += 1
+              if (scans > 0 && ((n >= 0xd0 && n <= 0xd7) || n == 0xd9)) out.write(0xff)
+            }
+            out.write(prog(p) & 0xff)
+            p += 1
+          }
+          out.toByteArray
+        }
+        MediaCodec.decode(padded) match {
+          case ImageMedia(`w`, `h`, _, px) => assert(java.util.Arrays.equals(px, rgb),
+            "fill-padded progressive must decode identically")
+          case other => fail(s"fill-padded decoded to $other")
+        }
+      }
+    }
+  }
+
+  test("progressive JPEG strictness: progression-rule and structural violations reject") {
+    val rgb = Array.tabulate[Byte](3 * 32 * 16)(i => ((i / 3 % 32) * 8 % 251).toByte)
+    val good = MediaCodec.encodeJpegProgressive(32, 16, rgb, "444")
+    assert(!MediaCodec.decode(good).isInstanceOf[UnknownMedia], "the fixture itself decodes")
+    // trailing bytes after EOI / truncation: the baseline discipline
+    assert(MediaCodec.decode(good :+ 0.toByte).isInstanceOf[UnknownMedia])
+    assert(MediaCodec.decode(good.take(good.length / 2)).isInstanceOf[UnknownMedia])
+    def nthSos(b: Array[Byte], n: Int): Int = {
+      var found = 0; var p = 2
+      while (p + 1 < b.length) {
+        if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xda) {
+          found += 1
+          if (found == n) return p
+        }
+        p += 1
+      }
+      fail(s"fixture has no SOS #$n")
+    }
+    // scan 2 is the DC refine (FF DA len₂ ns [Cs TdTa]×3 Ss Se AhAl
+    // — AhAl at sos+13 for ns=3): Ah=2 breaks the Ah = Al+1 chain
+    locally {
+      val m = good.clone()
+      val sos = nthSos(m, 2)
+      assert((m(sos + 13) & 0xff) == 0x10, "fixture layout: DC refine has AhAl=0x10")
+      m(sos + 13) = 0x20.toByte
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
+        "a refinement skipping a bit (Ah=2 after Al=1) must reject")
+    }
+    // replay scan 1's header params on scan 2 (Ah=0 over delivered
+    // coefficients): first-pass-on-non-virgin must reject
+    locally {
+      val m = good.clone()
+      val sos = nthSos(m, 2)
+      m(sos + 13) = 0x01.toByte // Ah=0, Al=1 again
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
+        "a second first-pass over a delivered band must reject")
+    }
+    // an AC scan before the component's DC scan: move scan 1's AhAl…
+    // simpler: truncate the file right after the first scan and close
+    // with EOI — coefficients not delivered to full precision
+    locally {
+      val sos2 = nthSos(good, 2)
+      val m = good.take(sos2) ++ Array(0xff.toByte, 0xd9.toByte)
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
+        "a spectrally-truncated file (DC still at Al=1, no AC) must reject")
+    }
+    // DQT between scans rejects (quantizers are frame-wide here)
+    locally {
+      val sos2 = nthSos(good, 2)
+      val dqt = Array(0xff, 0xdb, 0x00, 0x43, 0x00).map(_.toByte) ++ Array.fill[Byte](64)(1)
+      val m = good.take(sos2) ++ dqt ++ good.drop(sos2)
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
+        "DQT between scans must reject")
+    }
+    // hand-built: an AC scan with no prior DC scan must reject
+    locally {
+      def seg(marker: Int, payload: Array[Int]): Array[Byte] = {
+        val len = payload.length + 2
+        (Array(0xff, marker, (len >> 8) & 0xff, len & 0xff) ++ payload).map(_.toByte)
+      }
+      val dqt = seg(0xdb, 0 +: Array.fill(64)(1))
+      val sof = seg(0xc2, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+      val dhtAc = seg(0xc4, Array(0x10, 1) ++ Array.fill(15)(0) ++ Array(0x00))
+      val sosAc = seg(0xda, Array(1, 1, 0x00, 1, 63, 0))
+      val m = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dhtAc ++ sosAc ++
+        Array(0x00.toByte, 0xff.toByte, 0xd9.toByte)
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
+        "an AC scan before the component's DC scan must reject")
+    }
+  }
+
   test("corruption fuzz: decode NEVER throws over seeded mutations of every container") {
     // The totality contract, exercised adversarially at volume: take
     // one valid payload per container, then hammer it with seeded
@@ -1689,7 +1853,12 @@ class MultimodalSpec extends SparkSpec {
         ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2),
       // an Adam7-interlaced PNG: damage to pass geometry bytes or the
       // multi-sub-image stream must stay total too
-      adam7FuzzSeed)
+      adam7FuzzSeed,
+      // a progressive JPEG (4:2:0 + restarts): damage across its
+      // many scan headers, per-scan DHTs and refinement bitstreams
+      // must stay total too
+      MediaCodec.encodeJpegProgressive(32, 16, Array.tabulate[Byte](3 * 32 * 16)(i =>
+        ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2))
     var decodedOk = 0
     seeds.foreach { base =>
       (1 to 400).foreach { i =>
