@@ -467,15 +467,17 @@ object SparkEntry {
     // carrying every generation fact (kind/format/dims/rate/counts/
     // nunits/n_bytes/q/r) plus TWO unit lists: `tb` — the per-doc
     // code points (non-ASCII folded to 63 = '?'), which the RAW data
-    // units (samples, index bytes, truecolor rasters) cycle with
-    // period `n` — and `ub`/`m`, the DECODED-raster cycle: identical
-    // to tb/n everywhere except palette-PNG rows (r14), where the
-    // decoded stream is each unit expanded through the fixture PLTE's
-    // three channel maps (v, 255−v, 3v mod 256 — Multimodal
-    // .paletteChan), so ub = that expansion and m = 3n. Every
-    // downstream fragment indexes the decoded stream as ub[pos % m],
-    // which makes the palette profile a v-CTE change, not five
-    // synchronized oracle edits.
+    // units (samples, index bytes, truecolor/RGBA rasters) cycle
+    // with period `n` — and `ub`/`m`, the DECODED-raster cycle:
+    // identical to tb/n everywhere except palette-PNG rows (r14),
+    // where the decoded stream is each unit expanded through the
+    // fixture PLTE's three channel maps (v, 255−v, 3v mod 256 —
+    // Multimodal.paletteChan), and RGBA-PNG rows (r15), where it is
+    // the white-composite of each pixel's three color units under its
+    // alpha unit — both period 3n, so ub = the expansion and m = 3n.
+    // Every downstream fragment indexes the decoded stream as
+    // ub[pos % m], which makes each PNG profile a v-CTE change, not
+    // five synchronized oracle edits.
     val mmTbExpr =
       """list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
         |      CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) <= 127
@@ -488,9 +490,10 @@ object SparkEntry {
          |      WHEN 0 THEN CASE CAST((doc_id // 3) % 3 AS INTEGER)
          |        WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END
          |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
-         |    -- the PNG slot sub-cycles truecolor / palette (r14)
+         |    -- the PNG slot sub-cycles truecolor(0) / palette(1) /
+         |    -- RGBA-with-alpha(2) by (id//9)%3 (r15)
          |    CASE WHEN CAST(doc_id % 3 AS INTEGER) = 0 AND CAST((doc_id // 3) % 3 AS INTEGER) = 2
-         |         AND CAST((doc_id // 9) % 2 AS INTEGER) = 1 THEN 1 ELSE 0 END AS pal,
+         |         THEN CAST((doc_id // 9) % 3 AS INTEGER) ELSE 0 END AS pvar,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
@@ -505,8 +508,10 @@ object SparkEntry {
          |      -- png (stored-deflate IDAT): sig 8 + IHDR 25 + IDAT 12 +
          |      -- IEND 12 + zlib 6 + scanlines h*(1+bpp*w) + 5 per stored
          |      -- block; the palette profile adds the 256-entry PLTE
-         |      -- chunk (12 + 768) and stores 1-byte pixels
-         |      WHEN format = 'png' AND pal = 1 THEN 843 + h*(1 + w) + 5*((h*(1 + w) + 65534)//65535)
+         |      -- chunk (12 + 768) and stores 1-byte pixels; the RGBA
+         |      -- profile stores 4-byte pixels (r15)
+         |      WHEN format = 'png' AND pvar = 1 THEN 843 + h*(1 + w) + 5*((h*(1 + w) + 65534)//65535)
+         |      WHEN format = 'png' AND pvar = 2 THEN 63 + h*(1 + 4*w) + 5*((h*(1 + 4*w) + 65534)//65535)
          |      WHEN format = 'png' THEN 63 + h*(1 + 3*w) + 5*((h*(1 + 3*w) + 65534)//65535)
          |      WHEN format = 'wav' THEN 44 + 2*ns
          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
@@ -516,9 +521,16 @@ object SparkEntry {
          |  FROM base),
          |v0 AS (SELECT *, $mmTbExpr AS tb FROM u),
          |v1 AS (SELECT *,
-         |    CASE WHEN pal = 1 THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
+         |    CASE WHEN pvar = 1 THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
+         |         -- RGBA (r15): decoded rgb[3j+c] = white-composite of
+         |         -- unit(4j+c) under alpha unit(4j+3) — one period-3n
+         |         -- list, the same ub shape as the palette expansion
+         |         WHEN pvar = 2 THEN flatten(list_transform(range(0, CAST(n AS INTEGER)), j ->
+         |           list_transform([0, 1, 2], c ->
+         |             (tb[1 + CAST((4*j + c) % n AS INTEGER)] * tb[1 + CAST((4*j + 3) % n AS INTEGER)]
+         |              + (255 - tb[1 + CAST((4*j + 3) % n AS INTEGER)]) * 255 + 127) // 255)))
          |         ELSE tb END AS ub,
-         |    CASE WHEN pal = 1 THEN 3*n ELSE n END AS m
+         |    CASE WHEN pvar IN (1, 2) THEN 3*n ELSE n END AS m
          |  FROM v0),
          |v AS (SELECT *, nunits // m AS q, nunits % m AS r FROM v1)""".stripMargin
     // mm_phash_dup oracle fragments: 8×8 box decomposition of cell ci

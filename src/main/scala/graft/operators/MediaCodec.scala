@@ -220,6 +220,52 @@ object MediaCodec extends Serializable {
     out.toByteArray
   }
 
+  /** PNG, 8-bit RGBA (color type 6): signature + IHDR + one IDAT +
+    * IEND. `rgba` is the 4·w·h interleaved raster; the decoder
+    * composites the alpha channel over opaque white (the alpha
+    * contract), so this encoder is the fixture source for that path.
+    * The filter type cycles y % 5 — at bpp 4 the left neighbor sits
+    * at offset 4, exercising all five filters at a THIRD byte
+    * offset. IDAT uses [[zlibStored]], so total size is closed-form:
+    * 63 + h·(1+4w) + 5·⌈h·(1+4w)/65535⌉. */
+  def encodeAlphaPng(w: Int, h: Int, rgba: Array[Byte]): Array[Byte] = {
+    require(rgba.length == 4 * w * h, s"rgba length ${rgba.length} != 4*$w*$h")
+    val rowLen = 4 * w
+    val raw = new Array[Byte](h * (1 + rowLen))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      val o = y * (1 + rowLen)
+      raw(o) = f.toByte
+      var x = 0
+      while (x < rowLen) {
+        val cur = rgba(y * rowLen + x) & 0xff
+        val left = if (x >= 4) rgba(y * rowLen + x - 4) & 0xff else 0
+        val up = if (y > 0) rgba((y - 1) * rowLen + x) & 0xff else 0
+        val ul = if (x >= 4 && y > 0) rgba((y - 1) * rowLen + x - 4) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(o + 1 + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 6 // bit depth 8, color type 6 (RGBA)
+    val out = new java.io.ByteArrayOutputStream(63 + raw.length + 5)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zlibStored(raw))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** PNG, 8-bit PALETTE (color type 3): signature + IHDR + PLTE +
     * one IDAT + IEND. `indices` is the w·h index raster, `palette`
     * holds 3·entries RGB bytes (1–256 entries). The filter type
@@ -416,11 +462,17 @@ object MediaCodec extends Serializable {
     * bytes-per-pixel offset, then down-shifted to each big-endian
     * sample's high byte; 16-bit palette is illegal per spec Table
     * 11.1 and rejects), sequential AND Adam7-interlaced (r14: seven
-    * independently-filtered sub-images scattered to final positions)
-    * — anything else (alpha, including tRNS transparency) is honest
-    * [[UnknownMedia]], as are truncated streams, foreign trailing
-    * bytes and wrapped-dimension headers (LONG bounds before every
-    * allocation). Ancillary chunks (tEXt/pHYs/…) are skipped after
+    * independently-filtered sub-images scattered to final positions),
+    * and ALPHA in all its spec forms (r15): in-stream for GRAY+ALPHA
+    * (type 4) and RGBA (type 6, both depths), and tRNS transparency
+    * for types 0/2 (a full-depth color key) and 3 (per-palette-entry
+    * alpha) — resolved at decode by compositing over an opaque WHITE
+    * background, c' = (a·c + (255−a)·255 + 127)/255, so the decoded
+    * image stays 3-channel (the documented alpha contract; the
+    * oracles rebuild that exact integer expression). Anything else is
+    * honest [[UnknownMedia]], as are truncated streams, foreign
+    * trailing bytes and wrapped-dimension headers (LONG bounds before
+    * every allocation). Ancillary chunks (tEXt/pHYs/…) are skipped after
     * their CRC validates; UNKNOWN CRITICAL chunks (ancillary bit
     * clear) reject the file — libpng errors on a critical chunk it
     * cannot interpret, and silently skipping one would decode an
@@ -434,6 +486,7 @@ object MediaCodec extends Serializable {
     var seenIhdr = false; var seenIend = false
     var inIdat = false; var idatClosed = false
     var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       if (pos + 8 > b.length) return UnknownMedia(b.length)
@@ -458,7 +511,14 @@ object MediaCodec extends Serializable {
           w = getIntBE(b, pos + 8); h = getIntBE(b, pos + 12)
           val depth = b(pos + 16) & 0xff; colorType = b(pos + 17) & 0xff
           val comp = b(pos + 18); val filt = b(pos + 19); val inter = b(pos + 20)
-          val channels = colorType match { case 2 => 3; case 0 => 1; case 3 => 1; case _ => 0 }
+          // alpha profiles (r15): 4 = gray+alpha, 6 = RGBA — decoded
+          // by compositing over an opaque WHITE background (the
+          // documented alpha contract; see the composite below), so
+          // ImageMedia stays 3-channel for every downstream consumer
+          val channels = colorType match {
+            case 2 => 3; case 0 => 1; case 3 => 1; case 4 => 2; case 6 => 4
+            case _ => 0
+          }
           // 16-bit depth (r14): legal for grayscale/truecolor, decoded
           // by down-shifting to each sample's HIGH byte (big-endian
           // per spec) after unfiltering — the standard 8-bit view of a
@@ -487,9 +547,10 @@ object MediaCodec extends Serializable {
         case "PLTE" =>
           // spec §11.2.3: one PLTE, before IDAT, 1–256 whole RGB
           // entries; REQUIRED for color type 3, a legal suggested
-          // palette for type 2 (stored then unused), FORBIDDEN for
-          // grayscale
-          if (palette != null || inIdat || idatClosed || colorType == 0 ||
+          // palette for types 2 and 6 (stored then unused), FORBIDDEN
+          // for the grayscale types 0 and 4
+          if (palette != null || inIdat || idatClosed ||
+              colorType == 0 || colorType == 4 ||
               len == 0 || len % 3 != 0 || len / 3 > 256)
             return UnknownMedia(b.length)
           palette = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
@@ -505,13 +566,33 @@ object MediaCodec extends Serializable {
           if (len != 0) return UnknownMedia(b.length)
           seenIend = true
         case "tRNS" =>
-          // transparency is ALPHA arriving through an ancillary chunk
-          // (the common transparent-PNG form) — silently dropping it
-          // would hash pixels a conforming decoder treats as
-          // transparent, while the same alpha in color types 4/6
-          // rejects; honest UnknownMedia keeps the one alpha contract
-          // (review r14)
-          return UnknownMedia(b.length)
+          // transparency as an ancillary chunk (r15, §11.3.2): a
+          // 2-byte gray key for type 0, a 6-byte RGB key for type 2
+          // (keyed pixels become fully transparent — composited to
+          // the white background below; for sub-16 depths the key's
+          // high bytes must be zero, an out-of-range key rejects),
+          // per-entry alpha bytes for type 3 (entries beyond the
+          // table are opaque; a table longer than the palette
+          // rejects). FORBIDDEN for types 4/6 (alpha is in-stream),
+          // must precede IDAT, and for type 3 must follow PLTE.
+          if (trns != null || inIdat || idatClosed ||
+              colorType == 4 || colorType == 6 || len == 0)
+            return UnknownMedia(b.length)
+          val okLen = colorType match {
+            case 0 => len == 2
+            case 2 => len == 6
+            case 3 => palette != null && len <= palette.length / 3
+            case _ => false
+          }
+          if (!okLen) return UnknownMedia(b.length)
+          if (sampleBytes == 1 && (colorType == 0 || colorType == 2)) {
+            var i = 0
+            while (i < len) {
+              if (b(pos + 8 + i) != 0) return UnknownMedia(b.length)
+              i += 2
+            }
+          }
+          trns = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
         case _ =>
           // bit 5 of the type's first byte: set = ancillary (safe to
           // skip once its CRC validated), clear = CRITICAL — a chunk
@@ -643,29 +724,91 @@ object MediaCodec extends Serializable {
     val samples =
       if (sampleBytes == 1) recon
       else Array.tabulate[Byte](recon.length / 2)(i => recon(2 * i))
+    // THE ALPHA CONTRACT (r15): alpha — in-stream (types 4/6) or via
+    // tRNS (types 0/2/3) — is resolved at decode by compositing over
+    // an opaque WHITE background with round-half-up integer math:
+    //   c' = (a·c + (255−a)·255 + 127) / 255
+    // so ImageMedia stays 3-channel and every downstream consumer
+    // (hash, embed, resize, the oracles) sees one pixel format; the
+    // oracles rebuild this exact expression. tRNS keys compare at
+    // FULL bit depth (a 16-bit pixel whose low bytes differ from the
+    // key is NOT transparent), before the high-byte fold.
+    def comp(v: Int, a: Int): Byte =
+      ((a * v + (255 - a) * 255 + 127) / 255).toByte
+    // full-depth sample j (big-endian 16-bit or plain 8-bit) — for
+    // tRNS key comparison only
+    def fullSample(j: Int): Int =
+      if (sampleBytes == 1) recon(j) & 0xff
+      else ((recon(2 * j) & 0xff) << 8) | (recon(2 * j + 1) & 0xff)
+    def key16(t: Array[Byte], c: Int): Int =
+      ((t(2 * c) & 0xff) << 8) | (t(2 * c + 1) & 0xff)
+    def key(t: Array[Byte], c: Int): Int =
+      if (sampleBytes == 1) t(2 * c + 1) & 0xff else key16(t, c)
     val rgb = colorType match {
-      case 2 => samples
+      case 2 =>
+        if (trns == null) samples
+        else {
+          val out = new Array[Byte](3 * w * h)
+          var i = 0
+          while (i < w * h) {
+            val transparent = fullSample(3 * i) == key(trns, 0) &&
+              fullSample(3 * i + 1) == key(trns, 1) &&
+              fullSample(3 * i + 2) == key(trns, 2)
+            val a = if (transparent) 0 else 255
+            out(3 * i) = comp(samples(3 * i) & 0xff, a)
+            out(3 * i + 1) = comp(samples(3 * i + 1) & 0xff, a)
+            out(3 * i + 2) = comp(samples(3 * i + 2) & 0xff, a)
+            i += 1
+          }
+          out
+        }
       case 3 => // palette: each index → its PLTE triple; an index beyond
         // the palette is a spec violation (libpng errors), not a
         // clamp — rejecting keeps "decoded" meaning "every byte was
-        // interpreted by the book"
+        // interpreted by the book". tRNS holds per-ENTRY alpha;
+        // entries past the table are opaque.
         val entries = palette.length / 3
         val out = new Array[Byte](3 * w * h)
         var i = 0
         while (i < samples.length) {
           val idx = samples(i) & 0xff
           if (idx >= entries) return UnknownMedia(b.length)
-          out(3 * i) = palette(3 * idx)
-          out(3 * i + 1) = palette(3 * idx + 1)
-          out(3 * i + 2) = palette(3 * idx + 2)
+          val a = if (trns != null && idx < trns.length) trns(idx) & 0xff else 255
+          out(3 * i) = comp(palette(3 * idx) & 0xff, a)
+          out(3 * i + 1) = comp(palette(3 * idx + 1) & 0xff, a)
+          out(3 * i + 2) = comp(palette(3 * idx + 2) & 0xff, a)
           i += 1
         }
         out
-      case _ => // grayscale: expand the single channel to r = g = b
+      case 4 => // gray+alpha: composite, then expand to r = g = b
+        val out = new Array[Byte](3 * w * h)
+        var i = 0
+        while (i < w * h) {
+          val g = comp(samples(2 * i) & 0xff, samples(2 * i + 1) & 0xff)
+          out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+          i += 1
+        }
+        out
+      case 6 => // RGBA: per-channel composite with the pixel's alpha
+        val out = new Array[Byte](3 * w * h)
+        var i = 0
+        while (i < w * h) {
+          val a = samples(4 * i + 3) & 0xff
+          out(3 * i) = comp(samples(4 * i) & 0xff, a)
+          out(3 * i + 1) = comp(samples(4 * i + 1) & 0xff, a)
+          out(3 * i + 2) = comp(samples(4 * i + 2) & 0xff, a)
+          i += 1
+        }
+        out
+      case _ => // grayscale: expand the single channel to r = g = b,
+        // with the optional tRNS gray key
         val out = new Array[Byte](3 * w * h)
         var i = 0
         while (i < samples.length) {
-          out(3 * i) = samples(i); out(3 * i + 1) = samples(i); out(3 * i + 2) = samples(i)
+          val a =
+            if (trns != null && fullSample(i) == key(trns, 0)) 0 else 255
+          val g = comp(samples(i) & 0xff, a)
+          out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
           i += 1
         }
         out

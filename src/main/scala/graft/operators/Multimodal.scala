@@ -90,24 +90,31 @@ object Multimodal {
         // container cycles PPM → BMP → PNG (r13: the compressed
         // container joins the rotation; all three must agree on the
         // logical pixels — container-invariance is spec-pinned). The
-        // PNG slot sub-cycles truecolor / PALETTE (r14): palette rows
-        // carry a w·h INDEX raster (one unit per pixel) through a
-        // 256-entry PLTE whose channels are three DIFFERENT byte maps
-        // (e, 255−e, 3e mod 256) — a decoder that transposes PLTE
-        // layout or reads one channel for all three breaks the
-        // weighted content sums. Decoded rgb[3i+c] = chan(unit(i), c),
-        // which is the `ub` cycle (period 3·n) the DuckDB oracles
-        // rebuild.
-        // lazy: the palette arm never allocates the truecolor raster
-        // (review r14 — one definition of the unit rule, not three)
+        // PNG slot sub-cycles truecolor / PALETTE / RGBA by (id/9)%3:
+        // palette rows (r14) carry a w·h INDEX raster (one unit per
+        // pixel) through a 256-entry PLTE whose channels are three
+        // DIFFERENT byte maps (e, 255−e, 3e mod 256) — a decoder that
+        // transposes PLTE layout or reads one channel for all three
+        // breaks the weighted content sums; decoded rgb[3i+c] =
+        // chan(unit(i), c), the `ub` cycle (period 3·n) the DuckDB
+        // oracles rebuild. RGBA rows (r15) carry a 4·w·h unit raster
+        // whose 4th channel is ALPHA, composited over white at decode
+        // — decoded rgb[3i+c] = comp(unit(4i+c), unit(4i+3)), again a
+        // period-3n cycle, so a wrong composite (or alpha leaking
+        // into a color channel) breaks the same weighted sums.
+        // lazy: the palette/rgba arms never allocate the truecolor
+        // raster (review r14 — one definition of the unit rule)
         lazy val rgb = Array.tabulate(3 * w * h)(i => unit(i.toLong))
         val payload = java.lang.Math.floorMod(id / 3, 3L) match {
           case 0L => MediaCodec.encodePpm(w, h, rgb)
           case 1L => MediaCodec.encodeBmp(w, h, rgb)
-          case _ if java.lang.Math.floorMod(id / 9, 2L) == 1L =>
-            MediaCodec.encodePalettePng(w, h,
+          case _ => java.lang.Math.floorMod(id / 9, 3L) match {
+            case 1L => MediaCodec.encodePalettePng(w, h,
               Array.tabulate(w * h)(i => unit(i.toLong)), palettePlte)
-          case _ => MediaCodec.encodePng(w, h, rgb)
+            case 2L => MediaCodec.encodeAlphaPng(w, h,
+              Array.tabulate(4 * w * h)(i => unit(i.toLong)))
+            case _ => MediaCodec.encodePng(w, h, rgb)
+          }
         }
         ("image", payload)
       case 1 =>

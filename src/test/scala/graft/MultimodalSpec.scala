@@ -50,6 +50,7 @@ class MultimodalSpec extends SparkSpec {
               case 2 => 3
               case 0 => 1 // grayscale (r13): one channel, expanded below
               case 3 => 1 // palette (r14): index bytes, PLTE lookup below
+              case 6 => 4 // RGBA (r15): white-composited below
               case other => sys.error(s"color type $other")
             }
           case "PLTE" => plte = b.slice(p + 8, p + 8 + len)
@@ -84,6 +85,12 @@ class MultimodalSpec extends SparkSpec {
         if (chans == 3) rec
         else if (colorType == 3) // palette lookup (r14): functional
           rec.flatMap { iv => val e = iv & 0xff; plte.slice(3 * e, 3 * e + 3) }
+        else if (colorType == 6) // RGBA (r15): the alpha contract —
+          // composite over opaque white, round-half-up integer math
+          rec.grouped(4).flatMap { px =>
+            val a = px(3) & 0xff
+            px.take(3).map(c => ((a * (c & 0xff) + (255 - a) * 255 + 127) / 255).toByte)
+          }.toArray
         else rec.flatMap(v => Array(v, v, v)) // grayscale expansion
       (w, h, rgb)
     }
@@ -217,11 +224,11 @@ class MultimodalSpec extends SparkSpec {
       r.kind match {
         case "image" =>
           assert(fmt == Seq("ppm", "bmp", "png")(((r.media_id / 3) % 3).toInt))
-          // the PNG slot sub-cycles truecolor / palette by (id/9)%2
-          // (r14) — color type byte sits at offset 25 (sig 8 + IHDR
-          // len/type 8 + 9 data bytes)
+          // the PNG slot sub-cycles truecolor / palette / RGBA by
+          // (id/9)%3 (r15) — color type byte sits at offset 25
+          // (sig 8 + IHDR len/type 8 + 9 data bytes)
           if (fmt == "png")
-            assert(r.payload(25) == (if ((r.media_id / 9) % 2 == 1) 3 else 2),
+            assert(r.payload(25) == Seq(2, 3, 6)(((r.media_id / 9) % 3).toInt),
               s"png color type for id ${r.media_id}")
         case "audio" => assert(fmt == "wav")
         case "video" => assert(fmt == "y4m")
@@ -1116,9 +1123,9 @@ class MultimodalSpec extends SparkSpec {
     // facts the oracle rebuilds (chan(unit, c) raster)
     locally {
       val text = "palette fixture text!"
-      val id = 33L // id%3=0 image; (id/3)%3=2 png slot; (id/9)%2=1 palette
+      val id = 15L // id%3=0 image; (id/3)%3=2 png slot; (id/9)%3=1 palette
       val (_, payload) = Multimodal.genPayload(id, text)
-      assert(payload(25) == 3, "fixture id 33 must be a palette PNG (color type byte)")
+      assert(payload(25) == 3, "fixture id 15 must be a palette PNG (color type byte)")
       val units = text.codePoints().toArray.map(cp => if (cp <= 127) cp else 63)
       val pw = (8 + id % 57).toInt; val ph = (8 + id * 7 % 57).toInt
       MediaCodec.decode(payload) match {
@@ -1666,6 +1673,172 @@ class MultimodalSpec extends SparkSpec {
     // DC "0" + 0x10 "10" = 010 + pad 11111 → 0x5F: undefined run/size
     assert(MediaCodec.decode(jpegWith(Array(0x5f))).isInstanceOf[UnknownMedia],
       "s=0, r=1 composite (sequential-undefined) must reject")
+  }
+
+  test("alpha PNG (types 4/6 + tRNS): composites over white at full depth; filters invert") {
+    // THE ALPHA CONTRACT: every alpha form resolves at decode by
+    // compositing over an opaque white background with round-half-up
+    // integer math, c' = (a·c + (255−a)·255 + 127)/255 — recomputed
+    // here independently of the codec for every profile.
+    def comp(v: Int, a: Int): Int = (a * v + (255 - a) * 255 + 127) / 255
+    // RGBA 8-bit through the codec encoder (all five filters, bpp 4)
+    locally {
+      val w = 13; val h = 11
+      val rgba = Array.tabulate[Byte](4 * w * h)(i => ((i * 29 + 3) % 256).toByte)
+      MediaCodec.decode(MediaCodec.encodeAlphaPng(w, h, rgba)) match {
+        case ImageMedia(`w`, `h`, "png", rgb) =>
+          for (i <- 0 until w * h; c <- 0 until 3)
+            assert((rgb(3 * i + c) & 0xff) ==
+              comp(rgba(4 * i + c) & 0xff, rgba(4 * i + 3) & 0xff), s"rgba px $i ch $c")
+        case other => fail(s"rgba: $other")
+      }
+    }
+    // spec-local builder (filter-0 rows, Deflater stream — the
+    // Huffman path, independent of the codec's stored blocks)
+    def buildPng(w: Int, h: Int, depth: Int, colorType: Int, rowBytes: Int,
+                 raster: Array[Byte],
+                 preIdat: Seq[(String, Array[Byte])] = Nil,
+                 postIdat: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+      val raw = new Array[Byte](h * (1 + rowBytes))
+      for (y <- 0 until h) {
+        raw(y * (1 + rowBytes)) = 0
+        System.arraycopy(raster, y * rowBytes, raw, y * (1 + rowBytes) + 1, rowBytes)
+      }
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 128)
+      val n = d.deflate(buf)
+      assert(d.finished); d.end()
+      val ihdr = new Array[Byte](13)
+      ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+      ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+      ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        pngChunkBytes("IHDR", ihdr) ++
+        preIdat.flatMap { case (t, p) => pngChunkBytes(t, p) } ++
+        pngChunkBytes("IDAT", buf.take(n)) ++
+        postIdat.flatMap { case (t, p) => pngChunkBytes(t, p) } ++
+        pngChunkBytes("IEND", Array.emptyByteArray)
+    }
+    // gray+alpha 8-bit (type 4): both channels cycle independently
+    locally {
+      val w = 9; val h = 7
+      val ga = Array.tabulate[Byte](2 * w * h)(i => ((i * 41 + 11) % 256).toByte)
+      MediaCodec.decode(buildPng(w, h, 8, 4, 2 * w, ga)) match {
+        case ImageMedia(`w`, `h`, _, rgb) =>
+          for (i <- 0 until w * h) {
+            val g = comp(ga(2 * i) & 0xff, ga(2 * i + 1) & 0xff)
+            for (c <- 0 until 3) assert((rgb(3 * i + c) & 0xff) == g, s"graya px $i ch $c")
+          }
+        case other => fail(s"graya: $other")
+      }
+    }
+    // RGBA 16-bit: composite of the folded HIGH bytes; low bytes are
+    // noise that must not leak into the result
+    locally {
+      val w = 6; val h = 5
+      val px = Array.tabulate[Byte](8 * w * h)(i => ((i * 53 + 7) % 256).toByte)
+      MediaCodec.decode(buildPng(w, h, 16, 6, 8 * w, px)) match {
+        case ImageMedia(`w`, `h`, _, rgb) =>
+          for (i <- 0 until w * h; c <- 0 until 3)
+            assert((rgb(3 * i + c) & 0xff) ==
+              comp(px(8 * i + 2 * c) & 0xff, px(8 * i + 6) & 0xff), s"rgba16 px $i ch $c")
+        case other => fail(s"rgba16: $other")
+      }
+    }
+    // tRNS color key on 8-bit truecolor: keyed pixels go fully
+    // transparent (white), everything else stays opaque
+    locally {
+      val w = 8; val h = 6
+      val key = (10, 20, 30)
+      val rgb0 = Array.tabulate[Byte](3 * w * h) { i =>
+        val p = i / 3
+        if (p % 5 == 0) Array(10, 20, 30)(i % 3).toByte // keyed pixels
+        else ((i * 19 + 40) % 256).toByte
+      }
+      val trns = Array[Byte](0, key._1.toByte, 0, key._2.toByte, 0, key._3.toByte)
+      MediaCodec.decode(buildPng(w, h, 8, 2, 3 * w, rgb0, preIdat = Seq("tRNS" -> trns))) match {
+        case ImageMedia(`w`, `h`, _, rgb) =>
+          for (p <- 0 until w * h) {
+            val keyed = (rgb0(3 * p) & 0xff) == key._1 &&
+              (rgb0(3 * p + 1) & 0xff) == key._2 && (rgb0(3 * p + 2) & 0xff) == key._3
+            for (c <- 0 until 3) {
+              val want = if (keyed) 255 else rgb0(3 * p + c) & 0xff
+              assert((rgb(3 * p + c) & 0xff) == want, s"trns px $p ch $c keyed=$keyed")
+            }
+          }
+        case other => fail(s"trns truecolor: $other")
+      }
+    }
+    // tRNS gray key at 16-BIT depth compares the FULL sample: a pixel
+    // matching only in its high byte must stay opaque
+    locally {
+      val w = 4; val h = 3
+      // samples: pixel 0 = 0x1234 (the key), pixel 1 = 0x12FF (high
+      // byte matches, full value doesn't), rest cycle
+      val px = new Array[Byte](2 * w * h)
+      for (i <- 0 until w * h) {
+        val v = if (i == 0) 0x1234 else if (i == 1) 0x12ff else 0x4000 + i
+        px(2 * i) = (v >> 8).toByte; px(2 * i + 1) = v.toByte
+      }
+      val trns = Array[Byte](0x12, 0x34)
+      MediaCodec.decode(buildPng(w, h, 16, 0, 2 * w, px, preIdat = Seq("tRNS" -> trns))) match {
+        case ImageMedia(`w`, `h`, _, rgb) =>
+          assert((rgb(0) & 0xff) == 255, "keyed 16-bit pixel must be transparent → white")
+          assert((rgb(3) & 0xff) == 0x12, "high-byte-only match must stay opaque")
+        case other => fail(s"trns gray16: $other")
+      }
+    }
+    // tRNS on palette: per-entry alpha, entries past the table opaque
+    locally {
+      val w = 8; val h = 4
+      val plte = Array.tabulate[Byte](3 * 5)(j => ((j * 31 + 9) % 256).toByte)
+      val idx = Array.tabulate[Byte](w * h)(i => (i % 5).toByte)
+      val trns = Array[Byte](0, 128.toByte, 255.toByte) // entries 3,4 opaque
+      MediaCodec.decode(buildPng(w, h, 8, 3, w, idx,
+        preIdat = Seq("PLTE" -> plte, "tRNS" -> trns))) match {
+        case ImageMedia(`w`, `h`, _, rgb) =>
+          for (p <- 0 until w * h; c <- 0 until 3) {
+            val e = p % 5
+            val a = if (e < 3) trns(e) & 0xff else 255
+            assert((rgb(3 * p + c) & 0xff) == comp(plte(3 * e + c) & 0xff, a),
+              s"palette-trns px $p ch $c")
+          }
+        case other => fail(s"trns palette: $other")
+      }
+    }
+    // adversarial rejections: the spec's ordering/shape rules
+    val w9 = 4; val h9 = 4
+    val solid = Array.fill[Byte](3 * w9 * h9)(50.toByte)
+    val keyOk = Array[Byte](0, 1, 0, 2, 0, 3)
+    assert(MediaCodec.decode(buildPng(w9, h9, 8, 2, 3 * w9, solid,
+      postIdat = Seq("tRNS" -> keyOk))).isInstanceOf[UnknownMedia],
+      "tRNS AFTER IDAT must reject")
+    assert(MediaCodec.decode(buildPng(w9, h9, 8, 6, 4 * w9,
+      Array.fill[Byte](4 * w9 * h9)(9), preIdat = Seq("tRNS" -> keyOk)))
+      .isInstanceOf[UnknownMedia], "tRNS on an alpha color type must reject")
+    assert(MediaCodec.decode(buildPng(w9, h9, 8, 2, 3 * w9, solid,
+      preIdat = Seq("tRNS" -> Array[Byte](0, 1, 0)))).isInstanceOf[UnknownMedia],
+      "a 3-byte truecolor tRNS must reject")
+    assert(MediaCodec.decode(buildPng(w9, h9, 8, 2, 3 * w9, solid,
+      preIdat = Seq("tRNS" -> Array[Byte](1, 1, 0, 2, 0, 3)))).isInstanceOf[UnknownMedia],
+      "an 8-bit key with a nonzero high byte (out of range) must reject")
+    assert(MediaCodec.decode(buildPng(w9, h9, 8, 2, 3 * w9, solid,
+      preIdat = Seq("tRNS" -> keyOk, "tRNS" -> keyOk))).isInstanceOf[UnknownMedia],
+      "a duplicate tRNS must reject")
+    locally {
+      val plte = Array.tabulate[Byte](3 * 4)(j => j.toByte)
+      val idx = Array.fill[Byte](w9 * h9)(1)
+      assert(MediaCodec.decode(buildPng(w9, h9, 8, 3, w9, idx,
+        preIdat = Seq("PLTE" -> plte, "tRNS" -> Array.fill[Byte](5)(7))))
+        .isInstanceOf[UnknownMedia], "type-3 tRNS longer than the palette must reject")
+      assert(MediaCodec.decode(buildPng(w9, h9, 8, 3, w9, idx,
+        preIdat = Seq("tRNS" -> Array.fill[Byte](2)(7), "PLTE" -> plte)))
+        .isInstanceOf[UnknownMedia], "type-3 tRNS before PLTE must reject")
+      assert(MediaCodec.decode(buildPng(w9, h9, 8, 4, 2 * w9,
+        Array.fill[Byte](2 * w9 * h9)(3), preIdat = Seq("PLTE" -> plte)))
+        .isInstanceOf[UnknownMedia], "PLTE on gray+alpha (type 4) must reject")
+    }
   }
 
   test("progressive JPEG: decode ≡ baseline decode of the same raster across profiles, dims and restarts") {
