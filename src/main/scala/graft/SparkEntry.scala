@@ -207,6 +207,15 @@ object SparkEntry {
     // after the swap, and the drift decision; PlanSpec pins the serve
     // shape through the indirection
     "pipe_ivf_reserve" -> ((s, dir) => Similarity.ivfReserveTopK(s, dir)),
+    // the lifecycle's LAST verb (r15): retention GC deletes RETIRED
+    // version directories (strictly below manifest − keep) after the
+    // swing; the manifest audit log is never touched, so serving
+    // resolves the same bytes before and after. Rows-only
+    // (trained-float-artifact class); RecallSpec gates retired-subtree
+    // confinement (post-GC root inventory ≡ pre-GC minus exactly v1/),
+    // survivor byte-identity, serve row-identity across the GC,
+    // idempotence, and gc ≡ reserve output row-for-row
+    "pipe_ivf_gc" -> ((s, dir) => Similarity.ivfGcServeTopK(s, dir)),
     "dd_exact" -> Dedup.exactDedup _,
     // RefinedWeb-style duplicated-passage removal at tumbling-segment
     // granularity; counts + reassembled clean text, oracle-checked

@@ -709,7 +709,8 @@ object Similarity {
     *
     * At 100 TB this is how real vector platforms roll indexes: build
     * the new generation beside the old, flip a pointer, garbage-
-    * collect old generations asynchronously. The lifecycle:
+    * collect old generations asynchronously ([[gcVersions]] — the
+    * retention verb, `pipe_ivf_gc`). The lifecycle:
     * [[versionedBuildV1]] trains v1 on HISTORY; the drifted batch
     * arrives; [[versionedRetrainIfDrifted]] re-detects the
     * [[maxShareDriftPpm]] signal under the MANIFEST version's
@@ -809,8 +810,17 @@ object Similarity {
                      numQueries: Int = 10, topK: Int = 5,
                      historyBuckets: Long = 3277,
                      driftThresholdPpm: Long = 50000L): DataFrame = {
-    import s.implicits._
     val root = ivfVersionedDir(s, dir, nLists, iters, historyBuckets, driftThresholdPpm)
+    serveThroughManifest(s, dir, root, nProbe, numQueries, topK, historyBuckets)
+  }
+
+  /** The manifest-resolved serve shared by every versioned-root
+    * consumer (`pipe_ivf_reserve`, `pipe_ivf_gc`): pointer pull, then
+    * the common [[serveFromIndex]] plan over `v<manifest>/`. */
+  private[graft] def serveThroughManifest(s: SparkSession, dir: String, root: String,
+                                          nProbe: Int, numQueries: Int, topK: Int,
+                                          historyBuckets: Long): DataFrame = {
+    import s.implicits._
     val ver = manifestVersion(s, root)
     // bounded probe frame: the vec_id filter pushes to the embeddings
     // scan BELOW the drift transform (no corpus scan, no checkpoint —
@@ -820,6 +830,66 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"embedding".as("q"))
     serveFromIndex(s, dir, s"$root/v$ver", nProbe, numQueries, topK,
       probeSource = Some(probes))
+  }
+
+  /** Retention GC over a versioned index root (`pipe_ivf_gc`) — the
+    * lifecycle's LAST verb, the one [[ivfVersionedDir]]'s docstring
+    * promised: build the new generation beside the old, flip the
+    * pointer, garbage-collect old generations. The retention rule is
+    * "keep the manifest version plus `keep` predecessors"; every
+    * version directory strictly below that floor is RETIRED and
+    * deleted. Two invariants make this safe at 100 TB:
+    *
+    *  - the MANIFEST is never touched — it is the tiny append-only
+    *    audit log of every version that ever served, and the pointer
+    *    (max committed version) is by construction ≥ the floor, so
+    *    serving resolves the same bytes before and after a GC;
+    *  - deletion is confined to retired `v<k>/` subtrees — RecallSpec
+    *    proves the post-GC root inventory equals the pre-GC inventory
+    *    minus EXACTLY the retired subtree, byte-for-byte.
+    *
+    * Returns the retired version numbers (ascending; empty when
+    * nothing falls below the floor — GC is idempotent). */
+  private[graft] def gcVersions(s: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 0, s"retention must keep at least the serving version, got keep=$keep")
+    val floor = manifestVersion(s, root) - keep
+    val retired = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).filter(_ < floor).sorted.toSeq
+    retired.foreach { v =>
+      // children-before-parents: reverse-sorted walk = rm -r
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, s"v$v"))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally walk.close()
+    }
+    retired
+  }
+
+  private val ivfGcDirs = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Long, Long), String]()
+
+  /** Full lifecycle WITH the GC verb (`pipe_ivf_gc`): v1 on history,
+    * drift-triggered retrain to v2 + manifest swing, retention GC at
+    * keep=0 retiring v1, then serve through the manifest. The same
+    * deterministic lifecycle as [[ivfReserveTopK]] on its own root,
+    * so the served frame is gated row-identical to `pipe_ivf_reserve`
+    * (RecallSpec) — the GC deleted a generation serving no longer
+    * reads, and nothing else. */
+  def ivfGcServeTopK(s: SparkSession, dir: String, nLists: Int = 16,
+                     iters: Int = 5, nProbe: Int = 4,
+                     numQueries: Int = 10, topK: Int = 5,
+                     historyBuckets: Long = 3277,
+                     driftThresholdPpm: Long = 50000L): DataFrame = {
+    val root = ivfGcDirs.computeIfAbsent((dir, nLists, iters, historyBuckets, driftThresholdPpm), _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-ivf-gc").toString
+      val tagged = Some(driftedTagged(s, dir, historyBuckets))
+      versionedBuildV1(s, r, dir, nLists, iters, historyBuckets, tagged)
+      versionedRetrainIfDrifted(s, r, dir, nLists, iters, historyBuckets, driftThresholdPpm, tagged)
+      gcVersions(s, r, keep = 0)
+      r
+    })
+    serveThroughManifest(s, dir, root, nProbe, numQueries, topK, historyBuckets)
   }
 
   /** Stream-side scoring against a persisted index

@@ -551,4 +551,57 @@ class RecallSpec extends SparkSpec {
     assert(Similarity.manifestVersion(spark, Similarity.ivfVersionedDir(spark, sfDir)) == 2L)
     assert(servedRows(Similarity.ivfReserveTopK(spark, sfDir, numQueries = 10, topK = 5)) == served)
   }
+
+  test("version GC: retires only below the retention floor; serving and survivors byte-unaffected") {
+    // pipe_ivf_gc's gate (ivfGcServeTopK) — the lifecycle's last verb.
+    // Phase-driven on a spec-local root so the WHOLE-root inventory
+    // can bracket the delete: post-GC files must equal pre-GC files
+    // minus EXACTLY the retired v1/ subtree (manifest + v2 bytes
+    // untouched), and the served frame must be row-identical across
+    // the GC.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-gc-spec").toString
+    Similarity.versionedBuildV1(spark, root, sfDir, 16, 5, 3277L)
+    assert(Similarity.versionedRetrainIfDrifted(spark, root, sfDir, 16, 5, 3277L, 50000L),
+      "the drifted fixture must trigger the retrain")
+    def inventory(): Map[String, String] = {
+      val p = java.nio.file.Paths.get(root)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).map { f =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(java.nio.file.Files.readAllBytes(f))
+        p.relativize(f).toString -> sha.map("%02x".format(_)).mkString
+      }.toMap
+      finally walk.close()
+    }
+    def serve() = servedRows(Similarity.serveThroughManifest(
+      spark, sfDir, root, nProbe = 4, numQueries = 10, topK = 5, historyBuckets = 3277L))
+    val pre = inventory()
+    assert(pre.keySet.exists(_.startsWith("v1/")) && pre.keySet.exists(_.startsWith("v2/")),
+      "both generations must exist before the GC")
+    val preServe = serve()
+    assert(preServe.nonEmpty, "the pre-GC serve must produce matches")
+    // keep=1: v1 is WITHIN retention — nothing may be deleted
+    assert(Similarity.gcVersions(spark, root, keep = 1).isEmpty, "keep=1 retires nothing here")
+    assert(inventory() == pre, "a no-op GC must not touch a byte")
+    // keep=0: v1 falls below the floor and is retired
+    assert(Similarity.gcVersions(spark, root, keep = 0) == Seq(1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v1")),
+      "the retired v1/ directory must be gone")
+    val post = inventory()
+    assert(post == pre.filter { case (path, _) => !path.startsWith("v1/") },
+      "deletion must be confined to the retired subtree: survivors (manifest + v2) " +
+        "must be the pre-GC inventory minus exactly v1/, byte-for-byte")
+    assert(serve() == preServe,
+      "serving through the manifest must be row-identical across the GC")
+    // idempotent: a second GC finds nothing below the floor
+    assert(Similarity.gcVersions(spark, root, keep = 0).isEmpty, "GC must be idempotent")
+    assert(inventory() == post)
+    // the registry arm runs the same deterministic lifecycle on its
+    // own root WITH the GC applied — its output must therefore equal
+    // pipe_ivf_reserve's exactly (the GC changed storage, not serving)
+    assert(servedRows(Similarity.ivfGcServeTopK(spark, sfDir, numQueries = 10, topK = 5)) ==
+      servedRows(Similarity.ivfReserveTopK(spark, sfDir, numQueries = 10, topK = 5)),
+      "pipe_ivf_gc must serve row-identical to pipe_ivf_reserve")
+  }
 }

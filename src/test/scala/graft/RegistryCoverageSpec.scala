@@ -44,6 +44,7 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "pipe_ivf_append" -> ("RecallSpec.scala", "ivfAppendServeTopK"),
     "pipe_ivf_sq8_serve" -> ("RecallSpec.scala", "ivfSq8ServeTopK"),
     "pipe_ivf_reserve" -> ("RecallSpec.scala", "ivfReserveTopK"),
+    "pipe_ivf_gc" -> ("RecallSpec.scala", "ivfGcServeTopK"),
     "ann_stream_serve" -> ("RecallSpec.scala", "annServeViaStream"),
     "dd_minhash_lsh" -> ("RecallSpec.scala", "minhashLsh"),
     "dd_simhash" -> ("RecallSpec.scala", "simhash"),
