@@ -403,16 +403,28 @@ object Dedup {
     * harness runs queries sequentially on the session — a concurrent
     * planner on the same session would see the loop-sized conf. */
   private def withGraphShuffle[T](s: SparkSession, rowScale: Long)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
+    // AQE is scoped OFF with the sizing (r15): inside the loop every
+    // partition count is already set explicitly from the measured row
+    // scale, so AQE has nothing left to re-plan — but it still
+    // materializes EVERY exchange as its own query-stage job (a
+    // listener measured 70 jobs / 165 stages for one sf0.1
+    // lshClusters call; per-round work is a handful of one-task
+    // stages whose cost is pure scheduling). Static execution runs
+    // each round as ONE job. On a real cluster the same reasoning
+    // holds: the loop's frames are the near-dup subgraph, orders of
+    // magnitude below the corpus scale AQE is tuned for.
+    val keys = Seq("spark.sql.shuffle.partitions" ->
+      math.max(1L, rowScale / 1000000L + 1).toString,
+      "spark.sql.adaptive.enabled" -> "false")
     // conf.get(key) resolves the SQLConf default, so restoring through
     // it would turn a previously-unset key into an explicitly-set one;
     // getAll holds only explicit settings — None restores by unset
     // (same scoped-conf contract as runToMemory and q24BloomPrune).
-    val prev = s.conf.getAll.get(key)
-    s.conf.set(key, math.max(1L, rowScale / 1000000L + 1).toString)
-    try body finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    val prev = keys.map { case (k, _) => k -> s.conf.getAll.get(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
     }
   }
 
@@ -476,9 +488,16 @@ object Dedup {
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select($"v".as("u"), $"u".as("v")))
       val mins = nbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
-      // m ≤ u < v, so no self-loops possible
+      // m ≤ u < v, so no self-loops possible. NO mid-round distinct
+      // (r15): duplicate (v, m) rows — different neighbors sharing a
+      // min — are bounded by the input edge count, groupBy-min in the
+      // next half-round is duplicate-insensitive, and smallStar's
+      // terminal distinct canonicalizes the round's output (which is
+      // where the convergence signature reads). Dropping it removes
+      // one exchange from every round of a loop whose cost at bench
+      // scale is per-stage scheduling latency, not data.
       nbrs.join(mins, "u").where($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v")).distinct()
+        .select($"v".as("u"), $"m".as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val directed = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
@@ -498,9 +517,13 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var edges = pairs.toDF("u", "v").where($"u" =!= $"v").localCheckpoint()
-    withGraphShuffle(s, edges.count()) {
+    // ONE action primes both the loop's shuffle sizing (the count) and
+    // the convergence baseline (the signature) — the split form paid an
+    // extra job on the same checkpointed frame (r15)
+    val init = signature(edges)
+    withGraphShuffle(s, init._1) {
       var prev = (-1L, 0L)
-      var cur = signature(edges)
+      var cur = init
       var rounds = 0
       while (cur != prev) {
         prev = cur
