@@ -99,7 +99,10 @@ object Probe {
         "pipe_ivf_sq8_serve",
         // r14: serving THROUGH the version manifest (the lifecycle's
         // closing verb; same bounded centroid literals)
-        "pipe_ivf_reserve")
+        "pipe_ivf_reserve",
+        // r15: the retention-GC lifecycle — serves through the same
+        // manifest helper, so its plan must match reserve's shape
+        "pipe_ivf_gc")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

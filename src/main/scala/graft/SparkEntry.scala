@@ -498,7 +498,11 @@ object SparkEntry {
          |    CASE CAST(doc_id % 3 AS INTEGER)
          |      WHEN 0 THEN CASE CAST((doc_id // 3) % 3 AS INTEGER)
          |        WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END
-         |      WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+         |      -- the audio slot sub-cycles wav / FLAC by (id//3)%2
+         |      -- (r15): lossless, so only format + n_bytes change
+         |      WHEN 1 THEN CASE CAST((doc_id // 3) % 2 AS INTEGER)
+         |        WHEN 1 THEN 'flac' ELSE 'wav' END
+         |      ELSE 'y4m' END AS format,
          |    -- the PNG slot sub-cycles truecolor(0) / palette(1) /
          |    -- RGBA-with-alpha(2) by (id//9)%3 (r15)
          |    CASE WHEN CAST(doc_id % 3 AS INTEGER) = 0 AND CAST((doc_id // 3) % 3 AS INTEGER) = 2
@@ -523,6 +527,10 @@ object SparkEntry {
          |      WHEN format = 'png' AND pvar = 2 THEN 63 + h*(1 + 4*w) + 5*((h*(1 + 4*w) + 65534)//65535)
          |      WHEN format = 'png' THEN 63 + h*(1 + 3*w) + 5*((h*(1 + 3*w) + 65534)//65535)
          |      WHEN format = 'wav' THEN 44 + 2*ns
+         |      -- flac (one verbatim frame): magic 4 + STREAMINFO 38 +
+         |      -- frame header 8 + subframe header 1 + 16-bit samples
+         |      -- + CRC-16 (closed-form, the stored-deflate trick)
+         |      WHEN format = 'flac' THEN 53 + 2*ns
          |      ELSE 33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + nfr * (6 + 3*w*h)
          |    END AS n_bytes,
          |    -- canonical-rate sample count (aHash64's 8 kHz NN resample)

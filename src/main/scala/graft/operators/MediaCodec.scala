@@ -55,6 +55,7 @@ object MediaCodec extends Serializable {
     else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpg"
     else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE") "wav"
+    else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C') "flac"
     else if (b.length >= 9 && new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
     else "unknown"
   }
@@ -354,6 +355,101 @@ object MediaCodec extends Serializable {
     out
   }
 
+  /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0, MSB-first — the
+    * FLAC frame-header checksum (RFC 9639 §9.1.3). */
+  private[operators] def crc8Flac(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0; var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; k += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0, MSB-first, no reflection —
+    * the FLAC whole-frame checksum (RFC 9639 §9.3). */
+  private[operators] def crc16Flac(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0; var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; k += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** MD5 of the unencoded audio as little-endian signed 16-bit bytes —
+    * the STREAMINFO integrity field (RFC 9639 §8.2). */
+  private def flacMd5(samples: Array[Short]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](2 * samples.length)
+    var i = 0
+    while (i < samples.length) {
+      buf(2 * i) = samples(i).toByte; buf(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    md.digest(buf)
+  }
+
+  /** FLAC (RFC 9639), 16-bit mono, ONE frame with a single VERBATIM
+    * subframe: `fLaC` magic + a 34-byte STREAMINFO (the only metadata
+    * block) + one fixed-blocking frame whose block size is the whole
+    * signal. Verbatim keeps the payload size CLOSED-FORM —
+    * 53 + 2·ns bytes — the same stored-deflate trick the PNG encoder
+    * plays, so the DuckDB oracles predict compressed-container byte
+    * counts exactly; the DECODER handles the full mono-16 subset
+    * (constant/verbatim/fixed/LPC subframes, Rice residuals) so
+    * foreign encoders' output decodes too. STREAMINFO carries the
+    * true sample MD5 and the decoder verifies it — FLAC is lossless,
+    * which is what lets every downstream hash stay bit-identical to
+    * the WAV twin of the same samples. */
+  def encodeFlac(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val ns = samples.length
+    require(ns >= 16 && ns <= 65535, s"one-frame FLAC needs 16..65535 samples, got $ns")
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"bad sample rate $sampleRate")
+    val frameBytes = 8 + 1 + 2 * ns + 2 // header+crc8, subframe hdr, samples, crc16
+    val out = new Array[Byte](42 + frameBytes) // = 53 + 2·ns
+    "fLaC".getBytes("US-ASCII").copyToArray(out, 0)
+    out(4) = 0x80.toByte // last metadata block, type 0 = STREAMINFO
+    out(7) = 34          // u24 length
+    val o = 8
+    out(o) = (ns >> 8).toByte; out(o + 1) = ns.toByte      // min block size
+    out(o + 2) = (ns >> 8).toByte; out(o + 3) = ns.toByte  // max block size
+    out(o + 4) = (frameBytes >> 16).toByte; out(o + 5) = (frameBytes >> 8).toByte
+    out(o + 6) = frameBytes.toByte                          // min frame size
+    out(o + 7) = (frameBytes >> 16).toByte; out(o + 8) = (frameBytes >> 8).toByte
+    out(o + 9) = frameBytes.toByte                          // max frame size
+    // rate(20) | channels-1(3) | bps-1(5) | total samples(36)
+    out(o + 10) = (sampleRate >> 12).toByte
+    out(o + 11) = (sampleRate >> 4).toByte
+    out(o + 12) = (((sampleRate & 0xf) << 4) | (0 << 1) | (15 >> 4)).toByte
+    out(o + 13) = (((15 & 0xf) << 4) | 0).toByte // bps-1 low nibble | total[35:32]=0
+    out(o + 14) = 0; out(o + 15) = 0
+    out(o + 16) = (ns >> 8).toByte; out(o + 17) = ns.toByte
+    flacMd5(samples).copyToArray(out, o + 18)
+    val fp = 42
+    out(fp) = 0xff.toByte; out(fp + 1) = 0xf8.toByte // sync + reserved 0 + fixed blocking
+    out(fp + 2) = 0x70 // block size code 0111 (16-bit at end), rate code 0000 (STREAMINFO)
+    out(fp + 3) = 0x08 // mono (0000), sample size 100 (16-bit), reserved 0
+    out(fp + 4) = 0    // frame number 0 (1-byte coded number)
+    out(fp + 5) = ((ns - 1) >> 8).toByte; out(fp + 6) = (ns - 1).toByte
+    out(fp + 7) = crc8Flac(out, fp, fp + 7).toByte
+    out(fp + 8) = 0x02 // subframe: pad 0, type 000001 = VERBATIM, no wasted bits
+    var i = 0
+    while (i < ns) { // 16-bit big-endian signed, byte-aligned at bps 16
+      out(fp + 9 + 2 * i) = (samples(i) >> 8).toByte
+      out(fp + 9 + 2 * i + 1) = samples(i).toByte
+      i += 1
+    }
+    val crc16 = crc16Flac(out, fp, fp + 9 + 2 * ns)
+    out(fp + 9 + 2 * ns) = (crc16 >> 8).toByte
+    out(fp + 9 + 2 * ns + 1) = crc16.toByte
+    out
+  }
+
   /** `YUV4MPEG2 W{w} H{h} F25:1 Ip A0:0 C444\n` then per frame
     * `FRAME\n` + 3 planes of w*h bytes. */
   def encodeY4m(w: Int, h: Int, frames: Array[Array[Byte]]): Array[Byte] = {
@@ -384,6 +480,7 @@ object MediaCodec extends Serializable {
       case "bmp" => decodeBmp(b)
       case "jpg" => decodeJpeg(b)
       case "wav" => decodeWav(b)
+      case "flac" => decodeFlac(b)
       case "y4m" => decodeY4m(b)
       case _     => UnknownMedia(b.length)
     } catch {
@@ -902,6 +999,290 @@ object MediaCodec extends Serializable {
     }
     if (!fmtOk || samples == null || sampleRate <= 0) UnknownMedia(b.length)
     else AudioMedia(sampleRate, samples)
+  }
+
+  /** MSB-first bit reader for the FLAC entropy layer. Reads past the
+    * end throw [[IndexOutOfBoundsException]] naturally — [[decode]]'s
+    * totality catch turns truncation into [[UnknownMedia]], the same
+    * contract as every other parser here. */
+  private final class FlacBitReader(b: Array[Byte], var pos: Int) {
+    private var bit = 0
+    def read(n: Int): Int = {
+      var v = 0; var k = n
+      while (k > 0) {
+        v = (v << 1) | ((b(pos) >> (7 - bit)) & 1)
+        bit += 1; if (bit == 8) { bit = 0; pos += 1 }
+        k -= 1
+      }
+      v
+    }
+    /** Sign-extended n-bit read (n ≥ 1). */
+    def readSigned(n: Int): Int = {
+      val v = read(n)
+      if ((v & (1 << (n - 1))) != 0) v - (1 << n) else v
+    }
+    /** Unary: zeros until the terminating 1 (RFC 9639 §9.2.1). The
+      * count is bounded by the payload (end-of-bytes throws); a
+      * conforming Rice quotient is small, so an absurd run is corrupt
+      * data burning CPU — cap it at 2²⁰ like the JPEG reader caps
+      * its run lengths. */
+    def unary(): Int = {
+      var q = 0
+      while (((b(pos) >> (7 - bit)) & 1) == 0) {
+        q += 1
+        if (q > (1 << 20)) throw new IndexOutOfBoundsException("flac unary runaway")
+        bit += 1; if (bit == 8) { bit = 0; pos += 1 }
+      }
+      bit += 1; if (bit == 8) { bit = 0; pos += 1 }
+      q
+    }
+    def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    def aligned: Boolean = bit == 0
+  }
+
+  /** FLAC decoder (RFC 9639) for the mono/16-bit subset — everything
+    * the pipeline's [[AudioMedia]] model carries; other channel
+    * counts and sample widths are honest [[UnknownMedia]], like every
+    * other out-of-model profile. Within the subset it is a REAL
+    * decoder, not the encoder's mirror: all four subframe types
+    * (CONSTANT, VERBATIM, FIXED orders 0–4, LPC to order 32), both
+    * Rice residual methods with partition escapes, wasted-bits
+    * shifts, 8/16-bit and table-coded block sizes, coded frame/sample
+    * numbers for both blocking strategies, and multi-frame streams.
+    * Strict where the spec is strict: CRC-8 per frame header, CRC-16
+    * per frame, the STREAMINFO sample MD5 (FLAC's own end-to-end
+    * integrity gate — lossless means it must reproduce exactly),
+    * STREAMINFO-first block ordering, sequential coded numbers,
+    * reserved/invalid codes reject, trailing bytes reject, and
+    * reconstructed samples must fit 16 bits (a conforming stream's
+    * cannot overflow; clamping would hide corruption). */
+  private[operators] def decodeFlac(b: Array[Byte]): Media = {
+    if (b.length < 42 + 10) return UnknownMedia(b.length)
+    // ---- metadata walk: STREAMINFO first, once ----
+    var pos = 4
+    var last = false
+    var first = true
+    var rate = -1; var totalSamples = -1L; var md5: Array[Byte] = null
+    var minBlock = 0; var maxBlock = 0
+    while (!last) {
+      if (pos + 4 > b.length) return UnknownMedia(b.length)
+      val hdr = b(pos) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((b(pos + 1) & 0xff) << 16) | ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+      if (pos.toLong + 4L + len > b.length) return UnknownMedia(b.length)
+      if (first) {
+        if (btype != 0 || len != 34) return UnknownMedia(b.length) // STREAMINFO must lead
+        val o = pos + 4
+        minBlock = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        maxBlock = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        rate = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) | ((b(o + 12) & 0xff) >> 4)
+        val channels = ((b(o + 12) >> 1) & 0x7) + 1
+        val bps = (((b(o + 12) & 1) << 4) | ((b(o + 13) & 0xff) >> 4)) + 1
+        totalSamples = ((b(o + 13) & 0x0fL) << 32) | ((b(o + 14) & 0xffL) << 24) |
+          ((b(o + 15) & 0xffL) << 16) | ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
+        md5 = java.util.Arrays.copyOfRange(b, o + 18, o + 34)
+        if (channels != 1 || bps != 16) return UnknownMedia(b.length) // out-of-model profile
+        if (rate <= 0 || minBlock < 16 || maxBlock < minBlock) return UnknownMedia(b.length)
+        first = false
+      } else if (btype == 0 || btype == 127) return UnknownMedia(b.length) // dup STREAMINFO / invalid
+      pos += 4 + len
+    }
+    if (first) return UnknownMedia(b.length)
+    // ---- frames ----
+    val out = new scala.collection.mutable.ArrayBuilder.ofShort
+    if (totalSamples > 0 && totalSamples <= (1 << 26)) out.sizeHint(totalSamples.toInt)
+    var frameIndex = 0L
+    var sampleIndex = 0L
+    var strategy = -1
+    while (pos < b.length) {
+      val fp = pos
+      // -- header (byte-aligned) --
+      if (fp + 5 > b.length) return UnknownMedia(b.length)
+      if ((b(fp) & 0xff) != 0xff || (b(fp + 1) & 0xfe) != 0xf8) return UnknownMedia(b.length)
+      val blocking = b(fp + 1) & 1
+      if (strategy == -1) strategy = blocking
+      else if (strategy != blocking) return UnknownMedia(b.length) // spec: one strategy per stream
+      val bsCode = (b(fp + 2) & 0xff) >> 4
+      val rateCode = b(fp + 2) & 0x0f
+      val chanAssign = (b(fp + 3) & 0xff) >> 4
+      val sizeCode = (b(fp + 3) >> 1) & 0x7
+      if ((b(fp + 3) & 1) != 0) return UnknownMedia(b.length) // reserved bit
+      if (chanAssign != 0) return UnknownMedia(b.length)      // mono subset
+      if (sizeCode != 0 && sizeCode != 4) return UnknownMedia(b.length) // 16-bit subset (000=STREAMINFO, 100=16)
+      if (bsCode == 0 || rateCode == 15) return UnknownMedia(b.length)  // reserved / invalid
+      // coded number (UTF-8-style, RFC 9639 §9.1.2)
+      var p = fp + 4
+      val lead = b(p) & 0xff; p += 1
+      var extra = 0
+      var coded = 0L
+      if (lead < 0x80) coded = lead
+      else {
+        extra = Integer.numberOfLeadingZeros(~(lead << 24)) // count of leading 1s
+        if (extra < 2 || extra > 7) return UnknownMedia(b.length)
+        coded = if (extra == 7) 0L else (lead & (0x7f >> extra)).toLong
+        var k = 0
+        while (k < extra - 1) {
+          if (p >= b.length || (b(p) & 0xc0) != 0x80) return UnknownMedia(b.length)
+          coded = (coded << 6) | (b(p) & 0x3f); p += 1; k += 1
+        }
+      }
+      if (blocking == 0 && coded != frameIndex) return UnknownMedia(b.length)
+      if (blocking == 1 && coded != sampleIndex) return UnknownMedia(b.length)
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => if (p >= b.length) return UnknownMedia(b.length)
+          else { val v = (b(p) & 0xff) + 1; p += 1; v }
+        case 7 => if (p + 1 >= b.length) return UnknownMedia(b.length)
+          else { val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1; p += 2; v }
+        case c => 256 << (c - 8)
+      }
+      // a coded rate must agree with STREAMINFO (both are authoritative)
+      val headerRate = rateCode match {
+        case 0 => rate
+        case 1 => 88200; case 2 => 176400; case 3 => 192000
+        case 4 => 8000; case 5 => 16000; case 6 => 22050; case 7 => 24000
+        case 8 => 32000; case 9 => 44100; case 10 => 48000; case 11 => 96000
+        case 12 => if (p >= b.length) return UnknownMedia(b.length)
+          else { val v = (b(p) & 0xff) * 1000; p += 1; v }
+        case 13 => if (p + 1 >= b.length) return UnknownMedia(b.length)
+          else { val v = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; v }
+        case _ => if (p + 1 >= b.length) return UnknownMedia(b.length)
+          else { val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) * 10; p += 2; v }
+      }
+      if (headerRate != rate) return UnknownMedia(b.length)
+      if (p >= b.length || crc8Flac(b, fp, p) != (b(p) & 0xff)) return UnknownMedia(b.length)
+      p += 1
+      if (blockSize > maxBlock) return UnknownMedia(b.length)
+      // -- one mono subframe --
+      val br = new FlacBitReader(b, p)
+      if (br.read(1) != 0) return UnknownMedia(b.length) // subframe pad bit
+      val sfType = br.read(6)
+      val wasted = if (br.read(1) == 1) br.unary() + 1 else 0
+      val effBps = 16 - wasted
+      if (effBps <= 0) return UnknownMedia(b.length)
+      val samples = new Array[Int](blockSize)
+      def readResidualInto(order: Int): Unit = {
+        val method = br.read(2)
+        if (method > 1) throw new IndexOutOfBoundsException("flac residual method")
+        val pBits = if (method == 0) 4 else 5
+        val escape = (1 << pBits) - 1
+        val partOrder = br.read(4)
+        val parts = 1 << partOrder
+        if (blockSize % parts != 0) throw new IndexOutOfBoundsException("flac partition split")
+        val perPart = blockSize / parts
+        if (perPart <= order && parts == 1) throw new IndexOutOfBoundsException("flac empty partition")
+        var i = order
+        var part = 0
+        while (part < parts) {
+          val count = (if (part == 0) perPart - order else perPart)
+          if (count < 0) throw new IndexOutOfBoundsException("flac partition order")
+          val param = br.read(pBits)
+          var k = 0
+          if (param == escape) {
+            val rawBits = br.read(5)
+            while (k < count) {
+              samples(i) = if (rawBits == 0) 0 else br.readSigned(rawBits)
+              i += 1; k += 1
+            }
+          } else {
+            while (k < count) {
+              val q = br.unary().toLong
+              val v = (q << param) | br.read(param).toLong
+              val r = (v >>> 1) ^ -(v & 1L) // zigzag
+              if (r < Int.MinValue || r > Int.MaxValue)
+                throw new IndexOutOfBoundsException("flac residual range")
+              samples(i) = r.toInt
+              i += 1; k += 1
+            }
+          }
+          part += 1
+        }
+      }
+      def checkRange(from: Int): Boolean = {
+        val lo = -(1 << (effBps - 1)); val hi = (1 << (effBps - 1)) - 1
+        var i = from; var ok = true
+        while (ok && i < blockSize) { ok = samples(i) >= lo && samples(i) <= hi; i += 1 }
+        ok
+      }
+      if (sfType == 0) { // CONSTANT
+        val v = br.readSigned(effBps)
+        java.util.Arrays.fill(samples, v)
+      } else if (sfType == 1) { // VERBATIM
+        var i = 0
+        while (i < blockSize) { samples(i) = br.readSigned(effBps); i += 1 }
+      } else if (sfType >= 8 && sfType <= 12) { // FIXED, order 0-4
+        val order = sfType - 8
+        if (order > blockSize) return UnknownMedia(b.length)
+        var i = 0
+        while (i < order) { samples(i) = br.readSigned(effBps); i += 1 }
+        readResidualInto(order)
+        i = order
+        while (i < blockSize) {
+          val pred: Long = order match {
+            case 0 => 0L
+            case 1 => samples(i - 1).toLong
+            case 2 => 2L * samples(i - 1) - samples(i - 2)
+            case 3 => 3L * samples(i - 1) - 3L * samples(i - 2) + samples(i - 3)
+            case _ => 4L * samples(i - 1) - 6L * samples(i - 2) + 4L * samples(i - 3) - samples(i - 4)
+          }
+          val v = pred + samples(i)
+          if (v < Int.MinValue || v > Int.MaxValue)
+            throw new IndexOutOfBoundsException("flac fixed overflow")
+          samples(i) = v.toInt
+          i += 1
+        }
+        if (!checkRange(order)) return UnknownMedia(b.length)
+      } else if (sfType >= 32) { // LPC, order 1-32
+        val order = (sfType & 0x1f) + 1
+        if (order > blockSize) return UnknownMedia(b.length)
+        var i = 0
+        while (i < order) { samples(i) = br.readSigned(effBps); i += 1 }
+        val precRaw = br.read(4)
+        if (precRaw == 15) return UnknownMedia(b.length) // invalid per spec
+        val precision = precRaw + 1
+        val shift = br.readSigned(5)
+        if (shift < 0) return UnknownMedia(b.length)
+        val coefs = Array.fill(order)(br.readSigned(precision))
+        readResidualInto(order)
+        i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * samples(i - 1 - j); j += 1 }
+          val v = (acc >> shift) + samples(i)
+          if (v < Int.MinValue || v > Int.MaxValue)
+            throw new IndexOutOfBoundsException("flac lpc overflow")
+          samples(i) = v.toInt
+          i += 1
+        }
+        if (!checkRange(order)) return UnknownMedia(b.length)
+      } else return UnknownMedia(b.length) // reserved subframe types
+      if ((sfType == 0 || sfType == 1) && !checkRange(0)) return UnknownMedia(b.length)
+      br.align()
+      if (br.pos + 2 > b.length) return UnknownMedia(b.length)
+      val crc = crc16Flac(b, fp, br.pos)
+      if (crc != (((b(br.pos) & 0xff) << 8) | (b(br.pos + 1) & 0xff)))
+        return UnknownMedia(b.length)
+      pos = br.pos + 2
+      var i = 0
+      while (i < blockSize) { out += (samples(i) << wasted).toShort; i += 1 }
+      frameIndex += 1
+      sampleIndex += blockSize
+      // fixed blocking: every non-final frame carries the stream's
+      // constant block size (the final one may be short)
+      if (blocking == 0 && pos < b.length && blockSize != maxBlock)
+        return UnknownMedia(b.length)
+    }
+    if (frameIndex == 0) return UnknownMedia(b.length)
+    val samples = out.result()
+    if (totalSamples > 0 && samples.length != totalSamples) return UnknownMedia(b.length)
+    // the MD5 field is FLAC's own lossless-integrity gate; an all-zero
+    // field means "unset" and skips (RFC 9639 §8.2)
+    if (md5.exists(_ != 0) && !java.util.Arrays.equals(flacMd5(samples), md5))
+      return UnknownMedia(b.length)
+    AudioMedia(rate, samples)
   }
 
   /** Y4M parser: space-separated header tags (W/H required, C444

@@ -121,7 +121,15 @@ object Multimodal {
         val rate = (8000 + java.lang.Math.floorMod(id, 5L) * 1000).toInt
         val ns = (1024 + java.lang.Math.floorMod(id, 777L) * 4).toInt
         val samples = Array.tabulate(ns)(j => ((unit(j.toLong) & 0xff) - 128).toShort)
-        ("audio", MediaCodec.encodeWav(rate, samples))
+        // the audio slot sub-cycles WAV / FLAC by (id/3)%2 (r15):
+        // FLAC is lossless, so the decoded samples — and with them
+        // every downstream hash, embed and resample — are IDENTICAL
+        // to the WAV twin's; only format and the closed-form
+        // container size change in the oracles
+        val payload =
+          if (java.lang.Math.floorMod(id / 3, 2L) == 1L) MediaCodec.encodeFlac(rate, samples)
+          else MediaCodec.encodeWav(rate, samples)
+        ("audio", payload)
       case _ =>
         val w = (8 + java.lang.Math.floorMod(id, 25L)).toInt
         val h = (8 + java.lang.Math.floorMod(id * 7, 25L)).toInt
@@ -258,7 +266,10 @@ object Multimodal {
       case MediaCodec.ImageMedia(w, h, fmt, _) =>
         DecodedRow(r.media_id, r.kind, fmt, nb, w, h, 1L, 0L, 0L, s, ws, sha)
       case MediaCodec.AudioMedia(rate, samples) =>
-        DecodedRow(r.media_id, r.kind, "wav", nb, 0L, 0L, 0L, rate, samples.length, s, ws, sha)
+        // the container is the sniffed magic (wav | flac) — AudioMedia
+        // itself is container-agnostic decoded signal
+        DecodedRow(r.media_id, r.kind, MediaCodec.sniff(r.payload), nb,
+          0L, 0L, 0L, rate, samples.length, s, ws, sha)
       case MediaCodec.VideoMedia(w, h, frames) =>
         DecodedRow(r.media_id, r.kind, "y4m", nb, w, h, frames.length, 0L, 0L, s, ws, sha)
       case MediaCodec.UnknownMedia(_) =>

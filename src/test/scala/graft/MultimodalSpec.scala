@@ -125,6 +125,34 @@ class MultimodalSpec extends SparkSpec {
       (rate, data)
     }
 
+    /** Independent FLAC read for the fixture profile — one fixed-
+      * blocking frame with a single VERBATIM mono-16 subframe.
+      * Construction differs from the codec on purpose: STREAMINFO
+      * fields come out of ONE BigInt shift/mask over the whole
+      * 34-byte block (vs the codec's per-byte assembly), the frame
+      * header is asserted as the profile's literal byte shape, and
+      * samples are read as byte-aligned big-endian shorts (no bit
+      * reader anywhere). No CRC math — corruption detection is the
+      * codec's job, not the reference recompute's. */
+    def flac(b: Array[Byte]): (Int, Array[Short]) = {
+      require(new String(b, 0, 4, "ISO-8859-1") == "fLaC")
+      require((b(4) & 0xff) == 0x80 && b(7) == 34, "single STREAMINFO block")
+      val info = BigInt(1, b.slice(8, 42)) // 272 bits, MSB-first
+      val rate = ((info >> 172) & 0xfffff).toInt
+      require(((info >> 169) & 7).toInt == 0, "mono")
+      require(((info >> 164) & 31).toInt == 15, "16-bit")
+      val total = ((info >> 128) & BigInt("fffffffff", 16)).toInt
+      require((b(42) & 0xff) == 0xff && (b(43) & 0xff) == 0xf8)
+      require((b(44) & 0xff) == 0x70 && (b(45) & 0xff) == 0x08 && b(46) == 0,
+        "fixture frame header shape")
+      val bs = (((b(47) & 0xff) << 8) | (b(48) & 0xff)) + 1
+      require(bs == total, "one frame carrying the whole signal")
+      require((b(50) & 0xff) == 0x02, "verbatim subframe")
+      require(b.length == 53 + 2 * bs, "closed-form size")
+      (rate, Array.tabulate(bs)(i =>
+        (((b(51 + 2 * i) & 0xff) << 8) | (b(52 + 2 * i) & 0xff)).toShort))
+    }
+
     def y4m(b: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
       val nl = b.indexOf('\n'.toByte)
       val tags = new String(b, 0, nl, "US-ASCII").split(" ")
@@ -208,6 +236,7 @@ class MultimodalSpec extends SparkSpec {
       case "BM" => val (w, h, rgb) = bmp(payload); aHashImage(w, h, rgb)
       case "\u0089P" => val (w, h, rgb) = png(payload); aHashImage(w, h, rgb)
       case "RI" => val (r, s) = wav(payload); aHashAudio(r, s)
+      case "fL" => val (r, s) = flac(payload); aHashAudio(r, s)
       case "YU" =>
         val (w, h, frames) = y4m(payload)
         aHashGray(w, h, (x, y) => frames.head(y * w + x) & 0xff) // first-frame Y plane
@@ -230,7 +259,9 @@ class MultimodalSpec extends SparkSpec {
           if (fmt == "png")
             assert(r.payload(25) == Seq(2, 3, 6)(((r.media_id / 9) % 3).toInt),
               s"png color type for id ${r.media_id}")
-        case "audio" => assert(fmt == "wav")
+        // the audio slot sub-cycles wav / flac by (id/3)%2 (r15)
+        case "audio" => assert(fmt == Seq("wav", "flac")(((r.media_id / 3) % 2).toInt),
+          s"audio container for id ${r.media_id}")
         case "video" => assert(fmt == "y4m")
       }
     }
@@ -683,7 +714,7 @@ class MultimodalSpec extends SparkSpec {
           assert(d.width == 8 + id % 57 && d.height == 8 + (id * 7) % 57)
           assert(d.n_frames == 1 && d.n_samples == 0)
         case 1 =>
-          assert(d.format == "wav")
+          assert(d.format == Seq("wav", "flac")(((id / 3) % 2).toInt))
           assert(d.sample_rate == 8000 + (id % 5) * 1000)
           assert(d.n_samples == 1024 + (id % 777) * 4)
           assert(d.width == 0 && d.height == 0 && d.n_frames == 0)
@@ -1841,6 +1872,251 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("FLAC: round-trips losslessly; spec-built constant/fixed/LPC/Rice frames decode exactly; strictness rejects") {
+    // ---- lossless round trip vs the codec encoder, and vs the WAV
+    // twin of the same samples (the container-invariance the fixture
+    // rotation rests on) ----
+    for ((rate, ns) <- Seq((8000, 1024), (11000, 2053), (12000, 4128), (9000, 16))) {
+      val samples = Array.tabulate[Short](ns)(i => ((i * 37 + rate) % 256 - 128).toShort)
+      val enc = MediaCodec.encodeFlac(rate, samples)
+      assert(enc.length == 53 + 2 * ns, "closed-form container size")
+      MediaCodec.decode(enc) match {
+        case AudioMedia(r, out) =>
+          assert(r == rate && java.util.Arrays.equals(out, samples), s"flac roundtrip $rate/$ns")
+        case other => fail(s"flac $rate/$ns: $other")
+      }
+      assert(MediaCodec.aHash64(MediaCodec.decode(enc)) ==
+        MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(rate, samples))),
+        "lossless: the FLAC and WAV twins must hash identically")
+    }
+    // ---- spec-local INDEPENDENT builder: an MSB-first bit writer and
+    // hand-assembled frames exercising every decode path the fixture
+    // encoder never emits (constant, fixed predictors, LPC, Rice
+    // partitions + escapes, wasted bits, both blocking strategies,
+    // multi-frame streams). The builder computes residuals from the
+    // DESIRED samples; lossless means decode must invert exactly. ----
+    class BW {
+      private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+      private var cur = 0; private var n = 0
+      def bit(v: Int): Unit = {
+        cur = (cur << 1) | (v & 1); n += 1
+        if (n == 8) { buf += cur.toByte; cur = 0; n = 0 }
+      }
+      def bits(v: Long, w: Int): Unit = (w - 1 to 0 by -1).foreach(k => bit(((v >> k) & 1L).toInt))
+      def align(): Unit = while (n != 0) bit(0)
+      def bytes: Array[Byte] = { align(); buf.toArray }
+    }
+    def crc8(b: Array[Byte]): Int = b.foldLeft(0) { (c0, x) =>
+      (0 until 8).foldLeft(c0 ^ (x & 0xff)) { (c, _) =>
+        if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff }
+    }
+    def crc16(b: Array[Byte]): Int = b.foldLeft(0) { (c0, x) =>
+      (0 until 8).foldLeft(c0 ^ ((x & 0xff) << 8)) { (c, _) =>
+        if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff }
+    }
+    def codedNumber(bw: BW, v: Long): Unit =
+      if (v < 0x80) bw.bits(v, 8)
+      else if (v < 0x800) { bw.bits(0xc0L | (v >> 6), 8); bw.bits(0x80L | (v & 0x3f), 8) }
+      else { bw.bits(0xe0L | (v >> 12), 8); bw.bits(0x80L | ((v >> 6) & 0x3f), 8); bw.bits(0x80L | (v & 0x3f), 8) }
+    def rice(bw: BW, res: Int, param: Int): Unit = {
+      val u = ((res.toLong << 1) ^ (res.toLong >> 63)) & 0xffffffffL // zigzag
+      val q = (u >>> param).toInt
+      (0 until q).foreach(_ => bw.bit(0)); bw.bit(1)
+      bw.bits(u & ((1L << param) - 1), param)
+    }
+    // one frame: header + CRC-8, subframe bits via `body`, CRC-16
+    def frame(number: Long, blockSize: Int, variable: Boolean)(body: BW => Unit): Array[Byte] = {
+      val h = new BW
+      h.bits(0xff, 8); h.bits(if (variable) 0xf9 else 0xf8, 8)
+      // 192 = table code; else 8- or 16-bit trailing value
+      val bsCode = if (blockSize == 192) 1 else if (blockSize <= 256) 6 else 7
+      h.bits(bsCode.toLong, 4); h.bits(0, 4)      // rate from STREAMINFO
+      h.bits(0, 4); h.bits(4, 3); h.bit(0)        // mono, 16-bit, reserved
+      codedNumber(h, number)
+      if (bsCode == 6) h.bits(blockSize - 1, 8)
+      else if (bsCode == 7) h.bits(blockSize - 1, 16)
+      val header = h.bytes
+      val f = new BW
+      header.foreach(x => f.bits(x & 0xffL, 8))
+      f.bits(crc8(header).toLong, 8)
+      body(f)
+      f.align()
+      val bodyBytes = f.bytes
+      val c = crc16(bodyBytes)
+      val out = new BW
+      bodyBytes.foreach(x => out.bits(x & 0xffL, 8))
+      out.bits(c.toLong, 16)
+      out.bytes
+    }
+    def stream(rate: Int, minB: Int, maxB: Int, all: Array[Short],
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      all.foreach { s => md.update(s.toByte); md.update((s >> 8).toByte) }
+      val si = new BW
+      si.bits(minB.toLong, 16); si.bits(maxB.toLong, 16)
+      si.bits(0, 24); si.bits(0, 24) // frame sizes unknown
+      si.bits(rate.toLong, 20); si.bits(0, 3); si.bits(15, 5)
+      si.bits(all.length.toLong, 36)
+      md.digest().foreach(x => si.bits(x & 0xffL, 8))
+      val head = new BW
+      "fLaC".getBytes("US-ASCII").foreach(x => head.bits(x & 0xffL, 8))
+      head.bits(0x80, 8); head.bits(34, 24)
+      head.bytes ++ si.bytes ++ frames.flatten
+    }
+    def residual(bw: BW, s: Array[Int], order: Int, partOrder: Int,
+                 params: Int => Int, escaped: Set[Int] = Set()): Unit = {
+      def pred(i: Int): Long = order match {
+        case 0 => 0L
+        case 1 => s(i - 1).toLong
+        case 2 => 2L * s(i - 1) - s(i - 2)
+        case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+        case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+      }
+      bw.bits(0, 2); bw.bits(partOrder.toLong, 4)
+      val parts = 1 << partOrder
+      val perPart = s.length / parts
+      var i = order
+      for (part <- 0 until parts) {
+        val count = if (part == 0) perPart - order else perPart
+        if (escaped(part)) {
+          bw.bits(15, 4); bw.bits(12, 5) // raw 12-bit escape
+          (0 until count).foreach { _ =>
+            bw.bits(((s(i) - pred(i)) & 0xfff).toLong, 12); i += 1 }
+        } else {
+          bw.bits(params(part).toLong, 4)
+          (0 until count).foreach { _ => rice(bw, (s(i) - pred(i)).toInt, params(part)); i += 1 }
+        }
+      }
+    }
+    // fixed-blocking stream: constant | fixed-2 | fixed-4 partitioned
+    // with an escape | LPC-3 | verbatim(wasted=2) | short final frame
+    val fA = Array.fill(192)(-77)
+    val fB = Array.tabulate(192)(i => 40 + 3 * i - (i * i) / 64)
+    val fC = Array.tabulate(192)(i => ((i * 29) % 200) - 100)
+    val fD = Array.tabulate(192)(i => ((i * 17 + 5) % 160) - 80)
+    val fE = Array.tabulate(192)(i => 4 * (((i * 13) % 120) - 60)) // multiples of 4: wasted=2
+    val fF = Array.tabulate(48)(i => i - 24)
+    val lpcCoefs = Array(3, -3, 1) // with shift 0: the order-3 fixed polynomial, as LPC
+    val frames = Seq(
+      frame(0, 192, variable = false) { bw =>
+        bw.bit(0); bw.bits(0, 6); bw.bit(0) // CONSTANT
+        bw.bits((fA(0) & 0xffff).toLong, 16)
+      },
+      frame(1, 192, variable = false) { bw =>
+        bw.bit(0); bw.bits(10, 6); bw.bit(0) // FIXED order 2
+        bw.bits((fB(0) & 0xffff).toLong, 16); bw.bits((fB(1) & 0xffff).toLong, 16)
+        residual(bw, fB, 2, 0, _ => 4)
+      },
+      frame(2, 192, variable = false) { bw =>
+        bw.bit(0); bw.bits(12, 6); bw.bit(0) // FIXED order 4, 4 partitions, one escaped
+        (0 until 4).foreach(i => bw.bits((fC(i) & 0xffff).toLong, 16))
+        residual(bw, fC, 4, 2, p => 3 + p, escaped = Set(2))
+      },
+      frame(3, 192, variable = false) { bw =>
+        bw.bit(0); bw.bits(32 + 2, 6); bw.bit(0) // LPC order 3
+        (0 until 3).foreach(i => bw.bits((fD(i) & 0xffff).toLong, 16))
+        bw.bits(4, 4)  // precision-1 = 4 -> 5-bit coefficients
+        bw.bits(0, 5)  // shift 0
+        lpcCoefs.foreach(c => bw.bits((c & 0x1f).toLong, 5))
+        residual(bw, fD, 3, 0, _ => 5)
+      },
+      frame(4, 192, variable = false) { bw =>
+        bw.bit(0); bw.bits(1, 6); bw.bit(1) // VERBATIM, wasted bits
+        bw.bit(0); bw.bit(1)                // unary 1 -> wasted = 2
+        fE.foreach(v => bw.bits(((v / 4) & 0x3fff).toLong, 14))
+      },
+      frame(5, 48, variable = false) { bw =>
+        bw.bit(0); bw.bits(1, 6); bw.bit(0)
+        fF.foreach(v => bw.bits((v & 0xffff).toLong, 16))
+      })
+    val allFixed = (fA ++ fB ++ fC ++ fD ++ fE ++ fF).map(_.toShort)
+    MediaCodec.decode(stream(8000, 48, 192, allFixed, frames)) match {
+      case AudioMedia(8000, out) =>
+        assert(java.util.Arrays.equals(out, allFixed),
+          "spec-built fixed-blocking stream must decode to the exact samples")
+      case other => fail(s"spec-built fixed stream: $other")
+    }
+    // variable-blocking stream: sample-number coding, 2nd number > 127
+    // exercises the multi-byte coded-number path
+    val vA = Array.tabulate(200)(i => ((i * 11) % 100) - 50)
+    val vB = Array.tabulate(60)(i => ((i * 7) % 90) - 45)
+    val vFrames = Seq(
+      frame(0, 200, variable = true) { bw =>
+        bw.bit(0); bw.bits(1, 6); bw.bit(0)
+        vA.foreach(v => bw.bits((v & 0xffff).toLong, 16))
+      },
+      frame(200, 60, variable = true) { bw =>
+        bw.bit(0); bw.bits(9, 6); bw.bit(0) // FIXED order 1
+        bw.bits((vB(0) & 0xffff).toLong, 16)
+        residual(bw, vB, 1, 0, _ => 4)
+      })
+    val allVar = (vA ++ vB).map(_.toShort)
+    MediaCodec.decode(stream(9000, 60, 200, allVar, vFrames)) match {
+      case AudioMedia(9000, out) =>
+        assert(java.util.Arrays.equals(out, allVar),
+          "variable-blocking stream must decode to the exact samples")
+      case other => fail(s"spec-built variable stream: $other")
+    }
+    // ---- strictness: the spec's own integrity machinery must bite ----
+    val base = MediaCodec.encodeFlac(8000, Array.tabulate[Short](300)(i => (i - 150).toShort))
+    def flip(off: Int): Array[Byte] = { val m = base.clone(); m(off) = (m(off) ^ 1).toByte; m }
+    assert(MediaCodec.decode(flip(49)).isInstanceOf[UnknownMedia], "CRC-8 mismatch must reject")
+    assert(MediaCodec.decode(flip(base.length - 1)).isInstanceOf[UnknownMedia],
+      "CRC-16 mismatch must reject")
+    assert(MediaCodec.decode(flip(30)).isInstanceOf[UnknownMedia],
+      "STREAMINFO MD5 mismatch must reject (FLAC's own lossless gate)")
+    assert(MediaCodec.decode(base ++ Array[Byte](0)).isInstanceOf[UnknownMedia],
+      "trailing bytes must reject")
+    assert(MediaCodec.decode(base.dropRight(1)).isInstanceOf[UnknownMedia],
+      "truncation must reject")
+    locally { // stereo and 24-bit are out of the pipeline's audio model
+      val stereo = base.clone(); stereo(20) = (stereo(20) | 0x02).toByte
+      assert(MediaCodec.decode(stereo).isInstanceOf[UnknownMedia], "stereo must reject")
+      val wide = base.clone(); wide(21) = ((wide(21) & 0x0f) | 0x70).toByte // bps-1 -> 7
+      assert(MediaCodec.decode(wide).isInstanceOf[UnknownMedia], "8-bit must reject")
+    }
+    locally { // a non-STREAMINFO leading metadata block violates §8.1
+      val m = base.clone(); m(4) = (0x80 | 4).toByte // VORBIS_COMMENT first
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia], "STREAMINFO must lead")
+    }
+    locally { // wrong coded frame number (sequence break)
+      val m = base.clone(); m(46) = 1
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia], "frame number must be sequential")
+    }
+    locally { // reserved subframe type and invalid rate code
+      val t = frame(0, 192, variable = false) { bw =>
+        bw.bit(0); bw.bits(2, 6); bw.bit(0); bw.bits(0, 16) } // type 2 reserved
+      assert(MediaCodec.decode(stream(8000, 192, 192, Array.fill[Short](192)(0), Seq(t)))
+        .isInstanceOf[UnknownMedia], "reserved subframe type must reject")
+      val m = base.clone(); m(44) = (m(44) | 0x0f).toByte // rate code 1111
+      assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia], "rate code 1111 must reject")
+    }
+    locally { // a coded header rate that contradicts STREAMINFO
+      // rebuild the fixture frame with rate code 0100 (8 kHz) against
+      // a 9 kHz STREAMINFO: both fields are authoritative, so the
+      // disagreement must reject
+      val samples = Array.tabulate[Short](300)(i => (i % 50).toShort)
+      val f = frame(0, 300, variable = false) { bw =>
+        bw.bit(0); bw.bits(1, 6); bw.bit(0)
+        samples.foreach(v => bw.bits((v & 0xffff).toLong, 16))
+      }
+      // patch the rate nibble in the built frame header (byte 2 low
+      // nibble), then re-fix CRC-8/CRC-16 so ONLY the contradiction
+      // differs
+      val pf = f.clone()
+      pf(2) = ((pf(2) & 0xf0) | 0x04).toByte
+      pf(7) = crc8(pf.take(7)).toByte
+      val c = crc16(pf.dropRight(2))
+      pf(pf.length - 2) = (c >> 8).toByte; pf(pf.length - 1) = c.toByte
+      assert(MediaCodec.decode(stream(9000, 300, 300, samples, Seq(pf)))
+        .isInstanceOf[UnknownMedia], "header rate contradicting STREAMINFO must reject")
+      // sanity: the unpatched twin decodes — the reject above is the
+      // contradiction, not a builder artifact
+      assert(!MediaCodec.decode(stream(9000, 300, 300, samples, Seq(f)))
+        .isInstanceOf[UnknownMedia])
+    }
+  }
+
   test("progressive JPEG: decode ≡ baseline decode of the same raster across profiles, dims and restarts") {
     // The decisive parity property: the progressive encoder shares
     // the baseline's color transform, FDCT and all-ones quantizer, so
@@ -2031,7 +2307,10 @@ class MultimodalSpec extends SparkSpec {
       // many scan headers, per-scan DHTs and refinement bitstreams
       // must stay total too
       MediaCodec.encodeJpegProgressive(32, 16, Array.tabulate[Byte](3 * 32 * 16)(i =>
-        ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2))
+        ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2),
+      // a FLAC stream (r15): damage to STREAMINFO, frame headers,
+      // the Rice/verbatim bit layer or either CRC must stay total
+      MediaCodec.encodeFlac(9000, Array.tabulate(300)(i => (i * 13 - 150).toShort)))
     var decodedOk = 0
     seeds.foreach { base =>
       (1 to 400).foreach { i =>
@@ -2089,7 +2368,7 @@ class MultimodalSpec extends SparkSpec {
     // including the compressed one
     val exts = new java.io.File(Multimodal.mediaLakeDir(spark, sfDir)).list()
       .map(_.split('.').last).toSet
-    assert(exts == Set("ppm", "bmp", "png", "wav", "y4m"))
+    assert(exts == Set("ppm", "bmp", "png", "wav", "flac", "y4m"))
   }
 
   test("staged JPEG lake: jpegFilesMeta ≡ jpegMeta row-for-row (the compressed-container lake contract)") {

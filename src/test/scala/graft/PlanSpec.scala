@@ -504,7 +504,12 @@ class PlanSpec extends SparkSpec {
       ("pipe_ivf_sq8_serve", "graft-ivf-sq8", 1,
         () => graft.operators.Similarity.ivfSq8ServeTopK(spark, sfDir)),
       ("pipe_ivf_reserve", "graft-ivf-versioned", 1,
-        () => graft.operators.Similarity.ivfReserveTopK(spark, sfDir)))
+        () => graft.operators.Similarity.ivfReserveTopK(spark, sfDir)),
+      // r15: the GC lifecycle serves through the same manifest helper
+      // on its OWN root — its plan must keep the identical shape
+      // (the delete changed storage inventory, never the serve plan)
+      ("pipe_ivf_gc", "graft-ivf-gc", 1,
+        () => graft.operators.Similarity.ivfGcServeTopK(spark, sfDir)))
     serves.foreach { case (name, artifactTag, probeScans, mk) =>
       val df = mk()
       // walk the physical tree, not the plan STRING: the DPP
