@@ -1120,12 +1120,20 @@ object MediaCodec extends Serializable {
       else {
         extra = Integer.numberOfLeadingZeros(~(lead << 24)) // count of leading 1s
         if (extra < 2 || extra > 7) return UnknownMedia(b.length)
+        // frame numbers are 31-bit — the 7-byte form exists only for
+        // 36-bit sample numbers (RFC 9639 §9.1.2)
+        if (extra == 7 && blocking == 0) return UnknownMedia(b.length)
         coded = if (extra == 7) 0L else (lead & (0x7f >> extra)).toLong
         var k = 0
         while (k < extra - 1) {
           if (p >= b.length || (b(p) & 0xc0) != 0x80) return UnknownMedia(b.length)
           coded = (coded << 6) | (b(p) & 0x3f); p += 1; k += 1
         }
+        // shortest-form only: an (extra)-byte coding is conforming only
+        // for values the (extra-1)-byte form cannot hold — capacities
+        // are 7, 11, 16, 21, 26, 31 bits for 1..6 bytes
+        val shorterBits = Seq(0, 0, 7, 11, 16, 21, 26, 31)(extra)
+        if (coded < (1L << shorterBits)) return UnknownMedia(b.length)
       }
       if (blocking == 0 && coded != frameIndex) return UnknownMedia(b.length)
       if (blocking == 1 && coded != sampleIndex) return UnknownMedia(b.length)
@@ -1172,12 +1180,14 @@ object MediaCodec extends Serializable {
         val parts = 1 << partOrder
         if (blockSize % parts != 0) throw new IndexOutOfBoundsException("flac partition split")
         val perPart = blockSize / parts
-        if (perPart <= order && parts == 1) throw new IndexOutOfBoundsException("flac empty partition")
+        // RFC 9639 §9.2.7: block size >> partition order MUST exceed
+        // the predictor order (an empty first partition is
+        // non-conforming at ANY partition count)
+        if (perPart <= order) throw new IndexOutOfBoundsException("flac empty partition")
         var i = order
         var part = 0
         while (part < parts) {
-          val count = (if (part == 0) perPart - order else perPart)
-          if (count < 0) throw new IndexOutOfBoundsException("flac partition order")
+          val count = (if (part == 0) perPart - order else perPart) // > 0: perPart > order
           val param = br.read(pBits)
           var k = 0
           if (param == escape) {
@@ -1259,13 +1269,26 @@ object MediaCodec extends Serializable {
         }
         if (!checkRange(order)) return UnknownMedia(b.length)
       } else return UnknownMedia(b.length) // reserved subframe types
-      if ((sfType == 0 || sfType == 1) && !checkRange(0)) return UnknownMedia(b.length)
+      // (CONSTANT/VERBATIM need no range check: readSigned(effBps) is
+      // in range by construction — only prediction outputs can stray)
       br.align()
       if (br.pos + 2 > b.length) return UnknownMedia(b.length)
       val crc = crc16Flac(b, fp, br.pos)
       if (crc != (((b(br.pos) & 0xff) << 8) | (b(br.pos + 1) & 0xff)))
         return UnknownMedia(b.length)
       pos = br.pos + 2
+      // bound the output BEFORE appending: a CONSTANT frame turns
+      // ~15 payload bytes into up to 65,535 samples, so without a
+      // running bound a small crafted stream with totalSamples=0
+      // ("unknown") amplifies to gigabytes and dies in OutOfMemory —
+      // an Error outside decode()'s totality net (review r15). A
+      // declared total bounds exactly; an unknown total gets the same
+      // 2²⁶-sample ceiling the canonical-rate hash path uses — decoded
+      // audio beyond 128 MB per object is outside the pipeline's
+      // model, not a conforming fixture.
+      if (totalSamples > 0 && sampleIndex + blockSize > totalSamples)
+        return UnknownMedia(b.length)
+      if (sampleIndex + blockSize > (1L << 26)) return UnknownMedia(b.length)
       var i = 0
       while (i < blockSize) { out += (samples(i) << wasted).toShort; i += 1 }
       frameIndex += 1

@@ -1949,15 +1949,17 @@ class MultimodalSpec extends SparkSpec {
       out.bytes
     }
     def stream(rate: Int, minB: Int, maxB: Int, all: Array[Short],
-               frames: Seq[Array[Byte]]): Array[Byte] = {
+               frames: Seq[Array[Byte]],
+               totalOverride: Long = -1L, zeroMd5: Boolean = false): Array[Byte] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       all.foreach { s => md.update(s.toByte); md.update((s >> 8).toByte) }
       val si = new BW
       si.bits(minB.toLong, 16); si.bits(maxB.toLong, 16)
       si.bits(0, 24); si.bits(0, 24) // frame sizes unknown
       si.bits(rate.toLong, 20); si.bits(0, 3); si.bits(15, 5)
-      si.bits(all.length.toLong, 36)
-      md.digest().foreach(x => si.bits(x & 0xffL, 8))
+      si.bits(if (totalOverride >= 0) totalOverride else all.length.toLong, 36)
+      (if (zeroMd5) new Array[Byte](16) else md.digest())
+        .foreach(x => si.bits(x & 0xffL, 8))
       val head = new BW
       "fLaC".getBytes("US-ASCII").foreach(x => head.bits(x & 0xffL, 8))
       head.bits(0x80, 8); head.bits(34, 24)
@@ -2090,6 +2092,58 @@ class MultimodalSpec extends SparkSpec {
         .isInstanceOf[UnknownMedia], "reserved subframe type must reject")
       val m = base.clone(); m(44) = (m(44) | 0x0f).toByte // rate code 1111
       assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia], "rate code 1111 must reject")
+    }
+    locally { // coded-number strictness (review r15): shortest-form
+      // only, and the 7-byte form is sample-number-exclusive
+      val samples = Array.fill[Short](192)(7)
+      // frame 0 with its number coded OVER-LONG (2 bytes for 0)
+      val overlong = frame(0, 192, variable = false) { bw =>
+        bw.bit(0); bw.bits(1, 6); bw.bit(0)
+        samples.foreach(v => bw.bits((v & 0xffff).toLong, 16))
+      }
+      // splice: replace the 1-byte number (offset 3) with C0 80, then
+      // re-fix BOTH CRCs so the ONLY non-conformance is the encoding
+      // (header = bytes 0..4, CRC-8 at byte 5 in the spliced layout)
+      val m = overlong.take(3) ++ Array[Byte](0xc0.toByte, 0x80.toByte) ++ overlong.drop(4)
+      m(5) = crc8(m.take(5)).toByte
+      val c = crc16(m.dropRight(2)); m(m.length - 2) = (c >> 8).toByte; m(m.length - 1) = c.toByte
+      assert(MediaCodec.decode(stream(8000, 192, 192, samples, Seq(m)))
+        .isInstanceOf[UnknownMedia], "an over-long coded number must reject")
+      // the 1-byte twin decodes — the reject is the encoding, not the value
+      assert(!MediaCodec.decode(stream(8000, 192, 192, samples, Seq(overlong)))
+        .isInstanceOf[UnknownMedia])
+    }
+    locally { // empty first partition at partOrder>0 violates §9.2.7:
+      // LPC order 32 over blockSize 128 with partition order 2 makes
+      // perPart = 32 == order, so partition 0 would hold 0 samples
+      val samples = Array.tabulate[Short](128)(i => (i % 30).toShort)
+      val g = frame(0, 128, variable = false) { bw =>
+        bw.bit(0); bw.bits(32 + 31, 6); bw.bit(0) // LPC order 32
+        (0 until 32).foreach(i => bw.bits((samples(i) & 0xffff).toLong, 16))
+        bw.bits(4, 4); bw.bits(0, 5) // precision 5, shift 0
+        (0 until 32).foreach(_ => bw.bits(0, 5)) // zero coefficients
+        bw.bits(0, 2); bw.bits(2, 4) // residual method 0, partOrder 2
+        // rejection must fire at the partition split — parts 1-3's
+        // params/residuals are never read
+      }
+      assert(MediaCodec.decode(stream(8000, 128, 128, samples, Seq(g)))
+        .isInstanceOf[UnknownMedia], "blockSize>>partOrder == order must reject (empty first partition)")
+    }
+    locally { // amplification bound (review r15): totalSamples=0 means
+      // "unknown", which used to skip every output bound — thousands
+      // of 15-byte CONSTANT frames then amplify to gigabytes and kill
+      // the JVM with an OutOfMemoryError outside decode()'s totality
+      // net. The decoder now carries the 2^26-sample ceiling the
+      // canonical-hash path already uses.
+      def constFrame(n: Long) = frame(n, 65535, variable = false) { bw =>
+        bw.bit(0); bw.bits(0, 6); bw.bit(0); bw.bits(0, 16)
+      }
+      val nFrames = (1 << 26) / 65535 + 2 // first frame past the cap
+      val frames1 = (0L until nFrames.toLong).map(constFrame)
+      val hostile = stream(8000, 65535, 65535,
+        Array.emptyShortArray, frames1, totalOverride = 0L, zeroMd5 = true)
+      assert(MediaCodec.decode(hostile).isInstanceOf[UnknownMedia],
+        "an unknown-total stream must stop at the output ceiling, not OOM")
     }
     locally { // a coded header rate that contradicts STREAMINFO
       // rebuild the fixture frame with rate code 0100 (8 kHz) against
