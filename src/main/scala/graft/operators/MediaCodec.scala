@@ -176,15 +176,16 @@ object MediaCodec extends Serializable {
     out.write(tail)
   }
 
-  /** PNG, 8-bit truecolor RGB: signature + IHDR + one IDAT + IEND.
-    * The filter type CYCLES y % 5 so every fixture taller than four
-    * rows exercises all five row filters (None/Sub/Up/Average/Paeth)
-    * — the decoder must invert each to recover the pixels. The IDAT
-    * zlib stream uses stored blocks ([[zlibStored]]) so the total
-    * size is closed-form: 63 + h·(1+3w) + 5·⌈h·(1+3w)/65535⌉. */
-  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
-    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
-    val rowLen = 3 * w
+  /** The fixture encoders' shared scanline pass: per-row filter type
+    * cycling y % 5 so every fixture taller than four rows exercises
+    * all five row filters (None/Sub/Up/Average/Paeth) — the decoder
+    * must invert each to recover the pixels. `bpp` is bytes per pixel
+    * (1 palette, 3 RGB, 4 RGBA), which moves the Sub/Paeth left-
+    * neighbor offset so each profile exercises the filters at its own
+    * stride. ONE implementation for all three encoders (review r15 —
+    * three hand-copies of this loop could silently diverge). */
+  private def pngFilterRows(data: Array[Byte], w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val rowLen = bpp * w
     val raw = new Array[Byte](h * (1 + rowLen))
     var y = 0
     while (y < h) {
@@ -193,10 +194,10 @@ object MediaCodec extends Serializable {
       raw(o) = f.toByte
       var x = 0
       while (x < rowLen) {
-        val cur = rgb(y * rowLen + x) & 0xff
-        val left = if (x >= 3) rgb(y * rowLen + x - 3) & 0xff else 0
-        val up = if (y > 0) rgb((y - 1) * rowLen + x) & 0xff else 0
-        val ul = if (x >= 3 && y > 0) rgb((y - 1) * rowLen + x - 3) & 0xff else 0
+        val cur = data(y * rowLen + x) & 0xff
+        val left = if (x >= bpp) data(y * rowLen + x - bpp) & 0xff else 0
+        val up = if (y > 0) data((y - 1) * rowLen + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) data((y - 1) * rowLen + x - bpp) & 0xff else 0
         val v = f match {
           case 0 => cur
           case 1 => cur - left
@@ -209,62 +210,46 @@ object MediaCodec extends Serializable {
       }
       y += 1
     }
+    raw
+  }
+
+  /** Signature + IHDR + optional PLTE + one stored-deflate IDAT +
+    * IEND — the container shell shared by all three fixture
+    * encoders. */
+  private def pngAssemble(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+                          plte: Array[Byte] = null): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (truecolor RGB)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
     // bytes 10-12 stay 0: deflate, adaptive filtering, no interlace
-    val out = new java.io.ByteArrayOutputStream(63 + raw.length + 5)
+    val out = new java.io.ByteArrayOutputStream(
+      63 + (if (plte == null) 0 else 12 + plte.length) + raw.length + 5)
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     pngChunk(out, "IHDR", ihdr)
+    if (plte != null) pngChunk(out, "PLTE", plte)
     pngChunk(out, "IDAT", zlibStored(raw))
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
-  /** PNG, 8-bit RGBA (color type 6): signature + IHDR + one IDAT +
-    * IEND. `rgba` is the 4·w·h interleaved raster; the decoder
-    * composites the alpha channel over opaque white (the alpha
-    * contract), so this encoder is the fixture source for that path.
-    * The filter type cycles y % 5 — at bpp 4 the left neighbor sits
-    * at offset 4, exercising all five filters at a THIRD byte
-    * offset. IDAT uses [[zlibStored]], so total size is closed-form:
-    * 63 + h·(1+4w) + 5·⌈h·(1+4w)/65535⌉. */
+  /** PNG, 8-bit truecolor RGB: [[pngFilterRows]] at bpp 3 in a
+    * color-type-2 shell. The IDAT zlib stream uses stored blocks
+    * ([[zlibStored]]) so the total size is closed-form:
+    * 63 + h·(1+3w) + 5·⌈h·(1+3w)/65535⌉. */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    pngAssemble(w, h, 2, pngFilterRows(rgb, w, h, 3))
+  }
+
+  /** PNG, 8-bit RGBA (color type 6): `rgba` is the 4·w·h interleaved
+    * raster; the decoder composites the alpha channel over opaque
+    * white (the alpha contract), so this encoder is the fixture
+    * source for that path. [[pngFilterRows]] at bpp 4 puts the
+    * Sub/Paeth left neighbor at offset 4 — a third filter stride.
+    * Closed-form size: 63 + h·(1+4w) + 5·⌈h·(1+4w)/65535⌉. */
   def encodeAlphaPng(w: Int, h: Int, rgba: Array[Byte]): Array[Byte] = {
     require(rgba.length == 4 * w * h, s"rgba length ${rgba.length} != 4*$w*$h")
-    val rowLen = 4 * w
-    val raw = new Array[Byte](h * (1 + rowLen))
-    var y = 0
-    while (y < h) {
-      val f = y % 5
-      val o = y * (1 + rowLen)
-      raw(o) = f.toByte
-      var x = 0
-      while (x < rowLen) {
-        val cur = rgba(y * rowLen + x) & 0xff
-        val left = if (x >= 4) rgba(y * rowLen + x - 4) & 0xff else 0
-        val up = if (y > 0) rgba((y - 1) * rowLen + x) & 0xff else 0
-        val ul = if (x >= 4 && y > 0) rgba((y - 1) * rowLen + x - 4) & 0xff else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case _ => cur - paeth(left, up, ul)
-        }
-        raw(o + 1 + x) = v.toByte
-        x += 1
-      }
-      y += 1
-    }
-    val ihdr = new Array[Byte](13)
-    putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = 6 // bit depth 8, color type 6 (RGBA)
-    val out = new java.io.ByteArrayOutputStream(63 + raw.length + 5)
-    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    pngChunk(out, "IHDR", ihdr)
-    pngChunk(out, "IDAT", zlibStored(raw))
-    pngChunk(out, "IEND", Array.emptyByteArray)
-    out.toByteArray
+    pngAssemble(w, h, 6, pngFilterRows(rgba, w, h, 4))
   }
 
   /** PNG, 8-bit PALETTE (color type 3): signature + IHDR + PLTE +
@@ -293,40 +278,7 @@ object MediaCodec extends Serializable {
         s"index ${indices(ck) & 0xff} at $ck outside the $nEntries-entry palette")
       ck += 1
     }
-    val raw = new Array[Byte](h * (1 + w))
-    var y = 0
-    while (y < h) {
-      val f = y % 5
-      val o = y * (1 + w)
-      raw(o) = f.toByte
-      var x = 0
-      while (x < w) {
-        val cur = indices(y * w + x) & 0xff
-        val left = if (x >= 1) indices(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) indices((y - 1) * w + x) & 0xff else 0
-        val ul = if (x >= 1 && y > 0) indices((y - 1) * w + x - 1) & 0xff else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case _ => cur - paeth(left, up, ul)
-        }
-        raw(o + 1 + x) = v.toByte
-        x += 1
-      }
-      y += 1
-    }
-    val ihdr = new Array[Byte](13)
-    putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = 3 // bit depth 8, color type 3 (palette)
-    val out = new java.io.ByteArrayOutputStream(75 + palette.length + raw.length + 5)
-    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    pngChunk(out, "IHDR", ihdr)
-    pngChunk(out, "PLTE", palette)
-    pngChunk(out, "IDAT", zlibStored(raw))
-    pngChunk(out, "IEND", Array.emptyByteArray)
-    out.toByteArray
+    pngAssemble(w, h, 3, pngFilterRows(indices, w, h, 1), plte = palette)
   }
 
   /** RIFF/WAVE, PCM 16-bit mono little-endian: 44-byte canonical
@@ -1639,8 +1591,15 @@ object MediaCodec extends Serializable {
     * fixed point whose coefficient rows sum to exactly 65536 / 0 / 0,
     * so an R=G=B input maps to (Y=v, Cb=Cr=128) EXACTLY — the
     * grayscale-content invariant the oracle leans on. */
-  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], profile: String,
-                 restartInterval: Int = 0): Array[Byte] = {
+  /** Shared fixture-encoder preamble — validation, SOI, the all-ones
+    * DQT, optional DRI, and the SOF segment whose MARKER selects the
+    * coding process (0xc0 baseline, 0xc2 progressive). ONE copy for
+    * both encoders (review r15: the duplicated preambles could
+    * desynchronize the baseline/progressive fixture twins whose
+    * coefficient-identity the oracle relies on). */
+  private def jpegFramePreamble(w: Int, h: Int, rgb: Array[Byte], profile: String,
+                                restartInterval: Int, sofMarker: Int)
+      : java.io.ByteArrayOutputStream = {
     require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
       s"dims $w x $h outside the 16-bit SOF range")
     require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
@@ -1650,9 +1609,6 @@ object MediaCodec extends Serializable {
       "420 needs even dimensions")
     val nComp = if (profile == "gray") 1 else 3
     val sub420 = profile == "420"
-    val (yP, cbS, crS, cw, ch) = jpegColorPlanes(w, h, rgb, profile)
-
-    // headers
     val out = new java.io.ByteArrayOutputStream(1024 + 3 * w * h / 2)
     out.write(0xff); out.write(0xd8) // SOI
     val dqt = new Array[Byte](65); dqt(0) = 0 // Pq=0 Tq=0, all-ones
@@ -1671,15 +1627,29 @@ object MediaCodec extends Serializable {
       sof.write(2); sof.write(0x11); sof.write(0)
       sof.write(3); sof.write(0x11); sof.write(0)
     }
-    jpegWriteSeg(out, 0xc0, sof.toByteArray)
-    def dht(cls: Int, id: Int, counts: Array[Int], syms: Array[Int]): Unit = {
-      val p = new java.io.ByteArrayOutputStream()
-      p.write((cls << 4) | id)
-      var l = 1
-      while (l <= 16) { p.write(counts(l)); l += 1 }
-      syms.foreach(p.write)
-      jpegWriteSeg(out, 0xc4, p.toByteArray)
-    }
+    jpegWriteSeg(out, sofMarker, sof.toByteArray)
+    out
+  }
+
+  /** One DHT segment (class, slot, canonical counts+symbols). */
+  private def jpegWriteDht(out: java.io.ByteArrayOutputStream, cls: Int, id: Int,
+                           counts: Array[Int], syms: Array[Int]): Unit = {
+    val p = new java.io.ByteArrayOutputStream()
+    p.write((cls << 4) | id)
+    var l = 1
+    while (l <= 16) { p.write(counts(l)); l += 1 }
+    syms.foreach(p.write)
+    jpegWriteSeg(out, 0xc4, p.toByteArray)
+  }
+
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], profile: String,
+                 restartInterval: Int = 0): Array[Byte] = {
+    val nComp = if (profile == "gray") 1 else 3
+    val sub420 = profile == "420"
+    val out = jpegFramePreamble(w, h, rgb, profile, restartInterval, 0xc0)
+    val (yP, cbS, crS, cw, ch) = jpegColorPlanes(w, h, rgb, profile)
+    def dht(cls: Int, id: Int, counts: Array[Int], syms: Array[Int]): Unit =
+      jpegWriteDht(out, cls, id, counts, syms)
     dht(0, 0, jpegDcLumaCounts, jpegDcLumaSyms)
     dht(1, 0, jpegAcLumaCounts, jpegAcLumaSyms)
     if (nComp == 3) {
@@ -1776,7 +1746,9 @@ object MediaCodec extends Serializable {
     * G scan kinds, plus a split luma band so bands merge across
     * scans):
     *   1. DC first, Al=1 (interleaved for color, single-component for
-    *      gray), Annex K DC tables;
+    *      gray), Annex K DC tables — or, with `dcSplit`, a
+    *      subset-interleaved Y+Cb scan followed by a single-component
+    *      Cr scan (the B.2.3 subset shape, review r15);
     *   2. DC refine to Al=0 (raw bits);
     *   3. per component: AC first at Al=1 (luma as two bands 1–5 and
     *      6–63), each scan with its own optimal-ish Huffman table
@@ -1788,14 +1760,9 @@ object MediaCodec extends Serializable {
     * `restartInterval` > 0 applies DRI to every scan (RSTn resets DC
     * prediction, the EOB run and bit alignment — G's rule). */
   def encodeJpegProgressive(w: Int, h: Int, rgb: Array[Byte], profile: String,
-                            restartInterval: Int = 0): Array[Byte] = {
-    require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
-      s"dims $w x $h outside the 16-bit SOF range")
-    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
-    require(profile == "gray" || profile == "444" || profile == "420",
-      s"unsupported profile $profile")
-    require(profile != "420" || (w % 2 == 0 && h % 2 == 0),
-      "420 needs even dimensions")
+                            restartInterval: Int = 0,
+                            dcSplit: Boolean = false): Array[Byte] = {
+    val out = jpegFramePreamble(w, h, rgb, profile, restartInterval, 0xc2) // SOF2
     val nComp = if (profile == "gray") 1 else 3
     val sub420 = profile == "420"
     val (yP, cbS, crS, cw, ch) = jpegColorPlanes(w, h, rgb, profile)
@@ -1827,48 +1794,24 @@ object MediaCodec extends Serializable {
       arr
     }
 
-    val out = new java.io.ByteArrayOutputStream(1024 + 3 * w * h / 2)
-    out.write(0xff); out.write(0xd8) // SOI
-    val dqt = new Array[Byte](65); dqt(0) = 0
-    java.util.Arrays.fill(dqt, 1, 65, 1.toByte)
-    jpegWriteSeg(out, 0xdb, dqt)
     val ri = restartInterval
-    if (ri > 0)
-      jpegWriteSeg(out, 0xdd, Array(((ri >> 8) & 0xff).toByte, (ri & 0xff).toByte))
-    val sof = new java.io.ByteArrayOutputStream()
-    sof.write(8)
-    sof.write((h >> 8) & 0xff); sof.write(h & 0xff)
-    sof.write((w >> 8) & 0xff); sof.write(w & 0xff)
-    sof.write(nComp)
-    sof.write(1); sof.write(if (sub420) 0x22 else 0x11); sof.write(0)
-    if (nComp == 3) {
-      sof.write(2); sof.write(0x11); sof.write(0)
-      sof.write(3); sof.write(0x11); sof.write(0)
-    }
-    jpegWriteSeg(out, 0xc2, sof.toByteArray) // SOF2: progressive
-    def dht(cls: Int, id: Int, counts: Array[Int], syms: Array[Int]): Unit = {
-      val p = new java.io.ByteArrayOutputStream()
-      p.write((cls << 4) | id)
-      var l = 1
-      while (l <= 16) { p.write(counts(l)); l += 1 }
-      syms.foreach(p.write)
-      jpegWriteSeg(out, 0xc4, p.toByteArray)
-    }
-    dht(0, 0, jpegDcLumaCounts, jpegDcLumaSyms)
-    if (nComp == 3) dht(0, 1, jpegDcChromaCounts, jpegDcChromaSyms)
+    jpegWriteDht(out, 0, 0, jpegDcLumaCounts, jpegDcLumaSyms)
+    if (nComp == 3) jpegWriteDht(out, 0, 1, jpegDcChromaCounts, jpegDcChromaSyms)
     val (dcLc, dcLs) = jpegEncTable(jpegDcLumaCounts, jpegDcLumaSyms)
     val (dcCc, dcCs) = jpegEncTable(jpegDcChromaCounts, jpegDcChromaSyms)
     def writeRst(n: Int): Unit = { out.write(0xff); out.write(0xd0 + (n % 8)) }
 
-    // ---- DC scan (first or refine) over all components
-    def dcScan(ah: Int, al: Int): Unit = {
+    // ---- DC scan (first or refine) over a component SUBSET in SOF
+    // order — B.2.3 allows any 1..4 of the frame's components; a
+    // single-component DC scan is non-interleaved (its own block
+    // grid), 2+ walk the frame MCU grid (review r15: the decoder
+    // accepts subsets, so the fixture encoder must emit them)
+    def dcScan(ah: Int, al: Int, scanComps: Array[Int]): Unit = {
       val sos = new java.io.ByteArrayOutputStream()
-      sos.write(nComp)
-      var c = 0
-      while (c < nComp) {
+      sos.write(scanComps.length)
+      scanComps.foreach { c =>
         sos.write(c + 1)
         sos.write(((if (c == 0) 0 else 1) << 4) | 0)
-        c += 1
       }
       sos.write(0); sos.write(0); sos.write((ah << 4) | al)
       jpegWriteSeg(out, 0xda, sos.toByteArray)
@@ -1885,19 +1828,20 @@ object MediaCodec extends Serializable {
           bw.put(cc(s), cs(s))
           if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
         } else bw.put((coefs(c)(off) >> al) & 1, 1)
-      val nMcus = if (nComp == 1) niBw(0) * niBh(0) else mcusX * mcusY
+      val single = scanComps.length == 1
+      val c0 = scanComps(0)
+      val nMcus = if (single) niBw(c0) * niBh(c0) else mcusX * mcusY
       var mcu = 0
       while (mcu < nMcus) {
         if (ri > 0 && mcu > 0 && mcu % ri == 0) {
           bw.flush(); writeRst(rst); rst += 1
           java.util.Arrays.fill(pred, 0)
         }
-        if (nComp == 1)
-          one(0, ((mcu / niBw(0)) * padBw(0) + mcu % niBw(0)) * 64)
+        if (single)
+          one(c0, ((mcu / niBw(c0)) * padBw(c0) + mcu % niBw(c0)) * 64)
         else {
           val my = mcu / mcusX; val mx = mcu % mcusX
-          var c2 = 0
-          while (c2 < nComp) {
+          scanComps.foreach { c2 =>
             val hv = hvOf(c2)
             var v = 0
             while (v < hv) {
@@ -1908,7 +1852,6 @@ object MediaCodec extends Serializable {
               }
               v += 1
             }
-            c2 += 1
           }
         }
         mcu += 1
@@ -2011,7 +1954,7 @@ object MediaCodec extends Serializable {
       while ((1 << lL) < syms.length + 1) lL += 1
       val counts = new Array[Int](17)
       counts(lL) = syms.length
-      dht(1, 0, counts, syms)
+      jpegWriteDht(out, 1, 0, counts, syms)
       val sos = new java.io.ByteArrayOutputStream()
       sos.write(1); sos.write(c + 1); sos.write(0x00)
       sos.write(ss); sos.write(se); sos.write((ah << 4) | al)
@@ -2024,8 +1967,13 @@ object MediaCodec extends Serializable {
       bw.flush()
     }
 
-    dcScan(0, 1)
-    dcScan(1, 0)
+    if (dcSplit && nComp == 3) {
+      // subset-interleaved DC (Y+Cb) then a single-component Cr scan:
+      // the B.2.3 shape real scan scripts emit and the decoder must
+      // accept (review r15)
+      dcScan(0, 1, Array(0, 1)); dcScan(0, 1, Array(2))
+    } else dcScan(0, 1, Array.range(0, nComp))
+    dcScan(1, 0, Array.range(0, nComp))
     if (nComp == 1) {
       acScan(0, 1, 63, 0, 1)
       acScan(0, 1, 63, 1, 0)
@@ -2811,8 +2759,10 @@ object MediaCodec extends Serializable {
     *
     * Strict where the spec is strict, and strict about completeness:
     *  - AC scans are single-component with 1 ≤ Ss ≤ Se ≤ 63; DC
-    *    scans have Ss = Se = 0; interleaved DC scans must name every
-    *    frame component, selectors in SOF order (B.2.3's rules).
+    *    scans have Ss = Se = 0; interleaved DC scans may name any
+    *    component SUBSET, selectors in SOF order without repeats
+    *    (B.2.3 bounds only 1 ≤ Ns ≤ 4 — the MCU grid is a frame
+    *    property, so subsets walk the same geometry; review r15).
     *  - a band's first scan has Ah = 0 on virgin coefficients; each
     *    refinement continues exactly where the band left off
     *    (Ah = previous Al, Al = Ah − 1) — per-coefficient state, so
@@ -2822,10 +2772,12 @@ object MediaCodec extends Serializable {
     *  - at EOI every coefficient of every component must be delivered
     *    to full precision (Al = 0) — an interchange-format frame
     *    fully specifies its image; spectrally-truncated files reject.
-    *  - DQT between scans rejects (a component's quantizer may not
-    *    change between its scans — G.1.1.1; conforming writers emit
-    *    all DQTs up front), trailing bytes after EOI reject, and the
-    *    EOI must follow the last scan's data directly (fill bytes
+    *  - DQT between scans is accepted as tables-misc (B.2.4.1) but
+    *    must not CHANGE a table any frame component uses (G.1.1.1):
+    *    re-emissions must match the header walk's table byte-for-byte
+    *    and unused slots are skipped (review r15 — the first cut
+    *    rejected all of them); trailing bytes after EOI reject, and
+    *    the EOI must follow the last scan's data directly (fill bytes
     *    aside) — the baseline/PNG discipline. */
   private def decodeJpegProgressive(b: Array[Byte], hdr: JpegHeader): Media = {
     val coefs = Array.tabulate(hdr.nComp)(c =>
@@ -2864,6 +2816,37 @@ object MediaCodec extends Serializable {
             if (len < 2 || pos.toLong + len > b.length.toLong)
               return UnknownMedia(b.length)
             pos += len
+          case 0xdb =>
+            // DQT is legal tables-misc before any scan header
+            // (B.2.4.1); what G.1.1.1 forbids is CHANGING a table a
+            // frame component uses — so a re-emission must match the
+            // header walk's table byte-for-byte, and a definition for
+            // an unused slot is skipped (review r15: the old arm
+            // rejected all of them)
+            if (pos + 2 > b.length) return UnknownMedia(b.length)
+            val len = u16(pos)
+            if (len < 2 || pos.toLong + len > b.length.toLong)
+              return UnknownMedia(b.length)
+            var q = pos + 2
+            val qEnd = pos + len
+            while (q < qEnd) {
+              val pqTq = b(q) & 0xff
+              if ((pqTq >> 4) != 0) return UnknownMedia(b.length) // 8-bit only
+              val tq = pqTq & 0x0f
+              if (tq > 3 || q + 65 > qEnd) return UnknownMedia(b.length)
+              val used = (0 until hdr.nComp).exists(hdr.compQ(_) == tq)
+              if (used) {
+                val cur = hdr.qTables(tq)
+                var k = 0
+                while (k < 64) {
+                  if ((b(q + 1 + k) & 0xff) != cur(k)) return UnknownMedia(b.length)
+                  k += 1
+                }
+              }
+              q += 65
+            }
+            if (q != qEnd) return UnknownMedia(b.length)
+            pos = qEnd
           case 0xda =>
             if (pos + 2 > b.length) return UnknownMedia(b.length)
             val len = u16(pos)
@@ -2903,8 +2886,12 @@ object MediaCodec extends Serializable {
               return UnknownMedia(b.length)
             if (al > 13 || (ah != 0 && ah != al + 1))
               return UnknownMedia(b.length)
-            if (isDc && ns > 1 && ns != hdr.nComp)
-              return UnknownMedia(b.length)
+            // interleaved DC scans may name ANY 2..Nf-component subset
+            // (B.2.3 bounds only 1 ≤ Ns ≤ 4 in SOF order): the MCU
+            // grid is a FRAME property (Hmax/Vmax), so the generic
+            // per-component walk below handles subsets as-is — an
+            // all-components requirement here was review-r15's one
+            // decoder over-strictness finding
             i = 0
             while (i < ns) {
               val st = state(comps(i))
@@ -2925,7 +2912,7 @@ object MediaCodec extends Serializable {
             pos = decodeProgScan(b, hdr,
               new JpegProgScan(comps, dcTabs, acTabs, ss, se, ah, al),
               coefs, ri, pos + len)
-          case _ => return UnknownMedia(b.length) // DQT/SOF/RST/… here
+          case _ => return UnknownMedia(b.length) // SOF/RST/DNL/… here
         }
       }
     } catch {

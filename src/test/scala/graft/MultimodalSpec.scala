@@ -2211,6 +2211,56 @@ class MultimodalSpec extends SparkSpec {
       assert(MediaCodec.jpegProfile(prog) == wantProfile,
         s"jpegProfile must report ${wantProfile}")
       assert(MediaCodec.jpegProfile(base) == profile)
+      // SUBSET-interleaved DC (review r15): a Y+Cb interleaved scan
+      // followed by a single-component Cr scan is conforming B.2.3
+      // shape (the MCU grid is a frame property) — same bit-for-bit
+      // parity through a different scan script
+      if (profile != "gray") {
+        val split = MediaCodec.encodeJpegProgressive(w, h, rgb, profile, ri, dcSplit = true)
+        MediaCodec.decode(split) match {
+          case ImageMedia(`w`, `h`, "jpg", px) =>
+            assert(java.util.Arrays.equals(px, want),
+              s"$profile ${w}x$h ri=$ri: subset-DC progressive must equal baseline")
+          case other => fail(s"subset-DC progressive $profile ${w}x$h ri=$ri: $other")
+        }
+      }
+    }
+    // DQT between scans (review r15): tables-misc re-emission of the
+    // IDENTICAL table decodes (B.2.4.1); changing a USED table rejects
+    // (G.1.1.1); defining an UNUSED slot is skipped. Splice the
+    // stream's own DQT segment (bytes 2..70: FFDB len 0x0043 + Pq/Tq +
+    // 64 values) right before the LAST SOS marker — a position between
+    // scans (entropy FF-stuffing makes a bare FF DA unambiguous).
+    locally {
+      val rgb = Array.tabulate[Byte](3 * 16 * 16)(i => ((i * 31 + 7) % 256).toByte)
+      val prog = MediaCodec.encodeJpegProgressive(16, 16, rgb, "444")
+      val want = MediaCodec.decode(prog).asInstanceOf[ImageMedia].rgb
+      val dqtSeg = prog.slice(2, 2 + 69) // FF DB 00 43 PqTq + 64 values
+      assert((dqtSeg(0) & 0xff) == 0xff && (dqtSeg(1) & 0xff) == 0xdb)
+      var lastSos = -1
+      for (i <- 0 until prog.length - 1)
+        if ((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda) lastSos = i
+      assert(lastSos > 0)
+      def splice(seg: Array[Byte]): Array[Byte] =
+        prog.take(lastSos) ++ seg ++ prog.drop(lastSos)
+      MediaCodec.decode(splice(dqtSeg)) match {
+        case ImageMedia(16, 16, "jpg", px) =>
+          assert(java.util.Arrays.equals(px, want), "identical DQT re-emission must decode unchanged")
+        case other => fail(s"re-emitted DQT: $other")
+      }
+      val changed = dqtSeg.clone(); changed(10) = 2 // a used table's value changes
+      assert(MediaCodec.decode(splice(changed)).isInstanceOf[UnknownMedia],
+        "changing a USED quantization table between scans must reject")
+      val unused = dqtSeg.clone(); unused(4) = 2 // Tq=2: no component uses it
+      unused(10) = 9 // arbitrary different values are fine on an unused slot
+      MediaCodec.decode(splice(unused)) match {
+        case ImageMedia(16, 16, "jpg", px) =>
+          assert(java.util.Arrays.equals(px, want), "an unused-slot DQT must be skipped")
+        case other => fail(s"unused-slot DQT: $other")
+      }
+      val wide = dqtSeg.clone(); wide(4) = 0x10 // Pq=1: 16-bit precision
+      assert(MediaCodec.decode(splice(wide)).isInstanceOf[UnknownMedia],
+        "a 16-bit DQT between scans must reject (8-bit decoder)")
     }
   }
 
@@ -2305,13 +2355,15 @@ class MultimodalSpec extends SparkSpec {
       assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
         "a spectrally-truncated file (DC still at Al=1, no AC) must reject")
     }
-    // DQT between scans rejects (quantizers are frame-wide here)
+    // DQT between scans: CHANGING a used table rejects (G.1.1.1) —
+    // identical re-emission and unused slots are covered in the
+    // parity test (review r15 relaxed the old reject-everything arm)
     locally {
       val sos2 = nthSos(good, 2)
-      val dqt = Array(0xff, 0xdb, 0x00, 0x43, 0x00).map(_.toByte) ++ Array.fill[Byte](64)(1)
+      val dqt = Array(0xff, 0xdb, 0x00, 0x43, 0x00).map(_.toByte) ++ Array.fill[Byte](64)(2)
       val m = good.take(sos2) ++ dqt ++ good.drop(sos2)
       assert(MediaCodec.decode(m).isInstanceOf[UnknownMedia],
-        "DQT between scans must reject")
+        "a DQT changing a used table between scans must reject")
     }
     // hand-built: an AC scan with no prior DC scan must reject
     locally {
