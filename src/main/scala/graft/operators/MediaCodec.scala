@@ -358,7 +358,9 @@ object MediaCodec extends Serializable {
     * true sample MD5 and the decoder verifies it — FLAC is lossless,
     * which is what lets every downstream hash stay bit-identical to
     * the WAV twin of the same samples. */
-  def encodeFlac(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+  def encodeFlac(sampleRate: Int, samples: Array[Short],
+                 blockSize: Int = 0): Array[Byte] = {
+    if (blockSize > 0) return encodeFlacFrames(sampleRate, samples, blockSize)
     val ns = samples.length
     require(ns >= 16 && ns <= 65535, s"one-frame FLAC needs 16..65535 samples, got $ns")
     require(sampleRate > 0 && sampleRate < (1 << 20), s"bad sample rate $sampleRate")
@@ -400,6 +402,70 @@ object MediaCodec extends Serializable {
     out(fp + 9 + 2 * ns) = (crc16 >> 8).toByte
     out(fp + 9 + 2 * ns + 1) = crc16.toByte
     out
+  }
+
+  /** Multi-frame FLAC writer (the `blockSize > 0` arm of
+    * [[encodeFlac]]): fixed blocking, verbatim subframes, frames of
+    * `blockSize` samples with a possibly-short final frame — the
+    * fixture source for [[decodeFlacParallel]]'s segment machinery
+    * and for multi-frame decode gates. The single-frame default stays
+    * the oracle path (its byte count is the closed form the DuckDB
+    * oracles predict); here frame-header sizes vary with the coded
+    * frame number's UTF-8 length, so no closed form is claimed. */
+  private def encodeFlacFrames(sampleRate: Int, samples: Array[Short],
+                               blockSize: Int): Array[Byte] = {
+    require(blockSize >= 16 && blockSize <= 65535, s"block size $blockSize outside 16..65535")
+    require(samples.nonEmpty, "empty signal")
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"bad sample rate $sampleRate")
+    val out = new java.io.ByteArrayOutputStream(64 + 2 * samples.length)
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    // min block size EXCLUDES the last block (RFC 9639 §8.2), so a
+    // constant-blocksize stream writes blockSize twice
+    si(0) = (blockSize >> 8).toByte; si(1) = blockSize.toByte
+    si(2) = (blockSize >> 8).toByte; si(3) = blockSize.toByte
+    // frame sizes 4..9 stay 0 (unknown — legal); rate/ch/bps/total:
+    si(10) = (sampleRate >> 12).toByte
+    si(11) = (sampleRate >> 4).toByte
+    si(12) = ((sampleRate & 0xf) << 4).toByte // | channels-1=0 | bps-1[4]=0
+    si(13) = (0xf0 | ((samples.length.toLong >> 32) & 0xf)).toByte // bps-1=15 low nibble
+    si(14) = (samples.length >> 24).toByte; si(15) = (samples.length >> 16).toByte
+    si(16) = (samples.length >> 8).toByte; si(17) = samples.length.toByte
+    flacMd5(samples).copyToArray(si, 18)
+    out.write(si)
+    var start = 0
+    var number = 0L
+    while (start < samples.length) {
+      val bs = math.min(blockSize, samples.length - start)
+      val f = new java.io.ByteArrayOutputStream(10 + 2 * bs)
+      f.write(0xff); f.write(0xf8)
+      f.write(0x70) // block size: 16-bit at end; rate from STREAMINFO
+      f.write(0x08) // mono, 16-bit, reserved 0
+      // coded frame number, shortest-form UTF-8 (enough for 2^16 frames)
+      if (number < 0x80) f.write(number.toInt)
+      else if (number < 0x800) {
+        f.write(0xc0 | (number >> 6).toInt); f.write(0x80 | (number & 0x3f).toInt)
+      } else {
+        f.write(0xe0 | (number >> 12).toInt)
+        f.write(0x80 | ((number >> 6) & 0x3f).toInt); f.write(0x80 | (number & 0x3f).toInt)
+      }
+      f.write(((bs - 1) >> 8) & 0xff); f.write((bs - 1) & 0xff)
+      val hdr = f.toByteArray
+      f.write(crc8Flac(hdr, 0, hdr.length))
+      f.write(0x02) // verbatim subframe, no wasted bits
+      var i = 0
+      while (i < bs) {
+        f.write((samples(start + i) >> 8) & 0xff); f.write(samples(start + i) & 0xff)
+        i += 1
+      }
+      val body = f.toByteArray
+      val c = crc16Flac(body, 0, body.length)
+      out.write(body); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+      start += bs
+      number += 1
+    }
+    out.toByteArray
   }
 
   /** `YUV4MPEG2 W{w} H{h} F25:1 Ip A0:0 C444\n` then per frame
@@ -992,6 +1058,303 @@ object MediaCodec extends Serializable {
     def aligned: Boolean = bit == 0
   }
 
+  /** Parsed STREAMINFO + where the frame stream begins. */
+  private final class FlacInfo(val rate: Int, val totalSamples: Long,
+                               val md5: Array[Byte], val minBlock: Int,
+                               val maxBlock: Int, val framesAt: Int)
+
+  /** Metadata walk: STREAMINFO must lead and appear once; other
+    * blocks are skipped; mono/16-bit is the pipeline's audio model —
+    * anything else returns null (→ honest [[UnknownMedia]]). */
+  private def flacParseInfo(b: Array[Byte]): FlacInfo = {
+    if (b.length < 42 + 10) return null
+    var pos = 4
+    var last = false
+    var first = true
+    var rate = -1; var totalSamples = -1L; var md5: Array[Byte] = null
+    var minBlock = 0; var maxBlock = 0
+    while (!last) {
+      if (pos + 4 > b.length) return null
+      val hdr = b(pos) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((b(pos + 1) & 0xff) << 16) | ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+      if (pos.toLong + 4L + len > b.length) return null
+      if (first) {
+        if (btype != 0 || len != 34) return null // STREAMINFO must lead
+        val o = pos + 4
+        minBlock = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        maxBlock = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        rate = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) | ((b(o + 12) & 0xff) >> 4)
+        val channels = ((b(o + 12) >> 1) & 0x7) + 1
+        val bps = (((b(o + 12) & 1) << 4) | ((b(o + 13) & 0xff) >> 4)) + 1
+        totalSamples = ((b(o + 13) & 0x0fL) << 32) | ((b(o + 14) & 0xffL) << 24) |
+          ((b(o + 15) & 0xffL) << 16) | ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
+        md5 = java.util.Arrays.copyOfRange(b, o + 18, o + 34)
+        if (channels != 1 || bps != 16) return null // out-of-model profile
+        if (rate <= 0 || minBlock < 16 || maxBlock < minBlock) return null
+        first = false
+      } else if (btype == 0 || btype == 127) return null // dup STREAMINFO / invalid
+      pos += 4 + len
+    }
+    if (first) return null
+    new FlacInfo(rate, totalSamples, md5, minBlock, maxBlock, pos)
+  }
+
+  /** One decoded frame: its blocking bit, coded frame/sample number,
+    * block size, end offset (past the CRC-16) and the wasted-shifted
+    * samples. */
+  private final class FlacFrame(val blocking: Int, val coded: Long,
+                                val blockSize: Int, val end: Int,
+                                val samples: Array[Short])
+
+  /** Decode ONE frame from byte-aligned `fp` — every check INTRINSIC
+    * to a frame lives here (sync/reserved/code validity, the
+    * mono/16-bit subset, shortest-form coded numbers, CRC-8, the
+    * subframe's entropy layer, sample range, CRC-16); cross-frame
+    * rules (strategy consistency, sequence, block-size regularity,
+    * output bounds) are [[flacAssemble]]'s. Null on malformed;
+    * truncation throws [[IndexOutOfBoundsException]] like every
+    * parser here. Frames are SELF-CONTAINED — nothing but `info` and
+    * the bytes at `fp` goes in, which is exactly the property
+    * [[decodeFlacParallel]] exploits. */
+  private def flacDecodeFrame(b: Array[Byte], fp: Int, info: FlacInfo): FlacFrame = {
+    if (fp + 5 > b.length) return null
+    if ((b(fp) & 0xff) != 0xff || (b(fp + 1) & 0xfe) != 0xf8) return null
+    val blocking = b(fp + 1) & 1
+    val bsCode = (b(fp + 2) & 0xff) >> 4
+    val rateCode = b(fp + 2) & 0x0f
+    val chanAssign = (b(fp + 3) & 0xff) >> 4
+    val sizeCode = (b(fp + 3) >> 1) & 0x7
+    if ((b(fp + 3) & 1) != 0) return null // reserved bit
+    if (chanAssign != 0) return null      // mono subset
+    if (sizeCode != 0 && sizeCode != 4) return null // 16-bit subset (000=STREAMINFO, 100=16)
+    if (bsCode == 0 || rateCode == 15) return null  // reserved / invalid
+    // coded number (UTF-8-style, RFC 9639 §9.1.2)
+    var p = fp + 4
+    val lead = b(p) & 0xff; p += 1
+    var coded = 0L
+    if (lead < 0x80) coded = lead
+    else {
+      val extra = Integer.numberOfLeadingZeros(~(lead << 24)) // count of leading 1s
+      if (extra < 2 || extra > 7) return null
+      // frame numbers are 31-bit — the 7-byte form exists only for
+      // 36-bit sample numbers (RFC 9639 §9.1.2)
+      if (extra == 7 && blocking == 0) return null
+      coded = if (extra == 7) 0L else (lead & (0x7f >> extra)).toLong
+      var k = 0
+      while (k < extra - 1) {
+        if (p >= b.length || (b(p) & 0xc0) != 0x80) return null
+        coded = (coded << 6) | (b(p) & 0x3f); p += 1; k += 1
+      }
+      // shortest-form only: an (extra)-byte coding is conforming only
+      // for values the (extra-1)-byte form cannot hold — capacities
+      // are 7, 11, 16, 21, 26, 31 bits for 1..6 bytes
+      val shorterBits = Seq(0, 0, 7, 11, 16, 21, 26, 31)(extra)
+      if (coded < (1L << shorterBits)) return null
+    }
+    val blockSize = bsCode match {
+      case 1 => 192
+      case c if c >= 2 && c <= 5 => 576 << (c - 2)
+      case 6 => if (p >= b.length) return null
+        else { val v = (b(p) & 0xff) + 1; p += 1; v }
+      case 7 => if (p + 1 >= b.length) return null
+        else { val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1; p += 2; v }
+      case c => 256 << (c - 8)
+    }
+    // a coded rate must agree with STREAMINFO (both are authoritative)
+    val headerRate = rateCode match {
+      case 0 => info.rate
+      case 1 => 88200; case 2 => 176400; case 3 => 192000
+      case 4 => 8000; case 5 => 16000; case 6 => 22050; case 7 => 24000
+      case 8 => 32000; case 9 => 44100; case 10 => 48000; case 11 => 96000
+      case 12 => if (p >= b.length) return null
+        else { val v = (b(p) & 0xff) * 1000; p += 1; v }
+      case 13 => if (p + 1 >= b.length) return null
+        else { val v = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; v }
+      case _ => if (p + 1 >= b.length) return null
+        else { val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) * 10; p += 2; v }
+    }
+    if (headerRate != info.rate) return null
+    if (p >= b.length || crc8Flac(b, fp, p) != (b(p) & 0xff)) return null
+    p += 1
+    if (blockSize > info.maxBlock) return null
+    // -- one mono subframe --
+    val br = new FlacBitReader(b, p)
+    if (br.read(1) != 0) return null // subframe pad bit
+    val sfType = br.read(6)
+    val wasted = if (br.read(1) == 1) br.unary() + 1 else 0
+    val effBps = 16 - wasted
+    if (effBps <= 0) return null
+    val samples = new Array[Int](blockSize)
+    def readResidualInto(order: Int): Unit = {
+      val method = br.read(2)
+      if (method > 1) throw new IndexOutOfBoundsException("flac residual method")
+      val pBits = if (method == 0) 4 else 5
+      val escape = (1 << pBits) - 1
+      val partOrder = br.read(4)
+      val parts = 1 << partOrder
+      if (blockSize % parts != 0) throw new IndexOutOfBoundsException("flac partition split")
+      val perPart = blockSize / parts
+      // RFC 9639 §9.2.7: block size >> partition order MUST exceed
+      // the predictor order (an empty first partition is
+      // non-conforming at ANY partition count)
+      if (perPart <= order) throw new IndexOutOfBoundsException("flac empty partition")
+      var i = order
+      var part = 0
+      while (part < parts) {
+        val count = (if (part == 0) perPart - order else perPart) // > 0: perPart > order
+        val param = br.read(pBits)
+        var k = 0
+        if (param == escape) {
+          val rawBits = br.read(5)
+          while (k < count) {
+            samples(i) = if (rawBits == 0) 0 else br.readSigned(rawBits)
+            i += 1; k += 1
+          }
+        } else {
+          while (k < count) {
+            val q = br.unary().toLong
+            val v = (q << param) | br.read(param).toLong
+            val r = (v >>> 1) ^ -(v & 1L) // zigzag
+            if (r < Int.MinValue || r > Int.MaxValue)
+              throw new IndexOutOfBoundsException("flac residual range")
+            samples(i) = r.toInt
+            i += 1; k += 1
+          }
+        }
+        part += 1
+      }
+    }
+    def checkRange(from: Int): Boolean = {
+      val lo = -(1 << (effBps - 1)); val hi = (1 << (effBps - 1)) - 1
+      var i = from; var ok = true
+      while (ok && i < blockSize) { ok = samples(i) >= lo && samples(i) <= hi; i += 1 }
+      ok
+    }
+    if (sfType == 0) { // CONSTANT
+      val v = br.readSigned(effBps)
+      java.util.Arrays.fill(samples, v)
+    } else if (sfType == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { samples(i) = br.readSigned(effBps); i += 1 }
+    } else if (sfType >= 8 && sfType <= 12) { // FIXED, order 0-4
+      val order = sfType - 8
+      if (order > blockSize) return null
+      var i = 0
+      while (i < order) { samples(i) = br.readSigned(effBps); i += 1 }
+      readResidualInto(order)
+      i = order
+      while (i < blockSize) {
+        val pred: Long = order match {
+          case 0 => 0L
+          case 1 => samples(i - 1).toLong
+          case 2 => 2L * samples(i - 1) - samples(i - 2)
+          case 3 => 3L * samples(i - 1) - 3L * samples(i - 2) + samples(i - 3)
+          case _ => 4L * samples(i - 1) - 6L * samples(i - 2) + 4L * samples(i - 3) - samples(i - 4)
+        }
+        val v = pred + samples(i)
+        if (v < Int.MinValue || v > Int.MaxValue)
+          throw new IndexOutOfBoundsException("flac fixed overflow")
+        samples(i) = v.toInt
+        i += 1
+      }
+      if (!checkRange(order)) return null
+    } else if (sfType >= 32) { // LPC, order 1-32
+      val order = (sfType & 0x1f) + 1
+      if (order > blockSize) return null
+      var i = 0
+      while (i < order) { samples(i) = br.readSigned(effBps); i += 1 }
+      val precRaw = br.read(4)
+      if (precRaw == 15) return null // invalid per spec
+      val precision = precRaw + 1
+      val shift = br.readSigned(5)
+      if (shift < 0) return null
+      val coefs = Array.fill(order)(br.readSigned(precision))
+      readResidualInto(order)
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * samples(i - 1 - j); j += 1 }
+        val v = (acc >> shift) + samples(i)
+        if (v < Int.MinValue || v > Int.MaxValue)
+          throw new IndexOutOfBoundsException("flac lpc overflow")
+        samples(i) = v.toInt
+        i += 1
+      }
+      if (!checkRange(order)) return null
+    } else return null // reserved subframe types
+    // (CONSTANT/VERBATIM need no range check: readSigned(effBps) is
+    // in range by construction — only prediction outputs can stray)
+    br.align()
+    if (br.pos + 2 > b.length) return null
+    val crc = crc16Flac(b, fp, br.pos)
+    if (crc != (((b(br.pos) & 0xff) << 8) | (b(br.pos + 1) & 0xff)))
+      return null
+    val out = new Array[Short](blockSize)
+    var i = 0
+    while (i < blockSize) { out(i) = (samples(i) << wasted).toShort; i += 1 }
+    new FlacFrame(blocking, coded, blockSize, br.pos + 2, out)
+  }
+
+  /** The chain walk shared by the sequential and parallel entries:
+    * frames must TILE the byte stream from [[FlacInfo.framesAt]] with
+    * one blocking strategy, sequential coded numbers, the
+    * fixed-blocking block-size regularity rule, and a bounded output
+    * — then the stream-global total-samples and MD5 gates close it.
+    * `frameAt` supplies the frame starting at a position (decode on
+    * demand sequentially; a pre-decoded candidate table in
+    * parallel) — both must produce the same verdict by construction,
+    * since the walk itself is identical. */
+  private def flacAssemble(b: Array[Byte], info: FlacInfo,
+                           frameAt: Int => FlacFrame): Media = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofShort
+    if (info.totalSamples > 0 && info.totalSamples <= (1 << 26))
+      out.sizeHint(info.totalSamples.toInt)
+    var pos = info.framesAt
+    var frameIndex = 0L
+    var sampleIndex = 0L
+    var strategy = -1
+    while (pos < b.length) {
+      val fr = frameAt(pos)
+      if (fr == null) return UnknownMedia(b.length)
+      if (strategy == -1) strategy = fr.blocking
+      else if (strategy != fr.blocking) return UnknownMedia(b.length) // one strategy per stream
+      if (fr.blocking == 0 && fr.coded != frameIndex) return UnknownMedia(b.length)
+      if (fr.blocking == 1 && fr.coded != sampleIndex) return UnknownMedia(b.length)
+      // bound the output BEFORE appending: a CONSTANT frame turns
+      // ~15 payload bytes into up to 65,535 samples, so without a
+      // running bound a small crafted stream with totalSamples=0
+      // ("unknown") amplifies to gigabytes and dies in OutOfMemory —
+      // an Error outside decode()'s totality net (review r15). A
+      // declared total bounds exactly; an unknown total gets the same
+      // 2²⁶-sample ceiling the canonical-rate hash path uses — decoded
+      // audio beyond 128 MB per object is outside the pipeline's
+      // model, not a conforming fixture.
+      if (info.totalSamples > 0 && sampleIndex + fr.blockSize > info.totalSamples)
+        return UnknownMedia(b.length)
+      if (sampleIndex + fr.blockSize > (1L << 26)) return UnknownMedia(b.length)
+      out ++= fr.samples
+      frameIndex += 1
+      sampleIndex += fr.blockSize
+      pos = fr.end
+      // fixed blocking: every non-final frame carries the stream's
+      // constant block size (the final one may be short)
+      if (fr.blocking == 0 && pos < b.length && fr.blockSize != info.maxBlock)
+        return UnknownMedia(b.length)
+    }
+    if (frameIndex == 0) return UnknownMedia(b.length)
+    val samples = out.result()
+    if (info.totalSamples > 0 && samples.length != info.totalSamples)
+      return UnknownMedia(b.length)
+    // the MD5 field is FLAC's own lossless-integrity gate; an all-zero
+    // field means "unset" and skips (RFC 9639 §8.2)
+    if (info.md5.exists(_ != 0) && !java.util.Arrays.equals(flacMd5(samples), info.md5))
+      return UnknownMedia(b.length)
+    AudioMedia(info.rate, samples)
+  }
+
   /** FLAC decoder (RFC 9639) for the mono/16-bit subset — everything
     * the pipeline's [[AudioMedia]] model carries; other channel
     * counts and sample widths are honest [[UnknownMedia]], like every
@@ -1004,260 +1367,71 @@ object MediaCodec extends Serializable {
     * Strict where the spec is strict: CRC-8 per frame header, CRC-16
     * per frame, the STREAMINFO sample MD5 (FLAC's own end-to-end
     * integrity gate — lossless means it must reproduce exactly),
-    * STREAMINFO-first block ordering, sequential coded numbers,
-    * reserved/invalid codes reject, trailing bytes reject, and
-    * reconstructed samples must fit 16 bits (a conforming stream's
-    * cannot overflow; clamping would hide corruption). */
+    * STREAMINFO-first block ordering, sequential coded numbers
+    * (shortest-form only), reserved/invalid codes reject, trailing
+    * bytes reject, and reconstructed samples must fit 16 bits (a
+    * conforming stream's cannot overflow; clamping would hide
+    * corruption). */
   private[operators] def decodeFlac(b: Array[Byte]): Media = {
-    if (b.length < 42 + 10) return UnknownMedia(b.length)
-    // ---- metadata walk: STREAMINFO first, once ----
-    var pos = 4
-    var last = false
-    var first = true
-    var rate = -1; var totalSamples = -1L; var md5: Array[Byte] = null
-    var minBlock = 0; var maxBlock = 0
-    while (!last) {
-      if (pos + 4 > b.length) return UnknownMedia(b.length)
-      val hdr = b(pos) & 0xff
-      last = (hdr & 0x80) != 0
-      val btype = hdr & 0x7f
-      val len = ((b(pos + 1) & 0xff) << 16) | ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
-      if (pos.toLong + 4L + len > b.length) return UnknownMedia(b.length)
-      if (first) {
-        if (btype != 0 || len != 34) return UnknownMedia(b.length) // STREAMINFO must lead
-        val o = pos + 4
-        minBlock = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-        maxBlock = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-        rate = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) | ((b(o + 12) & 0xff) >> 4)
-        val channels = ((b(o + 12) >> 1) & 0x7) + 1
-        val bps = (((b(o + 12) & 1) << 4) | ((b(o + 13) & 0xff) >> 4)) + 1
-        totalSamples = ((b(o + 13) & 0x0fL) << 32) | ((b(o + 14) & 0xffL) << 24) |
-          ((b(o + 15) & 0xffL) << 16) | ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
-        md5 = java.util.Arrays.copyOfRange(b, o + 18, o + 34)
-        if (channels != 1 || bps != 16) return UnknownMedia(b.length) // out-of-model profile
-        if (rate <= 0 || minBlock < 16 || maxBlock < minBlock) return UnknownMedia(b.length)
-        first = false
-      } else if (btype == 0 || btype == 127) return UnknownMedia(b.length) // dup STREAMINFO / invalid
-      pos += 4 + len
-    }
-    if (first) return UnknownMedia(b.length)
-    // ---- frames ----
-    val out = new scala.collection.mutable.ArrayBuilder.ofShort
-    if (totalSamples > 0 && totalSamples <= (1 << 26)) out.sizeHint(totalSamples.toInt)
-    var frameIndex = 0L
-    var sampleIndex = 0L
-    var strategy = -1
-    while (pos < b.length) {
-      val fp = pos
-      // -- header (byte-aligned) --
-      if (fp + 5 > b.length) return UnknownMedia(b.length)
-      if ((b(fp) & 0xff) != 0xff || (b(fp + 1) & 0xfe) != 0xf8) return UnknownMedia(b.length)
-      val blocking = b(fp + 1) & 1
-      if (strategy == -1) strategy = blocking
-      else if (strategy != blocking) return UnknownMedia(b.length) // spec: one strategy per stream
-      val bsCode = (b(fp + 2) & 0xff) >> 4
-      val rateCode = b(fp + 2) & 0x0f
-      val chanAssign = (b(fp + 3) & 0xff) >> 4
-      val sizeCode = (b(fp + 3) >> 1) & 0x7
-      if ((b(fp + 3) & 1) != 0) return UnknownMedia(b.length) // reserved bit
-      if (chanAssign != 0) return UnknownMedia(b.length)      // mono subset
-      if (sizeCode != 0 && sizeCode != 4) return UnknownMedia(b.length) // 16-bit subset (000=STREAMINFO, 100=16)
-      if (bsCode == 0 || rateCode == 15) return UnknownMedia(b.length)  // reserved / invalid
-      // coded number (UTF-8-style, RFC 9639 §9.1.2)
-      var p = fp + 4
-      val lead = b(p) & 0xff; p += 1
-      var extra = 0
-      var coded = 0L
-      if (lead < 0x80) coded = lead
-      else {
-        extra = Integer.numberOfLeadingZeros(~(lead << 24)) // count of leading 1s
-        if (extra < 2 || extra > 7) return UnknownMedia(b.length)
-        // frame numbers are 31-bit — the 7-byte form exists only for
-        // 36-bit sample numbers (RFC 9639 §9.1.2)
-        if (extra == 7 && blocking == 0) return UnknownMedia(b.length)
-        coded = if (extra == 7) 0L else (lead & (0x7f >> extra)).toLong
-        var k = 0
-        while (k < extra - 1) {
-          if (p >= b.length || (b(p) & 0xc0) != 0x80) return UnknownMedia(b.length)
-          coded = (coded << 6) | (b(p) & 0x3f); p += 1; k += 1
-        }
-        // shortest-form only: an (extra)-byte coding is conforming only
-        // for values the (extra-1)-byte form cannot hold — capacities
-        // are 7, 11, 16, 21, 26, 31 bits for 1..6 bytes
-        val shorterBits = Seq(0, 0, 7, 11, 16, 21, 26, 31)(extra)
-        if (coded < (1L << shorterBits)) return UnknownMedia(b.length)
-      }
-      if (blocking == 0 && coded != frameIndex) return UnknownMedia(b.length)
-      if (blocking == 1 && coded != sampleIndex) return UnknownMedia(b.length)
-      val blockSize = bsCode match {
-        case 1 => 192
-        case c if c >= 2 && c <= 5 => 576 << (c - 2)
-        case 6 => if (p >= b.length) return UnknownMedia(b.length)
-          else { val v = (b(p) & 0xff) + 1; p += 1; v }
-        case 7 => if (p + 1 >= b.length) return UnknownMedia(b.length)
-          else { val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1; p += 2; v }
-        case c => 256 << (c - 8)
-      }
-      // a coded rate must agree with STREAMINFO (both are authoritative)
-      val headerRate = rateCode match {
-        case 0 => rate
-        case 1 => 88200; case 2 => 176400; case 3 => 192000
-        case 4 => 8000; case 5 => 16000; case 6 => 22050; case 7 => 24000
-        case 8 => 32000; case 9 => 44100; case 10 => 48000; case 11 => 96000
-        case 12 => if (p >= b.length) return UnknownMedia(b.length)
-          else { val v = (b(p) & 0xff) * 1000; p += 1; v }
-        case 13 => if (p + 1 >= b.length) return UnknownMedia(b.length)
-          else { val v = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; v }
-        case _ => if (p + 1 >= b.length) return UnknownMedia(b.length)
-          else { val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) * 10; p += 2; v }
-      }
-      if (headerRate != rate) return UnknownMedia(b.length)
-      if (p >= b.length || crc8Flac(b, fp, p) != (b(p) & 0xff)) return UnknownMedia(b.length)
+    val info = flacParseInfo(b)
+    if (info == null) return UnknownMedia(b.length)
+    flacAssemble(b, info, fp => flacDecodeFrame(b, fp, info))
+  }
+
+  /** Segment-parallel FLAC decode — the audio twin of
+    * [[decodeJpegParallel]]'s splitter property, and the reason a
+    * multi-gigabyte FLAC object need not decode on one thread: every
+    * frame is SELF-CONTAINED ([[flacDecodeFrame]] — own header, CRCs
+    * and warm-up; no state crosses frame boundaries), so frames can
+    * entropy-decode CONCURRENTLY from byte-scanned offsets and stitch
+    * back bit-identically. Unlike JPEG, FLAC does not byte-stuff its
+    * entropy layer, so a bare sync pattern CAN occur inside frame
+    * data: the scan over-collects CANDIDATES (sync shape at any
+    * offset), every candidate decodes one frame concurrently — a
+    * false candidate fails its header/CRC checks or simply goes
+    * unused — and the sequential CHAIN WALK keeps exactly the frames
+    * that tile the stream, so the result is the sequential decode's
+    * by construction (the stream-global sample-count and MD5 gates
+    * still apply). A crafted candidate FLOOD (overlapping valid tiny
+    * frames at ~every offset) would make pre-decoding unbounded, so
+    * past a linear-in-payload candidate budget the strictly-bounded
+    * sequential path does the work instead — same verdict, no
+    * speedup, no blowup. `order` (specs) forces a deterministic
+    * candidate-decode order: parallel, reversed and shuffled must be
+    * bit-identical to sequential. */
+  private[graft] def decodeFlacParallel(b: Array[Byte],
+                                        order: Option[Seq[Int]] = None): Media = {
+    val info = flacParseInfo(b)
+    if (info == null) return UnknownMedia(b.length)
+    val cands = scala.collection.mutable.ArrayBuffer[Int]()
+    var p = info.framesAt
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xfe) == 0xf8) cands += p
       p += 1
-      if (blockSize > maxBlock) return UnknownMedia(b.length)
-      // -- one mono subframe --
-      val br = new FlacBitReader(b, p)
-      if (br.read(1) != 0) return UnknownMedia(b.length) // subframe pad bit
-      val sfType = br.read(6)
-      val wasted = if (br.read(1) == 1) br.unary() + 1 else 0
-      val effBps = 16 - wasted
-      if (effBps <= 0) return UnknownMedia(b.length)
-      val samples = new Array[Int](blockSize)
-      def readResidualInto(order: Int): Unit = {
-        val method = br.read(2)
-        if (method > 1) throw new IndexOutOfBoundsException("flac residual method")
-        val pBits = if (method == 0) 4 else 5
-        val escape = (1 << pBits) - 1
-        val partOrder = br.read(4)
-        val parts = 1 << partOrder
-        if (blockSize % parts != 0) throw new IndexOutOfBoundsException("flac partition split")
-        val perPart = blockSize / parts
-        // RFC 9639 §9.2.7: block size >> partition order MUST exceed
-        // the predictor order (an empty first partition is
-        // non-conforming at ANY partition count)
-        if (perPart <= order) throw new IndexOutOfBoundsException("flac empty partition")
-        var i = order
-        var part = 0
-        while (part < parts) {
-          val count = (if (part == 0) perPart - order else perPart) // > 0: perPart > order
-          val param = br.read(pBits)
-          var k = 0
-          if (param == escape) {
-            val rawBits = br.read(5)
-            while (k < count) {
-              samples(i) = if (rawBits == 0) 0 else br.readSigned(rawBits)
-              i += 1; k += 1
-            }
-          } else {
-            while (k < count) {
-              val q = br.unary().toLong
-              val v = (q << param) | br.read(param).toLong
-              val r = (v >>> 1) ^ -(v & 1L) // zigzag
-              if (r < Int.MinValue || r > Int.MaxValue)
-                throw new IndexOutOfBoundsException("flac residual range")
-              samples(i) = r.toInt
-              i += 1; k += 1
-            }
-          }
-          part += 1
-        }
-      }
-      def checkRange(from: Int): Boolean = {
-        val lo = -(1 << (effBps - 1)); val hi = (1 << (effBps - 1)) - 1
-        var i = from; var ok = true
-        while (ok && i < blockSize) { ok = samples(i) >= lo && samples(i) <= hi; i += 1 }
-        ok
-      }
-      if (sfType == 0) { // CONSTANT
-        val v = br.readSigned(effBps)
-        java.util.Arrays.fill(samples, v)
-      } else if (sfType == 1) { // VERBATIM
-        var i = 0
-        while (i < blockSize) { samples(i) = br.readSigned(effBps); i += 1 }
-      } else if (sfType >= 8 && sfType <= 12) { // FIXED, order 0-4
-        val order = sfType - 8
-        if (order > blockSize) return UnknownMedia(b.length)
-        var i = 0
-        while (i < order) { samples(i) = br.readSigned(effBps); i += 1 }
-        readResidualInto(order)
-        i = order
-        while (i < blockSize) {
-          val pred: Long = order match {
-            case 0 => 0L
-            case 1 => samples(i - 1).toLong
-            case 2 => 2L * samples(i - 1) - samples(i - 2)
-            case 3 => 3L * samples(i - 1) - 3L * samples(i - 2) + samples(i - 3)
-            case _ => 4L * samples(i - 1) - 6L * samples(i - 2) + 4L * samples(i - 3) - samples(i - 4)
-          }
-          val v = pred + samples(i)
-          if (v < Int.MinValue || v > Int.MaxValue)
-            throw new IndexOutOfBoundsException("flac fixed overflow")
-          samples(i) = v.toInt
-          i += 1
-        }
-        if (!checkRange(order)) return UnknownMedia(b.length)
-      } else if (sfType >= 32) { // LPC, order 1-32
-        val order = (sfType & 0x1f) + 1
-        if (order > blockSize) return UnknownMedia(b.length)
-        var i = 0
-        while (i < order) { samples(i) = br.readSigned(effBps); i += 1 }
-        val precRaw = br.read(4)
-        if (precRaw == 15) return UnknownMedia(b.length) // invalid per spec
-        val precision = precRaw + 1
-        val shift = br.readSigned(5)
-        if (shift < 0) return UnknownMedia(b.length)
-        val coefs = Array.fill(order)(br.readSigned(precision))
-        readResidualInto(order)
-        i = order
-        while (i < blockSize) {
-          var acc = 0L
-          var j = 0
-          while (j < order) { acc += coefs(j).toLong * samples(i - 1 - j); j += 1 }
-          val v = (acc >> shift) + samples(i)
-          if (v < Int.MinValue || v > Int.MaxValue)
-            throw new IndexOutOfBoundsException("flac lpc overflow")
-          samples(i) = v.toInt
-          i += 1
-        }
-        if (!checkRange(order)) return UnknownMedia(b.length)
-      } else return UnknownMedia(b.length) // reserved subframe types
-      // (CONSTANT/VERBATIM need no range check: readSigned(effBps) is
-      // in range by construction — only prediction outputs can stray)
-      br.align()
-      if (br.pos + 2 > b.length) return UnknownMedia(b.length)
-      val crc = crc16Flac(b, fp, br.pos)
-      if (crc != (((b(br.pos) & 0xff) << 8) | (b(br.pos + 1) & 0xff)))
-        return UnknownMedia(b.length)
-      pos = br.pos + 2
-      // bound the output BEFORE appending: a CONSTANT frame turns
-      // ~15 payload bytes into up to 65,535 samples, so without a
-      // running bound a small crafted stream with totalSamples=0
-      // ("unknown") amplifies to gigabytes and dies in OutOfMemory —
-      // an Error outside decode()'s totality net (review r15). A
-      // declared total bounds exactly; an unknown total gets the same
-      // 2²⁶-sample ceiling the canonical-rate hash path uses — decoded
-      // audio beyond 128 MB per object is outside the pipeline's
-      // model, not a conforming fixture.
-      if (totalSamples > 0 && sampleIndex + blockSize > totalSamples)
-        return UnknownMedia(b.length)
-      if (sampleIndex + blockSize > (1L << 26)) return UnknownMedia(b.length)
-      var i = 0
-      while (i < blockSize) { out += (samples(i) << wasted).toShort; i += 1 }
-      frameIndex += 1
-      sampleIndex += blockSize
-      // fixed blocking: every non-final frame carries the stream's
-      // constant block size (the final one may be short)
-      if (blocking == 0 && pos < b.length && blockSize != maxBlock)
-        return UnknownMedia(b.length)
     }
-    if (frameIndex == 0) return UnknownMedia(b.length)
-    val samples = out.result()
-    if (totalSamples > 0 && samples.length != totalSamples) return UnknownMedia(b.length)
-    // the MD5 field is FLAC's own lossless-integrity gate; an all-zero
-    // field means "unset" and skips (RFC 9639 §8.2)
-    if (md5.exists(_ != 0) && !java.util.Arrays.equals(flacMd5(samples), md5))
-      return UnknownMedia(b.length)
-    AudioMedia(rate, samples)
+    if (cands.length > (b.length >> 4) + 64)
+      return flacAssemble(b, info, fp => flacDecodeFrame(b, fp, info))
+    val results = new Array[FlacFrame](cands.length)
+    def one(i: Int): Unit =
+      results(i) = try flacDecodeFrame(b, cands(i), info) catch {
+        case _: IndexOutOfBoundsException | _: NegativeArraySizeException => null
+      }
+    order match {
+      case Some(ord) =>
+        if (ord.sorted != (0 until cands.length)) return UnknownMedia(b.length)
+        ord.foreach(one)
+      case None =>
+        // common pool like decodeJpegParallel; the terminal forEach
+        // joins, so the results array is safely published
+        java.util.stream.IntStream.range(0, cands.length).parallel().forEach(one(_))
+    }
+    val byPos = new java.util.HashMap[Int, Int]()
+    var i = cands.length - 1
+    while (i >= 0) { byPos.put(cands(i), i); i -= 1 }
+    flacAssemble(b, info, fp => {
+      val idx = byPos.getOrDefault(fp, -1)
+      if (idx < 0) null else results(idx) // non-candidate = no sync shape = malformed
+    })
   }
 
   /** Y4M parser: space-separated header tags (W/H required, C444

@@ -2144,6 +2144,11 @@ class MultimodalSpec extends SparkSpec {
         Array.emptyShortArray, frames1, totalOverride = 0L, zeroMd5 = true)
       assert(MediaCodec.decode(hostile).isInstanceOf[UnknownMedia],
         "an unknown-total stream must stop at the output ceiling, not OOM")
+      // the parallel entry inherits the bound: either the flood guard
+      // routes it to the bounded sequential path or the shared chain
+      // walk stops at the same ceiling
+      assert(MediaCodec.decodeFlacParallel(hostile).isInstanceOf[UnknownMedia],
+        "the parallel entry must carry the same output ceiling")
     }
     locally { // a coded header rate that contradicts STREAMINFO
       // rebuild the fixture frame with rate code 0100 (8 kHz) against
@@ -2169,6 +2174,81 @@ class MultimodalSpec extends SparkSpec {
       assert(!MediaCodec.decode(stream(9000, 300, 300, samples, Seq(f)))
         .isInstanceOf[UnknownMedia])
     }
+  }
+
+  test("FLAC segment-parallel decode: frames decode independently — parallel/reversed/shuffled ≡ sequential") {
+    // decodeJpegParallel's splitter property, ported to the audio
+    // container: FLAC frames are self-contained, so a byte-scanned
+    // candidate set decoded CONCURRENTLY and chain-walked must be
+    // bit-identical to the sequential decode. FLAC does not
+    // byte-stuff, so the fixtures deliberately PLANT the sync shape
+    // (FF F8/F9) inside entropy bytes — false candidates must be
+    // collected, decoded (or rejected) and DISCARDED by the chain,
+    // never corrupt the stitch.
+    val rnd = new scala.util.Random(77)
+    def expectSamples(m: MediaCodec.Media): Array[Short] = m match {
+      case AudioMedia(_, s) => s
+      case other            => fail(s"expected audio, got $other")
+    }
+    for ((ns, bs) <- Seq((10000, 256), (5000, 192), (999, 65), (64, 64), (4096, 4096))) {
+      // -8 encodes as FF F8 (a bare in-entropy sync); 0x7ff8/0x58ff
+      // plant misaligned FF-F8 byte pairs across sample boundaries —
+      // sparse enough that the candidate count stays below the flood
+      // guard, so the PARALLEL machinery (not its fallback) runs
+      val samples = Array.tabulate[Short](ns)(i =>
+        if (i % 97 == 0) -8 else if (i % 131 == 0) 0x7ff8.toShort
+        else if (i % 173 == 0) 0x58ff.toShort else ((i * 37 + 11) % 4096 - 2048).toShort)
+      val enc = MediaCodec.encodeFlac(11000, samples, blockSize = bs)
+      val seq = expectSamples(MediaCodec.decode(enc))
+      assert(java.util.Arrays.equals(seq, samples), s"sequential multi-frame roundtrip ns=$ns bs=$bs")
+      assert(java.util.Arrays.equals(expectSamples(MediaCodec.decodeFlacParallel(enc)), samples),
+        s"parallel decode ns=$ns bs=$bs")
+      // candidate-order independence: the public parallel entry and
+      // two adversarial deterministic orders must agree bit-for-bit
+      for (ord <- Seq(
+        (0 until frameCandCount(enc)).reverse,
+        rnd.shuffle((0 until frameCandCount(enc)).toList).toSeq)) {
+        assert(java.util.Arrays.equals(
+          expectSamples(MediaCodec.decodeFlacParallel(enc, Some(ord))), samples),
+          s"order-forced parallel decode ns=$ns bs=$bs")
+      }
+      // a non-permutation order must reject — which also PROVES the
+      // parallel path handled this fixture (the flood-guard fallback
+      // ignores the order parameter entirely)
+      if (frameCandCount(enc) > 1)
+        assert(MediaCodec.decodeFlacParallel(enc, Some(Seq(0))).isInstanceOf[UnknownMedia],
+          s"a partial candidate order must reject (parallel path active) ns=$ns bs=$bs")
+    }
+    // corruption anywhere must reject identically from both entries
+    locally {
+      val samples = Array.tabulate[Short](3000)(i => (i % 100 - 50).toShort)
+      val enc = MediaCodec.encodeFlac(9000, samples, blockSize = 192)
+      for (off <- Seq(50, 200, enc.length / 2, enc.length - 3)) {
+        val m = enc.clone(); m(off) = (m(off) ^ 1).toByte
+        assert(MediaCodec.decode(m).getClass == MediaCodec.decodeFlacParallel(m).getClass,
+          s"seq and parallel must agree on corrupt byte $off")
+      }
+    }
+    // trailing garbage rejects through the parallel entry too
+    locally {
+      val base = MediaCodec.encodeFlac(8000, Array.fill[Short](300)(0))
+      assert(MediaCodec.decodeFlacParallel(base ++ Array[Byte](0)).isInstanceOf[UnknownMedia])
+    }
+  }
+
+  /** Candidate count exactly as [[MediaCodec.decodeFlacParallel]]'s
+    * scan sees it (from the first frame byte) — the order parameter
+    * must be a permutation of THIS range. */
+  private def frameCandCount(enc: Array[Byte]): Int = {
+    // frames begin after the fLaC magic + the single STREAMINFO block
+    val start = 4 + 4 + 34
+    var c = 0
+    var p = start
+    while (p + 1 < enc.length) {
+      if ((enc(p) & 0xff) == 0xff && (enc(p + 1) & 0xfe) == 0xf8) c += 1
+      p += 1
+    }
+    c
   }
 
   test("progressive JPEG: decode ≡ baseline decode of the same raster across profiles, dims and restarts") {
@@ -2451,6 +2531,11 @@ class MultimodalSpec extends SparkSpec {
         // (review r14)
         try MediaCodec.decodeJpegParallel(mutated) catch {
           case e: Throwable => fail(s"decodeJpegParallel threw ${e.getClass.getSimpleName} on mutation $i: ${e.getMessage}")
+        }
+        // likewise the segment-parallel FLAC entry (candidate scan,
+        // concurrent frame decode, chain walk — r15)
+        try MediaCodec.decodeFlacParallel(mutated) catch {
+          case e: Throwable => fail(s"decodeFlacParallel threw ${e.getClass.getSimpleName} on mutation $i: ${e.getMessage}")
         }
         if (!media.isInstanceOf[UnknownMedia]) decodedOk += 1
       }
