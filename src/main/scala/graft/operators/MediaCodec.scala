@@ -417,6 +417,14 @@ object MediaCodec extends Serializable {
     require(blockSize >= 16 && blockSize <= 65535, s"block size $blockSize outside 16..65535")
     require(samples.nonEmpty, "empty signal")
     require(sampleRate > 0 && sampleRate < (1 << 20), s"bad sample rate $sampleRate")
+    // the coded-number writer below covers 16 bits of frame numbers,
+    // and the decoder's output ceiling is 2²⁶ samples — fail LOUDLY
+    // here rather than emit a stream the decoder must reject
+    // (review r15: frame 0x10000 would corrupt its own lead byte)
+    require((samples.length.toLong + blockSize - 1) / blockSize <= 65536,
+      s"${samples.length} samples at block size $blockSize exceed 65536 frames")
+    require(samples.length <= (1 << 26),
+      s"${samples.length} samples exceed the decoder's 2^26 output ceiling")
     val out = new java.io.ByteArrayOutputStream(64 + 2 * samples.length)
     out.write("fLaC".getBytes("US-ASCII"))
     out.write(0x80); out.write(0); out.write(0); out.write(34)
@@ -1068,6 +1076,11 @@ object MediaCodec extends Serializable {
     * anything else returns null (→ honest [[UnknownMedia]]). */
   private def flacParseInfo(b: Array[Byte]): FlacInfo = {
     if (b.length < 42 + 10) return null
+    // the magic is re-checked here (not only in sniff) because the
+    // parallel entry reaches this parser WITHOUT the sniff gate
+    // (review r15 — decodeJpegParallel's header parse checks SOI the
+    // same way)
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return null
     var pos = 4
     var last = false
     var first = true
@@ -1409,8 +1422,23 @@ object MediaCodec extends Serializable {
       if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xfe) == 0xf8) cands += p
       p += 1
     }
-    if (cands.length > (b.length >> 4) + 64)
-      return flacAssemble(b, info, fp => flacDecodeFrame(b, fp, info))
+    // flood guards (review r15): the COUNT bound catches ~every-offset
+    // candidate floods, and the SIZE bound catches sparse-but-fat ones
+    // — valid overlapping CONSTANT frames retain up to maxBlock
+    // samples EACH in `results` before the chain walk can discard
+    // them, so pre-decode is allowed only when the worst-case
+    // retained total (candidates × maxBlock) stays near the output
+    // ceiling a legitimate stream can reach. Beyond either bound the
+    // strictly-bounded sequential path does the work — same verdict,
+    // no speedup, no blowup. The fallback gets the parallel arm's
+    // exception net: its on-demand frame decode throws on truncation
+    // where the pre-decoded path caught per candidate.
+    if (cands.length > (b.length >> 4) + 64 ||
+        cands.length.toLong * info.maxBlock > (1L << 27))
+      return try flacAssemble(b, info, fp => flacDecodeFrame(b, fp, info)) catch {
+        case _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+          UnknownMedia(b.length)
+      }
     val results = new Array[FlacFrame](cands.length)
     def one(i: Int): Unit =
       results(i) = try flacDecodeFrame(b, cands(i), info) catch {
@@ -2999,7 +3027,9 @@ object MediaCodec extends Serializable {
             // rejected all of them)
             if (pos + 2 > b.length) return UnknownMedia(b.length)
             val len = u16(pos)
-            if (len < 2 || pos.toLong + len > b.length.toLong)
+            // at least one 65-byte table: an EMPTY DQT (Lq=2) is not a
+            // segment B.2.4.1 allows (review r15)
+            if (len < 2 + 65 || pos.toLong + len > b.length.toLong)
               return UnknownMedia(b.length)
             var q = pos + 2
             val qEnd = pos + len

@@ -1872,29 +1872,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("FLAC: round-trips losslessly; spec-built constant/fixed/LPC/Rice frames decode exactly; strictness rejects") {
-    // ---- lossless round trip vs the codec encoder, and vs the WAV
-    // twin of the same samples (the container-invariance the fixture
-    // rotation rests on) ----
-    for ((rate, ns) <- Seq((8000, 1024), (11000, 2053), (12000, 4128), (9000, 16))) {
-      val samples = Array.tabulate[Short](ns)(i => ((i * 37 + rate) % 256 - 128).toShort)
-      val enc = MediaCodec.encodeFlac(rate, samples)
-      assert(enc.length == 53 + 2 * ns, "closed-form container size")
-      MediaCodec.decode(enc) match {
-        case AudioMedia(r, out) =>
-          assert(r == rate && java.util.Arrays.equals(out, samples), s"flac roundtrip $rate/$ns")
-        case other => fail(s"flac $rate/$ns: $other")
-      }
-      assert(MediaCodec.aHash64(MediaCodec.decode(enc)) ==
-        MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(rate, samples))),
-        "lossless: the FLAC and WAV twins must hash identically")
-    }
-    // ---- spec-local INDEPENDENT builder: an MSB-first bit writer and
-    // hand-assembled frames exercising every decode path the fixture
-    // encoder never emits (constant, fixed predictors, LPC, Rice
-    // partitions + escapes, wasted bits, both blocking strategies,
-    // multi-frame streams). The builder computes residuals from the
-    // DESIRED samples; lossless means decode must invert exactly. ----
+  /** Spec-local INDEPENDENT FLAC builder: an MSB-first bit
+    * writer and hand-assembled frames exercising decode paths the
+    * fixture encoder never emits (constant, fixed predictors, LPC,
+    * Rice partitions + escapes, wasted bits, both blocking
+    * strategies, multi-frame streams) plus the adversarial shapes
+    * the parallel entry must survive. Residuals are computed from
+    * the DESIRED samples; lossless means decode must invert
+    * exactly. */
+  private object FlacBuild {
     class BW {
       private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
       private var cur = 0; private var n = 0
@@ -1990,6 +1976,32 @@ class MultimodalSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("FLAC: round-trips losslessly; spec-built constant/fixed/LPC/Rice frames decode exactly; strictness rejects") {
+    import FlacBuild._
+    // ---- lossless round trip vs the codec encoder, and vs the WAV
+    // twin of the same samples (the container-invariance the fixture
+    // rotation rests on) ----
+    for ((rate, ns) <- Seq((8000, 1024), (11000, 2053), (12000, 4128), (9000, 16))) {
+      val samples = Array.tabulate[Short](ns)(i => ((i * 37 + rate) % 256 - 128).toShort)
+      val enc = MediaCodec.encodeFlac(rate, samples)
+      assert(enc.length == 53 + 2 * ns, "closed-form container size")
+      MediaCodec.decode(enc) match {
+        case AudioMedia(r, out) =>
+          assert(r == rate && java.util.Arrays.equals(out, samples), s"flac roundtrip $rate/$ns")
+        case other => fail(s"flac $rate/$ns: $other")
+      }
+      assert(MediaCodec.aHash64(MediaCodec.decode(enc)) ==
+        MediaCodec.aHash64(MediaCodec.decode(MediaCodec.encodeWav(rate, samples))),
+        "lossless: the FLAC and WAV twins must hash identically")
+    }
+    // ---- spec-local INDEPENDENT builder: an MSB-first bit writer and
+    // hand-assembled frames exercising every decode path the fixture
+    // encoder never emits (constant, fixed predictors, LPC, Rice
+    // partitions + escapes, wasted bits, both blocking strategies,
+    // multi-frame streams). The builder computes residuals from the
+    // DESIRED samples; lossless means decode must invert exactly. ----
     // fixed-blocking stream: constant | fixed-2 | fixed-4 partitioned
     // with an escape | LPC-3 | verbatim(wasted=2) | short final frame
     val fA = Array.fill(192)(-77)
@@ -2177,6 +2189,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("FLAC segment-parallel decode: frames decode independently — parallel/reversed/shuffled ≡ sequential") {
+    import FlacBuild._
     // decodeJpegParallel's splitter property, ported to the audio
     // container: FLAC frames are self-contained, so a byte-scanned
     // candidate set decoded CONCURRENTLY and chain-walked must be
@@ -2233,6 +2246,58 @@ class MultimodalSpec extends SparkSpec {
     locally {
       val base = MediaCodec.encodeFlac(8000, Array.fill[Short](300)(0))
       assert(MediaCodec.decodeFlacParallel(base ++ Array[Byte](0)).isInstanceOf[UnknownMedia])
+      // the parallel entry must not bypass container identification
+      // (review r15): a wrong magic rejects without the sniff gate
+      val noMagic = base.clone(); noMagic(0) = 'X'
+      assert(MediaCodec.decodeFlacParallel(noMagic).isInstanceOf[UnknownMedia],
+        "the parallel entry must reject a wrong magic itself")
+    }
+    // sparse-but-fat candidate bomb (review r15): valid overlapping
+    // CONSTANT frames spaced out enough to duck the COUNT guard would
+    // retain candidates x maxBlock samples in the pre-decode — the
+    // SIZE guard must route them to the bounded sequential path,
+    // which rejects (duplicate frame numbers) without an OOM
+    locally {
+      val one = MediaCodec.encodeFlac(8000, Array.fill[Short](300)(0), blockSize = 0)
+      // reuse the single-frame stream's STREAMINFO but claim a fat
+      // maxBlock, then repeat a tiny hand-built constant frame
+      val bw0 = new BW
+      bw0.bits(0xff, 8); bw0.bits(0xf8, 8)
+      bw0.bits(7, 4); bw0.bits(0, 4)  // 16-bit block size, rate from STREAMINFO
+      bw0.bits(0, 4); bw0.bits(4, 3); bw0.bit(0)
+      bw0.bits(0, 8)                  // frame number 0 (every repetition!)
+      bw0.bits(65534, 16)             // blockSize 65535
+      val hdr0 = bw0.bytes
+      val f0 = new BW
+      hdr0.foreach(x => f0.bits(x & 0xffL, 8))
+      f0.bits(crc8(hdr0).toLong, 8)
+      f0.bit(0); f0.bits(0, 6); f0.bit(0) // CONSTANT subframe
+      f0.bits(0, 16)
+      val body0 = f0.bytes
+      val c0 = crc16(body0)
+      val tiny = body0 ++ Array[Byte]((c0 >> 8).toByte, c0.toByte)
+      val filler = Array.fill[Byte](20)(0)
+      val bomb = stream(8000, 16, 65535, Array.emptyShortArray,
+        Seq.fill(2200)(tiny ++ filler), totalOverride = 0L, zeroMd5 = true)
+      assert(MediaCodec.decodeFlacParallel(bomb).isInstanceOf[UnknownMedia],
+        "a sparse fat-frame candidate bomb must reject via the size guard, not OOM")
+      assert(MediaCodec.decode(bomb).isInstanceOf[UnknownMedia])
+    }
+    // the count-guard fallback keeps the exception net: a dense sync
+    // flood ending in a truncated frame must return UnknownMedia from
+    // the parallel entry, never throw (review r15)
+    locally {
+      val syncs = Array.fill[Byte](4096)(0)
+      var i = 0
+      while (i + 1 < syncs.length) { syncs(i) = 0xff.toByte; syncs(i + 1) = 0xf8.toByte; i += 2 }
+      val flood = stream(8000, 16, 65535, Array.emptyShortArray,
+        Seq(syncs), totalOverride = 0L, zeroMd5 = true)
+      assert(MediaCodec.decodeFlacParallel(flood).isInstanceOf[UnknownMedia],
+        "a dense sync flood must reject through the fallback, not escape an exception")
+    }
+    // the multi-frame encoder fails loudly past its coded-number range
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodeFlac(8000, new Array[Short](16 * 65536 + 1), blockSize = 16)
     }
   }
 
