@@ -497,16 +497,22 @@ object SparkEntry {
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          |    CASE CAST(doc_id % 3 AS INTEGER)
          |      WHEN 0 THEN CASE CAST((doc_id // 3) % 3 AS INTEGER)
-         |        WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END
+         |        WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+         |        -- the third slot's sub-cycle (pvar below) puts GIF
+         |        -- at (id//9)%4 = 3 (r15)
+         |        ELSE CASE WHEN CAST((doc_id // 9) % 4 AS INTEGER) = 3
+         |          THEN 'gif' ELSE 'png' END END
          |      -- the audio slot sub-cycles wav / FLAC by (id//3)%2
          |      -- (r15): lossless, so only format + n_bytes change
          |      WHEN 1 THEN CASE CAST((doc_id // 3) % 2 AS INTEGER)
          |        WHEN 1 THEN 'flac' ELSE 'wav' END
          |      ELSE 'y4m' END AS format,
-         |    -- the PNG slot sub-cycles truecolor(0) / palette(1) /
-         |    -- RGBA-with-alpha(2) by (id//9)%3 (r15)
+         |    -- the third image slot sub-cycles PNG truecolor(0) /
+         |    -- palette(1) / RGBA-with-alpha(2) / GIF(3) by (id//9)%4
+         |    -- (r15); GIF shares the palette arm's content rule, so
+         |    -- pvar 1 and 3 expand identically below
          |    CASE WHEN CAST(doc_id % 3 AS INTEGER) = 0 AND CAST((doc_id // 3) % 3 AS INTEGER) = 2
-         |         THEN CAST((doc_id // 9) % 3 AS INTEGER) ELSE 0 END AS pvar,
+         |         THEN CAST((doc_id // 9) % 4 AS INTEGER) ELSE 0 END AS pvar,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 57 WHEN 2 THEN 8 + doc_id % 25 ELSE 0 END AS w,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + (doc_id * 7) % 57 WHEN 2 THEN 8 + (doc_id * 7) % 25 ELSE 0 END AS h,
          |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN 2 + doc_id % 7 ELSE 0 END AS nfr,
@@ -526,6 +532,15 @@ object SparkEntry {
          |      WHEN format = 'png' AND pvar = 1 THEN 843 + h*(1 + w) + 5*((h*(1 + w) + 65534)//65535)
          |      WHEN format = 'png' AND pvar = 2 THEN 63 + h*(1 + 4*w) + 5*((h*(1 + 4*w) + 65534)//65535)
          |      WHEN format = 'png' THEN 63 + h*(1 + 3*w) + 5*((h*(1 + 3*w) + 65534)//65535)
+         |      -- gif (literal-only LZW, the stored-deflate trick's
+         |      -- GIF twin): header 6 + LSD 7 + GCT 768 + descriptor
+         |      -- 10 + min-code byte + data + block terminator +
+         |      -- trailer = 794 + B + ⌈B/255⌉ with T = N + ⌈N/254⌉ + 1
+         |      -- nine-bit codes and B = ⌈9T/8⌉ data bytes; interlace
+         |      -- is a row permutation, size-invariant by construction
+         |      WHEN format = 'gif' THEN 794
+         |        + (9*(w*h + (w*h + 253)//254 + 1) + 7)//8
+         |        + ((9*(w*h + (w*h + 253)//254 + 1) + 7)//8 + 254)//255
          |      WHEN format = 'wav' THEN 44 + 2*ns
          |      -- flac (one verbatim frame): magic 4 + STREAMINFO 38 +
          |      -- frame header 8 + subframe header 1 + 16-bit samples
@@ -538,7 +553,7 @@ object SparkEntry {
          |  FROM base),
          |v0 AS (SELECT *, $mmTbExpr AS tb FROM u),
          |v1 AS (SELECT *,
-         |    CASE WHEN pvar = 1 THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
+         |    CASE WHEN pvar IN (1, 3) THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
          |         -- RGBA (r15): decoded rgb[3j+c] = white-composite of
          |         -- unit(4j+c) under alpha unit(4j+3) — one period-3n
          |         -- list, the same ub shape as the palette expansion
@@ -547,7 +562,7 @@ object SparkEntry {
          |             (tb[1 + CAST((4*j + c) % n AS INTEGER)] * tb[1 + CAST((4*j + 3) % n AS INTEGER)]
          |              + (255 - tb[1 + CAST((4*j + 3) % n AS INTEGER)]) * 255 + 127) // 255)))
          |         ELSE tb END AS ub,
-         |    CASE WHEN pvar IN (1, 2) THEN 3*n ELSE n END AS m
+         |    CASE WHEN pvar IN (1, 2, 3) THEN 3*n ELSE n END AS m
          |  FROM v0),
          |v AS (SELECT *, nunits // m AS q, nunits % m AS r FROM v1)""".stripMargin
     // mm_phash_dup oracle fragments: 8×8 box decomposition of cell ci

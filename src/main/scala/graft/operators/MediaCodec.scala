@@ -56,6 +56,8 @@ object MediaCodec extends Serializable {
     else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE") "wav"
     else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C') "flac"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8' &&
+      (at(4) == '7' || at(4) == '9') && at(5) == 'a') "gif"
     else if (b.length >= 9 && new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
     else "unknown"
   }
@@ -281,6 +283,88 @@ object MediaCodec extends Serializable {
     pngAssemble(w, h, 3, pngFilterRows(indices, w, h, 1), plte = palette)
   }
 
+  /** GIF89a, static single image over a 256-entry global color
+    * table: header 6 + logical screen descriptor 7 + GCT 768 +
+    * image descriptor 10 + LZW-min-code byte + data sub-blocks +
+    * trailer. The LZW stream is LITERAL-ONLY — every pixel is its
+    * own 9-bit code, with a Clear every 254 literals so the
+    * decoder's table never reaches the 10-bit boundary (the GIF
+    * twin of [[zlibStored]]'s stored-deflate trick: valid LZW, zero
+    * compression, CLOSED-FORM size). With N = w·h, G = ⌈N/254⌉
+    * groups, T = N+G+1 codes, B = ⌈9T/8⌉ data bytes:
+    * total = 794 + B + ⌈B/255⌉.
+    * `interlaced` permutes rows into the four-pass interlace order
+    * (GIF89a appendix E) — same byte COUNT, so the closed form and
+    * every oracle are interlace-invariant while the decoder's
+    * de-interlace path runs on real fixture bytes. */
+  def encodeGif(w: Int, h: Int, indices: Array[Byte], palette: Array[Byte],
+                interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, s"gif dims $w x $h outside u16")
+    require(indices.length == w * h, s"index raster ${indices.length} != $w*$h")
+    require(palette.length == 768, s"gif GCT must hold exactly 256 RGB entries, got ${palette.length} bytes")
+    val n = indices.length
+    val groups = (n + 253) / 254
+    // lead clear + N literals + (G−1) inter-group clears + EOI
+    val nCodes = n + groups + 1
+    val dataBytes = (9 * nCodes + 7) / 8
+    val out = new java.io.ByteArrayOutputStream(794 + dataBytes + dataBytes / 255 + 8)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: dims, GCT present / 8-bit color
+    // resolution / 256-entry table (0xf7), background 0, aspect 0
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7); out.write(0); out.write(0)
+    out.write(palette, 0, 768)
+    // image descriptor: full-frame at (0,0), no local table
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(8) // LZW minimum code size
+    // LSB-first 9-bit code packer into 255-byte sub-blocks
+    val data = new java.io.ByteArrayOutputStream(dataBytes + 4)
+    var acc = 0L; var nbits = 0
+    def code(c: Int): Unit = {
+      acc |= c.toLong << nbits; nbits += 9
+      while (nbits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    val rows = if (interlaced) gifInterlaceRows(h) else null
+    code(256) // lead clear
+    var i = 0
+    while (i < n) {
+      if (i > 0 && i % 254 == 0) code(256)
+      val src = if (rows == null) i else rows(i / w) * w + i % w
+      code(indices(src) & 0xff)
+      i += 1
+    }
+    code(257) // end of information
+    if (nbits > 0) data.write((acc & 0xff).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val k = math.min(255, bytes.length - off)
+      out.write(k); out.write(bytes, off, k)
+      off += k
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Four-pass interlace row order (rows 0,8,…; 4,12,…; 2,6,…;
+    * 1,3,…): `result(k)` = the SOURCE row stored k-th in the file.
+    * Shared by the encoder's permute and the decoder's scatter. */
+  private def gifInterlaceRows(h: Int): Array[Int] = {
+    val order = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) { order(k) = y; k += 1; y += step }
+    }
+    order
+  }
+
   /** RIFF/WAVE, PCM 16-bit mono little-endian: 44-byte canonical
     * header + 2 bytes per sample. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -504,6 +588,7 @@ object MediaCodec extends Serializable {
       case "ppm" => decodePpm(b)
       case "png" => decodePng(b)
       case "bmp" => decodeBmp(b)
+      case "gif" => decodeGif(b)
       case "jpg" => decodeJpeg(b)
       case "wav" => decodeWav(b)
       case "flac" => decodeFlac(b)
@@ -983,6 +1068,204 @@ object MediaCodec extends Serializable {
       y += 1
     }
     ImageMedia(w, h, "bmp", rgb)
+  }
+
+  /** GIF87a/89a STATIC decoder (spec: GIF89a, CompuServe 1990): LSD
+    * + global color table, extension blocks (a graphic control
+    * extension is parsed for transparency; comment / plain-text /
+    * application and unknown labels are skipped via the
+    * self-describing sub-block walk the spec designed for exactly
+    * that), ONE full-frame image (a local color table overrides the
+    * GCT; the four-pass interlace is de-scattered), general LZW
+    * (code growth 9→12 bits, the KwKwK first-char case, deferred
+    * clear when the table fills), then the trailer with nothing
+    * after it. Transparent pixels composite to WHITE — the a=0 case
+    * of the PNG alpha contract, so the two formats' transparency
+    * hashes agree by construction. Honest rejections: animation
+    * (second image descriptor) and partial-frame placement (offset
+    * or sub-screen images need disposal-composition semantics this
+    * operator does not define), a missing color table, an
+    * out-of-range pixel index, a code beyond the table, a missing
+    * EOI, data after EOI, and trailing bytes after the trailer. */
+  private[operators] def decodeGif(b: Array[Byte]): Media = {
+    if (b.length < 6 + 7 + 6 + 1) return UnknownMedia(b.length)
+    val sw = getShortLE(b, 6); val sh = getShortLE(b, 8)
+    val packed = b(10) & 0xff
+    if (sw <= 0 || sh <= 0 || 3L * sw * sh > Int.MaxValue.toLong)
+      return UnknownMedia(b.length)
+    var pos = 13
+    var gct: Array[Byte] = null; var gctEntries = 0
+    if ((packed & 0x80) != 0) {
+      gctEntries = 1 << ((packed & 7) + 1)
+      if (pos + 3 * gctEntries > b.length) return UnknownMedia(b.length)
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * gctEntries)
+      pos += 3 * gctEntries
+    }
+    var transparentIdx = -1; var gcePending = false
+    var image: Array[Byte] = null // decoded 3·sw·sh raster
+    while (true) {
+      if (pos >= b.length) return UnknownMedia(b.length)
+      (b(pos) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          if (pos + 2 > b.length) return UnknownMedia(b.length)
+          val label = b(pos + 1) & 0xff
+          pos += 2
+          if (label == 0xf9) {
+            // graphic control: exactly one 4-byte sub-block, at most
+            // one per image (spec §23), before the image it governs
+            if (gcePending || image != null || pos + 6 > b.length ||
+                (b(pos) & 0xff) != 4 || (b(pos + 5) & 0xff) != 0)
+              return UnknownMedia(b.length)
+            gcePending = true
+            if ((b(pos + 1) & 1) != 0) transparentIdx = b(pos + 4) & 0xff
+            pos += 6
+          } else {
+            var going = true
+            while (going) {
+              if (pos >= b.length) return UnknownMedia(b.length)
+              val k = b(pos) & 0xff
+              if (pos + 1 + k > b.length) return UnknownMedia(b.length)
+              pos += 1 + k
+              going = k != 0
+            }
+          }
+        case 0x2c => // image descriptor
+          if (image != null) return UnknownMedia(b.length) // animation: out of scope, honest
+          if (pos + 10 > b.length) return UnknownMedia(b.length)
+          val left = getShortLE(b, pos + 1); val top = getShortLE(b, pos + 3)
+          val iw = getShortLE(b, pos + 5); val ih = getShortLE(b, pos + 7)
+          val ip = b(pos + 9) & 0xff
+          if (left != 0 || top != 0 || iw != sw || ih != sh)
+            return UnknownMedia(b.length) // partial frame: composition semantics undefined here
+          val interlaced = (ip & 0x40) != 0
+          pos += 10
+          var pal = gct; var palEntries = gctEntries
+          if ((ip & 0x80) != 0) {
+            palEntries = 1 << ((ip & 7) + 1)
+            if (pos + 3 * palEntries > b.length) return UnknownMedia(b.length)
+            pal = java.util.Arrays.copyOfRange(b, pos, pos + 3 * palEntries)
+            pos += 3 * palEntries
+          }
+          if (pal == null) return UnknownMedia(b.length)
+          if (pos >= b.length) return UnknownMedia(b.length)
+          val mcs = b(pos) & 0xff
+          if (mcs < 2 || mcs > 8) return UnknownMedia(b.length)
+          pos += 1
+          // collect the data sub-blocks into one buffer
+          val buf = new java.io.ByteArrayOutputStream(256)
+          var going = true
+          while (going) {
+            if (pos >= b.length) return UnknownMedia(b.length)
+            val k = b(pos) & 0xff
+            if (pos + 1 + k > b.length) return UnknownMedia(b.length)
+            if (k > 0) buf.write(b, pos + 1, k)
+            pos += 1 + k
+            going = k != 0
+          }
+          val idx = gifLzwDecode(buf.toByteArray, mcs, iw * ih, palEntries)
+          if (idx == null) return UnknownMedia(b.length)
+          // indices → RGB, de-scattering interlaced row order and
+          // compositing the transparent index to white
+          val rgb = new Array[Byte](3 * iw * ih)
+          val rows = if (interlaced) gifInterlaceRows(ih) else null
+          var k = 0
+          while (k < ih) {
+            val dstRow = if (rows == null) k else rows(k)
+            var x = 0
+            while (x < iw) {
+              val v = idx(k * iw + x) & 0xff
+              val d = (dstRow * iw + x) * 3
+              if (v == transparentIdx) {
+                rgb(d) = -1; rgb(d + 1) = -1; rgb(d + 2) = -1 // 0xff: white
+              } else {
+                rgb(d) = pal(3 * v); rgb(d + 1) = pal(3 * v + 1); rgb(d + 2) = pal(3 * v + 2)
+              }
+              x += 1
+            }
+            k += 1
+          }
+          image = rgb
+          gcePending = false
+        case 0x3b => // trailer
+          if (image == null || pos + 1 != b.length) return UnknownMedia(b.length)
+          return ImageMedia(sw, sh, "gif", image)
+        case _ => return UnknownMedia(b.length)
+      }
+    }
+    UnknownMedia(b.length) // unreachable
+  }
+
+  /** General GIF LZW over a collected data buffer: returns exactly
+    * `nPixels` indices, each < `palEntries`, or null on any
+    * malformation — a code beyond the table, a non-literal first
+    * code after clear, output past the pixel count, a missing EOI,
+    * or data bytes after the EOI code's byte. Handles code-size
+    * growth at table sizes 512/1024/2048, the code==next (KwKwK)
+    * case, and the full-table deferred-clear state. */
+  private def gifLzwDecode(data: Array[Byte], mcs: Int, nPixels: Int,
+                           palEntries: Int): Array[Byte] = {
+    val clear = 1 << mcs; val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var codeSize = mcs + 1
+    var next = eoi + 1
+    var prev = -1; var prevFirst = 0
+    var acc = 0L; var nbits = 0; var bytePos = 0
+    while (true) {
+      while (nbits < codeSize) {
+        if (bytePos >= data.length) return null // ran out before EOI
+        acc |= (data(bytePos) & 0xffL) << nbits
+        bytePos += 1; nbits += 8
+      }
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>= codeSize; nbits -= codeSize
+      if (code == clear) {
+        next = eoi + 1; codeSize = mcs + 1; prev = -1
+      } else if (code == eoi) {
+        // the stream must cover the raster exactly, and nothing may
+        // follow the EOI but sub-byte padding (≤7 bits — the reader
+        // never holds a full byte after extraction)
+        if (outPos != nPixels || bytePos != data.length) return null
+        return out
+      } else if (prev == -1) {
+        if (code >= clear) return null // first code after clear must be a literal
+        if (code >= palEntries || outPos >= nPixels) return null
+        out(outPos) = code.toByte; outPos += 1
+        prev = code; prevFirst = code
+      } else {
+        if (code > next) return null // beyond the table (next==4096 ⇒ unreachable: codes cap at 4095)
+        var sp = 0
+        var cur = code
+        if (code == next) { // KwKwK: prev's string + prev's first char
+          stack(sp) = prevFirst.toByte; sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) { // walk an assigned code's chain
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        if (cur >= clear) return null // chain must root at a literal
+        val first = cur
+        stack(sp) = cur.toByte; sp += 1
+        if (outPos + sp > nPixels) return null
+        while (sp > 0) {
+          sp -= 1
+          val v = stack(sp) & 0xff
+          if (v >= palEntries) return null
+          out(outPos) = stack(sp); outPos += 1
+        }
+        if (next < 4096) { // table full ⇒ deferred clear: add nothing
+          prefix(next) = prev; suffix(next) = first.toByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code; prevFirst = first
+      }
+    }
+    null // unreachable
   }
 
   /** RIFF chunk walker: finds `fmt ` and `data` wherever they sit

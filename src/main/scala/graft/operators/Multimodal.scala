@@ -61,8 +61,8 @@ object Multimodal {
 
   /** Deterministic fixture generator: REAL container bytes derived
     * from a document row. Kind cycles image/audio/video by id;
-    * images rotate PPM, BMP and PNG containers (all three decoders
-    * must agree on the logical pixels — MultimodalSpec pins the
+    * images rotate PPM, BMP and a PNG/GIF slot (all decoders must
+    * agree on the logical pixels — MultimodalSpec pins the
     * container-invariance); dimensions / sample counts / frame
     * counts are closed-form in the id, and all data units cycle the
     * document's CODE POINTS (non-ASCII folding to '?' — see the rule
@@ -87,10 +87,11 @@ object Multimodal {
       case 0 =>
         val w = (8 + java.lang.Math.floorMod(id, 57L)).toInt
         val h = (8 + java.lang.Math.floorMod(id * 7, 57L)).toInt
-        // container cycles PPM → BMP → PNG (r13: the compressed
-        // container joins the rotation; all three must agree on the
+        // container cycles PPM → BMP → PNG/GIF (r13: the compressed
+        // container joins the rotation; all must agree on the
         // logical pixels — container-invariance is spec-pinned). The
-        // PNG slot sub-cycles truecolor / PALETTE / RGBA by (id/9)%3:
+        // third slot sub-cycles truecolor / PALETTE / RGBA / GIF by
+        // (id/9)%4:
         // palette rows (r14) carry a w·h INDEX raster (one unit per
         // pixel) through a 256-entry PLTE whose channels are three
         // DIFFERENT byte maps (e, 255−e, 3e mod 256) — a decoder that
@@ -108,11 +109,23 @@ object Multimodal {
         val payload = java.lang.Math.floorMod(id / 3, 3L) match {
           case 0L => MediaCodec.encodePpm(w, h, rgb)
           case 1L => MediaCodec.encodeBmp(w, h, rgb)
-          case _ => java.lang.Math.floorMod(id / 9, 3L) match {
+          case _ => java.lang.Math.floorMod(id / 9, 4L) match {
             case 1L => MediaCodec.encodePalettePng(w, h,
               Array.tabulate(w * h)(i => unit(i.toLong)), palettePlte)
             case 2L => MediaCodec.encodeAlphaPng(w, h,
               Array.tabulate(4 * w * h)(i => unit(i.toLong)))
+            // GIF (r15): the palette arm's exact content rule — the
+            // same index raster through the same 256-entry table, so
+            // decoded rgb[3i+c] = chan(unit(i), c) and every oracle
+            // sum is SHARED with palette PNG; only format and the
+            // closed-form LZW container size differ. Interlace
+            // alternates by (id/36)%2 — a row permutation the
+            // literal-only LZW keeps size-invariant, so it is
+            // invisible to the oracles while the de-interlace path
+            // runs on real fixture bytes
+            case 3L => MediaCodec.encodeGif(w, h,
+              Array.tabulate(w * h)(i => unit(i.toLong)), palettePlte,
+              interlaced = java.lang.Math.floorMod(id / 36, 2L) == 1L)
             case _ => MediaCodec.encodePng(w, h, rgb)
           }
         }

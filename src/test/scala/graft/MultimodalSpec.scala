@@ -95,6 +95,85 @@ class MultimodalSpec extends SparkSpec {
       (w, h, rgb)
     }
 
+    /** Independent GIF read (r15): little-endian ByteBuffer walk,
+      * then a FUNCTIONAL LZW — the whole data stream is exploded to
+      * a bit vector up front, codes are sliced off by width, and the
+      * dictionary is an immutable Map[Int, Vector[Byte]] grown by
+      * fold-style recursion — no prefix/suffix arrays, no output
+      * stack, a different construction from the codec's decoder.
+      * Transparency composites to white (the alpha contract) and
+      * interlaced rows de-scatter through the same four-pass order
+      * recomputed locally. */
+    def gif(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val bb = le(b)
+      require(new String(b, 0, 6, "US-ASCII").matches("GIF8[79]a"))
+      val sw = bb.getShort(6) & 0xffff; val sh = bb.getShort(8) & 0xffff
+      val pk = b(10) & 0xff
+      var p = 13
+      var gct: Array[Byte] = null
+      if ((pk & 0x80) != 0) { val n = 1 << ((pk & 7) + 1); gct = b.slice(p, p + 3 * n); p += 3 * n }
+      var transparent = -1
+      var result: Array[Byte] = null
+      while (result == null) {
+        (b(p) & 0xff) match {
+          case 0x21 =>
+            if ((b(p + 1) & 0xff) == 0xf9 && (b(p + 3) & 1) != 0) transparent = b(p + 6) & 0xff
+            p += 2
+            while ((b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+            p += 1
+          case 0x2c =>
+            val iw = bb.getShort(p + 5) & 0xffff; val ih = bb.getShort(p + 7) & 0xffff
+            val ip = b(p + 9) & 0xff
+            p += 10
+            var pal = gct
+            if ((ip & 0x80) != 0) { val n = 1 << ((ip & 7) + 1); pal = b.slice(p, p + 3 * n); p += 3 * n }
+            val mcs = b(p) & 0xff; p += 1
+            val data = Array.newBuilder[Byte]
+            while ((b(p) & 0xff) != 0) {
+              val k = b(p) & 0xff; data ++= b.slice(p + 1, p + 1 + k); p += 1 + k
+            }
+            p += 1
+            val bits = data.result().toVector.flatMap(x => (0 until 8).map(i => (x >> i) & 1))
+            val clear = 1 << mcs; val eoi = clear + 1
+            def codeAt(off: Int, width: Int): Int =
+              (0 until width).map(i => bits(off + i) << i).sum
+            val base = (0 until clear).map(c => c -> Vector(c.toByte)).toMap
+            @annotation.tailrec
+            def run(off: Int, width: Int, dict: Map[Int, Vector[Byte]], next: Int,
+                    prev: Vector[Byte], acc: Vector[Byte]): Vector[Byte] = {
+              val c = codeAt(off, width)
+              if (c == eoi) acc
+              else if (c == clear) run(off + width, mcs + 1, base, eoi + 1, Vector.empty, acc)
+              else {
+                val s = if (c == next) prev :+ prev.head else dict(c)
+                val (d2, n2) =
+                  if (prev.nonEmpty && next < 4096) (dict + (next -> (prev :+ s.head)), next + 1)
+                  else (dict, next)
+                val w2 = if (n2 == (1 << width) && width < 12) width + 1 else width
+                run(off + width, w2, d2, n2, s, acc ++ s)
+              }
+            }
+            val idx = run(0, mcs + 1, base, eoi + 1, Vector.empty, Vector.empty)
+            require(idx.length == iw * ih, s"lzw yielded ${idx.length} of ${iw * ih}")
+            val order =
+              if ((ip & 0x40) == 0) (0 until ih).toArray
+              else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s0, st) =>
+                Iterator.iterate(s0)(_ + st).takeWhile(_ < ih)
+              }.toArray
+            val rgb = new Array[Byte](3 * iw * ih)
+            for (k <- 0 until ih; x <- 0 until iw) {
+              val v = idx(k * iw + x) & 0xff
+              val d = (order(k) * iw + x) * 3
+              if (v == transparent) { rgb(d) = -1; rgb(d + 1) = -1; rgb(d + 2) = -1 }
+              else { rgb(d) = pal(3 * v); rgb(d + 1) = pal(3 * v + 1); rgb(d + 2) = pal(3 * v + 2) }
+            }
+            result = rgb
+          case 0x3b => sys.error("trailer before image")
+        }
+      }
+      (sw, sh, result)
+    }
+
     def bmp(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       val bb = le(b)
       val off = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
@@ -235,6 +314,7 @@ class MultimodalSpec extends SparkSpec {
       case "P6" => val (w, h, rgb) = ppm(payload); aHashImage(w, h, rgb)
       case "BM" => val (w, h, rgb) = bmp(payload); aHashImage(w, h, rgb)
       case "\u0089P" => val (w, h, rgb) = png(payload); aHashImage(w, h, rgb)
+      case "GI" => val (w, h, rgb) = gif(payload); aHashImage(w, h, rgb)
       case "RI" => val (r, s) = wav(payload); aHashAudio(r, s)
       case "fL" => val (r, s) = flac(payload); aHashAudio(r, s)
       case "YU" =>
@@ -252,13 +332,24 @@ class MultimodalSpec extends SparkSpec {
       val fmt = MediaCodec.sniff(r.payload)
       r.kind match {
         case "image" =>
-          assert(fmt == Seq("ppm", "bmp", "png")(((r.media_id / 3) % 3).toInt))
-          // the PNG slot sub-cycles truecolor / palette / RGBA by
-          // (id/9)%3 (r15) — color type byte sits at offset 25
-          // (sig 8 + IHDR len/type 8 + 9 data bytes)
-          if (fmt == "png")
-            assert(r.payload(25) == Seq(2, 3, 6)(((r.media_id / 9) % 3).toInt),
-              s"png color type for id ${r.media_id}")
+          val slot = ((r.media_id / 3) % 3).toInt
+          if (slot < 2) assert(fmt == Seq("ppm", "bmp")(slot), s"container for id ${r.media_id}")
+          else {
+            // the third container slot sub-cycles PNG truecolor /
+            // palette / RGBA / GIF by (id/9)%4 (r15); the PNG color
+            // type byte sits at offset 25 (sig 8 + IHDR len/type 8 +
+            // 9 data bytes), and the GIF arm alternates interlace by
+            // (id/36)%2 — flag bit 6 of the image descriptor's packed
+            // byte at offset 13+768+9
+            val sub = ((r.media_id / 9) % 4).toInt
+            if (sub == 3) {
+              assert(fmt == "gif", s"gif slot for id ${r.media_id}")
+              assert(((r.payload(13 + 768 + 9) >> 6) & 1) ==
+                ((r.media_id / 36) % 2).toInt, s"gif interlace for id ${r.media_id}")
+            } else
+              assert(fmt == "png" && r.payload(25) == Seq(2, 3, 6)(sub),
+                s"png color type for id ${r.media_id}")
+          }
         // the audio slot sub-cycles wav / flac by (id/3)%2 (r15)
         case "audio" => assert(fmt == Seq("wav", "flac")(((r.media_id / 3) % 2).toInt),
           s"audio container for id ${r.media_id}")
@@ -710,7 +801,11 @@ class MultimodalSpec extends SparkSpec {
       val id = d.media_id
       (id % 3) match {
         case 0 =>
-          assert(d.format == Seq("ppm", "bmp", "png")(((id / 3) % 3).toInt))
+          val expectFmt = ((id / 3) % 3).toInt match {
+            case 2 => if ((id / 9) % 4 == 3) "gif" else "png"
+            case s => Seq("ppm", "bmp")(s)
+          }
+          assert(d.format == expectFmt, s"format for id $id")
           assert(d.width == 8 + id % 57 && d.height == 8 + (id * 7) % 57)
           assert(d.n_frames == 1 && d.n_samples == 0)
         case 1 =>
@@ -2316,6 +2411,380 @@ class MultimodalSpec extends SparkSpec {
     c
   }
 
+  /** Spec-local GIF machinery: a REAL LZW compressor (the codec's
+    * encoder is deliberately literal-only, so the decoder's
+    * code-growth / KwKwK / deferred-clear paths need independently
+    * built streams) and a knobbed container assembler for the
+    * adversarial shapes. The compressor's code-size rule is derived
+    * from the decoder's: the encoder's table runs one entry AHEAD of
+    * the decoder's, so it widens at next == (1<<codeSize)+1 where
+    * the decoder widens at (1<<codeSize). */
+  private object GifBuild {
+    def lzw(pixels: Array[Byte], mcs: Int, deferFor: Int = 0): Array[Byte] = {
+      val clear = 1 << mcs; val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      var codeSize = mcs + 1
+      def emit(c: Int): Unit = {
+        acc |= c.toLong << nbits; nbits += codeSize
+        while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      val dict = scala.collection.mutable.Map[List[Byte], Int]()
+      var next = eoi + 1
+      var deferred = 0
+      def codeOf(s: List[Byte]): Int = if (s.tail.isEmpty) s.head & 0xff else dict(s)
+      emit(clear)
+      var cur: List[Byte] = Nil // reversed current string
+      pixels.foreach { px =>
+        if (cur.isEmpty) cur = px :: Nil
+        else {
+          val ext = px :: cur
+          if (dict.contains(ext)) cur = ext
+          else if (next >= 4096) {
+            emit(codeOf(cur))
+            if (deferred < deferFor) deferred += 1 // deferred clear: emit at 12 bits, add nothing
+            else { emit(clear); dict.clear(); next = eoi + 1; codeSize = mcs + 1; deferred = 0 }
+            cur = px :: Nil
+          } else {
+            emit(codeOf(cur))
+            dict(ext) = next; next += 1
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+            cur = px :: Nil
+          }
+        }
+      }
+      if (cur.nonEmpty) emit(codeOf(cur))
+      emit(eoi)
+      if (nbits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+
+    class GB {
+      private val o = new java.io.ByteArrayOutputStream()
+      def b(v: Int): Unit = o.write(v & 0xff)
+      def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def raw(a: Array[Byte]): Unit = o.write(a, 0, a.length)
+      def subBlocks(data: Array[Byte]): Unit = {
+        var off = 0
+        while (off < data.length) {
+          val k = math.min(255, data.length - off)
+          b(k); o.write(data, off, k); off += k
+        }
+        b(0)
+      }
+      def bytes: Array[Byte] = o.toByteArray
+    }
+    def header(g: GB, sw: Int, sh: Int, gct: Array[Byte], field: Int,
+               version: String = "89a"): Unit = {
+      g.raw(s"GIF$version".getBytes("US-ASCII")); g.u16(sw); g.u16(sh)
+      g.b(if (gct != null) 0x80 | field else 0x00); g.b(0); g.b(0)
+      if (gct != null) g.raw(gct)
+    }
+    def gce(g: GB, flags: Int, tIdx: Int): Unit = {
+      g.b(0x21); g.b(0xf9); g.b(4); g.b(flags); g.u16(0); g.b(tIdx); g.b(0)
+    }
+    def image(g: GB, left: Int, top: Int, iw: Int, ih: Int, mcs: Int,
+              data: Array[Byte], interlace: Boolean = false,
+              lct: Array[Byte] = null, lctField: Int = 0): Unit = {
+      g.b(0x2c); g.u16(left); g.u16(top); g.u16(iw); g.u16(ih)
+      g.b((if (lct != null) 0x80 | lctField else 0) | (if (interlace) 0x40 else 0))
+      if (lct != null) g.raw(lct)
+      g.b(mcs); g.subBlocks(data)
+    }
+    /** one-call assembler for the common single-image shape */
+    def simple(sw: Int, sh: Int, gct: Array[Byte], field: Int, mcs: Int,
+               pixels: Array[Byte], deferFor: Int = 0,
+               interlace: Boolean = false, version: String = "89a",
+               gceFlags: Int = -1, tIdx: Int = 0): Array[Byte] = {
+      val g = new GB
+      header(g, sw, sh, gct, field, version)
+      if (gceFlags >= 0) gce(g, gceFlags, tIdx)
+      image(g, 0, 0, sw, sh, mcs, lzw(pixels, mcs, deferFor), interlace)
+      g.b(0x3b)
+      g.bytes
+    }
+  }
+
+  test("GIF: real LZW decodes — code growth, KwKwK, deferred clear, interlace, LCT, transparency; ≡ independent parser") {
+    import GifBuild._
+    val gct256 = Multimodal.palettePlte
+    def expectRgb(pixels: Array[Byte], pal: Array[Byte], transparent: Int = -1): Array[Byte] =
+      pixels.flatMap { p =>
+        val v = p & 0xff
+        if (v == transparent) Array[Byte](-1, -1, -1)
+        else Array(pal(3 * v), pal(3 * v + 1), pal(3 * v + 2))
+      }
+    def check(bytes: Array[Byte], w: Int, h: Int, want: Array[Byte], tag: String): Unit = {
+      MediaCodec.decode(bytes) match {
+        case MediaCodec.ImageMedia(dw, dh, fmt, rgb) =>
+          assert(dw == w && dh == h && fmt == "gif", tag)
+          assert(java.util.Arrays.equals(rgb, want), s"$tag pixels")
+        case other => fail(s"$tag: $other")
+      }
+      val (rw, rh, rrgb) = Ref.gif(bytes)
+      assert(rw == w && rh == h && java.util.Arrays.equals(rrgb, want),
+        s"$tag: independent parser disagrees")
+    }
+
+    // ---- codec encoder round trip vs the palette-PNG twin: same
+    // index raster, same 256-entry table ⇒ identical ImageMedia and
+    // identical downstream hash; the container size is closed-form ----
+    for ((w, h) <- Seq((8, 8), (23, 17), (64, 9), (1, 1), (255, 3))) {
+      val idx = Array.tabulate[Byte](w * h)(i => ((i * 31 + w) % 256).toByte)
+      val gifB = MediaCodec.encodeGif(w, h, idx, gct256)
+      val n = w * h; val groups = (n + 253) / 254
+      val bBytes = (9 * (n + groups + 1) + 7) / 8
+      assert(gifB.length == 794 + bBytes + (bBytes + 254) / 255,
+        s"closed-form container size $w x $h")
+      val want = expectRgb(idx, gct256)
+      check(gifB, w, h, want, s"roundtrip $w x $h")
+      val png = MediaCodec.decode(MediaCodec.encodePalettePng(w, h, idx, gct256))
+      assert(MediaCodec.aHash64(MediaCodec.decode(gifB)) == MediaCodec.aHash64(png),
+        "gif and palette-png twins must hash identically")
+      // interlaced twin: same byte count (literal-only LZW is
+      // row-permutation-invariant), same decoded pixels
+      val inter = MediaCodec.encodeGif(w, h, idx, gct256, interlaced = true)
+      assert(inter.length == gifB.length, "interlace is size-invariant")
+      check(inter, w, h, want, s"interlaced $w x $h")
+    }
+
+    // ---- REAL compression: a run-heavy raster drives dictionary
+    // growth through the 512/1024/2048 code-size boundaries; a long
+    // constant run is the KwKwK shape by construction ----
+    locally {
+      val w = 100; val h = 100
+      val px = Array.tabulate[Byte](w * h)(i =>
+        if ((i / 7) % 3 == 0) (i % 11).toByte else ((i * 131 + i / 400) % 256).toByte)
+      val data = lzw(px, 8)
+      val literalBytes = (9 * (w * h + (w * h + 253) / 254 + 1) + 7) / 8
+      assert(data.length < literalBytes / 2,
+        s"the compressor must actually compress (got ${data.length} vs literal $literalBytes) — otherwise code growth never runs")
+      check(simple(w, h, gct256, 7, 8, px), w, h, expectRgb(px, gct256), "compressed 100x100")
+      // interlaced + compressed (row permutation changes the stream)
+      val g = new GB
+      header(g, w, h, gct256, 7)
+      val order = Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s0, st) =>
+        Iterator.iterate(s0)(_ + st).takeWhile(_ < h) }
+      val permuted = order.flatMap(y => px.slice(y * w, y * w + w)).toArray
+      image(g, 0, 0, w, h, 8, lzw(permuted, 8), interlace = true)
+      g.b(0x3b)
+      check(g.bytes, w, h, expectRgb(px, gct256), "compressed interlaced")
+    }
+    locally { // constant raster: back-to-back KwKwK codes
+      val px = Array.fill[Byte](40 * 30)(7)
+      check(simple(40, 30, gct256, 7, 8, px), 40, 30, expectRgb(px, gct256), "KwKwK run")
+    }
+
+    // ---- table exhaustion: a high-novelty raster fills all 4096
+    // entries; clear-at-full and deferred-clear variants must both
+    // decode, and the stream must really have hit the boundary ----
+    locally {
+      val w = 160; val h = 160
+      var s = 12345
+      val px = Array.tabulate[Byte](w * h) { _ =>
+        s = s * 1103515245 + 12345; ((s >>> 16) & 0xff).toByte
+      }
+      check(simple(w, h, gct256, 7, 8, px), w, h, expectRgb(px, gct256), "clear-at-full")
+      check(simple(w, h, gct256, 7, 8, px, deferFor = 700), w, h,
+        expectRgb(px, gct256), "deferred clear")
+      assert(lzw(px, 8).length != lzw(px, 8, deferFor = 700).length,
+        "the two full-table strategies must produce different streams (else the defer knob is dead)")
+    }
+
+    // ---- small palette at mcs 2 (the spec minimum), GIF87a shell ----
+    locally {
+      val pal4 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+      val px = Array.tabulate[Byte](9 * 5)(i => (i % 4).toByte)
+      check(simple(9, 5, pal4, 1, 2, px, version = "87a"), 9, 5, expectRgb(px, pal4), "mcs2 87a")
+    }
+
+    // ---- a local color table overrides the GCT ----
+    locally {
+      val wrongGct = Array.fill[Byte](768)(1)
+      val g = new GB
+      header(g, 6, 4, wrongGct, 7)
+      val px = Array.tabulate[Byte](24)(i => (i * 9).toByte)
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8), lct = gct256, lctField = 7)
+      g.b(0x3b)
+      check(g.bytes, 6, 4, expectRgb(px, gct256), "LCT override")
+    }
+
+    // ---- transparency: GCE-flagged index composites to WHITE — and
+    // must agree bit-for-bit with an alpha-PNG twin whose a=0 pixels
+    // sit at the same positions (the cross-format alpha contract) ----
+    locally {
+      val w = 12; val h = 7
+      val px = Array.tabulate[Byte](w * h)(i => (i % 5).toByte)
+      val bytes = simple(w, h, gct256, 7, 8, px, gceFlags = 1, tIdx = 3)
+      check(bytes, w, h, expectRgb(px, gct256, transparent = 3), "transparency")
+      val rgba = Array.tabulate[Byte](4 * w * h) { j =>
+        val i = j / 4
+        val v = px(i) & 0xff
+        (j % 4) match {
+          case 3 => if (v == 3) 0 else -1 // alpha: 0 at the transparent index, 255 elsewhere
+          case c => gct256(3 * v + c)
+        }
+      }
+      val pngTwin = MediaCodec.decode(MediaCodec.encodeAlphaPng(w, h, rgba))
+      val gifRgb = MediaCodec.decode(bytes).asInstanceOf[MediaCodec.ImageMedia].rgb
+      assert(java.util.Arrays.equals(gifRgb,
+        pngTwin.asInstanceOf[MediaCodec.ImageMedia].rgb),
+        "GIF transparency and PNG alpha must share the white-composite contract")
+      // a GCE with the transparency flag OFF leaves the index opaque
+      check(simple(w, h, gct256, 7, 8, px, gceFlags = 0, tIdx = 3), w, h,
+        expectRgb(px, gct256), "gce without transparency flag")
+    }
+
+    // ---- comment / application extensions skip; a stream with no
+    // lead clear code decodes (the spec says SHOULD, not MUST) ----
+    locally {
+      val g = new GB
+      header(g, 2, 1, gct256, 7)
+      g.b(0x21); g.b(0xfe); g.subBlocks("a comment".getBytes("US-ASCII"))
+      g.b(0x21); g.b(0xff); g.subBlocks("NETSCAPE2.0".getBytes("US-ASCII"))
+      // hand-packed 9-bit codes [5, 9, EOI] — no lead clear
+      val d = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nb = 0
+      Seq(5, 9, 257).foreach { c =>
+        acc |= c.toLong << nb; nb += 9
+        while (nb >= 8) { d.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+      }
+      if (nb > 0) d.write((acc & 0xff).toInt)
+      image(g, 0, 0, 2, 1, 8, d.toByteArray)
+      g.b(0x3b)
+      check(g.bytes, 2, 1, expectRgb(Array[Byte](5, 9), gct256), "no lead clear + extensions")
+    }
+  }
+
+  test("GIF strictness: animation, partial frames, LZW malformations and trailing bytes reject") {
+    import GifBuild._
+    val gct256 = Multimodal.palettePlte
+    def rejects(bytes: Array[Byte], tag: String): Unit =
+      assert(MediaCodec.decode(bytes).isInstanceOf[MediaCodec.UnknownMedia], tag)
+    val px = Array.tabulate[Byte](6 * 4)(i => (i * 3).toByte)
+    val good = simple(6, 4, gct256, 7, 8, px)
+    assert(MediaCodec.decode(good).isInstanceOf[MediaCodec.ImageMedia], "baseline sanity")
+
+    // animation: a second image descriptor is a different operator
+    locally {
+      val g = new GB
+      header(g, 6, 4, gct256, 7)
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      g.b(0x3b)
+      rejects(g.bytes, "animation")
+    }
+    // partial frames: offset or sub-screen placement needs disposal
+    // semantics this decoder does not define
+    locally {
+      val g = new GB
+      header(g, 6, 4, gct256, 7)
+      image(g, 1, 0, 5, 4, 8, lzw(px.take(20), 8))
+      g.b(0x3b)
+      rejects(g.bytes, "offset frame")
+    }
+    locally {
+      val g = new GB
+      header(g, 6, 4, gct256, 7)
+      image(g, 0, 0, 6, 3, 8, lzw(px.take(18), 8))
+      g.b(0x3b)
+      rejects(g.bytes, "sub-screen frame")
+    }
+    // no color table anywhere
+    locally {
+      val g = new GB
+      header(g, 6, 4, null, 0)
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      g.b(0x3b)
+      rejects(g.bytes, "no palette")
+    }
+    // a literal beyond the palette: mcs 3 makes literals 0..7 legal
+    // LZW but entries 4..7 point past a 4-entry table
+    locally {
+      val pal4 = Array.fill[Byte](12)(9)
+      val bad = Array.tabulate[Byte](8)(i => (i % 6).toByte) // index 5 > 3
+      rejects(simple(8, 1, pal4, 1, 3, bad), "index past palette")
+    }
+    // LZW malformations, hand-packed at 9 bits
+    def packed(codes: Seq[Int]): Array[Byte] = {
+      val d = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nb = 0
+      codes.foreach { c =>
+        acc |= c.toLong << nb; nb += 9
+        while (nb >= 8) { d.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+      }
+      if (nb > 0) d.write((acc & 0xff).toInt)
+      d.toByteArray
+    }
+    def withData(codes: Seq[Int], w: Int = 2, h: Int = 1): Array[Byte] = {
+      val g = new GB
+      header(g, w, h, gct256, 7)
+      image(g, 0, 0, w, h, 8, packed(codes))
+      g.b(0x3b)
+      g.bytes
+    }
+    rejects(withData(Seq(256, 0, 300, 257)), "code beyond the table")
+    rejects(withData(Seq(256, 258, 1, 257)), "first code after clear not literal")
+    rejects(withData(Seq(256, 0, 1, 2, 257)), "pixels overflow the raster")
+    rejects(withData(Seq(256, 0, 257)), "pixels short of the raster")
+    rejects(withData(Seq(256, 0, 1)), "missing EOI")
+    rejects(withData(Seq(256, 0, 1, 257, 0, 0, 0)), "data bytes after EOI")
+    // container malformations
+    rejects(good ++ Array[Byte](0), "trailing byte after trailer")
+    rejects(good.dropRight(1), "missing trailer")
+    rejects(good.take(40), "truncated mid-GCT")
+    locally { // stray byte between blocks
+      val g = new GB
+      header(g, 6, 4, gct256, 7)
+      g.b(0x00)
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      g.b(0x3b)
+      rejects(g.bytes, "stray zero byte between blocks")
+    }
+    locally { // GCE with a wrong block size
+      val g = new GB
+      header(g, 6, 4, gct256, 7)
+      g.b(0x21); g.b(0xf9); g.b(5); g.raw(Array[Byte](0, 0, 0, 0, 0)); g.b(0)
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      g.b(0x3b)
+      rejects(g.bytes, "gce block size 5")
+    }
+    locally { // two GCEs before one image
+      val g = new GB
+      header(g, 6, 4, gct256, 7)
+      gce(g, 1, 2); gce(g, 1, 3)
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      g.b(0x3b)
+      rejects(g.bytes, "double gce")
+    }
+    // header-level: zero dims, raster past Int, bad LZW min code size
+    locally {
+      val g = new GB
+      header(g, 0, 4, gct256, 7)
+      rejects(g.bytes, "zero width")
+    }
+    locally {
+      val g = new GB
+      header(g, 65535, 65535, gct256, 7) // 3·w·h > Int.MaxValue
+      rejects(g.bytes, "raster bound")
+    }
+    for (mcs <- Seq(1, 9, 12)) {
+      val g = new GB
+      header(g, 2, 1, gct256, 7)
+      g.b(0x2c); g.u16(0); g.u16(0); g.u16(2); g.u16(1); g.b(0)
+      g.b(mcs); g.subBlocks(packed(Seq(256, 0, 1, 257)))
+      g.b(0x3b)
+      rejects(g.bytes, s"lzw min code size $mcs")
+    }
+    // the encoder's own guards
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodeGif(2, 1, Array[Byte](0, 1, 2), gct256)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodeGif(2, 1, Array[Byte](0, 1), gct256.take(765))
+    }
+  }
+
   test("progressive JPEG: decode ≡ baseline decode of the same raster across profiles, dims and restarts") {
     // The decisive parity property: the progressive encoder shares
     // the baseline's color transform, FDCT and all-ones quantizer, so
@@ -2561,7 +3030,16 @@ class MultimodalSpec extends SparkSpec {
         ((((i / 3) / 32 / 8) * 2 + ((i / 3) % 32) / 8) * 17 + 20).toByte), "420", 2),
       // a FLAC stream (r15): damage to STREAMINFO, frame headers,
       // the Rice/verbatim bit layer or either CRC must stay total
-      MediaCodec.encodeFlac(9000, Array.tabulate(300)(i => (i * 13 - 150).toShort)))
+      MediaCodec.encodeFlac(9000, Array.tabulate(300)(i => (i * 13 - 150).toShort)),
+      // GIF (r15), both entropy shapes: the codec's literal-only
+      // stream and a really-compressed one from the spec's LZW —
+      // damage to sub-block lengths, code bits or the GCT must land
+      // in UnknownMedia through the general LZW decoder
+      MediaCodec.encodeGif(9, 7, Array.tabulate[Byte](63)(i => (i % 40).toByte),
+        Multimodal.palettePlte),
+      GifBuild.simple(16, 12, Multimodal.palettePlte, 7, 8,
+        Array.tabulate[Byte](192)(i => if (i % 5 < 3) (i % 9).toByte else (i * 37).toByte),
+        gceFlags = 1, tIdx = 2, interlace = true))
     var decodedOk = 0
     seeds.foreach { base =>
       (1 to 400).foreach { i =>
@@ -2624,7 +3102,7 @@ class MultimodalSpec extends SparkSpec {
     // including the compressed one
     val exts = new java.io.File(Multimodal.mediaLakeDir(spark, sfDir)).list()
       .map(_.split('.').last).toSet
-    assert(exts == Set("ppm", "bmp", "png", "wav", "flac", "y4m"))
+    assert(exts == Set("ppm", "bmp", "png", "gif", "wav", "flac", "y4m"))
   }
 
   test("staged JPEG lake: jpegFilesMeta ≡ jpegMeta row-for-row (the compressed-container lake contract)") {
