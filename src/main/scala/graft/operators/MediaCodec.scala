@@ -1070,23 +1070,36 @@ object MediaCodec extends Serializable {
     ImageMedia(w, h, "bmp", rgb)
   }
 
-  /** GIF87a/89a STATIC decoder (spec: GIF89a, CompuServe 1990): LSD
+  /** GIF87a/89a decoder (spec: GIF89a, CompuServe 1990): LSD
     * + global color table, extension blocks (a graphic control
-    * extension is parsed for transparency; comment / plain-text /
-    * application and unknown labels are skipped via the
+    * extension is parsed for transparency and disposal; comment /
+    * plain-text / application and unknown labels are skipped via the
     * self-describing sub-block walk the spec designed for exactly
-    * that), ONE full-frame image (a local color table overrides the
+    * that), FULL-FRAME images (a local color table overrides the
     * GCT; the four-pass interlace is de-scattered), general LZW
     * (code growth 9→12 bits, the KwKwK first-char case, deferred
     * clear when the table fills), then the trailer with nothing
-    * after it. Transparent pixels composite to WHITE — the a=0 case
-    * of the PNG alpha contract, so the two formats' transparency
-    * hashes agree by construction. Honest rejections: animation
-    * (second image descriptor) and partial-frame placement (offset
-    * or sub-screen images need disposal-composition semantics this
-    * operator does not define), a missing color table, an
-    * out-of-range pixel index, a code beyond the table, a missing
-    * EOI, data after EOI, and trailing bytes after the trailer. */
+    * after it. ONE image decodes to [[ImageMedia]]; an ANIMATION
+    * (two or more) decodes to [[VideoMedia]] under the replace
+    * semantics the full-frame rule makes exact: every frame covers
+    * the whole screen, disposal 0/1 (unspecified / do-not-dispose)
+    * is accepted, and a frame's transparent pixels show the
+    * COMPOSITED previous frame — the only cross-frame state. Frames
+    * convert to C444 Y/Cb/Cr planes (the Y4M plane layout) through
+    * the SAME 1/65536 fixed-point BT.601 the JPEG encoder uses, so
+    * downstream video consumers (hash, resize-to-Y4M, frame
+    * sampling) see one color space. First-frame transparent pixels
+    * composite to WHITE — the a=0 case of the PNG alpha contract,
+    * so the two formats' transparency hashes agree by construction.
+    * Honest rejections: partial-frame placement (offset or
+    * sub-screen images need box-composition semantics this operator
+    * does not define), disposal 2/3 on a frame another frame
+    * follows (restore-to-background/previous likewise), a missing
+    * color table, an out-of-range pixel index, a code beyond the
+    * table, a missing EOI, data after EOI, trailing bytes after the
+    * trailer, and an animation whose decoded planes would exceed
+    * the 2²⁸ output ceiling (the FLAC precedent — a few KB of
+    * constant-color frames must not inflate into gigabytes). */
   private[operators] def decodeGif(b: Array[Byte]): Media = {
     if (b.length < 6 + 7 + 6 + 1) return UnknownMedia(b.length)
     val sw = getShortLE(b, 6); val sh = getShortLE(b, 8)
@@ -1102,7 +1115,10 @@ object MediaCodec extends Serializable {
       pos += 3 * gctEntries
     }
     var transparentIdx = -1; var gcePending = false
-    var image: Array[Byte] = null // decoded 3·sw·sh raster
+    var pendingDisposal = 0 // from the GCE governing the NEXT frame
+    var prevDisposal = 0    // disposal recorded with the LAST frame
+    var canvas: Array[Byte] = null // composited 3·sw·sh RGB state
+    val rgbFrames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     while (true) {
       if (pos >= b.length) return UnknownMedia(b.length)
       (b(pos) & 0xff) match {
@@ -1112,11 +1128,13 @@ object MediaCodec extends Serializable {
           pos += 2
           if (label == 0xf9) {
             // graphic control: exactly one 4-byte sub-block, at most
-            // one per image (spec §23), before the image it governs
-            if (gcePending || image != null || pos + 6 > b.length ||
+            // one per graphic block (spec §23), before the image it
+            // governs
+            if (gcePending || pos + 6 > b.length ||
                 (b(pos) & 0xff) != 4 || (b(pos + 5) & 0xff) != 0)
               return UnknownMedia(b.length)
             gcePending = true
+            pendingDisposal = (b(pos + 1) >> 2) & 7
             if ((b(pos + 1) & 1) != 0) transparentIdx = b(pos + 4) & 0xff
             pos += 6
           } else {
@@ -1130,7 +1148,16 @@ object MediaCodec extends Serializable {
             }
           }
         case 0x2c => // image descriptor
-          if (image != null) return UnknownMedia(b.length) // animation: out of scope, honest
+          // a FOLLOWING frame retroactively requires the previous
+          // frame's disposal to be replace-compatible (0/1) — for the
+          // LAST frame disposal is render-irrelevant, so it is
+          // checked here, not at its own GCE
+          if (canvas != null && prevDisposal > 1) return UnknownMedia(b.length)
+          // output ceiling across the animation (the FLAC precedent):
+          // decoded planes, not input bytes, are what a crafted
+          // constant-color stream inflates
+          if ((rgbFrames.length + 1).toLong * 3L * sw * sh > (1L << 28))
+            return UnknownMedia(b.length)
           if (pos + 10 > b.length) return UnknownMedia(b.length)
           val left = getShortLE(b, pos + 1); val top = getShortLE(b, pos + 3)
           val iw = getShortLE(b, pos + 5); val ih = getShortLE(b, pos + 7)
@@ -1165,7 +1192,8 @@ object MediaCodec extends Serializable {
           val idx = gifLzwDecode(buf.toByteArray, mcs, iw * ih, palEntries)
           if (idx == null) return UnknownMedia(b.length)
           // indices → RGB, de-scattering interlaced row order and
-          // compositing the transparent index to white
+          // compositing the transparent index to the previous frame
+          // (first frame: white — the a=0 alpha contract)
           val rgb = new Array[Byte](3 * iw * ih)
           val rows = if (interlaced) gifInterlaceRows(ih) else null
           var k = 0
@@ -1176,7 +1204,8 @@ object MediaCodec extends Serializable {
               val v = idx(k * iw + x) & 0xff
               val d = (dstRow * iw + x) * 3
               if (v == transparentIdx) {
-                rgb(d) = -1; rgb(d + 1) = -1; rgb(d + 2) = -1 // 0xff: white
+                if (canvas == null) { rgb(d) = -1; rgb(d + 1) = -1; rgb(d + 2) = -1 }
+                else { rgb(d) = canvas(d); rgb(d + 1) = canvas(d + 1); rgb(d + 2) = canvas(d + 2) }
               } else {
                 rgb(d) = pal(3 * v); rgb(d + 1) = pal(3 * v + 1); rgb(d + 2) = pal(3 * v + 2)
               }
@@ -1184,15 +1213,40 @@ object MediaCodec extends Serializable {
             }
             k += 1
           }
-          image = rgb
-          gcePending = false
+          canvas = rgb
+          rgbFrames += rgb
+          prevDisposal = if (gcePending) pendingDisposal else 0
+          gcePending = false; pendingDisposal = 0; transparentIdx = -1
         case 0x3b => // trailer
-          if (image == null || pos + 1 != b.length) return UnknownMedia(b.length)
-          return ImageMedia(sw, sh, "gif", image)
+          if (canvas == null || pos + 1 != b.length) return UnknownMedia(b.length)
+          if (rgbFrames.length == 1) return ImageMedia(sw, sh, "gif", canvas)
+          return VideoMedia(sw, sh, rgbFrames.map(rgbFrameToYuvPlanes(sw, sh, _)).toArray)
         case _ => return UnknownMedia(b.length)
       }
     }
     UnknownMedia(b.length) // unreachable
+  }
+
+  /** Full-range BT.601 RGB → planar C444 Y/Cb/Cr — the SAME 1/65536
+    * fixed-point coefficients as [[jpegColorPlanes]] (rows sum to
+    * 65536/0/0, so gray maps to Y=v, Cb=Cr=128 exactly), clamped to
+    * byte range (saturated blue pushes Cb to 256 before the clamp).
+    * Gives animated-GIF frames the Y4M plane layout. */
+  private def rgbFrameToYuvPlanes(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val n = w * h
+    val out = new Array[Byte](3 * n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val bl = rgb(3 * i + 2) & 0xff
+      val y = (19595 * r + 38470 * g + 7471 * bl + 32768) >> 16
+      val cb = 128 + ((-11059 * r - 21709 * g + 32768 * bl + 32768) >> 16)
+      val cr = 128 + ((32768 * r - 27439 * g - 5329 * bl + 32768) >> 16)
+      out(i) = (if (y < 0) 0 else if (y > 255) 255 else y).toByte
+      out(n + i) = (if (cb < 0) 0 else if (cb > 255) 255 else cb).toByte
+      out(2 * n + i) = (if (cr < 0) 0 else if (cr > 255) 255 else cr).toByte
+      i += 1
+    }
+    out
   }
 
   /** General GIF LZW over a collected data buffer: returns exactly

@@ -2665,14 +2665,42 @@ class MultimodalSpec extends SparkSpec {
     val good = simple(6, 4, gct256, 7, 8, px)
     assert(MediaCodec.decode(good).isInstanceOf[MediaCodec.ImageMedia], "baseline sanity")
 
-    // animation: a second image descriptor is a different operator
+    // animation is ACCEPTED (VideoMedia — its own test below), but
+    // only under replace semantics: disposal 2/3 on a frame another
+    // frame follows needs background/previous restoration
+    for (disposal <- Seq(2, 3)) {
+      val g = new GB
+      header(g, 6, 4, gct256, 7)
+      gce(g, disposal << 2, 0)
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      g.b(0x3b)
+      rejects(g.bytes, s"disposal $disposal before a following frame")
+    }
+    // …but on the LAST frame disposal is render-irrelevant: accept
     locally {
       val g = new GB
       header(g, 6, 4, gct256, 7)
       image(g, 0, 0, 6, 4, 8, lzw(px, 8))
+      gce(g, 2 << 2, 0)
       image(g, 0, 0, 6, 4, 8, lzw(px, 8))
       g.b(0x3b)
-      rejects(g.bytes, "animation")
+      assert(MediaCodec.decode(g.bytes).isInstanceOf[MediaCodec.VideoMedia],
+        "disposal on the last frame is render-irrelevant")
+    }
+    // a frame after the animation output ceiling (2^28 decoded plane
+    // bytes) rejects BEFORE its parse: 560 copies of one
+    // constant-color 400x400 frame (~1 KB each compressed) would
+    // inflate past the ceiling
+    locally {
+      val w = 400; val h = 400
+      val frameData = lzw(Array.fill[Byte](w * h)(3), 8)
+      val g = new GB
+      header(g, w, h, gct256, 7)
+      var f = 0
+      while (f < 560) { image(g, 0, 0, w, h, 8, frameData); f += 1 }
+      g.b(0x3b)
+      rejects(g.bytes, "animation output ceiling")
     }
     // partial frames: offset or sub-screen placement needs disposal
     // semantics this decoder does not define
@@ -2782,6 +2810,123 @@ class MultimodalSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       MediaCodec.encodeGif(2, 1, Array[Byte](0, 1), gct256.take(765))
+    }
+  }
+
+  test("animated GIF: full-frame replace decodes to VideoMedia ≡ the Y4M twin; transparency shows the previous frame") {
+    import GifBuild._
+    val gct256 = Multimodal.palettePlte
+    val w = 11; val h = 6
+    // independent recompute of the decoder's contract: palette lookup
+    // then the SAME published fixed-point BT.601 (coefficients from
+    // ITU-T T.871 §7 scaled by 65536), planar C444
+    def yuvPlanes(pixels: Array[Byte], pal: Array[Byte],
+                  resolve: Int => Array[Byte]): Array[Byte] = {
+      val n = pixels.length
+      val out = new Array[Byte](3 * n)
+      for (i <- 0 until n) {
+        val Array(r0, g0, b0) = resolve(i)
+        val r = r0 & 0xff; val g = g0 & 0xff; val bl = b0 & 0xff
+        val y = (19595 * r + 38470 * g + 7471 * bl + 32768) >> 16
+        val cb = 128 + ((-11059 * r - 21709 * g + 32768 * bl + 32768) >> 16)
+        val cr = 128 + ((32768 * r - 27439 * g - 5329 * bl + 32768) >> 16)
+        out(i) = math.min(255, math.max(0, y)).toByte
+        out(n + i) = math.min(255, math.max(0, cb)).toByte
+        out(2 * n + i) = math.min(255, math.max(0, cr)).toByte
+      }
+      out
+    }
+    def palRgb(pal: Array[Byte])(v: Int): Array[Byte] =
+      Array(pal(3 * v), pal(3 * v + 1), pal(3 * v + 2))
+
+    // ---- three frames, the middle one interlaced, the third through
+    // a local color table — decoded planes must equal the per-frame
+    // recompute, and the whole animation must hash identically to the
+    // Y4M twin built from those exact planes ----
+    val f1 = Array.tabulate[Byte](w * h)(i => ((i * 13 + 1) % 256).toByte)
+    val f2 = Array.tabulate[Byte](w * h)(i => ((i * 29 + 7) % 256).toByte)
+    val f3 = Array.tabulate[Byte](w * h)(i => ((i * 5 + 99) % 256).toByte)
+    val lct = Array.tabulate[Byte](768)(j => ((j * 11 + 4) % 256).toByte)
+    val g = new GB
+    header(g, w, h, gct256, 7)
+    image(g, 0, 0, w, h, 8, lzw(f1, 8))
+    gce(g, 1 << 2, 0) // disposal 1 (do not dispose), no transparency
+    locally { // interlaced middle frame: permute rows into pass order
+      val order = Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s0, st) =>
+        Iterator.iterate(s0)(_ + st).takeWhile(_ < h) }
+      val permuted = order.flatMap(y => f2.slice(y * w, y * w + w)).toArray
+      image(g, 0, 0, w, h, 8, lzw(permuted, 8), interlace = true)
+    }
+    image(g, 0, 0, w, h, 8, lzw(f3, 8), lct = lct, lctField = 7)
+    g.b(0x3b)
+    val want = Array(
+      yuvPlanes(f1, gct256, i => palRgb(gct256)(f1(i) & 0xff)),
+      yuvPlanes(f2, gct256, i => palRgb(gct256)(f2(i) & 0xff)),
+      yuvPlanes(f3, lct, i => palRgb(lct)(f3(i) & 0xff)))
+    val decoded = MediaCodec.decode(g.bytes) match {
+      case v @ MediaCodec.VideoMedia(dw, dh, frames) =>
+        assert(dw == w && dh == h && frames.length == 3)
+        frames.zip(want).zipWithIndex.foreach { case ((got, exp), i) =>
+          assert(java.util.Arrays.equals(got, exp), s"frame $i planes")
+        }
+        v
+      case other => fail(s"animated gif decoded to $other")
+    }
+    val y4mTwin = MediaCodec.decode(MediaCodec.encodeY4m(w, h, want))
+    assert(MediaCodec.aHash64(decoded) == MediaCodec.aHash64(y4mTwin),
+      "the animation and its Y4M twin must hash identically")
+    assert(java.util.Arrays.equals(MediaCodec.contentUnits(decoded),
+      MediaCodec.contentUnits(y4mTwin)), "content units must agree with the twin")
+
+    // ---- transparency in a later frame shows the COMPOSITED
+    // previous frame (replace semantics' only cross-frame state);
+    // the composite then feeds frame 3's transparency transitively ----
+    locally {
+      val base = Array.tabulate[Byte](w * h)(i => (i % 7).toByte)
+      val over = Array.tabulate[Byte](w * h)(i => if (i % 3 == 0) 9 else (i % 5).toByte)
+      val g2 = new GB
+      header(g2, w, h, gct256, 7)
+      image(g2, 0, 0, w, h, 8, lzw(base, 8))
+      gce(g2, 1, 9) // transparency flag, index 9
+      image(g2, 0, 0, w, h, 8, lzw(over, 8))
+      g2.b(0x3b)
+      val expFrame2 = Array.tabulate[Byte](w * h)(i =>
+        if ((over(i) & 0xff) == 9) base(i) else over(i))
+      val exp = Array(
+        yuvPlanes(base, gct256, i => palRgb(gct256)(base(i) & 0xff)),
+        yuvPlanes(expFrame2, gct256, i => palRgb(gct256)(expFrame2(i) & 0xff)))
+      MediaCodec.decode(g2.bytes) match {
+        case MediaCodec.VideoMedia(_, _, frames) =>
+          assert(frames.length == 2)
+          assert(java.util.Arrays.equals(frames(0), exp(0)), "base frame")
+          assert(java.util.Arrays.equals(frames(1), exp(1)),
+            "transparent pixels must show the previous frame")
+        case other => fail(s"$other")
+      }
+    }
+
+    // ---- downstream operators consume the animation generically:
+    // frame sampling sees nfr parsed frames, resize re-encodes Y4M
+    // (now color-correct: the planes ARE Y/Cb/Cr) ----
+    locally {
+      val media = MediaCodec.decode(g.bytes).asInstanceOf[MediaCodec.VideoMedia]
+      assert(media.frames.length == 3 && media.frames.forall(_.length == 3 * w * h))
+      // gray content maps to Y=v, Cb=Cr=128 exactly (the shared
+      // fixed-point rows sum 65536/0/0) — the invariant that makes
+      // a grayscale animation's Y plane equal its palette values
+      val grayPal = Array.tabulate[Byte](768)(j => (j / 3).toByte)
+      val gpx = Array.tabulate[Byte](w * h)(i => ((i * 3) % 256).toByte)
+      val g3 = new GB
+      header(g3, w, h, grayPal, 7)
+      image(g3, 0, 0, w, h, 8, lzw(gpx, 8))
+      image(g3, 0, 0, w, h, 8, lzw(gpx, 8))
+      g3.b(0x3b)
+      MediaCodec.decode(g3.bytes) match {
+        case MediaCodec.VideoMedia(_, _, frames) =>
+          assert(frames(0).slice(0, w * h).sameElements(gpx), "gray Y plane = palette value")
+          assert(frames(0).drop(w * h).forall(_ == -128), "gray chroma = 128 exactly")
+        case other => fail(s"$other")
+      }
     }
   }
 
@@ -3039,7 +3184,20 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.palettePlte),
       GifBuild.simple(16, 12, Multimodal.palettePlte, 7, 8,
         Array.tabulate[Byte](192)(i => if (i % 5 < 3) (i % 9).toByte else (i * 37).toByte),
-        gceFlags = 1, tIdx = 2, interlace = true))
+        gceFlags = 1, tIdx = 2, interlace = true),
+      // an animated GIF (r15): damage across frame boundaries, GCE
+      // disposal/transparency bytes and per-frame LZW must stay total
+      locally {
+        val g = new GifBuild.GB
+        GifBuild.header(g, 10, 8, Multimodal.palettePlte, 7)
+        GifBuild.image(g, 0, 0, 10, 8, 8, GifBuild.lzw(
+          Array.tabulate[Byte](80)(i => (i % 23).toByte), 8))
+        GifBuild.gce(g, (1 << 2) | 1, 5)
+        GifBuild.image(g, 0, 0, 10, 8, 8, GifBuild.lzw(
+          Array.tabulate[Byte](80)(i => (i % 6).toByte), 8))
+        g.b(0x3b)
+        g.bytes
+      })
     var decodedOk = 0
     seeds.foreach { base =>
       (1 to 400).foreach { i =>
