@@ -300,14 +300,21 @@ object MediaCodec extends Serializable {
   def encodeGif(w: Int, h: Int, indices: Array[Byte], palette: Array[Byte],
                 interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, s"gif dims $w x $h outside u16")
+    // u16 dims admit rasters whose ~9/8·N output outgrows a byte
+    // array — fail loudly like encodeFlac's ceiling (review r15)
+    require(w.toLong * h <= (1L << 28), s"gif raster ${w.toLong * h} exceeds the 2^28 encoder ceiling")
     require(indices.length == w * h, s"index raster ${indices.length} != $w*$h")
     require(palette.length == 768, s"gif GCT must hold exactly 256 RGB entries, got ${palette.length} bytes")
     val n = indices.length
     val groups = (n + 253) / 254
-    // lead clear + N literals + (G−1) inter-group clears + EOI
+    // lead clear + N literals + (G−1) inter-group clears + EOI;
+    // sizing hint in LONG — 9·nCodes wraps Int above ~238M pixels,
+    // which u16 dims still admit (review r15); the packer itself is
+    // count-exact either way
     val nCodes = n + groups + 1
-    val dataBytes = (9 * nCodes + 7) / 8
-    val out = new java.io.ByteArrayOutputStream(794 + dataBytes + dataBytes / 255 + 8)
+    val dataBytes = (9L * nCodes + 7) / 8
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(794L + dataBytes + dataBytes / 255 + 8, Int.MaxValue.toLong).toInt)
     out.write("GIF89a".getBytes("US-ASCII"))
     // logical screen descriptor: dims, GCT present / 8-bit color
     // resolution / 256-entry table (0xf7), background 0, aspect 0
@@ -323,7 +330,8 @@ object MediaCodec extends Serializable {
     out.write(if (interlaced) 0x40 else 0x00)
     out.write(8) // LZW minimum code size
     // LSB-first 9-bit code packer into 255-byte sub-blocks
-    val data = new java.io.ByteArrayOutputStream(dataBytes + 4)
+    val data = new java.io.ByteArrayOutputStream(
+      math.min(dataBytes + 4, Int.MaxValue.toLong).toInt)
     var acc = 0L; var nbits = 0
     def code(c: Int): Unit = {
       acc |= c.toLong << nbits; nbits += 9
@@ -1227,23 +1235,34 @@ object MediaCodec extends Serializable {
     UnknownMedia(b.length) // unreachable
   }
 
-  /** Full-range BT.601 RGB → planar C444 Y/Cb/Cr — the SAME 1/65536
-    * fixed-point coefficients as [[jpegColorPlanes]] (rows sum to
-    * 65536/0/0, so gray maps to Y=v, Cb=Cr=128 exactly), clamped to
-    * byte range (saturated blue pushes Cb to 256 before the clamp).
-    * Gives animated-GIF frames the Y4M plane layout. */
+  /** Full-range BT.601 (ITU-T T.871 §7) as 2⁻¹⁶ fixed point, ONE
+    * definition for every RGB→YCbCr site ([[jpegColorPlanes]] and
+    * the animated-GIF planes): coefficient rows sum to exactly
+    * 65536 / 0 / 0, so R=G=B maps to (Y=v, Cb=128, Cr=128) — the
+    * grayscale invariant both the JPEG oracles and the GIF≡Y4M twin
+    * gate lean on. Unclamped: saturated blue pushes Cb to 256
+    * (byte-range consumers clamp, the JPEG Int planes don't need
+    * to). */
+  @inline private def yccY(r: Int, g: Int, b: Int): Int =
+    (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+  @inline private def yccCb(r: Int, g: Int, b: Int): Int =
+    128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+  @inline private def yccCr(r: Int, g: Int, b: Int): Int =
+    128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+
+  /** RGB → planar C444 Y/Cb/Cr via the shared [[yccY]] transform,
+    * clamped to byte range. Gives animated-GIF frames the Y4M plane
+    * layout. */
   private def rgbFrameToYuvPlanes(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     val n = w * h
     val out = new Array[Byte](3 * n)
+    def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
     var i = 0
     while (i < n) {
       val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val bl = rgb(3 * i + 2) & 0xff
-      val y = (19595 * r + 38470 * g + 7471 * bl + 32768) >> 16
-      val cb = 128 + ((-11059 * r - 21709 * g + 32768 * bl + 32768) >> 16)
-      val cr = 128 + ((32768 * r - 27439 * g - 5329 * bl + 32768) >> 16)
-      out(i) = (if (y < 0) 0 else if (y > 255) 255 else y).toByte
-      out(n + i) = (if (cb < 0) 0 else if (cb > 255) 255 else cb).toByte
-      out(2 * n + i) = (if (cr < 0) 0 else if (cr > 255) 255 else cr).toByte
+      out(i) = clamp(yccY(r, g, bl))
+      out(n + i) = clamp(yccCb(r, g, bl))
+      out(2 * n + i) = clamp(yccCr(r, g, bl))
       i += 1
     }
     out
@@ -2025,13 +2044,13 @@ object MediaCodec extends Serializable {
     s
   }
 
-  /** RGB → (Y, Cb, Cr) planes for an encode: integer 1/65536 fixed
-    * point whose coefficient rows sum to exactly 65536 / 0 / 0 (so
-    * R=G=B maps to Y=v, Cb=Cr=128 EXACTLY — the grayscale-content
-    * invariant the oracles lean on), chroma 2×2 rounding-average
-    * subsampled for "420". Returns (yPlane, cbPlane, crPlane,
-    * chromaW, chromaH); chroma planes are null for "gray". Shared by
-    * the baseline and progressive encoders. */
+  /** RGB → (Y, Cb, Cr) planes for an encode via the shared
+    * [[yccY]]/[[yccCb]]/[[yccCr]] fixed-point transform (one
+    * definition with the animated-GIF plane conversion — review
+    * r15), chroma 2×2 rounding-average subsampled for "420".
+    * Returns (yPlane, cbPlane, crPlane, chromaW, chromaH); chroma
+    * planes are null for "gray". Shared by the baseline and
+    * progressive encoders. */
   private def jpegColorPlanes(w: Int, h: Int, rgb: Array[Byte],
                               profile: String)
       : (Array[Int], Array[Int], Array[Int], Int, Int) = {
@@ -2042,10 +2061,10 @@ object MediaCodec extends Serializable {
     var i = 0
     while (i < w * h) {
       val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
-      yP(i) = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+      yP(i) = yccY(r, g, b)
       if (nComp == 3) {
-        cbP(i) = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
-        crP(i) = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+        cbP(i) = yccCb(r, g, b)
+        crP(i) = yccCr(r, g, b)
       }
       i += 1
     }
@@ -2804,7 +2823,10 @@ object MediaCodec extends Serializable {
         case 0xdb =>
           if (pos + 2 > b.length) return null
           val len = u16(pos)
-          if (len < 2 || pos.toLong + len > b.length.toLong) return null
+          // at least one 65-byte table: an empty DQT (Lq=2) is not a
+          // segment B.2.4.1 allows — same rule as the progressive
+          // tables-misc arm (review r15)
+          if (len < 2 + 65 || pos.toLong + len > b.length.toLong) return null
           var p = pos + 2
           val end = pos + len
           while (p < end) {

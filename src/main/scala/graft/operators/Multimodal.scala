@@ -284,7 +284,10 @@ object Multimodal {
         DecodedRow(r.media_id, r.kind, MediaCodec.sniff(r.payload), nb,
           0L, 0L, 0L, rate, samples.length, s, ws, sha)
       case MediaCodec.VideoMedia(w, h, frames) =>
-        DecodedRow(r.media_id, r.kind, "y4m", nb, w, h, frames.length, 0L, 0L, s, ws, sha)
+        // the container is the sniffed magic (y4m | animated gif,
+        // review r15) — VideoMedia is container-agnostic frames
+        DecodedRow(r.media_id, r.kind, MediaCodec.sniff(r.payload), nb,
+          w, h, frames.length, 0L, 0L, s, ws, sha)
       case MediaCodec.UnknownMedia(_) =>
         DecodedRow(r.media_id, r.kind, "unknown", nb, 0L, 0L, 0L, 0L, 0L, 0L, 0L, sha)
     }

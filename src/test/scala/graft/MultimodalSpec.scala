@@ -1608,6 +1608,13 @@ class MultimodalSpec extends SparkSpec {
     // truncated mid-scan
     assert(MediaCodec.decode(good.take(good.length / 2)).isInstanceOf[UnknownMedia],
       "truncation must reject")
+    // an EMPTY DQT (Lq=2, zero tables) is not a segment B.2.4.1
+    // allows — spliced right after SOI it must reject in the MAIN
+    // header walk, the same rule the progressive tables-misc arm
+    // enforces (review r15)
+    assert(MediaCodec.decode(
+      good.take(2) ++ Array[Byte](0xff.toByte, 0xdb.toByte, 0, 2) ++ good.drop(2))
+      .isInstanceOf[UnknownMedia], "empty DQT must reject")
     def flipMarker(from: Int, to: Int): Array[Byte] = {
       val m = good.clone()
       var p = 2
@@ -2353,9 +2360,9 @@ class MultimodalSpec extends SparkSpec {
     // SIZE guard must route them to the bounded sequential path,
     // which rejects (duplicate frame numbers) without an OOM
     locally {
-      val one = MediaCodec.encodeFlac(8000, Array.fill[Short](300)(0), blockSize = 0)
-      // reuse the single-frame stream's STREAMINFO but claim a fat
-      // maxBlock, then repeat a tiny hand-built constant frame
+      // hand-build a tiny constant frame claiming a FAT blockSize,
+      // then repeat it under a stream() shell whose STREAMINFO
+      // advertises maxBlock 65535
       val bw0 = new BW
       bw0.bits(0xff, 8); bw0.bits(0xf8, 8)
       bw0.bits(7, 4); bw0.bits(0, 4)  // 16-bit block size, rate from STREAMINFO
@@ -2911,6 +2918,14 @@ class MultimodalSpec extends SparkSpec {
     locally {
       val media = MediaCodec.decode(g.bytes).asInstanceOf[MediaCodec.VideoMedia]
       assert(media.frames.length == 3 && media.frames.forall(_.length == 3 * w * h))
+      // the lake's describe kernel reports the CONTAINER for video
+      // media (review r15): an animated gif must not masquerade as
+      // y4m now that y4m is not the only video container
+      import spark.implicits._
+      val row = Multimodal.decodeAll(
+        spark.createDataset(Seq(Multimodal.MediaRow(1L, "image", g.bytes)))).collect().head
+      assert(row.format == "gif" && row.n_frames == 3 && row.width == w && row.height == h,
+        s"describe must report the gif container: $row")
       // gray content maps to Y=v, Cb=Cr=128 exactly (the shared
       // fixed-point rows sum 65536/0/0) — the invariant that makes
       // a grayscale animation's Y plane equal its palette values
