@@ -336,6 +336,12 @@ object SparkEntry {
     // filename stems) — the media-lake landing shape, oracle-shared
     // with mm_media_meta so ingest-path divergence is a hash mismatch
     "mm_files_meta" -> ((s, dir) => Multimodal.filesMeta(s, dir)),
+    // WARC/WET crawl ingest (r15): the web's landing container —
+    // staged `.warc.gz` shards (per-record gzip members, the Common
+    // Crawl layout) parsed back into document rows map-side; FULL
+    // oracle against `documents` rebuilt in DuckDB, so container
+    // round-trip divergence is a hash mismatch
+    "src_warc" -> ((s, dir) => graft.sources.Warc.srcWarcDocs(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2095,6 +2101,13 @@ object SparkEntry {
       // (filename-stem ids) — ONE oracle serves both, so the two
       // ingest paths cannot drift apart without a hash mismatch
       "mm_files_meta" -> mmMetaSql,
+      // src_warc: the WET fixture is documents in container form —
+      // uri closed-form in doc_id, body = the exact text bytes
+      "src_warc" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // mm_jpeg_meta: the JPEG fixtures are BLOCK-constant (one value
       // per 8×8 block, cycling the doc's code points in raster
       // order), the profile the full codec round-trips bit-exactly —

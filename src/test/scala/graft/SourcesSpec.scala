@@ -248,4 +248,112 @@ class SourcesSpec extends SparkSpec {
       .filter($"o_orderstatus" === "F").count()
     assert(joined.collect().map(r => r.getLong(1)).toSeq == Seq(expected))
   }
+
+  test("WARC/WET: encode→parse round-trips; per-record gzip members range-read independently; parallel ≡ sequential") {
+    import graft.sources.Warc
+    val docs = Seq[(Long, String, String)](
+      (3L, Warc.docUri(3), "the quick brown fox\njumps over\r\nCRLF inside a body stays body"),
+      (17L, Warc.docUri(17), "second döc — non-ASCII UTF-8 bytes lengthen Content-Length"),
+      (40L, Warc.docUri(40), ""),
+      (41L, Warc.docUri(41), "x" * 70000)) // spans many gzip deflate blocks
+    val wet = Warc.encodeWet(docs)
+
+    // ---- plain parse: warcinfo first, then conversion records whose
+    // bodies invert the UTF-8 encode exactly ----
+    val recs = Warc.parseWarc(wet)
+    assert(recs.length == 1 + docs.length)
+    assert(recs.head.headers("warc-type") == "warcinfo")
+    recs.tail.zip(docs).foreach { case (r, (_, uri, text)) =>
+      assert(r.headers("warc-type") == "conversion")
+      assert(r.headers("warc-target-uri") == uri)
+      assert(r.headers("content-length").toInt == text.getBytes("UTF-8").length)
+      assert(new String(r.body, "UTF-8") == text, uri)
+    }
+
+    // ---- per-record gzip: the whole-file walk parses identically,
+    // and a member RANGE-READ (slice at magic boundaries, inflate the
+    // slice alone) yields exactly its record — the cdx-offset
+    // contract Common Crawl range requests rely on ----
+    val gz = Warc.gzipPerRecord(wet)
+    assert(Warc.parseWarcGz(gz).map(r => new String(r.body, "UTF-8")) ==
+      recs.map(r => new String(r.body, "UTF-8")))
+    assert(Warc.parseWarcAuto(gz).length == recs.length, "auto must sniff gzip")
+    assert(Warc.parseWarcAuto(wet).length == recs.length, "auto must pass plain through")
+    locally {
+      // member boundaries reconstructed from OUTSIDE the library: a
+      // boundary is a magic offset whose preceding slice inflates to
+      // exactly one record — then a single member's slice range-read
+      // alone must yield exactly its own record (the cdx contract)
+      val magics = (0 until gz.length - 2).filter(p =>
+        (gz(p) & 0xff) == 0x1f && (gz(p + 1) & 0xff) == 0x8b && (gz(p + 2) & 0xff) == 0x08)
+      assert(magics.length >= recs.length, "at least one magic per member")
+      val bounds = scala.collection.mutable.ArrayBuffer(0)
+      while (bounds.length <= recs.length) {
+        val next = (magics.filter(_ > bounds.last) :+ gz.length).find { m =>
+          try Warc.parseWarcGz(java.util.Arrays.copyOfRange(gz, bounds.last, m)).length == 1
+          catch { case _: Exception => false }
+        }.get
+        bounds += next
+      }
+      assert(bounds.last == gz.length, "members must tile the file")
+      val slice2 = java.util.Arrays.copyOfRange(gz, bounds(1), bounds(2))
+      val only = Warc.parseWarcGz(slice2)
+      assert(only.length == 1 && new String(only.head.body, "UTF-8") == docs.head._3,
+        "a member slice must inflate to exactly its own record")
+    }
+
+    // ---- the segment-parallel entry is bit-equivalent to the
+    // sequential walk on real member chains, and falls back cleanly
+    // on non-chain bytes ----
+    val par = Warc.parseWarcGzParallel(gz)
+    assert(par.map(r => new String(r.body, "UTF-8")) ==
+      recs.map(r => new String(r.body, "UTF-8")), "parallel ≡ sequential")
+    intercept[Exception] { // a magic spray is not a member chain: the
+      // flood guard routes to the strict path, which rejects
+      Warc.parseWarcGzParallel(Array.fill[Byte](4096)(0x1f).zipWithIndex.map {
+        case (_, i) => (Seq(0x1f, 0x8b, 0x08)(i % 3)).toByte })
+    }
+
+    // ---- strictness: the parser rejects what the spec rejects ----
+    def mutated(f: Array[Byte] => Array[Byte]): Array[Byte] = f(wet.clone())
+    intercept[Exception] { Warc.parseWarc(mutated { w => w(5) = '2'; w }) } // WARC/2.0
+    intercept[Exception] { Warc.parseWarc(wet.dropRight(3)) }             // truncated trailer
+    intercept[Exception] { Warc.parseWarc(wet ++ "junk".getBytes) }       // trailing garbage
+    intercept[Exception] { // Content-Length overrunning the file
+      val s = new String(wet, "ISO-8859-1")
+        .replaceFirst("Content-Length: \\d+", "Content-Length: 999999")
+      Warc.parseWarc(s.getBytes("ISO-8859-1"))
+    }
+    intercept[Exception] { // header line without a colon
+      val s = new String(wet, "ISO-8859-1").replaceFirst("WARC-Type: warcinfo", "WARCTypewarcinfo")
+      Warc.parseWarc(s.getBytes("ISO-8859-1"))
+    }
+  }
+
+  test("src_warc: staged WET shards ingest row-identically to documents; corrupt shards quarantine to zero rows") {
+    import graft.sources.Warc
+    val viaWarc = Warc.srcWarcDocs(spark, sfDir).collect()
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(viaWarc.length == direct.length)
+    viaWarc.zip(direct).foreach { case (w, d) =>
+      assert(w.getLong(0) == d.getLong(0))
+      assert(w.getString(1) == Warc.docUri(d.getLong(0)))
+      assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
+    }
+    // the lake really is sharded .warc.gz files
+    val shardDir = new java.io.File(Warc.wetLakeDir(spark, sfDir))
+    val shards = shardDir.list().toSeq
+    assert(shards.nonEmpty && shards.forall(_.endsWith(".warc.gz")), shards.toString)
+    // totality: a lake with one good and one corrupt shard yields the
+    // good shard's rows, no exception — the landing-zone contract
+    val mixed = java.nio.file.Files.createTempDirectory("graft-wet-mixed").toString
+    val good = Warc.gzipPerRecord(Warc.encodeWet(Seq((7L, Warc.docUri(7), "good text"))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(mixed, "wet-00000.warc.gz"), good)
+    java.nio.file.Files.write(java.nio.file.Paths.get(mixed, "wet-00001.warc.gz"),
+      Array.tabulate[Byte](512)(i => (i * 31).toByte))
+    val rows = Warc.docsFromWarcFiles(spark, mixed).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 7L && rows.head.getString(3) == "good text",
+      "corrupt shard must quarantine to zero rows, good shard must survive")
+  }
 }
