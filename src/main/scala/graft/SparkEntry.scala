@@ -342,6 +342,13 @@ object SparkEntry {
     // oracle against `documents` rebuilt in DuckDB, so container
     // round-trip divergence is a hash mismatch
     "src_warc" -> ((s, dir) => graft.sources.Warc.srcWarcDocs(s, dir)),
+    // the RAW-crawl twin (r15): `response` records with full HTTP
+    // envelopes and HTML bodies → envelope skip → boilerplate-strip
+    // text extraction — the crawl-to-corpus step itself. The fixture
+    // HTML wrap is lossless, so this shares src_warc's oracle: a
+    // divergence in framing, HTTP skipping or EXTRACTION is a hash
+    // mismatch
+    "src_warc_html" -> ((s, dir) => graft.sources.Warc.srcWarcHtmlDocs(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2104,6 +2111,13 @@ object SparkEntry {
       // src_warc: the WET fixture is documents in container form —
       // uri closed-form in doc_id, body = the exact text bytes
       "src_warc" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // src_warc_html: the raw-crawl twin SHARES this oracle — the
+      // HTML wrap is lossless, so extraction must invert it exactly
+      "src_warc_html" ->
         """SELECT doc_id,
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text

@@ -314,6 +314,180 @@ object Warc {
   /** The fixture URI rule — mirrored closed-form by the oracle. */
   def docUri(id: Long): String = s"https://example.org/doc/$id"
 
+  // --------------------------------------------- raw crawl (response)
+
+  /** Deterministic RAW-crawl bytes for (id, uri, text) docs: one
+    * `warcinfo` record then one `response` record per doc whose body
+    * is a full HTTP/1.1 envelope (status line + headers + blank
+    * line) around an HTML page wrapping the text — the shape a crawl
+    * lands in BEFORE extraction (WET is its post-extraction twin).
+    * The HTML wrap is LOSSLESS by construction ([[htmlWrap]] escapes
+    * the three markup characters and adds structure-only tags), so
+    * [[extractText]] inverts it exactly and the raw-crawl query can
+    * share the WET query's oracle. */
+  def encodeRawWarc(docs: Seq[(Long, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    def record(headers: Seq[(String, String)], body: Array[Byte]): Unit = {
+      out.write(s"WARC/1.0$CRLF".getBytes("US-ASCII"))
+      headers.foreach { case (k, v) => out.write(s"$k: $v$CRLF".getBytes("US-ASCII")) }
+      out.write(s"Content-Length: ${body.length}$CRLF$CRLF".getBytes("US-ASCII"))
+      out.write(body, 0, body.length)
+      out.write(s"$CRLF$CRLF".getBytes("US-ASCII"))
+    }
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8"))
+    docs.foreach { case (id, uri, text) =>
+      val html = htmlWrap(text).getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK$CRLF" +
+        s"Content-Type: text/html; charset=utf-8$CRLF" +
+        s"Content-Length: ${html.length}$CRLF$CRLF").getBytes("US-ASCII")
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        http ++ html)
+    }
+    out.toByteArray
+  }
+
+  /** Escape `& < >` then wrap in structure-only boilerplate (head,
+    * title, a nav block — the parts an extractor must DROP, not just
+    * strip). Lossless: [[extractText]](htmlWrap(t)) == t for any t. */
+  def htmlWrap(text: String): String = {
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    "<!DOCTYPE html><html><head><title>fixture</title>" +
+      "<style>body { color: #000 }</style>" +
+      "<script>var tracker = '<ignore me>';</script></head>" +
+      "<body><nav><a href=\"/\">home</a></nav>" +
+      s"<article><p>$esc</p></article>" +
+      "<footer>&copy; 2026</footer></body></html>"
+  }
+
+  /** HTML → text, the boilerplate-strip every training pipeline
+    * runs: drops `script`/`style`/`nav`/`footer`/`header`/`aside`
+    * subtrees wholesale, strips remaining tags, decodes the five
+    * standard entities (+ numeric), keeps ONLY `article`/`p` content
+    * — deliberately the conservative content-block heuristic (keep
+    * what is marked as content) rather than a statistical one, so
+    * the transform is deterministic and, on [[htmlWrap]] pages,
+    * exactly inverse. Malformed markup never throws: unclosed tags
+    * consume to end, stray `<` is literal text. */
+  def extractText(html: String): String = {
+    val sb = new StringBuilder
+    val drop = Set("script", "style", "nav", "footer", "header", "aside", "head")
+    val keep = Set("article", "main", "section", "p")
+    var i = 0
+    var keepDepth = 0 // inside at least one keep-marked content block
+    var dropUntil: String = null
+    def tagAt(j: Int): (String, Boolean, Int) = { // (name, isClose, endIdx) or null via name==""
+      var p = j + 1
+      var close = false
+      if (p < html.length && html(p) == '/') { close = true; p += 1 }
+      val start = p
+      while (p < html.length && (html(p).isLetterOrDigit || html(p) == '!' || html(p) == '-')) p += 1
+      val name = html.substring(start, p).toLowerCase
+      while (p < html.length && html(p) != '>') p += 1
+      (name, close, if (p < html.length) p else html.length - 1)
+    }
+    while (i < html.length) {
+      val c = html(i)
+      if (c == '<') {
+        val (name, close, end) = tagAt(i)
+        if (name.isEmpty) { if (keepDepth > 0 && dropUntil == null) sb.append(c); i += 1 }
+        else {
+          if (dropUntil != null) { if (close && name == dropUntil) dropUntil = null }
+          else if (drop.contains(name) && !close) dropUntil = name
+          else if (keep.contains(name)) keepDepth = math.max(0, keepDepth + (if (close) -1 else 1))
+          i = end + 1
+        }
+      } else if (c == '&' && dropUntil == null && keepDepth > 0) {
+        val semi = html.indexOf(';', i)
+        val ent = if (semi > i && semi - i <= 8) html.substring(i + 1, semi) else ""
+        val dec = ent match {
+          case "amp" => "&"; case "lt" => "<"; case "gt" => ">"
+          case "quot" => "\""; case "apos" => "'"
+          case e if e.startsWith("#") =>
+            try new String(Character.toChars(
+              if (e.startsWith("#x") || e.startsWith("#X")) Integer.parseInt(e.substring(2), 16)
+              else Integer.parseInt(e.substring(1))))
+            catch { case _: Exception => null }
+          case _ => null
+        }
+        if (dec != null) { sb.append(dec); i = semi + 1 }
+        else { sb.append(c); i += 1 }
+      } else {
+        if (dropUntil == null && keepDepth > 0) sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** `src_warc_html`: the RAW-crawl twin of [[srcWarcDocs]] — parse
+    * `response` records, skip the HTTP envelope (payload begins
+    * after the header block's blank CRLF line), run [[extractText]]
+    * over the HTML, emit document rows. Shares the WET query's
+    * oracle because the fixture wrap is lossless — divergence in
+    * container framing, HTTP skipping OR extraction is a hash
+    * mismatch. */
+  def srcWarcHtmlDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = rawLakeDir(s, dir)
+    s.read.format("binaryFile").load(lake)
+      .select($"content")
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val rows = try {
+          parseWarcAuto(bytes).iterator
+            .filter(_.headers.get("warc-type").contains("response"))
+            .map { r =>
+              val uri = r.headers.getOrElse("warc-target-uri", "")
+              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+              val body = new String(r.body, "UTF-8")
+              val payloadAt = body.indexOf("\r\n\r\n")
+              val html = if (payloadAt < 0) body else body.substring(payloadAt + 4)
+              (id, uri, extractText(html))
+            }
+            .toVector
+        } catch { case _: Exception => Vector.empty }
+        rows.iterator
+      }
+      .toDF("doc_id", "uri", "text")
+      .select($"doc_id", $"uri", length($"text").cast("long").as("n_chars"), $"text")
+      .orderBy($"doc_id")
+  }
+
+  private val rawLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Raw-crawl staging twin of [[wetLakeDir]]: `response`-record
+    * `.warc.gz` shards under the same local-master guard. */
+  def rawLakeDir(s: SparkSession, dir: String, nShards: Int = 8): String =
+    rawLakeDirs.computeIfAbsent(dir, d => {
+      require(s.sparkContext.isLocal,
+        "rawLakeDir stages fixture files and requires a local master")
+      val out = java.nio.file.Files.createTempDirectory("graft-raw-lake").toString
+      import s.implicits._
+      graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .repartition(nShards, col("doc_id"))
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val docs = it.toSeq.sortBy(_._1)
+          if (docs.nonEmpty) {
+            val shard = org.apache.spark.TaskContext.getPartitionId()
+            val warc = encodeRawWarc(docs.map { case (id, text) => (id, docUri(id), text) })
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"crawl-$shard%05d.warc.gz"),
+              gzipPerRecord(warc))
+            ()
+          }
+        }
+      out
+    })
+
   /** `src_warc`: parse the staged WET shards back into document
     * rows. binaryFile gives one task per shard; record parsing is
     * map-side (flatMap over payloads — the whole-file grain is the
