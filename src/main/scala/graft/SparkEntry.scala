@@ -342,13 +342,24 @@ object SparkEntry {
     // oracle against `documents` rebuilt in DuckDB, so container
     // round-trip divergence is a hash mismatch
     "src_warc" -> ((s, dir) => graft.sources.Warc.srcWarcDocs(s, dir)),
-    // the RAW-crawl twin (r15): `response` records with full HTTP
-    // envelopes and HTML bodies → envelope skip → boilerplate-strip
-    // text extraction — the crawl-to-corpus step itself. The fixture
-    // HTML wrap is lossless, so this shares src_warc's oracle: a
-    // divergence in framing, HTTP skipping or EXTRACTION is a hash
-    // mismatch
+    // the RAW-crawl twin (r15, hardened r16): `response` records with
+    // full HTTP envelopes (identity / chunked / gzip / chunked-around-
+    // gzip entity codings, cycled per doc) and HTML bodies → envelope
+    // DECODE → boilerplate-strip text extraction — the crawl-to-corpus
+    // step itself. The fixture HTML wrap is lossless, so this shares
+    // src_warc's oracle: a divergence in framing, HTTP decoding or
+    // EXTRACTION is a hash mismatch
     "src_warc_html" -> ((s, dir) => graft.sources.Warc.srcWarcHtmlDocs(s, dir)),
+    // WET sink round-trip (r16): the crawl container's WRITE side —
+    // an O9-family sink (one shard file per task after one hash
+    // Exchange, the mr-out-<bucket> layout at crawl grain). A
+    // filtered+transformed corpus (even doc_ids, suffix appended)
+    // goes through writeWetLake and back through the src_warc
+    // ingest; the oracle rebuilds the transform in SQL, so the
+    // write→read loop closes under a full hash oracle — and because
+    // the content differs from the staged fixture lake, the sink
+    // cannot pass by accidentally reading src_warc's files
+    "snk_wet_roundtrip" -> ((s, dir) => graft.sources.Warc.snkWetRoundtrip(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2116,12 +2127,22 @@ object SparkEntry {
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents ORDER BY doc_id""".stripMargin,
       // src_warc_html: the raw-crawl twin SHARES this oracle — the
-      // HTML wrap is lossless, so extraction must invert it exactly
+      // HTML wrap is lossless, so envelope decode (chunked/gzip) and
+      // extraction must invert it exactly
       "src_warc_html" ->
         """SELECT doc_id,
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // snk_wet_roundtrip: the sink carries NON-fixture content (even
+      // doc_ids, a deterministic suffix) — the oracle rebuilds the
+      // transform closed-form, so the write→read loop is hash-gated
+      "snk_wet_roundtrip" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text || chr(10) || '-- sunk') AS BIGINT) AS n_chars,
+          |  text || chr(10) || '-- sunk' AS text
+          |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
       // mm_jpeg_meta: the JPEG fixtures are BLOCK-constant (one value
       // per 8×8 block, cycling the doc's code points in raster
       // order), the profile the full codec round-trips bit-exactly —

@@ -33,35 +33,45 @@ object Warc {
 
   private val CRLF = "\r\n"
 
-  /** Deterministic WET-style bytes for (id, uri, text) docs: one
-    * `warcinfo` record then one `conversion` record per doc, CRLF
-    * headers, Content-Length in BYTES of the UTF-8 body, records
-    * separated by a blank CRLF pair per the spec. */
-  def encodeWet(docs: Seq[(Long, String, String)]): Array[Byte] = {
+  /** Serialize WARC/1.0 records: for each (headers, body), the
+    * version line, the given headers, a byte-exact Content-Length,
+    * the body, and the spec's closing blank CRLF pair. The shared
+    * record grammar under [[encodeWet]] / [[encodeRawWarc]], public
+    * so tests can plant record types the fixture encoders never
+    * emit (`request`/`revisit`/`metadata`, `WARC-Truncated`). */
+  def encodeRecords(records: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
-    def record(headers: Seq[(String, String)], body: Array[Byte]): Unit = {
+    records.foreach { case (headers, body) =>
       out.write(s"WARC/1.0$CRLF".getBytes("US-ASCII"))
       headers.foreach { case (k, v) => out.write(s"$k: $v$CRLF".getBytes("US-ASCII")) }
       out.write(s"Content-Length: ${body.length}$CRLF$CRLF".getBytes("US-ASCII"))
       out.write(body, 0, body.length)
       out.write(s"$CRLF$CRLF".getBytes("US-ASCII"))
     }
+    out.toByteArray
+  }
+
+  /** Deterministic WET-style bytes for (id, uri, text) docs: one
+    * `warcinfo` record then one `conversion` record per doc, CRLF
+    * headers, Content-Length in BYTES of the UTF-8 body, records
+    * separated by a blank CRLF pair per the spec. */
+  def encodeWet(docs: Seq[(Long, String, String)]): Array[Byte] = {
     val info = "software: graft-wet-fixture/1.0\r\nformat: WARC File Format 1.0\r\n"
       .getBytes("UTF-8")
-    record(Seq(
-      "WARC-Type" -> "warcinfo",
-      "WARC-Date" -> "2026-01-01T00:00:00Z",
-      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
-      "Content-Type" -> "application/warc-fields"), info)
-    docs.foreach { case (id, uri, text) =>
-      record(Seq(
-        "WARC-Type" -> "conversion",
-        "WARC-Target-URI" -> uri,
+    encodeRecords(
+      (Seq(
+        "WARC-Type" -> "warcinfo",
         "WARC-Date" -> "2026-01-01T00:00:00Z",
-        "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0000-${id}%012d>",
-        "Content-Type" -> "text/plain"), text.getBytes("UTF-8"))
-    }
-    out.toByteArray
+        "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+        "Content-Type" -> "application/warc-fields") -> info) +:
+      docs.map { case (id, uri, text) =>
+        Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> uri,
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0000-${id}%012d>",
+          "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
+      })
   }
 
   /** `.warc.gz` the way crawls actually ship it: EVERY record its
@@ -177,6 +187,17 @@ object Warc {
     out.toByteArray
   }
 
+  /** Single-member gzip of a whole payload — the HTTP
+    * `Content-Encoding: gzip` body shape (one member per entity,
+    * unlike the per-RECORD members of the container itself). */
+  private def gzipWhole(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b)
+    gz.close()
+    out.toByteArray
+  }
+
   /** Segment-parallel `.warc.gz` decode — the cdx-splittability
     * claim as executed code (the JPEG-restart / FLAC-frame pattern):
     * scan for gzip member magics (1f 8b 08), inflate every candidate
@@ -185,10 +206,14 @@ object Warc {
     * chain-walk from offset 0 keeping exactly the members that tile
     * the file. False candidates (magic bytes inside compressed data)
     * inflate to garbage or fail — either way the chain never visits
-    * them, because member ends are authoritative. Returns null when
-    * the bytes are not a clean member chain (the sequential entry is
-    * the arbiter then). */
-  def parseWarcGzParallel(b: Array[Byte]): Vector[WarcRecord] = {
+    * them, because member ends are authoritative. Falls back to the
+    * strict sequential walk when the bytes are not a clean member
+    * chain, when a magic spray floods the candidate scan, or when
+    * cumulative RETAINED inflated bytes across in-flight candidates
+    * pass `retainedBudget` (the decodeFlacParallel size-bound
+    * precedent — without it, overlapping high-ratio candidates could
+    * hold cands × 1 GiB before the chain walk prunes them). */
+  def parseWarcGzParallel(b: Array[Byte], retainedBudget: Long = 1L << 31): Vector[WarcRecord] = {
     val cands = scala.collection.mutable.ArrayBuffer[Int]()
     var p = 0
     while (p + 2 < b.length) {
@@ -201,7 +226,16 @@ object Warc {
     if (cands.isEmpty || cands.length > (b.length >> 6) + 64) return parseWarcGz(b)
     // (inflated bytes, input bytes consumed) per candidate; null = failed
     val results = new Array[(Array[Byte], Int)](cands.length)
-    def one(i: Int): Unit = results(i) = inflateMember(b, cands(i))
+    // retained-size budget: successful candidates keep their inflated
+    // bytes until the chain walk; failures refund their count. A
+    // budget trip aborts every remaining inflate and defers to the
+    // sequential walk (whose own 2³⁰ ceiling is authoritative).
+    val retained = new java.util.concurrent.atomic.AtomicLong(0)
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def one(i: Int): Unit =
+      results(i) =
+        if (aborted.get) null
+        else inflateMember(b, cands(i), retained, retainedBudget, aborted)
     val idx = new java.util.concurrent.atomic.AtomicInteger(0)
     val nThreads = math.min(Runtime.getRuntime.availableProcessors(), cands.length)
     val threads = Array.tabulate(nThreads) { _ =>
@@ -211,9 +245,11 @@ object Warc {
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    if (aborted.get) return parseWarcGz(b)
     // chain walk: members must tile [0, length) exactly
     val byOffset = cands.zipWithIndex.toMap
-    val out = new java.io.ByteArrayOutputStream(b.length * 2)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 2, 1 << 30).toInt) // clamped hint: *2 overflows Int past 1 GiB
     var pos = 0
     while (pos < b.length) {
       val i = byOffset.getOrElse(pos, -1)
@@ -231,8 +267,16 @@ object Warc {
     * form a complete valid member. Hand-walks the member header
     * (java.util.zip has no single-member cursor API), then raw
     * deflate via Inflater(nowrap), then CRC32+ISIZE trailer
-    * verification — a member that lies about either is rejected. */
-  private def inflateMember(b: Array[Byte], off: Int): (Array[Byte], Int) = {
+    * verification — a member that lies about either is rejected.
+    * Inflated bytes are charged against the caller's shared
+    * `retained` budget as they materialize; a failed candidate
+    * refunds its charge, a budget trip sets `aborted` for every
+    * sibling. */
+  private def inflateMember(b: Array[Byte], off: Int,
+      retained: java.util.concurrent.atomic.AtomicLong, retainedBudget: Long,
+      aborted: java.util.concurrent.atomic.AtomicBoolean): (Array[Byte], Int) = {
+    var charged = 0L
+    def refund(): Null = { retained.addAndGet(-charged); null }
     try {
       if (off + 10 > b.length) return null
       if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
@@ -254,65 +298,113 @@ object Warc {
       val out = new java.io.ByteArrayOutputStream(1 << 12)
       val buf = new Array[Byte](1 << 14)
       while (!inf.finished()) {
+        if (aborted.get) { inf.end(); return refund() }
         val n = inf.inflate(buf)
-        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) { inf.end(); return null }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) { inf.end(); return refund() }
         out.write(buf, 0, n)
-        if (out.size() > (1 << 30)) { inf.end(); return null }
+        charged += n
+        if (retained.addAndGet(n) > retainedBudget) {
+          aborted.set(true); inf.end(); return refund()
+        }
+        if (out.size() > (1 << 30)) { inf.end(); return refund() }
       }
       val consumed = p + (b.length - p - inf.getRemaining)
       inf.end()
       val data = out.toByteArray
-      if (consumed + 8 > b.length) return null
+      if (consumed + 8 > b.length) return refund()
       val crc = new java.util.zip.CRC32()
       crc.update(data)
       def u32(q: Int): Long = (b(q) & 0xffL) | ((b(q + 1) & 0xffL) << 8) |
         ((b(q + 2) & 0xffL) << 16) | ((b(q + 3) & 0xffL) << 24)
-      if (u32(consumed) != crc.getValue) return null
-      if (u32(consumed + 4) != (data.length.toLong & 0xffffffffL)) return null
+      if (u32(consumed) != crc.getValue) return refund()
+      if (u32(consumed + 4) != (data.length.toLong & 0xffffffffL)) return refund()
       (data, consumed + 8 - off)
     } catch {
-      case _: Exception => null
+      case _: Exception => refund()
     }
   }
 
   // ------------------------------------------------------------ query
 
+  /** O9-family crawl-container SINK: write (doc_id, text) rows as a
+    * sharded WET `.warc.gz` lake — per-record gzip members (the
+    * Common Crawl layout), rows routed to `nShards` shard files by
+    * hash(doc_id) and sorted by doc_id inside each shard. One hash
+    * Exchange then a map-side write: each task owns exactly one
+    * shard file, the reference's `mr-out-<bucket>` layout
+    * (worker.go:225-239) at crawl-container grain. Files go through
+    * the Hadoop FileSystem API, so `out` may be any supported
+    * scheme (local path here; HDFS/object store on a cluster — a
+    * production deploy would carry the session's Hadoop conf to the
+    * executors rather than default-constructing one). */
+  def writeWetLake(df: DataFrame, out: String, nShards: Int): Unit = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .repartition(nShards, col("doc_id"))
+      .foreachPartition { (it: Iterator[(Long, String)]) =>
+        // shard file named by PARTITION id (unique by construction —
+        // naming by a doc-derived value could collide two tasks on
+        // one filename and silently overwrite a shard)
+        val docs = it.toSeq.sortBy(_._1)
+        if (docs.nonEmpty) {
+          val shard = org.apache.spark.TaskContext.getPartitionId()
+          val bytes = gzipPerRecord(encodeWet(
+            docs.map { case (id, text) => (id, docUri(id), text) }))
+          val path = new org.apache.hadoop.fs.Path(out, f"wet-$shard%05d.warc.gz")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          fs.setWriteChecksum(false) // a lake of shards, not shards + .crc sidecars
+          val os = fs.create(path, true)
+          try os.write(bytes) finally os.close()
+        }
+      }
+  }
+
   /** Session-scoped staging of the documents table as a sharded WET
-    * crawl: `nShards` `.warc.gz` files (per-record gzip members),
-    * docs routed by doc_id % nShards. Test scaffolding under the
-    * same local-master guard as the media lake — a production crawl
-    * already sits in object storage. */
+    * crawl via [[writeWetLake]]. Test scaffolding under the same
+    * local-master guard as the media lake — a production crawl
+    * already sits in object storage. Cache key includes `nShards`
+    * so two callers asking for different layouts never share a
+    * lake. */
   private val wetLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def wetLakeDir(s: SparkSession, dir: String, nShards: Int = 8): String =
-    wetLakeDirs.computeIfAbsent(dir, d => {
+    wetLakeDirs.computeIfAbsent(s"$dir#$nShards", _ => {
       require(s.sparkContext.isLocal,
         "wetLakeDir stages fixture files and requires a local master; " +
           "production crawls are read directly via srcWarcDocs on their own paths")
       val out = java.nio.file.Files.createTempDirectory("graft-wet-lake").toString
-      import s.implicits._
-      graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .repartition(nShards, col("doc_id"))
-        .foreachPartition { (it: Iterator[(Long, String)]) =>
-          // shard file named by PARTITION id (unique by construction —
-          // naming by a doc-derived value could collide two tasks on
-          // one filename and silently overwrite a shard)
-          val docs = it.toSeq.sortBy(_._1)
-          if (docs.nonEmpty) {
-            val shard = org.apache.spark.TaskContext.getPartitionId()
-            val wet = encodeWet(docs.map { case (id, text) => (id, docUri(id), text) })
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"wet-$shard%05d.warc.gz"),
-              gzipPerRecord(wet))
-            ()
-          }
-        }
+      writeWetLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        out, nShards)
       out
     })
 
   /** The fixture URI rule — mirrored closed-form by the oracle. */
   def docUri(id: Long): String = s"https://example.org/doc/$id"
+
+  /** `snk_wet_roundtrip`: the sink proven on NON-fixture content —
+    * a filtered + transformed corpus (even doc_ids, a deterministic
+    * suffix appended) written through [[writeWetLake]] and read
+    * back through the same ingest as `src_warc`. The oracle rebuilds
+    * the transform in SQL, so a divergence anywhere in
+    * encode→gzip→write→scan→parse is a hash mismatch — and because
+    * the content differs from the staged fixture lake, the sink
+    * cannot pass by accidentally reading `src_warc`'s files. */
+  def snkWetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = wetLakeDirs.computeIfAbsent(s"$dir#snk", _ => {
+      require(s.sparkContext.isLocal,
+        "snkWetRoundtrip stages fixture files and requires a local master")
+      val o = java.nio.file.Files.createTempDirectory("graft-wet-sink").toString
+      writeWetLake(
+        graft.Tables.documents(s, dir)
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), lit("\n-- sunk")).as("text")),
+        o, 4)
+      o
+    })
+    docsFromWarcFiles(s, out)
+  }
 
   // --------------------------------------------- raw crawl (response)
 
@@ -321,36 +413,140 @@ object Warc {
     * is a full HTTP/1.1 envelope (status line + headers + blank
     * line) around an HTML page wrapping the text — the shape a crawl
     * lands in BEFORE extraction (WET is its post-extraction twin).
-    * The HTML wrap is LOSSLESS by construction ([[htmlWrap]] escapes
+    * The entity body cycles the four envelope shapes real crawls
+    * are dominated by, keyed on doc id: identity, chunked
+    * transfer-coding (with a chunk extension and a trailer field —
+    * both legal and both ignored), gzip content-coding, and
+    * chunked-around-gzip (the layering RFC 9112 prescribes:
+    * transfer-coding is removed first, content-coding second). The
+    * HTML wrap is LOSSLESS by construction ([[htmlWrap]] escapes
     * the three markup characters and adds structure-only tags), so
     * [[extractText]] inverts it exactly and the raw-crawl query can
-    * share the WET query's oracle. */
-  def encodeRawWarc(docs: Seq[(Long, String, String)]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(1 << 16)
-    def record(headers: Seq[(String, String)], body: Array[Byte]): Unit = {
-      out.write(s"WARC/1.0$CRLF".getBytes("US-ASCII"))
-      headers.foreach { case (k, v) => out.write(s"$k: $v$CRLF".getBytes("US-ASCII")) }
-      out.write(s"Content-Length: ${body.length}$CRLF$CRLF".getBytes("US-ASCII"))
-      out.write(body, 0, body.length)
-      out.write(s"$CRLF$CRLF".getBytes("US-ASCII"))
-    }
-    record(Seq(
-      "WARC-Type" -> "warcinfo",
-      "WARC-Date" -> "2026-01-01T00:00:00Z",
-      "Content-Type" -> "application/warc-fields"),
-      "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8"))
-    docs.foreach { case (id, uri, text) =>
-      val html = htmlWrap(text).getBytes("UTF-8")
-      val http = (s"HTTP/1.1 200 OK$CRLF" +
-        s"Content-Type: text/html; charset=utf-8$CRLF" +
-        s"Content-Length: ${html.length}$CRLF$CRLF").getBytes("US-ASCII")
-      record(Seq(
-        "WARC-Type" -> "response",
-        "WARC-Target-URI" -> uri,
+    * share the WET query's oracle across ALL envelope shapes. */
+  def encodeRawWarc(docs: Seq[(Long, String, String)]): Array[Byte] =
+    encodeRecords(
+      (Seq(
+        "WARC-Type" -> "warcinfo",
         "WARC-Date" -> "2026-01-01T00:00:00Z",
-        "Content-Type" -> "application/http; msgtype=response"),
-        http ++ html)
+        "Content-Type" -> "application/warc-fields") ->
+        "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8")) +:
+      docs.map { case (id, uri, text) =>
+        val html = htmlWrap(text).getBytes("UTF-8")
+        val (bodyHeaders, entity) = (id % 4) match {
+          case 0 => (s"Content-Length: ${html.length}$CRLF", html)
+          case 1 =>
+            (s"Transfer-Encoding: chunked$CRLF", chunkEncode(html, 13))
+          case 2 =>
+            val gz = gzipWhole(html)
+            (s"Content-Encoding: gzip${CRLF}Content-Length: ${gz.length}$CRLF", gz)
+          case _ =>
+            (s"Content-Encoding: gzip${CRLF}Transfer-Encoding: chunked$CRLF",
+              chunkEncode(gzipWhole(html), 32))
+        }
+        val http = (s"HTTP/1.1 200 OK$CRLF" +
+          s"Content-Type: text/html; charset=utf-8$CRLF" +
+          bodyHeaders + CRLF).getBytes("US-ASCII")
+        Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> uri,
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "Content-Type" -> "application/http; msgtype=response") -> (http ++ entity)
+      })
+
+  /** HTTP/1.1 chunked transfer-coding encoder (fixture side): hex
+    * size lines, `chunkSize`-byte chunks, a chunk extension on the
+    * first chunk and a trailer field after the last — the legal
+    * decorations a strict decoder must ignore. */
+  private def chunkEncode(payload: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 64)
+    var p = 0
+    var first = true
+    while (p < payload.length) {
+      val n = math.min(chunkSize, payload.length - p)
+      val ext = if (first) ";fixture=1" else ""
+      out.write(f"$n%x$ext$CRLF".getBytes("US-ASCII"))
+      out.write(payload, p, n)
+      out.write(CRLF.getBytes("US-ASCII"))
+      p += n
+      first = false
     }
+    out.write(s"0${CRLF}X-Fixture-Trailer: 1$CRLF$CRLF".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Decode an HTTP/1.1 response envelope over raw bytes: split the
+    * head block at the first blank CRLF line, parse the status line
+    * and lower-cased headers, then undo `Transfer-Encoding: chunked`
+    * framing and `Content-Encoding: gzip` compression in that order
+    * (RFC 9112 §6.1: transfer-codings are a message property and come
+    * off first; content-codings are an entity property). Returns
+    * (status code, headers, entity bytes). Throws on malformation —
+    * callers catch at the file boundary (the quarantine contract). */
+  def decodeHttpResponse(body: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
+    var at = -1
+    var p = 0
+    while (at < 0 && p + 3 < body.length) {
+      if (body(p) == '\r' && body(p + 1) == '\n' && body(p + 2) == '\r' && body(p + 3) == '\n')
+        at = p
+      else p += 1
+    }
+    require(at >= 0, "HTTP response has no header/entity blank line")
+    val lines = new String(body, 0, at, "ISO-8859-1").split("\r\n", -1)
+    val status = lines.head.split(" ")
+    require(status.length >= 2 && status(0).startsWith("HTTP/"),
+      s"bad HTTP status line '${lines.head}'")
+    val code = status(1).toInt
+    val headers = lines.tail.map { l =>
+      val c = l.indexOf(':')
+      require(c > 0, s"malformed HTTP header line '$l'")
+      l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
+    }.toMap
+    var entity = java.util.Arrays.copyOfRange(body, at + 4, body.length)
+    if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+      entity = dechunk(entity)
+    if (headers.get("content-encoding").exists(_.toLowerCase == "gzip"))
+      entity = gunzipAll(entity, 1 << 30)
+    (code, headers, entity)
+  }
+
+  /** Undo HTTP/1.1 chunked framing (RFC 9112 §7.1): hex chunk-size
+    * line (extensions after `;` ignored), chunk data, CRLF, repeated;
+    * a zero-size chunk then optional trailer fields then a blank
+    * line terminate. Strict: short chunks, missing CRLFs, bad hex or
+    * trailing bytes all throw; cumulative output is ceiling-bounded
+    * like every other inflate in this file. */
+  def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var p = 0
+    def line(): String = {
+      val s = p
+      while (p + 1 < b.length && !(b(p) == '\r' && b(p + 1) == '\n')) p += 1
+      require(p + 1 < b.length, "unterminated chunk line")
+      val l = new String(b, s, p - s, "ISO-8859-1")
+      p += 2
+      l
+    }
+    var done = false
+    while (!done) {
+      val l = line()
+      val semi = l.indexOf(';')
+      val sizeStr = (if (semi >= 0) l.substring(0, semi) else l).trim
+      val size = Integer.parseInt(sizeStr, 16)
+      require(size >= 0, s"negative chunk size in '$l'")
+      if (size == 0) {
+        var t = line() // zero or more trailer fields, then a blank line
+        while (t.nonEmpty) t = line()
+        done = true
+      } else {
+        require(p + size + 2 <= b.length, "chunk data overruns entity")
+        require(out.size().toLong + size <= (1 << 30), "dechunked size exceeds ceiling")
+        out.write(b, p, size)
+        p += size
+        require(b(p) == '\r' && b(p + 1) == '\n', "chunk data must end with CRLF")
+        p += 2
+      }
+    }
+    require(p == b.length, "trailing bytes after the final chunk")
     out.toByteArray
   }
 
@@ -369,42 +565,113 @@ object Warc {
 
   /** HTML → text, the boilerplate-strip every training pipeline
     * runs: drops `script`/`style`/`nav`/`footer`/`header`/`aside`
-    * subtrees wholesale, strips remaining tags, decodes the five
-    * standard entities (+ numeric), keeps ONLY `article`/`p` content
-    * — deliberately the conservative content-block heuristic (keep
-    * what is marked as content) rather than a statistical one, so
-    * the transform is deterministic and, on [[htmlWrap]] pages,
-    * exactly inverse. Malformed markup never throws: unclosed tags
-    * consume to end, stray `<` is literal text. */
+    * subtrees wholesale (same-name nesting tracked, so an inner
+    * `</nav>` cannot leak the outer nav's tail), strips remaining
+    * tags, decodes the five standard entities (+ numeric), keeps
+    * ONLY `article`/`main`/`section`/`p` content — deliberately the
+    * conservative content-block heuristic (keep what is marked as
+    * content) rather than a statistical one, so the transform is
+    * deterministic and, on [[htmlWrap]] pages, exactly inverse.
+    *
+    * Real-crawl hardening (r16): comments scan to `-->` (a `>`
+    * inside a comment never leaks its tail), CDATA sections skip to
+    * `]]>`, quoted attribute values may contain `>` (the tag-end
+    * scan honors `"`/`'` spans), `script`/`style` are RAWTEXT — only
+    * their own case-insensitive close tag ends them, so markup-like
+    * strings inside code never terminate an enclosing drop early —
+    * self-closing tags touch no depth, an unpaired `<p>` is
+    * implicitly closed by the next `<p>` (the HTML5 rule that keeps
+    * keep-depth from drifting open), and a keep close pops through
+    * any unclosed inner keeps. Malformed markup never throws:
+    * unclosed constructs consume to end of input, stray `<` is
+    * literal text. */
   def extractText(html: String): String = {
     val sb = new StringBuilder
-    val drop = Set("script", "style", "nav", "footer", "header", "aside", "head")
+    val drop = Set("nav", "footer", "header", "aside", "head")
+    val raw = Set("script", "style") // RAWTEXT elements, always dropped
     val keep = Set("article", "main", "section", "p")
+    val keepStack = scala.collection.mutable.ArrayBuffer[String]()
+    var dropName: String = null
+    var dropDepth = 0
     var i = 0
-    var keepDepth = 0 // inside at least one keep-marked content block
-    var dropUntil: String = null
-    def tagAt(j: Int): (String, Boolean, Int) = { // (name, isClose, endIdx) or null via name==""
+    def inText: Boolean = dropName == null && keepStack.nonEmpty
+    // (name, isClose, isSelfClose, index just past '>') — the tag-end
+    // scan skips quoted attribute values, so href="x>y" never
+    // truncates the tag
+    def tagAt(j: Int): (String, Boolean, Boolean, Int) = {
       var p = j + 1
       var close = false
       if (p < html.length && html(p) == '/') { close = true; p += 1 }
       val start = p
       while (p < html.length && (html(p).isLetterOrDigit || html(p) == '!' || html(p) == '-')) p += 1
       val name = html.substring(start, p).toLowerCase
-      while (p < html.length && html(p) != '>') p += 1
-      (name, close, if (p < html.length) p else html.length - 1)
+      var quote: Char = 0
+      var prev: Char = 0
+      while (p < html.length && (quote != 0 || html(p) != '>')) {
+        val c = html(p)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') { quote = c; prev = 0 }
+        else if (!c.isWhitespace) prev = c
+        p += 1
+      }
+      val selfClose = prev == '/'
+      (name, close, selfClose, if (p < html.length) p + 1 else html.length)
+    }
+    // RAWTEXT skip: consume through the matching `</name[\s/>]` close
+    // tag (HTML5's rule — nothing else, including nested-looking
+    // markup in string literals, can end a script/style element)
+    def skipRawText(name: String, from: Int): Int = {
+      var p = from
+      while (p < html.length) {
+        val q = html.indexOf("</", p)
+        if (q < 0) return html.length
+        val e = q + 2 + name.length
+        if (e <= html.length && html.regionMatches(true, q + 2, name, 0, name.length) &&
+            (e == html.length || html(e) == '>' || html(e) == '/' || html(e).isWhitespace)) {
+          var r = e
+          while (r < html.length && html(r) != '>') r += 1
+          return if (r < html.length) r + 1 else html.length
+        }
+        p = q + 2
+      }
+      html.length
     }
     while (i < html.length) {
       val c = html(i)
       if (c == '<') {
-        val (name, close, end) = tagAt(i)
-        if (name.isEmpty) { if (keepDepth > 0 && dropUntil == null) sb.append(c); i += 1 }
-        else {
-          if (dropUntil != null) { if (close && name == dropUntil) dropUntil = null }
-          else if (drop.contains(name) && !close) dropUntil = name
-          else if (keep.contains(name)) keepDepth = math.max(0, keepDepth + (if (close) -1 else 1))
-          i = end + 1
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) html.length else e + 3
+        } else {
+          val (name, close, selfClose, end) = tagAt(i)
+          if (name.isEmpty) { if (inText) sb.append(c); i += 1 }
+          else {
+            i = end
+            if (raw.contains(name) && !close && !selfClose) {
+              i = skipRawText(name, i) // content + close tag consumed; never emitted
+            } else if (dropName != null) {
+              if (name == dropName) {
+                if (close) { dropDepth -= 1; if (dropDepth == 0) dropName = null }
+                else if (!selfClose) dropDepth += 1
+              }
+            } else if (drop.contains(name) && !close && !selfClose) {
+              dropName = name; dropDepth = 1
+            } else if (keep.contains(name)) {
+              if (close) {
+                val at = keepStack.lastIndexOf(name)
+                if (at >= 0) keepStack.remove(at, keepStack.length - at)
+              } else if (!selfClose) {
+                if (name == "p" && keepStack.nonEmpty && keepStack.last == "p")
+                  keepStack.remove(keepStack.length - 1) // implicit </p> before <p>
+                keepStack += name
+              }
+            }
+          }
         }
-      } else if (c == '&' && dropUntil == null && keepDepth > 0) {
+      } else if (c == '&' && inText) {
         val semi = html.indexOf(';', i)
         val ent = if (semi > i && semi - i <= 8) html.substring(i + 1, semi) else ""
         val dec = ent match {
@@ -420,7 +687,7 @@ object Warc {
         if (dec != null) { sb.append(dec); i = semi + 1 }
         else { sb.append(c); i += 1 }
       } else {
-        if (dropUntil == null && keepDepth > 0) sb.append(c)
+        if (inText) sb.append(c)
         i += 1
       }
     }
@@ -428,29 +695,42 @@ object Warc {
   }
 
   /** `src_warc_html`: the RAW-crawl twin of [[srcWarcDocs]] — parse
-    * `response` records, skip the HTTP envelope (payload begins
-    * after the header block's blank CRLF line), run [[extractText]]
-    * over the HTML, emit document rows. Shares the WET query's
-    * oracle because the fixture wrap is lossless — divergence in
-    * container framing, HTTP skipping OR extraction is a hash
-    * mismatch. */
-  def srcWarcHtmlDocs(s: SparkSession, dir: String): DataFrame = {
+    * `response` records, decode the HTTP envelope (status line,
+    * headers, chunked/gzip entity codings — [[decodeHttpResponse]]),
+    * keep 2xx responses only, run [[extractText]] over the HTML,
+    * emit document rows. Shares the WET query's oracle because the
+    * fixture wrap is lossless — divergence in container framing,
+    * HTTP decoding OR extraction is a hash mismatch. */
+  def srcWarcHtmlDocs(s: SparkSession, dir: String): DataFrame =
+    htmlDocsFromWarcFiles(s, rawLakeDir(s, dir))
+
+  /** The raw-crawl ingest body over ANY directory of `.warc`/
+    * `.warc.gz` files — split from [[srcWarcHtmlDocs]] so tests can
+    * point it at hand-staged lakes (corrupt shards, non-200
+    * responses, truncated records, envelope edge cases). */
+  def htmlDocsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
-    val lake = rawLakeDir(s, dir)
     s.read.format("binaryFile").load(lake)
       .select($"content")
       .as[Array[Byte]]
       .flatMap { bytes =>
         val rows = try {
           parseWarcAuto(bytes).iterator
-            .filter(_.headers.get("warc-type").contains("response"))
-            .map { r =>
-              val uri = r.headers.getOrElse("warc-target-uri", "")
-              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-              val body = new String(r.body, "UTF-8")
-              val payloadAt = body.indexOf("\r\n\r\n")
-              val html = if (payloadAt < 0) body else body.substring(payloadAt + 4)
-              (id, uri, extractText(html))
+            .filter(r => r.headers.get("warc-type").contains("response") &&
+              !r.headers.contains("warc-truncated")) // a cut-short body is not a document
+            .flatMap { r =>
+              // RECORD-level totality: real crawls carry occasional
+              // malformed envelopes — one must not cost its whole
+              // shard (file-level quarantine stays for CONTAINER
+              // malformation, via the outer catch)
+              try {
+                val uri = r.headers.getOrElse("warc-target-uri", "")
+                val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+                val (status, _, entity) = decodeHttpResponse(r.body)
+                // a 404 next to a 200 must not cost the 200 either
+                if (status < 200 || status > 299) Iterator.empty
+                else Iterator.single((id, uri, extractText(new String(entity, "UTF-8"))))
+              } catch { case _: Exception => Iterator.empty }
             }
             .toVector
         } catch { case _: Exception => Vector.empty }
@@ -464,14 +744,15 @@ object Warc {
   private val rawLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Raw-crawl staging twin of [[wetLakeDir]]: `response`-record
-    * `.warc.gz` shards under the same local-master guard. */
+    * `.warc.gz` shards under the same local-master guard. Cache key
+    * includes `nShards` (the wetLakeDir rule). */
   def rawLakeDir(s: SparkSession, dir: String, nShards: Int = 8): String =
-    rawLakeDirs.computeIfAbsent(dir, d => {
+    rawLakeDirs.computeIfAbsent(s"$dir#$nShards", _ => {
       require(s.sparkContext.isLocal,
         "rawLakeDir stages fixture files and requires a local master")
       val out = java.nio.file.Files.createTempDirectory("graft-raw-lake").toString
       import s.implicits._
-      graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .repartition(nShards, col("doc_id"))
         .foreachPartition { (it: Iterator[(Long, String)]) =>
@@ -503,7 +784,10 @@ object Warc {
 
   /** The ingest body over ANY directory of `.warc`/`.warc.gz` files —
     * split from [[srcWarcDocs]] so tests can point it at hand-staged
-    * lakes (corrupt shards, plain-WARC shards). */
+    * lakes (corrupt shards, plain-WARC shards, mixed record types).
+    * Non-`conversion` records (`request`/`response`/`revisit`/
+    * `metadata`) and records flagged `WARC-Truncated` (a cut-short
+    * body is not a document) filter out record-level. */
   def docsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
     s.read.format("binaryFile").load(lake)
@@ -515,7 +799,8 @@ object Warc {
         // clean parse would still kill the task otherwise
         val rows = try {
           parseWarcAuto(bytes).iterator
-            .filter(_.headers.get("warc-type").contains("conversion"))
+            .filter(r => r.headers.get("warc-type").contains("conversion") &&
+              !r.headers.contains("warc-truncated"))
             .map { r =>
               val uri = r.headers.getOrElse("warc-target-uri", "")
               val id = uri.substring(uri.lastIndexOf('/') + 1).toLong

@@ -543,4 +543,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("isFinalPlan=true"), p)
     assert(p.contains("*("), p)
   }
+
+  test("WARC family: one binaryFile scan, map-side parse, the only Exchange is the contractual sort") {
+    // the crawl grain is the shard file: binaryFile gives one task per
+    // shard, the whole parse/decode/extract chain is a flatMap inside
+    // that task, and nothing shuffles until the contractual ORDER BY —
+    // the shape that holds at CC scale (one ~1 GB shard per task,
+    // nothing driver-side grows with corpus size)
+    Seq(
+      "src_warc" -> graft.sources.Warc.srcWarcDocs(spark, sfDir),
+      "src_warc_html" -> graft.sources.Warc.srcWarcHtmlDocs(spark, sfDir),
+      "snk_wet_roundtrip" -> graft.sources.Warc.snkWetRoundtrip(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("binaryFile"), s"$name must scan through binaryFile: $p")
+      assert(!p.contains("Join"), s"$name must not join")
+      assert("Exchange".r.findAllIn(p).size == 1, s"$name: only the ORDER BY may shuffle")
+      assert(p.contains("rangepartitioning"), s"$name: the one Exchange is the contractual sort")
+    }
+  }
 }

@@ -356,4 +356,190 @@ class SourcesSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 7L && rows.head.getString(3) == "good text",
       "corrupt shard must quarantine to zero rows, good shard must survive")
   }
+
+  test("src_warc_html: lossless extractor inverse; all four HTTP envelope shapes decode; raw lake ingests row-identically") {
+    import graft.sources.Warc
+    // the inverse property extractText(htmlWrap(t)) == t over adversarial
+    // text: entities, edge chars, CRLF, empty, 70 kB (r15 verdict #2)
+    val texts = Seq(
+      "", "&", "&amp;", "a&<>b", "&#65;", "&notanentity;", "a&#;b", "&#xZZ;x",
+      "line\nbreaks\r\nCRLF stay body", "quote\"and'apos", "tag <p> inside & text > here",
+      "döc — ☃ unicode", "trailing &", "x" * 70000)
+    texts.foreach { t =>
+      assert(Warc.extractText(Warc.htmlWrap(t)) == t, s"inverse failed for '${t.take(40)}'")
+    }
+    // encodeRawWarc parse-back across the envelope cycle: ids 0..3 hit
+    // identity / chunked / gzip / chunked-around-gzip
+    val docs = (0L to 3L).map(id =>
+      (id, Warc.docUri(id), (s"body $id — payload text " * 20) + "end"))
+    val recs = Warc.parseWarc(Warc.encodeRawWarc(docs))
+    assert(recs.head.headers("warc-type") == "warcinfo")
+    recs.tail.zip(docs).foreach { case (r, (id, uri, text)) =>
+      assert(r.headers("warc-type") == "response")
+      val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
+      assert(status == 200)
+      if (id % 4 == 1 || id % 4 == 3) assert(hh("transfer-encoding") == "chunked", uri)
+      if (id % 4 == 2 || id % 4 == 3) assert(hh("content-encoding") == "gzip", uri)
+      assert(Warc.extractText(new String(entity, "UTF-8")) == text, uri)
+    }
+    // the registry query itself: row-identical to documents across every
+    // envelope arm the staged lake cycles
+    val via = Warc.srcWarcHtmlDocs(spark, sfDir).collect()
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(via.length == direct.length)
+    via.zip(direct).foreach { case (w, d) =>
+      assert(w.getLong(0) == d.getLong(0))
+      assert(w.getString(1) == Warc.docUri(d.getLong(0)))
+      assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
+    }
+    val shards = new java.io.File(Warc.rawLakeDir(spark, sfDir)).list().toSeq
+    assert(shards.nonEmpty && shards.forall(_.endsWith(".warc.gz")), shards.toString)
+  }
+
+  test("extractText hardening: comments, CDATA, quoted attrs, RAWTEXT, same-name nesting, self-close, implicit </p>") {
+    import graft.sources.Warc.extractText
+    // a '>' inside a comment must not leak the comment tail (the r15
+    // verdict's exact finding: comments were consumed to the first '>')
+    assert(extractText("<article><p>a<!-- x > y -->b</p></article>") == "ab")
+    // unclosed comment consumes to end: no crash, no leak
+    assert(extractText("<article><p>a</p><!-- never closed >") == "a")
+    // CDATA skipped wholesale
+    assert(extractText("<article><p>a<![CDATA[ raw <>&stuff ]]>b</p></article>") == "ab")
+    // quoted attribute values may contain '>' without truncating the tag
+    assert(extractText("<article><p><a href=\"x>y\" title='p>q'>link</a>text</p></article>")
+      == "linktext")
+    // same-name nested drop: the inner </nav> must not reopen the outer tail
+    assert(extractText("<article><p>a</p><nav>x<nav>y</nav>z</nav><p>b</p></article>") == "ab")
+    // RAWTEXT: markup-like strings inside script/style never end the element early
+    assert(extractText("<article><p>a<script>var s=\"</p>fake\";</script>b</p></article>") == "ab")
+    assert(extractText("<article><p>a<style>p::before{content:\"</p>\"}</style>b</p></article>")
+      == "ab")
+    assert(extractText("<article><p>a<SCRIPT>x</SCRIPT>b</p></article>") == "ab") // case-insensitive close
+    // self-closing keep leaves no depth open: trailing boilerplate stays out
+    assert(extractText("<article><p>a</p><section/></article>after") == "a")
+    // implicit </p>: the next <p> closes the previous one; the article
+    // close pops through both without drifting keep-depth open
+    assert(extractText("<article><p>one<p>two</article>after") == "onetwo")
+    // void elements inside keep content
+    assert(extractText("<article><p>a<br>b<br/>c</p></article>") == "abc")
+    // unclosed keep tag consumes to end without throwing
+    assert(extractText("<article><p>tail<span") == "tail")
+    // stray '<' is literal text inside keep content
+    assert(extractText("<article><p>1 < 2 > 0</p></article>") == "1 < 2 > 0")
+    // a self-closed drop tag must not swallow following content
+    assert(extractText("<article><header/><p>kept</p></article>") == "kept")
+  }
+
+  test("HTTP envelope decode is strict: chunked framing, trailers, malformation rejections, budgeted parallel fallback") {
+    import graft.sources.Warc
+    // hand-built chunked body: extension on the first chunk, a trailer
+    // field after the last — both legal, both ignored
+    val chunked = "8;ext=v\r\n01234567\r\n8\r\n89abcdef\r\n0\r\nX-T: 1\r\n\r\n".getBytes("US-ASCII")
+    assert(Warc.dechunk(chunked).sameElements("0123456789abcdef".getBytes("US-ASCII")))
+    intercept[Exception] { Warc.dechunk("g\r\nx\r\n0\r\n\r\n".getBytes("US-ASCII")) } // bad hex
+    intercept[Exception] { Warc.dechunk("1\r\nxY\r\n0\r\n\r\n".getBytes("US-ASCII")) } // missing CRLF after data
+    intercept[Exception] { Warc.dechunk("1\r\nx\r\n0\r\n\r\nEXTRA".getBytes("US-ASCII")) } // trailing bytes
+    intercept[Exception] { Warc.dechunk("1\r\nx\r\n".getBytes("US-ASCII")) } // no terminal chunk
+    intercept[Exception] { Warc.dechunk("5\r\nx\r\n0\r\n\r\n".getBytes("US-ASCII")) } // chunk overruns entity
+    // decodeHttpResponse rejects an envelope with no blank line
+    intercept[Exception] {
+      Warc.decodeHttpResponse("HTTP/1.1 200 OK\r\nContent-Type: text/html".getBytes("US-ASCII"))
+    }
+    intercept[Exception] { // non-HTTP status line
+      Warc.decodeHttpResponse("NOTHTTP\r\n\r\nbody".getBytes("US-ASCII"))
+    }
+    // retained-size budget (ADVICE r15): a tiny budget aborts the
+    // parallel member inflation and defers to the sequential walk,
+    // with identical results — the decodeFlacParallel size-bound
+    // precedent applied to the crawl container
+    val wet = Warc.encodeWet(Seq((1L, Warc.docUri(1), "z" * 5000)))
+    val gz = Warc.gzipPerRecord(wet)
+    val seqRecs = Warc.parseWarcGz(gz)
+    val small = Warc.parseWarcGzParallel(gz, retainedBudget = 64)
+    assert(small.map(r => new String(r.body, "UTF-8")) ==
+      seqRecs.map(r => new String(r.body, "UTF-8")), "budget trip must fall back, not fail")
+  }
+
+  test("WARC record-type breadth: request/revisit/metadata filter; WARC-Truncated and non-200 skip record-level; corrupt shards quarantine") {
+    import graft.sources.Warc
+    def conv(id: Long, text: String, extra: Seq[(String, String)] = Nil) =
+      (Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> Warc.docUri(id),
+        "WARC-Date" -> "2026-01-01T00:00:00Z", "Content-Type" -> "text/plain") ++ extra) ->
+        text.getBytes("UTF-8")
+    // ---- WET path: a mixed-type shard — only intact conversions emit ----
+    val mixed = Warc.encodeRecords(Seq(
+      Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields") ->
+        "x\r\n".getBytes("UTF-8"),
+      conv(1L, "first"),
+      Seq("WARC-Type" -> "request", "WARC-Target-URI" -> Warc.docUri(1)) ->
+        "GET / HTTP/1.1\r\nHost: example.org\r\n\r\n".getBytes("US-ASCII"),
+      Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> Warc.docUri(5)) -> Array.empty[Byte],
+      Seq("WARC-Type" -> "metadata", "WARC-Target-URI" -> Warc.docUri(1)) ->
+        "fetchTimeMs: 7\r\n".getBytes("US-ASCII"),
+      conv(2L, "cut sho", extra = Seq("WARC-Truncated" -> "length")),
+      conv(3L, "third")))
+    val wetDir = java.nio.file.Files.createTempDirectory("graft-warc-mixed-types").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(wetDir, "wet-00000.warc.gz"),
+      Warc.gzipPerRecord(mixed))
+    val rows = Warc.docsFromWarcFiles(spark, wetDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "only intact conversion records may emit documents")
+    assert(rows.map(_.getString(3)).toSeq == Seq("first", "third"))
+    // ---- raw path: 404, truncated, request, malformed-envelope records
+    // all skip RECORD-level; the good 200s in the same shard survive;
+    // a wholly corrupt sibling shard quarantines FILE-level ----
+    def resp(id: Long, status: String, body: Array[Byte], extra: Seq[(String, String)] = Nil) = {
+      val http = (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> Warc.docUri(id),
+        "Content-Type" -> "application/http; msgtype=response") ++ extra) -> (http ++ body)
+    }
+    val raw = Warc.encodeRecords(Seq(
+      resp(1L, "200 OK", Warc.htmlWrap("good page").getBytes("UTF-8")),
+      resp(2L, "404 Not Found", Warc.htmlWrap("not found").getBytes("UTF-8")),
+      resp(3L, "200 OK", Warc.htmlWrap("cut").getBytes("UTF-8").take(10),
+        extra = Seq("WARC-Truncated" -> "length")),
+      Seq("WARC-Type" -> "request", "WARC-Target-URI" -> Warc.docUri(1)) ->
+        "GET / HTTP/1.1\r\n\r\n".getBytes("US-ASCII"),
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> Warc.docUri(4),
+        "Content-Type" -> "application/http; msgtype=response") ->
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html".getBytes("US-ASCII")), // no blank line
+      resp(6L, "200 OK", Warc.htmlWrap("second good").getBytes("UTF-8"))))
+    val rawDir = java.nio.file.Files.createTempDirectory("graft-raw-mixed").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "crawl-00000.warc.gz"),
+      Warc.gzipPerRecord(raw))
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "crawl-00001.warc.gz"),
+      Array.tabulate[Byte](256)(i => (i * 37).toByte))
+    val got = Warc.htmlDocsFromWarcFiles(spark, rawDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 6L),
+      "non-200 / truncated / malformed-envelope records must skip without costing their shard")
+    assert(got.map(_.getString(3)).toSeq == Seq("good page", "second good"))
+  }
+
+  test("snk_wet_roundtrip: the WET sink writes per-record-gzip shards that round-trip arbitrary content") {
+    import graft.sources.Warc
+    val out = java.nio.file.Files.createTempDirectory("graft-snk-spec").toString
+    val df = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma & <delta>"))
+      .toDF("doc_id", "text")
+    Warc.writeWetLake(df, out, 2)
+    val files = new java.io.File(out).list().toSeq
+    assert(files.nonEmpty && files.forall(f => f.startsWith("wet-") && f.endsWith(".warc.gz")),
+      files.toString)
+    val back = Warc.docsFromWarcFiles(spark, out).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma & <delta>")),
+      "sink output must round-trip through the src_warc ingest")
+    // the registry query: even-doc_id filter + suffix transform carried
+    // end-to-end through encode -> gzip -> write -> scan -> parse
+    val snk = Warc.snkWetRoundtrip(spark, sfDir).collect()
+    val expect = Tables.documents(spark, sfDir).filter($"doc_id" % 2 === 0)
+      .select($"doc_id", concat($"text", lit("\n-- sunk")).as("text"))
+      .orderBy($"doc_id").collect()
+    assert(snk.length == expect.length && snk.nonEmpty)
+    snk.zip(expect).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      assert(g.getString(3) == e.getString(1), s"sunk text for doc ${e.getLong(0)}")
+    }
+  }
 }
