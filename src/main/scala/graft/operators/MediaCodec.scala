@@ -1083,27 +1083,29 @@ object MediaCodec extends Serializable {
     * extension is parsed for transparency and disposal; comment /
     * plain-text / application and unknown labels are skipped via the
     * self-describing sub-block walk the spec designed for exactly
-    * that), FULL-FRAME images (a local color table overrides the
-    * GCT; the four-pass interlace is de-scattered), general LZW
-    * (code growth 9→12 bits, the KwKwK first-char case, deferred
+    * that), sub-screen/offset images under full disposal-aware BOX
+    * COMPOSITION (r16; a local color table overrides the GCT; the
+    * four-pass interlace is de-scattered WITHIN the box), general
+    * LZW (code growth 9→12 bits, the KwKwK first-char case, deferred
     * clear when the table fills), then the trailer with nothing
-    * after it. ONE image decodes to [[ImageMedia]]; an ANIMATION
-    * (two or more) decodes to [[VideoMedia]] under the replace
-    * semantics the full-frame rule makes exact: every frame covers
-    * the whole screen, disposal 0/1 (unspecified / do-not-dispose)
-    * is accepted, and a frame's transparent pixels show the
-    * COMPOSITED previous frame — the only cross-frame state. Frames
-    * convert to C444 Y/Cb/Cr planes (the Y4M plane layout) through
-    * the SAME 1/65536 fixed-point BT.601 the JPEG encoder uses, so
-    * downstream video consumers (hash, resize-to-Y4M, frame
-    * sampling) see one color space. First-frame transparent pixels
-    * composite to WHITE — the a=0 case of the PNG alpha contract,
-    * so the two formats' transparency hashes agree by construction.
-    * Honest rejections: partial-frame placement (offset or
-    * sub-screen images need box-composition semantics this operator
-    * does not define), disposal 2/3 on a frame another frame
-    * follows (restore-to-background/previous likewise), a missing
-    * color table, an out-of-range pixel index, a code beyond the
+    * after it. The decoder maintains the logical SCREEN as a
+    * composited canvas, white-initialized (the a=0 case of the PNG
+    * alpha contract): each frame paints its non-transparent box
+    * pixels over the canvas, the DISPLAYED state is emitted, then
+    * the frame's disposal mutates what the NEXT frame composites
+    * against — 0/1 keep the canvas, 2 (restore-to-background)
+    * clears the frame's rect back to the white base (the practical
+    * renderer consensus), 3 (restore-to-previous) reverts the
+    * canvas to its pre-paint state. ONE image decodes to
+    * [[ImageMedia]] at SCREEN dims (a sub-screen single image sits
+    * in a white canvas); an ANIMATION (two or more) decodes to
+    * [[VideoMedia]]. Frames convert to C444 Y/Cb/Cr planes (the Y4M
+    * plane layout) through the SAME 1/65536 fixed-point BT.601 the
+    * JPEG encoder uses, so downstream video consumers (hash,
+    * resize-to-Y4M, frame sampling) see one color space.
+    * Honest rejections: a box that does not fit the logical screen,
+    * disposal 4..7 (undefined by GIF89a §23), a missing color
+    * table, an out-of-range pixel index, a code beyond the
     * table, a missing EOI, data after EOI, trailing bytes after the
     * trailer, and an animation whose decoded planes would exceed
     * the 2²⁸ output ceiling (the FLAC precedent — a few KB of
@@ -1124,8 +1126,11 @@ object MediaCodec extends Serializable {
     }
     var transparentIdx = -1; var gcePending = false
     var pendingDisposal = 0 // from the GCE governing the NEXT frame
-    var prevDisposal = 0    // disposal recorded with the LAST frame
-    var canvas: Array[Byte] = null // composited 3·sw·sh RGB state
+    // composited 3·sw·sh RGB working state — the logical SCREEN, not
+    // the frame: sub-screen frames paint their box into it, disposal
+    // decides what the NEXT frame composites against. White-initialized
+    // at the first frame (the a=0 case of the PNG alpha contract).
+    var canvas: Array[Byte] = null
     val rgbFrames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     while (true) {
       if (pos >= b.length) return UnknownMedia(b.length)
@@ -1137,12 +1142,13 @@ object MediaCodec extends Serializable {
           if (label == 0xf9) {
             // graphic control: exactly one 4-byte sub-block, at most
             // one per graphic block (spec §23), before the image it
-            // governs
+            // governs; disposal 4..7 are undefined by GIF89a §23
             if (gcePending || pos + 6 > b.length ||
                 (b(pos) & 0xff) != 4 || (b(pos + 5) & 0xff) != 0)
               return UnknownMedia(b.length)
             gcePending = true
             pendingDisposal = (b(pos + 1) >> 2) & 7
+            if (pendingDisposal > 3) return UnknownMedia(b.length)
             if ((b(pos + 1) & 1) != 0) transparentIdx = b(pos + 4) & 0xff
             pos += 6
           } else {
@@ -1156,11 +1162,6 @@ object MediaCodec extends Serializable {
             }
           }
         case 0x2c => // image descriptor
-          // a FOLLOWING frame retroactively requires the previous
-          // frame's disposal to be replace-compatible (0/1) — for the
-          // LAST frame disposal is render-irrelevant, so it is
-          // checked here, not at its own GCE
-          if (canvas != null && prevDisposal > 1) return UnknownMedia(b.length)
           // output ceiling across the animation (the FLAC precedent):
           // decoded planes, not input bytes, are what a crafted
           // constant-color stream inflates
@@ -1170,8 +1171,8 @@ object MediaCodec extends Serializable {
           val left = getShortLE(b, pos + 1); val top = getShortLE(b, pos + 3)
           val iw = getShortLE(b, pos + 5); val ih = getShortLE(b, pos + 7)
           val ip = b(pos + 9) & 0xff
-          if (left != 0 || top != 0 || iw != sw || ih != sh)
-            return UnknownMedia(b.length) // partial frame: composition semantics undefined here
+          if (iw <= 0 || ih <= 0 || left + iw > sw || top + ih > sh)
+            return UnknownMedia(b.length) // the box must fit the logical screen
           val interlaced = (ip & 0x40) != 0
           pos += 10
           var pal = gct; var palEntries = gctEntries
@@ -1199,35 +1200,52 @@ object MediaCodec extends Serializable {
           }
           val idx = gifLzwDecode(buf.toByteArray, mcs, iw * ih, palEntries)
           if (idx == null) return UnknownMedia(b.length)
-          // indices → RGB, de-scattering interlaced row order and
-          // compositing the transparent index to the previous frame
-          // (first frame: white — the a=0 alpha contract)
-          val rgb = new Array[Byte](3 * iw * ih)
+          if (canvas == null) {
+            canvas = new Array[Byte](3 * sw * sh)
+            java.util.Arrays.fill(canvas, -1: Byte) // white base, the a=0 contract
+          }
+          val disposal = if (gcePending) pendingDisposal else 0
+          // restore-to-previous needs the pre-paint canvas back after
+          // this frame displays
+          val before = if (disposal == 3) canvas.clone else null
+          // paint the box: non-transparent pixels over the canvas,
+          // de-scattering interlaced row order WITHIN the box;
+          // transparent pixels leave the canvas showing through
           val rows = if (interlaced) gifInterlaceRows(ih) else null
           var k = 0
           while (k < ih) {
-            val dstRow = if (rows == null) k else rows(k)
+            val dstRow = top + (if (rows == null) k else rows(k))
             var x = 0
             while (x < iw) {
               val v = idx(k * iw + x) & 0xff
-              val d = (dstRow * iw + x) * 3
-              if (v == transparentIdx) {
-                if (canvas == null) { rgb(d) = -1; rgb(d + 1) = -1; rgb(d + 2) = -1 }
-                else { rgb(d) = canvas(d); rgb(d + 1) = canvas(d + 1); rgb(d + 2) = canvas(d + 2) }
-              } else {
-                rgb(d) = pal(3 * v); rgb(d + 1) = pal(3 * v + 1); rgb(d + 2) = pal(3 * v + 2)
+              if (v != transparentIdx) {
+                val d = (dstRow * sw + left + x) * 3
+                canvas(d) = pal(3 * v); canvas(d + 1) = pal(3 * v + 1); canvas(d + 2) = pal(3 * v + 2)
               }
               x += 1
             }
             k += 1
           }
-          canvas = rgb
-          rgbFrames += rgb
-          prevDisposal = if (gcePending) pendingDisposal else 0
+          // the DISPLAYED state is the canvas after this frame paints;
+          // disposal mutates only what the NEXT frame composites against
+          rgbFrames += canvas.clone
+          disposal match {
+            case 0 | 1 => () // unspecified / do-not-dispose: keep
+            case 2 => // restore-to-background: the frame's rect clears
+              // to the transparent base (white under the a=0 contract —
+              // the practical renderer consensus for disposal 2)
+              var y = top
+              while (y < top + ih) {
+                java.util.Arrays.fill(canvas, (y * sw + left) * 3,
+                  (y * sw + left + iw) * 3, -1: Byte)
+                y += 1
+              }
+            case _ => canvas = before // 3: restore-to-previous
+          }
           gcePending = false; pendingDisposal = 0; transparentIdx = -1
         case 0x3b => // trailer
-          if (canvas == null || pos + 1 != b.length) return UnknownMedia(b.length)
-          if (rgbFrames.length == 1) return ImageMedia(sw, sh, "gif", canvas)
+          if (rgbFrames.isEmpty || pos + 1 != b.length) return UnknownMedia(b.length)
+          if (rgbFrames.length == 1) return ImageMedia(sw, sh, "gif", rgbFrames.head)
           return VideoMedia(sw, sh, rgbFrames.map(rgbFrameToYuvPlanes(sw, sh, _)).toArray)
         case _ => return UnknownMedia(b.length)
       }

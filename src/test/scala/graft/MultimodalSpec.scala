@@ -2663,7 +2663,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("GIF strictness: animation, partial frames, LZW malformations and trailing bytes reject") {
+  test("GIF strictness: undefined disposal, out-of-bounds boxes, LZW malformations and trailing bytes reject") {
     import GifBuild._
     val gct256 = Multimodal.palettePlte
     def rejects(bytes: Array[Byte], tag: String): Unit =
@@ -2672,19 +2672,19 @@ class MultimodalSpec extends SparkSpec {
     val good = simple(6, 4, gct256, 7, 8, px)
     assert(MediaCodec.decode(good).isInstanceOf[MediaCodec.ImageMedia], "baseline sanity")
 
-    // animation is ACCEPTED (VideoMedia — its own test below), but
-    // only under replace semantics: disposal 2/3 on a frame another
-    // frame follows needs background/previous restoration
-    for (disposal <- Seq(2, 3)) {
+    // disposal 4..7 are undefined by GIF89a §23 — reject at the GCE
+    // (disposal 2/3 are REAL semantics since r16's box composition —
+    // covered in their own test below)
+    for (disposal <- Seq(4, 5, 6, 7)) {
       val g = new GB
       header(g, 6, 4, gct256, 7)
       gce(g, disposal << 2, 0)
       image(g, 0, 0, 6, 4, 8, lzw(px, 8))
       image(g, 0, 0, 6, 4, 8, lzw(px, 8))
       g.b(0x3b)
-      rejects(g.bytes, s"disposal $disposal before a following frame")
+      rejects(g.bytes, s"undefined disposal $disposal")
     }
-    // …but on the LAST frame disposal is render-irrelevant: accept
+    // disposal on the LAST frame is render-irrelevant: accept 2 there
     locally {
       val g = new GB
       header(g, 6, 4, gct256, 7)
@@ -2709,21 +2709,21 @@ class MultimodalSpec extends SparkSpec {
       g.b(0x3b)
       rejects(g.bytes, "animation output ceiling")
     }
-    // partial frames: offset or sub-screen placement needs disposal
-    // semantics this decoder does not define
+    // sub-screen placement is composed since r16, but the box must
+    // FIT the logical screen
     locally {
       val g = new GB
       header(g, 6, 4, gct256, 7)
-      image(g, 1, 0, 5, 4, 8, lzw(px.take(20), 8))
+      image(g, 3, 0, 5, 4, 8, lzw(px.take(20), 8))
       g.b(0x3b)
-      rejects(g.bytes, "offset frame")
+      rejects(g.bytes, "box past the right edge")
     }
     locally {
       val g = new GB
       header(g, 6, 4, gct256, 7)
-      image(g, 0, 0, 6, 3, 8, lzw(px.take(18), 8))
+      image(g, 0, 2, 6, 3, 8, lzw(px.take(18), 8))
       g.b(0x3b)
-      rejects(g.bytes, "sub-screen frame")
+      rejects(g.bytes, "box past the bottom edge")
     }
     // no color table anywhere
     locally {
@@ -2817,6 +2817,108 @@ class MultimodalSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       MediaCodec.encodeGif(2, 1, Array[Byte](0, 1), gct256.take(765))
+    }
+  }
+
+  test("GIF box composition: sub-screen frames paint the canvas; disposal 2/3 restore; interlace de-scatters within the box") {
+    import GifBuild._
+    val gct256 = Multimodal.palettePlte
+    def rgbOf(v: Int): Array[Byte] =
+      Array(gct256(3 * v), gct256(3 * v + 1), gct256(3 * v + 2))
+    val W: Array[Byte] = Array(-1, -1, -1) // the white canvas base (a=0 contract)
+    // independent recompute of the published fixed-point BT.601 over a
+    // composed RGB canvas (the animated-GIF test's helper, RGB-direct)
+    def yuvOfRgb(rgb: Array[Byte]): Array[Byte] = {
+      val n = rgb.length / 3
+      val out = new Array[Byte](3 * n)
+      for (i <- 0 until n) {
+        val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val bl = rgb(3 * i + 2) & 0xff
+        val y = (19595 * r + 38470 * g + 7471 * bl + 32768) >> 16
+        val cb = 128 + ((-11059 * r - 21709 * g + 32768 * bl + 32768) >> 16)
+        val cr = 128 + ((32768 * r - 27439 * g - 5329 * bl + 32768) >> 16)
+        out(i) = math.min(255, math.max(0, y)).toByte
+        out(n + i) = math.min(255, math.max(0, cb)).toByte
+        out(2 * n + i) = math.min(255, math.max(0, cr)).toByte
+      }
+      out
+    }
+
+    // ---- a single sub-screen image composes onto the white base and
+    // reports SCREEN dims ----
+    locally {
+      val g = new GB
+      header(g, 4, 2, gct256, 7)
+      image(g, 1, 1, 2, 1, 8, lzw(Array[Byte](5, 6), 8))
+      g.b(0x3b)
+      MediaCodec.decode(g.bytes) match {
+        case MediaCodec.ImageMedia(w, h, fmt, rgb) =>
+          assert(w == 4 && h == 2 && fmt == "gif")
+          val want = Array.concat(W, W, W, W, W, rgbOf(5), rgbOf(6), W)
+          assert(java.util.Arrays.equals(rgb, want),
+            "offset single image must sit in a white canvas at screen dims")
+        case other => fail(s"$other")
+      }
+    }
+
+    // ---- animation on a 3×1 screen: full base, a disposal-2 box, a
+    // disposal-3 box, then an all-transparent full frame. Each emitted
+    // frame is the canvas AFTER its paint; each disposal decides what
+    // the NEXT frame composites against:
+    //   F1 paints [1 2 3]              → emit [1 2 3]
+    //   F2 paints box@1 (7)            → emit [1 7 3]; disposal 2 clears the box → canvas [1 W 3]
+    //   F3 paints box@0 (9)            → emit [9 W 3]; disposal 3 restores       → canvas [1 W 3]
+    //   F4 all-transparent             → emit [1 W 3]
+    locally {
+      val g = new GB
+      header(g, 3, 1, gct256, 7)
+      image(g, 0, 0, 3, 1, 8, lzw(Array[Byte](1, 2, 3), 8))
+      gce(g, 2 << 2, 0)
+      image(g, 1, 0, 1, 1, 8, lzw(Array[Byte](7), 8))
+      gce(g, 3 << 2, 0)
+      image(g, 0, 0, 1, 1, 8, lzw(Array[Byte](9), 8))
+      gce(g, 1, 0) // transparency flag, index 0
+      image(g, 0, 0, 3, 1, 8, lzw(Array[Byte](0, 0, 0), 8))
+      g.b(0x3b)
+      val want = Seq(
+        Array.concat(rgbOf(1), rgbOf(2), rgbOf(3)),
+        Array.concat(rgbOf(1), rgbOf(7), rgbOf(3)),
+        Array.concat(rgbOf(9), W, rgbOf(3)),
+        Array.concat(rgbOf(1), W, rgbOf(3)))
+      MediaCodec.decode(g.bytes) match {
+        case MediaCodec.VideoMedia(w, h, frames) =>
+          assert(w == 3 && h == 1 && frames.length == 4)
+          want.zipWithIndex.foreach { case (rgb, i) =>
+            assert(java.util.Arrays.equals(frames(i), yuvOfRgb(rgb)), s"frame $i")
+          }
+        case other => fail(s"$other")
+      }
+    }
+
+    // ---- an interlaced sub-screen box de-scatters WITHIN the box:
+    // 2×5 box at (1,1) on 4×7; pass order for h=5 is rows 0,4,2,1,3 ----
+    locally {
+      val boxW = 2; val boxH = 5
+      val box = Array.tabulate[Byte](boxW * boxH)(i => ((i * 3 + 11) % 256).toByte)
+      val order = Seq(0, 4, 2, 1, 3)
+      val permuted = order.flatMap(y => box.slice(y * boxW, y * boxW + boxW)).toArray
+      val g = new GB
+      header(g, 4, 7, gct256, 7)
+      image(g, 1, 1, boxW, boxH, 8, lzw(permuted, 8), interlace = true)
+      g.b(0x3b)
+      MediaCodec.decode(g.bytes) match {
+        case MediaCodec.ImageMedia(w, h, _, rgb) =>
+          assert(w == 4 && h == 7)
+          for (y <- 0 until 7; x <- 0 until 4) {
+            val d = (y * 4 + x) * 3
+            val exp: Array[Byte] =
+              if (y >= 1 && y < 6 && x >= 1 && x < 3)
+                rgbOf(box((y - 1) * boxW + (x - 1)) & 0xff)
+              else W
+            assert(rgb(d) == exp(0) && rgb(d + 1) == exp(1) && rgb(d + 2) == exp(2),
+              s"pixel ($x,$y)")
+          }
+        case other => fail(s"$other")
+      }
     }
   }
 
