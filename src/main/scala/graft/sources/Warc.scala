@@ -509,6 +509,22 @@ object Warc {
     (code, headers, entity)
   }
 
+  /** Charset named by a Content-Type header value (`text/html;
+    * charset=ISO-8859-1`), resolved through the JVM charset registry
+    * — covers the web's legacy staples (latin-1, windows-1252) and
+    * every UTF variant. UTF-8 when the parameter is absent, quoted
+    * oddly, or names an unknown charset: the conservative crawl
+    * default (HTML5's own fallback chain starts from the declared
+    * value and lands on UTF-8-compatible handling for the ASCII
+    * structure this extractor keys on). */
+  def charsetOf(contentType: String): java.nio.charset.Charset =
+    "(?i)charset=\"?([A-Za-z0-9._:\\-]+)\"?".r.findFirstMatchIn(contentType)
+      .flatMap { m =>
+        try Some(java.nio.charset.Charset.forName(m.group(1)))
+        catch { case _: Exception => None }
+      }
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+
   /** Undo HTTP/1.1 chunked framing (RFC 9112 §7.1): hex chunk-size
     * line (extensions after `;` ignored), chunk data, CRLF, repeated;
     * a zero-size chunk then optional trailer fields then a blank
@@ -726,10 +742,16 @@ object Warc {
               try {
                 val uri = r.headers.getOrElse("warc-target-uri", "")
                 val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-                val (status, _, entity) = decodeHttpResponse(r.body)
+                val (status, hh, entity) = decodeHttpResponse(r.body)
                 // a 404 next to a 200 must not cost the 200 either
                 if (status < 200 || status > 299) Iterator.empty
-                else Iterator.single((id, uri, extractText(new String(entity, "UTF-8"))))
+                else {
+                  // honor the declared charset (legacy latin-1 /
+                  // windows-1252 pages are a real crawl's long tail);
+                  // UTF-8 when absent or unknown
+                  val cs = charsetOf(hh.getOrElse("content-type", ""))
+                  Iterator.single((id, uri, extractText(new String(entity, cs))))
+                }
               } catch { case _: Exception => Iterator.empty }
             }
             .toVector

@@ -542,4 +542,35 @@ class SourcesSpec extends SparkSpec {
       assert(g.getString(3) == e.getString(1), s"sunk text for doc ${e.getLong(0)}")
     }
   }
+
+  test("raw-crawl charset handling: declared ISO-8859-1 / windows-1252 decode correctly; unknown falls back to UTF-8") {
+    import graft.sources.Warc
+    assert(Warc.charsetOf("text/html; charset=utf-8").name == "UTF-8")
+    assert(Warc.charsetOf("text/html; charset=ISO-8859-1").name == "ISO-8859-1")
+    assert(Warc.charsetOf("text/html;charset=\"windows-1252\"").name == "windows-1252")
+    assert(Warc.charsetOf("text/html; charset=no-such-charset").name == "UTF-8")
+    assert(Warc.charsetOf("text/html").name == "UTF-8")
+    // a latin-1 page and a windows-1252 page next to a UTF-8 page in
+    // one shard: each decodes under ITS declared charset
+    def resp(id: Long, charset: String, body: Array[Byte]) = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$charset\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> Warc.docUri(id),
+        "Content-Type" -> "application/http; msgtype=response") -> (http ++ body)
+    }
+    val latin = "caf\u00e9 \u00a1se\u00f1or! \u00df"       // all in ISO-8859-1
+    val w1252 = "price \u20ac99 \u2014 \u201cquoted\u201d" // euro/em-dash/quotes: 1252-only
+    val utf8  = "d\u00f6c \u2603 unicode"
+    val shard = Warc.encodeRecords(Seq(
+      resp(1L, "ISO-8859-1", Warc.htmlWrap(latin).getBytes("ISO-8859-1")),
+      resp(2L, "windows-1252", Warc.htmlWrap(w1252).getBytes("windows-1252")),
+      resp(3L, "utf-8", Warc.htmlWrap(utf8).getBytes("UTF-8"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-charset").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "crawl-00000.warc.gz"),
+      Warc.gzipPerRecord(shard))
+    val got = Warc.htmlDocsFromWarcFiles(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getString(3)).toSeq == Seq(latin, w1252, utf8),
+      "each record must decode under its declared charset")
+  }
 }
