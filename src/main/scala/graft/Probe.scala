@@ -104,8 +104,9 @@ object Probe {
         // manifest helper, so its plan must match reserve's shape
         "pipe_ivf_gc",
         // r16: the crawl-container family — binaryFile scan, map-side
-        // parse/decode/extract, one Exchange (the contractual sort)
-        "src_warc", "src_warc_html", "snk_wet_roundtrip")
+        // parse/decode/extract, one Exchange (the contractual sort);
+        // revisit resolution adds the family's one real join
+        "src_warc", "src_warc_html", "snk_wet_roundtrip", "src_warc_revisit")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

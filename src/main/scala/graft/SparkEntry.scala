@@ -360,6 +360,13 @@ object SparkEntry {
     // the content differs from the staged fixture lake, the sink
     // cannot pass by accidentally reading src_warc's files
     "snk_wet_roundtrip" -> ((s, dir) => graft.sources.Warc.snkWetRoundtrip(s, dir)),
+    // revisit-record resolution (r16): the crawl's dedup reference
+    // chain — `revisit` records (an unchanged re-fetch, stored
+    // body-less) resolve their text by a cross-shard JOIN on
+    // WARC-Refers-To-Target-URI back to the original conversion;
+    // dangling referents drop. Full oracle: a self-join on
+    // `documents` rebuilds the resolution via the fixture's id rule
+    "src_warc_revisit" -> ((s, dir) => graft.sources.Warc.srcWarcRevisitDocs(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2143,6 +2150,24 @@ object SparkEntry {
           |  CAST(length(text || chr(10) || '-- sunk') AS BIGINT) AS n_chars,
           |  text || chr(10) || '-- sunk' AS text
           |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+      // src_warc_revisit: revisit resolution rebuilt as a self-join —
+      // docs ≡ 2 (mod 3) are stored as revisits of doc_id−1, so their
+      // text (and n_chars) come from the REFERRED row; a revisit whose
+      // referent is absent from the table drops in both engines
+      "src_warc_revisit" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text,
+          |  CAST(NULL AS BIGINT) AS revisit_of
+          |FROM documents WHERE doc_id % 3 <> 2
+          |UNION ALL
+          |SELECT r.doc_id,
+          |  'https://example.org/doc/' || CAST(r.doc_id AS VARCHAR) AS uri,
+          |  CAST(length(o.text) AS BIGINT) AS n_chars, o.text,
+          |  o.doc_id AS revisit_of
+          |FROM documents r JOIN documents o ON o.doc_id = r.doc_id - 1
+          |WHERE r.doc_id % 3 = 2
+          |ORDER BY doc_id""".stripMargin,
       // mm_jpeg_meta: the JPEG fixtures are BLOCK-constant (one value
       // per 8×8 block, cycling the doc's code points in raster
       // order), the profile the full codec round-trips bit-exactly —

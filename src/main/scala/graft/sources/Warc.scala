@@ -791,6 +791,114 @@ object Warc {
       out
     })
 
+  // ------------------------------------------------- revisit records
+
+  /** Staging twin with `revisit` records (ISO 28500 §6.7.2 /
+    * WARC 1.1): every doc with doc_id ≡ 2 (mod 3) is written NOT as
+    * a conversion but as a revisit of the PREVIOUS doc's capture —
+    * the identical-payload-digest profile a crawler emits when a
+    * re-fetched page hasn't changed, with an empty body and a
+    * `WARC-Refers-To-Target-URI` naming the original. Since docs
+    * shard by hash(doc_id), a revisit and its original usually land
+    * in DIFFERENT shards — resolution is a genuine cross-shard
+    * join, the crawl-real shape. */
+  private val revisitLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def revisitLakeDir(s: SparkSession, dir: String, nShards: Int = 8): String =
+    revisitLakeDirs.computeIfAbsent(s"$dir#$nShards", _ => {
+      require(s.sparkContext.isLocal,
+        "revisitLakeDir stages fixture files and requires a local master")
+      val out = java.nio.file.Files.createTempDirectory("graft-revisit-lake").toString
+      import s.implicits._
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .repartition(nShards, col("doc_id"))
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val docs = it.toSeq.sortBy(_._1)
+          if (docs.nonEmpty) {
+            val shard = org.apache.spark.TaskContext.getPartitionId()
+            val records = docs.map { case (id, text) =>
+              if (id % 3 == 2)
+                Seq(
+                  "WARC-Type" -> "revisit",
+                  "WARC-Target-URI" -> docUri(id),
+                  "WARC-Refers-To-Target-URI" -> docUri(id - 1),
+                  "WARC-Profile" -> "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                  "WARC-Date" -> "2026-01-01T00:00:00Z",
+                  "Content-Type" -> "text/plain") -> Array.empty[Byte]
+              else
+                Seq(
+                  "WARC-Type" -> "conversion",
+                  "WARC-Target-URI" -> docUri(id),
+                  "WARC-Date" -> "2026-01-01T00:00:00Z",
+                  "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"crawl-$shard%05d.warc.gz"),
+              gzipPerRecord(encodeRecords(records)))
+            ()
+          }
+        }
+      out
+    })
+
+  /** `src_warc_revisit`: revisit-record RESOLUTION — the crawl's
+    * dedup reference chain made whole. `conversion` records carry
+    * their own text; `revisit` records (an unchanged re-fetch,
+    * stored body-less against the original capture) resolve their
+    * text by JOINING `WARC-Refers-To-Target-URI` back to the
+    * original conversion — across shards, since the two captures
+    * land wherever their fetches landed. A revisit whose referent
+    * is missing from the lake drops (an unresolvable reference is
+    * not a document). At 100 TB the join shuffles on uri — the
+    * honest shape: both sides are crawl-scale, AQE handles skew,
+    * and nothing driver-side grows with the corpus. Full oracle:
+    * DuckDB rebuilds the resolution as a self-join on `documents`
+    * via the fixture's id arithmetic. */
+  def srcWarcRevisitDocs(s: SparkSession, dir: String): DataFrame =
+    revisitDocsFromWarcFiles(s, revisitLakeDir(s, dir))
+
+  /** The revisit-resolving ingest body over ANY directory of
+    * `.warc`/`.warc.gz` files — split from [[srcWarcRevisitDocs]] so
+    * tests can point it at hand-staged lakes (dangling referents,
+    * corrupt shards). */
+  def revisitDocsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
+    import s.implicits._
+    val parsed = s.read.format("binaryFile").load(lake)
+      .select($"content")
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val rows = try {
+          parseWarcAuto(bytes).iterator
+            .filter(r => r.headers.get("warc-type").exists(t =>
+              t == "conversion" || t == "revisit") &&
+              !r.headers.contains("warc-truncated"))
+            .map { r =>
+              val uri = r.headers.getOrElse("warc-target-uri", "")
+              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+              (id, uri, r.headers("warc-type"),
+                new String(r.body, "UTF-8"),
+                r.headers.getOrElse("warc-refers-to-target-uri", ""))
+            }
+            .toVector
+        } catch { case _: Exception => Vector.empty }
+        rows.iterator
+      }
+      .toDF("doc_id", "uri", "warc_type", "text", "refers_to")
+    val conv = parsed.filter($"warc_type" === "conversion")
+    val resolved = parsed.filter($"warc_type" === "revisit")
+      .select($"doc_id", $"uri", $"refers_to")
+      .join(conv.select($"uri".as("o_uri"), $"text",
+        $"doc_id".as("revisit_of")), $"refers_to" === $"o_uri")
+      .select($"doc_id", $"uri", $"text", $"revisit_of")
+    conv.select($"doc_id", $"uri", $"text",
+        lit(null).cast("long").as("revisit_of"))
+      .unionByName(resolved)
+      .select($"doc_id", $"uri", length($"text").cast("long").as("n_chars"),
+        $"text", $"revisit_of")
+      .orderBy($"doc_id")
+  }
+
   /** `src_warc`: parse the staged WET shards back into document
     * rows. binaryFile gives one task per shard; record parsing is
     * map-side (flatMap over payloads — the whole-file grain is the

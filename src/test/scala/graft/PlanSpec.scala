@@ -562,4 +562,15 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("rangepartitioning"), s"$name: the one Exchange is the contractual sort")
     }
   }
+
+  test("revisit resolution joins on uri as an equi-join — never a nested loop") {
+    // the one WARC query that MUST join (cross-shard reference
+    // resolution); both sides are crawl-scale at 100 TB, so the pin
+    // is the join's KIND, not its absence
+    val p = plan(graft.sources.Warc.srcWarcRevisitDocs(spark, sfDir))
+    assert(p.contains("binaryFile"), p)
+    assert(p.contains("Join"), "revisit resolution must join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the uri equi-join must never degrade to a product")
+  }
 }

@@ -573,4 +573,56 @@ class SourcesSpec extends SparkSpec {
     assert(got.map(_.getString(3)).toSeq == Seq(latin, w1252, utf8),
       "each record must decode under its declared charset")
   }
+
+  test("src_warc_revisit: revisit records resolve across shards; dangling referents drop; corrupt shards quarantine") {
+    import graft.sources.Warc
+    // registry query: row-identical to the self-join expectation (the
+    // oracle's shape, recomputed engine-side)
+    val got = Warc.srcWarcRevisitDocs(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.keys.toSeq.sorted.flatMap { id =>
+      if (id % 3 == 2) docs.get(id - 1).map(t => (id, t, Some(id - 1))).toSeq
+      else Seq((id, docs(id), Option.empty[Long]))
+    }
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, (id, t, of)) =>
+      assert(g.getLong(0) == id)
+      assert(g.getString(3) == t, s"text for doc $id")
+      assert((if (g.isNullAt(4)) None else Some(g.getLong(4))) == of, s"revisit_of for $id")
+    }
+    // the cross-shard claim: at least one revisit's referent sits in a
+    // DIFFERENT shard file (hash routing makes resolution a real join,
+    // not a within-task lookup)
+    val lake = new java.io.File(Warc.revisitLakeDir(spark, sfDir))
+    val byFile = lake.listFiles().toSeq.flatMap { f =>
+      val recs = Warc.parseWarcAuto(java.nio.file.Files.readAllBytes(f.toPath))
+      recs.map { r =>
+        val uri = r.headers("warc-target-uri")
+        (uri.substring(uri.lastIndexOf('/') + 1).toLong, f.getName)
+      }
+    }.toMap
+    val crossShard = byFile.keys.filter(id => id % 3 == 2 && byFile.contains(id - 1))
+      .exists(id => byFile(id) != byFile(id - 1))
+    assert(crossShard, "at least one revisit must resolve across shard files")
+    // dangling referent drops; a resolvable one in the same lake survives
+    def conv(id: Long, text: String) =
+      Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> Warc.docUri(id),
+        "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
+    def rev(id: Long, refersTo: Long) =
+      Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> Warc.docUri(id),
+        "WARC-Refers-To-Target-URI" -> Warc.docUri(refersTo),
+        "WARC-Profile" -> "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        "Content-Type" -> "text/plain") -> Array.empty[Byte]
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-revisit-dangling").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "crawl-00000.warc.gz"),
+      Warc.gzipPerRecord(Warc.encodeRecords(Seq(conv(1L, "one"), rev(2L, 99L), rev(5L, 1L)))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "crawl-00001.warc.gz"),
+      Array.tabulate[Byte](200)(i => (i * 41).toByte)) // corrupt sibling quarantines
+    val rows = Warc.revisitDocsFromWarcFiles(spark, dir2).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L),
+      "a dangling referent must drop; a resolvable revisit must survive")
+    assert(rows.map(_.getString(3)).toSeq == Seq("one", "one"))
+    assert(rows(1).getLong(4) == 1L, "revisit_of must name the referred capture")
+  }
 }
