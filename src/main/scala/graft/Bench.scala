@@ -36,7 +36,7 @@ object Bench {
     // warm-up: staging is test scaffolding (production events already
     // land in a directory), so timed ev_stream_* runs should measure
     // pure stream execution, not a one-time fixture write.
-    val docsStreamers = Set("tx_stream_quality", "mm_stream_meta")
+    val docsStreamers = Set("tx_stream_quality", "mm_stream_meta", "snk_stream_wet")
     if (selected.exists(p => p._1.startsWith("ev_stream") || docsStreamers(p._1) ||
         p._1 == "ann_stream_serve"))
       streaming.StreamingOps.preStage(spark, sfDir,

@@ -367,6 +367,13 @@ object SparkEntry {
     // dangling referents drop. Full oracle: a self-join on
     // `documents` rebuilds the resolution via the fixture's id rule
     "src_warc_revisit" -> ((s, dir) => graft.sources.Warc.srcWarcRevisitDocs(s, dir)),
+    // streaming WET export (r16): the sink's incremental deployment —
+    // documents stream in, every micro-batch appends its own
+    // batch-id-prefixed shards through the SAME writeWetLake body,
+    // and the parsed-back union shares src_warc's oracle (stateless
+    // Append ⇒ batching-invariant)
+    "snk_stream_wet" -> ((s, dir) =>
+      graft.streaming.StreamingOps.wetExportViaStream(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2150,6 +2157,13 @@ object SparkEntry {
           |  CAST(length(text || chr(10) || '-- sunk') AS BIGINT) AS n_chars,
           |  text || chr(10) || '-- sunk' AS text
           |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+      // snk_stream_wet: the streamed export must reproduce documents
+      // exactly — same closed form as src_warc
+      "snk_stream_wet" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // src_warc_revisit: revisit resolution rebuilt as a self-join —
       // docs ≡ 2 (mod 3) are stored as revisits of doc_id−1, so their
       // text (and n_chars) come from the REFERRED row; a revisit whose

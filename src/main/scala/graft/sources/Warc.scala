@@ -337,7 +337,8 @@ object Warc {
     * scheme (local path here; HDFS/object store on a cluster — a
     * production deploy would carry the session's Hadoop conf to the
     * executors rather than default-constructing one). */
-  def writeWetLake(df: DataFrame, out: String, nShards: Int): Unit = {
+  def writeWetLake(df: DataFrame, out: String, nShards: Int,
+                   prefix: String = "wet"): Unit = {
     val s = df.sparkSession
     import s.implicits._
     df.select(col("doc_id").cast("long"), col("text"))
@@ -346,13 +347,14 @@ object Warc {
       .foreachPartition { (it: Iterator[(Long, String)]) =>
         // shard file named by PARTITION id (unique by construction —
         // naming by a doc-derived value could collide two tasks on
-        // one filename and silently overwrite a shard)
+        // one filename and silently overwrite a shard); callers that
+        // append batches distinguish them via `prefix`
         val docs = it.toSeq.sortBy(_._1)
         if (docs.nonEmpty) {
           val shard = org.apache.spark.TaskContext.getPartitionId()
           val bytes = gzipPerRecord(encodeWet(
             docs.map { case (id, text) => (id, docUri(id), text) }))
-          val path = new org.apache.hadoop.fs.Path(out, f"wet-$shard%05d.warc.gz")
+          val path = new org.apache.hadoop.fs.Path(out, f"$prefix%s-$shard%05d.warc.gz")
           val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
           fs.setWriteChecksum(false) // a lake of shards, not shards + .crc sidecars
           val os = fs.create(path, true)

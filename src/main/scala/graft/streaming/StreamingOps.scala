@@ -515,6 +515,43 @@ object StreamingOps {
       .orderBy(col("kind"), col("format"))
   }
 
+  private val wetExportDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming WET export (`snk_stream_wet`) — the crawl container's
+    * write side deployed INCREMENTALLY: documents arrive as a
+    * `readStream` (the landing-zone fixture stage) and every
+    * micro-batch appends its own per-record-gzip `.warc.gz` shards
+    * through the SAME encode→gzip→write body as the batch sink
+    * ([[graft.sources.Warc.writeWetLake]] inside `foreachBatch`,
+    * batch-id-prefixed shard names so batches never collide) —
+    * continuous corpus interchange export. Stateless Append: every
+    * doc is exported exactly once no matter how the stream batches,
+    * so the parsed-back union is batching-invariant and the query
+    * shares `src_warc`'s closed-form oracle end-to-end (stream →
+    * encode → gzip → write → scan → parse must reproduce
+    * `documents` exactly). */
+  def wetExportViaStream(s: SparkSession, dir: String): DataFrame = {
+    val out = wetExportDirs.computeIfAbsent(dir, _ => {
+      val o = java.nio.file.Files.createTempDirectory("graft-stream-wet").toString
+      val staged = docsStagedDir(s, dir)
+      val q = s.readStream
+        .schema(graft.Tables.documents(s, dir).schema)
+        .parquet(staged)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Warc.writeWetLake(
+            batch.select(col("doc_id"), col("text")), o,
+            nShards = 4, prefix = f"wet-b$batchId%03d")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      o
+    })
+    graft.sources.Warc.docsFromWarcFiles(s, out)
+  }
+
   /** Streaming incremental exact dedup (`ev_stream_incr_dedup`) — the
     * landing-zone deployment of
     * [[graft.operators.Dedup.incrementalDedup]]: new documents arrive

@@ -625,4 +625,19 @@ class SourcesSpec extends SparkSpec {
     assert(rows.map(_.getString(3)).toSeq == Seq("one", "one"))
     assert(rows(1).getLong(4) == 1L, "revisit_of must name the referred capture")
   }
+
+  test("snk_stream_wet: the streaming WET export reproduces documents exactly and is idempotent") {
+    // every micro-batch appends batch-id-prefixed shards; a collision
+    // or a re-export would surface as duplicate rows here
+    val got = graft.streaming.StreamingOps.wetExportViaStream(spark, sfDir).collect()
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(got.length == direct.length)
+    got.zip(direct).foreach { case (w, d) =>
+      assert(w.getLong(0) == d.getLong(0))
+      assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
+    }
+    val again = graft.streaming.StreamingOps.wetExportViaStream(spark, sfDir).collect()
+    assert(again.length == got.length, "the session-scoped export must not re-append")
+  }
 }
