@@ -73,7 +73,10 @@ object Bench {
     // its reported number includes the documented within-session reuse
     // of the dd_clusters labels (RESULTS.md).
     val preRun: Map[String, () => Unit] = Map(
-      "dd_clusters" -> (() => operators.Dedup.clearLabelCache()))
+      "dd_clusters" -> (() => operators.Dedup.clearLabelCache()),
+      // each repetition must pay the stream + shard write, not a
+      // cached read-back of the first run's export lake
+      "snk_stream_wet" -> (() => streaming.StreamingOps.clearWetExportCache()))
     // The noop write builds a FRESH QueryExecution, re-optimizing under
     // the session conf — q24's bloom-filter injection needs its scoped
     // planning confs live around the timed action, or the reported

@@ -326,19 +326,14 @@ object Warc {
 
   // ------------------------------------------------------------ query
 
-  /** O9-family crawl-container SINK: write (doc_id, text) rows as a
-    * sharded WET `.warc.gz` lake — per-record gzip members (the
-    * Common Crawl layout), rows routed to `nShards` shard files by
-    * hash(doc_id) and sorted by doc_id inside each shard. One hash
-    * Exchange then a map-side write: each task owns exactly one
-    * shard file, the reference's `mr-out-<bucket>` layout
-    * (worker.go:225-239) at crawl-container grain. Files go through
-    * the Hadoop FileSystem API, so `out` may be any supported
-    * scheme (local path here; HDFS/object store on a cluster — a
-    * production deploy would carry the session's Hadoop conf to the
-    * executors rather than default-constructing one). */
-  def writeWetLake(df: DataFrame, out: String, nShards: Int,
-                   prefix: String = "wet"): Unit = {
+  /** The shared sharded-lake writer under [[writeWetLake]] /
+    * [[rawLakeDir]] / [[revisitLakeDir]]: one hash Exchange routes
+    * (doc_id, text) rows to `nShards` tasks, each task sorts its
+    * docs and writes exactly ONE shard file whose bytes come from
+    * the caller's `encodeDocs` — the shard-naming and
+    * collision-avoidance invariants live here once. */
+  private def writeCrawlLake(df: DataFrame, out: String, nShards: Int,
+      prefix: String, encodeDocs: Seq[(Long, String)] => Array[Byte]): Unit = {
     val s = df.sparkSession
     import s.implicits._
     df.select(col("doc_id").cast("long"), col("text"))
@@ -352,16 +347,39 @@ object Warc {
         val docs = it.toSeq.sortBy(_._1)
         if (docs.nonEmpty) {
           val shard = org.apache.spark.TaskContext.getPartitionId()
-          val bytes = gzipPerRecord(encodeWet(
-            docs.map { case (id, text) => (id, docUri(id), text) }))
+          val bytes = encodeDocs(docs)
           val path = new org.apache.hadoop.fs.Path(out, f"$prefix%s-$shard%05d.warc.gz")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          fs.setWriteChecksum(false) // a lake of shards, not shards + .crc sidecars
-          val os = fs.create(path, true)
-          try os.write(bytes) finally os.close()
+          // newInstance, NOT the process-wide FileSystem cache:
+          // setWriteChecksum on the cached instance would silently
+          // disable .crc sidecars for every OTHER Hadoop write in
+          // the JVM (streaming checkpoint logs included)
+          val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+            path.toUri, new org.apache.hadoop.conf.Configuration())
+          try {
+            fs.setWriteChecksum(false) // a lake of shards, not shards + .crc sidecars
+            val os = fs.create(path, true) // overwrite: task retries fully replace partials
+            try os.write(bytes) finally os.close()
+          } finally fs.close()
         }
       }
   }
+
+  /** O9-family crawl-container SINK: write (doc_id, text) rows as a
+    * sharded WET `.warc.gz` lake — per-record gzip members (the
+    * Common Crawl layout), rows routed to `nShards` shard files by
+    * hash(doc_id) and sorted by doc_id inside each shard. One hash
+    * Exchange then a map-side write: each task owns exactly one
+    * shard file, the reference's `mr-out-<bucket>` layout
+    * (worker.go:225-239) at crawl-container grain. Files go through
+    * the Hadoop FileSystem API, so `out` may be any supported
+    * scheme (local path here; HDFS/object store on a cluster — a
+    * production deploy would carry the session's Hadoop conf to the
+    * executors rather than default-constructing one). */
+  def writeWetLake(df: DataFrame, out: String, nShards: Int,
+                   prefix: String = "wet"): Unit =
+    writeCrawlLake(df, out, nShards, prefix,
+      docs => gzipPerRecord(encodeWet(
+        docs.map { case (id, text) => (id, docUri(id), text) })))
 
   /** Session-scoped staging of the documents table as a sharded WET
     * crawl via [[writeWetLake]]. Test scaffolding under the same
@@ -506,8 +524,16 @@ object Warc {
     var entity = java.util.Arrays.copyOfRange(body, at + 4, body.length)
     if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
       entity = dechunk(entity)
-    if (headers.get("content-encoding").exists(_.toLowerCase == "gzip"))
-      entity = gunzipAll(entity, 1 << 30)
+    headers.get("content-encoding").map(_.toLowerCase.trim) match {
+      case Some("gzip") | Some("x-gzip") => entity = gunzipAll(entity, 1 << 30)
+      case None | Some("identity") | Some("") => ()
+      case Some(other) =>
+        // br/deflate/zstd etc.: passing the still-compressed bytes
+        // through as "decoded" would silently corrupt the corpus —
+        // throw so the record SKIPS (the quarantine contract), never
+        // emits mojibake as document text
+        throw new IllegalArgumentException(s"unsupported content-encoding '$other'")
+    }
     (code, headers, entity)
   }
 
@@ -668,7 +694,10 @@ object Warc {
           if (name.isEmpty) { if (inText) sb.append(c); i += 1 }
           else {
             i = end
-            if (raw.contains(name) && !close && !selfClose) {
+            if (raw.contains(name) && !close) {
+              // HTML5 ignores a '/' on non-void start tags, so
+              // <script src="x"/> OPENS a script element — treating
+              // it as self-closing would leak the code as text
               i = skipRawText(name, i) // content + close tag consumed; never emitted
             } else if (dropName != null) {
               if (name == dropName) {
@@ -775,21 +804,10 @@ object Warc {
       require(s.sparkContext.isLocal,
         "rawLakeDir stages fixture files and requires a local master")
       val out = java.nio.file.Files.createTempDirectory("graft-raw-lake").toString
-      import s.implicits._
-      graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .repartition(nShards, col("doc_id"))
-        .foreachPartition { (it: Iterator[(Long, String)]) =>
-          val docs = it.toSeq.sortBy(_._1)
-          if (docs.nonEmpty) {
-            val shard = org.apache.spark.TaskContext.getPartitionId()
-            val warc = encodeRawWarc(docs.map { case (id, text) => (id, docUri(id), text) })
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"crawl-$shard%05d.warc.gz"),
-              gzipPerRecord(warc))
-            ()
-          }
-        }
+      writeCrawlLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        out, nShards, "crawl",
+        docs => gzipPerRecord(encodeRawWarc(
+          docs.map { case (id, text) => (id, docUri(id), text) })))
       out
     })
 
@@ -811,36 +829,24 @@ object Warc {
       require(s.sparkContext.isLocal,
         "revisitLakeDir stages fixture files and requires a local master")
       val out = java.nio.file.Files.createTempDirectory("graft-revisit-lake").toString
-      import s.implicits._
-      graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .repartition(nShards, col("doc_id"))
-        .foreachPartition { (it: Iterator[(Long, String)]) =>
-          val docs = it.toSeq.sortBy(_._1)
-          if (docs.nonEmpty) {
-            val shard = org.apache.spark.TaskContext.getPartitionId()
-            val records = docs.map { case (id, text) =>
-              if (id % 3 == 2)
-                Seq(
-                  "WARC-Type" -> "revisit",
-                  "WARC-Target-URI" -> docUri(id),
-                  "WARC-Refers-To-Target-URI" -> docUri(id - 1),
-                  "WARC-Profile" -> "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
-                  "WARC-Date" -> "2026-01-01T00:00:00Z",
-                  "Content-Type" -> "text/plain") -> Array.empty[Byte]
-              else
-                Seq(
-                  "WARC-Type" -> "conversion",
-                  "WARC-Target-URI" -> docUri(id),
-                  "WARC-Date" -> "2026-01-01T00:00:00Z",
-                  "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
-            }
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"crawl-$shard%05d.warc.gz"),
-              gzipPerRecord(encodeRecords(records)))
-            ()
-          }
-        }
+      writeCrawlLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        out, nShards, "crawl",
+        docs => gzipPerRecord(encodeRecords(docs.map { case (id, text) =>
+          if (id % 3 == 2)
+            Seq(
+              "WARC-Type" -> "revisit",
+              "WARC-Target-URI" -> docUri(id),
+              "WARC-Refers-To-Target-URI" -> docUri(id - 1),
+              "WARC-Profile" -> "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "Content-Type" -> "text/plain") -> Array.empty[Byte]
+          else
+            Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> docUri(id),
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
+        })))
       out
     })
 
@@ -852,7 +858,10 @@ object Warc {
     * original conversion — across shards, since the two captures
     * land wherever their fetches landed. A revisit whose referent
     * is missing from the lake drops (an unresolvable reference is
-    * not a document). At 100 TB the join shuffles on uri — the
+    * not a document). The parse MATERIALIZES ONCE (localCheckpoint —
+    * the CC parse-then-join shape): both join sides read the
+    * materialized relation instead of re-gunzipping and re-parsing
+    * every shard per side. At 100 TB the join shuffles on uri — the
     * honest shape: both sides are crawl-scale, AQE handles skew,
     * and nothing driver-side grows with the corpus. Full oracle:
     * DuckDB rebuilds the resolution as a self-join on `documents`
@@ -875,18 +884,28 @@ object Warc {
             .filter(r => r.headers.get("warc-type").exists(t =>
               t == "conversion" || t == "revisit") &&
               !r.headers.contains("warc-truncated"))
-            .map { r =>
-              val uri = r.headers.getOrElse("warc-target-uri", "")
-              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-              (id, uri, r.headers("warc-type"),
-                new String(r.body, "UTF-8"),
-                r.headers.getOrElse("warc-refers-to-target-uri", ""))
+            .flatMap { r =>
+              // RECORD-level totality (the htmlDocs rule): one record
+              // with a malformed uri tail or undecodable body must
+              // not cost its whole shard — the outer catch stays for
+              // CONTAINER malformation
+              try {
+                val uri = r.headers.getOrElse("warc-target-uri", "")
+                val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+                Iterator.single((id, uri, r.headers("warc-type"),
+                  new String(r.body, "UTF-8"),
+                  r.headers.getOrElse("warc-refers-to-target-uri", "")))
+              } catch { case _: Exception => Iterator.empty }
             }
             .toVector
         } catch { case _: Exception => Vector.empty }
         rows.iterator
       }
       .toDF("doc_id", "uri", "warc_type", "text", "refers_to")
+      // materialize the parse ONCE: without this, the self-join's two
+      // sides each re-execute the binaryFile scan + gunzip + WARC
+      // parse of every shard — the dominant cost at crawl scale
+      .localCheckpoint()
     val conv = parsed.filter($"warc_type" === "conversion")
     val resolved = parsed.filter($"warc_type" === "revisit")
       .select($"doc_id", $"uri", $"refers_to")

@@ -517,6 +517,11 @@ object StreamingOps {
 
   private val wetExportDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Bench epoch boundary (the dd_clusters clearLabelCache rule): a
+    * timed snk_stream_wet repetition must pay the stream + shard
+    * write, not a cached read-back of the first repetition's lake. */
+  def clearWetExportCache(): Unit = wetExportDirs.clear()
+
   /** Streaming WET export (`snk_stream_wet`) — the crawl container's
     * write side deployed INCREMENTALLY: documents arrive as a
     * `readStream` (the landing-zone fixture stage) and every

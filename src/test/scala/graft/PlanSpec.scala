@@ -563,12 +563,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("revisit resolution joins on uri as an equi-join — never a nested loop") {
+  test("revisit resolution joins on uri as an equi-join over the ONCE-materialized parse") {
     // the one WARC query that MUST join (cross-shard reference
     // resolution); both sides are crawl-scale at 100 TB, so the pin
-    // is the join's KIND, not its absence
+    // is the join's KIND — and that neither side re-executes the
+    // binaryFile scan + gunzip + parse (the localCheckpoint makes
+    // the parse materialize once; a binaryFile scan in this plan
+    // would mean each join side re-parses every shard)
     val p = plan(graft.sources.Warc.srcWarcRevisitDocs(spark, sfDir))
-    assert(p.contains("binaryFile"), p)
+    assert(!p.contains("binaryFile"),
+      "the join must read the materialized parse, not re-scan the lake per side")
     assert(p.contains("Join"), "revisit resolution must join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "the uri equi-join must never degrade to a product")

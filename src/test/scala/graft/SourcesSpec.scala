@@ -416,6 +416,10 @@ class SourcesSpec extends SparkSpec {
     assert(extractText("<article><p>a<style>p::before{content:\"</p>\"}</style>b</p></article>")
       == "ab")
     assert(extractText("<article><p>a<SCRIPT>x</SCRIPT>b</p></article>") == "ab") // case-insensitive close
+    // HTML5 ignores '/' on non-void start tags: <script/> OPENS a
+    // script element — its code must not leak into extracted text
+    assert(extractText("<article><p>a<script src=\"x\"/>if(a<b){go()}</script>b</p></article>")
+      == "ab")
     // self-closing keep leaves no depth open: trailing boilerplate stays out
     assert(extractText("<article><p>a</p><section/></article>after") == "a")
     // implicit </p>: the next <p> closes the previous one; the article
@@ -448,6 +452,17 @@ class SourcesSpec extends SparkSpec {
     }
     intercept[Exception] { // non-HTTP status line
       Warc.decodeHttpResponse("NOTHTTP\r\n\r\nbody".getBytes("US-ASCII"))
+    }
+    intercept[Exception] { // an undecodable content-coding must throw
+      // (→ record-level skip), never pass compressed bytes through
+      // as "decoded" text
+      Warc.decodeHttpResponse(
+        "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\ncompressed".getBytes("US-ASCII"))
+    }
+    locally { // identity and x-gzip are fine
+      val (_, _, e1) = Warc.decodeHttpResponse(
+        "HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n\r\nplain".getBytes("US-ASCII"))
+      assert(new String(e1, "US-ASCII") == "plain")
     }
     // retained-size budget (ADVICE r15): a tiny budget aborts the
     // parallel member inflation and defers to the sequential walk,
@@ -639,5 +654,23 @@ class SourcesSpec extends SparkSpec {
     }
     val again = graft.streaming.StreamingOps.wetExportViaStream(spark, sfDir).collect()
     assert(again.length == got.length, "the session-scoped export must not re-append")
+  }
+
+  test("WET sink write is retry-idempotent: a partial shard from a failed attempt is overwritten") {
+    // the fault-tolerance envelope (SessionSpec) re-runs a crashed
+    // write task; the sink's contract is that the retry fully
+    // replaces whatever partial bytes the dead attempt left behind
+    // (fs.create(path, overwrite=true)) — plant a garbage file on
+    // the exact shard name the task will claim
+    import graft.sources.Warc
+    val out = java.nio.file.Files.createTempDirectory("graft-snk-retry").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "wet-00000.warc.gz"),
+      Array.tabulate[Byte](100)(i => (i * 7).toByte))
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    Warc.writeWetLake(df, out, 1)
+    val back = Warc.docsFromWarcFiles(spark, out).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")),
+      "the retry's overwrite must fully replace the partial shard")
   }
 }
