@@ -106,7 +106,8 @@ object Probe {
         // r16: the crawl-container family — binaryFile scan, map-side
         // parse/decode/extract, one Exchange (the contractual sort);
         // revisit resolution adds the family's one real join
-        "src_warc", "src_warc_html", "snk_wet_roundtrip", "src_warc_revisit")
+        "src_warc", "src_warc_html", "snk_wet_roundtrip", "src_warc_revisit",
+        "src_warc_cdx")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

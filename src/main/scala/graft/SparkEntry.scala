@@ -367,6 +367,15 @@ object SparkEntry {
     // dangling referents drop. Full oracle: a self-join on
     // `documents` rebuilds the resolution via the fixture's id rule
     "src_warc_revisit" -> ((s, dir) => graft.sources.Warc.srcWarcRevisitDocs(s, dir)),
+    // cdx range-read index (r16): for every conversion record, which
+    // shard holds it, its gzip member's byte offset + compressed
+    // length, and its payload digest — the index that makes crawl
+    // range requests possible. Rows-only BY NATURE (offset/length
+    // are deflate-encoder facts no SQL engine reproduces); the
+    // SourcesSpec gate EXECUTES the contract: every (offset, length)
+    // slice range-reads back to exactly its own record, members tile
+    // each shard, and the index covers every document
+    "src_warc_cdx" -> ((s, dir) => graft.sources.Warc.srcWarcCdx(s, dir)),
     // streaming WET export (r16): the sink's incremental deployment —
     // documents stream in, every micro-batch appends its own
     // batch-id-prefixed shards through the SAME writeWetLake body,

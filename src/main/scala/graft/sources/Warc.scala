@@ -51,10 +51,29 @@ object Warc {
     out.toByteArray
   }
 
+  /** `sha1:<RFC 4648 base32>` of the payload — the digest convention
+    * Common Crawl stamps on every record (ISO 28500 §5.9, the
+    * `WARC-Payload-Digest` value grammar). SHA-1 is 160 bits ⇒
+    * exactly 32 base32 characters, no padding. */
+  def payloadDigest(body: Array[Byte]): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(38)
+    sb.append("sha1:")
+    var acc = 0L; var nbits = 0
+    sha.foreach { b =>
+      acc = (acc << 8) | (b & 0xff); nbits += 8
+      while (nbits >= 5) { nbits -= 5; sb.append(alphabet(((acc >> nbits) & 31).toInt)) }
+    }
+    sb.toString
+  }
+
   /** Deterministic WET-style bytes for (id, uri, text) docs: one
     * `warcinfo` record then one `conversion` record per doc, CRLF
-    * headers, Content-Length in BYTES of the UTF-8 body, records
-    * separated by a blank CRLF pair per the spec. */
+    * headers, Content-Length in BYTES of the UTF-8 body, a
+    * `WARC-Payload-Digest` over those bytes (the CC convention —
+    * verified on ingest), records separated by a blank CRLF pair
+    * per the spec. */
   def encodeWet(docs: Seq[(Long, String, String)]): Array[Byte] = {
     val info = "software: graft-wet-fixture/1.0\r\nformat: WARC File Format 1.0\r\n"
       .getBytes("UTF-8")
@@ -65,12 +84,14 @@ object Warc {
         "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
         "Content-Type" -> "application/warc-fields") -> info) +:
       docs.map { case (id, uri, text) =>
+        val body = text.getBytes("UTF-8")
         Seq(
           "WARC-Type" -> "conversion",
           "WARC-Target-URI" -> uri,
           "WARC-Date" -> "2026-01-01T00:00:00Z",
           "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0000-${id}%012d>",
-          "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
+          "WARC-Payload-Digest" -> payloadDigest(body),
+          "Content-Type" -> "text/plain") -> body
       })
   }
 
@@ -920,6 +941,71 @@ object Warc {
       .orderBy($"doc_id")
   }
 
+  /** Inflate the single gzip member at `off` with no shared-budget
+    * bookkeeping — the sequential member-walk entry ([[srcWarcCdx]]).
+    * Returns (inflated bytes, input bytes consumed) or null. */
+  private def inflateMemberAt(b: Array[Byte], off: Int): (Array[Byte], Int) =
+    inflateMember(b, off, new java.util.concurrent.atomic.AtomicLong(0), Long.MaxValue,
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+
+  /** `src_warc_cdx`: build the crawl's RANGE-READ INDEX — the cdx
+    * convention: for every conversion record, which shard holds it,
+    * at what byte offset its gzip member starts, how many compressed
+    * bytes it spans, and its payload digest. This index is what
+    * makes `(offset, length)` range requests possible at all — the
+    * property `parseWarcGzParallel` consumes is the property this
+    * query PRODUCES. The walk is inherently sequential per shard (a
+    * member's start IS the previous member's end — offsets are a
+    * chain fact), but still one task per shard, map-side, and the
+    * chain is verified as it is measured (CRC32+ISIZE per member).
+    * Rows-only BY NATURE: offset/length are facts about the deflate
+    * encoder's output, not reproducible in SQL — the SourcesSpec
+    * gate EXECUTES the contract instead: every emitted
+    * (offset, length) slice range-reads back to exactly its own
+    * record, members tile each shard, and the index covers every
+    * document. */
+  def srcWarcCdx(s: SparkSession, dir: String): DataFrame =
+    cdxFromWarcFiles(s, wetLakeDir(s, dir))
+
+  /** The index builder over ANY directory of per-record-gzip
+    * `.warc.gz` shards — split from [[srcWarcCdx]] for hand-staged
+    * lakes. Totality is per-FILE here, deliberately stricter than
+    * the document ingests' record-level skip: an index with holes
+    * is worse than no index (a broken chain makes every offset
+    * after the break unverifiable), so a shard whose member chain
+    * fails anywhere indexes as zero rows. */
+  def cdxFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(lake)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.substring(path.lastIndexOf('/') + 1)
+        val rows = try {
+          val out = Vector.newBuilder[(Long, String, String, Long, Long, String)]
+          var pos = 0
+          while (pos < bytes.length) {
+            val m = inflateMemberAt(bytes, pos)
+            require(m != null, s"broken member chain at $pos")
+            val recs = parseWarc(m._1)
+            require(recs.length == 1, "a member must hold exactly one record")
+            val r = recs.head
+            if (r.headers.get("warc-type").contains("conversion")) {
+              val uri = r.headers.getOrElse("warc-target-uri", "")
+              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+              out += ((id, uri, shard, pos.toLong, m._2.toLong,
+                r.headers.getOrElse("warc-payload-digest", "")))
+            }
+            pos += m._2
+          }
+          out.result()
+        } catch { case _: Exception => Vector.empty }
+        rows.iterator
+      }
+      .toDF("doc_id", "uri", "shard", "offset", "length", "digest")
+      .orderBy($"doc_id")
+  }
+
   /** `src_warc`: parse the staged WET shards back into document
     * rows. binaryFile gives one task per shard; record parsing is
     * map-side (flatMap over payloads — the whole-file grain is the
@@ -945,17 +1031,25 @@ object Warc {
       .select($"content")
       .as[Array[Byte]]
       .flatMap { bytes =>
-        // the WHOLE per-file chain sits inside the totality catch —
-        // a malformed uri tail throwing from the lazy map after a
-        // clean parse would still kill the task otherwise
+        // CONTAINER malformation quarantines the FILE (outer catch);
+        // a single bad record — malformed uri tail, or a
+        // WARC-Payload-Digest that does not match its body (bit rot
+        // between capture and ingest, the reason CC stamps digests) —
+        // skips RECORD-level like the html/revisit paths
         val rows = try {
           parseWarcAuto(bytes).iterator
             .filter(r => r.headers.get("warc-type").contains("conversion") &&
               !r.headers.contains("warc-truncated"))
-            .map { r =>
-              val uri = r.headers.getOrElse("warc-target-uri", "")
-              val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-              (id, uri, new String(r.body, "UTF-8"))
+            .flatMap { r =>
+              try {
+                if (r.headers.get("warc-payload-digest")
+                      .exists(_ != payloadDigest(r.body))) Iterator.empty
+                else {
+                  val uri = r.headers.getOrElse("warc-target-uri", "")
+                  val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+                  Iterator.single((id, uri, new String(r.body, "UTF-8")))
+                }
+              } catch { case _: Exception => Iterator.empty }
             }
             .toVector
         } catch { case _: Exception => Vector.empty }

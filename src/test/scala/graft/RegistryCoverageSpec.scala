@@ -69,6 +69,11 @@ class RegistryCoverageSpec extends AnyFunSuite {
     "tx_compress" -> ("PropertySpec.scala", "Deflater"),
     "tx_rolling_fp" -> ("PropertySpec.scala", "rollingMinK"),
     "wc_partitions" -> ("HashSpec.scala", "wc_partitions"),
+    // offset/length are facts about the deflate encoder's member
+    // geometry — not reproducible in SQL; the gate range-reads every
+    // slice back and checks tiling + coverage (the cdx contract,
+    // executed)
+    "src_warc_cdx" -> ("SourcesSpec.scala", "srcWarcCdx"),
   )
 
   private val testRoot = {

@@ -673,4 +673,80 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "beta")),
       "the retry's overwrite must fully replace the partial shard")
   }
+
+  test("WARC payload digests: sha1 base32 stamped on fixtures, verified on ingest; a mismatch quarantines the record") {
+    import graft.sources.Warc
+    // independent recompute of the base32 form via BigInteger digits
+    // (a different implementation shape than the encoder's bit loop)
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest("abc".getBytes("US-ASCII"))
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    var n = new java.math.BigInteger(1, sha)
+    val digits = new StringBuilder
+    for (_ <- 0 until 32) {
+      digits.insert(0, alphabet(n.mod(java.math.BigInteger.valueOf(32)).intValue))
+      n = n.divide(java.math.BigInteger.valueOf(32))
+    }
+    assert(Warc.payloadDigest("abc".getBytes("US-ASCII")) == "sha1:" + digits.toString)
+    // fixture records carry the digest, and it verifies against the body
+    val wet = Warc.parseWarc(Warc.encodeWet(Seq((1L, Warc.docUri(1), "payload"))))
+    assert(wet(1).headers("warc-payload-digest") ==
+      Warc.payloadDigest("payload".getBytes("UTF-8")))
+    // a record whose digest does not match its body (bit rot) skips
+    // RECORD-level; intact siblings survive
+    def conv(id: Long, text: String, digest: String) =
+      Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> Warc.docUri(id),
+        "WARC-Payload-Digest" -> digest,
+        "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-digest").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "wet-00000.warc.gz"),
+      Warc.gzipPerRecord(Warc.encodeRecords(Seq(
+        conv(1L, "good", Warc.payloadDigest("good".getBytes("UTF-8"))),
+        conv(2L, "rotted", Warc.payloadDigest("pristine".getBytes("UTF-8"))),
+        conv(3L, "also good", Warc.payloadDigest("also good".getBytes("UTF-8")))))))
+    val rows = Warc.docsFromWarcFiles(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "a digest mismatch must quarantine its record, not its shard")
+  }
+
+  test("src_warc_cdx: the range-read index — every (offset, length) slice inflates to exactly its record; members tile each shard") {
+    import graft.sources.Warc
+    val rows = Warc.srcWarcCdx(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "one index row per document")
+    assert(rows.map(_.getLong(0)).toSeq == docs.keys.toSeq.sorted, "index covers every doc exactly once")
+    val lake = Warc.wetLakeDir(spark, sfDir)
+    rows.groupBy(_.getString(2)).foreach { case (shard, rs) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(lake, shard))
+      rs.foreach { r =>
+        val off = r.getLong(3).toInt; val len = r.getLong(4).toInt
+        // the cdx contract: the slice ALONE inflates to its own record
+        val recs = Warc.parseWarcGz(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        assert(recs.length == 1, s"$shard@$off must hold exactly one record")
+        assert(recs.head.headers("warc-target-uri") == r.getString(1), s"$shard@$off uri")
+        assert(new String(recs.head.body, "UTF-8") == docs(r.getLong(0)), s"$shard@$off body")
+        assert(recs.head.headers("warc-payload-digest") == r.getString(5), s"$shard@$off digest")
+      }
+      // member geometry: conversion members are disjoint, ascending,
+      // and the last ends exactly at shard end (the warcinfo member
+      // occupies the gap before the first conversion)
+      val sorted = rs.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0).getLong(3) + w(0).getLong(4) <= w(1).getLong(3), s"$shard overlap")
+      }
+      assert(sorted.last.getLong(3) + sorted.last.getLong(4) == bytes.length,
+        s"$shard: the last member must end exactly at shard end")
+    }
+    // a shard with a broken member chain indexes as ZERO rows (an
+    // index with holes is worse than no index)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cdx-broken").toString
+    val good = Warc.gzipPerRecord(Warc.encodeWet(Seq((7L, Warc.docUri(7), "ok"))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "wet-00000.warc.gz"), good)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "wet-00001.warc.gz"),
+      good.dropRight(3)) // truncated final member: chain breaks
+    val idx = Warc.cdxFromWarcFiles(spark, dir2).collect()
+    assert(idx.length == 1 && idx.head.getString(2) == "wet-00000.warc.gz",
+      "the broken shard must contribute zero index rows; the intact one survives")
+  }
 }
