@@ -146,6 +146,12 @@ object SparkEntry {
     // end-to-end composition: quality filter → exact dedup → packing,
     // hash-checked as one chain (per-op oracles can't see composition)
     "pipe_e2e" -> ((s, dir) => Pipeline.prepPipeline(s, dir)),
+    // the crawl-rooted capstone (r16): raw `.warc.gz` shards → HTTP
+    // envelope decode → charset → extraction → the SAME quality →
+    // dedup → pack tail; shares pipe_e2e's oracle VERBATIM (lossless
+    // wrap), so the whole crawl-to-training-corpus path is one
+    // hash-gated query
+    "pipe_crawl_e2e" -> ((s, dir) => Pipeline.crawlPrepPipeline(s, dir)),
     // per-source corpus data card: quality + gopher + dedup digests +
     // token volume rolled up in one scan, oracle-checked as a chain
     "pipe_datacard" -> ((s, dir) => Pipeline.dataCard(s, dir)),
@@ -1630,6 +1636,35 @@ object SparkEntry {
            |  CAST(sum(keep) AS BIGINT) AS n_keep
            |FROM qq JOIN k USING (doc_id) GROUP BY source ORDER BY source""".stripMargin,
       "pipe_e2e" ->
+        """WITH qb AS (SELECT doc_id, text,
+          |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+          |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |    x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
+          |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+          |  CAST(length(text) AS DOUBLE) AS n_chars
+          |  FROM documents),
+          |q AS (SELECT doc_id, text,
+          |  floor((least(n_tok / 64.0, 1.0) * 0.5 +
+          |    least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
+          |    (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2) * 10000.0) / 10000.0 AS quality
+          |  FROM qb),
+          |f AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5),
+          |kept AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY sha256(text)),
+          |t AS (SELECT f.doc_id, f.quality, f.doc_id % 8 AS shard,
+          |    CAST(len(list_filter(regexp_split_to_array(f.text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM f JOIN kept ON kept.doc_id = f.doc_id),
+          |c AS (SELECT doc_id, shard, n_tokens, quality,
+          |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM t)
+          |SELECT doc_id, shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+          |  n_tokens, quality
+          |FROM c ORDER BY doc_id""".stripMargin,
+      // pipe_crawl_e2e SHARES pipe_e2e's oracle verbatim: the crawl
+      // wrap is lossless, so the container-rooted chain must produce
+      // the IDENTICAL prep output — divergence in framing, envelope
+      // decode, extraction or composition is a hash mismatch
+      "pipe_crawl_e2e" ->
         """WITH qb AS (SELECT doc_id, text,
           |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
           |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -30,13 +30,36 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   def prepPipeline(s: SparkSession, dir: String, minQuality: Double = 0.5,
-                   budget: Long = 512, shards: Int = 8): DataFrame = {
+                   budget: Long = 512, shards: Int = 8): DataFrame =
+    prepPipelineOver(s, Tables.documents(s, dir), minQuality, budget, shards)
+
+  /** `pipe_crawl_e2e`: the SAME prep chain rooted at the RAW CRAWL
+    * CONTAINER — shard parse → HTTP envelope decode → charset →
+    * boilerplate-strip extraction ([[graft.sources.Warc.htmlDocRows]],
+    * the un-ordered composition entry so the source's contractual
+    * ORDER BY doesn't ride into the pipeline as a useless mid-plan
+    * range Exchange) → quality → dedup → pack. Because the fixture
+    * wrap is lossless, this query shares `pipe_e2e`'s oracle
+    * VERBATIM: a divergence anywhere in container framing, envelope
+    * decoding, extraction OR the prep chain's composition is a hash
+    * mismatch. The crawl-to-training-corpus path, end to end, as
+    * one oracle-checked query. */
+  def crawlPrepPipeline(s: SparkSession, dir: String): DataFrame =
+    prepPipelineOver(s,
+      graft.sources.Warc.htmlDocRows(s, graft.sources.Warc.rawLakeDir(s, dir))
+        .select(col("doc_id"), col("text")))
+
+  /** The prep chain over ANY (doc_id, text) corpus frame — split
+    * from [[prepPipeline]] so the crawl-rooted twin composes the
+    * identical tail. */
+  def prepPipelineOver(s: SparkSession, docs: DataFrame, minQuality: Double = 0.5,
+                       budget: Long = 512, shards: Int = 8): DataFrame = {
     import s.implicits._
     // ONE map-side projection computes everything derived from the
     // text — quality, token count (same byte-scan), content digest —
     // and `text` itself is dropped BEFORE the shuffle: the dedup
     // exchange carries 4 narrow columns, never document bodies.
-    val enriched = TextAnalysis.withQualityScore(Tables.documents(s, dir))
+    val enriched = TextAnalysis.withQualityScore(docs)
       .select($"doc_id", $"quality", $"n_tokens", sha2($"text", 256).as("digest"))
       .observe("pipe_in",
         count(lit(1)).as("docs_in"),

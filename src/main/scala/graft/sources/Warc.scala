@@ -778,6 +778,18 @@ object Warc {
     * responses, truncated records, envelope edge cases). */
   def htmlDocsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
+    htmlDocRows(s, lake)
+      .select($"doc_id", $"uri", length($"text").cast("long").as("n_chars"), $"text")
+      .orderBy($"doc_id")
+  }
+
+  /** The un-ordered (doc_id, uri, text) rows of [[htmlDocsFromWarcFiles]]
+    * — the composition entry: a downstream pipeline that immediately
+    * shuffles (dedup window, aggregation) must not inherit the
+    * registry query's contractual ORDER BY as a useless mid-plan
+    * range Exchange. */
+  def htmlDocRows(s: SparkSession, lake: String): DataFrame = {
+    import s.implicits._
     s.read.format("binaryFile").load(lake)
       .select($"content")
       .as[Array[Byte]]
@@ -811,8 +823,6 @@ object Warc {
         rows.iterator
       }
       .toDF("doc_id", "uri", "text")
-      .select($"doc_id", $"uri", length($"text").cast("long").as("n_chars"), $"text")
-      .orderBy($"doc_id")
   }
 
   private val rawLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()

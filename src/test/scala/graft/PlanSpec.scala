@@ -564,6 +564,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipe_crawl_e2e: the source's contractual sort does not ride into the pipeline") {
+    // the crawl-rooted prep chain composes through htmlDocRows (the
+    // un-ordered entry) — the only rangepartitioning Exchange must be
+    // the FINAL orderBy, not a useless mid-plan sort inherited from
+    // the source query's contract
+    val p = plan(graft.operators.Pipeline.crawlPrepPipeline(spark, sfDir))
+    assert(p.contains("binaryFile"), "the chain must be rooted at the crawl container")
+    assert("rangepartitioning".r.findAllIn(p).size == 1,
+      "exactly one range Exchange — the pipeline's own final ORDER BY")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("revisit resolution joins on uri as an equi-join over the ONCE-materialized parse") {
     // the one WARC query that MUST join (cross-shard reference
     // resolution); both sides are crawl-scale at 100 TB, so the pin

@@ -749,4 +749,15 @@ class SourcesSpec extends SparkSpec {
     assert(idx.length == 1 && idx.head.getString(2) == "wet-00000.warc.gz",
       "the broken shard must contribute zero index rows; the intact one survives")
   }
+
+  test("pipe_crawl_e2e: the crawl-rooted prep chain reproduces the table-rooted pipe_e2e row-for-row") {
+    // the lossless-extraction argument EXECUTED end-to-end: container
+    // parse + envelope decode + extraction feeding the same
+    // quality -> dedup -> pack tail must be indistinguishable from
+    // reading the documents table directly
+    val table = graft.operators.Pipeline.prepPipeline(spark, sfDir).collect()
+    val crawl = graft.operators.Pipeline.crawlPrepPipeline(spark, sfDir).collect()
+    assert(crawl.length == table.length && table.nonEmpty)
+    table.zip(crawl).foreach { case (t, c) => assert(t == c, s"row diverged: $t vs $c") }
+  }
 }
