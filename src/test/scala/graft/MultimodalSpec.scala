@@ -3314,6 +3314,25 @@ class MultimodalSpec extends SparkSpec {
           Array.tabulate[Byte](80)(i => (i % 6).toByte), 8))
         g.b(0x3b)
         g.bytes
+      },
+      // a BOX-COMPOSITED animation (r16): mutations to the image
+      // descriptor's left/top/iw/ih, the disposal bits and the
+      // sub-screen LZW must exercise the composition paths —
+      // canvas init, rect clears, restore-to-previous — and stay
+      // total (out-of-screen boxes land in UnknownMedia)
+      locally {
+        val g = new GifBuild.GB
+        GifBuild.header(g, 12, 9, Multimodal.palettePlte, 7)
+        GifBuild.image(g, 0, 0, 12, 9, 8, GifBuild.lzw(
+          Array.tabulate[Byte](108)(i => (i % 17).toByte), 8))
+        GifBuild.gce(g, 2 << 2, 0) // disposal 2: restore-to-background
+        GifBuild.image(g, 3, 2, 5, 4, 8, GifBuild.lzw(
+          Array.tabulate[Byte](20)(i => (i % 7 + 30).toByte), 8))
+        GifBuild.gce(g, (3 << 2) | 1, 4) // disposal 3 + transparency
+        GifBuild.image(g, 1, 1, 6, 5, 8, GifBuild.lzw(
+          Array.tabulate[Byte](30)(i => (i % 5).toByte), 8), interlace = true)
+        g.b(0x3b)
+        g.bytes
       })
     var decodedOk = 0
     seeds.foreach { base =>

@@ -1097,4 +1097,27 @@ class PropertySpec extends SparkSpec {
       assert(c == expect, s"pair ($i,$j): $c vs $expect")
     }
   }
+
+  test("extractText inverts htmlWrap for arbitrary text (generated adversarial corpus)") {
+    // the raw-crawl extractor's load-bearing contract, property-form:
+    // markup-adjacent characters, entity-lookalikes, whitespace runs,
+    // CRLF, unicode and long runs all survive the wrap+extract loop
+    val charGen: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('&', '<', '>', ';', '#', '"', '\'', '/', '!', '-'),
+      1 -> Gen.oneOf(' ', '\t', '\n', '\r'),
+      1 -> Gen.oneOf('\u00e9', '\u00df', '\u2014', '\u2603', '\u20ac'))
+    val textGen: Gen[String] = Gen.chooseNum(0, 400)
+      .flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    samples(textGen, 200).foreach { t =>
+      val got = graft.sources.Warc.extractText(graft.sources.Warc.htmlWrap(t))
+      assert(got == t, s"inverse failed for '${t.take(60)}'")
+    }
+    // entity-lookalike stress: strings that DECODE as entities must
+    // still round-trip because htmlWrap escapes their ampersands
+    Seq("&amp;", "&lt;x&gt;", "&#65;&#x42;", "&#xffff;", "&bogus;", "& #65;", "&&&&")
+      .foreach { t =>
+        assert(graft.sources.Warc.extractText(graft.sources.Warc.htmlWrap(t)) == t, t)
+      }
+  }
 }
