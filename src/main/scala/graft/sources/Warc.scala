@@ -25,6 +25,31 @@ import org.apache.spark.sql.functions._
   * candidates are located by a byte scan, inflated CONCURRENTLY,
   * and a chain walk keeps exactly the members that tile the file —
   * gated bit-identical to the sequential path. */
+/** The session's Hadoop `Configuration`, carried to executors.
+  * `Configuration` is not `Serializable`, so task closures that open
+  * a `FileSystem` (the crawl sink, the cdx range-read fetch) would
+  * otherwise default-construct one on the executor — and on any
+  * cluster whose target FS needs session conf (object-store
+  * credentials, `fs.defaultFS`) the write would fail or land on the
+  * wrong filesystem. Java-serialization hooks delegate to
+  * `Configuration.write`/`readFields` (the standard pattern — Spark's
+  * own equivalent is `private[spark]`). Each task deserializes its
+  * own copy, so no cross-task sharing of the non-thread-safe conf. */
+final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 object Warc {
 
   /** One parsed record: WARC headers (original case-insensitive
@@ -208,6 +233,21 @@ object Warc {
     out.toByteArray
   }
 
+  /** Deflate a whole payload in either `Content-Encoding: deflate`
+    * framing (fixture side): zlib-wrapped (RFC 1950, the spec's
+    * meaning) or the bare RFC 1951 stream confused servers ship —
+    * both arms of [[inflateWhole]]'s sniff. */
+  private def deflateWhole(b: Array[Byte], zlibWrap: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, !zlibWrap)
+    d.setInput(b)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val buf = new Array[Byte](1 << 14)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
   /** Single-member gzip of a whole payload — the HTTP
     * `Content-Encoding: gzip` body shape (one member per entity,
     * unlike the per-RECORD members of the container itself). */
@@ -357,6 +397,10 @@ object Warc {
       prefix: String, encodeDocs: Seq[(Long, String)] => Array[Byte]): Unit = {
     val s = df.sparkSession
     import s.implicits._
+    // capture the SESSION Hadoop conf on the driver (credentials,
+    // fs.defaultFS, scheme impls) — a default-constructed executor
+    // conf would miss all of it on a real cluster
+    val hadoopConf = new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
     df.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .repartition(nShards, col("doc_id"))
@@ -375,7 +419,7 @@ object Warc {
           // disable .crc sidecars for every OTHER Hadoop write in
           // the JVM (streaming checkpoint logs included)
           val fs = org.apache.hadoop.fs.FileSystem.newInstance(
-            path.toUri, new org.apache.hadoop.conf.Configuration())
+            path.toUri, hadoopConf.value)
           try {
             fs.setWriteChecksum(false) // a lake of shards, not shards + .crc sidecars
             val os = fs.create(path, true) // overwrite: task retries fully replace partials
@@ -392,10 +436,11 @@ object Warc {
     * Exchange then a map-side write: each task owns exactly one
     * shard file, the reference's `mr-out-<bucket>` layout
     * (worker.go:225-239) at crawl-container grain. Files go through
-    * the Hadoop FileSystem API, so `out` may be any supported
-    * scheme (local path here; HDFS/object store on a cluster — a
-    * production deploy would carry the session's Hadoop conf to the
-    * executors rather than default-constructing one). */
+    * the Hadoop FileSystem API with the SESSION's Hadoop conf
+    * carried to the write tasks ([[SerializableHadoopConf]]), so
+    * `out` may be any supported scheme — local path here, HDFS or an
+    * object store whose credentials live in the session conf on a
+    * cluster. */
   def writeWetLake(df: DataFrame, out: String, nShards: Int,
                    prefix: String = "wet"): Unit =
     writeCrawlLake(df, out, nShards, prefix,
@@ -454,12 +499,15 @@ object Warc {
     * is a full HTTP/1.1 envelope (status line + headers + blank
     * line) around an HTML page wrapping the text — the shape a crawl
     * lands in BEFORE extraction (WET is its post-extraction twin).
-    * The entity body cycles the four envelope shapes real crawls
+    * The entity body cycles the six envelope shapes real crawls
     * are dominated by, keyed on doc id: identity, chunked
     * transfer-coding (with a chunk extension and a trailer field —
-    * both legal and both ignored), gzip content-coding, and
+    * both legal and both ignored), gzip content-coding,
     * chunked-around-gzip (the layering RFC 9112 prescribes:
-    * transfer-coding is removed first, content-coding second). The
+    * transfer-coding is removed first, content-coding second),
+    * zlib-framed deflate (what the spec means by `deflate`), and
+    * chunked-around-RAW-deflate (what confused servers actually
+    * ship — the sniff's other arm). The
     * HTML wrap is LOSSLESS by construction ([[htmlWrap]] escapes
     * the three markup characters and adds structure-only tags), so
     * [[extractText]] inverts it exactly and the raw-crawl query can
@@ -473,16 +521,22 @@ object Warc {
         "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8")) +:
       docs.map { case (id, uri, text) =>
         val html = htmlWrap(text).getBytes("UTF-8")
-        val (bodyHeaders, entity) = (id % 4) match {
+        val (bodyHeaders, entity) = (id % 6) match {
           case 0 => (s"Content-Length: ${html.length}$CRLF", html)
           case 1 =>
             (s"Transfer-Encoding: chunked$CRLF", chunkEncode(html, 13))
           case 2 =>
             val gz = gzipWhole(html)
             (s"Content-Encoding: gzip${CRLF}Content-Length: ${gz.length}$CRLF", gz)
-          case _ =>
+          case 3 =>
             (s"Content-Encoding: gzip${CRLF}Transfer-Encoding: chunked$CRLF",
               chunkEncode(gzipWhole(html), 32))
+          case 4 =>
+            val df = deflateWhole(html, zlibWrap = true)
+            (s"Content-Encoding: deflate${CRLF}Content-Length: ${df.length}$CRLF", df)
+          case _ =>
+            (s"Content-Encoding: deflate${CRLF}Transfer-Encoding: chunked$CRLF",
+              chunkEncode(deflateWhole(html, zlibWrap = false), 21))
         }
         val http = (s"HTTP/1.1 200 OK$CRLF" +
           s"Content-Type: text/html; charset=utf-8$CRLF" +
@@ -517,12 +571,20 @@ object Warc {
 
   /** Decode an HTTP/1.1 response envelope over raw bytes: split the
     * head block at the first blank CRLF line, parse the status line
-    * and lower-cased headers, then undo `Transfer-Encoding: chunked`
-    * framing and `Content-Encoding: gzip` compression in that order
-    * (RFC 9112 §6.1: transfer-codings are a message property and come
-    * off first; content-codings are an entity property). Returns
-    * (status code, headers, entity bytes). Throws on malformation —
-    * callers catch at the file boundary (the quarantine contract). */
+    * and lower-cased headers (repeated fields combine into one
+    * comma-separated value per RFC 9110 §5.2 — last-wins would let a
+    * second `Content-Encoding: identity` mask a first `gzip` and
+    * ship compressed bytes through as document text), then undo
+    * `Transfer-Encoding: chunked` framing and the `Content-Encoding`
+    * chain in that order (RFC 9112 §6.1: transfer-codings are a
+    * message property and come off first; content-codings are an
+    * entity property, undone in reverse of the order applied).
+    * Supported content-codings: gzip/x-gzip and deflate (both the
+    * RFC 1950 zlib framing the spec means and the bare RFC 1951
+    * stream real servers ship — sniffed). Returns (status code,
+    * headers, entity bytes). Throws on malformation or any coding it
+    * cannot fully undo — callers catch at the record boundary (the
+    * quarantine contract). */
   def decodeHttpResponse(body: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
     var at = -1
     var p = 0
@@ -537,25 +599,71 @@ object Warc {
     require(status.length >= 2 && status(0).startsWith("HTTP/"),
       s"bad HTTP status line '${lines.head}'")
     val code = status(1).toInt
-    val headers = lines.tail.map { l =>
+    val headers = lines.tail.foldLeft(Map.empty[String, String]) { (m, l) =>
       val c = l.indexOf(':')
       require(c > 0, s"malformed HTTP header line '$l'")
-      l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
-    }.toMap
+      val k = l.substring(0, c).trim.toLowerCase
+      val v = l.substring(c + 1).trim
+      m.updated(k, m.get(k).fold(v)(_ + ", " + v))
+    }
+    // a coding list: comma-split, parameters after ';' dropped,
+    // `identity` (a no-op by definition) filtered out
+    def codings(header: String): List[String] =
+      headers.get(header).toList
+        .flatMap(_.toLowerCase.split(","))
+        .map(_.split(";")(0).trim)
+        .filter(c => c.nonEmpty && c != "identity")
     var entity = java.util.Arrays.copyOfRange(body, at + 4, body.length)
-    if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
-      entity = dechunk(entity)
-    headers.get("content-encoding").map(_.toLowerCase.trim) match {
-      case Some("gzip") | Some("x-gzip") => entity = gunzipAll(entity, 1 << 30)
-      case None | Some("identity") | Some("") => ()
-      case Some(other) =>
-        // br/deflate/zstd etc.: passing the still-compressed bytes
-        // through as "decoded" would silently corrupt the corpus —
-        // throw so the record SKIPS (the quarantine contract), never
-        // emits mojibake as document text
+    codings("transfer-encoding") match {
+      case Nil => ()
+      case List("chunked") => entity = dechunk(entity)
+      case other =>
+        // `Transfer-Encoding: gzip, chunked` dechunked-only would pass
+        // a still-TE-gzip'd body downstream as entity bytes — reject
+        // the whole chain unless it is exactly `chunked`
+        throw new IllegalArgumentException(
+          s"unsupported transfer-encoding chain '${other.mkString(", ")}'")
+    }
+    codings("content-encoding").reverse.foreach {
+      case "gzip" | "x-gzip" => entity = gunzipAll(entity, 1 << 30)
+      case "deflate" => entity = inflateWhole(entity, 1 << 30)
+      case other =>
+        // br/zstd etc.: passing the still-compressed bytes through as
+        // "decoded" would silently corrupt the corpus — throw so the
+        // record SKIPS (the quarantine contract), never emits
+        // mojibake as document text
         throw new IllegalArgumentException(s"unsupported content-encoding '$other'")
     }
     (code, headers, entity)
+  }
+
+  /** Undo `Content-Encoding: deflate` — the web's third coding,
+    * shipped in BOTH framings (RFC 9110 §8.4.1.2 notes the long-lived
+    * server confusion): the zlib wrapper the spec means (RFC 1950)
+    * and the bare deflate stream (RFC 1951). Sniffed by the zlib
+    * header contract — CM=8 in the low CMF nibble and
+    * (CMF·256 + FLG) ≡ 0 (mod 31); a raw stream's first byte carries
+    * BFINAL/BTYPE in its low bits and cannot satisfy both. Strict:
+    * truncation, a preset-dictionary demand, or bytes after the
+    * stream end all throw (→ record-level skip). */
+  private def inflateWhole(b: Array[Byte], ceiling: Int): Array[Byte] = {
+    val zlib = b.length >= 2 && (b(0) & 0x0f) == 8 &&
+      ((((b(0) & 0xff) << 8) | (b(1) & 0xff)) % 31 == 0)
+    val inf = new java.util.zip.Inflater(!zlib)
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length.toLong * 4, 1 << 20).toInt)
+    val buf = new Array[Byte](1 << 16)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+          "truncated or dictionary-requiring deflate stream")
+        out.write(buf, 0, n)
+        require(out.size() <= ceiling, s"inflated size exceeds the $ceiling ceiling")
+      }
+      require(inf.getRemaining == 0, "trailing bytes after the deflate stream")
+    } finally inf.end()
+    out.toByteArray
   }
 
   /** Charset named by a Content-Type header value (`text/html;
@@ -649,9 +757,25 @@ object Warc {
     * keep-depth from drifting open), and a keep close pops through
     * any unclosed inner keeps. Malformed markup never throws:
     * unclosed constructs consume to end of input, stray `<` is
-    * literal text. */
+    * literal text.
+    *
+    * Block boundaries (r16 verdict #3): closing a keep block marks a
+    * PENDING `\n` separator that is emitted lazily before the next
+    * text — `<p>a</p><p>b</p>` extracts `a\nb`, adjacent paragraphs
+    * never concatenate into one token and downstream token statistics
+    * stay honest. Lazy (join semantics, not terminator semantics) so
+    * no stray trailing newline is appended and the [[htmlWrap]]
+    * inverse stays exact: the wrap is single-block, so its pending
+    * separator never flushes. */
   def extractText(html: String): String = {
     val sb = new StringBuilder
+    // set when a keep block closes; flushed as '\n' before the next
+    // emitted text (never at the very start or end of the output)
+    var pendingSep = false
+    def emit(s: String): Unit = {
+      if (pendingSep) { if (sb.nonEmpty) sb.append('\n'); pendingSep = false }
+      sb.append(s)
+    }
     val drop = Set("nav", "footer", "header", "aside", "head")
     val raw = Set("script", "style") // RAWTEXT elements, always dropped
     val keep = Set("article", "main", "section", "p")
@@ -712,7 +836,7 @@ object Warc {
           i = if (e < 0) html.length else e + 3
         } else {
           val (name, close, selfClose, end) = tagAt(i)
-          if (name.isEmpty) { if (inText) sb.append(c); i += 1 }
+          if (name.isEmpty) { if (inText) emit("<"); i += 1 }
           else {
             i = end
             if (raw.contains(name) && !close) {
@@ -730,10 +854,15 @@ object Warc {
             } else if (keep.contains(name)) {
               if (close) {
                 val at = keepStack.lastIndexOf(name)
-                if (at >= 0) keepStack.remove(at, keepStack.length - at)
+                if (at >= 0) {
+                  keepStack.remove(at, keepStack.length - at)
+                  pendingSep = true // a block ended: separate what follows
+                }
               } else if (!selfClose) {
-                if (name == "p" && keepStack.nonEmpty && keepStack.last == "p")
+                if (name == "p" && keepStack.nonEmpty && keepStack.last == "p") {
                   keepStack.remove(keepStack.length - 1) // implicit </p> before <p>
+                  pendingSep = true
+                }
                 keepStack += name
               }
             }
@@ -752,10 +881,10 @@ object Warc {
             catch { case _: Exception => null }
           case _ => null
         }
-        if (dec != null) { sb.append(dec); i = semi + 1 }
-        else { sb.append(c); i += 1 }
+        if (dec != null) { emit(dec); i = semi + 1 }
+        else { emit("&"); i += 1 }
       } else {
-        if (inText) sb.append(c)
+        if (inText) emit(c.toString)
         i += 1
       }
     }
@@ -876,6 +1005,7 @@ object Warc {
               "WARC-Type" -> "conversion",
               "WARC-Target-URI" -> docUri(id),
               "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "WARC-Payload-Digest" -> payloadDigest(text.getBytes("UTF-8")),
               "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
         })))
       out
@@ -921,11 +1051,21 @@ object Warc {
               // not cost its whole shard — the outer catch stays for
               // CONTAINER malformation
               try {
-                val uri = r.headers.getOrElse("warc-target-uri", "")
-                val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
-                Iterator.single((id, uri, r.headers("warc-type"),
-                  new String(r.body, "UTF-8"),
-                  r.headers.getOrElse("warc-refers-to-target-uri", "")))
+                // same bit-rot guard as the WET ingest: a conversion
+                // record whose payload digest does not match its body
+                // quarantines record-level (a revisit's digest names
+                // the ORIGINAL capture's payload, not its empty body,
+                // so only conversions are checked)
+                if (r.headers.get("warc-type").contains("conversion") &&
+                    r.headers.get("warc-payload-digest")
+                      .exists(_ != payloadDigest(r.body))) Iterator.empty
+                else {
+                  val uri = r.headers.getOrElse("warc-target-uri", "")
+                  val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+                  Iterator.single((id, uri, r.headers("warc-type"),
+                    new String(r.body, "UTF-8"),
+                    r.headers.getOrElse("warc-refers-to-target-uri", "")))
+                }
               } catch { case _: Exception => Iterator.empty }
             }
             .toVector

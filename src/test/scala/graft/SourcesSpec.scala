@@ -3,6 +3,17 @@ package graft
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
+/** A local filesystem registered under a scheme that exists ONLY in
+  * the session Hadoop conf (`fs.grafttest.impl`). A writer that
+  * default-constructs its executor-side `Configuration` cannot
+  * resolve the scheme at all — so a successful write through it
+  * PROVES the session conf reached the write tasks (the
+  * SerializableHadoopConf contract). Needs the no-arg constructor
+  * Hadoop's reflective instantiation requires. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("grafttest:///")
+}
+
 /** Round-trips through every supported format preserve data exactly,
   * and hive-style partitioning produces prunable directories. */
 class SourcesSpec extends SparkSpec {
@@ -357,7 +368,7 @@ class SourcesSpec extends SparkSpec {
       "corrupt shard must quarantine to zero rows, good shard must survive")
   }
 
-  test("src_warc_html: lossless extractor inverse; all four HTTP envelope shapes decode; raw lake ingests row-identically") {
+  test("src_warc_html: lossless extractor inverse; all six HTTP envelope shapes decode; raw lake ingests row-identically") {
     import graft.sources.Warc
     // the inverse property extractText(htmlWrap(t)) == t over adversarial
     // text: entities, edge chars, CRLF, empty, 70 kB (r15 verdict #2)
@@ -368,9 +379,10 @@ class SourcesSpec extends SparkSpec {
     texts.foreach { t =>
       assert(Warc.extractText(Warc.htmlWrap(t)) == t, s"inverse failed for '${t.take(40)}'")
     }
-    // encodeRawWarc parse-back across the envelope cycle: ids 0..3 hit
-    // identity / chunked / gzip / chunked-around-gzip
-    val docs = (0L to 3L).map(id =>
+    // encodeRawWarc parse-back across the envelope cycle: ids 0..5 hit
+    // identity / chunked / gzip / chunked-around-gzip / zlib-deflate /
+    // chunked-around-raw-deflate (both arms of the deflate sniff)
+    val docs = (0L to 5L).map(id =>
       (id, Warc.docUri(id), (s"body $id — payload text " * 20) + "end"))
     val recs = Warc.parseWarc(Warc.encodeRawWarc(docs))
     assert(recs.head.headers("warc-type") == "warcinfo")
@@ -378,8 +390,10 @@ class SourcesSpec extends SparkSpec {
       assert(r.headers("warc-type") == "response")
       val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
       assert(status == 200)
-      if (id % 4 == 1 || id % 4 == 3) assert(hh("transfer-encoding") == "chunked", uri)
-      if (id % 4 == 2 || id % 4 == 3) assert(hh("content-encoding") == "gzip", uri)
+      if (id % 6 == 1 || id % 6 == 3 || id % 6 == 5)
+        assert(hh("transfer-encoding") == "chunked", uri)
+      if (id % 6 == 2 || id % 6 == 3) assert(hh("content-encoding") == "gzip", uri)
+      if (id % 6 == 4 || id % 6 == 5) assert(hh("content-encoding") == "deflate", uri)
       assert(Warc.extractText(new String(entity, "UTF-8")) == text, uri)
     }
     // the registry query itself: row-identical to documents across every
@@ -410,7 +424,7 @@ class SourcesSpec extends SparkSpec {
     assert(extractText("<article><p><a href=\"x>y\" title='p>q'>link</a>text</p></article>")
       == "linktext")
     // same-name nested drop: the inner </nav> must not reopen the outer tail
-    assert(extractText("<article><p>a</p><nav>x<nav>y</nav>z</nav><p>b</p></article>") == "ab")
+    assert(extractText("<article><p>a</p><nav>x<nav>y</nav>z</nav><p>b</p></article>") == "a\nb")
     // RAWTEXT: markup-like strings inside script/style never end the element early
     assert(extractText("<article><p>a<script>var s=\"</p>fake\";</script>b</p></article>") == "ab")
     assert(extractText("<article><p>a<style>p::before{content:\"</p>\"}</style>b</p></article>")
@@ -422,9 +436,19 @@ class SourcesSpec extends SparkSpec {
       == "ab")
     // self-closing keep leaves no depth open: trailing boilerplate stays out
     assert(extractText("<article><p>a</p><section/></article>after") == "a")
-    // implicit </p>: the next <p> closes the previous one; the article
-    // close pops through both without drifting keep-depth open
-    assert(extractText("<article><p>one<p>two</article>after") == "onetwo")
+    // implicit </p>: the next <p> closes the previous one (emitting the
+    // block separator); the article close pops through both without
+    // drifting keep-depth open
+    assert(extractText("<article><p>one<p>two</article>after") == "one\ntwo")
+    // block boundaries (r16 verdict #3): adjacent keep blocks separate
+    // with ONE \n, emitted lazily — no leading or trailing newline, no
+    // separator for empty blocks, inline content inside a block intact
+    assert(extractText("<article><p>a</p><p>b</p></article>") == "a\nb")
+    assert(extractText("<section>x</section><section>y</section>") == "x\ny")
+    assert(extractText("<article><p></p><p>b</p></article>") == "b") // empty first block: no leading \n
+    assert(extractText("<article><p>a</p><p></p></article>") == "a") // empty last block: no trailing \n
+    assert(extractText("<article>x<p>y</p>z</article>") == "xy\nz") // boundary only where a block CLOSED
+    assert(extractText("<p>&amp;</p><p>&lt;</p>") == "&\n<") // entity text flushes the separator too
     // void elements inside keep content
     assert(extractText("<article><p>a<br>b<br/>c</p></article>") == "abc")
     // unclosed keep tag consumes to end without throwing
@@ -463,6 +487,48 @@ class SourcesSpec extends SparkSpec {
       val (_, _, e1) = Warc.decodeHttpResponse(
         "HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n\r\nplain".getBytes("US-ASCII"))
       assert(new String(e1, "US-ASCII") == "plain")
+    }
+    // repeated header fields combine per RFC 9110 §5.2 — last-wins
+    // would let a trailing 'identity' mask the gzip and ship
+    // compressed bytes through as text (r16 ADVICE #1)
+    intercept[Exception] {
+      Warc.decodeHttpResponse(("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        "Content-Encoding: identity\r\n\r\nstill-compressed").getBytes("US-ASCII"))
+    }
+    // 'Transfer-Encoding: gzip, chunked' must reject the whole record,
+    // not dechunk and pass TE-gzip bytes through (r16 ADVICE #2);
+    // 'identity, chunked' is a legal no-op prefix and still dechunks
+    intercept[Exception] {
+      Warc.decodeHttpResponse(("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n" +
+        "\r\n5\r\nhello\r\n0\r\n\r\n").getBytes("US-ASCII"))
+    }
+    locally {
+      val (_, _, e2) = Warc.decodeHttpResponse(
+        ("HTTP/1.1 200 OK\r\nTransfer-Encoding: identity, chunked\r\n" +
+          "\r\n5\r\nhello\r\n0\r\n\r\n").getBytes("US-ASCII"))
+      assert(new String(e2, "US-ASCII") == "hello")
+    }
+    // deflate content-coding (r16 verdict #4): both the zlib framing
+    // the spec means and the raw stream confused servers ship decode
+    // through the sniff; a truncated stream throws (record-level skip)
+    locally {
+      def deflate(s: String, zlibWrap: Boolean): Array[Byte] = {
+        val d = new java.util.zip.Deflater(-1, !zlibWrap)
+        d.setInput(s.getBytes("US-ASCII")); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end(); out.toByteArray
+      }
+      def resp(body: Array[Byte]): Array[Byte] =
+        "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n".getBytes("US-ASCII") ++ body
+      val (_, _, z) = Warc.decodeHttpResponse(resp(deflate("zlib framed payload", true)))
+      assert(new String(z, "US-ASCII") == "zlib framed payload")
+      val (_, _, r) = Warc.decodeHttpResponse(resp(deflate("raw deflate payload", false)))
+      assert(new String(r, "US-ASCII") == "raw deflate payload")
+      intercept[Exception] {
+        Warc.decodeHttpResponse(resp(deflate("truncated!", true).dropRight(3)))
+      }
     }
     // retained-size budget (ADVICE r15): a tiny budget aborts the
     // parallel member inflation and defers to the sequential walk,
@@ -558,6 +624,33 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("the WET sink carries the SESSION Hadoop conf to its write tasks (r16 ADVICE #4)") {
+    import graft.sources.Warc
+    // register a filesystem scheme ONLY in the session conf — a
+    // default-constructed Configuration on the executor has no
+    // fs.grafttest.impl and the write would throw
+    // UnsupportedFileSystemException before creating any file
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.grafttest.impl", classOf[GraftTestFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-conf-carry").toString
+    val df = Seq((1L, "carried"), (2L, "conf")).toDF("doc_id", "text")
+    Warc.writeWetLake(df, "grafttest://" + local, 2)
+    val back = Warc.docsFromWarcFiles(spark, local).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((1L, "carried"), (2L, "conf")),
+      "a write through the session-conf-only scheme must land and round-trip")
+    // and the wrapper itself round-trips arbitrary session keys
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.test.key", "planted-value")
+    val ser = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(ser)
+    oos.writeObject(new graft.sources.SerializableHadoopConf(conf)); oos.close()
+    val des = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(ser.toByteArray))
+      .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+    assert(des.value.get("graft.test.key") == "planted-value")
+  }
+
   test("raw-crawl charset handling: declared ISO-8859-1 / windows-1252 decode correctly; unknown falls back to UTF-8") {
     import graft.sources.Warc
     assert(Warc.charsetOf("text/html; charset=utf-8").name == "UTF-8")
@@ -629,14 +722,23 @@ class SourcesSpec extends SparkSpec {
         "WARC-Refers-To-Target-URI" -> Warc.docUri(refersTo),
         "WARC-Profile" -> "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
         "Content-Type" -> "text/plain") -> Array.empty[Byte]
+    // a conversion whose payload digest mismatches its body (bit rot)
+    // quarantines record-level in THIS ingest too (r16 ADVICE #3 —
+    // the WET path already checked; the revisit path now matches)
+    val rotted =
+      Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> Warc.docUri(7),
+        "WARC-Payload-Digest" -> Warc.payloadDigest("what was captured".getBytes("UTF-8")),
+        "Content-Type" -> "text/plain") -> "what rotted on disk".getBytes("UTF-8")
     val dir2 = java.nio.file.Files.createTempDirectory("graft-revisit-dangling").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "crawl-00000.warc.gz"),
-      Warc.gzipPerRecord(Warc.encodeRecords(Seq(conv(1L, "one"), rev(2L, 99L), rev(5L, 1L)))))
+      Warc.gzipPerRecord(Warc.encodeRecords(Seq(conv(1L, "one"), rev(2L, 99L), rev(5L, 1L),
+        rotted))))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "crawl-00001.warc.gz"),
       Array.tabulate[Byte](200)(i => (i * 41).toByte)) // corrupt sibling quarantines
     val rows = Warc.revisitDocsFromWarcFiles(spark, dir2).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L),
-      "a dangling referent must drop; a resolvable revisit must survive")
+      "a dangling referent and a digest-mismatched conversion must drop; " +
+        "a resolvable revisit must survive")
     assert(rows.map(_.getString(3)).toSeq == Seq("one", "one"))
     assert(rows(1).getLong(4) == 1L, "revisit_of must name the referred capture")
   }
