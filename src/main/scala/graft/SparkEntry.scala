@@ -382,6 +382,15 @@ object SparkEntry {
     // slice range-reads back to exactly its own record, members tile
     // each shard, and the index covers every document
     "src_warc_cdx" -> ((s, dir) => graft.sources.Warc.srcWarcCdx(s, dir)),
+    // cdx CONSUMED (r17): the crawl's point-lookup verb — a bounded
+    // doc_id set resolves through the index and RANGE-READS only the
+    // indexed gzip members (open/seek/readFully, one hash Exchange to
+    // co-locate a shard's reads, members read in offset order), never
+    // a whole-shard scan. Full oracle: the fetched rows hash-match
+    // `documents` under the same predicate; the bytes discipline is
+    // EXECUTED in SourcesSpec (fetch against a junk-outside-the-
+    // ranges lake still returns every document)
+    "src_warc_fetch" -> ((s, dir) => graft.sources.Warc.srcWarcFetch(s, dir)),
     // streaming WET export (r16): the sink's incremental deployment —
     // documents stream in, every micro-batch appends its own
     // batch-id-prefixed shards through the SAME writeWetLake body,
@@ -2208,6 +2217,14 @@ object SparkEntry {
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // src_warc_fetch: the range-read fetch must reproduce exactly
+      // the predicate's documents — same closed form as src_warc
+      // under the fixture's bounded-id rule
+      "src_warc_fetch" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
       // src_warc_revisit: revisit resolution rebuilt as a self-join —
       // docs ≡ 2 (mod 3) are stored as revisits of doc_id−1, so their
       // text (and n_chars) come from the REFERRED row; a revisit whose

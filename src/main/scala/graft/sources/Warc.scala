@@ -1124,7 +1124,14 @@ object Warc {
     * is worse than no index (a broken chain makes every offset
     * after the break unverifiable), so a shard whose member chain
     * fails anywhere indexes as zero rows. */
-  def cdxFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
+  def cdxFromWarcFiles(s: SparkSession, lake: String): DataFrame =
+    cdxRows(s, lake).orderBy(col("doc_id"))
+
+  /** The un-ordered rows of [[cdxFromWarcFiles]] — the composition
+    * entry (the htmlDocRows rule): a consumer that immediately
+    * shuffles on shard ([[fetchByCdx]]) must not inherit the registry
+    * query's contractual ORDER BY as a dead mid-plan range Exchange. */
+  def cdxRows(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
     s.read.format("binaryFile").load(lake)
       .select($"path", $"content")
@@ -1153,7 +1160,78 @@ object Warc {
         rows.iterator
       }
       .toDF("doc_id", "uri", "shard", "offset", "length", "digest")
-      .orderBy($"doc_id")
+  }
+
+  /** `src_warc_fetch`: the crawl's point-lookup verb — the first
+    * CONSUMER of the cdx index ([[srcWarcCdx]] PRODUCES the
+    * (shard, offset, length) facts; this query spends them). Given a
+    * bounded doc_id predicate (the fixture's is `doc_id % 7 == 0`),
+    * resolve each hit through the index and RANGE-READ only its gzip
+    * member — open(shard), seek(offset), readFully(length) — instead
+    * of scanning whole shards. At 100 TB this is the difference
+    * between touching hits × mean-member-size bytes and re-reading
+    * the corpus. Full oracle: the fetched rows hash-match `documents`
+    * under the same predicate; the bytes-discipline gate is EXECUTED
+    * in SourcesSpec — fetching against a lake whose bytes OUTSIDE the
+    * indexed ranges are garbage still returns every document, which
+    * no whole-shard read could survive. */
+  def srcWarcFetch(s: SparkSession, dir: String): DataFrame = {
+    val lake = wetLakeDir(s, dir)
+    fetchByCdx(s, lake, cdxRows(s, lake).filter(col("doc_id") % 7 === 0))
+  }
+
+  /** Range-read fetch over ANY per-record-gzip lake driven by cdx
+    * index rows (shard, offset, length). ONE hash Exchange routes
+    * index rows to their shard, each task opens its shard once and
+    * reads members in offset order (sequential I/O within the file),
+    * and exactly `length` bytes are read per member — nothing else of
+    * the shard is touched, no whole-file gunzip anywhere. The session
+    * Hadoop conf rides to the tasks ([[SerializableHadoopConf]]), so
+    * the lake may live on any configured filesystem. A member whose
+    * bytes no longer inflate to their indexed record (bit rot since
+    * indexing, digest mismatch included) skips record-level — the
+    * quarantine contract at point-lookup grain. */
+  def fetchByCdx(s: SparkSession, lake: String, idx: DataFrame): DataFrame = {
+    import s.implicits._
+    val hadoopConf = new SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
+    idx.select(col("shard"), col("offset"), col("length"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard: String, members: Iterator[(String, Long, Long)]) =>
+        val path = new org.apache.hadoop.fs.Path(lake, shard)
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(path.toUri, hadoopConf.value)
+        try {
+          val in = fs.open(path)
+          // a fetch set is bounded by contract (point lookups, not a
+          // scan), so materializing the rows before closing the
+          // stream costs hits × record size, never shard size
+          try {
+            members.toArray.sortBy(_._2).iterator.flatMap { case (_, off, len) =>
+              try {
+                val buf = new Array[Byte](len.toInt)
+                in.seek(off)
+                in.readFully(buf)
+                val m = inflateMemberAt(buf, 0)
+                require(m != null && m._2 == len, s"member at $off does not span $len bytes")
+                val recs = parseWarc(m._1)
+                require(recs.length == 1, "a member must hold exactly one record")
+                val r = recs.head
+                if (r.headers.get("warc-payload-digest")
+                      .exists(_ != payloadDigest(r.body))) Iterator.empty
+                else {
+                  val uri = r.headers.getOrElse("warc-target-uri", "")
+                  val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+                  Iterator.single((id, uri, new String(r.body, "UTF-8")))
+                }
+              } catch { case _: Exception => Iterator.empty }
+            }.toVector
+          } finally in.close()
+        } finally fs.close()
+      }
+      .toDF("doc_id", "uri", "text")
+      .select(col("doc_id"), col("uri"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+      .orderBy(col("doc_id"))
   }
 
   /** `src_warc`: parse the staged WET shards back into document

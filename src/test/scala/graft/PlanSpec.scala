@@ -576,6 +576,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("src_warc_fetch: one hash Exchange co-locates a shard's range reads; no join; one contractual sort") {
+    // the point-lookup verb: index rows shuffle ONCE (hash on shard,
+    // the groupByKey) so each task opens its shard exactly once and
+    // range-reads members in offset order; the only other Exchange is
+    // the contractual ORDER BY. No join, no whole-file re-scan beyond
+    // the index build's own binaryFile scan.
+    val p = plan(graft.sources.Warc.srcWarcFetch(spark, sfDir))
+    assert(p.contains("binaryFile"), "the index build scans the lake through binaryFile")
+    assert(!p.contains("Join"), s"src_warc_fetch must not join: $p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one hash Exchange — the per-shard read grouping: $p")
+    assert("rangepartitioning".r.findAllIn(p).size == 1,
+      s"exactly one range Exchange — the contractual sort: $p")
+  }
+
   test("revisit resolution joins on uri as an equi-join over the ONCE-materialized parse") {
     // the one WARC query that MUST join (cross-shard reference
     // resolution); both sides are crawl-scale at 100 TB, so the pin

@@ -743,6 +743,70 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getLong(4) == 1L, "revisit_of must name the referred capture")
   }
 
+  test("src_warc_fetch: range reads touch ONLY the indexed byte ranges; registry query matches the predicate") {
+    import graft.sources.Warc
+    // stage a small lake, index it, pick a subset, then GARBLE every
+    // byte outside the subset's (offset, length) ranges. A fetch that
+    // reads only the indexed ranges returns every selected document; a
+    // whole-shard read (gunzip walk, full parse) cannot survive the
+    // junk — the bytes-read discipline EXECUTED, not asserted
+    val docs = (0L to 9L).map(id => (id, Warc.docUri(id), s"doc $id body " * 12))
+    val lake = java.nio.file.Files.createTempDirectory("graft-fetch-lake").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(lake, "wet-00000.warc.gz"),
+      Warc.gzipPerRecord(Warc.encodeWet(docs.take(5))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(lake, "wet-00001.warc.gz"),
+      Warc.gzipPerRecord(Warc.encodeWet(docs.drop(5))))
+    val idx = Warc.cdxRows(spark, lake).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(idx.length == 10, "every conversion record must index")
+    val selected = idx.filter(_._1 % 3 == 0) // ids 0,3,6,9 — both shards hit
+    val junkLake = java.nio.file.Files.createTempDirectory("graft-fetch-junk").toString
+    Seq("wet-00000.warc.gz", "wet-00001.warc.gz").foreach { shard =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lake, shard)).clone()
+      val keep = selected.filter(_._2 == shard).map(m => (m._3, m._3 + m._4))
+      bytes.indices.foreach { i =>
+        if (!keep.exists(r => i >= r._1 && i < r._2)) bytes(i) = 0x55.toByte
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(junkLake, shard), bytes)
+    }
+    val idxDf = selected.toSeq.toDF("doc_id", "shard", "offset", "length")
+    val fetched = Warc.fetchByCdx(spark, junkLake, idxDf).collect()
+    assert(fetched.map(_.getLong(0)).toSeq == Seq(0L, 3L, 6L, 9L),
+      "every selected document must fetch from a lake that is garbage outside its ranges")
+    fetched.foreach { r =>
+      assert(r.getString(3) == s"doc ${r.getLong(0)} body " * 12, s"text for ${r.getLong(0)}")
+    }
+    // and the fetch set's byte budget is a small fraction of the lake
+    // (the whole point of the index): ~4/10 members here, ≪ total
+    val lakeBytes = Seq("wet-00000.warc.gz", "wet-00001.warc.gz")
+      .map(sh => java.nio.file.Files.size(java.nio.file.Paths.get(lake, sh))).sum
+    val fetchBytes = selected.map(_._4).sum
+    assert(fetchBytes < lakeBytes / 2,
+      s"fetch reads $fetchBytes of $lakeBytes lake bytes — must stay a fraction")
+    // the registry query: row-identical to documents under the predicate
+    val got = Warc.srcWarcFetch(spark, sfDir).collect()
+    val expect = Tables.documents(spark, sfDir).filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      assert(g.getString(1) == Warc.docUri(e.getLong(0)))
+      assert(g.getString(3) == e.getString(1), s"text for doc ${e.getLong(0)}")
+    }
+    // a rotted member (bit flip INSIDE an indexed range) skips
+    // record-level: flip one payload byte of doc 3's member in the
+    // junk lake and re-fetch — 3 drops, siblings survive
+    val m3 = selected.find(_._1 == 3L).get
+    val shardBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(junkLake, m3._2)).clone()
+    shardBytes((m3._3 + m3._4 / 2).toInt) = (shardBytes((m3._3 + m3._4 / 2).toInt) ^ 0x40).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(junkLake, m3._2), shardBytes)
+    val refetched = Warc.fetchByCdx(spark, junkLake, idxDf).collect()
+    assert(refetched.map(_.getLong(0)).toSeq == Seq(0L, 6L, 9L),
+      "a member that no longer inflates to its indexed record must skip record-level")
+  }
+
   test("snk_stream_wet: the streaming WET export reproduces documents exactly and is idempotent") {
     // every micro-batch appends batch-id-prefixed shards; a collision
     // or a re-export would surface as duplicate rows here
