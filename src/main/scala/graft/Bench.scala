@@ -50,6 +50,12 @@ object Bench {
     // measure the binaryFile scan + decode, not the one-time staging.
     if (selected.exists(_._1 == "mm_files_meta"))
       operators.Multimodal.mediaLakeDir(spark, sfDir)
+    // the WET fixture lake: a production crawl already sits in object
+    // storage, so src_warc-family timed runs (and the streaming ingest
+    // twin) measure scan + parse, not the one-time staging write
+    if (selected.exists(p => p._1 == "src_warc" || p._1 == "src_warc_cdx" ||
+        p._1 == "src_warc_fetch" || p._1 == "src_stream_warc"))
+      graft.sources.Warc.wetLakeDir(spark, sfDir)
     if (selected.exists(_._1 == "mm_jpeg_files"))
       operators.Multimodal.jpegLakeDir(spark, sfDir)
     // And the persisted IVF index: pipe_ivf_serve measures SERVING

@@ -398,6 +398,13 @@ object SparkEntry {
     // Append ⇒ batching-invariant)
     "snk_stream_wet" -> ((s, dir) =>
       graft.streaming.StreamingOps.wetExportViaStream(s, dir)),
+    // streaming crawl ingest (r17) — the 16th real streaming
+    // execution: shards arrive as a binaryFile readStream
+    // (maxFilesPerTrigger forces real multi-batch arrival), each
+    // micro-batch parses map-side through the SAME record walk as the
+    // batch ingest, documents append; oracle shared with src_warc
+    "src_stream_warc" -> ((s, dir) =>
+      graft.streaming.StreamingOps.warcIngestViaStream(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2225,6 +2232,14 @@ object SparkEntry {
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
+      // src_stream_warc: the streamed ingest must reproduce documents
+      // exactly — same closed form as src_warc, accumulated across
+      // micro-batches
+      "src_stream_warc" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // src_warc_revisit: revisit resolution rebuilt as a self-join —
       // docs ≡ 2 (mod 3) are stored as revisits of doc_id−1, so their
       // text (and n_chars) come from the REFERRED row; a revisit whose

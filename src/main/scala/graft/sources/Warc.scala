@@ -1255,9 +1255,21 @@ object Warc {
     * body is not a document) filter out record-level. */
   def docsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
-    s.read.format("binaryFile").load(lake)
-      .select($"content")
-      .as[Array[Byte]]
+    docRowsFromShardBytes(
+        s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
+      .select($"doc_id", $"uri", length($"text").cast("long").as("n_chars"), $"text")
+      .orderBy($"doc_id")
+  }
+
+  /** The conversion-record parse over a relation of shard payloads —
+    * the SHARED body of the batch ingest ([[docsFromWarcFiles]]) and
+    * its ingestion-time streaming twin (`src_stream_warc`), so the
+    * two record walks cannot diverge. Works unchanged over a
+    * streaming Dataset: the parse is a stateless per-shard flatMap. */
+  def docRowsFromShardBytes(shards: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
+    val s = shards.sparkSession
+    import s.implicits._
+    shards
       .flatMap { bytes =>
         // CONTAINER malformation quarantines the FILE (outer catch);
         // a single bad record — malformed uri tail, or a
@@ -1284,7 +1296,5 @@ object Warc {
         rows.iterator
       }
       .toDF("doc_id", "uri", "text")
-      .select($"doc_id", $"uri", length($"text").cast("long").as("n_chars"), $"text")
-      .orderBy($"doc_id")
   }
 }

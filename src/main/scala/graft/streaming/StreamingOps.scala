@@ -557,6 +557,45 @@ object StreamingOps {
     graft.sources.Warc.docsFromWarcFiles(s, out)
   }
 
+  /** Streaming crawl ingest (`src_stream_warc`) — the
+    * INGESTION-TIME twin of [[graft.sources.Warc.srcWarcDocs]]:
+    * `.warc.gz` shards arrive as a file-source `readStream` over the
+    * lake (binaryFile format — new shards appear, their documents
+    * append), and each micro-batch parses its shards map-side through
+    * the SAME record walk as the batch ingest
+    * ([[graft.sources.Warc.docRowsFromShardBytes]] — batch and
+    * streaming parse cannot diverge; digest quarantine and
+    * record-type filtering included). Stateless Append: every shard
+    * parses exactly once whatever the batching —
+    * `maxFilesPerTrigger=2` forces MULTIPLE micro-batches over the
+    * fixture lake, so incremental arrival is actually executed, not
+    * simulated — and the accumulated documents share `src_warc`'s
+    * closed-form oracle end-to-end (scan → gunzip → parse must
+    * reproduce `documents` exactly, now continuously). */
+  def warcIngestViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = graft.sources.Warc.wetLakeDir(s, dir)
+    // binaryFile's schema is fixed by the format; the streaming
+    // reader obtains it via inference (scoped set/restore — the
+    // format rejects user-specified schemas)
+    val prevInf = s.conf.getAll.get("spark.sql.streaming.schemaInference")
+    s.conf.set("spark.sql.streaming.schemaInference", "true")
+    val shards = try
+      s.readStream.format("binaryFile")
+        .option("maxFilesPerTrigger", "2")
+        .load(lake)
+    finally prevInf match {
+      case Some(v) => s.conf.set("spark.sql.streaming.schemaInference", v)
+      case None    => s.conf.unset("spark.sql.streaming.schemaInference")
+    }
+    val docs = graft.sources.Warc.docRowsFromShardBytes(
+      shards.select(col("content")).as[Array[Byte]])
+    runToMemory(docs, "src_stream_warc_q", OutputMode.Append)
+      .select(col("doc_id"), col("uri"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming incremental exact dedup (`ev_stream_incr_dedup`) — the
     * landing-zone deployment of
     * [[graft.operators.Dedup.incrementalDedup]]: new documents arrive
@@ -931,6 +970,12 @@ object StreamingOps {
     * plan-shape assertions, test-only by convention. */
   @volatile private[graft] var lastStreamPlan: String = ""
 
+  /** Number of data-carrying micro-batches in the most recent
+    * [[runToMemory]] run — written for specs that pin INCREMENTAL
+    * arrival (the stream really processed the source in several
+    * batches, not one). Test-only by convention. */
+  @volatile private[graft] var lastNumBatches: Int = 0
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append,
                   statePartitions: Option[Int] = None,
@@ -958,6 +1003,7 @@ object StreamingOps {
         val buf = new java.io.ByteArrayOutputStream()
         Console.withOut(buf)(q.explain())
         lastStreamPlan = buf.toString("UTF-8")
+        lastNumBatches = q.recentProgress.count(_.numInputRows > 0)
       } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -807,6 +807,23 @@ class SourcesSpec extends SparkSpec {
       "a member that no longer inflates to its indexed record must skip record-level")
   }
 
+  test("src_stream_warc: the streaming crawl ingest reproduces documents across REAL multiple micro-batches") {
+    val got = graft.streaming.StreamingOps.warcIngestViaStream(spark, sfDir).collect()
+    // incremental arrival must actually execute: maxFilesPerTrigger=2
+    // over the 8-shard lake means several data-carrying micro-batches,
+    // not one catch-up batch
+    assert(graft.streaming.StreamingOps.lastNumBatches >= 2,
+      s"expected multiple micro-batches, got ${graft.streaming.StreamingOps.lastNumBatches}")
+    val direct = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(got.length == direct.length && got.nonEmpty)
+    got.zip(direct).foreach { case (w, d) =>
+      assert(w.getLong(0) == d.getLong(0))
+      assert(w.getString(1) == graft.sources.Warc.docUri(d.getLong(0)))
+      assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
+    }
+  }
+
   test("snk_stream_wet: the streaming WET export reproduces documents exactly and is idempotent") {
     // every micro-batch appends batch-id-prefixed shards; a collision
     // or a re-export would surface as duplicate rows here
