@@ -575,7 +575,10 @@ object SparkEntry {
          |      -- (r15): lossless, so only format + n_bytes change
          |      WHEN 1 THEN CASE CAST((doc_id // 3) % 2 AS INTEGER)
          |        WHEN 1 THEN 'flac' ELSE 'wav' END
-         |      ELSE 'y4m' END AS format,
+         |      -- the video slot sub-cycles y4m / ANIMATED GIF by
+         |      -- (id//3)%2 (r17): box composition under the oracle
+         |      ELSE CASE CAST((doc_id // 3) % 2 AS INTEGER)
+         |        WHEN 1 THEN 'gif' ELSE 'y4m' END END AS format,
          |    -- the third image slot sub-cycles PNG truecolor(0) /
          |    -- palette(1) / RGBA-with-alpha(2) / GIF(3) by (id//9)%4
          |    -- (r15); GIF shares the palette arm's content rule, so
@@ -607,9 +610,20 @@ object SparkEntry {
          |      -- trailer = 794 + B + ⌈B/255⌉ with T = N + ⌈N/254⌉ + 1
          |      -- nine-bit codes and B = ⌈9T/8⌉ data bytes; interlace
          |      -- is a row permutation, size-invariant by construction
-         |      WHEN format = 'gif' THEN 794
+         |      WHEN kind = 'image' AND format = 'gif' THEN 794
          |        + (9*(w*h + (w*h + 253)//254 + 1) + 7)//8
          |        + ((9*(w*h + (w*h + 253)//254 + 1) + 7)//8 + 254)//255
+         |      -- ANIMATED gif (r17): the static closed form summed per
+         |      -- frame — 782 container skeleton + frame 0 (full screen,
+         |      -- no GCE: 12 + bytes(w·h)) + (nfr−1) box frames (GCE 8 +
+         |      -- 12 + bytes(bw·bh)) with bytes(N) = B + ⌈B/255⌉,
+         |      -- B = ⌈9(N + ⌈N/254⌉ + 1)/8⌉ and bw,bh = w//2,h//2
+         |      WHEN kind = 'video' AND format = 'gif' THEN 794
+         |        + (9*(w*h + (w*h + 253)//254 + 1) + 7)//8
+         |        + ((9*(w*h + (w*h + 253)//254 + 1) + 7)//8 + 254)//255
+         |        + (nfr - 1) * (20
+         |          + (9*((w//2)*(h//2) + ((w//2)*(h//2) + 253)//254 + 1) + 7)//8
+         |          + ((9*((w//2)*(h//2) + ((w//2)*(h//2) + 253)//254 + 1) + 7)//8 + 254)//255)
          |      WHEN format = 'wav' THEN 44 + 2*ns
          |      -- flac (one verbatim frame): magic 4 + STREAMINFO 38 +
          |      -- frame header 8 + subframe header 1 + 16-bit samples
@@ -622,7 +636,41 @@ object SparkEntry {
          |  FROM base),
          |v0 AS (SELECT *, $mmTbExpr AS tb FROM u),
          |v1 AS (SELECT *,
-         |    CASE WHEN pvar IN (1, 3) THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
+         |    -- ANIMATED gif (r17): ub is the ENTIRE decoded unit
+         |    -- sequence (m = nunits below, so q=1, r=0 and every
+         |    -- generic ub[1 + pos % m] lookup reads the exact decoded
+         |    -- unit). Per frame k: Y plane = the composited gray
+         |    -- canvas — frame 0 paints the full screen with the unit
+         |    -- cycle; frame k ≥ 1 paints a (w//2)×(h//2) box at
+         |    -- ((3k) % (w−bw+1), (5k) % (h−bh+1)) with unit(k·bw·bh+j),
+         |    -- every 5th box pixel transparent (canvas shows through);
+         |    -- the base canvas is frame 0's paint, with frame 1's rect
+         |    -- cleared to WHITE (255) for frames k ≥ 2 (frame 1 is
+         |    -- disposal 2, every later frame disposal 3). Cb and Cr
+         |    -- planes are constant 128 (grayscale GCT under the exact
+         |    -- fixed-point BT.601 — the codec's documented invariant).
+         |    CASE WHEN kind = 'video' AND format = 'gif' THEN
+         |           flatten(list_transform(range(0, CAST(nfr AS INTEGER)), k ->
+         |             list_transform(range(0, CAST(3*w*h AS INTEGER)), p ->
+         |               CASE WHEN p >= w*h THEN 128
+         |                    WHEN k >= 1
+         |                         AND (p % w) >= (3*k) % (w - w//2 + 1)
+         |                         AND (p % w) <  (3*k) % (w - w//2 + 1) + w//2
+         |                         AND (p // w) >= (5*k) % (h - h//2 + 1)
+         |                         AND (p // w) <  (5*k) % (h - h//2 + 1) + h//2
+         |                         AND (((p // w) - (5*k) % (h - h//2 + 1)) * (w//2)
+         |                              + (p % w) - (3*k) % (w - w//2 + 1)) % 5 <> 4
+         |                    THEN tb[1 + CAST((k*(w//2)*(h//2)
+         |                           + ((p // w) - (5*k) % (h - h//2 + 1)) * (w//2)
+         |                           + (p % w) - (3*k) % (w - w//2 + 1)) % n AS INTEGER)]
+         |                    WHEN k >= 2
+         |                         AND (p % w) >= 3 % (w - w//2 + 1)
+         |                         AND (p % w) <  3 % (w - w//2 + 1) + w//2
+         |                         AND (p // w) >= 5 % (h - h//2 + 1)
+         |                         AND (p // w) <  5 % (h - h//2 + 1) + h//2
+         |                    THEN 255
+         |                    ELSE tb[1 + CAST(p % n AS INTEGER)] END)))
+         |         WHEN pvar IN (1, 3) THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
          |         -- RGBA (r15): decoded rgb[3j+c] = white-composite of
          |         -- unit(4j+c) under alpha unit(4j+3) — one period-3n
          |         -- list, the same ub shape as the palette expansion
@@ -631,7 +679,8 @@ object SparkEntry {
          |             (tb[1 + CAST((4*j + c) % n AS INTEGER)] * tb[1 + CAST((4*j + 3) % n AS INTEGER)]
          |              + (255 - tb[1 + CAST((4*j + 3) % n AS INTEGER)]) * 255 + 127) // 255)))
          |         ELSE tb END AS ub,
-         |    CASE WHEN pvar IN (1, 2, 3) THEN 3*n ELSE n END AS m
+         |    CASE WHEN kind = 'video' AND format = 'gif' THEN nfr*3*w*h
+         |         WHEN pvar IN (1, 2, 3) THEN 3*n ELSE n END AS m
          |  FROM v0),
          |v AS (SELECT *, nunits // m AS q, nunits % m AS r FROM v1)""".stripMargin
     // mm_phash_dup oracle fragments: 8×8 box decomposition of cell ci

@@ -322,14 +322,28 @@ object MediaCodec extends Serializable {
     out.write(h & 0xff); out.write(h >> 8)
     out.write(0xf7); out.write(0); out.write(0)
     out.write(palette, 0, 768)
-    // image descriptor: full-frame at (0,0), no local table
+    writeGifImage(out, 0, 0, w, h, indices, interlaced)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** One image block of a GIF: descriptor (box at (left, top), no
+    * local table) + literal-only LZW data sub-blocks + terminator —
+    * the shared body of [[encodeGif]] (its single full-frame image,
+    * byte-identical to the pre-r17 inline form) and every frame of
+    * [[encodeAnimatedGif]]. */
+  private def writeGifImage(out: java.io.ByteArrayOutputStream, left: Int, top: Int,
+      w: Int, h: Int, indices: Array[Byte], interlaced: Boolean): Unit = {
     out.write(0x2c)
-    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(left & 0xff); out.write(left >> 8)
+    out.write(top & 0xff); out.write(top >> 8)
     out.write(w & 0xff); out.write(w >> 8)
     out.write(h & 0xff); out.write(h >> 8)
     out.write(if (interlaced) 0x40 else 0x00)
     out.write(8) // LZW minimum code size
     // LSB-first 9-bit code packer into 255-byte sub-blocks
+    val n = indices.length
+    val dataBytes = (9L * (n + (n + 253) / 254 + 1) + 7) / 8
     val data = new java.io.ByteArrayOutputStream(
       math.min(dataBytes + 4, Int.MaxValue.toLong).toInt)
     var acc = 0L; var nbits = 0
@@ -355,7 +369,68 @@ object MediaCodec extends Serializable {
       out.write(k); out.write(bytes, off, k)
       off += k
     }
-    out.write(0)    // block terminator
+    out.write(0) // block terminator
+  }
+
+  /** One frame of [[encodeAnimatedGif]]: an index raster painted as a
+    * box at (left, top). `disposal` is the GIF89a §23 method the
+    * frame requests for AFTER it displays (0/1 keep, 2
+    * restore-to-background, 3 restore-to-previous); `transparentIdx`
+    * ≥ 0 marks that palette index as show-through. */
+  final case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+      indices: Array[Byte], disposal: Int = 0, transparentIdx: Int = -1,
+      interlaced: Boolean = false)
+
+  /** GIF89a ANIMATION over a 256-entry global color table — the
+    * static [[encodeGif]] grammar extended with per-frame boxes and
+    * Graphic Control Extensions, i.e. the composition surface the
+    * r16 canvas decoder ([[decodeGif]]) decodes: sub-screen frames
+    * at offsets, disposal 2/3, transparency, per-frame interlace.
+    * A frame ships an 8-byte GCE exactly when it needs one
+    * (disposal ≠ 0 or a transparent index) — a deterministic rule
+    * the size oracle mirrors. LZW stays LITERAL-ONLY per frame, so
+    * the container size keeps the static encoder's closed form
+    * summed per frame: with B(N) = ⌈9(N + ⌈N/254⌉ + 1)/8⌉ and
+    * bytes(N) = B(N) + ⌈B(N)/255⌉,
+    * total = 782 + Σ_f [gce_f·8 + 12 + bytes(N_f)] where N_f is the
+    * frame's box pixel count. At least two frames (one image decodes
+    * to [[ImageMedia]], not an animation); boxes must fit the
+    * screen; the decoder's 2²⁸ decoded-plane ceiling is enforced at
+    * encode so every fixture is decodable. */
+  def encodeAnimatedGif(sw: Int, sh: Int, palette: Array[Byte],
+                        frames: Seq[GifFrame]): Array[Byte] = {
+    require(sw > 0 && sw <= 0xffff && sh > 0 && sh <= 0xffff, s"gif dims $sw x $sh outside u16")
+    require(palette.length == 768, s"gif GCT must hold exactly 256 RGB entries, got ${palette.length} bytes")
+    require(frames.size >= 2, "an animation needs at least two frames")
+    require(frames.size.toLong * 3L * sw * sh <= (1L << 28),
+      s"decoded planes ${frames.size.toLong * 3L * sw * sh} exceed the decoder's 2^28 ceiling")
+    frames.foreach { f =>
+      require(f.w > 0 && f.h > 0 && f.left >= 0 && f.top >= 0 &&
+        f.left + f.w <= sw && f.top + f.h <= sh,
+        s"frame box ${f.w}x${f.h}@(${f.left},${f.top}) outside the ${sw}x$sh screen")
+      require(f.indices.length == f.w * f.h, s"index raster ${f.indices.length} != ${f.w}*${f.h}")
+      require(f.disposal >= 0 && f.disposal <= 3, s"disposal ${f.disposal} undefined (GIF89a §23)")
+      require(f.transparentIdx >= -1 && f.transparentIdx <= 255,
+        s"transparent index ${f.transparentIdx} outside -1..255")
+    }
+    val out = new java.io.ByteArrayOutputStream(1 << 12)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(sw & 0xff); out.write(sw >> 8)
+    out.write(sh & 0xff); out.write(sh >> 8)
+    out.write(0xf7); out.write(0); out.write(0)
+    out.write(palette, 0, 768)
+    frames.foreach { f =>
+      if (f.disposal != 0 || f.transparentIdx >= 0) {
+        // graphic control extension: intro + label + one 4-byte
+        // sub-block (packed, delay u16 = 0, transparent index) + 0
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write((f.disposal << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+        out.write(0); out.write(0)
+        out.write(if (f.transparentIdx >= 0) f.transparentIdx else 0)
+        out.write(0)
+      }
+      writeGifImage(out, f.left, f.top, f.w, f.h, f.indices, f.interlaced)
+    }
     out.write(0x3b) // trailer
     out.toByteArray
   }

@@ -59,6 +59,15 @@ object Multimodal {
   private[graft] def paletteChan(v: Int, c: Int): Int =
     c match { case 0 => v; case 1 => 255 - v; case _ => (3 * v) % 256 }
 
+  /** The ANIMATED-GIF fixture GCT: 256 GRAYSCALE entries (e, e, e).
+    * Gray is what keeps the BT.601 plane conversion out of the oracle
+    * SQL: R=G=B=v maps EXACTLY to (Y=v, Cb=128, Cr=128) under the
+    * codec's fixed-point transform (its coefficient rows sum to
+    * 65536/0/0 — the documented grayscale invariant), so an animated
+    * frame's decoded planes are the composited gray canvas plus two
+    * constant-128 planes, all closed-form in the id. */
+  private[graft] val grayGct: Array[Byte] = Array.tabulate(768)(j => (j / 3).toByte)
+
   /** Deterministic fixture generator: REAL container bytes derived
     * from a document row. Kind cycles image/audio/video by id;
     * images rotate PPM, BMP and a PNG/GIF slot (all decoders must
@@ -147,10 +156,40 @@ object Multimodal {
         val w = (8 + java.lang.Math.floorMod(id, 25L)).toInt
         val h = (8 + java.lang.Math.floorMod(id * 7, 25L)).toInt
         val nf = (2 + java.lang.Math.floorMod(id, 7L)).toInt
-        val frameSize = 3 * w * h
-        val frames = Array.tabulate(nf)(f =>
-          Array.tabulate(frameSize)(i => unit(f.toLong * frameSize + i)))
-        ("video", MediaCodec.encodeY4m(w, h, frames))
+        // the video slot sub-cycles Y4M / ANIMATED GIF by (id/3)%2
+        // (r17) — the r16 box-composition decoder's ORACLE rotation.
+        // The GIF arm: frame 0 paints the full screen with the unit
+        // cycle; every later frame k is a HALF-size sub-screen box at
+        // a moving offset ((3k) % (w−bw+1), (5k) % (h−bh+1)) painting
+        // unit(k·bw·bh + j), with REAL disposal semantics — frame 1
+        // restores-to-background (its rect clears to the white base),
+        // frames 2+ restore-to-previous (each composites against the
+        // SAME post-frame-1 canvas) — box transparency (every 5th box
+        // pixel shows the canvas through, index 255 > any unit), and
+        // within-box interlace on odd frames. The grayscale GCT keeps
+        // BT.601 out of the closed forms ([[grayGct]]), so the five
+        // mm oracles rebuild every composited plane from the id.
+        if (java.lang.Math.floorMod(id / 3, 2L) == 1L) {
+          val bw = w / 2; val bh = h / 2
+          val frames = MediaCodec.GifFrame(0, 0, w, h,
+              Array.tabulate(w * h)(i => unit(i.toLong))) +:
+            (1 until nf).map { k =>
+              MediaCodec.GifFrame(
+                left = (3 * k) % (w - bw + 1), top = (5 * k) % (h - bh + 1),
+                w = bw, h = bh,
+                indices = Array.tabulate(bw * bh)(j =>
+                  if (j % 5 == 4) 255.toByte else unit(k.toLong * bw * bh + j)),
+                disposal = if (k == 1) 2 else 3,
+                transparentIdx = 255,
+                interlaced = k % 2 == 1)
+            }
+          ("video", MediaCodec.encodeAnimatedGif(w, h, grayGct, frames))
+        } else {
+          val frameSize = 3 * w * h
+          val frames = Array.tabulate(nf)(f =>
+            Array.tabulate(frameSize)(i => unit(f.toLong * frameSize + i)))
+          ("video", MediaCodec.encodeY4m(w, h, frames))
+        }
     }
   }
 
@@ -275,18 +314,25 @@ object Multimodal {
       else java.security.MessageDigest.getInstance("SHA-256")
         .digest(r.payload).take(8).map("%02x".format(_)).mkString
     val nb = r.payload.length.toLong
+    // the DECODE is authoritative for kind (r17): an animated .gif is
+    // video however the pre-decode extension heuristic classified it —
+    // without this, the file-lake ingest (kind-from-extension) and the
+    // generation path (kind-from-id) would disagree on animated GIFs
+    // and mm_files_meta could never share mm_media_meta's oracle.
+    // UnknownMedia keeps the caller's hint (the extension is all a
+    // foreign format has until its parser lands).
     media match {
       case MediaCodec.ImageMedia(w, h, fmt, _) =>
-        DecodedRow(r.media_id, r.kind, fmt, nb, w, h, 1L, 0L, 0L, s, ws, sha)
+        DecodedRow(r.media_id, "image", fmt, nb, w, h, 1L, 0L, 0L, s, ws, sha)
       case MediaCodec.AudioMedia(rate, samples) =>
         // the container is the sniffed magic (wav | flac) — AudioMedia
         // itself is container-agnostic decoded signal
-        DecodedRow(r.media_id, r.kind, MediaCodec.sniff(r.payload), nb,
+        DecodedRow(r.media_id, "audio", MediaCodec.sniff(r.payload), nb,
           0L, 0L, 0L, rate, samples.length, s, ws, sha)
       case MediaCodec.VideoMedia(w, h, frames) =>
         // the container is the sniffed magic (y4m | animated gif,
         // review r15) — VideoMedia is container-agnostic frames
-        DecodedRow(r.media_id, r.kind, MediaCodec.sniff(r.payload), nb,
+        DecodedRow(r.media_id, "video", MediaCodec.sniff(r.payload), nb,
           w, h, frames.length, 0L, 0L, s, ws, sha)
       case MediaCodec.UnknownMedia(_) =>
         DecodedRow(r.media_id, r.kind, "unknown", nb, 0L, 0L, 0L, 0L, 0L, 0L, 0L, sha)

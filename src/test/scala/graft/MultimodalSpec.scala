@@ -353,7 +353,15 @@ class MultimodalSpec extends SparkSpec {
         // the audio slot sub-cycles wav / flac by (id/3)%2 (r15)
         case "audio" => assert(fmt == Seq("wav", "flac")(((r.media_id / 3) % 2).toInt),
           s"audio container for id ${r.media_id}")
-        case "video" => assert(fmt == "y4m")
+        case "video" =>
+          // the video slot sub-cycles Y4M / ANIMATED GIF by (id/3)%2
+          // (r17): the gif arm must really be an animation — more than
+          // one image descriptor behind the 768-byte GCT
+          if ((r.media_id / 3) % 2 == 1) {
+            assert(fmt == "gif", s"video container for id ${r.media_id}")
+            assert(MediaCodec.decode(r.payload).isInstanceOf[MediaCodec.VideoMedia],
+              s"video-slot gif must decode as an animation for id ${r.media_id}")
+          } else assert(fmt == "y4m")
       }
     }
   }
@@ -814,7 +822,8 @@ class MultimodalSpec extends SparkSpec {
           assert(d.n_samples == 1024 + (id % 777) * 4)
           assert(d.width == 0 && d.height == 0 && d.n_frames == 0)
         case _ =>
-          assert(d.format == "y4m")
+          // the video slot sub-cycles y4m / animated GIF by (id/3)%2 (r17)
+          assert(d.format == Seq("y4m", "gif")(((id / 3) % 2).toInt), s"format for id $id")
           assert(d.width == 8 + id % 25 && d.height == 8 + (id * 7) % 25)
           assert(d.n_frames == 2 + id % 7)
       }
@@ -922,6 +931,65 @@ class MultimodalSpec extends SparkSpec {
     assert(h8 == h16 && h8 != 0L, "audio hash must be sample-rate invariant")
     // and the independent recompute agrees on the upsampled variant
     assert(Ref.aHashAudio(16000, s16) == h16)
+  }
+
+  test("animated-GIF fixture (r17): decoded planes ≡ the closed-form canvas rule the mm oracles rebuild; n_bytes closed form") {
+    // the r16 composition paths (canvas, disposal-2 rect clear,
+    // disposal-3 restore, transparency show-through, within-box
+    // interlace) finally cross the DuckDB oracle — this gate pins the
+    // fixture⇄decoder side of that rotation: the REAL decoder's
+    // composited output must equal the closed-form displayed-pixel
+    // rule D(k, x, y) the oracle SQL encodes, for every frame of every
+    // nfr arm (2..8), plus the container-size closed form
+    val text = "The quick brown fox jumps over the lazy dog 0123456789."
+    val tb = text.codePoints.toArray.map(cp => if (cp <= 127) cp else 63)
+    val n = tb.length
+    def unit(i: Long): Int = tb((i % n).toInt)
+    // gif-video ids: ≡ 2 (mod 3) with (id/3)%2 == 1 — nfr covers 2..8
+    Seq(5L, 11L, 17L, 23L, 29L, 35L, 41L).foreach { id =>
+      val (kind, payload) = Multimodal.genPayload(id, text)
+      assert(kind == "video" && MediaCodec.sniff(payload) == "gif", s"id $id")
+      val w = (8 + id % 25).toInt; val h = (8 + (id * 7) % 25).toInt
+      val nf = (2 + id % 7).toInt
+      val bw = w / 2; val bh = h / 2
+      def bytes(nPix: Int): Int = {
+        val b = (9 * (nPix + (nPix + 253) / 254 + 1) + 7) / 8
+        b + (b + 254) / 255
+      }
+      assert(payload.length == 794 + bytes(w * h) + (nf - 1) * (20 + bytes(bw * bh)),
+        s"closed-form n_bytes for id $id")
+      val v = MediaCodec.decode(payload) match {
+        case m: MediaCodec.VideoMedia => m
+        case other => fail(s"id $id decoded to $other")
+      }
+      assert(v.width == w && v.height == h && v.frames.length == nf)
+      // D(k, x, y): frame k's displayed gray value — the SQL oracle's rule
+      def d(k: Int, x: Int, y: Int): Int = {
+        val lk = (3 * k) % (w - bw + 1); val tk = (5 * k) % (h - bh + 1)
+        val l1 = 3 % (w - bw + 1); val t1 = 5 % (h - bh + 1)
+        val j = (y - tk) * bw + (x - lk)
+        if (k >= 1 && x >= lk && x < lk + bw && y >= tk && y < tk + bh && j % 5 != 4)
+          unit(k.toLong * bw * bh + j)
+        else if (k >= 2 && x >= l1 && x < l1 + bw && y >= t1 && y < t1 + bh) 255
+        else unit((y * w + x).toLong)
+      }
+      for (k <- 0 until nf) {
+        val f = v.frames(k)
+        assert(f.length == 3 * w * h, s"id $id frame $k plane size")
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y * w + x
+            assert((f(i) & 0xff) == d(k, x, y), s"id $id frame $k Y($x,$y)")
+            assert((f(w * h + i) & 0xff) == 128, s"id $id frame $k Cb($x,$y)")
+            assert((f(2 * w * h + i) & 0xff) == 128, s"id $id frame $k Cr($x,$y)")
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
   }
 
   test("phash dedup banding ≡ brute-force Hamming scan (complete by pigeonhole)") {
