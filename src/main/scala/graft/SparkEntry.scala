@@ -618,12 +618,14 @@ object SparkEntry {
          |      -- no GCE: 12 + bytes(w·h)) + (nfr−1) box frames (GCE 8 +
          |      -- 12 + bytes(bw·bh)) with bytes(N) = B + ⌈B/255⌉,
          |      -- B = ⌈9(N + ⌈N/254⌉ + 1)/8⌉ and bw,bh = w//2,h//2
+      -- frame 3 (nfr ≥ 4) ships a 768-byte LOCAL color table (r17)
          |      WHEN kind = 'video' AND format = 'gif' THEN 794
          |        + (9*(w*h + (w*h + 253)//254 + 1) + 7)//8
          |        + ((9*(w*h + (w*h + 253)//254 + 1) + 7)//8 + 254)//255
          |        + (nfr - 1) * (20
          |          + (9*((w//2)*(h//2) + ((w//2)*(h//2) + 253)//254 + 1) + 7)//8
          |          + ((9*((w//2)*(h//2) + ((w//2)*(h//2) + 253)//254 + 1) + 7)//8 + 254)//255)
+         |        + CASE WHEN nfr >= 4 THEN 768 ELSE 0 END
          |      WHEN format = 'wav' THEN 44 + 2*ns
          |      -- flac (one verbatim frame): magic 4 + STREAMINFO 38 +
          |      -- frame header 8 + subframe header 1 + 16-bit samples
@@ -660,7 +662,10 @@ object SparkEntry {
          |                         AND (p // w) <  (5*k) % (h - h//2 + 1) + h//2
          |                         AND (((p // w) - (5*k) % (h - h//2 + 1)) * (w//2)
          |                              + (p % w) - (3*k) % (w - w//2 + 1)) % 5 <> 4
-         |                    THEN tb[1 + CAST((k*(w//2)*(h//2)
+                -- frame 3 paints through its INVERTED local table
+         |                    THEN CASE WHEN k = 3 THEN 255 ELSE 0 END
+         |                         + CASE WHEN k = 3 THEN -1 ELSE 1 END
+         |                           * tb[1 + CAST((k*(w//2)*(h//2)
          |                           + ((p // w) - (5*k) % (h - h//2 + 1)) * (w//2)
          |                           + (p % w) - (3*k) % (w - w//2 + 1)) % n AS INTEGER)]
          |                    WHEN k >= 2
@@ -668,7 +673,10 @@ object SparkEntry {
          |                         AND (p % w) <  3 % (w - w//2 + 1) + w//2
          |                         AND (p // w) >= 5 % (h - h//2 + 1)
          |                         AND (p // w) <  5 % (h - h//2 + 1) + h//2
-         |                    THEN 255
+         |                -- the disposal-2 base: declared bg gray 200 on
+         |                -- the (id//6)%2==1 arm, white otherwise (r17)
+         |                    THEN CASE WHEN CAST((media_id // 6) % 2 AS INTEGER) = 1
+         |                              THEN 200 ELSE 255 END
          |                    ELSE tb[1 + CAST(p % n AS INTEGER)] END)))
          |         WHEN pvar IN (1, 3) THEN flatten(list_transform(tb, x -> [x, 255 - x, (x*3) % 256]))
          |         -- RGBA (r15): decoded rgb[3j+c] = white-composite of

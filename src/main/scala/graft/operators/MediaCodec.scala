@@ -333,13 +333,17 @@ object MediaCodec extends Serializable {
     * byte-identical to the pre-r17 inline form) and every frame of
     * [[encodeAnimatedGif]]. */
   private def writeGifImage(out: java.io.ByteArrayOutputStream, left: Int, top: Int,
-      w: Int, h: Int, indices: Array[Byte], interlaced: Boolean): Unit = {
+      w: Int, h: Int, indices: Array[Byte], interlaced: Boolean,
+      localPalette: Array[Byte] = null): Unit = {
     out.write(0x2c)
     out.write(left & 0xff); out.write(left >> 8)
     out.write(top & 0xff); out.write(top >> 8)
     out.write(w & 0xff); out.write(w >> 8)
     out.write(h & 0xff); out.write(h >> 8)
-    out.write(if (interlaced) 0x40 else 0x00)
+    // packed: local-table flag + 256-entry size bits when the frame
+    // overrides the GCT, interlace bit independently
+    out.write((if (localPalette != null) 0x87 else 0x00) | (if (interlaced) 0x40 else 0x00))
+    if (localPalette != null) out.write(localPalette, 0, 768)
     out.write(8) // LZW minimum code size
     // LSB-first 9-bit code packer into 255-byte sub-blocks
     val n = indices.length
@@ -379,7 +383,7 @@ object MediaCodec extends Serializable {
     * ≥ 0 marks that palette index as show-through. */
   final case class GifFrame(left: Int, top: Int, w: Int, h: Int,
       indices: Array[Byte], disposal: Int = 0, transparentIdx: Int = -1,
-      interlaced: Boolean = false)
+      interlaced: Boolean = false, localPalette: Array[Byte] = null)
 
   /** GIF89a ANIMATION over a 256-entry global color table — the
     * static [[encodeGif]] grammar extended with per-frame boxes and
@@ -392,13 +396,17 @@ object MediaCodec extends Serializable {
     * the container size keeps the static encoder's closed form
     * summed per frame: with B(N) = ⌈9(N + ⌈N/254⌉ + 1)/8⌉ and
     * bytes(N) = B(N) + ⌈B(N)/255⌉,
-    * total = 782 + Σ_f [gce_f·8 + 12 + bytes(N_f)] where N_f is the
-    * frame's box pixel count. At least two frames (one image decodes
+    * total = 782 + Σ_f [gce_f·8 + 12 + lct_f·768 + bytes(N_f)] where
+    * N_f is the frame's box pixel count and lct_f marks a frame-local
+    * 256-entry color table overriding the GCT. `bgIndex` lands in the
+    * logical screen descriptor: nonzero declares the composition BASE
+    * color (canvas init + disposal-2 clears) — 0, the default, keeps
+    * the white a=0 contract. At least two frames (one image decodes
     * to [[ImageMedia]], not an animation); boxes must fit the
     * screen; the decoder's 2²⁸ decoded-plane ceiling is enforced at
     * encode so every fixture is decodable. */
   def encodeAnimatedGif(sw: Int, sh: Int, palette: Array[Byte],
-                        frames: Seq[GifFrame]): Array[Byte] = {
+                        frames: Seq[GifFrame], bgIndex: Int = 0): Array[Byte] = {
     require(sw > 0 && sw <= 0xffff && sh > 0 && sh <= 0xffff, s"gif dims $sw x $sh outside u16")
     require(palette.length == 768, s"gif GCT must hold exactly 256 RGB entries, got ${palette.length} bytes")
     require(frames.size >= 2, "an animation needs at least two frames")
@@ -412,12 +420,15 @@ object MediaCodec extends Serializable {
       require(f.disposal >= 0 && f.disposal <= 3, s"disposal ${f.disposal} undefined (GIF89a §23)")
       require(f.transparentIdx >= -1 && f.transparentIdx <= 255,
         s"transparent index ${f.transparentIdx} outside -1..255")
+      require(f.localPalette == null || f.localPalette.length == 768,
+        "a frame-local color table must hold exactly 256 RGB entries")
     }
+    require(bgIndex >= 0 && bgIndex <= 255, s"background index $bgIndex outside 0..255")
     val out = new java.io.ByteArrayOutputStream(1 << 12)
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(sw & 0xff); out.write(sw >> 8)
     out.write(sh & 0xff); out.write(sh >> 8)
-    out.write(0xf7); out.write(0); out.write(0)
+    out.write(0xf7); out.write(bgIndex); out.write(0)
     out.write(palette, 0, 768)
     frames.foreach { f =>
       if (f.disposal != 0 || f.transparentIdx >= 0) {
@@ -429,7 +440,7 @@ object MediaCodec extends Serializable {
         out.write(if (f.transparentIdx >= 0) f.transparentIdx else 0)
         out.write(0)
       }
-      writeGifImage(out, f.left, f.top, f.w, f.h, f.indices, f.interlaced)
+      writeGifImage(out, f.left, f.top, f.w, f.h, f.indices, f.interlaced, f.localPalette)
     }
     out.write(0x3b) // trailer
     out.toByteArray
@@ -1169,9 +1180,11 @@ object MediaCodec extends Serializable {
     * pixels over the canvas, the DISPLAYED state is emitted, then
     * the frame's disposal mutates what the NEXT frame composites
     * against — 0/1 keep the canvas, 2 (restore-to-background)
-    * clears the frame's rect back to the white base (the practical
-    * renderer consensus), 3 (restore-to-previous) reverts the
-    * canvas to its pre-paint state. ONE image decodes to
+    * clears the frame's rect back to the BASE (the declared
+    * background color when the logical screen sets a nonzero index
+    * into the global table — r17; else white, the practical renderer
+    * consensus), 3 (restore-to-previous) reverts the canvas to its
+    * pre-paint state. ONE image decodes to
     * [[ImageMedia]] at SCREEN dims (a sub-screen single image sits
     * in a white canvas); an ANIMATION (two or more) decodes to
     * [[VideoMedia]]. Frames convert to C444 Y/Cb/Cr planes (the Y4M
@@ -1199,6 +1212,17 @@ object MediaCodec extends Serializable {
       gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * gctEntries)
       pos += 3 * gctEntries
     }
+    // the composition BASE (r17): white — the a=0 contract — unless
+    // the logical screen declares a NONZERO background color index
+    // into the global table. Index 0 is the overwhelmingly-common
+    // "unset" convention (our encoders and most real writers emit 0),
+    // so 0 keeps the r16 white contract and every prior fixture
+    // byte-identical; an out-of-table index falls back to white too.
+    val bgIdx = b(11) & 0xff
+    val base: Array[Byte] =
+      if (bgIdx > 0 && gct != null && bgIdx < gctEntries)
+        Array(gct(3 * bgIdx), gct(3 * bgIdx + 1), gct(3 * bgIdx + 2))
+      else Array(-1: Byte, -1: Byte, -1: Byte)
     var transparentIdx = -1; var gcePending = false
     var pendingDisposal = 0 // from the GCE governing the NEXT frame
     // composited 3·sw·sh RGB working state — the logical SCREEN, not
@@ -1277,7 +1301,8 @@ object MediaCodec extends Serializable {
           if (idx == null) return UnknownMedia(b.length)
           if (canvas == null) {
             canvas = new Array[Byte](3 * sw * sh)
-            java.util.Arrays.fill(canvas, -1: Byte) // white base, the a=0 contract
+            var ci = 0
+            while (ci < canvas.length) { canvas(ci) = base(ci % 3); ci += 1 }
           }
           val disposal = if (gcePending) pendingDisposal else 0
           // restore-to-previous needs the pre-paint canvas back after
@@ -1307,12 +1332,17 @@ object MediaCodec extends Serializable {
           disposal match {
             case 0 | 1 => () // unspecified / do-not-dispose: keep
             case 2 => // restore-to-background: the frame's rect clears
-              // to the transparent base (white under the a=0 contract —
-              // the practical renderer consensus for disposal 2)
+              // to the BASE — the declared background color when the
+              // screen sets a nonzero index, else white (the a=0
+              // contract / practical renderer consensus)
               var y = top
               while (y < top + ih) {
-                java.util.Arrays.fill(canvas, (y * sw + left) * 3,
-                  (y * sw + left + iw) * 3, -1: Byte)
+                var x = left
+                while (x < left + iw) {
+                  val d = (y * sw + x) * 3
+                  canvas(d) = base(0); canvas(d + 1) = base(1); canvas(d + 2) = base(2)
+                  x += 1
+                }
                 y += 1
               }
             case _ => canvas = before // 3: restore-to-previous

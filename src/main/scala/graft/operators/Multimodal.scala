@@ -68,6 +68,12 @@ object Multimodal {
     * constant-128 planes, all closed-form in the id. */
   private[graft] val grayGct: Array[Byte] = Array.tabulate(768)(j => (j / 3).toByte)
 
+  /** The INVERTED grayscale table one animated-fixture frame ships as
+    * its LOCAL color table (entry e = 255−e): still gray, so the
+    * BT.601 invariant holds, but the frame's decoded paint is
+    * 255 − unit — the local-table override path under the oracle. */
+  private[graft] val invGrayGct: Array[Byte] = Array.tabulate(768)(j => (255 - j / 3).toByte)
+
   /** Deterministic fixture generator: REAL container bytes derived
     * from a document row. Kind cycles image/audio/video by id;
     * images rotate PPM, BMP and a PNG/GIF slot (all decoders must
@@ -169,6 +175,11 @@ object Multimodal {
         // within-box interlace on odd frames. The grayscale GCT keeps
         // BT.601 out of the closed forms ([[grayGct]]), so the five
         // mm oracles rebuild every composited plane from the id.
+        // Depth arms (r17): every other gif-video id ((id/6)%2==1)
+        // declares LSD background index 200, so the disposal-2 clear
+        // and show-through base read gray 200 instead of white; and
+        // frame 3 (when nfr >= 4) ships the INVERTED grayscale table
+        // as its LOCAL color table, so its paint decodes 255 − unit.
         if (java.lang.Math.floorMod(id / 3, 2L) == 1L) {
           val bw = w / 2; val bh = h / 2
           val frames = MediaCodec.GifFrame(0, 0, w, h,
@@ -181,9 +192,11 @@ object Multimodal {
                   if (j % 5 == 4) 255.toByte else unit(k.toLong * bw * bh + j)),
                 disposal = if (k == 1) 2 else 3,
                 transparentIdx = 255,
-                interlaced = k % 2 == 1)
+                interlaced = k % 2 == 1,
+                localPalette = if (k == 3) invGrayGct else null)
             }
-          ("video", MediaCodec.encodeAnimatedGif(w, h, grayGct, frames))
+          ("video", MediaCodec.encodeAnimatedGif(w, h, grayGct, frames,
+            bgIndex = if (java.lang.Math.floorMod(id / 6, 2L) == 1L) 200 else 0))
         } else {
           val frameSize = 3 * w * h
           val frames = Array.tabulate(nf)(f =>

@@ -956,21 +956,28 @@ class MultimodalSpec extends SparkSpec {
         val b = (9 * (nPix + (nPix + 253) / 254 + 1) + 7) / 8
         b + (b + 254) / 255
       }
-      assert(payload.length == 794 + bytes(w * h) + (nf - 1) * (20 + bytes(bw * bh)),
+      assert(payload.length == 794 + bytes(w * h) + (nf - 1) * (20 + bytes(bw * bh))
+          + (if (nf >= 4) 768 else 0), // frame 3's local color table
         s"closed-form n_bytes for id $id")
       val v = MediaCodec.decode(payload) match {
         case m: MediaCodec.VideoMedia => m
         case other => fail(s"id $id decoded to $other")
       }
       assert(v.width == w && v.height == h && v.frames.length == nf)
-      // D(k, x, y): frame k's displayed gray value — the SQL oracle's rule
+      // D(k, x, y): frame k's displayed gray value — the SQL oracle's
+      // rule, incl. the r17 depth arms: frame 3 paints through its
+      // INVERTED local table; the disposal-2 base is the declared bg
+      // gray 200 on the (id/6)%2==1 arm, white otherwise
+      val bgv = if ((id / 6) % 2 == 1) 200 else 255
       def d(k: Int, x: Int, y: Int): Int = {
         val lk = (3 * k) % (w - bw + 1); val tk = (5 * k) % (h - bh + 1)
         val l1 = 3 % (w - bw + 1); val t1 = 5 % (h - bh + 1)
         val j = (y - tk) * bw + (x - lk)
-        if (k >= 1 && x >= lk && x < lk + bw && y >= tk && y < tk + bh && j % 5 != 4)
-          unit(k.toLong * bw * bh + j)
-        else if (k >= 2 && x >= l1 && x < l1 + bw && y >= t1 && y < t1 + bh) 255
+        if (k >= 1 && x >= lk && x < lk + bw && y >= tk && y < tk + bh && j % 5 != 4) {
+          val v = unit(k.toLong * bw * bh + j)
+          if (k == 3) 255 - v else v
+        }
+        else if (k >= 2 && x >= l1 && x < l1 + bw && y >= t1 && y < t1 + bh) bgv
         else unit((y * w + x).toLong)
       }
       for (k <- 0 until nf) {
@@ -990,6 +997,45 @@ class MultimodalSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("GIF background-color base + local color table (r17): codec walks") {
+    val pal = Array.tabulate(768)(j => (j / 3).toByte) // grayscale
+    // nonzero LSD background index: the canvas initializes to it AND
+    // disposal-2 clears to it; index 0 keeps the r16 white contract
+    val f0 = MediaCodec.GifFrame(1, 1, 2, 2, Array[Byte](10, 20, 30, 40), disposal = 2)
+    val f1 = MediaCodec.GifFrame(0, 0, 1, 1, Array[Byte](50))
+    val v = MediaCodec.decode(MediaCodec.encodeAnimatedGif(4, 4, pal, Seq(f0, f1),
+      bgIndex = 77)) match {
+      case m: MediaCodec.VideoMedia => m
+      case other => fail(s"decoded to $other")
+    }
+    def yAt(f: Array[Byte], x: Int, y: Int) = f(y * 4 + x) & 0xff
+    assert(v.frames.length == 2)
+    // frame 0 displayed: bg 77 around the 2x2 box at (1,1)
+    assert(yAt(v.frames(0), 0, 0) == 77 && yAt(v.frames(0), 3, 3) == 77)
+    assert(yAt(v.frames(0), 1, 1) == 10 && yAt(v.frames(0), 2, 2) == 40)
+    // frame 1: disposal 2 cleared frame 0's rect to 77, not white
+    assert(yAt(v.frames(1), 0, 0) == 50)
+    assert(yAt(v.frames(1), 1, 1) == 77 && yAt(v.frames(1), 2, 2) == 77)
+    val white = MediaCodec.decode(MediaCodec.encodeAnimatedGif(4, 4, pal, Seq(f0, f1)))
+      .asInstanceOf[MediaCodec.VideoMedia]
+    assert((white.frames(0)(0) & 0xff) == 255, "bg index 0 keeps the white base")
+    // an out-of-table bg index also falls back to white (2-entry GCT
+    // can't happen through our encoder; hand-patch the byte instead)
+    val patched = MediaCodec.encodeAnimatedGif(4, 4, pal, Seq(f0, f1))
+    patched(11) = 77.toByte // declared AFTER encode: in-table here, honored
+    assert((MediaCodec.decode(patched).asInstanceOf[MediaCodec.VideoMedia]
+      .frames(0)(0) & 0xff) == 77)
+    // local color table: a frame shipping its own table decodes
+    // through IT; the sibling frame still reads the GCT
+    val inv = Array.tabulate(768)(j => (255 - j / 3).toByte)
+    val g0 = MediaCodec.GifFrame(0, 0, 2, 1, Array[Byte](10, 20))
+    val g1 = MediaCodec.GifFrame(0, 0, 2, 1, Array[Byte](10, 20), localPalette = inv)
+    val lv = MediaCodec.decode(MediaCodec.encodeAnimatedGif(2, 1, pal, Seq(g0, g1)))
+      .asInstanceOf[MediaCodec.VideoMedia]
+    assert((lv.frames(0)(0) & 0xff) == 10 && (lv.frames(0)(1) & 0xff) == 20)
+    assert((lv.frames(1)(0) & 0xff) == 245 && (lv.frames(1)(1) & 0xff) == 235)
   }
 
   test("phash dedup banding ≡ brute-force Hamming scan (complete by pigeonhole)") {
