@@ -99,16 +99,22 @@ object Warc {
     * `WARC-Payload-Digest` over those bytes (the CC convention —
     * verified on ingest), records separated by a blank CRLF pair
     * per the spec. */
-  def encodeWet(docs: Seq[(Long, String, String)]): Array[Byte] = {
+  def encodeWet(docs: Seq[(Long, String, String)]): Array[Byte] =
+    encodeRecords(wetRecords(docs).toSeq)
+
+  /** The WET record stream behind [[encodeWet]], one (headers, body)
+    * at a time — the per-member form [[writeCrawlLake]] streams so a
+    * write task's peak memory is one record, not its whole shard. */
+  private def wetRecords(
+      docs: Seq[(Long, String, String)]): Iterator[(Seq[(String, String)], Array[Byte])] = {
     val info = "software: graft-wet-fixture/1.0\r\nformat: WARC File Format 1.0\r\n"
       .getBytes("UTF-8")
-    encodeRecords(
-      (Seq(
+    Iterator.single(Seq(
         "WARC-Type" -> "warcinfo",
         "WARC-Date" -> "2026-01-01T00:00:00Z",
         "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
-        "Content-Type" -> "application/warc-fields") -> info) +:
-      docs.map { case (id, uri, text) =>
+        "Content-Type" -> "application/warc-fields") -> info) ++
+      docs.iterator.map { case (id, uri, text) =>
         val body = text.getBytes("UTF-8")
         Seq(
           "WARC-Type" -> "conversion",
@@ -117,7 +123,7 @@ object Warc {
           "WARC-Record-ID" -> f"<urn:uuid:00000000-0000-0000-0000-${id}%012d>",
           "WARC-Payload-Digest" -> payloadDigest(body),
           "Content-Type" -> "text/plain") -> body
-      })
+      }
   }
 
   /** `.warc.gz` the way crawls actually ship it: EVERY record its
@@ -390,11 +396,18 @@ object Warc {
   /** The shared sharded-lake writer under [[writeWetLake]] /
     * [[rawLakeDir]] / [[revisitLakeDir]]: one hash Exchange routes
     * (doc_id, text) rows to `nShards` tasks, each task sorts its
-    * docs and writes exactly ONE shard file whose bytes come from
-    * the caller's `encodeDocs` — the shard-naming and
-    * collision-avoidance invariants live here once. */
+    * docs and writes exactly ONE shard file — the shard-naming and
+    * collision-avoidance invariants live here once. The caller
+    * supplies the shard's RECORD STREAM; each record is encoded and
+    * gzipped as its own member STRAIGHT TO the shard's output stream
+    * (r16 verdict note: the one-shot whole-shard encode held the
+    * shard's bytes in memory twice — per-member streaming caps the
+    * task's encode buffer at one record), producing byte-identical
+    * shards to the one-shot form since per-record members are
+    * independent by construction. */
   private def writeCrawlLake(df: DataFrame, out: String, nShards: Int,
-      prefix: String, encodeDocs: Seq[(Long, String)] => Array[Byte]): Unit = {
+      prefix: String,
+      records: Seq[(Long, String)] => Iterator[(Seq[(String, String)], Array[Byte])]): Unit = {
     val s = df.sparkSession
     import s.implicits._
     // capture the SESSION Hadoop conf on the driver (credentials,
@@ -412,7 +425,6 @@ object Warc {
         val docs = it.toSeq.sortBy(_._1)
         if (docs.nonEmpty) {
           val shard = org.apache.spark.TaskContext.getPartitionId()
-          val bytes = encodeDocs(docs)
           val path = new org.apache.hadoop.fs.Path(out, f"$prefix%s-$shard%05d.warc.gz")
           // newInstance, NOT the process-wide FileSystem cache:
           // setWriteChecksum on the cached instance would silently
@@ -423,7 +435,22 @@ object Warc {
           try {
             fs.setWriteChecksum(false) // a lake of shards, not shards + .crc sidecars
             val os = fs.create(path, true) // overwrite: task retries fully replace partials
-            try os.write(bytes) finally os.close()
+            try {
+              // close-shielded view of the shard stream: each member's
+              // GZIPOutputStream.close() must finish the member AND
+              // free its Deflater without closing the shard itself
+              val shield = new java.io.FilterOutputStream(os) {
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  os.write(b, off, len)
+                override def close(): Unit = flush()
+              }
+              records(docs).foreach { rec =>
+                val gz = new java.util.zip.GZIPOutputStream(shield)
+                val bytes = encodeRecords(Seq(rec))
+                gz.write(bytes, 0, bytes.length)
+                gz.close()
+              }
+            } finally os.close()
           } finally fs.close()
         }
       }
@@ -444,8 +471,7 @@ object Warc {
   def writeWetLake(df: DataFrame, out: String, nShards: Int,
                    prefix: String = "wet"): Unit =
     writeCrawlLake(df, out, nShards, prefix,
-      docs => gzipPerRecord(encodeWet(
-        docs.map { case (id, text) => (id, docUri(id), text) })))
+      docs => wetRecords(docs.map { case (id, text) => (id, docUri(id), text) }))
 
   /** Session-scoped staging of the documents table as a sharded WET
     * crawl via [[writeWetLake]]. Test scaffolding under the same
@@ -513,13 +539,18 @@ object Warc {
     * [[extractText]] inverts it exactly and the raw-crawl query can
     * share the WET query's oracle across ALL envelope shapes. */
   def encodeRawWarc(docs: Seq[(Long, String, String)]): Array[Byte] =
-    encodeRecords(
-      (Seq(
+    encodeRecords(rawRecords(docs).toSeq)
+
+  /** The raw-crawl record stream behind [[encodeRawWarc]] — the
+    * per-member form the sharded writer streams. */
+  private def rawRecords(
+      docs: Seq[(Long, String, String)]): Iterator[(Seq[(String, String)], Array[Byte])] =
+    Iterator.single(Seq(
         "WARC-Type" -> "warcinfo",
         "WARC-Date" -> "2026-01-01T00:00:00Z",
         "Content-Type" -> "application/warc-fields") ->
-        "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8")) +:
-      docs.map { case (id, uri, text) =>
+        "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8")) ++
+      docs.iterator.map { case (id, uri, text) =>
         val html = htmlWrap(text).getBytes("UTF-8")
         val (bodyHeaders, entity) = (id % 6) match {
           case 0 => (s"Content-Length: ${html.length}$CRLF", html)
@@ -546,7 +577,7 @@ object Warc {
           "WARC-Target-URI" -> uri,
           "WARC-Date" -> "2026-01-01T00:00:00Z",
           "Content-Type" -> "application/http; msgtype=response") -> (http ++ entity)
-      })
+      }
 
   /** HTTP/1.1 chunked transfer-coding encoder (fixture side): hex
     * size lines, `chunkSize`-byte chunks, a chunk extension on the
@@ -966,8 +997,7 @@ object Warc {
       val out = java.nio.file.Files.createTempDirectory("graft-raw-lake").toString
       writeCrawlLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
         out, nShards, "crawl",
-        docs => gzipPerRecord(encodeRawWarc(
-          docs.map { case (id, text) => (id, docUri(id), text) })))
+        docs => rawRecords(docs.map { case (id, text) => (id, docUri(id), text) }))
       out
     })
 
@@ -991,7 +1021,7 @@ object Warc {
       val out = java.nio.file.Files.createTempDirectory("graft-revisit-lake").toString
       writeCrawlLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
         out, nShards, "crawl",
-        docs => gzipPerRecord(encodeRecords(docs.map { case (id, text) =>
+        docs => docs.iterator.map { case (id, text) =>
           if (id % 3 == 2)
             Seq(
               "WARC-Type" -> "revisit",
@@ -1007,7 +1037,7 @@ object Warc {
               "WARC-Date" -> "2026-01-01T00:00:00Z",
               "WARC-Payload-Digest" -> payloadDigest(text.getBytes("UTF-8")),
               "Content-Type" -> "text/plain") -> text.getBytes("UTF-8")
-        })))
+        })
       out
     })
 

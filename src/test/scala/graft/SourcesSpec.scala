@@ -611,6 +611,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.map(r => (r.getLong(0), r.getString(3))).toSeq ==
       Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma & <delta>")),
       "sink output must round-trip through the src_warc ingest")
+    // the per-member STREAMING encode (r17) is byte-identical to the
+    // one-shot whole-shard form: per-record gzip members are
+    // independent by construction, so nothing may change on disk
+    val one = java.nio.file.Files.createTempDirectory("graft-snk-one").toString
+    Warc.writeWetLake(df, one, 1)
+    val shardBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(one, "wet-00000.warc.gz"))
+    val expectBytes = Warc.gzipPerRecord(Warc.encodeWet(
+      Seq((10L, Warc.docUri(10), "alpha"), (11L, Warc.docUri(11), "beta"),
+          (12L, Warc.docUri(12), "gamma & <delta>"))))
+    assert(java.util.Arrays.equals(shardBytes, expectBytes),
+      "streaming per-member encode must produce byte-identical shards")
     // the registry query: even-doc_id filter + suffix transform carried
     // end-to-end through encode -> gzip -> write -> scan -> parse
     val snk = Warc.snkWetRoundtrip(spark, sfDir).collect()
