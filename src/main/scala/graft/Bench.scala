@@ -54,8 +54,14 @@ object Bench {
     // storage, so src_warc-family timed runs (and the streaming ingest
     // twin) measure scan + parse, not the one-time staging write
     if (selected.exists(p => p._1 == "src_warc" || p._1 == "src_warc_cdx" ||
-        p._1 == "src_warc_fetch" || p._1 == "src_stream_warc"))
+        p._1 == "src_warc_fetch" || p._1 == "src_stream_warc" ||
+        p._1 == "src_warc_serve"))
       graft.sources.Warc.wetLakeDir(spark, sfDir)
+    // the persisted cdx artifact: src_warc_serve measures SERVING
+    // (pushed-filter artifact read + range reads), so the one-time
+    // index build is warm-up — the ivfIndexDir discipline
+    if (selected.exists(_._1 == "src_warc_serve"))
+      graft.sources.Warc.cdxIndexDir(spark, sfDir)
     if (selected.exists(_._1 == "mm_jpeg_files"))
       operators.Multimodal.jpegLakeDir(spark, sfDir)
     // And the persisted IVF index: pipe_ivf_serve measures SERVING

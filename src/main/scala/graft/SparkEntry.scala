@@ -391,6 +391,13 @@ object SparkEntry {
     // EXECUTED in SourcesSpec (fetch against a junk-outside-the-
     // ranges lake still returns every document)
     "src_warc_fetch" -> ((s, dir) => graft.sources.Warc.srcWarcFetch(s, dir)),
+    // the point lookup at its PRODUCTION shape (r17): the cdx read
+    // back from a PERSISTED parquet artifact (built once, amortized
+    // over every fetch — the pipe_ivf_serve precedent) with the
+    // doc_id range pushed into the artifact scan; the serving plan
+    // has NO binaryFile scan — the lake contributes only the member
+    // range reads. Full oracle: documents under the same range
+    "src_warc_serve" -> ((s, dir) => graft.sources.Warc.srcWarcServe(s, dir)),
     // streaming WET export (r16): the sink's incremental deployment —
     // documents stream in, every micro-batch appends its own
     // batch-id-prefixed shards through the SAME writeWetLake body,
@@ -2281,6 +2288,14 @@ object SparkEntry {
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // src_warc_serve: the artifact-served fetch must reproduce the
+      // pushed range exactly — same closed form as src_warc
+      "src_warc_serve" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents WHERE doc_id >= 100 AND doc_id < 150
+          |ORDER BY doc_id""".stripMargin,
       // src_warc_fetch: the range-read fetch must reproduce exactly
       // the predicate's documents — same closed form as src_warc
       // under the fixture's bounded-id rule

@@ -591,6 +591,23 @@ class PlanSpec extends SparkSpec {
       s"exactly one range Exchange — the contractual sort: $p")
   }
 
+  test("src_warc_serve: artifact-served point lookup — pushed filter, no binaryFile scan, no join") {
+    // the production shape: the cdx comes from its PERSISTED parquet
+    // artifact with the doc_id range pushed INTO the scan; the lake is
+    // touched only by member range reads, so no binaryFile scan may
+    // appear anywhere in the serving plan
+    val p = plan(graft.sources.Warc.srcWarcServe(spark, sfDir))
+    assert(!p.contains("binaryFile"),
+      s"the serving plan must read the persisted index, never re-scan the lake: $p")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(doc_id,100"),
+      s"the doc_id range must push into the artifact scan: $p")
+    assert(!p.contains("Join"), s"src_warc_serve must not join: $p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one hash Exchange — the per-shard read grouping: $p")
+    assert("rangepartitioning".r.findAllIn(p).size == 1,
+      s"exactly one range Exchange — the contractual sort: $p")
+  }
+
   test("revisit resolution joins on uri as an equi-join over the ONCE-materialized parse") {
     // the one WARC query that MUST join (cross-shard reference
     // resolution); both sides are crawl-scale at 100 TB, so the pin

@@ -836,6 +836,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
+    import graft.sources.Warc
+    val got = Warc.srcWarcServe(spark, sfDir).collect()
+    val expect = Tables.documents(spark, sfDir)
+      .filter($"doc_id" >= 100 && $"doc_id" < 150)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      assert(g.getString(1) == Warc.docUri(e.getLong(0)))
+      assert(g.getString(3) == e.getString(1), s"text for doc ${e.getLong(0)}")
+    }
+    // built once: a second serve reuses the SAME artifact directory
+    // (the session-scoped cache — rebuilding per fetch would be the
+    // corpus re-scan the index exists to avoid)
+    val dir1 = Warc.cdxIndexDir(spark, sfDir)
+    val files1 = new java.io.File(dir1).listFiles().map(f => (f.getName, f.lastModified)).toSet
+    Warc.srcWarcServe(spark, sfDir).collect()
+    val dir2 = Warc.cdxIndexDir(spark, sfDir)
+    val files2 = new java.io.File(dir2).listFiles().map(f => (f.getName, f.lastModified)).toSet
+    assert(dir1 == dir2 && files1 == files2,
+      "the artifact must be built once and reused, files untouched across serves")
+  }
+
   test("snk_stream_wet: the streaming WET export reproduces documents exactly and is idempotent") {
     // every micro-batch appends batch-id-prefixed shards; a collision
     // or a re-export would surface as duplicate rows here
