@@ -412,6 +412,14 @@ object SparkEntry {
     // batch ingest, documents append; oracle shared with src_warc
     "src_stream_warc" -> ((s, dir) =>
       graft.streaming.StreamingOps.warcIngestViaStream(s, dir)),
+    // streaming cdx-served fetch (r17) — the 17th real streaming
+    // execution, the crawl's ONLINE point-lookup loop: doc_id
+    // requests stream in, each micro-batch prunes the persisted cdx
+    // artifact (stream-static) and range-reads only its members
+    // through the batch fetch's own body; oracle = documents under
+    // the request predicate
+    "src_stream_fetch" -> ((s, dir) =>
+      graft.streaming.StreamingOps.fetchViaStream(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2288,6 +2296,14 @@ object SparkEntry {
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // src_stream_fetch: the streamed lookups must reproduce the
+      // request predicate exactly — same closed form as the batch
+      // fetch, accumulated across micro-batches
+      "src_stream_fetch" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

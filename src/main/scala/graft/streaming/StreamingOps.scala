@@ -596,6 +596,79 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  private val fetchReqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val fetchStreamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bench epoch boundary (the snk_stream_wet rule): a timed
+    * src_stream_fetch repetition must pay the request stream + range
+    * reads, not a cached read-back of the first repetition's output. */
+  def clearFetchStreamCache(): Unit = fetchStreamDirs.clear()
+
+  /** The staged request stream: doc_id point-lookup requests (the
+    * fixture predicate `doc_id % 13 == 0`) written as FOUR parquet
+    * files so `maxFilesPerTrigger=2` forces real multi-batch arrival.
+    * Test scaffolding — production requests arrive from a queue. */
+  private[graft] def fetchRequestsDir(s: SparkSession, dir: String): String =
+    fetchReqDirs.computeIfAbsent(dir, d => {
+      val out = java.nio.file.Files.createTempDirectory("graft-stream-req").toString + "/requests"
+      graft.Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 13 === 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Streaming cdx-served fetch (`src_stream_fetch`) — the crawl's
+    * ONLINE point-lookup loop closed: doc_id requests arrive as a
+    * STREAM, each micro-batch left-semi joins the PERSISTED cdx
+    * artifact (stream-static — the index was built once, batch-side:
+    * [[graft.sources.Warc.cdxIndexDir]]) down to its requested
+    * members and range-reads ONLY those through the SAME
+    * [[graft.sources.Warc.fetchByCdx]] body as the batch verbs, so
+    * online and batch lookups cannot diverge. Stateless Append with
+    * per-batch-id overwrite directories (the batchIdempotentWriter
+    * idempotence shape — a replayed batch fully replaces its own
+    * output), so every request resolves exactly once whatever the
+    * batching, and the accumulated result shares the batch fetch's
+    * closed-form oracle: `documents` under the request predicate. At
+    * 100 TB this is the serving loop: the artifact is pruned per
+    * batch, the lake contributes only Σ length(hits) bytes, and no
+    * state grows with the stream. */
+  def fetchViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outDir = fetchStreamDirs.computeIfAbsent(dir, _ => {
+      val lake = graft.sources.Warc.wetLakeDir(s, dir)
+      val idxDir = graft.sources.Warc.cdxIndexDir(s, dir)
+      val staged = fetchRequestsDir(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-stream-fetch").toString
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staged)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          val idx = ss.read.parquet(idxDir)
+            .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          graft.sources.Warc.fetchByCdx(ss, lake, idx)
+            .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        lastNumBatches = q.recentProgress.count(_.numInputRows > 0)
+      } finally q.stop()
+      out
+    })
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("uri"), col("n_chars"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming incremental exact dedup (`ev_stream_incr_dedup`) — the
     * landing-zone deployment of
     * [[graft.operators.Dedup.incrementalDedup]]: new documents arrive

@@ -860,6 +860,22 @@ class SourcesSpec extends SparkSpec {
       "the artifact must be built once and reused, files untouched across serves")
   }
 
+  test("src_stream_fetch: streamed point lookups resolve the request predicate across REAL multiple micro-batches") {
+    graft.streaming.StreamingOps.clearFetchStreamCache() // fresh run so the batch count below is THIS run's
+    val got = graft.streaming.StreamingOps.fetchViaStream(spark, sfDir).collect()
+    assert(graft.streaming.StreamingOps.lastNumBatches >= 2,
+      s"expected multiple micro-batches, got ${graft.streaming.StreamingOps.lastNumBatches}")
+    val expect = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 13 === 0)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (w, d) =>
+      assert(w.getLong(0) == d.getLong(0))
+      assert(w.getString(1) == graft.sources.Warc.docUri(d.getLong(0)))
+      assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
+    }
+  }
+
   test("snk_stream_wet: the streaming WET export reproduces documents exactly and is idempotent") {
     // every micro-batch appends batch-id-prefixed shards; a collision
     // or a re-export would surface as duplicate rows here
