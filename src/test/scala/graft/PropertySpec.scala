@@ -1098,6 +1098,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("animated-GIF fixture composition holds for arbitrary text (generated corpus)") {
+    // the r17 oracle-rotation gate, property-form: random document
+    // texts through genPayload must decode to EXACTLY the closed-form
+    // displayed-pixel rule the DuckDB oracles encode — an independent
+    // recompute of the canvas walk (disposal 2/3, transparency,
+    // interlace, bg-color base, frame-3 local inverted table) that no
+    // fixture hand-pick can overfit
+    import graft.operators.{MediaCodec, Multimodal}
+    val charGen: Gen[Char] = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '.', ',', '!', '\n', '&', '<', '>'),
+      1 -> Gen.oneOf('\u00e9', '\u2014', '\u2603'))
+    val textGen: Gen[String] = Gen.chooseNum(0, 300)
+      .flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    val gifIds = Seq(5L, 11L, 17L, 23L, 29L, 35L, 41L) // nfr 2..8
+    samples(textGen, 35).zipWithIndex.foreach { case (text, s) =>
+      val id = gifIds(s % gifIds.length)
+      val tb0 = text.codePoints.toArray.map(cp => if (cp <= 127) cp else 63)
+      val tb = if (tb0.isEmpty) Array(0) else tb0 // genPayload's empty-text fallback
+      val n = tb.length
+      def unit(i: Long): Int = tb((i % n).toInt)
+      val (kind, payload) = Multimodal.genPayload(id, text)
+      assert(kind == "video")
+      val w = (8 + id % 25).toInt; val h = (8 + (id * 7) % 25).toInt
+      val nf = (2 + id % 7).toInt
+      val bw = w / 2; val bh = h / 2
+      val bgv = if ((id / 6) % 2 == 1) 200 else 255
+      def d(k: Int, x: Int, y: Int): Int = {
+        val lk = (3 * k) % (w - bw + 1); val tk = (5 * k) % (h - bh + 1)
+        val l1 = 3 % (w - bw + 1); val t1 = 5 % (h - bh + 1)
+        val j = (y - tk) * bw + (x - lk)
+        if (k >= 1 && x >= lk && x < lk + bw && y >= tk && y < tk + bh && j % 5 != 4) {
+          val v = unit(k.toLong * bw * bh + j)
+          if (k == 3) 255 - v else v
+        }
+        else if (k >= 2 && x >= l1 && x < l1 + bw && y >= t1 && y < t1 + bh) bgv
+        else unit((y * w + x).toLong)
+      }
+      val v = MediaCodec.decode(payload).asInstanceOf[MediaCodec.VideoMedia]
+      assert(v.width == w && v.height == h && v.frames.length == nf)
+      for (k <- 0 until nf) {
+        val f = v.frames(k)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y * w + x
+            assert((f(i) & 0xff) == d(k, x, y),
+              s"id $id frame $k Y($x,$y) for text '${text.take(30)}'")
+            assert((f(w * h + i) & 0xff) == 128 && (f(2 * w * h + i) & 0xff) == 128)
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+  }
+
   test("extractText inverts htmlWrap for arbitrary text (generated adversarial corpus)") {
     // the raw-crawl extractor's load-bearing contract, property-form:
     // markup-adjacent characters, entity-lookalikes, whitespace runs,
