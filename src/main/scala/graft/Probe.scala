@@ -107,7 +107,8 @@ object Probe {
         // parse/decode/extract, one Exchange (the contractual sort);
         // revisit resolution adds the family's one real join
         "src_warc", "src_warc_html", "snk_wet_roundtrip", "src_warc_revisit",
-        "src_warc_cdx", "src_warc_fetch", "src_warc_serve", "pipe_crawl_e2e")
+        "src_warc_cdx", "src_warc_fetch", "src_warc_serve", "src_warc_wat",
+        "pipe_crawl_e2e")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

@@ -398,6 +398,13 @@ object SparkEntry {
     // has NO binaryFile scan — the lake contributes only the member
     // range reads. Full oracle: documents under the same range
     "src_warc_serve" -> ((s, dir) => graft.sources.Warc.srcWarcServe(s, dir)),
+    // the crawl family's METADATA member (r17): WAT-style extraction —
+    // per response record, the envelope facts (status, media type,
+    // charset, coding chain, header count, decoded entity size)
+    // without keeping the content; map-side at shard grain. Full
+    // oracle: all columns closed-form in the envelope cycle + the
+    // lossless wrap's escape arithmetic
+    "src_warc_wat" -> ((s, dir) => graft.sources.Warc.srcWarcWat(s, dir)),
     // streaming WET export (r16): the sink's incremental deployment —
     // documents stream in, every micro-batch appends its own
     // batch-id-prefixed shards through the SAME writeWetLake body,
@@ -2304,6 +2311,28 @@ object SparkEntry {
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
+      // src_warc_wat: envelope metadata closed-form in the six-shape
+      // cycle; entity_chars = the lossless wrap's escape arithmetic
+      // (241 = htmlWrap("")'s boilerplate, spec-pinned)
+      "src_warc_wat" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(200 AS BIGINT) AS status,
+          |  'text/html' AS media_type,
+          |  'UTF-8' AS charset,
+          |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (1, 3, 5) THEN 'chunked' ELSE '' END
+          |    AS transfer_encoding,
+          |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (2, 3) THEN 'gzip'
+          |       WHEN CAST(doc_id % 6 AS INTEGER) IN (4, 5) THEN 'deflate'
+          |       ELSE '' END AS content_encoding,
+          |  CAST(CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (0, 1) THEN 2 ELSE 3 END AS BIGINT)
+          |    AS n_headers,
+          |  CAST(241 + length(text)
+          |    + 4 * (length(text) - length(replace(text, '&', '')))
+          |    + 3 * (length(text) - length(replace(text, '<', '')))
+          |    + 3 * (length(text) - length(replace(text, '>', ''))) AS BIGINT)
+          |    AS entity_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

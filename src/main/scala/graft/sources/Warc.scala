@@ -985,6 +985,64 @@ object Warc {
       .toDF("doc_id", "uri", "text")
   }
 
+  /** `src_warc_wat`: the crawl family's METADATA member — Common
+    * Crawl ships WARC (raw capture) / WAT (per-record metadata) /
+    * WET (extracted text), and with raw and WET covered read- and
+    * write-side this is the remaining member's extraction verb: for
+    * every intact `response` record, the envelope FACTS a crawl
+    * audit reads — status, media type, declared charset, the coding
+    * chain, header count, decoded entity size — WITHOUT keeping the
+    * content. Same shard-grain map-side walk as the document
+    * ingests (parse, decode, measure, drop the bytes); record-level
+    * totality unchanged. Full oracle: every column is closed-form in
+    * the fixture id (the six-shape envelope cycle) and the text —
+    * decoded entity chars are the lossless wrap's escape arithmetic,
+    * anchored by the boilerplate constant a spec pins against
+    * `htmlWrap("")` so the SQL mirror cannot drift from the wrap. */
+  def srcWarcWat(s: SparkSession, dir: String): DataFrame =
+    watFromWarcFiles(s, rawLakeDir(s, dir))
+
+  /** The metadata-extraction body over ANY directory of `.warc`/
+    * `.warc.gz` files — split from [[srcWarcWat]] for hand-staged
+    * lakes (the htmlDocsFromWarcFiles rule). */
+  def watFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(lake)
+      .select($"content")
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val rows = try {
+          parseWarcAuto(bytes).iterator
+            .filter(r => r.headers.get("warc-type").contains("response") &&
+              !r.headers.contains("warc-truncated"))
+            .flatMap { r =>
+              try {
+                val uri = r.headers.getOrElse("warc-target-uri", "")
+                val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+                val (status, hh, entity) = decodeHttpResponse(r.body)
+                val ct = hh.getOrElse("content-type", "")
+                val cs = charsetOf(ct)
+                val text = new String(entity, cs)
+                Iterator.single((id, uri, status.toLong,
+                  ct.split(";")(0).trim,
+                  cs.name,
+                  hh.getOrElse("transfer-encoding", ""),
+                  hh.getOrElse("content-encoding", ""),
+                  hh.size.toLong,
+                  // code points, not UTF-16 units — the unit DuckDB's
+                  // length() counts
+                  text.codePointCount(0, text.length).toLong))
+              } catch { case _: Exception => Iterator.empty }
+            }
+            .toVector
+        } catch { case _: Exception => Vector.empty }
+        rows.iterator
+      }
+      .toDF("doc_id", "uri", "status", "media_type", "charset",
+        "transfer_encoding", "content_encoding", "n_headers", "entity_chars")
+      .orderBy($"doc_id")
+  }
+
   private val rawLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Raw-crawl staging twin of [[wetLakeDir]]: `response`-record

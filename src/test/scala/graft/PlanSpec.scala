@@ -554,7 +554,8 @@ class PlanSpec extends SparkSpec {
       "src_warc" -> graft.sources.Warc.srcWarcDocs(spark, sfDir),
       "src_warc_html" -> graft.sources.Warc.srcWarcHtmlDocs(spark, sfDir),
       "snk_wet_roundtrip" -> graft.sources.Warc.snkWetRoundtrip(spark, sfDir),
-      "src_warc_cdx" -> graft.sources.Warc.srcWarcCdx(spark, sfDir)
+      "src_warc_cdx" -> graft.sources.Warc.srcWarcCdx(spark, sfDir),
+      "src_warc_wat" -> graft.sources.Warc.srcWarcWat(spark, sfDir)
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(p.contains("binaryFile"), s"$name must scan through binaryFile: $p")

@@ -834,6 +834,14 @@ class SourcesSpec extends SparkSpec {
       assert(w.getString(1) == graft.sources.Warc.docUri(d.getLong(0)))
       assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
     }
+    // the micro-batch plan is MAP-SIDE: a stateless per-shard flatMap
+    // with no Exchange — nothing shuffles per batch, so ingestion cost
+    // stays shard-proportional however long the stream runs (the
+    // contractual ORDER BY lives on the accumulated table read, not in
+    // the stream)
+    val sp = graft.streaming.StreamingOps.lastStreamPlan
+    assert(sp.nonEmpty, "runToMemory captured no plan")
+    assert(!sp.contains("Exchange"), s"the ingest micro-batch must not shuffle:\n$sp")
   }
 
   test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
@@ -858,6 +866,34 @@ class SourcesSpec extends SparkSpec {
     val files2 = new java.io.File(dir2).listFiles().map(f => (f.getName, f.lastModified)).toSet
     assert(dir1 == dir2 && files1 == files2,
       "the artifact must be built once and reused, files untouched across serves")
+  }
+
+  test("src_warc_wat: envelope metadata matches per-arm recompute; the wrap-overhead constant is pinned") {
+    import graft.sources.Warc
+    // the oracle's boilerplate constant must BE htmlWrap's overhead —
+    // a wrap edit without an oracle bump is a red suite, not a silent
+    // hash drift
+    assert(Warc.htmlWrap("").length == 241,
+      "htmlWrap boilerplate changed — update the src_warc_wat oracle's 241")
+    val got = Warc.srcWarcWat(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(got.length == docs.length && got.nonEmpty)
+    got.zip(docs).foreach { case (g, d) =>
+      val id = d.getLong(0)
+      assert(g.getLong(0) == id)
+      assert(g.getLong(2) == 200L && g.getString(3) == "text/html" &&
+        g.getString(4) == "UTF-8", s"constants for doc $id")
+      assert(g.getString(5) == (if (id % 6 == 1 || id % 6 == 3 || id % 6 == 5) "chunked" else ""),
+        s"transfer_encoding for doc $id")
+      assert(g.getString(6) == (if (id % 6 == 2 || id % 6 == 3) "gzip"
+        else if (id % 6 == 4 || id % 6 == 5) "deflate" else ""),
+        s"content_encoding for doc $id")
+      assert(g.getLong(7) == (if (id % 6 <= 1) 2L else 3L), s"n_headers for doc $id")
+      val wrapped = Warc.htmlWrap(d.getString(1))
+      assert(g.getLong(8) == wrapped.codePointCount(0, wrapped.length).toLong,
+        s"entity_chars for doc $id")
+    }
   }
 
   test("src_stream_fetch: streamed point lookups resolve the request predicate across REAL multiple micro-batches") {
