@@ -57,6 +57,13 @@ object Bench {
         p._1 == "src_warc_fetch" || p._1 == "src_stream_warc" ||
         p._1 == "src_warc_serve"))
       graft.sources.Warc.wetLakeDir(spark, sfDir)
+    // same rule for the RAW crawl lake consumed by the html/WAT
+    // extraction verbs and the crawl-rooted pipeline (r17 ADVICE #2:
+    // src_warc_wat/src_warc_html paid the one-time raw staging write
+    // in their first timed repetition)
+    if (selected.exists(p => p._1 == "src_warc_html" || p._1 == "src_warc_wat" ||
+        p._1 == "pipe_crawl_e2e"))
+      graft.sources.Warc.rawLakeDir(spark, sfDir)
     // the persisted cdx artifact: src_warc_serve measures SERVING
     // (pushed-filter artifact read + range reads), so the one-time
     // index build is warm-up — the ivfIndexDir discipline

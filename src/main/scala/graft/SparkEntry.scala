@@ -640,7 +640,7 @@ object SparkEntry {
          |      -- no GCE: 12 + bytes(w·h)) + (nfr−1) box frames (GCE 8 +
          |      -- 12 + bytes(bw·bh)) with bytes(N) = B + ⌈B/255⌉,
          |      -- B = ⌈9(N + ⌈N/254⌉ + 1)/8⌉ and bw,bh = w//2,h//2
-      -- frame 3 (nfr ≥ 4) ships a 768-byte LOCAL color table (r17)
+         |      -- frame 3 (nfr ≥ 4) ships a 768-byte LOCAL color table (r17)
          |      WHEN kind = 'video' AND format = 'gif' THEN 794
          |        + (9*(w*h + (w*h + 253)//254 + 1) + 7)//8
          |        + ((9*(w*h + (w*h + 253)//254 + 1) + 7)//8 + 254)//255
@@ -684,7 +684,7 @@ object SparkEntry {
          |                         AND (p // w) <  (5*k) % (h - h//2 + 1) + h//2
          |                         AND (((p // w) - (5*k) % (h - h//2 + 1)) * (w//2)
          |                              + (p % w) - (3*k) % (w - w//2 + 1)) % 5 <> 4
-                -- frame 3 paints through its INVERTED local table
+         |                -- frame 3 paints through its INVERTED local table
          |                    THEN CASE WHEN k = 3 THEN 255 ELSE 0 END
          |                         + CASE WHEN k = 3 THEN -1 ELSE 1 END
          |                           * tb[1 + CAST((k*(w//2)*(h//2)

@@ -1282,7 +1282,17 @@ object Warc {
       require(s.sparkContext.isLocal,
         "cdxIndexDir stages a fixture artifact and requires a local master")
       val out = java.nio.file.Files.createTempDirectory("graft-cdx-index").toString
-      cdxRows(s, wetLakeDir(s, dir)).write.mode("overwrite").parquet(out)
+      // range-partitioned AND sorted on doc_id (r17 verdict note #2):
+      // parquet row-group MIN/MAX pruning of a served doc_id range is
+      // a CONTRACT of this artifact, not an accident of write order —
+      // range partitioning makes the files' doc_id envelopes pairwise
+      // disjoint (a served range touches only its own files), the
+      // within-partition sort keeps each row group's envelope tight.
+      // SourcesSpec gates the per-file disjointness structurally.
+      cdxRows(s, wetLakeDir(s, dir))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(out)
       out
     })
 
@@ -1330,6 +1340,14 @@ object Warc {
           // stream costs hits × record size, never shard size
           try {
             members.toArray.sortBy(_._2).iterator.flatMap { case (_, off, len) =>
+              // loud, not quarantined (r17 ADVICE #3): a member length
+              // that cannot be buffered is an INDEX fault, not record
+              // bit rot — len.toInt on a >= 2³¹ value would wrap
+              // negative and the NegativeArraySizeException would be
+              // silently absorbed by the record-level catch below
+              if (len <= 0 || len > Int.MaxValue)
+                throw new IllegalStateException(
+                  s"cdx member length $len at offset $off is outside the bufferable range")
               try {
                 val buf = new Array[Byte](len.toInt)
                 in.seek(off)

@@ -868,6 +868,35 @@ class SourcesSpec extends SparkSpec {
       "the artifact must be built once and reused, files untouched across serves")
   }
 
+  test("cdx artifact files carry pairwise-DISJOINT doc_id envelopes and cover the corpus (row-group pruning contract)") {
+    import graft.sources.Warc
+    // r17 verdict note #2: MIN/MAX pruning of a served doc_id range
+    // must be a CONTRACT of the artifact layout, not an accident of
+    // write order. Range partitioning + within-partition sort make
+    // each parquet file's (min, max) doc_id envelope disjoint from
+    // every other file's — a served range touches only its own files.
+    val dir = Warc.cdxIndexDir(spark, sfDir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(parts.length >= 2, s"need several files to prove disjointness, got ${parts.length}")
+    val envelopes = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(org.apache.spark.sql.functions.min($"doc_id"),
+          org.apache.spark.sql.functions.max($"doc_id"),
+          org.apache.spark.sql.functions.count($"doc_id")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    envelopes.sliding(2).foreach {
+      case Seq((_, hi, _), (lo2, _, _)) =>
+        assert(hi < lo2, s"file envelopes overlap: max $hi is not below next min $lo2")
+      case _ => ()
+    }
+    // coverage: the envelopes' union is the whole corpus, nothing lost
+    val total = envelopes.map(_._3).sum
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(total == docs, s"artifact rows $total must cover all $docs documents")
+  }
+
   test("src_warc_wat: envelope metadata matches per-arm recompute; the wrap-overhead constant is pinned") {
     import graft.sources.Warc
     // the oracle's boilerplate constant must BE htmlWrap's overhead —
