@@ -1755,18 +1755,25 @@ object SparkEntry {
           |SELECT doc_id, shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
           |  n_tokens, quality
           |FROM c ORDER BY doc_id""".stripMargin,
-      // pipe_crawl_e2e SHARES pipe_e2e's oracle verbatim: the crawl
-      // wrap is lossless, so the container-rooted chain must produce
-      // the IDENTICAL prep output — divergence in framing, envelope
-      // decode, extraction or composition is a hash mismatch
+      // pipe_crawl_e2e is pipe_e2e's oracle REBASED onto the crawl's
+      // two-paragraph page transform (r18): the wrap is lossless, so
+      // the container-rooted chain must produce exactly the prep
+      // output of the transformed corpus — divergence in framing,
+      // envelope decode, multi-block extraction or composition is a
+      // hash mismatch
       "pipe_crawl_e2e" ->
-        """WITH qb AS (SELECT doc_id, text,
+        """WITH docs AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN text || chr(10) || 'Crawl appendix: a second fixture paragraph.'
+          |       ELSE text END AS text
+          |  FROM documents),
+          |qb AS (SELECT doc_id, text,
           |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
           |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
           |    x -> x IN ('the','a','of','to','and','is','in','that'))) AS DOUBLE) AS n_stop,
           |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
           |  CAST(length(text) AS DOUBLE) AS n_chars
-          |  FROM documents),
+          |  FROM docs),
           |q AS (SELECT doc_id, text,
           |  floor((least(n_tok / 64.0, 1.0) * 0.5 +
           |    least(n_stop / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.3 +
@@ -2279,14 +2286,22 @@ object SparkEntry {
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
           |FROM documents ORDER BY doc_id""".stripMargin,
-      // src_warc_html: the raw-crawl twin SHARES this oracle — the
-      // HTML wrap is lossless, so envelope decode (chunked/gzip) and
-      // extraction must invert it exactly
+      // src_warc_html: the raw-crawl twin over the TWO-PARAGRAPH page
+      // transform (r18 — even ids append the constant crawl appendix
+      // after a newline, so the wrap splits into two <p> blocks and
+      // extraction exercises the block-separator flush): the wrap is
+      // lossless, so envelope decode (chunked/gzip/deflate) and
+      // multi-block extraction must invert the transform exactly
       "src_warc_html" ->
-        """SELECT doc_id,
+        """WITH docs AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN text || chr(10) || 'Crawl appendix: a second fixture paragraph.'
+          |       ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |FROM docs ORDER BY doc_id""".stripMargin,
       // snk_wet_roundtrip: the sink carries NON-fixture content (even
       // doc_ids, a deterministic suffix) — the oracle rebuilds the
       // transform closed-form, so the write→read loop is hash-gated
@@ -2313,9 +2328,15 @@ object SparkEntry {
           |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
       // src_warc_wat: envelope metadata closed-form in the six-shape
       // cycle; entity_chars = the lossless wrap's escape arithmetic
-      // (241 = htmlWrap("")'s boilerplate, spec-pinned)
+      // (241 = htmlWrap("")'s boilerplate, spec-pinned) over the
+      // two-paragraph page transform (r18)
       "src_warc_wat" ->
-        """SELECT doc_id,
+        """WITH docs AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN text || chr(10) || 'Crawl appendix: a second fixture paragraph.'
+          |       ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(200 AS BIGINT) AS status,
           |  'text/html' AS media_type,
@@ -2330,9 +2351,15 @@ object SparkEntry {
           |  CAST(241 + length(text)
           |    + 4 * (length(text) - length(replace(text, '&', '')))
           |    + 3 * (length(text) - length(replace(text, '<', '')))
-          |    + 3 * (length(text) - length(replace(text, '>', ''))) AS BIGINT)
+          |    + 3 * (length(text) - length(replace(text, '>', '')))
+          |    -- multi-block wrap (r18): an INTERIOR newline (non-empty
+          |    -- prefix and suffix, i.e. at 1-based positions 2..len-1)
+          |    -- splits the wrap into two <p> blocks — content loses
+          |    -- the newline (-1), markup gains '</p><p>' (+7)
+          |    + CASE WHEN strpos(substr(text, 2, greatest(length(text) - 2, 0)), chr(10)) > 0
+          |           THEN 6 ELSE 0 END AS BIGINT)
           |    AS entity_chars
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |FROM docs ORDER BY doc_id""".stripMargin,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

@@ -495,6 +495,26 @@ object Warc {
   /** The fixture URI rule — mirrored closed-form by the oracle. */
   def docUri(id: Long): String = s"https://example.org/doc/$id"
 
+  /** The raw crawl's id-keyed SECOND PARAGRAPH (r18, the r17
+    * verdict's top item): the `documents` fixture contains no
+    * newlines at all, so without this arm the multi-block wrap —
+    * and with it [[extractText]]'s block-separator flush, the
+    * highest-traffic extraction path — would never occur in any
+    * oracle query. Even doc_ids get a constant appendix paragraph
+    * appended after a newline; [[htmlWrap]] splits there into two
+    * `<p>` blocks and the extractor's lazy join reconstructs the
+    * two-paragraph page exactly. CONSTANT (not id-derived) so
+    * duplicate texts stay duplicates under the prep pipeline's
+    * digest dedup. Mirrored closed-form by the src_warc_html /
+    * src_warc_wat / pipe_crawl_e2e oracles (the snk_wet_roundtrip
+    * transformed-corpus precedent). */
+  val crawlAppendix = "Crawl appendix: a second fixture paragraph."
+
+  /** The raw-crawl page text for a doc — the transform the oracles
+    * rebuild: `text || chr(10) || appendix` on even ids. */
+  def crawlPageText(id: Long, text: String): String =
+    if (id % 2 == 0) text + "\n" + crawlAppendix else text
+
   /** `snk_wet_roundtrip`: the sink proven on NON-fixture content —
     * a filtered + transformed corpus (even doc_ids, a deterministic
     * suffix appended) written through [[writeWetLake]] and read
@@ -756,14 +776,40 @@ object Warc {
 
   /** Escape `& < >` then wrap in structure-only boilerplate (head,
     * title, a nav block — the parts an extractor must DROP, not just
-    * strip). Lossless: [[extractText]](htmlWrap(t)) == t for any t. */
+    * strip). Lossless: [[extractText]](htmlWrap(t)) == t for any t.
+    *
+    * MULTI-BLOCK (r17 verdict #1): real pages are multi-block, and a
+    * single-block wrap never flushes [[extractText]]'s pending block
+    * separator — so when the text contains an INTERIOR newline (one
+    * with a non-empty prefix and suffix), the wrap splits at the
+    * first such newline into TWO `<p>` blocks. The extractor's lazy
+    * `\n` join then reconstructs the original exactly
+    * (`<p>a</p><p>b</p>` → `a\nb`), which is what keeps the
+    * src_warc_html / pipe_crawl_e2e oracles unchanged while the
+    * separator path finally rides through them. A LEADING or
+    * TRAILING newline cannot split (the join emits nothing for an
+    * empty block — `a\n` would extract as `a`), so those stay
+    * literal text inside a single block; losslessness holds for
+    * every placement. Length contract (the src_warc_wat oracle's
+    * arithmetic): a split removes the newline from content (+−1) and
+    * adds `</p><p>` (+7), so wrapped length = 241 + escaped-length
+    * + 6 iff an interior newline exists — spec-pinned next to the
+    * 241 constant. */
   def htmlWrap(text: String): String = {
-    val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def esc(t: String) =
+      t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // first INTERIOR newline: index in [1, length-2] — both blocks
+    // must be non-empty for the extractor's join to re-insert it
+    val nl = text.indexOf('\n', 1)
+    val blocks =
+      if (nl >= 1 && nl < text.length - 1)
+        s"<p>${esc(text.substring(0, nl))}</p><p>${esc(text.substring(nl + 1))}</p>"
+      else s"<p>${esc(text)}</p>"
     "<!DOCTYPE html><html><head><title>fixture</title>" +
       "<style>body { color: #000 }</style>" +
       "<script>var tracker = '<ignore me>';</script></head>" +
       "<body><nav><a href=\"/\">home</a></nav>" +
-      s"<article><p>$esc</p></article>" +
+      s"<article>$blocks</article>" +
       "<footer>&copy; 2026</footer></body></html>"
   }
 
@@ -796,8 +842,9 @@ object Warc {
     * never concatenate into one token and downstream token statistics
     * stay honest. Lazy (join semantics, not terminator semantics) so
     * no stray trailing newline is appended and the [[htmlWrap]]
-    * inverse stays exact: the wrap is single-block, so its pending
-    * separator never flushes. */
+    * inverse stays exact — and since r18 the wrap SPLITS at an
+    * interior newline, so the separator path is exercised by the
+    * crawl oracles themselves, not only by these fixtures. */
   def extractText(html: String): String = {
     val sb = new StringBuilder
     // set when a keep block closes; flushed as '\n' before the next
@@ -1055,7 +1102,12 @@ object Warc {
       val out = java.nio.file.Files.createTempDirectory("graft-raw-lake").toString
       writeCrawlLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
         out, nShards, "crawl",
-        docs => rawRecords(docs.map { case (id, text) => (id, docUri(id), text) }))
+        // the staged lake applies the two-paragraph page transform
+        // ([[crawlPageText]]) — a FIXTURE-content rule, so it lives at
+        // the staging layer, not inside the pure [[encodeRawWarc]]
+        // record encoder hand-staged spec lakes also go through
+        docs => rawRecords(docs.map { case (id, text) =>
+          (id, docUri(id), crawlPageText(id, text)) }))
       out
     })
 

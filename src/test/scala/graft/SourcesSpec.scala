@@ -396,8 +396,10 @@ class SourcesSpec extends SparkSpec {
       if (id % 6 == 4 || id % 6 == 5) assert(hh("content-encoding") == "deflate", uri)
       assert(Warc.extractText(new String(entity, "UTF-8")) == text, uri)
     }
-    // the registry query itself: row-identical to documents across every
-    // envelope arm the staged lake cycles
+    // the registry query itself: row-identical to the two-paragraph
+    // page transform (r18 — even ids carry the appendix after a
+    // newline, so the multi-block wrap + separator flush execute on
+    // every even doc) across every envelope arm the staged lake cycles
     val via = Warc.srcWarcHtmlDocs(spark, sfDir).collect()
     val direct = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").orderBy($"doc_id").collect()
@@ -405,8 +407,11 @@ class SourcesSpec extends SparkSpec {
     via.zip(direct).foreach { case (w, d) =>
       assert(w.getLong(0) == d.getLong(0))
       assert(w.getString(1) == Warc.docUri(d.getLong(0)))
-      assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
+      assert(w.getString(3) == Warc.crawlPageText(d.getLong(0), d.getString(1)),
+        s"text for doc ${d.getLong(0)}")
     }
+    assert(via.exists(_.getString(3).contains("\n" + Warc.crawlAppendix)),
+      "the fixture cycle must actually contain multi-block pages")
     val shards = new java.io.File(Warc.rawLakeDir(spark, sfDir)).list().toSeq
     assert(shards.nonEmpty && shards.forall(_.endsWith(".warc.gz")), shards.toString)
   }
@@ -904,6 +909,19 @@ class SourcesSpec extends SparkSpec {
     // hash drift
     assert(Warc.htmlWrap("").length == 241,
       "htmlWrap boilerplate changed — update the src_warc_wat oracle's 241")
+    // the multi-block split contract (r18): an INTERIOR newline costs
+    // +6 (−1 newline from content, +7 for '</p><p>'); a leading or
+    // trailing newline cannot split (the extractor's join would drop
+    // it) and stays literal inside one block at +0
+    assert(Warc.htmlWrap("a\nb").length == 241 + 3 + 6,
+      "htmlWrap interior-newline split changed — update the oracle's +6 CASE")
+    assert(Warc.htmlWrap("\nab").length == 241 + 3 &&
+      Warc.htmlWrap("ab\n").length == 241 + 3 &&
+      Warc.htmlWrap("\n").length == 241 + 1,
+      "edge newlines must NOT split — the join could not reconstruct them")
+    // and the split really is what the extractor sees: two blocks
+    assert(Warc.extractText(Warc.htmlWrap("a\nb")) == "a\nb")
+    assert(Warc.htmlWrap("a\nb").contains("<p>a</p><p>b</p>"))
     val got = Warc.srcWarcWat(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").orderBy($"doc_id").collect()
@@ -919,7 +937,7 @@ class SourcesSpec extends SparkSpec {
         else if (id % 6 == 4 || id % 6 == 5) "deflate" else ""),
         s"content_encoding for doc $id")
       assert(g.getLong(7) == (if (id % 6 <= 1) 2L else 3L), s"n_headers for doc $id")
-      val wrapped = Warc.htmlWrap(d.getString(1))
+      val wrapped = Warc.htmlWrap(Warc.crawlPageText(id, d.getString(1)))
       assert(g.getLong(8) == wrapped.codePointCount(0, wrapped.length).toLong,
         s"entity_chars for doc $id")
     }
@@ -1050,12 +1068,19 @@ class SourcesSpec extends SparkSpec {
       "the broken shard must contribute zero index rows; the intact one survives")
   }
 
-  test("pipe_crawl_e2e: the crawl-rooted prep chain reproduces the table-rooted pipe_e2e row-for-row") {
+  test("pipe_crawl_e2e: the crawl-rooted prep chain reproduces the table-rooted pipeline over the page transform row-for-row") {
     // the lossless-extraction argument EXECUTED end-to-end: container
-    // parse + envelope decode + extraction feeding the same
-    // quality -> dedup -> pack tail must be indistinguishable from
-    // reading the documents table directly
-    val table = graft.operators.Pipeline.prepPipeline(spark, sfDir).collect()
+    // parse + envelope decode + MULTI-BLOCK extraction feeding the
+    // same quality -> dedup -> pack tail must be indistinguishable
+    // from reading the two-paragraph page transform directly (r18:
+    // even ids carry the crawl appendix, so this is pipe_e2e's tail
+    // over the transformed corpus, not over documents verbatim)
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val transformed = Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit("\n" + graft.sources.Warc.crawlAppendix)))
+        .otherwise(col("text")).as("text"))
+    val table = graft.operators.Pipeline.prepPipelineOver(spark, transformed).collect()
     val crawl = graft.operators.Pipeline.crawlPrepPipeline(spark, sfDir).collect()
     assert(crawl.length == table.length && table.nonEmpty)
     table.zip(crawl).foreach { case (t, c) => assert(t == c, s"row diverged: $t vs $c") }
