@@ -2359,7 +2359,24 @@ object SparkEntry {
           |    + CASE WHEN strpos(substr(text, 2, greatest(length(text) - 2, 0)), chr(10)) > 0
           |           THEN 6 ELSE 0 END AS BIGINT)
           |    AS entity_chars
-          |FROM docs ORDER BY doc_id""".stripMargin,
+          |FROM docs
+          |-- non-200 captures (r18): docs ≡ 3 (mod 10) carry a 404
+          |-- re-fetch of the same URI (body 'gone', text/plain), docs
+          |-- ≡ 8 (mod 10) a 301 with Location and an empty body —
+          |-- counted here, excluded by the document ingests
+          |UNION ALL
+          |SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+          |  CAST(404 AS BIGINT), 'text/plain', 'UTF-8', '', '',
+          |  CAST(2 AS BIGINT), CAST(4 AS BIGINT)
+          |FROM documents WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+          |  CAST(301 AS BIGINT), '', 'UTF-8', '', '',
+          |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+          |FROM documents WHERE doc_id % 10 = 8
+          |ORDER BY doc_id, status""".stripMargin,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

@@ -515,6 +515,40 @@ object Warc {
   def crawlPageText(id: Long, text: String): String =
     if (id % 2 == 0) text + "\n" + crawlAppendix else text
 
+  /** NON-200 capture records for the staged raw lake (r18, the r17
+    * verdict's #2): real crawls are ~15-25% non-200, and until this
+    * arm the fixture envelope was always `200 OK` — so the ingest's
+    * status filter and WAT's status column were exercised by exactly
+    * one value. Id-keyed: docs ≡ 3 (mod 10) also get a 404 re-fetch
+    * of the SAME target URI (a page that vanished between two crawl
+    * visits — body `gone`, text/plain), docs ≡ 8 (mod 10) a 301 with
+    * a Location and an empty body. Both are COUNTED by `src_warc_wat`
+    * (status finally polymorphic, rows closed-form in the id cycle)
+    * and EXCLUDED by the document ingests (the 2xx filter becomes
+    * oracle-visible: if it broke, src_warc_html would emit extra rows
+    * and hash-mismatch). */
+  private def non200Records(
+      docs: Seq[(Long, String)]): Iterator[(Seq[(String, String)], Array[Byte])] =
+    docs.iterator.flatMap { case (id, _) =>
+      def record(http: String, body: Array[Byte]) =
+        Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> docUri(id),
+          "WARC-Date" -> "2026-01-02T00:00:00Z",
+          "Content-Type" -> "application/http; msgtype=response") ->
+          (http.getBytes("US-ASCII") ++ body)
+      if (id % 10 == 3) {
+        val body = "gone".getBytes("US-ASCII")
+        Iterator.single(record(
+          s"HTTP/1.1 404 Not Found${CRLF}Content-Type: text/plain$CRLF" +
+            s"Content-Length: ${body.length}$CRLF$CRLF", body))
+      } else if (id % 10 == 8)
+        Iterator.single(record(
+          s"HTTP/1.1 301 Moved Permanently${CRLF}Location: https://example.org/moved/$id$CRLF" +
+            s"Content-Length: 0$CRLF$CRLF", Array.empty[Byte]))
+      else Iterator.empty
+    }
+
   /** `snk_wet_roundtrip`: the sink proven on NON-fixture content —
     * a filtered + transformed corpus (even doc_ids, a deterministic
     * suffix appended) written through [[writeWetLake]] and read
@@ -1087,7 +1121,9 @@ object Warc {
       }
       .toDF("doc_id", "uri", "status", "media_type", "charset",
         "transfer_encoding", "content_encoding", "n_headers", "entity_chars")
-      .orderBy($"doc_id")
+      // status tiebreaks: a re-fetched target (the 404 arm) yields two
+      // rows per doc_id, and the contractual order must be total
+      .orderBy($"doc_id", $"status")
   }
 
   private val rawLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1107,7 +1143,10 @@ object Warc {
         // the staging layer, not inside the pure [[encodeRawWarc]]
         // record encoder hand-staged spec lakes also go through
         docs => rawRecords(docs.map { case (id, text) =>
-          (id, docUri(id), crawlPageText(id, text)) }))
+          (id, docUri(id), crawlPageText(id, text)) }) ++
+          // non-200 captures ride in the same shards (r18): counted by
+          // WAT, excluded by the 2xx document filter — both closed-form
+          non200Records(docs))
       out
     })
 

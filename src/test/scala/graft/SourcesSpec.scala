@@ -922,9 +922,11 @@ class SourcesSpec extends SparkSpec {
     // and the split really is what the extractor sees: two blocks
     assert(Warc.extractText(Warc.htmlWrap("a\nb")) == "a\nb")
     assert(Warc.htmlWrap("a\nb").contains("<p>a</p><p>b</p>"))
-    val got = Warc.srcWarcWat(spark, sfDir).collect()
+    val all = Warc.srcWarcWat(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    // the 200 rows: one per document, the envelope-cycle facts
+    val got = all.filter(_.getLong(2) == 200L)
     assert(got.length == docs.length && got.nonEmpty)
     got.zip(docs).foreach { case (g, d) =>
       val id = d.getLong(0)
@@ -941,6 +943,26 @@ class SourcesSpec extends SparkSpec {
       assert(g.getLong(8) == wrapped.codePointCount(0, wrapped.length).toLong,
         s"entity_chars for doc $id")
     }
+    // the non-200 arms (r18): counted here, id-keyed, closed-form —
+    // and the total is exactly 200s + planted, nothing else
+    val ids = docs.map(_.getLong(0)).toSet
+    val got404 = all.filter(_.getLong(2) == 404L)
+    assert(got404.map(_.getLong(0)).toSet == ids.filter(_ % 10 == 3) && got404.nonEmpty)
+    got404.foreach { g =>
+      assert(g.getString(3) == "text/plain" && g.getString(4) == "UTF-8" &&
+        g.getString(5) == "" && g.getString(6) == "" &&
+        g.getLong(7) == 2L && g.getLong(8) == 4L, s"404 facts for doc ${g.getLong(0)}")
+    }
+    val got301 = all.filter(_.getLong(2) == 301L)
+    assert(got301.map(_.getLong(0)).toSet == ids.filter(_ % 10 == 8) && got301.nonEmpty)
+    got301.foreach { g =>
+      assert(g.getString(3) == "" && g.getLong(7) == 2L && g.getLong(8) == 0L,
+        s"301 facts for doc ${g.getLong(0)}")
+    }
+    assert(all.length == got.length + got404.length + got301.length)
+    // and the DOCUMENT ingest excludes them: same lake, 2xx only
+    assert(Warc.srcWarcHtmlDocs(spark, sfDir).count() == docs.length.toLong,
+      "non-200 captures must not become documents")
   }
 
   test("src_stream_fetch: streamed point lookups resolve the request predicate across REAL multiple micro-batches") {
