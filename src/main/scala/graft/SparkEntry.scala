@@ -2340,7 +2340,12 @@ object SparkEntry {
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(200 AS BIGINT) AS status,
           |  'text/html' AS media_type,
-          |  'UTF-8' AS charset,
+          |  -- windows-1252 arm (r18): docs ≡ 1 (mod 4) with pure-ASCII
+          |  -- page text declare (and are decoded in) windows-1252;
+          |  -- ASCII-ness is closed-form: UTF-8 bytes = chars exactly
+          |  -- for code points < 128
+          |  CASE WHEN doc_id % 4 = 1 AND strlen(text) = length(text)
+          |       THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
           |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (1, 3, 5) THEN 'chunked' ELSE '' END
           |    AS transfer_encoding,
           |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (2, 3) THEN 'gzip'
@@ -2357,7 +2362,13 @@ object SparkEntry {
           |    -- splits the wrap into two <p> blocks — content loses
           |    -- the newline (-1), markup gains '</p><p>' (+7)
           |    + CASE WHEN strpos(substr(text, 2, greatest(length(text) - 2, 0)), chr(10)) > 0
-          |           THEN 6 ELSE 0 END AS BIGINT)
+          |           THEN 6 ELSE 0 END
+          |    -- the windows-1252 arm's title 'fixturÃ©' is one code
+          |    -- point LONGER than 'fixture' under the declared charset
+          |    -- (C3 A9 = two chars) — a UTF-8 fallback decode would
+          |    -- read one ('é') and hash-mismatch here
+          |    + CASE WHEN doc_id % 4 = 1 AND strlen(text) = length(text)
+          |           THEN 1 ELSE 0 END AS BIGINT)
           |    AS entity_chars
           |FROM docs
           |-- non-200 captures (r18): docs ≡ 3 (mod 10) carry a 404

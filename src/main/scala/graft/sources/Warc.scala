@@ -527,6 +527,25 @@ object Warc {
     * and EXCLUDED by the document ingests (the 2xx filter becomes
     * oracle-visible: if it broke, src_warc_html would emit extra rows
     * and hash-mismatch). */
+  /** The windows-1252 envelope arm (r18, the r17 verdict's #3): docs
+    * ≡ 1 (mod 4) whose page text is pure ASCII declare
+    * `charset=windows-1252` and encode the page in it. The arm's
+    * title is `fixturÃ©` — chosen because its windows-1252 bytes
+    * (`C3 A9`) are ALSO valid UTF-8 (for `é`, ONE code point where
+    * windows-1252 reads TWO), so a decoder that ignored the declared
+    * charset and fell back to UTF-8 would count one fewer code point
+    * and hash-mismatch `src_warc_wat`'s entity_chars — the declared-
+    * charset decode is genuinely oracle-visible, not just a column
+    * value. Pure-ASCII gate because ASCII page bytes are identical
+    * in both encodings (extraction stays byte-exact under the shared
+    * oracle) and because the gate itself is closed-form in SQL:
+    * `strlen(text) = length(text)` (UTF-8 gives one byte per char
+    * exactly for code points < 128). */
+  val win1252Title = "fixturÃ©" // U+00C3 U+00A9: windows-1252 bytes C3 A9
+
+  def isWin1252Arm(id: Long, pageText: String): Boolean =
+    id % 4 == 1 && pageText.forall(_ < 128)
+
   private def non200Records(
       docs: Seq[(Long, String)]): Iterator[(Seq[(String, String)], Array[Byte])] =
     docs.iterator.flatMap { case (id, _) =>
@@ -605,7 +624,13 @@ object Warc {
         "Content-Type" -> "application/warc-fields") ->
         "software: graft-warc-fixture/1.0\r\n".getBytes("UTF-8")) ++
       docs.iterator.map { case (id, uri, text) =>
-        val html = htmlWrap(text).getBytes("UTF-8")
+        // the windows-1252 arm (r18): declared charset + page bytes
+        // both switch; the title's C3 A9 makes a UTF-8 fallback
+        // decode COUNT differently, so the arm is oracle-visible
+        val win = isWin1252Arm(id, text)
+        val pageCharset = if (win) "windows-1252" else "utf-8"
+        val html = htmlWrap(text, if (win) win1252Title else "fixture")
+          .getBytes(if (win) "windows-1252" else "UTF-8")
         val (bodyHeaders, entity) = (id % 6) match {
           case 0 => (s"Content-Length: ${html.length}$CRLF", html)
           case 1 =>
@@ -624,7 +649,7 @@ object Warc {
               chunkEncode(deflateWhole(html, zlibWrap = false), 21))
         }
         val http = (s"HTTP/1.1 200 OK$CRLF" +
-          s"Content-Type: text/html; charset=utf-8$CRLF" +
+          s"Content-Type: text/html; charset=$pageCharset$CRLF" +
           bodyHeaders + CRLF).getBytes("US-ASCII")
         Seq(
           "WARC-Type" -> "response",
@@ -829,7 +854,7 @@ object Warc {
     * adds `</p><p>` (+7), so wrapped length = 241 + escaped-length
     * + 6 iff an interior newline exists — spec-pinned next to the
     * 241 constant. */
-  def htmlWrap(text: String): String = {
+  def htmlWrap(text: String, title: String = "fixture"): String = {
     def esc(t: String) =
       t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     // first INTERIOR newline: index in [1, length-2] — both blocks
@@ -839,7 +864,7 @@ object Warc {
       if (nl >= 1 && nl < text.length - 1)
         s"<p>${esc(text.substring(0, nl))}</p><p>${esc(text.substring(nl + 1))}</p>"
       else s"<p>${esc(text)}</p>"
-    "<!DOCTYPE html><html><head><title>fixture</title>" +
+    s"<!DOCTYPE html><html><head><title>$title</title>" +
       "<style>body { color: #000 }</style>" +
       "<script>var tracker = '<ignore me>';</script></head>" +
       "<body><nav><a href=\"/\">home</a></nav>" +

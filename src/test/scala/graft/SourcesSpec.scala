@@ -930,19 +930,32 @@ class SourcesSpec extends SparkSpec {
     assert(got.length == docs.length && got.nonEmpty)
     got.zip(docs).foreach { case (g, d) =>
       val id = d.getLong(0)
+      val page = Warc.crawlPageText(id, d.getString(1))
+      val win = Warc.isWin1252Arm(id, page)
       assert(g.getLong(0) == id)
       assert(g.getLong(2) == 200L && g.getString(3) == "text/html" &&
-        g.getString(4) == "UTF-8", s"constants for doc $id")
+        g.getString(4) == (if (win) "windows-1252" else "UTF-8"),
+        s"constants for doc $id")
       assert(g.getString(5) == (if (id % 6 == 1 || id % 6 == 3 || id % 6 == 5) "chunked" else ""),
         s"transfer_encoding for doc $id")
       assert(g.getString(6) == (if (id % 6 == 2 || id % 6 == 3) "gzip"
         else if (id % 6 == 4 || id % 6 == 5) "deflate" else ""),
         s"content_encoding for doc $id")
       assert(g.getLong(7) == (if (id % 6 <= 1) 2L else 3L), s"n_headers for doc $id")
-      val wrapped = Warc.htmlWrap(Warc.crawlPageText(id, d.getString(1)))
+      val wrapped = Warc.htmlWrap(page, if (win) Warc.win1252Title else "fixture")
       assert(g.getLong(8) == wrapped.codePointCount(0, wrapped.length).toLong,
         s"entity_chars for doc $id")
     }
+    // the windows-1252 arm must actually occur AND be misdecode-
+    // detectable: the title's windows-1252 bytes read as valid UTF-8
+    // with a DIFFERENT code-point count, so a fallback decode cannot
+    // hash-match entity_chars
+    assert(got.zip(docs).exists { case (_, d) =>
+      Warc.isWin1252Arm(d.getLong(0), Warc.crawlPageText(d.getLong(0), d.getString(1))) })
+    val titleBytes = Warc.win1252Title.getBytes("windows-1252")
+    assert(new String(titleBytes, "windows-1252") == Warc.win1252Title)
+    assert(new String(titleBytes, "UTF-8").length == Warc.win1252Title.length - 1,
+      "the arm title must decode to a different length under a UTF-8 fallback")
     // the non-200 arms (r18): counted here, id-keyed, closed-form —
     // and the total is exactly 200s + planted, nothing else
     val ids = docs.map(_.getLong(0)).toSet
