@@ -55,7 +55,7 @@ object Bench {
     // twin) measure scan + parse, not the one-time staging write
     if (selected.exists(p => p._1 == "src_warc" || p._1 == "src_warc_cdx" ||
         p._1 == "src_warc_fetch" || p._1 == "src_stream_warc" ||
-        p._1 == "src_warc_serve"))
+        p._1 == "src_warc_serve" || p._1 == "src_stream_fetch_gc"))
       graft.sources.Warc.wetLakeDir(spark, sfDir)
     // same rule for the RAW crawl lake consumed by the html/WAT
     // extraction verbs and the crawl-rooted pipeline (r17 ADVICE #2:
@@ -67,12 +67,13 @@ object Bench {
     // the persisted cdx artifact: src_warc_serve measures SERVING
     // (pushed-filter artifact read + range reads), so the one-time
     // index build is warm-up — the ivfIndexDir discipline
-    if (selected.exists(p => p._1 == "src_warc_serve" || p._1 == "src_stream_fetch"))
+    if (selected.exists(p => p._1 == "src_warc_serve" || p._1 == "src_stream_fetch" ||
+        p._1 == "src_stream_fetch_gc"))
       graft.sources.Warc.cdxIndexDir(spark, sfDir)
     // the staged request stream is scaffolding too (production
     // requests arrive from a queue) — timed reps pay the stream +
     // range reads, never the one-time request write
-    if (selected.exists(_._1 == "src_stream_fetch"))
+    if (selected.exists(p => p._1 == "src_stream_fetch" || p._1 == "src_stream_fetch_gc"))
       streaming.StreamingOps.fetchRequestsDir(spark, sfDir)
     if (selected.exists(_._1 == "mm_jpeg_files"))
       operators.Multimodal.jpegLakeDir(spark, sfDir)
@@ -103,7 +104,9 @@ object Bench {
       "snk_stream_wet" -> (() => streaming.StreamingOps.clearWetExportCache()),
       // same rule for the streamed point lookups: pay the request
       // stream + range reads every repetition
-      "src_stream_fetch" -> (() => streaming.StreamingOps.clearFetchStreamCache()))
+      "src_stream_fetch" -> (() => streaming.StreamingOps.clearFetchStreamCache()),
+      // and for the retention twin: pay the stream AND the fold
+      "src_stream_fetch_gc" -> (() => streaming.StreamingOps.clearFetchGcCache()))
     // The noop write builds a FRESH QueryExecution, re-optimizing under
     // the session conf — q24's bloom-filter injection needs its scoped
     // planning confs live around the timed action, or the reported

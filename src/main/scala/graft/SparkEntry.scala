@@ -427,6 +427,13 @@ object SparkEntry {
     // the request predicate
     "src_stream_fetch" -> ((s, dir) =>
       graft.streaming.StreamingOps.fetchViaStream(s, dir)),
+    // the online loop's RETENTION verb (r18): same stream, then
+    // compactBatchDirs folds every batch directory below the newest
+    // into one — the per-batch-id accumulation can no longer grow
+    // without bound; serving must be row-identical across the fold,
+    // so the oracle is the batch fetch's, unchanged
+    "src_stream_fetch_gc" -> ((s, dir) =>
+      graft.streaming.StreamingOps.fetchStreamGc(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2322,6 +2329,13 @@ object SparkEntry {
       // request predicate exactly — same closed form as the batch
       // fetch, accumulated across micro-batches
       "src_stream_fetch" ->
+        """SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(length(text) AS BIGINT) AS n_chars, text
+          |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
+      // src_stream_fetch_gc: the retention fold must be row-INVISIBLE —
+      // the compacted layout serves exactly the batch fetch's closed form
+      "src_stream_fetch_gc" ->
         """SELECT doc_id,
           |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
           |  CAST(length(text) AS BIGINT) AS n_chars, text

@@ -635,33 +635,118 @@ object StreamingOps {
     * batch, the lake contributes only Σ length(hits) bytes, and no
     * state grows with the stream. */
   def fetchViaStream(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val outDir = fetchStreamDirs.computeIfAbsent(dir, _ => {
-      val lake = graft.sources.Warc.wetLakeDir(s, dir)
-      val idxDir = graft.sources.Warc.cdxIndexDir(s, dir)
-      val staged = fetchRequestsDir(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft-stream-fetch").toString
-      val q = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType))))
-        .option("maxFilesPerTrigger", "2")
-        .parquet(staged)
-        .writeStream
-        .outputMode(OutputMode.Append)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val ss = batch.sparkSession
-          val idx = ss.read.parquet(idxDir)
-            .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          graft.sources.Warc.fetchByCdx(ss, lake, idx)
-            .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
-          ()
-        }
-        .start()
-      try {
-        q.processAllAvailable()
-        lastNumBatches = q.recentProgress.count(_.numInputRows > 0)
-      } finally q.stop()
+    val outDir = fetchStreamDirs.computeIfAbsent(dir, _ => runFetchStream(s, dir))
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("uri"), col("n_chars"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The online fetch loop's STREAM RUN, shared by `src_stream_fetch`
+    * and its retention twin `src_stream_fetch_gc` (each under its own
+    * session cache, so the gc verb never mutates the directory the
+    * plain query serves): drains the staged request stream through
+    * per-batch cdx-pruned range reads into a fresh batch-dir layout
+    * and returns its root. The gc twin narrows the trigger to one
+    * file per micro-batch so the staged four-file request stream
+    * leaves MULTIPLE below-floor batch directories — a fold that
+    * moves real data, not a vacuous one. */
+  private def runFetchStream(s: SparkSession, dir: String,
+                             filesPerTrigger: Int = 2): String = {
+    val lake = graft.sources.Warc.wetLakeDir(s, dir)
+    val idxDir = graft.sources.Warc.cdxIndexDir(s, dir)
+    val staged = fetchRequestsDir(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-fetch").toString
+    val q = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(staged)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val idx = ss.read.parquet(idxDir)
+          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        graft.sources.Warc.fetchByCdx(ss, lake, idx)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      lastNumBatches = q.recentProgress.count(_.numInputRows > 0)
+    } finally q.stop()
+    out
+  }
+
+  /** Retention COMPACTION over a [[batchIdempotentWriter]]-shaped
+    * output root (r17 verdict #6 — the online loop's output side,
+    * the pipe_ivf_gc precedent at the serving-output layer): a
+    * foreachBatch sink accumulates one `batch_id=N` directory per
+    * micro-batch FOREVER, so at 100 TB the serving read degrades
+    * into millions of tiny directories. This verb folds every batch
+    * directory below the keep floor (the newest `keepLast` real
+    * batch ids stay) into ONE directory, re-published under the
+    * HIGHEST FOLDED id — ids only grow, so the name can never
+    * collide with a future batch, and a later fold naturally
+    * re-folds the previous compaction. Serving is ROW-IDENTICAL
+    * across the fold (spec-gated), a fold that would move nothing is
+    * a no-op (idempotence: a second call with the same floor does
+    * not rewrite), and `compactPartitions` sizes the folded file
+    * count. Single-writer maintenance op: the publish sequence is
+    * write-staging → delete-folded → rename-staging, so a crash
+    * between the deletes and the rename needs the staging directory
+    * (`.compact-tmp`, which holds the complete fold) restored by the
+    * operator; a crash-safe multi-writer version would swing a
+    * manifest like `pipe_ivf_reserve` — deliberately out of scope
+    * for a single-owner sink directory. */
+  def compactBatchDirs(s: SparkSession, outDir: String, keepLast: Int,
+                       compactPartitions: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast must keep at least the newest batch, got $keepLast")
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      root.toUri, s.sparkContext.hadoopConfiguration)
+    try {
+      val dirs = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=")) Some((n.stripPrefix("batch_id=").toLong, st.getPath))
+        else None
+      }
+      if (dirs.isEmpty) return
+      val floor = dirs.map(_._1).max - keepLast + 1
+      val fold = dirs.filter(_._1 < floor).sortBy(_._1)
+      // no-op unless the fold MOVES something: a single below-floor
+      // directory is already as compact as a fold would make it
+      if (fold.length < 2) return
+      val target = new org.apache.hadoop.fs.Path(root, s"batch_id=${fold.map(_._1).max}")
+      val tmp = new org.apache.hadoop.fs.Path(root, ".compact-tmp")
+      fs.delete(tmp, true) // a dead staging dir from an aborted fold
+      s.read.parquet(fold.map(_._2.toString): _*)
+        .repartition(compactPartitions)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fold.foreach { case (_, p) => fs.delete(p, true) }
+      require(fs.rename(tmp, target), s"could not publish the fold at $target")
+    } finally fs.close()
+  }
+
+  private[graft] val fetchGcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bench epoch boundary (the src_stream_fetch rule): each timed
+    * repetition pays the stream AND the fold, never a cached
+    * read-back. */
+  def clearFetchGcCache(): Unit = fetchGcDirs.clear()
+
+  /** `src_stream_fetch_gc`: the online point-lookup loop WITH its
+    * retention verb — the stream runs exactly as `src_stream_fetch`
+    * (own output root, own cache), then [[compactBatchDirs]] folds
+    * everything below the newest batch into one directory, and
+    * serving reads the compacted layout. Shares the batch fetch's
+    * closed-form oracle: the fold must be row-invisible. */
+  def fetchStreamGc(s: SparkSession, dir: String): DataFrame = {
+    val outDir = fetchGcDirs.computeIfAbsent(dir, _ => {
+      val out = runFetchStream(s, dir, filesPerTrigger = 1)
+      compactBatchDirs(s, out, keepLast = 1)
       out
     })
     s.read.parquet(outDir)

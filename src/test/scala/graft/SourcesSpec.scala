@@ -994,6 +994,62 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("compactBatchDirs: folds below the floor row-identically; no-op when nothing moves; idempotent") {
+    import graft.streaming.StreamingOps
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    (0 to 3).foreach { b =>
+      spark.range(b * 10L, b * 10L + 10L).selectExpr("id AS doc_id")
+        .repartition(2).write.parquet(s"$out/batch_id=$b")
+    }
+    def batchDirs() = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    def rows() = spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val before = rows()
+    assert(batchDirs() == Seq("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"))
+    StreamingOps.compactBatchDirs(spark, out, keepLast = 1)
+    // batches 0..2 folded into ONE directory named by the highest
+    // folded id; the newest stays; serving is row-identical
+    assert(batchDirs() == Seq("batch_id=2", "batch_id=3"), batchDirs().toString)
+    assert(rows() == before, "the fold must be row-invisible")
+    // the folded directory really is compact: one data file
+    assert(new java.io.File(s"$out/batch_id=2").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // idempotent: a second fold with the same floor moves nothing
+    def inventory() = new java.io.File(out).listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).map(f => (f.getPath, f.lastModified))).toSet
+    val inv1 = inventory()
+    StreamingOps.compactBatchDirs(spark, out, keepLast = 1)
+    assert(inventory() == inv1, "a fold that moves nothing must be a no-op")
+    // no-op when every directory is inside the keep window
+    StreamingOps.compactBatchDirs(spark, out, keepLast = 10)
+    assert(inventory() == inv1)
+    assert(rows() == before)
+  }
+
+  test("src_stream_fetch_gc: the retention verb serves the request predicate row-identically over a REAL fold") {
+    import graft.streaming.StreamingOps
+    StreamingOps.clearFetchGcCache()
+    val got = StreamingOps.fetchStreamGc(spark, sfDir).collect()
+    // the gc run narrows the trigger to one request file per batch, so
+    // several below-floor directories existed and the fold moved data
+    assert(StreamingOps.lastNumBatches >= 3,
+      s"expected >= 3 micro-batches for a real fold, got ${StreamingOps.lastNumBatches}")
+    val outDir = StreamingOps.fetchGcDirs.get(sfDir)
+    val dirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(dirs.length == 2, s"fold must leave compacted + newest, got ${dirs.mkString(",")}")
+    val expect = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 13 === 0)
+      .select($"doc_id", $"text").orderBy($"doc_id").collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (w, d) =>
+      assert(w.getLong(0) == d.getLong(0))
+      assert(w.getString(1) == graft.sources.Warc.docUri(d.getLong(0)))
+      assert(w.getString(3) == d.getString(1), s"text for doc ${d.getLong(0)}")
+    }
+  }
+
   test("snk_stream_wet: the streaming WET export reproduces documents exactly and is idempotent") {
     // every micro-batch appends batch-id-prefixed shards; a collision
     // or a re-export would surface as duplicate rows here
