@@ -639,9 +639,12 @@ object SparkEntry {
          |      -- trailer = 794 + B + ⌈B/255⌉ with T = N + ⌈N/254⌉ + 1
          |      -- nine-bit codes and B = ⌈9T/8⌉ data bytes; interlace
          |      -- is a row permutation, size-invariant by construction
+         |      -- comment rotation (r18): every other gif by (media_id//4)%2
+         |      -- carries a 17-byte COMMENT EXTENSION (4 + 13 payload)
          |      WHEN kind = 'image' AND format = 'gif' THEN 794
          |        + (9*(w*h + (w*h + 253)//254 + 1) + 7)//8
          |        + ((9*(w*h + (w*h + 253)//254 + 1) + 7)//8 + 254)//255
+         |        + CASE WHEN CAST((media_id // 4) % 2 AS INTEGER) = 1 THEN 17 ELSE 0 END
          |      -- ANIMATED gif (r17): the static closed form summed per
          |      -- frame — 782 container skeleton + frame 0 (full screen,
          |      -- no GCE: 12 + bytes(w·h)) + (nfr−1) box frames (GCE 8 +
@@ -655,6 +658,7 @@ object SparkEntry {
          |          + (9*((w//2)*(h//2) + ((w//2)*(h//2) + 253)//254 + 1) + 7)//8
          |          + ((9*((w//2)*(h//2) + ((w//2)*(h//2) + 253)//254 + 1) + 7)//8 + 254)//255)
          |        + CASE WHEN nfr >= 4 THEN 768 ELSE 0 END
+         |        + CASE WHEN CAST((media_id // 4) % 2 AS INTEGER) = 1 THEN 17 ELSE 0 END
          |      WHEN format = 'wav' THEN 44 + 2*ns
          |      -- flac (one verbatim frame): magic 4 + STREAMINFO 38 +
          |      -- frame header 8 + subframe header 1 + 16-bit samples

@@ -298,7 +298,7 @@ object MediaCodec extends Serializable {
     * every oracle are interlace-invariant while the decoder's
     * de-interlace path runs on real fixture bytes. */
   def encodeGif(w: Int, h: Int, indices: Array[Byte], palette: Array[Byte],
-                interlaced: Boolean = false): Array[Byte] = {
+                interlaced: Boolean = false, comment: String = null): Array[Byte] = {
     require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, s"gif dims $w x $h outside u16")
     // u16 dims admit rasters whose ~9/8·N output outgrows a byte
     // array — fail loudly like encodeFlac's ceiling (review r15)
@@ -322,10 +322,27 @@ object MediaCodec extends Serializable {
     out.write(h & 0xff); out.write(h >> 8)
     out.write(0xf7); out.write(0); out.write(0)
     out.write(palette, 0, 768)
+    writeGifComment(out, comment)
     writeGifImage(out, 0, 0, w, h, indices, interlaced)
     out.write(0x3b) // trailer
     out.toByteArray
   }
+
+  /** COMMENT EXTENSION (GIF89a §24) when `comment` is non-null: intro
+    * + label 0xFE + one data sub-block + terminator — 4 + length
+    * bytes, the closed form the size oracle mirrors. Real encoders
+    * stamp comments routinely; a decoder must SKIP them (the generic
+    * sub-block walk), never reject, and the fixture rotation makes
+    * that skip oracle-visible. */
+  private def writeGifComment(out: java.io.ByteArrayOutputStream, comment: String): Unit =
+    if (comment != null) {
+      val cb = comment.getBytes("US-ASCII")
+      require(cb.nonEmpty && cb.length <= 255,
+        s"a fixture comment must fit one sub-block, got ${cb.length} bytes")
+      out.write(0x21); out.write(0xfe)
+      out.write(cb.length); out.write(cb, 0, cb.length)
+      out.write(0)
+    }
 
   /** One image block of a GIF: descriptor (box at (left, top), no
     * local table) + literal-only LZW data sub-blocks + terminator —
@@ -406,7 +423,8 @@ object MediaCodec extends Serializable {
     * screen; the decoder's 2²⁸ decoded-plane ceiling is enforced at
     * encode so every fixture is decodable. */
   def encodeAnimatedGif(sw: Int, sh: Int, palette: Array[Byte],
-                        frames: Seq[GifFrame], bgIndex: Int = 0): Array[Byte] = {
+                        frames: Seq[GifFrame], bgIndex: Int = 0,
+                        comment: String = null): Array[Byte] = {
     require(sw > 0 && sw <= 0xffff && sh > 0 && sh <= 0xffff, s"gif dims $sw x $sh outside u16")
     require(palette.length == 768, s"gif GCT must hold exactly 256 RGB entries, got ${palette.length} bytes")
     require(frames.size >= 2, "an animation needs at least two frames")
@@ -430,6 +448,7 @@ object MediaCodec extends Serializable {
     out.write(sh & 0xff); out.write(sh >> 8)
     out.write(0xf7); out.write(bgIndex); out.write(0)
     out.write(palette, 0, 768)
+    writeGifComment(out, comment)
     frames.foreach { f =>
       if (f.disposal != 0 || f.transparentIdx >= 0) {
         // graphic control extension: intro + label + one 4-byte

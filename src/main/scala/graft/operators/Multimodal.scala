@@ -74,6 +74,11 @@ object Multimodal {
     * 255 − unit — the local-table override path under the oracle. */
   private[graft] val invGrayGct: Array[Byte] = Array.tabulate(768)(j => (255 - j / 3).toByte)
 
+  /** The GIF comment-rotation payload (r18): 13 ASCII bytes, so the
+    * extension costs exactly 4 + 13 = 17 bytes — the constant the
+    * n_bytes oracle adds on the (id/4)%2 arm. */
+  private[graft] val gifComment = "graft fixture"
+
   /** Deterministic fixture generator: REAL container bytes derived
     * from a document row. Kind cycles image/audio/video by id;
     * images rotate PPM, BMP and a PNG/GIF slot (all decoders must
@@ -138,9 +143,14 @@ object Multimodal {
             // literal-only LZW keeps size-invariant, so it is
             // invisible to the oracles while the de-interlace path
             // runs on real fixture bytes
+            // comment rotation (r18): every other gif by (id/4)%2
+            // carries a COMMENT EXTENSION — the decoder's extension
+            // SKIP is oracle-visible via the +17 in the size closed
+            // form (a reject would lose the row, a mis-skip the size)
             case 3L => MediaCodec.encodeGif(w, h,
               Array.tabulate(w * h)(i => unit(i.toLong)), palettePlte,
-              interlaced = java.lang.Math.floorMod(id / 36, 2L) == 1L)
+              interlaced = java.lang.Math.floorMod(id / 36, 2L) == 1L,
+              comment = if (java.lang.Math.floorMod(id / 4, 2L) == 1L) gifComment else null)
             case _ => MediaCodec.encodePng(w, h, rgb)
           }
         }
@@ -196,7 +206,8 @@ object Multimodal {
                 localPalette = if (k == 3) invGrayGct else null)
             }
           ("video", MediaCodec.encodeAnimatedGif(w, h, grayGct, frames,
-            bgIndex = if (java.lang.Math.floorMod(id / 6, 2L) == 1L) 200 else 0))
+            bgIndex = if (java.lang.Math.floorMod(id / 6, 2L) == 1L) 200 else 0,
+            comment = if (java.lang.Math.floorMod(id / 4, 2L) == 1L) gifComment else null))
         } else {
           val frameSize = 3 * w * h
           val frames = Array.tabulate(nf)(f =>

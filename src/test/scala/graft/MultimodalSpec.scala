@@ -957,7 +957,8 @@ class MultimodalSpec extends SparkSpec {
         b + (b + 254) / 255
       }
       assert(payload.length == 794 + bytes(w * h) + (nf - 1) * (20 + bytes(bw * bh))
-          + (if (nf >= 4) 768 else 0), // frame 3's local color table
+          + (if (nf >= 4) 768 else 0) // frame 3's local color table
+          + (if ((id / 4) % 2 == 1) 17 else 0), // r18 comment rotation
         s"closed-form n_bytes for id $id")
       val v = MediaCodec.decode(payload) match {
         case m: MediaCodec.VideoMedia => m
@@ -2667,6 +2668,43 @@ class MultimodalSpec extends SparkSpec {
       val inter = MediaCodec.encodeGif(w, h, idx, gct256, interlaced = true)
       assert(inter.length == gifB.length, "interlace is size-invariant")
       check(inter, w, h, want, s"interlaced $w x $h")
+      // comment twin (r18): 4 + len extra bytes, decoded pixels
+      // UNCHANGED — a decoder must skip a comment, never reject it
+      val com = MediaCodec.encodeGif(w, h, idx, gct256, comment = "hello gif")
+      assert(com.length == gifB.length + 4 + 9, "comment extension size closed form")
+      check(com, w, h, want, s"comment $w x $h")
+    }
+
+    // ---- extension SKIP hardening (r18): real GIFs carry comment /
+    // plain-text / application extensions; the decoder's generic
+    // sub-block walk must skip ALL of them — splice each between the
+    // color table and the image data and the decode must not change ----
+    locally {
+      val (w, h) = (11, 7)
+      val idx = Array.tabulate[Byte](w * h)(i => ((i * 13 + 5) % 256).toByte)
+      val base = MediaCodec.encodeGif(w, h, idx, gct256)
+      val want = expectRgb(idx, gct256)
+      val at = 13 + 768 // header 6 + LSD 7 + GCT: splice point
+      // plain-text extension (GIF89a §25): label 0x01, a 12-byte
+      // header sub-block, text sub-blocks, terminator
+      val plainText = Array[Int](0x21, 0x01, 12, 0,0, 0,0, 40,0, 20,0, 8, 8, 0, 0,
+        5, 'g','r','a','f','t', 0).map(_.toByte)
+      // application extension (§26): label 0xFF, 11-byte app block,
+      // data sub-blocks, terminator (the NETSCAPE loop shape)
+      val app = (Array[Int](0x21, 0xff, 11) ++
+        "NETSCAPE2.0".getBytes("US-ASCII").map(_.toInt) ++
+        Array[Int](3, 1, 0, 0, 0)).map(_.toByte)
+      // a comment with MULTIPLE sub-blocks (the walk must chain them)
+      val multiComment = (Array[Int](0x21, 0xfe, 3) ++ "abc".getBytes("US-ASCII").map(_.toInt) ++
+        Array[Int](2) ++ "de".getBytes("US-ASCII").map(_.toInt) ++ Array[Int](0)).map(_.toByte)
+      Seq(("plain-text", plainText), ("application", app),
+          ("multi-subblock comment", multiComment)).foreach { case (tag, ext) =>
+        val spliced = base.take(at) ++ ext ++ base.drop(at)
+        check(spliced, w, h, want, s"spliced $tag extension")
+      }
+      // all three at once, in sequence
+      val allThree = base.take(at) ++ plainText ++ app ++ multiComment ++ base.drop(at)
+      check(allThree, w, h, want, "all three extensions chained")
     }
 
     // ---- REAL compression: a run-heavy raster drives dictionary
