@@ -62,7 +62,7 @@ object Bench {
     // src_warc_wat/src_warc_html paid the one-time raw staging write
     // in their first timed repetition)
     if (selected.exists(p => p._1 == "src_warc_html" || p._1 == "src_warc_wat" ||
-        p._1 == "pipe_crawl_e2e"))
+        p._1 == "pipe_crawl_e2e" || p._1 == "src_stream_wat"))
       graft.sources.Warc.rawLakeDir(spark, sfDir)
     // the persisted cdx artifact: src_warc_serve measures SERVING
     // (pushed-filter artifact read + range reads), so the one-time

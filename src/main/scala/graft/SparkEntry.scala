@@ -434,6 +434,12 @@ object SparkEntry {
     // so the oracle is the batch fetch's, unchanged
     "src_stream_fetch_gc" -> ((s, dir) =>
       graft.streaming.StreamingOps.fetchStreamGc(s, dir)),
+    // streaming WAT extraction (r18) — the 19th real streaming
+    // execution: the crawl-audit stream, envelope facts per
+    // micro-batch through the batch walk's own body; oracle shared
+    // with src_warc_wat
+    "src_stream_wat" -> ((s, dir) =>
+      graft.streaming.StreamingOps.watViaStream(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -766,6 +772,67 @@ object SparkEntry {
           |    (9 * (8 * w * (64 * (b // nbx) + 28) + 8 * (64 * (b % nbx) + 28)) + 192)
           |  )) AS BIGINT) AS data_wsum
           |FROM q ORDER BY media_id""".stripMargin
+    // src_warc_wat / src_stream_wat shared closed form: envelope
+    // facts over the two-paragraph page transform, the non-200
+    // arms, and the windows-1252 charset arm (r18)
+    val watSql =
+      """WITH docs AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN text || chr(10) || 'Crawl appendix: a second fixture paragraph.'
+          |       ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+          |  CAST(200 AS BIGINT) AS status,
+          |  'text/html' AS media_type,
+          |  -- windows-1252 arm (r18): docs ≡ 1 (mod 4) with pure-ASCII
+          |  -- page text declare (and are decoded in) windows-1252;
+          |  -- ASCII-ness is closed-form: UTF-8 bytes = chars exactly
+          |  -- for code points < 128
+          |  CASE WHEN doc_id % 4 = 1 AND strlen(text) = length(text)
+          |       THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
+          |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (1, 3, 5) THEN 'chunked' ELSE '' END
+          |    AS transfer_encoding,
+          |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (2, 3) THEN 'gzip'
+          |       WHEN CAST(doc_id % 6 AS INTEGER) IN (4, 5) THEN 'deflate'
+          |       ELSE '' END AS content_encoding,
+          |  CAST(CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (0, 1) THEN 2 ELSE 3 END AS BIGINT)
+          |    AS n_headers,
+          |  CAST(241 + length(text)
+          |    + 4 * (length(text) - length(replace(text, '&', '')))
+          |    + 3 * (length(text) - length(replace(text, '<', '')))
+          |    + 3 * (length(text) - length(replace(text, '>', '')))
+          |    -- multi-block wrap (r18): an INTERIOR newline (non-empty
+          |    -- prefix and suffix, i.e. at 1-based positions 2..len-1)
+          |    -- splits the wrap into two <p> blocks — content loses
+          |    -- the newline (-1), markup gains '</p><p>' (+7)
+          |    + CASE WHEN strpos(substr(text, 2, greatest(length(text) - 2, 0)), chr(10)) > 0
+          |           THEN 6 ELSE 0 END
+          |    -- the windows-1252 arm's title 'fixturÃ©' is one code
+          |    -- point LONGER than 'fixture' under the declared charset
+          |    -- (C3 A9 = two chars) — a UTF-8 fallback decode would
+          |    -- read one ('é') and hash-mismatch here
+          |    + CASE WHEN doc_id % 4 = 1 AND strlen(text) = length(text)
+          |           THEN 1 ELSE 0 END AS BIGINT)
+          |    AS entity_chars
+          |FROM docs
+          |-- non-200 captures (r18): docs ≡ 3 (mod 10) carry a 404
+          |-- re-fetch of the same URI (body 'gone', text/plain), docs
+          |-- ≡ 8 (mod 10) a 301 with Location and an empty body —
+          |-- counted here, excluded by the document ingests
+          |UNION ALL
+          |SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+          |  CAST(404 AS BIGINT), 'text/plain', 'UTF-8', '', '',
+          |  CAST(2 AS BIGINT), CAST(4 AS BIGINT)
+          |FROM documents WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id,
+          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+          |  CAST(301 AS BIGINT), '', 'UTF-8', '', '',
+          |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+          |FROM documents WHERE doc_id % 10 = 8
+          |ORDER BY doc_id, status""".stripMargin
     val mmMetaSql =
       s"""$mmBaseCtes
         |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -2348,64 +2415,11 @@ object SparkEntry {
       // cycle; entity_chars = the lossless wrap's escape arithmetic
       // (241 = htmlWrap("")'s boilerplate, spec-pinned) over the
       // two-paragraph page transform (r18)
-      "src_warc_wat" ->
-        """WITH docs AS (SELECT doc_id,
-          |  CASE WHEN doc_id % 2 = 0
-          |       THEN text || chr(10) || 'Crawl appendix: a second fixture paragraph.'
-          |       ELSE text END AS text
-          |  FROM documents)
-          |SELECT doc_id,
-          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-          |  CAST(200 AS BIGINT) AS status,
-          |  'text/html' AS media_type,
-          |  -- windows-1252 arm (r18): docs ≡ 1 (mod 4) with pure-ASCII
-          |  -- page text declare (and are decoded in) windows-1252;
-          |  -- ASCII-ness is closed-form: UTF-8 bytes = chars exactly
-          |  -- for code points < 128
-          |  CASE WHEN doc_id % 4 = 1 AND strlen(text) = length(text)
-          |       THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
-          |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (1, 3, 5) THEN 'chunked' ELSE '' END
-          |    AS transfer_encoding,
-          |  CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (2, 3) THEN 'gzip'
-          |       WHEN CAST(doc_id % 6 AS INTEGER) IN (4, 5) THEN 'deflate'
-          |       ELSE '' END AS content_encoding,
-          |  CAST(CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (0, 1) THEN 2 ELSE 3 END AS BIGINT)
-          |    AS n_headers,
-          |  CAST(241 + length(text)
-          |    + 4 * (length(text) - length(replace(text, '&', '')))
-          |    + 3 * (length(text) - length(replace(text, '<', '')))
-          |    + 3 * (length(text) - length(replace(text, '>', '')))
-          |    -- multi-block wrap (r18): an INTERIOR newline (non-empty
-          |    -- prefix and suffix, i.e. at 1-based positions 2..len-1)
-          |    -- splits the wrap into two <p> blocks — content loses
-          |    -- the newline (-1), markup gains '</p><p>' (+7)
-          |    + CASE WHEN strpos(substr(text, 2, greatest(length(text) - 2, 0)), chr(10)) > 0
-          |           THEN 6 ELSE 0 END
-          |    -- the windows-1252 arm's title 'fixturÃ©' is one code
-          |    -- point LONGER than 'fixture' under the declared charset
-          |    -- (C3 A9 = two chars) — a UTF-8 fallback decode would
-          |    -- read one ('é') and hash-mismatch here
-          |    + CASE WHEN doc_id % 4 = 1 AND strlen(text) = length(text)
-          |           THEN 1 ELSE 0 END AS BIGINT)
-          |    AS entity_chars
-          |FROM docs
-          |-- non-200 captures (r18): docs ≡ 3 (mod 10) carry a 404
-          |-- re-fetch of the same URI (body 'gone', text/plain), docs
-          |-- ≡ 8 (mod 10) a 301 with Location and an empty body —
-          |-- counted here, excluded by the document ingests
-          |UNION ALL
-          |SELECT doc_id,
-          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
-          |  CAST(404 AS BIGINT), 'text/plain', 'UTF-8', '', '',
-          |  CAST(2 AS BIGINT), CAST(4 AS BIGINT)
-          |FROM documents WHERE doc_id % 10 = 3
-          |UNION ALL
-          |SELECT doc_id,
-          |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
-          |  CAST(301 AS BIGINT), '', 'UTF-8', '', '',
-          |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
-          |FROM documents WHERE doc_id % 10 = 8
-          |ORDER BY doc_id, status""".stripMargin,
+      "src_warc_wat" -> watSql,
+      // src_stream_wat: the streamed extraction parses through the
+      // batch walk's own body and must accumulate to the identical
+      // closed form
+      "src_stream_wat" -> watSql,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

@@ -1113,9 +1113,23 @@ object Warc {
     * lakes (the htmlDocsFromWarcFiles rule). */
   def watFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
-    s.read.format("binaryFile").load(lake)
-      .select($"content")
-      .as[Array[Byte]]
+    watRowsFromShardBytes(
+        s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
+      // status tiebreaks: a re-fetched target (the 404 arm) yields two
+      // rows per doc_id, and the contractual order must be total
+      .orderBy($"doc_id", $"status")
+  }
+
+  /** The envelope-facts walk over a relation of shard payloads — the
+    * SHARED body of the batch extraction ([[watFromWarcFiles]]) and
+    * its ingestion-time streaming twin (`src_stream_wat`), the
+    * [[docRowsFromShardBytes]] rule: one walk, two deployments, no
+    * way to diverge. Stateless per-shard flatMap, works unchanged
+    * over a streaming Dataset. */
+  def watRowsFromShardBytes(shards: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
+    val s = shards.sparkSession
+    import s.implicits._
+    shards
       .flatMap { bytes =>
         val rows = try {
           parseWarcAuto(bytes).iterator
@@ -1146,9 +1160,6 @@ object Warc {
       }
       .toDF("doc_id", "uri", "status", "media_type", "charset",
         "transfer_encoding", "content_encoding", "n_headers", "entity_chars")
-      // status tiebreaks: a re-fetched target (the 404 arm) yields two
-      // rows per doc_id, and the contractual order must be total
-      .orderBy($"doc_id", $"status")
   }
 
   private val rawLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -596,6 +596,37 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming WAT extraction (`src_stream_wat`) — the INGESTION-TIME
+    * twin of [[graft.sources.Warc.srcWarcWat]], completing the crawl
+    * family's batch/stream symmetry (documents, fetch and now
+    * metadata all have both deployments): RAW `response` shards
+    * arrive as a file-source `readStream`, each micro-batch walks
+    * envelopes map-side through the batch extraction's OWN body
+    * ([[graft.sources.Warc.watRowsFromShardBytes]] — the shared-walk
+    * rule, status filter/coding chain/charset decode included, the
+    * content measured then dropped). Stateless Append, multiple
+    * micro-batches forced and pinned; the accumulated rows share the
+    * batch WAT's closed-form oracle — the crawl-audit stream costs
+    * shard-grain work per batch and keeps no state. */
+  def watViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = graft.sources.Warc.rawLakeDir(s, dir)
+    val prevInf = s.conf.getAll.get("spark.sql.streaming.schemaInference")
+    s.conf.set("spark.sql.streaming.schemaInference", "true")
+    val shards = try
+      s.readStream.format("binaryFile")
+        .option("maxFilesPerTrigger", "2")
+        .load(lake)
+    finally prevInf match {
+      case Some(v) => s.conf.set("spark.sql.streaming.schemaInference", v)
+      case None    => s.conf.unset("spark.sql.streaming.schemaInference")
+    }
+    val wat = graft.sources.Warc.watRowsFromShardBytes(
+      shards.select(col("content")).as[Array[Byte]])
+    runToMemory(wat, "src_stream_wat_q", OutputMode.Append)
+      .orderBy(col("doc_id"), col("status"))
+  }
+
   private val fetchReqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val fetchStreamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

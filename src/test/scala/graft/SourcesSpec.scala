@@ -849,6 +849,24 @@ class SourcesSpec extends SparkSpec {
     assert(!sp.contains("Exchange"), s"the ingest micro-batch must not shuffle:\n$sp")
   }
 
+  test("src_stream_wat: the streamed envelope extraction reproduces the batch WAT across REAL multiple micro-batches") {
+    import graft.sources.Warc
+    val got = graft.streaming.StreamingOps.watViaStream(spark, sfDir).collect()
+    assert(graft.streaming.StreamingOps.lastNumBatches >= 2,
+      s"expected multiple micro-batches, got ${graft.streaming.StreamingOps.lastNumBatches}")
+    // row-for-row against the batch extraction — the shared walk
+    // (watRowsFromShardBytes) plus the shared oracle make divergence
+    // structurally impossible, and this pins it executed
+    val batch = Warc.srcWarcWat(spark, sfDir).collect()
+    assert(got.length == batch.length && got.nonEmpty)
+    got.zip(batch).foreach { case (a, b) => assert(a == b, s"row diverged: $a vs $b") }
+    // the micro-batch plan is MAP-SIDE (the src_stream_warc rule): a
+    // stateless per-shard envelope walk, nothing shuffles per batch
+    val sp = graft.streaming.StreamingOps.lastStreamPlan
+    assert(sp.nonEmpty, "runToMemory captured no plan")
+    assert(!sp.contains("Exchange"), s"the WAT micro-batch must not shuffle:\n$sp")
+  }
+
   test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
     import graft.sources.Warc
     val got = Warc.srcWarcServe(spark, sfDir).collect()
