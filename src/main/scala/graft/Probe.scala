@@ -108,7 +108,10 @@ object Probe {
         // revisit resolution adds the family's one real join
         "src_warc", "src_warc_html", "snk_wet_roundtrip", "src_warc_revisit",
         "src_warc_cdx", "src_warc_fetch", "src_warc_serve", "src_warc_wat",
-        "pipe_crawl_e2e")
+        "pipe_crawl_e2e",
+        // r18: the compliance plane — directive parse + the corpus ×
+        // rules longest-match join
+        "src_warc_robots", "pipe_robots_filter")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

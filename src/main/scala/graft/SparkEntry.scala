@@ -440,6 +440,13 @@ object SparkEntry {
     // with src_warc_wat
     "src_stream_wat" -> ((s, dir) =>
       graft.streaming.StreamingOps.watViaStream(s, dir)),
+    // robots.txt compliance plane (r18, RFC 9309): parse robots
+    // captures into a directive table; join the corpus against it
+    // under group-selection + longest-match semantics
+    "src_warc_robots" -> ((s, dir) =>
+      graft.sources.Robots.srcWarcRobots(s, dir)),
+    "pipe_robots_filter" -> ((s, dir) =>
+      graft.sources.Robots.pipeRobotsFilter(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2420,6 +2427,37 @@ object SparkEntry {
       // batch walk's own body and must accumulate to the identical
       // closed form
       "src_stream_wat" -> watSql,
+      // src_warc_robots: the fixture's 16 hosts ship one id-keyed
+      // grammar, so the parsed directive table rebuilds from range(16)
+      // — four directives per host, the same order contract
+      "src_warc_robots" ->
+        """WITH hosts AS (SELECT CAST(range AS INTEGER) AS k FROM range(16)),
+          |r AS (
+          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org' AS host,
+          |    '*' AS user_agent, 'disallow' AS directive, '/' AS value FROM hosts
+          |  UNION ALL
+          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org',
+          |    'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR) FROM hosts
+          |  UNION ALL
+          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org',
+          |    'graftbot', 'allow', '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR) FROM hosts
+          |  UNION ALL
+          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org',
+          |    'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR) FROM hosts)
+          |SELECT * FROM r ORDER BY host, user_agent, directive, value""".stripMargin,
+      // pipe_robots_filter: RFC 9309 longest-match over the fixture's
+      // decimal-prefix rules collapses to string arithmetic — blocked
+      // iff the id string starts with the host digit k but NOT with
+      // kk (the longer allow wins); the `*` group disallows `/`, so a
+      // wrong group selection would flip every verdict
+      "pipe_robots_filter" ->
+        """SELECT doc_id,
+          |  'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.example.org' AS host,
+          |  NOT (starts_with(CAST(doc_id AS VARCHAR), CAST(doc_id % 16 AS VARCHAR))
+          |       AND NOT starts_with(CAST(doc_id AS VARCHAR),
+          |         CAST(doc_id % 16 AS VARCHAR) || CAST(doc_id % 16 AS VARCHAR)))
+          |    AS allowed
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

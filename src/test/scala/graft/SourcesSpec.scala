@@ -867,6 +867,97 @@ class SourcesSpec extends SparkSpec {
     assert(!sp.contains("Exchange"), s"the WAT micro-batch must not shuffle:\n$sp")
   }
 
+  test("robots.txt: RFC 9309 parse — groups, multi-agent, comments, case, tolerated noise") {
+    import graft.sources.Robots
+    val body =
+      """# comment line
+        |Sitemap: https://x.example/sitemap.xml
+        |USER-AGENT: A
+        |User-Agent: B
+        |Disallow: /a   # trailing comment
+        |Allow: /a/b
+        |
+        |User-agent: *
+        |Crawl-Delay: 7
+        |Disallow:
+        |bogus line without colon
+        |Unknown-Field: ignored
+        |Disallow: /z
+        |""".stripMargin
+    val d = Robots.parseRobots("https://x.example", body)
+    // a multi-agent group fans its rules to EVERY named agent
+    assert(d.filter(_.userAgent == "a").map(x => (x.directive, x.value)) ==
+      Vector(("disallow", "/a"), ("allow", "/a/b")))
+    assert(d.filter(_.userAgent == "b").map(x => (x.directive, x.value)) ==
+      Vector(("disallow", "/a"), ("allow", "/a/b")))
+    // the * group: crawl-delay rides the grammar, an empty Disallow is
+    // kept as a directive (matches nothing at evaluation), unknown
+    // fields and colonless noise are ignored
+    assert(d.filter(_.userAgent == "*").map(x => (x.directive, x.value)) ==
+      Vector(("crawl-delay", "7"), ("disallow", ""), ("disallow", "/z")))
+    // rules before any group are ignored, not misattributed
+    assert(Robots.parseRobots("h", "Disallow: /lost\nUser-agent: x\nAllow: /kept")
+      .map(x => (x.userAgent, x.directive, x.value)) == Vector(("x", "allow", "/kept")))
+  }
+
+  test("robots.txt: compliance semantics — group selection, longest match, allow tie-break, defaults") {
+    import graft.sources.Robots
+    val rules = Seq(
+      ("https://h.example", "*", "disallow", "/"),
+      ("https://h.example", "bot", "disallow", "/doc/1"),
+      ("https://h.example", "bot", "allow", "/doc/12"),
+      ("https://h.example", "bot", "disallow", "/doc/12"), // tie vs the allow above
+      ("https://h.example", "bot", "disallow", ""),        // empty: matches nothing
+      ("https://nogroups.example", "*", "disallow", "/blocked"),
+      ("https://h.example", "bot", "crawl-delay", "3"))    // non-path directive ignored
+      .toDF("host", "user_agent", "directive", "value")
+    def docs(rows: (Long, String, String)*) = rows.toDF("doc_id", "host", "path")
+    def verdicts(ds: org.apache.spark.sql.DataFrame, ua: String) =
+      Robots.compliance(ds, rules, ua).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val v = verdicts(docs(
+      (1L, "https://h.example", "/doc/1"),     // disallow /doc/1 → blocked
+      (12L, "https://h.example", "/doc/12"),   // allow vs disallow SAME length → allow
+      (123L, "https://h.example", "/doc/123"), // longest match is the /doc/12 pair → allow
+      (13L, "https://h.example", "/doc/13"),   // /doc/1 only → blocked
+      (2L, "https://h.example", "/doc/2"),     // no match → allowed
+      (3L, "https://nogroups.example", "/blocked/x"), // no bot group → * applies
+      (4L, "https://nogroups.example", "/open")), "bot")
+    assert(v == Map(1L -> false, 12L -> true, 123L -> true, 13L -> false,
+      2L -> true, 3L -> false, 4L -> true))
+    // a UA with no exact group anywhere falls to * everywhere: the
+    // h.example `Disallow: /` blocks everything
+    val w = verdicts(docs((9L, "https://h.example", "/doc/2")), "otherbot")
+    assert(w == Map(9L -> false))
+    // a host with NO rules at all: allowed by default
+    val u = verdicts(docs((5L, "https://unknown.example", "/x")), "bot")
+    assert(u == Map(5L -> true))
+  }
+
+  test("src_warc_robots + pipe_robots_filter: the staged lake parses to the id-keyed grammar and the fixture verdicts match the arithmetic") {
+    import graft.sources.Robots
+    val rules = Robots.srcWarcRobots(spark, sfDir).collect()
+    assert(rules.length == 16 * 4, s"four directives per host, got ${rules.length}")
+    // spot-check host 13's group grammar end-to-end through the
+    // envelope decode + parser
+    val h13 = rules.filter(_.getString(0) == "https://h13.example.org")
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(h13 == Set(("*", "disallow", "/"), ("graftbot", "disallow", "/doc/13"),
+      ("graftbot", "allow", "/doc/1313"), ("graftbot", "crawl-delay", "3")))
+    val verdicts = Robots.pipeRobotsFilter(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select($"doc_id").collect().map(_.getLong(0))
+    assert(verdicts.length == docs.length)
+    verdicts.foreach { r =>
+      val id = r.getLong(0); val k = id % 16
+      val s = id.toString; val ks = k.toString
+      val expected = !(s.startsWith(ks) && !s.startsWith(ks + ks))
+      assert(r.getBoolean(2) == expected, s"verdict for doc $id (host h$k)")
+    }
+    // polymorphism: both verdicts must occur in the fixture
+    assert(verdicts.exists(_.getBoolean(2)) && verdicts.exists(!_.getBoolean(2)),
+      "the fixture must produce both allowed and blocked docs")
+  }
+
   test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
     import graft.sources.Warc
     val got = Warc.srcWarcServe(spark, sfDir).collect()
