@@ -134,7 +134,14 @@ object Robots {
     val s = docs.sparkSession
     import s.implicits._
     val ua = userAgent.toLowerCase
+    // materialize the directive table ONCE (the srcWarcRevisit rule):
+    // group selection reads it from three positions (exact side, star
+    // side, and the star side's anti-join probe), and without this
+    // each position re-executes the whole robots-lake parse — the
+    // dominant cost at crawl scale. PlanSpec pins the zero-rescan
+    // shape on the registry query.
     val paths = rules.filter($"directive".isin("allow", "disallow"))
+      .localCheckpoint()
     val exact = paths.filter($"user_agent" === ua)
     val star = paths.filter($"user_agent" === "*")
       .join(exact.select($"host").distinct(), Seq("host"), "left_anti")

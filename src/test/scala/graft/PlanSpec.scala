@@ -623,4 +623,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "the uri equi-join must never degrade to a product")
   }
+
+  test("pipe_robots_filter: compliance joins over the ONCE-materialized directive parse, never a product") {
+    // group selection reads the directive table from three positions
+    // (exact side, star side, the anti-join probe) — the
+    // localCheckpoint makes the robots-lake parse materialize once; a
+    // binaryFile scan here would mean each position re-parses the
+    // lake (it did, 3x, before r18's fix — the plan audit caught it)
+    val p = plan(graft.sources.Robots.pipeRobotsFilter(spark, sfDir))
+    assert(!p.contains("binaryFile"),
+      "compliance must read the materialized directive table, not re-parse the robots lake per position")
+    assert(p.contains("Join"), "compliance must join corpus x rules")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the host equi-join must never degrade to a product")
+  }
 }
