@@ -1178,4 +1178,45 @@ class PropertySpec extends SparkSpec {
         assert(graft.sources.Warc.extractText(graft.sources.Warc.htmlWrap(t)) == t, t)
       }
   }
+
+  test("robots parser: total, deterministic, comment-insensitive, fan-out-consistent (generated bodies)") {
+    import graft.sources.Robots
+    // generated robots-ish bodies: UA lines, rules, crawl-delays,
+    // comments, unknown fields and raw noise in arbitrary order
+    val lineGen: Gen[String] = Gen.frequency(
+      3 -> Gen.oneOf("a", "b", "*", "A", "graftbot").map(a => s"User-agent: $a"),
+      4 -> Gen.zip(Gen.oneOf("Disallow", "Allow", "disallow", "ALLOW"),
+        Gen.oneOf("/", "/a", "/a/b", "/doc/1", "", "/x?y=1")).map { case (d, p) => s"$d: $p" },
+      1 -> Gen.choose(0, 9).map(n => s"Crawl-delay: $n"),
+      1 -> Gen.oneOf("# a comment", "Sitemap: https://x/s.xml", "noise without colon",
+        "", "   ", "Unknown: field"))
+    val bodyGen: Gen[String] = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, lineGen)).map(_.mkString("\n"))
+    samples(bodyGen, 120).foreach { body =>
+      // total + deterministic
+      val d1 = Robots.parseRobots("h", body)
+      val d2 = Robots.parseRobots("h", body)
+      assert(d1 == d2)
+      // inserting a pure-comment line anywhere changes nothing
+      val lines = body.split("\n", -1)
+      val at = lines.length / 2
+      val withComment = (lines.take(at) :+ "# inserted") ++ lines.drop(at)
+      assert(Robots.parseRobots("h", withComment.mkString("\n")) == d1, body)
+      // fan-out consistency: agents that share a group got IDENTICAL
+      // rule sequences — group membership is an equivalence, so any
+      // two agents whose directive lists interleave identically in
+      // file order are indistinguishable; weaker but total check:
+      // every directive is attributed to a known lowercased agent
+      assert(d1.forall(x => x.userAgent == x.userAgent.toLowerCase), body)
+      assert(d1.forall(x => Set("allow", "disallow", "crawl-delay")(x.directive)), body)
+    }
+    // fan-out exact: a two-agent group fans identically, fuzzed rules
+    samples(Gen.listOfN(5, Gen.oneOf("Disallow: /a", "Allow: /b", "Crawl-delay: 1")), 20)
+      .foreach { rules =>
+        val body = ("User-agent: p" +: "User-agent: q" +: rules).mkString("\n")
+        val d = Robots.parseRobots("h", body)
+        assert(d.filter(_.userAgent == "p").map(x => (x.directive, x.value)) ==
+          d.filter(_.userAgent == "q").map(x => (x.directive, x.value)), body)
+      }
+  }
 }
