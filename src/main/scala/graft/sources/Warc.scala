@@ -526,7 +526,12 @@ object Warc {
     * (status finally polymorphic, rows closed-form in the id cycle)
     * and EXCLUDED by the document ingests (the 2xx filter becomes
     * oracle-visible: if it broke, src_warc_html would emit extra rows
-    * and hash-mismatch). */
+    * and hash-mismatch). Two more planted shapes are excluded by
+    * EVERY reader and therefore absence-visible through every crawl
+    * oracle: docs ≡ 5 (mod 10) a `WARC-Truncated` capture whose body
+    * is an envelope PREFIX (the header, not the stump, must drive the
+    * skip), and docs ≡ 0 (mod 10, nonzero) the paired `request`
+    * record real raw crawls store next to each response. */
   /** The windows-1252 envelope arm (r18, the r17 verdict's #3): docs
     * ≡ 1 (mod 4) whose page text is pure ASCII declare
     * `charset=windows-1252` and encode the page in it. The arm's
@@ -565,6 +570,31 @@ object Warc {
         Iterator.single(record(
           s"HTTP/1.1 301 Moved Permanently${CRLF}Location: https://example.org/moved/$id$CRLF" +
             s"Content-Length: 0$CRLF$CRLF", Array.empty[Byte]))
+      else if (id % 10 == 5)
+        // a TRUNCATED capture (ISO 28500 §5.13): the fetch was cut
+        // short, the stored body is a PREFIX of an envelope — every
+        // reader must skip on the header, not try to decode the stump.
+        // Absence-visible: if the warc-truncated filter broke, WAT and
+        // the document ingests would emit rows for it and hash-mismatch
+        Iterator.single((Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> docUri(id),
+          "WARC-Date" -> "2026-01-02T00:00:00Z",
+          "WARC-Truncated" -> "length",
+          "Content-Type" -> "application/http; msgtype=response") ->
+          s"HTTP/1.1 200 OK${CRLF}Content-Type: text".getBytes("US-ASCII")))
+      else if (id % 10 == 0 && id > 0)
+        // the paired REQUEST record real raw crawls store next to each
+        // response (CC's request member) — not a capture, excluded by
+        // the response filter in WAT and the ingests, absence-visible
+        // the same way
+        Iterator.single((Seq(
+          "WARC-Type" -> "request",
+          "WARC-Target-URI" -> docUri(id),
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "Content-Type" -> "application/http; msgtype=request") ->
+          (s"GET /doc/$id HTTP/1.1${CRLF}Host: example.org${CRLF}" +
+            s"User-Agent: graftbot$CRLF$CRLF").getBytes("US-ASCII")))
       else Iterator.empty
     }
 

@@ -1085,6 +1085,18 @@ class SourcesSpec extends SparkSpec {
     // and the DOCUMENT ingest excludes them: same lake, 2xx only
     assert(Warc.srcWarcHtmlDocs(spark, sfDir).count() == docs.length.toLong,
       "non-200 captures must not become documents")
+    // the truncated and request arms (r18) really exist in the lake —
+    // their absence from WAT above is a FILTER, not a missing fixture
+    val types = new java.io.File(Warc.rawLakeDir(spark, sfDir)).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+      .flatMap(f => Warc.parseWarcAuto(java.nio.file.Files.readAllBytes(f.toPath)))
+      .groupBy(r => (r.headers.getOrElse("warc-type", "?"),
+        r.headers.contains("warc-truncated")))
+      .map { case (k, v) => k -> v.length }
+    assert(types.getOrElse(("response", true), 0) == ids.count(_ % 10 == 5),
+      s"one truncated capture per id = 5 (mod 10): $types")
+    assert(types.getOrElse(("request", false), 0) == ids.count(i => i % 10 == 0 && i > 0),
+      s"one request record per nonzero id = 0 (mod 10): $types")
   }
 
   test("src_stream_fetch: streamed point lookups resolve the request predicate across REAL multiple micro-batches") {
