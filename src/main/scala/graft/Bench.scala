@@ -65,7 +65,8 @@ object Bench {
         p._1 == "pipe_crawl_e2e" || p._1 == "src_stream_wat"))
       graft.sources.Warc.rawLakeDir(spark, sfDir)
     // the robots lake (r18): same staging discipline
-    if (selected.exists(p => p._1 == "src_warc_robots" || p._1 == "pipe_robots_filter"))
+    if (selected.exists(p => p._1 == "src_warc_robots" || p._1 == "pipe_robots_filter" ||
+        p._1 == "pipe_fetch_schedule"))
       graft.sources.Robots.robotsLakeDir(spark, sfDir)
     // the persisted cdx artifact: src_warc_serve measures SERVING
     // (pushed-filter artifact read + range reads), so the one-time

@@ -111,7 +111,7 @@ object Probe {
         "pipe_crawl_e2e",
         // r18: the compliance plane — directive parse + the corpus ×
         // rules longest-match join
-        "src_warc_robots", "pipe_robots_filter")
+        "src_warc_robots", "pipe_robots_filter", "pipe_fetch_schedule")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

@@ -447,6 +447,10 @@ object SparkEntry {
       graft.sources.Robots.srcWarcRobots(s, dir)),
     "pipe_robots_filter" -> ((s, dir) =>
       graft.sources.Robots.pipeRobotsFilter(s, dir)),
+    // politeness scheduling (r18): allowed fetches spaced by each
+    // host's crawl-delay — the compliance plane's closing verb
+    "pipe_fetch_schedule" -> ((s, dir) =>
+      graft.sources.Robots.pipeFetchSchedule(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2458,6 +2462,20 @@ object SparkEntry {
           |         CAST(doc_id % 16 AS VARCHAR) || CAST(doc_id % 16 AS VARCHAR)))
           |    AS allowed
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // pipe_fetch_schedule: politeness arithmetic — the allowed set
+      // (the filter's closed form) ranked per host times the fixture
+      // delay k % 5
+      "pipe_fetch_schedule" ->
+        """WITH v AS (
+          |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS k FROM documents
+          |  WHERE NOT (starts_with(CAST(doc_id AS VARCHAR), CAST(doc_id % 16 AS VARCHAR))
+          |             AND NOT starts_with(CAST(doc_id AS VARCHAR),
+          |               CAST(doc_id % 16 AS VARCHAR) || CAST(doc_id % 16 AS VARCHAR))))
+          |SELECT doc_id,
+          |  'https://h' || CAST(k AS VARCHAR) || '.example.org' AS host,
+          |  CAST((ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) - 1) * (k % 5) AS BIGINT)
+          |    AS fetch_slot
+          |FROM v ORDER BY doc_id""".stripMargin,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

@@ -179,6 +179,42 @@ object Robots {
       .orderBy($"doc_id")
   }
 
+  /** `pipe_fetch_schedule`: the compliance plane's CLOSING verb —
+    * politeness scheduling. Allowed fetches to one host must be
+    * spaced by that host's `crawl-delay`, so each doc's fetch SLOT is
+    * `(rank of the doc among its host's allowed fetches) × delay`
+    * seconds (0-based; hosts without a delay fetch immediately).
+    * One shuffle: the per-host window IS the crawler's frontier
+    * queue — partitioned by host, ordered by doc_id. At crawl scale
+    * the skew is hot hosts (a million-page host is one partition);
+    * a production frontier shards hot hosts by time bucket on top of
+    * this — the window form is the semantics layer it shards. Full
+    * oracle: allowed-set arithmetic (the filter's closed form) × the
+    * fixture delay `k % 5` × ROW_NUMBER, all in SQL. */
+  def pipeFetchSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir).select(
+      $"doc_id",
+      concat(lit("https://h"), ($"doc_id" % 16).cast("string"),
+        lit(".example.org")).as("host"),
+      concat(lit("/doc/"), $"doc_id".cast("string")).as("path"))
+    // parse once for BOTH consumers (compliance re-checkpoints its
+    // filtered subset — a read of this materialization, not a rescan)
+    val rules = robotsFromWarcFiles(s, robotsLakeDir(s, dir)).localCheckpoint()
+    val delays = rules
+      .filter($"user_agent" === fixtureUa && $"directive" === "crawl-delay")
+      .select($"host", $"value".cast("long").as("delay"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host").orderBy($"doc_id")
+    compliance(docs, rules, fixtureUa)
+      .filter($"allowed")
+      .join(delays, Seq("host"), "left")
+      .select($"doc_id", $"host",
+        ((row_number().over(win) - 1).cast("long") * coalesce($"delay", lit(0L)))
+          .as("fetch_slot"))
+      .orderBy($"doc_id")
+  }
+
   /** The fixture crawler's user-agent token. */
   val fixtureUa = "graftbot"
 

@@ -956,6 +956,24 @@ class SourcesSpec extends SparkSpec {
     // polymorphism: both verdicts must occur in the fixture
     assert(verdicts.exists(_.getBoolean(2)) && verdicts.exists(!_.getBoolean(2)),
       "the fixture must produce both allowed and blocked docs")
+    // pipe_fetch_schedule: per-host politeness — slot = rank within
+    // the host's ALLOWED fetches × the host's crawl-delay (k % 5);
+    // recomputed driver-side from the verdicts above
+    val slots = Robots.pipeFetchSchedule(spark, sfDir).collect()
+    val allowedByHost = verdicts.filter(_.getBoolean(2))
+      .groupBy(_.getLong(0) % 16)
+      .map { case (k, rows) => k -> rows.map(_.getLong(0)).sorted }
+    assert(slots.length == verdicts.count(_.getBoolean(2)),
+      "exactly the allowed docs get scheduled")
+    slots.foreach { r =>
+      val id = r.getLong(0); val k = id % 16
+      val rank = allowedByHost(k).indexOf(id)
+      assert(rank >= 0 && r.getLong(2) == rank.toLong * (k % 5),
+        s"slot for doc $id on host h$k")
+    }
+    // delays really spread fetches: some host with delay > 0 has a
+    // nonzero later slot
+    assert(slots.exists(_.getLong(2) > 0), "nonzero slots must occur")
   }
 
   test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
