@@ -141,7 +141,16 @@ class AllQueriesSpec extends SparkSpec {
     // per-entity TPC-H windows: rows per customer / supplier grow
     // with that entity's activity, while the entity domains
     // themselves scale out with the data (TPC-H SF semantics)
-    Set("o_custkey"), Set("l_suppkey"))
+    Set("o_custkey"), Set("l_suppkey"),
+    // politeness scheduling (pipe_fetch_schedule): rows per host grow
+    // with that host's crawl activity while the host domain scales
+    // out with the corpus (the o_custkey argument) — and the per-host
+    // sequence is the SEMANTICS, not a plan choice: a host's fetch
+    // queue is serialized by crawl-delay by definition, so the
+    // window's per-host cost mirrors the real-world constraint it
+    // schedules; a production frontier shards hot hosts by time
+    // bucket ON TOP of this ordering (SCALING.md)
+    Set("host"))
 
   /** Key sets of WindowExec nodes in `df`'s plan that are neither
     * allowlisted as bounded nor pruned by a same-keyed
