@@ -487,8 +487,28 @@ object Warc {
         "wetLakeDir stages fixture files and requires a local master; " +
           "production crawls are read directly via srcWarcDocs on their own paths")
       val out = java.nio.file.Files.createTempDirectory("graft-wet-lake").toString
-      writeWetLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        out, nShards)
+      // the staged lake ALSO plants a `metadata` record for docs
+      // ≡ 4 (mod 9) (r18, the raw lake's non-200/truncated/request
+      // rule applied to WET): real WET files interleave warcinfo /
+      // conversion / metadata members, and every consumer's
+      // conversion-only filter — the document ingests, the cdx
+      // builder (a metadata member is walked and tiled but never
+      // indexed), the streaming ingest — is absence-visible through
+      // seven shared oracles. The SINK lakes stay pure
+      // ([[writeWetLake]] unchanged): their byte-identity gates
+      // compare against encodeWet's exact output.
+      writeCrawlLake(graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        out, nShards, "wet",
+        docs => wetRecords(docs.map { case (id, text) => (id, docUri(id), text) }) ++
+          docs.iterator.filter(_._1 % 9 == 4).map { case (id, _) =>
+            Seq(
+              "WARC-Type" -> "metadata",
+              "WARC-Target-URI" -> docUri(id),
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "WARC-Concurrent-To" -> f"<urn:uuid:00000000-0000-0000-0000-${id}%012d>",
+              "Content-Type" -> "application/warc-fields") ->
+              s"fetchTimeMs: ${10 + id % 90}\r\ncharset-detected: utf-8\r\n".getBytes("US-ASCII")
+          })
       out
     })
 

@@ -356,6 +356,15 @@ class SourcesSpec extends SparkSpec {
     val shardDir = new java.io.File(Warc.wetLakeDir(spark, sfDir))
     val shards = shardDir.list().toSeq
     assert(shards.nonEmpty && shards.forall(_.endsWith(".warc.gz")), shards.toString)
+    // planted `metadata` members (r18) really exist in the lake —
+    // their absence from the row checks above (and from the cdx, the
+    // fetch family and the streaming ingest, all sharing this lake)
+    // is the conversion-only FILTER, not a missing fixture
+    val planted = shardDir.listFiles().filter(_.getName.endsWith(".warc.gz"))
+      .flatMap(f => Warc.parseWarcAuto(java.nio.file.Files.readAllBytes(f.toPath)))
+      .count(_.headers.get("warc-type").contains("metadata"))
+    assert(planted == direct.map(_.getLong(0)).count(_ % 9 == 4) && planted > 0,
+      s"one metadata member per doc = 4 (mod 9), got $planted")
     // totality: a lake with one good and one corrupt shard yields the
     // good shard's rows, no exception — the landing-zone contract
     val mixed = java.nio.file.Files.createTempDirectory("graft-wet-mixed").toString
@@ -1275,16 +1284,25 @@ class SourcesSpec extends SparkSpec {
         assert(new String(recs.head.body, "UTF-8") == docs(r.getLong(0)), s"$shard@$off body")
         assert(recs.head.headers("warc-payload-digest") == r.getString(5), s"$shard@$off digest")
       }
-      // member geometry: conversion members are disjoint, ascending,
-      // and the last ends exactly at shard end (the warcinfo member
-      // occupies the gap before the first conversion)
+      // member geometry: conversion members are disjoint, ascending
+      // and in-bounds; the gaps (the leading warcinfo member and,
+      // since r18, the planted trailing `metadata` members) must
+      // THEMSELVES be clean member chains of non-conversion records —
+      // every byte of the shard is accounted for, nothing unindexed
+      // that should have been
       val sorted = rs.sortBy(_.getLong(3))
       sorted.sliding(2).foreach { w =>
         if (w.length == 2)
           assert(w(0).getLong(3) + w(0).getLong(4) <= w(1).getLong(3), s"$shard overlap")
       }
-      assert(sorted.last.getLong(3) + sorted.last.getLong(4) == bytes.length,
-        s"$shard: the last member must end exactly at shard end")
+      val tail = (sorted.last.getLong(3) + sorted.last.getLong(4)).toInt
+      assert(tail <= bytes.length, s"$shard: members overrun the shard")
+      if (tail < bytes.length) {
+        val gap = Warc.parseWarcGz(java.util.Arrays.copyOfRange(bytes, tail, bytes.length))
+        assert(gap.nonEmpty &&
+          gap.forall(r => !r.headers.get("warc-type").contains("conversion")),
+          s"$shard: the tail gap must hold only non-conversion members")
+      }
     }
     // a shard with a broken member chain indexes as ZERO rows (an
     // index with holes is worse than no index)
