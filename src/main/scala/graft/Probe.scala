@@ -111,7 +111,11 @@ object Probe {
         "pipe_crawl_e2e",
         // r18: the compliance plane — directive parse + the corpus ×
         // rules longest-match join
-        "src_warc_robots", "pipe_robots_filter", "pipe_fetch_schedule")
+        "src_warc_robots", "pipe_robots_filter", "pipe_fetch_schedule",
+        // r19: the bucket-sharded frontier twin — its two bounded
+        // windows and the counts join-back must show, not a
+        // single-host sort
+        "pipe_fetch_schedule_sharded")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

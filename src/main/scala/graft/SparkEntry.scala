@@ -440,17 +440,29 @@ object SparkEntry {
     // with src_warc_wat
     "src_stream_wat" -> ((s, dir) =>
       graft.streaming.StreamingOps.watViaStream(s, dir)),
-    // robots.txt compliance plane (r18, RFC 9309): parse robots
-    // captures into a directive table; join the corpus against it
-    // under group-selection + longest-match semantics
+    // robots.txt compliance plane (r18, RFC 9309; r19: full §2.2.3
+    // wildcard matching, §2.3.1 availability semantics, group-aware
+    // crawl-delay, host-key normalization): parse robots captures
+    // into a directive table; join the corpus against it under
+    // group-selection + longest-match semantics
     "src_warc_robots" -> ((s, dir) =>
       graft.sources.Robots.srcWarcRobots(s, dir)),
+    // the robots grammar's discovery surface (r19): file-scoped
+    // Sitemap records, one row per (host, url)
+    "src_robots_sitemaps" -> ((s, dir) =>
+      graft.sources.Robots.srcRobotsSitemaps(s, dir)),
     "pipe_robots_filter" -> ((s, dir) =>
       graft.sources.Robots.pipeRobotsFilter(s, dir)),
     // politeness scheduling (r18): allowed fetches spaced by each
     // host's crawl-delay — the compliance plane's closing verb
     "pipe_fetch_schedule" -> ((s, dir) =>
       graft.sources.Robots.pipeFetchSchedule(s, dir)),
+    // the politeness window's 100 TB twin (r19): bucket-sharded
+    // two-stage global rank, spec-gated row-identical to the window
+    // form and sharing its oracle — the hot-host skew the window
+    // form allowlists, made executable instead of argued
+    "pipe_fetch_schedule_sharded" -> ((s, dir) =>
+      graft.sources.Robots.pipeFetchScheduleSharded(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -844,6 +856,50 @@ object SparkEntry {
           |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
           |FROM documents WHERE doc_id % 10 = 8
           |ORDER BY doc_id, status""".stripMargin
+    // shared RFC 9309 fixture verdict (r19 grammar arms): the CASE
+    // the compliance filter and both schedule forms build on. The
+    // wildcard arms mirror the rules EXACTLY as LIKE patterns
+    // (* ⇔ %, trailing $ ⇔ no trailing %): host 3's
+    // 'Disallow: /doc/*3$' vs the longer 'Allow: /doc/1*3$' is
+    // "ends with 3, unless it also starts with 1"; host 7's
+    // 'Disallow: /*7' vs 'Allow: /doc/7$' is "contains a 7, except
+    // doc 7 itself"; host 13's robots 503s (complete disallow),
+    // host 9's 404s (no rules), host 6's exact group is
+    // crawl-delay-only (still selects — allowed), host 11 falls
+    // through to its `*` rules, everything else keeps the
+    // decimal-prefix longest-match of the base grammar
+    val robotsAllowedCase =
+      """CASE CAST(doc_id % 16 AS INTEGER)
+        |    WHEN 13 THEN FALSE
+        |    WHEN 9 THEN TRUE
+        |    WHEN 6 THEN TRUE
+        |    WHEN 11 THEN NOT (starts_with(CAST(doc_id AS VARCHAR), '1')
+        |      AND NOT starts_with(CAST(doc_id AS VARCHAR), '11'))
+        |    WHEN 3 THEN NOT (CAST(doc_id AS VARCHAR) LIKE '%3'
+        |      AND NOT CAST(doc_id AS VARCHAR) LIKE '1%3')
+        |    WHEN 7 THEN NOT (CAST(doc_id AS VARCHAR) LIKE '%7%' AND doc_id <> 7)
+        |    ELSE NOT (starts_with(CAST(doc_id AS VARCHAR), CAST(doc_id % 16 AS VARCHAR))
+        |      AND NOT starts_with(CAST(doc_id AS VARCHAR),
+        |        CAST(doc_id % 16 AS VARCHAR) || CAST(doc_id % 16 AS VARCHAR)))
+        |  END""".stripMargin
+    def robotsVerdictSql(template: String): String =
+      template.replace("ALLOWED", robotsAllowedCase)
+    // politeness slots: rank within the host's allowed set × the
+    // host's delay (k % 5 wherever a readable grammar carries one —
+    // incl. host 6's delay-only exact group, host 11's star
+    // fall-through and host 12's duplicate lines collapsing to
+    // max(1,2) = 2; host 9's 404 means NO delay, and host 13 never
+    // schedules at all). Shared verbatim by the window form and the
+    // bucket-sharded twin — they must be row-identical.
+    val fetchScheduleSql =
+      s"""WITH v AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS k FROM documents
+        |  WHERE $robotsAllowedCase)
+        |SELECT doc_id,
+        |  'https://h' || CAST(k AS VARCHAR) || '.example.org' AS host,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) - 1)
+        |    * (CASE WHEN k = 9 THEN 0 ELSE k % 5 END) AS BIGINT) AS fetch_slot
+        |FROM v ORDER BY doc_id""".stripMargin
     val mmMetaSql =
       s"""$mmBaseCtes
         |SELECT media_id, kind, format, CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -2431,51 +2487,87 @@ object SparkEntry {
       // batch walk's own body and must accumulate to the identical
       // closed form
       "src_stream_wat" -> watSql,
-      // src_warc_robots: the fixture's 16 hosts ship one id-keyed
-      // grammar, so the parsed directive table rebuilds from range(16)
-      // — four directives per host, the same order contract
+      // src_warc_robots: the fixture's 16 hosts ship id-keyed grammar
+      // ARMS (r19 — wildcards, availability, group-selection traps),
+      // so the parsed directive table rebuilds from range(16) plus
+      // the explicit arm rows; host 9 (404) contributes nothing,
+      // host 13 (503) only the synthetic complete-disallow, and the
+      // decoy capture at a non-robots path must be ABSENT
       "src_warc_robots" ->
-        """WITH hosts AS (SELECT CAST(range AS INTEGER) AS k FROM range(16)),
+        """WITH hosts AS (SELECT CAST(range AS INTEGER) AS k,
+          |    'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host
+          |  FROM range(16)),
           |r AS (
-          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org' AS host,
-          |    '*' AS user_agent, 'disallow' AS directive, '/' AS value FROM hosts
+          |  SELECT host, '' AS user_agent, 'sitemap' AS directive,
+          |    host || '/sitemap.xml' AS value FROM hosts WHERE k NOT IN (9, 13)
           |  UNION ALL
-          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org',
-          |    'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR) FROM hosts
+          |  SELECT host, '*', 'disallow', '/' FROM hosts WHERE k NOT IN (9, 11)
           |  UNION ALL
-          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org',
-          |    'graftbot', 'allow', '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR) FROM hosts
+          |  SELECT host, 'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR)
+          |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
           |  UNION ALL
-          |  SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org',
-          |    'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR) FROM hosts)
-          |SELECT * FROM r ORDER BY host, user_agent, directive, value""".stripMargin,
-      // pipe_robots_filter: RFC 9309 longest-match over the fixture's
-      // decimal-prefix rules collapses to string arithmetic — blocked
-      // iff the id string starts with the host digit k but NOT with
-      // kk (the longer allow wins); the `*` group disallows `/`, so a
-      // wrong group selection would flip every verdict
-      "pipe_robots_filter" ->
+          |  SELECT host, 'graftbot', 'allow',
+          |    '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
+          |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR)
+          |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,14,15)
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'crawl-delay', d
+          |  FROM hosts, (VALUES ('1'), ('2')) t(d) WHERE k = 12
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'disallow', '/doc/*3$' FROM hosts WHERE k = 3
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'allow', '/doc/1*3$' FROM hosts WHERE k = 3
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'crawl-delay', '3' FROM hosts WHERE k = 3
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'crawl-delay', '1' FROM hosts WHERE k = 6
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'disallow', '/*7' FROM hosts WHERE k = 7
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'allow', '/doc/7$' FROM hosts WHERE k = 7
+          |  UNION ALL
+          |  SELECT host, 'graftbot', 'crawl-delay', '2' FROM hosts WHERE k = 7
+          |  UNION ALL
+          |  SELECT host, '*', 'disallow', '/doc/1' FROM hosts WHERE k = 11
+          |  UNION ALL
+          |  SELECT host, '*', 'allow', '/doc/11' FROM hosts WHERE k = 11
+          |  UNION ALL
+          |  SELECT host, '*', 'crawl-delay', '1' FROM hosts WHERE k = 11)
+          |SELECT host, user_agent, directive, value FROM r
+          |ORDER BY host, user_agent, directive, value""".stripMargin,
+      // src_robots_sitemaps: file-scoped discovery records of every
+      // READABLE robots body (the 404 and 503 hosts contribute none)
+      "src_robots_sitemaps" ->
+        """SELECT 'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host,
+          |  'https://h' || CAST(range AS VARCHAR) || '.example.org/sitemap.xml' AS sitemap
+          |FROM range(16) WHERE range NOT IN (9, 13)
+          |ORDER BY host, sitemap""".stripMargin,
+      // pipe_robots_filter: RFC 9309 evaluation over the fixture's
+      // grammar arms collapses to string arithmetic — the wildcard
+      // rules mirror EXACTLY as SQL LIKE patterns (* ⇔ %, trailing $
+      // ⇔ no trailing %), the 503 host blocks everything (§2.3.1.4),
+      // the 404 host allows everything, the crawl-delay-only exact
+      // group still selects (everything allowed), host 11 falls
+      // through to its `*` rules, and the base hosts keep the
+      // decimal-prefix longest-match; the base `*` group disallows
+      // `/`, so a wrong group selection flips every verdict
+      "pipe_robots_filter" -> robotsVerdictSql(
         """SELECT doc_id,
           |  'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.example.org' AS host,
-          |  NOT (starts_with(CAST(doc_id AS VARCHAR), CAST(doc_id % 16 AS VARCHAR))
-          |       AND NOT starts_with(CAST(doc_id AS VARCHAR),
-          |         CAST(doc_id % 16 AS VARCHAR) || CAST(doc_id % 16 AS VARCHAR)))
-          |    AS allowed
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |  ALLOWED AS allowed
+          |FROM documents ORDER BY doc_id""".stripMargin),
       // pipe_fetch_schedule: politeness arithmetic — the allowed set
       // (the filter's closed form) ranked per host times the fixture
-      // delay k % 5
-      "pipe_fetch_schedule" ->
-        """WITH v AS (
-          |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS k FROM documents
-          |  WHERE NOT (starts_with(CAST(doc_id AS VARCHAR), CAST(doc_id % 16 AS VARCHAR))
-          |             AND NOT starts_with(CAST(doc_id AS VARCHAR),
-          |               CAST(doc_id % 16 AS VARCHAR) || CAST(doc_id % 16 AS VARCHAR))))
-          |SELECT doc_id,
-          |  'https://h' || CAST(k AS VARCHAR) || '.example.org' AS host,
-          |  CAST((ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) - 1) * (k % 5) AS BIGINT)
-          |    AS fetch_slot
-          |FROM v ORDER BY doc_id""".stripMargin,
+      // delays (k % 5 where a readable grammar carries one; host 9's
+      // 404 means no rules and NO delay; hosts 6/11 exercise the
+      // crawl-delay group selection; host 12's duplicate delay lines
+      // collapse to max = 2)
+      "pipe_fetch_schedule" -> fetchScheduleSql,
+      // pipe_fetch_schedule_sharded: the bucket-sharded twin must
+      // reproduce the window form EXACTLY — same oracle
+      "pipe_fetch_schedule_sharded" -> fetchScheduleSql,
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

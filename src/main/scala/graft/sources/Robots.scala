@@ -1,26 +1,44 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** robots.txt — the crawl's COMPLIANCE surface (RFC 9309). Common
   * Crawl captures robots responses as their own WARC member family,
   * and a training-data pipeline that re-fetches or filters by
   * crawlability needs the rules queryable next to the corpus: which
-  * host allows which path prefixes for which user agent. Two verbs:
+  * host allows which path patterns for which user agent. Verbs:
   * [[srcWarcRobots]] parses robots captures from a `.warc.gz` lake
-  * into a DIRECTIVE table (one row per allow/disallow/crawl-delay
-  * line, group-attributed), and [[compliance]] joins a corpus
+  * into a DIRECTIVE table (one row per allow/disallow/crawl-delay/
+  * sitemap line, group-attributed), [[compliance]] joins a corpus
   * against that table under the RFC's evaluation rules —
-  * most-specific group per user agent, LONGEST-MATCH rule per path,
-  * allow wins length ties, no match means allowed.
+  * most-specific group per user agent (§2.2.1), LONGEST-MATCH rule
+  * per path with `*`/`$` wildcard support (§2.2.2-2.2.3), allow wins
+  * length ties, no match means allowed — and [[pipeFetchSchedule]] /
+  * [[pipeFetchScheduleSharded]] space the allowed fetches by each
+  * host's crawl-delay under the same group selection.
+  *
+  * Availability semantics (§2.3.1): a 4xx robots response means "no
+  * rules — everything allowed" (the parse emits nothing); a 5xx
+  * response means "unreachable — assume COMPLETE DISALLOW"
+  * (§2.3.1.4: the parse emits a synthetic `*`/disallow-`/` row). 3xx
+  * is treated as unavailable — a static lake cannot follow the
+  * redirect chain the RFC asks a live crawler to resolve.
+  *
+  * Scope boundary (ledgered in RESULTS.md): matching is on the rule
+  * and path strings AS CAPTURED — the §2.2.2 percent-encoding
+  * normalization (compare on decoded octets except `%2F`) is the
+  * caller's key contract, same as host normalization below.
   *
   * Scale shape: the rules table is host-proportional (tens of bytes
   * per host — ~10 GB at 10⁸ hosts), so the compliance join shuffles
   * BOTH sides on host rather than assuming a broadcastable dimension;
   * the corpus side carries only (doc_id, host, path), never bodies.
-  * Parsing is the usual shard-grain map-side walk with the two-level
-  * totality contract of every other crawl ingest.
+  * Wildcard-free rules (the overwhelming majority in the wild) match
+  * through a codegen'd prefix test; only rules that actually carry
+  * `*`/`$` pay the LIKE evaluation. Parsing is the usual shard-grain
+  * map-side walk with the two-level totality contract of every other
+  * crawl ingest.
   *
   * Reference scope: the Go engine has no compliance plane (its corpus
   * is Gutenberg files, `main.go:25`); this extends the crawl family
@@ -29,8 +47,10 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   /** One parsed directive: which host's robots, which user-agent
-    * group it sits in, the directive name (`allow` / `disallow` /
-    * `crawl-delay`), and its value (a path prefix, or the delay). */
+    * group it sits in (`""` for file-scoped records like sitemap),
+    * the directive name (`allow` / `disallow` / `crawl-delay` /
+    * `sitemap`), and its value (a path pattern, the delay, or the
+    * sitemap URL). */
   final case class RobotsDirective(host: String, userAgent: String,
                                    directive: String, value: String)
 
@@ -42,7 +62,9 @@ object Robots {
     * agents (each gets every rule of its group). Unknown fields and
     * rules outside any group are ignored (the RFC's error tolerance);
     * `crawl-delay` is widely shipped though not in the RFC, and rides
-    * the same group grammar. Returns directives in file order. */
+    * the same group grammar; `sitemap` lines are FILE-scoped records
+    * (they neither join nor interrupt a group — emitted with an empty
+    * user agent). Returns directives in file order. */
   def parseRobots(host: String, body: String): Vector[RobotsDirective] = {
     val out = Vector.newBuilder[RobotsDirective]
     var agents = Vector.empty[String]  // the OPEN group's user agents
@@ -61,7 +83,9 @@ object Robots {
             case "allow" | "disallow" | "crawl-delay" =>
               accumulating = false
               agents.foreach(a => out += RobotsDirective(host, a, field, value))
-            case _ => () // sitemap etc.: not group rules, ignored
+            case "sitemap" =>
+              out += RobotsDirective(host, "", "sitemap", value)
+            case _ => () // unknown fields: not group rules, ignored
           }
         }
       }
@@ -69,13 +93,41 @@ object Robots {
     out.result()
   }
 
+  /** Canonical host key of a robots capture URI, or None when the URI
+    * is NOT a robots.txt location. RFC 9309 §2.3: the rules file
+    * lives at the path `/robots.txt` of an authority — a URI whose
+    * path merely ENDS in `/robots.txt` (`/blog/robots.txt`) is an
+    * ordinary page and carries no rules. Scheme and host compare
+    * case-insensitively (RFC 3986 §6.2.2.1) and default ports are
+    * elided (§6.2.3), so equivalent authorities produce the SAME join
+    * key: `HTTPS://X.ORG:443/robots.txt` → `https://x.org`. The
+    * corpus side of [[compliance]] must key hosts under the same
+    * normalization — this function IS the key contract. */
+  def robotsHostKey(uri: String): Option[String] =
+    try {
+      val u = new java.net.URI(uri)
+      if (u.getPath != "/robots.txt" || u.getScheme == null || u.getHost == null) None
+      else {
+        val scheme = u.getScheme.toLowerCase
+        val host = u.getHost.toLowerCase
+        val port = u.getPort match {
+          case 80 if scheme == "http"   => -1
+          case 443 if scheme == "https" => -1
+          case p => p
+        }
+        Some(if (port == -1) s"$scheme://$host" else s"$scheme://$host:$port")
+      }
+    } catch { case _: Exception => None }
+
   /** Parse every robots capture in a `.warc.gz` lake into the
     * directive table. A robots capture is a `response` record whose
-    * target URI path is `/robots.txt`; the host is the URI up to that
-    * path. Same envelope decode and two-level totality as the
-    * document ingests (non-2xx robots responses are SKIPPED — the
-    * RFC's 4xx rule means "no rules", which is exactly what emitting
-    * nothing yields). */
+    * target URI is a [[robotsHostKey]] location (path EXACTLY
+    * `/robots.txt`). Same envelope decode and two-level totality as
+    * the document ingests. Status routing per §2.3.1: 2xx parses;
+    * 4xx (and unresolvable 3xx) emits nothing — "unavailable" means
+    * no rules, everything allowed; 5xx emits the synthetic
+    * `*`/disallow-`/` row — "unreachable" means assume complete
+    * disallow (§2.3.1.4). */
   def robotsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
     s.read.format("binaryFile").load(lake)
@@ -88,17 +140,18 @@ object Robots {
               !r.headers.contains("warc-truncated"))
             .flatMap { r =>
               try {
-                val uri = r.headers.getOrElse("warc-target-uri", "")
-                if (!uri.endsWith("/robots.txt")) Iterator.empty
-                else {
-                  val host = uri.stripSuffix("/robots.txt")
-                  val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
-                  if (status < 200 || status > 299) Iterator.empty
-                  else {
-                    val cs = Warc.charsetOf(hh.getOrElse("content-type", ""))
-                    parseRobots(host, new String(entity, cs)).iterator
-                      .map(d => (d.host, d.userAgent, d.directive, d.value))
-                  }
+                robotsHostKey(r.headers.getOrElse("warc-target-uri", "")) match {
+                  case None => Iterator.empty
+                  case Some(host) =>
+                    val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
+                    if (status >= 500 && status <= 599)
+                      Iterator.single((host, "*", "disallow", "/"))
+                    else if (status < 200 || status > 299) Iterator.empty
+                    else {
+                      val cs = Warc.charsetOf(hh.getOrElse("content-type", ""))
+                      parseRobots(host, new String(entity, cs)).iterator
+                        .map(d => (d.host, d.userAgent, d.directive, d.value))
+                    }
                 }
               } catch { case _: Exception => Iterator.empty }
             }
@@ -110,47 +163,103 @@ object Robots {
   }
 
   /** `src_warc_robots`: the directive table, contractually ordered.
-    * Full oracle: the fixture's 16 hosts each ship the same id-keyed
-    * group grammar, so DuckDB rebuilds every row from `range(16)`. */
+    * Full oracle: the fixture's 16 hosts ship id-keyed grammar arms,
+    * so DuckDB rebuilds every row from `range(16)`. */
   def srcWarcRobots(s: SparkSession, dir: String): DataFrame =
     robotsFromWarcFiles(s, robotsLakeDir(s, dir))
       .orderBy(col("host"), col("user_agent"), col("directive"), col("value"))
 
+  /** `src_robots_sitemaps`: the robots grammar's discovery surface —
+    * one row per (host, sitemap URL). File-scoped records, so no
+    * group selection applies; hosts whose robots is unavailable or
+    * unreachable contribute nothing. */
+  def srcRobotsSitemaps(s: SparkSession, dir: String): DataFrame =
+    robotsFromWarcFiles(s, robotsLakeDir(s, dir))
+      .filter(col("directive") === "sitemap")
+      .select(col("host"), col("value").as("sitemap"))
+      .orderBy(col("host"), col("sitemap"))
+
+  /** Does `path` match an RFC 9309 rule `value` (§2.2.2-2.2.3)? A
+    * rule is a PREFIX pattern over the path: literal octets must
+    * appear in order from the path's start, `*` matches any octet
+    * sequence, and a TRAILING `$` anchors the pattern at the path's
+    * end (a non-trailing `$` is literal). The empty rule matches
+    * nothing. Pure-Scala twin of the column matcher in [[compliance]]
+    * — PropertySpec fuzzes the two against each other on generated
+    * patterns, so they cannot drift. */
+  def ruleMatches(path: String, value: String): Boolean =
+    if (value.isEmpty) false
+    else {
+      val endAnchored = value.endsWith("$")
+      val core = if (endAnchored) value.dropRight(1) else value
+      val rx = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*") + (if (endAnchored) "$" else "")
+      java.util.regex.Pattern.compile(rx).matcher(path).lookingAt()
+    }
+
+  /** SQL LIKE compilation of an RFC 9309 rule value: LIKE metachars
+    * (`%`, `_`, `\`) escaped, `*` → `%`, a trailing `$` drops the
+    * implicit trailing `%` (end anchor); without it the rule is a
+    * prefix. Mirrors [[ruleMatches]] exactly — `%` and `.*` agree on
+    * newline-free strings, and URI paths carry no newlines. Computed
+    * once per RULE row in [[compliance]], never per doc×rule pair. */
+  private[sources] def ruleLikePatternCol(value: Column): Column = {
+    val endAnchored = value.endsWith("$")
+    val core = when(endAnchored, value.substr(lit(1), length(value) - 1)).otherwise(value)
+    val esc = regexp_replace(core, "([\\\\%_])", "\\\\$1")
+    val wild = translate(esc, "*", "%")
+    when(endAnchored, wild).otherwise(concat(wild, lit("%")))
+  }
+
   /** RFC 9309 compliance of a (doc_id, host, path) corpus against a
     * directive table, for one user agent:
     *  1. GROUP SELECTION (§2.2.1): a host's applicable group is the
-    *     exact user-agent match when one exists, else `*`.
-    *  2. RULE MATCH (§2.2.2): a rule matches when the path STARTS
-    *     WITH its value; the LONGEST match wins; an `allow`/`disallow`
-    *     tie at equal length resolves to allow; an empty-value rule
-    *     matches nothing.
+    *     exact user-agent match when one exists — even a group with
+    *     no path rules at all (a crawl-delay-only group still SELECTS,
+    *     yielding "no rules, everything allowed") — else `*`. The
+    *     exact-group probe therefore reads the UNFILTERED table.
+    *  2. RULE MATCH (§2.2.2-2.2.3): literal rules are prefix tests;
+    *     `*` matches any octet sequence and a trailing `$` anchors
+    *     the end. The LONGEST match (rule octet length, wildcards
+    *     counted as written) wins; an `allow`/`disallow` tie at equal
+    *     length resolves to allow; an empty-value rule matches
+    *     nothing.
     *  3. No matching rule (or no group at all) means ALLOWED.
     * Shape: one equi-join on host (both sides shuffle — the rules
     * table is host-proportional, not a broadcastable dim at crawl
-    * scale), a map-side prefix test, and a max_by aggregation keyed
-    * (match length, is-allow) — no window, no second shuffle beyond
-    * the doc_id grouping. */
+    * scale), a map-side match — a codegen'd prefix test for
+    * wildcard-free rules, LIKE only for rules that carry `*`/`$` —
+    * and a max_by aggregation keyed (match length, is-allow): no
+    * window, no second shuffle beyond the doc_id grouping. Hosts on
+    * both sides must share the [[robotsHostKey]] normalization. */
   def compliance(docs: DataFrame, rules: DataFrame, userAgent: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val ua = userAgent.toLowerCase
     // materialize the directive table ONCE (the srcWarcRevisit rule):
-    // group selection reads it from three positions (exact side, star
-    // side, and the star side's anti-join probe), and without this
-    // each position re-executes the whole robots-lake parse — the
-    // dominant cost at crawl scale. PlanSpec pins the zero-rescan
-    // shape on the registry query.
-    val paths = rules.filter($"directive".isin("allow", "disallow"))
-      .localCheckpoint()
+    // group selection reads it from three positions (the exact-group
+    // probe, the exact side, the star side), and without this each
+    // position re-executes the whole robots-lake parse — the dominant
+    // cost at crawl scale. PlanSpec pins the zero-rescan shape on the
+    // registry query.
+    val all = rules.localCheckpoint()
+    // §2.2.1 probe on the UNFILTERED table: a host whose exact-UA
+    // group carries only crawl-delay still selects that group
+    val exactHosts = all.filter($"user_agent" === ua).select($"host").distinct()
+    val paths = all.filter($"directive".isin("allow", "disallow"))
     val exact = paths.filter($"user_agent" === ua)
     val star = paths.filter($"user_agent" === "*")
-      .join(exact.select($"host").distinct(), Seq("host"), "left_anti")
+      .join(exactHosts, Seq("host"), "left_anti")
     val applicable = exact.unionByName(star)
       .filter(length($"value") > 0) // an empty rule value matches nothing (§2.2.2)
-      .select($"host", $"directive", $"value")
+      .select($"host", $"directive", $"value",
+        ($"value".contains("*") || $"value".endsWith("$")).as("wild"),
+        ruleLikePatternCol($"value").as("pattern"))
     docs
       .join(applicable, Seq("host"), "left")
-      .withColumn("matches", $"value".isNotNull && $"path".startsWith($"value"))
+      .withColumn("matches", $"value".isNotNull &&
+        when($"wild", like($"path", $"pattern", lit("\\")))
+          .otherwise($"path".startsWith($"value")))
       .groupBy($"doc_id", $"host")
       .agg(coalesce(
         max_by($"directive" === "allow",
@@ -158,25 +267,67 @@ object Robots {
         lit(true)).as("allowed"))
   }
 
+  /** Crawl-delay under the SAME group selection as path rules
+    * (§2.2.1): the exact-UA group's delay when the host HAS an exact
+    * group (its absence then means the selected group simply doesn't
+    * throttle — no fall-through), else the `*` group's delay.
+    * Duplicate crawl-delay lines for one (host, group) — legal and
+    * common in the wild — collapse to the MAX (the conservative
+    * read), so the downstream join never fans out. Non-numeric
+    * delays try_cast to null and drop out of the max — a malformed
+    * line in one host's robots must not fail the corpus job. */
+  def crawlDelays(rules: DataFrame, userAgent: String): DataFrame = {
+    val s = rules.sparkSession
+    import s.implicits._
+    val ua = userAgent.toLowerCase
+    val exactHosts = rules.filter($"user_agent" === ua).select($"host").distinct()
+    val d = rules.filter($"directive" === "crawl-delay")
+    val exact = d.filter($"user_agent" === ua)
+    val star = d.filter($"user_agent" === "*")
+      .join(exactHosts, Seq("host"), "left_anti")
+    exact.unionByName(star)
+      .groupBy($"host")
+      .agg(max($"value".try_cast("long")).as("delay"))
+  }
+
   /** `pipe_robots_filter`: the corpus × robots compliance join for
     * the fixture crawler UA. Hosts are assigned closed-form
     * (`doc_id % 16`), paths are the crawl's `/doc/<id>`, and each
     * host's rules are decimal-prefix arithmetic — so DuckDB rebuilds
-    * the verdict per doc without reimplementing the RFC: blocked iff
-    * the id string starts with the host digit k but not with kk (the
-    * longer `allow` wins), everything else allowed. The fixture's
-    * `*` group disallows `/` entirely, so group selection is
-    * oracle-visible too: resolving the wrong group flips every
-    * verdict. */
+    * the verdict per doc without reimplementing the RFC: the grammar
+    * arms (wildcard rules mirror as SQL LIKE patterns, 5xx hosts
+    * block everything, 4xx hosts allow everything) are enumerated in
+    * [[fixtureRobotsBody]]. The base hosts' `*` group disallows `/`
+    * entirely, so group selection is oracle-visible too: resolving
+    * the wrong group flips every verdict. */
   def pipeRobotsFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = graft.Tables.documents(s, dir).select(
+    compliance(corpusDocs(s, dir),
+      robotsFromWarcFiles(s, robotsLakeDir(s, dir)), fixtureUa)
+      .orderBy($"doc_id")
+  }
+
+  /** The fixture corpus projection shared by the compliance verbs:
+    * hosts closed-form on `doc_id % 16`, paths `/doc/<id>` — already
+    * in [[robotsHostKey]] normal form, the join-key contract. */
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(
       $"doc_id",
       concat(lit("https://h"), ($"doc_id" % 16).cast("string"),
         lit(".example.org")).as("host"),
       concat(lit("/doc/"), $"doc_id".cast("string")).as("path"))
-    compliance(docs, robotsFromWarcFiles(s, robotsLakeDir(s, dir)), fixtureUa)
-      .orderBy($"doc_id")
+  }
+
+  /** Shared front half of the two schedule verbs: the allowed corpus
+    * and the per-host delay table, off ONE materialized parse. */
+  private def scheduleInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    // parse once for BOTH consumers (compliance re-checkpoints its
+    // view — a read of this materialization, not a rescan)
+    val rules = robotsFromWarcFiles(s, robotsLakeDir(s, dir)).localCheckpoint()
+    val allowed = compliance(corpusDocs(s, dir), rules, fixtureUa).filter($"allowed")
+    (allowed, crawlDelays(rules, fixtureUa))
   }
 
   /** `pipe_fetch_schedule`: the compliance plane's CLOSING verb —
@@ -187,27 +338,16 @@ object Robots {
     * One shuffle: the per-host window IS the crawler's frontier
     * queue — partitioned by host, ordered by doc_id. At crawl scale
     * the skew is hot hosts (a million-page host is one partition);
-    * a production frontier shards hot hosts by time bucket on top of
-    * this — the window form is the semantics layer it shards. Full
-    * oracle: allowed-set arithmetic (the filter's closed form) × the
-    * fixture delay `k % 5` × ROW_NUMBER, all in SQL. */
+    * [[pipeFetchScheduleSharded]] is the production form that shards
+    * exactly that — this window form is the semantics layer it
+    * shards. Full oracle: allowed-set arithmetic (the filter's
+    * closed form) × the fixture delays × ROW_NUMBER, all in SQL. */
   def pipeFetchSchedule(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = graft.Tables.documents(s, dir).select(
-      $"doc_id",
-      concat(lit("https://h"), ($"doc_id" % 16).cast("string"),
-        lit(".example.org")).as("host"),
-      concat(lit("/doc/"), $"doc_id".cast("string")).as("path"))
-    // parse once for BOTH consumers (compliance re-checkpoints its
-    // filtered subset — a read of this materialization, not a rescan)
-    val rules = robotsFromWarcFiles(s, robotsLakeDir(s, dir)).localCheckpoint()
-    val delays = rules
-      .filter($"user_agent" === fixtureUa && $"directive" === "crawl-delay")
-      .select($"host", $"value".cast("long").as("delay"))
+    val (allowed, delays) = scheduleInputs(s, dir)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy($"host").orderBy($"doc_id")
-    compliance(docs, rules, fixtureUa)
-      .filter($"allowed")
+    allowed
       .join(delays, Seq("host"), "left")
       .select($"doc_id", $"host",
         ((row_number().over(win) - 1).cast("long") * coalesce($"delay", lit(0L)))
@@ -215,50 +355,179 @@ object Robots {
       .orderBy($"doc_id")
   }
 
+  /** `pipe_fetch_schedule_sharded`: the politeness window's 100 TB
+    * twin — IDENTICAL output (spec-gated row-for-row, same oracle),
+    * no single-host window partition. A production frontier can't
+    * put a million-page host's whole queue in one task, so the
+    * global per-host rank is computed in two bounded stages:
+    *  1. docs shard into id-range BUCKETS (the time-bucket analog —
+    *     monotone in doc_id, so bucket order IS queue order); a
+    *     (host, bucket) window ranks within a bucket — per-partition
+    *     rows ≤ bucketWidth by construction, skew-free;
+    *  2. each bucket's rank offset = docs of the SAME host in EARLIER
+    *     buckets: a running sum over the aggregated (host, bucket)
+    *     COUNT frame — |buckets-per-host| rows, never raw docs (the
+    *     from_type precedent) — joined back on (host, bucket).
+    * global rank = offset + local rank. Same two data shuffles as
+    * the window form (host+bucket, then the tiny aggregate); the
+    * counts join broadcasts at any scale (rows = corpus/bucketWidth
+    * aggregates). */
+  def pipeFetchScheduleSharded(s: SparkSession, dir: String,
+                               bucketWidth: Long = 64L): DataFrame = {
+    import s.implicits._
+    require(bucketWidth >= 1, s"bucketWidth must be positive, got $bucketWidth")
+    val (allowed, delays) = scheduleInputs(s, dir)
+    val bucketed = allowed.withColumn("bucket", floor($"doc_id" / bucketWidth))
+    val localWin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host", $"bucket").orderBy($"doc_id")
+    val offWin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host").orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy($"host", $"bucket").agg(count(lit(1)).as("n"))
+      .select($"host", $"bucket", coalesce(sum($"n").over(offWin), lit(0L)).as("off"))
+    bucketed
+      .withColumn("local_rank", row_number().over(localWin))
+      .join(offsets, Seq("host", "bucket"))
+      .join(delays, Seq("host"), "left")
+      .select($"doc_id", $"host",
+        (($"off" + $"local_rank" - 1) * coalesce($"delay", lit(0L))).as("fetch_slot"))
+      .orderBy($"doc_id")
+  }
+
   /** The fixture crawler's user-agent token. */
   val fixtureUa = "graftbot"
 
-  /** The fixture robots body for host k — the id-keyed grammar the
-    * oracles mirror: a `*` group that disallows everything (group
-    * selection must NOT fall through to it for [[fixtureUa]]), and a
-    * graftbot group whose disallow/allow pair exercises longest-match
-    * (`/doc/k` vs the longer `/doc/kk`), plus a crawl-delay and the
-    * RFC's tolerated noise (comments, a sitemap line, mixed case). */
-  def fixtureRobotsBody(k: Int): String =
-    s"""# graft fixture robots for host h$k
-       |Sitemap: https://h$k.example.org/sitemap.xml
-       |
-       |User-Agent: *
-       |Disallow: /
-       |
-       |User-Agent: $fixtureUa
-       |Disallow: /doc/$k
-       |Allow: /doc/$k$k
-       |Crawl-Delay: ${k % 5}
-       |""".stripMargin
+  /** The fixture robots grammar, host-arm-keyed so every RFC semantic
+    * DECIDES verdicts somewhere in the corpus (nothing ships
+    * oracle-invisible — the r17/r18 extractor lesson, applied here):
+    *
+    *  - base hosts (0,1,2,4,5,8,10,12,14,15): a `*` group disallowing
+    *    everything (group selection must NOT fall through to it), and
+    *    a graftbot group whose `/doc/k` vs `/doc/kk` pair exercises
+    *    literal longest-match, plus `crawl-delay: k%5` and tolerated
+    *    noise (comments, sitemap, mixed case); host 12 ships TWO
+    *    crawl-delay lines (1 then 2) — the dedup-to-max arm;
+    *  - host 3: wildcard rules (§2.2.3 both specials) — a disallow of
+    *    `*3$`-suffixed doc paths vs the one-octet-longer allow
+    *    `1*3$`, so wildcard-vs-wildcard length ranking decides
+    *    doc 163 (the rule literals are in the body below — Scala
+    *    block comments nest, so a slash-star can't sit here);
+    *  - host 5: grammar as base, but the capture URI is
+    *    `HTTPS://H5.EXAMPLE.ORG:443/robots.txt` — the host-key
+    *    normalization arm;
+    *  - host 6: the graftbot group contains ONLY a crawl-delay — it
+    *    still SELECTS (§2.2.1), so the `*` disallow-all must not
+    *    apply: everything allowed, at delay 1;
+    *  - host 7: a root-anchored floating-wildcard disallow (`*7`
+    *    after the leading slash) vs `Allow: /doc/7$` (end anchor) —
+    *    blocked iff the id contains a 7, except doc 7 itself;
+    *  - host 9: the robots fetch 404s — unavailable ⇒ no rules ⇒
+    *    everything allowed, no delay (§2.3.1.3);
+    *  - host 11: NO graftbot group — the `*` group (with path rules
+    *    AND the delay) is the applicable one: star fall-through for
+    *    both rules and crawl-delay;
+    *  - host 13: the robots fetch 503s — unreachable ⇒ complete
+    *    disallow (§2.3.1.4);
+    *  - plus a DECOY capture at `https://h2.example.org/blog/robots.txt`
+    *    whose body disallows everything — not a robots location
+    *    (path ≠ `/robots.txt`), must parse to NOTHING. */
+  def fixtureRobotsBody(k: Int): String = {
+    val head =
+      s"""# graft fixture robots for host h$k
+         |Sitemap: https://h$k.example.org/sitemap.xml
+         |
+         |""".stripMargin
+    val arms = k match {
+      case 3 =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Disallow: /doc/*3$$
+           |Allow: /doc/1*3$$
+           |Crawl-Delay: 3
+           |""".stripMargin
+      case 6 =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Crawl-Delay: 1
+           |""".stripMargin
+      case 7 =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Disallow: /*7
+           |Allow: /doc/7$$
+           |Crawl-Delay: 2
+           |""".stripMargin
+      case 11 =>
+        s"""User-Agent: *
+           |Disallow: /doc/1
+           |Allow: /doc/11
+           |Crawl-Delay: 1
+           |""".stripMargin
+      case 12 =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Disallow: /doc/12
+           |Allow: /doc/1212
+           |Crawl-Delay: 1
+           |Crawl-Delay: 2
+           |""".stripMargin
+      case _ =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Disallow: /doc/$k
+           |Allow: /doc/$k$k
+           |Crawl-Delay: ${k % 5}
+           |""".stripMargin
+    }
+    head + arms
+  }
 
   private val robotsLakeDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Staged robots lake: one `.warc.gz` shard holding the 16 hosts'
     * robots captures as `response` records (text/plain envelopes,
-    * the shape real robots fetches land in). Test scaffolding under
-    * the local-master guard like every other staged lake; 16 records
+    * the shape real robots fetches land in), plus the availability
+    * and normalization arms: host 9 answers 404, host 13 answers 503,
+    * host 5's target URI is uppercase with an explicit default port,
+    * and a 17th DECOY capture sits at a non-robots path with a
+    * poison disallow-all body. Test scaffolding under the
+    * local-master guard like every other staged lake; 17 records
     * need no Spark job to write. */
   def robotsLakeDir(s: SparkSession, dir: String): String =
     robotsLakeDirs.computeIfAbsent(dir, _ => {
       require(s.sparkContext.isLocal,
         "robotsLakeDir stages fixture files and requires a local master")
       val out = java.nio.file.Files.createTempDirectory("graft-robots-lake")
-      val records = (0 until 16).map { k =>
-        val body = fixtureRobotsBody(k).getBytes("UTF-8")
-        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+      def capture(uri: String, status: Int, reason: String, body: Array[Byte]) = {
+        val http = (s"HTTP/1.1 $status $reason\r\nContent-Type: text/plain; charset=utf-8\r\n" +
           s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
         Seq(
           "WARC-Type" -> "response",
-          "WARC-Target-URI" -> s"https://h$k.example.org/robots.txt",
+          "WARC-Target-URI" -> uri,
           "WARC-Date" -> "2026-01-01T00:00:00Z",
           "Content-Type" -> "application/http; msgtype=response") -> (http ++ body)
       }
+      val records = (0 until 16).map { k =>
+        val uri =
+          if (k == 5) "HTTPS://H5.EXAMPLE.ORG:443/robots.txt"
+          else s"https://h$k.example.org/robots.txt"
+        k match {
+          case 9  => capture(uri, 404, "Not Found", "no robots here\n".getBytes("UTF-8"))
+          case 13 => capture(uri, 503, "Service Unavailable", "try later\n".getBytes("UTF-8"))
+          case _  => capture(uri, 200, "OK", fixtureRobotsBody(k).getBytes("UTF-8"))
+        }
+      } :+ capture("https://h2.example.org/blog/robots.txt", 200, "OK",
+        s"User-agent: *\nDisallow: /\n\nUser-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"))
       java.nio.file.Files.write(out.resolve("robots-00000.warc.gz"),
         Warc.gzipPerRecord(Warc.encodeRecords(records)))
       out.toString

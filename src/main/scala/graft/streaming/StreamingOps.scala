@@ -725,13 +725,20 @@ object StreamingOps {
     * across the fold (spec-gated), a fold that would move nothing is
     * a no-op (idempotence: a second call with the same floor does
     * not rewrite), and `compactPartitions` sizes the folded file
-    * count. Single-writer maintenance op: the publish sequence is
-    * write-staging → delete-folded → rename-staging, so a crash
-    * between the deletes and the rename needs the staging directory
-    * (`.compact-tmp`, which holds the complete fold) restored by the
-    * operator; a crash-safe multi-writer version would swing a
-    * manifest like `pipe_ivf_reserve` — deliberately out of scope
-    * for a single-owner sink directory. */
+    * count. Single-writer maintenance op, CRASH-SAFE (r19, closing
+    * the r18 scope note): the publish sequence is write-staging →
+    * stamp a `_FOLD_TARGET_<id>` marker inside the staging dir →
+    * delete-folded → rename-staging. The marker is the commit point:
+    * a staging dir WITHOUT it is an aborted write (sources intact —
+    * discard and redo); a staging dir WITH it holds the COMPLETE
+    * fold of every batch id ≤ target (ids only grow, so the fold
+    * always covered exactly the dirs at or below its own max), so
+    * the next call finishes the interrupted publish — delete the
+    * remaining folded sources, rename — instead of destroying the
+    * only copy. The marker's leading underscore keeps it invisible
+    * to parquet readers after the rename. A multi-writer version
+    * would swing a manifest like `pipe_ivf_reserve` — still out of
+    * scope for a single-owner sink directory. */
   def compactBatchDirs(s: SparkSession, outDir: String, keepLast: Int,
                        compactPartitions: Int = 1): Unit = {
     require(keepLast >= 1, s"keepLast must keep at least the newest batch, got $keepLast")
@@ -739,6 +746,8 @@ object StreamingOps {
     val fs = org.apache.hadoop.fs.FileSystem.newInstance(
       root.toUri, s.sparkContext.hadoopConfiguration)
     try {
+      val tmp = new org.apache.hadoop.fs.Path(root, ".compact-tmp")
+      recoverAbortedFold(fs, root, tmp)
       val dirs = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("batch_id=")) Some((n.stripPrefix("batch_id=").toLong, st.getPath))
@@ -750,15 +759,43 @@ object StreamingOps {
       // no-op unless the fold MOVES something: a single below-floor
       // directory is already as compact as a fold would make it
       if (fold.length < 2) return
-      val target = new org.apache.hadoop.fs.Path(root, s"batch_id=${fold.map(_._1).max}")
-      val tmp = new org.apache.hadoop.fs.Path(root, ".compact-tmp")
-      fs.delete(tmp, true) // a dead staging dir from an aborted fold
+      val targetId = fold.map(_._1).max
+      val target = new org.apache.hadoop.fs.Path(root, s"batch_id=$targetId")
       s.read.parquet(fold.map(_._2.toString): _*)
         .repartition(compactPartitions)
         .write.mode("overwrite").parquet(tmp.toString)
+      // commit point: from here the fold in tmp is the authoritative
+      // copy and a crash completes forward (recoverAbortedFold)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, s"_FOLD_TARGET_$targetId"), true).close()
       fold.foreach { case (_, p) => fs.delete(p, true) }
       require(fs.rename(tmp, target), s"could not publish the fold at $target")
     } finally fs.close()
+  }
+
+  /** Forward-recovery of an interrupted [[compactBatchDirs]] publish:
+    * a marked staging dir means the deletes/rename never finished —
+    * finish them (the staged fold is the only complete copy of its
+    * rows); an unmarked one means the write itself aborted — the
+    * sources are intact, the partial staging is garbage. */
+  private def recoverAbortedFold(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(tmp)) return
+    val marker = fs.listStatus(tmp).map(_.getPath.getName)
+      .find(_.startsWith("_FOLD_TARGET_"))
+    marker match {
+      case Some(m) =>
+        val targetId = m.stripPrefix("_FOLD_TARGET_").toLong
+        fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= targetId)
+            fs.delete(st.getPath, true)
+        }
+        require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch_id=$targetId")),
+          s"could not complete the interrupted fold publish at batch_id=$targetId")
+      case None =>
+        fs.delete(tmp, true)
+    }
   }
 
   private[graft] val fetchGcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -149,8 +149,16 @@ class AllQueriesSpec extends SparkSpec {
     // queue is serialized by crawl-delay by definition, so the
     // window's per-host cost mirrors the real-world constraint it
     // schedules; a production frontier shards hot hosts by time
-    // bucket ON TOP of this ordering (SCALING.md)
-    Set("host"))
+    // bucket ON TOP of this ordering (SCALING.md) — and since r19
+    // that frontier EXISTS as pipe_fetch_schedule_sharded, gated
+    // row-identical to this form
+    Set("host"),
+    // the sharded frontier's local-rank window: per-partition rows
+    // ≤ bucketWidth BY CONSTRUCTION (the bucket is an id-range
+    // slice), the strongest boundedness argument on this list; its
+    // offset window runs over the aggregated (host, bucket) COUNT
+    // frame (the from_type precedent) and is covered by Set("host")
+    Set("host", "bucket"))
 
   /** Key sets of WindowExec nodes in `df`'s plan that are neither
     * allowlisted as bounded nor pruned by a same-keyed

@@ -1208,7 +1208,9 @@ class PropertySpec extends SparkSpec {
       // file order are indistinguishable; weaker but total check:
       // every directive is attributed to a known lowercased agent
       assert(d1.forall(x => x.userAgent == x.userAgent.toLowerCase), body)
-      assert(d1.forall(x => Set("allow", "disallow", "crawl-delay")(x.directive)), body)
+      assert(d1.forall(x => Set("allow", "disallow", "crawl-delay", "sitemap")(x.directive)), body)
+      // sitemap records are file-scoped: never group-attributed
+      assert(d1.filter(_.directive == "sitemap").forall(_.userAgent == ""), body)
     }
     // fan-out exact: a two-agent group fans identically, fuzzed rules
     samples(Gen.listOfN(5, Gen.oneOf("Disallow: /a", "Allow: /b", "Crawl-delay: 1")), 20)
@@ -1218,5 +1220,38 @@ class PropertySpec extends SparkSpec {
         assert(d.filter(_.userAgent == "p").map(x => (x.directive, x.value)) ==
           d.filter(_.userAgent == "q").map(x => (x.directive, x.value)), body)
       }
+  }
+
+  test("robots matcher: compliance's column matcher ≡ the pure RFC 9309 twin on generated wildcard patterns") {
+    import graft.sources.Robots
+    // rule values over a deliberately nasty alphabet: '*' wildcards,
+    // the '$' end anchor (trailing = anchor, interior = literal),
+    // LIKE metachars (% _ \) and regex metachars (. ?) that MUST stay
+    // literal, URI separators — the r18 lesson, one layer up: the
+    // matcher semantics cross a gate on inputs the fixture grammar
+    // doesn't enumerate
+    val octet: Gen[Char] = Gen.oneOf('a', 'b', '3', '7', '/', '.', '?', '%', '_', '$', '\\')
+    val segGen: Gen[String] = Gen.chooseNum(0, 4)
+      .flatMap(n => Gen.listOfN(n, octet)).map(_.mkString)
+    val valueGen: Gen[String] = for {
+      parts <- Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, segGen))
+      anchor <- Gen.oneOf("", "$")
+    } yield "/" + parts.mkString("*") + anchor
+    val pathGen: Gen[String] = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, octet)).map("/" + _.mkString)
+    val cases = samples(Gen.zip(valueGen, pathGen), 300).zipWithIndex
+    // ONE compliance call evaluates every pair through the real
+    // column matcher: host i carries pattern i as its only (disallow)
+    // rule, so allowed(i) == !matches(path_i, value_i)
+    val rules = cases.map { case ((v, _), i) => (s"h$i", "bot", "disallow", v) }
+      .toDF("host", "user_agent", "directive", "value")
+    val docs = cases.map { case ((_, p), i) => (i.toLong, s"h$i", p) }
+      .toDF("doc_id", "host", "path")
+    val got = Robots.compliance(docs, rules, "bot").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    cases.foreach { case ((v, p), i) =>
+      assert(got(i.toLong) == !Robots.ruleMatches(p, v),
+        s"column matcher disagrees with the pure twin: value='$v' path='$p'")
+    }
   }
 }

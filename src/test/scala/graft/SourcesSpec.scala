@@ -904,9 +904,65 @@ class SourcesSpec extends SparkSpec {
     // fields and colonless noise are ignored
     assert(d.filter(_.userAgent == "*").map(x => (x.directive, x.value)) ==
       Vector(("crawl-delay", "7"), ("disallow", ""), ("disallow", "/z")))
+    // sitemap is a FILE-scoped record: emitted once, empty user agent,
+    // and it neither joins nor interrupts a group
+    assert(d.filter(_.directive == "sitemap").map(x => (x.userAgent, x.value)) ==
+      Vector(("", "https://x.example/sitemap.xml")))
+    val interrupted = Robots.parseRobots("h",
+      "User-agent: p\nSitemap: https://h/s.xml\nUser-agent: q\nDisallow: /x")
+    assert(interrupted.filter(_.directive == "disallow").map(_.userAgent) ==
+      Vector("p", "q"), "a sitemap line must not close the user-agent accumulation")
     // rules before any group are ignored, not misattributed
     assert(Robots.parseRobots("h", "Disallow: /lost\nUser-agent: x\nAllow: /kept")
       .map(x => (x.userAgent, x.directive, x.value)) == Vector(("x", "allow", "/kept")))
+  }
+
+  test("robots.txt: host-key normalization — exact /robots.txt path, case, default ports (RFC 3986 §6.2)") {
+    import graft.sources.Robots
+    assert(Robots.robotsHostKey("https://h1.example.org/robots.txt") ==
+      Some("https://h1.example.org"))
+    // equivalent authorities normalize to the SAME key
+    assert(Robots.robotsHostKey("HTTPS://H1.EXAMPLE.ORG:443/robots.txt") ==
+      Some("https://h1.example.org"))
+    assert(Robots.robotsHostKey("http://x.org:80/robots.txt") == Some("http://x.org"))
+    // a NON-default port is part of the authority and stays
+    assert(Robots.robotsHostKey("http://x.org:8080/robots.txt") ==
+      Some("http://x.org:8080"))
+    // https on port 80 is not the https default: the port stays
+    assert(Robots.robotsHostKey("https://x.org:80/robots.txt") ==
+      Some("https://x.org:80"))
+    // only the EXACT path /robots.txt is a rules location (RFC 9309
+    // §2.3) — suffix matches are ordinary pages
+    assert(Robots.robotsHostKey("https://x.org/blog/robots.txt").isEmpty)
+    assert(Robots.robotsHostKey("https://x.org/robots.txt/extra").isEmpty)
+    assert(Robots.robotsHostKey("not a uri at all ::").isEmpty)
+  }
+
+  test("robots.txt: rule matching — RFC 9309 §2.2.3 wildcards, end anchor, prefix default") {
+    import graft.sources.Robots.ruleMatches
+    // prefix default (wildcard-free)
+    assert(ruleMatches("/doc/123", "/doc/1"))
+    assert(!ruleMatches("/doc/2", "/doc/1"))
+    // '*' matches any octet sequence, including empty
+    assert(ruleMatches("/a.php", "/*.php"))
+    assert(ruleMatches("/x/y.php?q=1", "/*.php"))
+    assert(ruleMatches("/p.php", "/p*.php"))
+    assert(!ruleMatches("/a.png", "/*.php"))
+    // trailing '$' anchors the end; without it the rule is a prefix
+    assert(ruleMatches("/a.php", "/*.php$"))
+    assert(!ruleMatches("/a.php?q=1", "/*.php$"))
+    assert(ruleMatches("/doc/163", "/doc/*3$"))
+    assert(!ruleMatches("/doc/163x", "/doc/*3$"))
+    // a NON-trailing '$' is a literal octet
+    assert(ruleMatches("/a$b/x", "/a$b"))
+    assert(!ruleMatches("/axb/x", "/a$b"))
+    // multiple wildcards; regex metachars in the rule are literal
+    assert(ruleMatches("/a/b/c/d", "/a/*/c"))
+    assert(!ruleMatches("/a/b/x", "/a/*/c"))
+    assert(ruleMatches("/f.o/x", "/f.o"))
+    assert(!ruleMatches("/fxo/x", "/f.o"))
+    // the empty rule matches nothing
+    assert(!ruleMatches("/anything", ""))
   }
 
   test("robots.txt: compliance semantics — group selection, longest match, allow tie-break, defaults") {
@@ -918,7 +974,16 @@ class SourcesSpec extends SparkSpec {
       ("https://h.example", "bot", "disallow", "/doc/12"), // tie vs the allow above
       ("https://h.example", "bot", "disallow", ""),        // empty: matches nothing
       ("https://nogroups.example", "*", "disallow", "/blocked"),
-      ("https://h.example", "bot", "crawl-delay", "3"))    // non-path directive ignored
+      ("https://h.example", "bot", "crawl-delay", "3"),    // non-path directive ignored
+      // exact group with ONLY a crawl-delay: still SELECTS (§2.2.1) —
+      // the * disallow-all must not apply to bot
+      ("https://delayonly.example", "*", "disallow", "/"),
+      ("https://delayonly.example", "bot", "crawl-delay", "9"),
+      // wildcard rules (§2.2.3): * spans octets, trailing $ anchors,
+      // and the longer wildcard allow outranks the disallow
+      ("https://wild.example", "*", "disallow", "/"),
+      ("https://wild.example", "bot", "disallow", "/*.php$"),
+      ("https://wild.example", "bot", "allow", "/pub*.php$"))
       .toDF("host", "user_agent", "directive", "value")
     def docs(rows: (Long, String, String)*) = rows.toDF("doc_id", "host", "path")
     def verdicts(ds: org.apache.spark.sql.DataFrame, ua: String) =
@@ -931,9 +996,15 @@ class SourcesSpec extends SparkSpec {
       (13L, "https://h.example", "/doc/13"),   // /doc/1 only → blocked
       (2L, "https://h.example", "/doc/2"),     // no match → allowed
       (3L, "https://nogroups.example", "/blocked/x"), // no bot group → * applies
-      (4L, "https://nogroups.example", "/open")), "bot")
+      (4L, "https://nogroups.example", "/open"),
+      (6L, "https://delayonly.example", "/any/path"), // delay-only group selects → allowed
+      (20L, "https://wild.example", "/a.php"),        // /*.php$ → blocked
+      (21L, "https://wild.example", "/a.php?q=1"),    // $ anchor: no match → allowed
+      (22L, "https://wild.example", "/public.php"),   // /pub*.php$ (10) beats /*.php$ (7) → allowed
+      (23L, "https://wild.example", "/a.png")), "bot")// no match → allowed
     assert(v == Map(1L -> false, 12L -> true, 123L -> true, 13L -> false,
-      2L -> true, 3L -> false, 4L -> true))
+      2L -> true, 3L -> false, 4L -> true,
+      6L -> true, 20L -> false, 21L -> true, 22L -> true, 23L -> true))
     // a UA with no exact group anywhere falls to * everywhere: the
     // h.example `Disallow: /` blocks everything
     val w = verdicts(docs((9L, "https://h.example", "/doc/2")), "otherbot")
@@ -943,46 +1014,132 @@ class SourcesSpec extends SparkSpec {
     assert(u == Map(5L -> true))
   }
 
-  test("src_warc_robots + pipe_robots_filter: the staged lake parses to the id-keyed grammar and the fixture verdicts match the arithmetic") {
+  test("robots.txt: crawl-delay group selection — exact-else-star, duplicate lines collapse to max") {
+    import graft.sources.Robots
+    val rules = Seq(
+      ("hA", "bot", "crawl-delay", "2"),
+      ("hA", "bot", "crawl-delay", "5"),    // duplicate lines → max, never a join fan-out
+      ("hA", "*", "crawl-delay", "9"),      // exact group exists → star delay ignored
+      ("hB", "*", "crawl-delay", "7"),      // no bot group → star applies
+      ("hC", "bot", "disallow", "/x"),      // exact group SELECTED, no delay → no fall-through
+      ("hC", "*", "crawl-delay", "4"),
+      ("hD", "bot", "crawl-delay", "oops")) // non-numeric → null, tolerated
+      .toDF("host", "user_agent", "directive", "value")
+    val d = Robots.crawlDelays(rules, "bot").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(d == Map("hA" -> 5L, "hB" -> 7L, "hD" -> -1L))
+  }
+
+  /** The fixture grammar's closed-form verdict (mirrors the arms of
+    * [[graft.sources.Robots.fixtureRobotsBody]] and the DuckDB
+    * oracle's CASE — see SparkEntry.robotsAllowedCase). */
+  private def robotsFixtureAllowed(id: Long): Boolean = {
+    val s = id.toString
+    (id % 16) match {
+      case 13 => false                                  // 503 → complete disallow
+      case 9  => true                                   // 404 → no rules
+      case 6  => true                                   // delay-only exact group selects
+      case 11 => !(s.startsWith("1") && !s.startsWith("11")) // star fall-through rules
+      case 3  => !(s.endsWith("3") && !(s.startsWith("1") && s.endsWith("3")))
+      case 7  => !(s.contains("7") && id != 7)
+      case k  => val ks = k.toString; !(s.startsWith(ks) && !s.startsWith(ks + ks))
+    }
+  }
+
+  private def robotsFixtureDelay(k: Long): Long = if (k == 9) 0L else k % 5
+
+  test("src_warc_robots + pipe_robots_filter: the staged lake parses to the id-keyed grammar arms and the fixture verdicts match the arithmetic") {
     import graft.sources.Robots
     val rules = Robots.srcWarcRobots(spark, sfDir).collect()
-    assert(rules.length == 16 * 4, s"four directives per host, got ${rules.length}")
-    // spot-check host 13's group grammar end-to-end through the
-    // envelope decode + parser
-    val h13 = rules.filter(_.getString(0) == "https://h13.example.org")
+    assert(rules.length == 69, s"the arm grammar parses to 69 directives, got ${rules.length}")
+    def host(k: Int) = rules.filter(_.getString(0) == s"https://h$k.example.org")
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
-    assert(h13 == Set(("*", "disallow", "/"), ("graftbot", "disallow", "/doc/13"),
-      ("graftbot", "allow", "/doc/1313"), ("graftbot", "crawl-delay", "3")))
+    // availability arms: the 404 host contributes NOTHING; the 503
+    // host ONLY the synthetic complete-disallow (RFC 9309 §2.3.1.4)
+    assert(host(9).isEmpty, "a 404 robots means no rules at all")
+    assert(host(13) == Set(("*", "disallow", "/")),
+      "a 503 robots must surface as the synthetic disallow-all")
+    // normalization arm: host 5's capture URI is uppercase with an
+    // explicit :443 — it must land under the canonical key
+    assert(host(5).contains(("graftbot", "disallow", "/doc/5")),
+      "the uppercase/default-port capture must normalize onto the canonical host key")
+    // wildcard arms parse verbatim (matching is evaluation-side)
+    assert(host(3).contains(("graftbot", "disallow", "/doc/*3$")) &&
+      host(3).contains(("graftbot", "allow", "/doc/1*3$")))
+    assert(host(7).contains(("graftbot", "disallow", "/*7")) &&
+      host(7).contains(("graftbot", "allow", "/doc/7$")))
+    // star-only host 11 has no graftbot rows; delay-only host 6 has
+    // exactly one graftbot row; host 12 ships BOTH delay lines
+    assert(!host(11).exists(_._1 == "graftbot"))
+    assert(host(6).filter(_._1 == "graftbot") == Set(("graftbot", "crawl-delay", "1")))
+    assert(host(12).count(t => t._1 == "graftbot" && t._2 == "crawl-delay") == 2)
+    // the decoy capture at /blog/robots.txt must be ABSENT: not a
+    // rules location, its poison disallow-all parses to nothing
+    assert(!rules.exists(_.getString(0).contains("/blog")))
+    assert(host(2) == Set(("", "sitemap", "https://h2.example.org/sitemap.xml"),
+      ("*", "disallow", "/"), ("graftbot", "disallow", "/doc/2"),
+      ("graftbot", "allow", "/doc/22"), ("graftbot", "crawl-delay", "2")),
+      "the decoy must not contribute rows to host 2 either")
     val verdicts = Robots.pipeRobotsFilter(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).select($"doc_id").collect().map(_.getLong(0))
     assert(verdicts.length == docs.length)
     verdicts.foreach { r =>
-      val id = r.getLong(0); val k = id % 16
-      val s = id.toString; val ks = k.toString
-      val expected = !(s.startsWith(ks) && !s.startsWith(ks + ks))
-      assert(r.getBoolean(2) == expected, s"verdict for doc $id (host h$k)")
+      val id = r.getLong(0)
+      assert(r.getBoolean(2) == robotsFixtureAllowed(id),
+        s"verdict for doc $id (host h${id % 16})")
     }
-    // polymorphism: both verdicts must occur in the fixture
-    assert(verdicts.exists(_.getBoolean(2)) && verdicts.exists(!_.getBoolean(2)),
-      "the fixture must produce both allowed and blocked docs")
-    // pipe_fetch_schedule: per-host politeness — slot = rank within
-    // the host's ALLOWED fetches × the host's crawl-delay (k % 5);
-    // recomputed driver-side from the verdicts above
+    // every arm must DECIDE verdicts in the corpus: wildcard blocks,
+    // the wildcard-allow override (163), the 5xx blanket, star
+    // fall-through blocks
+    assert(verdicts.exists(r => r.getLong(0) % 16 == 3 && !r.getBoolean(2)),
+      "host 3's wildcard disallow must block someone")
+    assert(verdicts.filter(r => r.getLong(0) == 163L).forall(_.getBoolean(2)) &&
+      docs.contains(163L), "doc 163: the longer wildcard allow must win")
+    assert(verdicts.filter(_.getLong(0) % 16 == 13).forall(!_.getBoolean(2)),
+      "the 503 host blocks everything")
+    assert(verdicts.exists(r => r.getLong(0) % 16 == 7 && !r.getBoolean(2)),
+      "host 7's floating wildcard must block someone")
+    assert(verdicts.exists(r => r.getLong(0) % 16 == 11 && !r.getBoolean(2)),
+      "host 11's star rules must apply through the fall-through")
+    assert(verdicts.filter(_.getLong(0) % 16 == 6).forall(_.getBoolean(2)),
+      "the delay-only exact group must select and allow everything")
+  }
+
+  test("pipe_fetch_schedule + sharded twin: politeness slots match the closed form; the two forms are row-identical") {
+    import graft.sources.Robots
     val slots = Robots.pipeFetchSchedule(spark, sfDir).collect()
-    val allowedByHost = verdicts.filter(_.getBoolean(2))
-      .groupBy(_.getLong(0) % 16)
-      .map { case (k, rows) => k -> rows.map(_.getLong(0)).sorted }
-    assert(slots.length == verdicts.count(_.getBoolean(2)),
+    val docs = Tables.documents(spark, sfDir).select($"doc_id").collect().map(_.getLong(0))
+    val allowedByHost = docs.filter(robotsFixtureAllowed)
+      .groupBy(_ % 16).map { case (k, ids) => k -> ids.sorted }
+    assert(slots.length == docs.count(robotsFixtureAllowed),
       "exactly the allowed docs get scheduled")
     slots.foreach { r =>
       val id = r.getLong(0); val k = id % 16
       val rank = allowedByHost(k).indexOf(id)
-      assert(rank >= 0 && r.getLong(2) == rank.toLong * (k % 5),
+      assert(rank >= 0 && r.getLong(2) == rank.toLong * robotsFixtureDelay(k),
         s"slot for doc $id on host h$k")
     }
-    // delays really spread fetches: some host with delay > 0 has a
-    // nonzero later slot
-    assert(slots.exists(_.getLong(2) > 0), "nonzero slots must occur")
+    // the delay arms really schedule: host 11 (star-group delay) and
+    // host 6 (delay-only group) must show nonzero slots; host 9 (404,
+    // no delay) must be all-zero; host 13 never appears
+    assert(slots.exists(r => r.getLong(0) % 16 == 11 && r.getLong(2) > 0),
+      "host 11's crawl-delay must ride the star fall-through")
+    assert(slots.exists(r => r.getLong(0) % 16 == 6 && r.getLong(2) > 0),
+      "host 6's delay-only group must throttle")
+    assert(slots.filter(_.getLong(0) % 16 == 9).forall(_.getLong(2) == 0),
+      "the 404 host fetches immediately")
+    assert(!slots.exists(_.getLong(0) % 16 == 13), "the 503 host never schedules")
+    // host 12's duplicate delay lines collapse to max(1,2)=2 — and to
+    // ONE row: no join fan-out (row count already asserted above)
+    assert(slots.exists(r => r.getLong(0) % 16 == 12 && r.getLong(2) % 2 == 0 && r.getLong(2) > 0))
+    // the sharded twin is row-identical at the default width AND at a
+    // width small enough to force multi-bucket offsets per host
+    val byId = slots.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    for (width <- Seq(64L, 3L)) {
+      val sharded = Robots.pipeFetchScheduleSharded(spark, sfDir, bucketWidth = width)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(sharded.sameElements(byId), s"sharded form (width $width) must be row-identical")
+    }
   }
 
   test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
@@ -1173,6 +1330,60 @@ class SourcesSpec extends SparkSpec {
     StreamingOps.compactBatchDirs(spark, out, keepLast = 10)
     assert(inventory() == inv1)
     assert(rows() == before)
+  }
+
+  test("compactBatchDirs: an interrupted publish completes FORWARD — the staged fold is never destroyed (r19, the ADVICE crash window)") {
+    import graft.streaming.StreamingOps
+    def rm(p: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(go)); f.delete(); ()
+      }
+      go(new java.io.File(p))
+    }
+    def stage(): String = {
+      val out = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+      (0 to 3).foreach { b =>
+        spark.range(b * 10L, b * 10L + 10L).selectExpr("id AS doc_id")
+          .write.parquet(s"$out/batch_id=$b")
+      }
+      out
+    }
+    def rows(out: String) = spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def batchDirs(out: String) = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+
+    // crash window 1 (the data-loss window the r18 docstring waved
+    // at): staging written AND marked, SOME folded sources already
+    // deleted, rename never ran — `.compact-tmp` holds the ONLY copy
+    // of batches 0..2. Re-running the verb must complete the publish,
+    // not start by deleting tmp.
+    val out1 = stage()
+    val before1 = rows(out1)
+    spark.read.parquet(s"$out1/batch_id=0", s"$out1/batch_id=1", s"$out1/batch_id=2")
+      .repartition(1).write.parquet(s"$out1/.compact-tmp")
+    assert(new java.io.File(s"$out1/.compact-tmp/_FOLD_TARGET_2").createNewFile())
+    rm(s"$out1/batch_id=0"); rm(s"$out1/batch_id=2")
+    StreamingOps.compactBatchDirs(spark, out1, keepLast = 1)
+    assert(rows(out1) == before1, "forward recovery must preserve every folded row")
+    assert(batchDirs(out1) == Seq("batch_id=2", "batch_id=3"),
+      s"recovery must land the fold at its staged target: ${batchDirs(out1)}")
+    assert(!new java.io.File(s"$out1/.compact-tmp").exists())
+
+    // crash window 2: an UNMARKED staging dir (write aborted before
+    // the commit point) — sources are intact, the partial staging is
+    // garbage: discard it and fold normally.
+    val out2 = stage()
+    val before2 = rows(out2)
+    new java.io.File(s"$out2/.compact-tmp").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out2/.compact-tmp/part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    StreamingOps.compactBatchDirs(spark, out2, keepLast = 1)
+    assert(rows(out2) == before2)
+    assert(batchDirs(out2) == Seq("batch_id=2", "batch_id=3"),
+      s"the normal fold must run after discarding the aborted staging: ${batchDirs(out2)}")
+    assert(!new java.io.File(s"$out2/.compact-tmp").exists())
   }
 
   test("src_stream_fetch_gc: the retention verb serves the request predicate row-identically over a REAL fold") {
