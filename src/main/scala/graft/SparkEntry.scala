@@ -447,6 +447,13 @@ object SparkEntry {
     // group-selection + longest-match semantics
     "src_warc_robots" -> ((s, dir) =>
       graft.sources.Robots.srcWarcRobots(s, dir)),
+    // the compliance plane at ingestion time (r19) — the 20th real
+    // streaming execution: robots captures arrive as a binaryFile
+    // readStream in real multiple micro-batches and parse through
+    // the batch ingest's own shard walk; oracle shared with
+    // src_warc_robots
+    "src_stream_robots" -> ((s, dir) =>
+      graft.streaming.StreamingOps.robotsViaStream(s, dir)),
     // the robots grammar's discovery surface (r19): file-scoped
     // Sitemap records, one row per (host, url)
     "src_robots_sitemaps" -> ((s, dir) =>
@@ -856,6 +863,57 @@ object SparkEntry {
           |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
           |FROM documents WHERE doc_id % 10 = 8
           |ORDER BY doc_id, status""".stripMargin
+    // src_warc_robots / src_stream_robots shared closed form: the
+    // fixture's 16 hosts ship id-keyed grammar ARMS (r19 — wildcards,
+    // availability, group-selection traps), so the parsed directive
+    // table rebuilds from range(16) plus the explicit arm rows; host 9
+    // (404) contributes nothing, host 13 (503) only the synthetic
+    // complete-disallow, and the decoy capture at a non-robots path
+    // must be ABSENT
+    val robotsDirectivesSql =
+      """WITH hosts AS (SELECT CAST(range AS INTEGER) AS k,
+        |    'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host
+        |  FROM range(16)),
+        |r AS (
+        |  SELECT host, '' AS user_agent, 'sitemap' AS directive,
+        |    host || '/sitemap.xml' AS value FROM hosts WHERE k NOT IN (9, 13)
+        |  UNION ALL
+        |  SELECT host, '*', 'disallow', '/' FROM hosts WHERE k NOT IN (9, 11)
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR)
+        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'allow',
+        |    '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
+        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR)
+        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,14,15)
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'crawl-delay', d
+        |  FROM hosts, (VALUES ('1'), ('2')) t(d) WHERE k = 12
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'disallow', '/doc/*3$' FROM hosts WHERE k = 3
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'allow', '/doc/1*3$' FROM hosts WHERE k = 3
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'crawl-delay', '3' FROM hosts WHERE k = 3
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'crawl-delay', '1' FROM hosts WHERE k = 6
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'disallow', '/*7' FROM hosts WHERE k = 7
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'allow', '/doc/7$' FROM hosts WHERE k = 7
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'crawl-delay', '2' FROM hosts WHERE k = 7
+        |  UNION ALL
+        |  SELECT host, '*', 'disallow', '/doc/1' FROM hosts WHERE k = 11
+        |  UNION ALL
+        |  SELECT host, '*', 'allow', '/doc/11' FROM hosts WHERE k = 11
+        |  UNION ALL
+        |  SELECT host, '*', 'crawl-delay', '1' FROM hosts WHERE k = 11)
+        |SELECT host, user_agent, directive, value FROM r
+        |ORDER BY host, user_agent, directive, value""".stripMargin
     // shared RFC 9309 fixture verdict (r19 grammar arms): the CASE
     // the compliance filter and both schedule forms build on. The
     // wildcard arms mirror the rules EXACTLY as LIKE patterns
@@ -2487,56 +2545,14 @@ object SparkEntry {
       // batch walk's own body and must accumulate to the identical
       // closed form
       "src_stream_wat" -> watSql,
-      // src_warc_robots: the fixture's 16 hosts ship id-keyed grammar
-      // ARMS (r19 — wildcards, availability, group-selection traps),
-      // so the parsed directive table rebuilds from range(16) plus
-      // the explicit arm rows; host 9 (404) contributes nothing,
-      // host 13 (503) only the synthetic complete-disallow, and the
-      // decoy capture at a non-robots path must be ABSENT
-      "src_warc_robots" ->
-        """WITH hosts AS (SELECT CAST(range AS INTEGER) AS k,
-          |    'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host
-          |  FROM range(16)),
-          |r AS (
-          |  SELECT host, '' AS user_agent, 'sitemap' AS directive,
-          |    host || '/sitemap.xml' AS value FROM hosts WHERE k NOT IN (9, 13)
-          |  UNION ALL
-          |  SELECT host, '*', 'disallow', '/' FROM hosts WHERE k NOT IN (9, 11)
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR)
-          |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'allow',
-          |    '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
-          |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR)
-          |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,14,15)
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'crawl-delay', d
-          |  FROM hosts, (VALUES ('1'), ('2')) t(d) WHERE k = 12
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'disallow', '/doc/*3$' FROM hosts WHERE k = 3
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'allow', '/doc/1*3$' FROM hosts WHERE k = 3
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'crawl-delay', '3' FROM hosts WHERE k = 3
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'crawl-delay', '1' FROM hosts WHERE k = 6
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'disallow', '/*7' FROM hosts WHERE k = 7
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'allow', '/doc/7$' FROM hosts WHERE k = 7
-          |  UNION ALL
-          |  SELECT host, 'graftbot', 'crawl-delay', '2' FROM hosts WHERE k = 7
-          |  UNION ALL
-          |  SELECT host, '*', 'disallow', '/doc/1' FROM hosts WHERE k = 11
-          |  UNION ALL
-          |  SELECT host, '*', 'allow', '/doc/11' FROM hosts WHERE k = 11
-          |  UNION ALL
-          |  SELECT host, '*', 'crawl-delay', '1' FROM hosts WHERE k = 11)
-          |SELECT host, user_agent, directive, value FROM r
-          |ORDER BY host, user_agent, directive, value""".stripMargin,
+      // src_warc_robots: the id-keyed arm grammar's directive table
+      // (closed form shared with the streamed ingest — see
+      // robotsDirectivesSql above)
+      "src_warc_robots" -> robotsDirectivesSql,
+      // src_stream_robots: the streamed directive ingest parses
+      // through the batch walk's own body and must accumulate to the
+      // identical closed form
+      "src_stream_robots" -> robotsDirectivesSql,
       // src_robots_sitemaps: file-scoped discovery records of every
       // READABLE robots body (the 404 and 503 hosts contribute none)
       "src_robots_sitemaps" ->

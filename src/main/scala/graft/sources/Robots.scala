@@ -130,9 +130,20 @@ object Robots {
     * disallow (§2.3.1.4). */
   def robotsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
-    s.read.format("binaryFile").load(lake)
-      .select($"content")
-      .as[Array[Byte]]
+    robotsRowsFromShardBytes(
+      s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
+  }
+
+  /** The shard-grain directive walk BOTH deployments parse through —
+    * the batch lake scan above and the ingestion-time stream
+    * (`src_stream_robots`, the watRowsFromShardBytes rule): envelope
+    * decode, status routing, host-key normalization and the RFC
+    * grammar all live here once, so the two cannot diverge. */
+  private[graft] def robotsRowsFromShardBytes(
+      shards: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
+    val s = shards.sparkSession
+    import s.implicits._
+    shards
       .flatMap { bytes =>
         val rows = try {
           Warc.parseWarcAuto(bytes).iterator
@@ -500,9 +511,12 @@ object Robots {
     * and normalization arms: host 9 answers 404, host 13 answers 503,
     * host 5's target URI is uppercase with an explicit default port,
     * and a 17th DECOY capture sits at a non-robots path with a
-    * poison disallow-all body. Test scaffolding under the
-    * local-master guard like every other staged lake; 17 records
-    * need no Spark job to write. */
+    * poison disallow-all body. The captures spread over FOUR
+    * `.warc.gz` shards (host k rides shard k mod 4, the decoy its
+    * target's shard) so the streaming ingest arrives in real
+    * multiple micro-batches. Test scaffolding under the local-master
+    * guard like every other staged lake; 17 records need no Spark
+    * job to write. */
   def robotsLakeDir(s: SparkSession, dir: String): String =
     robotsLakeDirs.computeIfAbsent(dir, _ => {
       require(s.sparkContext.isLocal,
@@ -521,15 +535,18 @@ object Robots {
         val uri =
           if (k == 5) "HTTPS://H5.EXAMPLE.ORG:443/robots.txt"
           else s"https://h$k.example.org/robots.txt"
-        k match {
+        val rec = k match {
           case 9  => capture(uri, 404, "Not Found", "no robots here\n".getBytes("UTF-8"))
           case 13 => capture(uri, 503, "Service Unavailable", "try later\n".getBytes("UTF-8"))
           case _  => capture(uri, 200, "OK", fixtureRobotsBody(k).getBytes("UTF-8"))
         }
-      } :+ capture("https://h2.example.org/blog/robots.txt", 200, "OK",
-        s"User-agent: *\nDisallow: /\n\nUser-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"))
-      java.nio.file.Files.write(out.resolve("robots-00000.warc.gz"),
-        Warc.gzipPerRecord(Warc.encodeRecords(records)))
+        (k % 4) -> rec
+      } :+ (2 -> capture("https://h2.example.org/blog/robots.txt", 200, "OK",
+        s"User-agent: *\nDisallow: /\n\nUser-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8")))
+      records.groupBy(_._1).foreach { case (shard, recs) =>
+        java.nio.file.Files.write(out.resolve(f"robots-$shard%05d.warc.gz"),
+          Warc.gzipPerRecord(Warc.encodeRecords(recs.map(_._2))))
+      }
       out.toString
     })
 }

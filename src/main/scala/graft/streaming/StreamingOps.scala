@@ -627,6 +627,38 @@ object StreamingOps {
       .orderBy(col("doc_id"), col("status"))
   }
 
+  /** `src_stream_robots` — the 20th real streaming execution: the
+    * COMPLIANCE plane at ingestion time, completing the crawl
+    * family's batch/stream symmetry (documents, point lookups,
+    * metadata, and now the rules). Robots captures arrive as a
+    * binaryFile readStream over the staged four-shard lake
+    * (`maxFilesPerTrigger=2` → real multiple micro-batches) and each
+    * micro-batch parses map-side through the batch ingest's OWN walk
+    * ([[graft.sources.Robots.robotsRowsFromShardBytes]] — envelope
+    * decode, §2.3.1 status routing, host-key normalization and the
+    * RFC grammar shared, so the deployments cannot diverge).
+    * Stateless Append — no watermark state; a live crawler's
+    * directive table accretes exactly this way, one robots fetch at
+    * a time. Oracle shared verbatim with `src_warc_robots`. */
+  def robotsViaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = graft.sources.Robots.robotsLakeDir(s, dir)
+    val prevInf = s.conf.getAll.get("spark.sql.streaming.schemaInference")
+    s.conf.set("spark.sql.streaming.schemaInference", "true")
+    val shards = try
+      s.readStream.format("binaryFile")
+        .option("maxFilesPerTrigger", "2")
+        .load(lake)
+    finally prevInf match {
+      case Some(v) => s.conf.set("spark.sql.streaming.schemaInference", v)
+      case None    => s.conf.unset("spark.sql.streaming.schemaInference")
+    }
+    val rules = graft.sources.Robots.robotsRowsFromShardBytes(
+      shards.select(col("content")).as[Array[Byte]])
+    runToMemory(rules, "src_stream_robots_q", OutputMode.Append)
+      .orderBy(col("host"), col("user_agent"), col("directive"), col("value"))
+  }
+
   private val fetchReqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val fetchStreamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -876,6 +876,24 @@ class SourcesSpec extends SparkSpec {
     assert(!sp.contains("Exchange"), s"the WAT micro-batch must not shuffle:\n$sp")
   }
 
+  test("src_stream_robots: the streamed directive ingest reproduces the batch parse across REAL multiple micro-batches") {
+    import graft.sources.Robots
+    val got = graft.streaming.StreamingOps.robotsViaStream(spark, sfDir).collect()
+    assert(graft.streaming.StreamingOps.lastNumBatches >= 2,
+      s"expected multiple micro-batches over the four-shard lake, got ${graft.streaming.StreamingOps.lastNumBatches}")
+    // row-for-row against the batch ingest — the shared walk
+    // (robotsRowsFromShardBytes) plus the shared oracle make
+    // divergence structurally impossible; this pins it executed
+    val batch = Robots.srcWarcRobots(spark, sfDir).collect()
+    assert(got.length == batch.length && got.nonEmpty)
+    got.zip(batch).foreach { case (a, b) => assert(a == b, s"row diverged: $a vs $b") }
+    // the micro-batch plan is MAP-SIDE (the src_stream_warc rule): a
+    // stateless per-shard grammar walk, nothing shuffles per batch
+    val sp = graft.streaming.StreamingOps.lastStreamPlan
+    assert(sp.nonEmpty, "runToMemory captured no plan")
+    assert(!sp.contains("Exchange"), s"the robots micro-batch must not shuffle:\n$sp")
+  }
+
   test("robots.txt: RFC 9309 parse — groups, multi-agent, comments, case, tolerated noise") {
     import graft.sources.Robots
     val body =
