@@ -64,9 +64,11 @@ object Bench {
     if (selected.exists(p => p._1 == "src_warc_html" || p._1 == "src_warc_wat" ||
         p._1 == "pipe_crawl_e2e" || p._1 == "src_stream_wat"))
       graft.sources.Warc.rawLakeDir(spark, sfDir)
-    // the robots lake (r18): same staging discipline
+    // the robots lake (r18; r19 widened to every consumer): same
+    // staging discipline
     if (selected.exists(p => p._1 == "src_warc_robots" || p._1 == "pipe_robots_filter" ||
-        p._1 == "pipe_fetch_schedule"))
+        p._1 == "pipe_fetch_schedule" || p._1 == "pipe_fetch_schedule_sharded" ||
+        p._1 == "src_robots_sitemaps" || p._1 == "src_stream_robots"))
       graft.sources.Robots.robotsLakeDir(spark, sfDir)
     // the persisted cdx artifact: src_warc_serve measures SERVING
     // (pushed-filter artifact read + range reads), so the one-time

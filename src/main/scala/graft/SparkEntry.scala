@@ -863,14 +863,14 @@ object SparkEntry {
           |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
           |FROM documents WHERE doc_id % 10 = 8
           |ORDER BY doc_id, status""".stripMargin
-    // src_warc_robots / src_stream_robots shared closed form: the
-    // fixture's 16 hosts ship id-keyed grammar ARMS (r19 — wildcards,
-    // availability, group-selection traps), so the parsed directive
-    // table rebuilds from range(16) plus the explicit arm rows; host 9
+    // src_warc_robots / src_stream_robots shared CTEs: the fixture's
+    // 16 hosts ship id-keyed grammar ARMS (r19 — wildcards,
+    // availability, group-selection traps), so the directive rows
+    // rebuild from range(16) plus the explicit arm rows; host 9
     // (404) contributes nothing, host 13 (503) only the synthetic
     // complete-disallow, and the decoy capture at a non-robots path
-    // must be ABSENT
-    val robotsDirectivesSql =
+    // must be ABSENT from both forms
+    val robotsDirectivesCtes =
       """WITH hosts AS (SELECT CAST(range AS INTEGER) AS k,
         |    'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host
         |  FROM range(16)),
@@ -911,9 +911,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT host, '*', 'allow', '/doc/11' FROM hosts WHERE k = 11
         |  UNION ALL
-        |  SELECT host, '*', 'crawl-delay', '1' FROM hosts WHERE k = 11)
+        |  SELECT host, '*', 'crawl-delay', '1' FROM hosts WHERE k = 11)""".stripMargin
+    // the batch table: LATEST-CAPTURE-WINS resolution — the planted
+    // older captures (host 4's poison 200, host 11's 503) must have
+    // LOST, so the resolved closed form is exactly the arm grammar
+    val robotsDirectivesSql = robotsDirectivesCtes +
+      """
         |SELECT host, user_agent, directive, value FROM r
         |ORDER BY host, user_agent, directive, value""".stripMargin
+    // the streamed RAW feed: one row per directive per capture with
+    // its WARC-Date — the arm grammar's rows (all dated at the newer
+    // capture instant) PLUS exactly the two planted older captures
+    val streamRobotsSql = robotsDirectivesCtes +
+      """
+        |SELECT host, user_agent, directive, value,
+        |  '2026-01-01T00:00:00Z' AS fetched_at FROM r
+        |UNION ALL SELECT 'https://h4.example.org', 'graftbot', 'disallow', '/',
+        |  '2025-12-01T00:00:00Z'
+        |UNION ALL SELECT 'https://h11.example.org', '*', 'disallow', '/',
+        |  '2025-12-01T00:00:00Z'
+        |ORDER BY host, user_agent, directive, value, fetched_at""".stripMargin
     // shared RFC 9309 fixture verdict (r19 grammar arms): the CASE
     // the compliance filter and both schedule forms build on. The
     // wildcard arms mirror the rules EXACTLY as LIKE patterns
@@ -2549,10 +2566,11 @@ object SparkEntry {
       // (closed form shared with the streamed ingest — see
       // robotsDirectivesSql above)
       "src_warc_robots" -> robotsDirectivesSql,
-      // src_stream_robots: the streamed directive ingest parses
-      // through the batch walk's own body and must accumulate to the
-      // identical closed form
-      "src_stream_robots" -> robotsDirectivesSql,
+      // src_stream_robots: the streamed RAW capture-grain feed —
+      // parses through the batch walk's own body; its closed form is
+      // the resolved table's rows plus exactly the planted older
+      // captures, each stamped with its capture date
+      "src_stream_robots" -> streamRobotsSql,
       // src_robots_sitemaps: file-scoped discovery records of every
       // READABLE robots body (the 404 and 503 hosts contribute none)
       "src_robots_sitemaps" ->

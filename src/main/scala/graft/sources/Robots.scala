@@ -102,43 +102,91 @@ object Robots {
     * elided (§6.2.3), so equivalent authorities produce the SAME join
     * key: `HTTPS://X.ORG:443/robots.txt` → `https://x.org`. The
     * corpus side of [[compliance]] must key hosts under the same
-    * normalization — this function IS the key contract. */
-  def robotsHostKey(uri: String): Option[String] =
-    try {
-      val u = new java.net.URI(uri)
-      if (u.getPath != "/robots.txt" || u.getScheme == null || u.getHost == null) None
-      else {
-        val scheme = u.getScheme.toLowerCase
-        val host = u.getHost.toLowerCase
-        val port = u.getPort match {
-          case 80 if scheme == "http"   => -1
-          case 443 if scheme == "https" => -1
-          case p => p
+    * normalization — this function IS the key contract.
+    *
+    * TOTAL hand parse, deliberately not `java.net.URI`: real
+    * WARC-Target-URI headers routinely carry raw IDN hosts and other
+    * not-quite-RFC-3986 spellings that URI() rejects, and a
+    * compliance plane that DROPS a host's rules on a parse exception
+    * fails open (everything allowed) — the wrong failure direction.
+    * Userinfo is stripped, bracketed IPv6 authorities keep their
+    * brackets, and a malformed port (non-digits, out of range)
+    * rejects the capture rather than mis-keying it. */
+  def robotsHostKey(uri: String): Option[String] = {
+    val SchemeRest = "(?s)^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$".r
+    uri match {
+      case SchemeRest(sch, auth0, path) if path == "/robots.txt" && auth0.nonEmpty =>
+        val scheme = sch.toLowerCase
+        val auth = auth0.substring(auth0.indexOf('@') + 1) // strip userinfo
+        val hostPort: Option[(String, Option[String])] =
+          if (auth.startsWith("[")) {
+            val e = auth.indexOf(']')
+            if (e < 0) None
+            else auth.substring(e + 1) match {
+              case ""                     => Some((auth.substring(0, e + 1), None))
+              case p if p.startsWith(":") => Some((auth.substring(0, e + 1), Some(p.drop(1))))
+              case _                      => None
+            }
+          } else auth.lastIndexOf(':') match {
+            case -1 => Some((auth, None))
+            case i  => Some((auth.substring(0, i), Some(auth.substring(i + 1))))
+          }
+        hostPort.flatMap { case (hostRaw, portRaw) =>
+          val port: Option[Option[Int]] = portRaw match {
+            case None => Some(None)
+            case Some(p) if p.nonEmpty && p.length <= 5 && p.forall(_.isDigit) && p.toInt <= 65535 =>
+              val n = p.toInt
+              if ((scheme == "http" && n == 80) || (scheme == "https" && n == 443)) Some(None)
+              else Some(Some(n))
+            case _ => None // malformed port: reject, don't mis-key
+          }
+          if (hostRaw.isEmpty) None
+          else port.map { po =>
+            val host = hostRaw.toLowerCase
+            po.fold(s"$scheme://$host")(n => s"$scheme://$host:$n")
+          }
         }
-        Some(if (port == -1) s"$scheme://$host" else s"$scheme://$host:$port")
-      }
-    } catch { case _: Exception => None }
-
-  /** Parse every robots capture in a `.warc.gz` lake into the
-    * directive table. A robots capture is a `response` record whose
-    * target URI is a [[robotsHostKey]] location (path EXACTLY
-    * `/robots.txt`). Same envelope decode and two-level totality as
-    * the document ingests. Status routing per §2.3.1: 2xx parses;
-    * 4xx (and unresolvable 3xx) emits nothing — "unavailable" means
-    * no rules, everything allowed; 5xx emits the synthetic
-    * `*`/disallow-`/` row — "unreachable" means assume complete
-    * disallow (§2.3.1.4). */
-  def robotsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
-    import s.implicits._
-    robotsRowsFromShardBytes(
-      s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
+      case _ => None
+    }
   }
 
-  /** The shard-grain directive walk BOTH deployments parse through —
-    * the batch lake scan above and the ingestion-time stream
-    * (`src_stream_robots`, the watRowsFromShardBytes rule): envelope
-    * decode, status routing, host-key normalization and the RFC
-    * grammar all live here once, so the two cannot diverge. */
+  /** Parse every robots capture in a `.warc.gz` lake into the
+    * RESOLVED directive table: raw capture-grain rows
+    * ([[robotsRowsFromShardBytes]]) under LATEST-CAPTURE-WINS. A real
+    * crawl lake holds several robots captures per host across the
+    * crawl window, and merging their directives is wrong in both
+    * directions — a transient 503's synthetic disallow-all would
+    * poison a later healthy fetch, and an earlier healthy fetch
+    * would mask a later 5xx the RFC says must blanket-block. Only
+    * the rows of each host's NEWEST capture (by `WARC-Date`, ISO
+    * 8601 so lexicographic = chronological; captures tied to the
+    * second merge) survive into compliance. One window over the
+    * host-partitioned rules table — per-host rows are that host's
+    * directive count, bounded — then the date columns drop. */
+  def robotsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
+    import s.implicits._
+    val raw = robotsRowsFromShardBytes(
+      s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"host")
+    raw
+      .withColumn("latest", max($"fetched_at").over(w))
+      .filter($"fetched_at" === $"latest")
+      .select($"host", $"user_agent", $"directive", $"value")
+  }
+
+  /** The shard-grain CAPTURE-GRAIN walk both deployments parse
+    * through — the batch lake scan above and the ingestion-time
+    * stream (`src_stream_robots`, the watRowsFromShardBytes rule):
+    * envelope decode, status routing, host-key normalization and the
+    * RFC grammar all live here once, so the two cannot diverge. One
+    * row per directive PER CAPTURE, stamped with the capture's
+    * `WARC-Date` (`fetched_at`; undated captures stamp "" and lose
+    * to any dated one) — the raw feed the stream serves and the
+    * latest-wins resolution above folds. Status routing per §2.3.1:
+    * 2xx parses; 4xx (and unresolvable 3xx, documented) emits
+    * nothing — "unavailable" means no rules, everything allowed; 5xx
+    * emits the synthetic `*`/disallow-`/` row — "unreachable" means
+    * assume complete disallow (§2.3.1.4). */
   private[graft] def robotsRowsFromShardBytes(
       shards: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
     val s = shards.sparkSession
@@ -154,14 +202,15 @@ object Robots {
                 robotsHostKey(r.headers.getOrElse("warc-target-uri", "")) match {
                   case None => Iterator.empty
                   case Some(host) =>
+                    val at = r.headers.getOrElse("warc-date", "")
                     val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
                     if (status >= 500 && status <= 599)
-                      Iterator.single((host, "*", "disallow", "/"))
+                      Iterator.single((host, "*", "disallow", "/", at))
                     else if (status < 200 || status > 299) Iterator.empty
                     else {
                       val cs = Warc.charsetOf(hh.getOrElse("content-type", ""))
                       parseRobots(host, new String(entity, cs)).iterator
-                        .map(d => (d.host, d.userAgent, d.directive, d.value))
+                        .map(d => (d.host, d.userAgent, d.directive, d.value, at))
                     }
                 }
               } catch { case _: Exception => Iterator.empty }
@@ -170,7 +219,7 @@ object Robots {
         } catch { case _: Exception => Vector.empty }
         rows.iterator
       }
-      .toDF("host", "user_agent", "directive", "value")
+      .toDF("host", "user_agent", "directive", "value", "fetched_at")
   }
 
   /** `src_warc_robots`: the directive table, contractually ordered.
@@ -243,17 +292,26 @@ object Robots {
     * and a max_by aggregation keyed (match length, is-allow): no
     * window, no second shuffle beyond the doc_id grouping. Hosts on
     * both sides must share the [[robotsHostKey]] normalization. */
-  def compliance(docs: DataFrame, rules: DataFrame, userAgent: String): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val ua = userAgent.toLowerCase
+  def compliance(docs: DataFrame, rules: DataFrame, userAgent: String): DataFrame =
     // materialize the directive table ONCE (the srcWarcRevisit rule):
     // group selection reads it from three positions (the exact-group
     // probe, the exact side, the star side), and without this each
     // position re-executes the whole robots-lake parse — the dominant
     // cost at crawl scale. PlanSpec pins the zero-rescan shape on the
-    // registry query.
-    val all = rules.localCheckpoint()
+    // registry query. Callers that already materialized the table
+    // (the schedule verbs) use [[complianceOn]] directly, so the
+    // host-proportional rules are never held twice.
+    complianceOn(docs, rules.localCheckpoint(), userAgent)
+
+  /** [[compliance]] over an ALREADY-MATERIALIZED directive table —
+    * `all` must be cheap to read from multiple plan positions (a
+    * localCheckpoint or equivalent), or group selection re-executes
+    * its whole lineage three times. */
+  private[sources] def complianceOn(docs: DataFrame, all: DataFrame,
+                                    userAgent: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ua = userAgent.toLowerCase
     // §2.2.1 probe on the UNFILTERED table: a host whose exact-UA
     // group carries only crawl-delay still selects that group
     val exactHosts = all.filter($"user_agent" === ua).select($"host").distinct()
@@ -274,7 +332,9 @@ object Robots {
       .groupBy($"doc_id", $"host")
       .agg(coalesce(
         max_by($"directive" === "allow",
-          when($"matches", struct(length($"value"), ($"directive" === "allow").cast("int")))),
+          // §2.2.2 ranks by OCTETS, not characters — a non-ASCII rule
+          // octet is longer than its character count shows
+          when($"matches", struct(octet_length($"value"), ($"directive" === "allow").cast("int")))),
         lit(true)).as("allowed"))
   }
 
@@ -334,10 +394,11 @@ object Robots {
     * and the per-host delay table, off ONE materialized parse. */
   private def scheduleInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    // parse once for BOTH consumers (compliance re-checkpoints its
-    // view — a read of this materialization, not a rescan)
+    // parse and materialize ONCE for both consumers — complianceOn
+    // reads this checkpoint directly, so the host-proportional rules
+    // table is never held twice
     val rules = robotsFromWarcFiles(s, robotsLakeDir(s, dir)).localCheckpoint()
-    val allowed = compliance(corpusDocs(s, dir), rules, fixtureUa).filter($"allowed")
+    val allowed = complianceOn(corpusDocs(s, dir), rules, fixtureUa).filter($"allowed")
     (allowed, crawlDelays(rules, fixtureUa))
   }
 
@@ -510,25 +571,29 @@ object Robots {
     * the shape real robots fetches land in), plus the availability
     * and normalization arms: host 9 answers 404, host 13 answers 503,
     * host 5's target URI is uppercase with an explicit default port,
-    * and a 17th DECOY capture sits at a non-robots path with a
-    * poison disallow-all body. The captures spread over FOUR
-    * `.warc.gz` shards (host k rides shard k mod 4, the decoy its
-    * target's shard) so the streaming ingest arrives in real
-    * multiple micro-batches. Test scaffolding under the local-master
-    * guard like every other staged lake; 17 records need no Spark
-    * job to write. */
+    * a DECOY capture sits at a non-robots path with a poison
+    * disallow-all body, and two hosts carry EARLIER second captures
+    * (the latest-capture-wins arms: a dated-older poison 200 on host
+    * 4, a dated-older 503 on host 11 — each must LOSE to its newer
+    * capture or whole host-classes of verdicts flip). The captures
+    * spread over FOUR `.warc.gz` shards (host k rides shard k mod 4,
+    * extras their target's shard) so the streaming ingest arrives in
+    * real multiple micro-batches. Test scaffolding under the
+    * local-master guard like every other staged lake; 19 records
+    * need no Spark job to write. */
   def robotsLakeDir(s: SparkSession, dir: String): String =
     robotsLakeDirs.computeIfAbsent(dir, _ => {
       require(s.sparkContext.isLocal,
         "robotsLakeDir stages fixture files and requires a local master")
       val out = java.nio.file.Files.createTempDirectory("graft-robots-lake")
-      def capture(uri: String, status: Int, reason: String, body: Array[Byte]) = {
+      def capture(uri: String, status: Int, reason: String, body: Array[Byte],
+                  date: String = "2026-01-01T00:00:00Z") = {
         val http = (s"HTTP/1.1 $status $reason\r\nContent-Type: text/plain; charset=utf-8\r\n" +
           s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
         Seq(
           "WARC-Type" -> "response",
           "WARC-Target-URI" -> uri,
-          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Date" -> date,
           "Content-Type" -> "application/http; msgtype=response") -> (http ++ body)
       }
       val records = (0 until 16).map { k =>
@@ -542,7 +607,17 @@ object Robots {
         }
         (k % 4) -> rec
       } :+ (2 -> capture("https://h2.example.org/blog/robots.txt", 200, "OK",
-        s"User-agent: *\nDisallow: /\n\nUser-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8")))
+        s"User-agent: *\nDisallow: /\n\nUser-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"))
+      // the multi-capture arms (latest-capture-wins, both wrong-merge
+      // directions): host 4 has an EARLIER capture whose poison body
+      // disallows everything for graftbot — merged, it would flip
+      // every host-4 verdict; host 11 has an EARLIER 503 whose
+      // synthetic disallow-all would blanket-block the star-only host
+      ) :+ (0 -> capture("https://h4.example.org/robots.txt", 200, "OK",
+        s"User-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"),
+        date = "2025-12-01T00:00:00Z")
+      ) :+ (3 -> capture("https://h11.example.org/robots.txt", 503, "Service Unavailable",
+        "try later\n".getBytes("UTF-8"), date = "2025-12-01T00:00:00Z"))
       records.groupBy(_._1).foreach { case (shard, recs) =>
         java.nio.file.Files.write(out.resolve(f"robots-$shard%05d.warc.gz"),
           Warc.gzipPerRecord(Warc.encodeRecords(recs.map(_._2))))

@@ -637,9 +637,14 @@ object StreamingOps {
     * ([[graft.sources.Robots.robotsRowsFromShardBytes]] — envelope
     * decode, §2.3.1 status routing, host-key normalization and the
     * RFC grammar shared, so the deployments cannot diverge).
-    * Stateless Append — no watermark state; a live crawler's
-    * directive table accretes exactly this way, one robots fetch at
-    * a time. Oracle shared verbatim with `src_warc_robots`. */
+    * Stateless Append — no watermark state; this is the RAW
+    * capture-grain feed (one row per directive per capture, stamped
+    * with its `WARC-Date`): a live crawler's directive log accretes
+    * exactly this way, one robots fetch at a time, and the
+    * latest-capture-wins RESOLUTION is the batch view
+    * (`robotsFromWarcFiles`) layered on top — global state no Append
+    * stream can carry. Own closed-form oracle: the batch table's
+    * rows plus exactly the planted older captures. */
   def robotsViaStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = graft.sources.Robots.robotsLakeDir(s, dir)
@@ -656,7 +661,8 @@ object StreamingOps {
     val rules = graft.sources.Robots.robotsRowsFromShardBytes(
       shards.select(col("content")).as[Array[Byte]])
     runToMemory(rules, "src_stream_robots_q", OutputMode.Append)
-      .orderBy(col("host"), col("user_agent"), col("directive"), col("value"))
+      .orderBy(col("host"), col("user_agent"), col("directive"), col("value"),
+        col("fetched_at"))
   }
 
   private val fetchReqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()

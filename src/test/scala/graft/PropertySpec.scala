@@ -1230,7 +1230,7 @@ class PropertySpec extends SparkSpec {
     // literal, URI separators — the r18 lesson, one layer up: the
     // matcher semantics cross a gate on inputs the fixture grammar
     // doesn't enumerate
-    val octet: Gen[Char] = Gen.oneOf('a', 'b', '3', '7', '/', '.', '?', '%', '_', '$', '\\')
+    val octet: Gen[Char] = Gen.oneOf('a', 'b', '3', '7', '/', '.', '?', '%', '_', '$', '\\', '\u00e9')
     val segGen: Gen[String] = Gen.chooseNum(0, 4)
       .flatMap(n => Gen.listOfN(n, octet)).map(_.mkString)
     val valueGen: Gen[String] = for {

@@ -876,19 +876,33 @@ class SourcesSpec extends SparkSpec {
     assert(!sp.contains("Exchange"), s"the WAT micro-batch must not shuffle:\n$sp")
   }
 
-  test("src_stream_robots: the streamed directive ingest reproduces the batch parse across REAL multiple micro-batches") {
+  test("src_stream_robots: the streamed RAW capture feed reproduces the batch walk across REAL multiple micro-batches; latest-wins is the batch layer") {
     import graft.sources.Robots
     val got = graft.streaming.StreamingOps.robotsViaStream(spark, sfDir).collect()
     assert(graft.streaming.StreamingOps.lastNumBatches >= 2,
       s"expected multiple micro-batches over the four-shard lake, got ${graft.streaming.StreamingOps.lastNumBatches}")
-    // row-for-row against the batch ingest — the shared walk
-    // (robotsRowsFromShardBytes) plus the shared oracle make
-    // divergence structurally impossible; this pins it executed
     val batch = Robots.srcWarcRobots(spark, sfDir).collect()
-    assert(got.length == batch.length && got.nonEmpty)
-    got.zip(batch).foreach { case (a, b) => assert(a == b, s"row diverged: $a vs $b") }
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // the raw feed carries every capture's rows: the resolved table's
+    // rows (all dated at the newer capture instant) plus EXACTLY the
+    // two planted older captures
+    assert(got.length == batch.length + 2, s"raw feed rows: ${got.length} vs batch ${batch.length}")
+    val planted = got.filter(_.getString(4) == "2025-12-01T00:00:00Z")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(planted == Set(
+      ("https://h4.example.org", "graftbot", "disallow", "/"),
+      ("https://h11.example.org", "*", "disallow", "/")),
+      s"the older captures' rows must appear in the raw feed: $planted")
+    val newer = got.filter(_.getString(4) == "2026-01-01T00:00:00Z")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // …and the newer-instant rows are row-for-row the resolved batch
+    // table (shared walk, so divergence is structurally impossible;
+    // this pins it executed)
+    assert(newer.length == batch.length)
+    newer.zip(batch).foreach { case (a, b) => assert(a == b, s"row diverged: $a vs $b") }
     // the micro-batch plan is MAP-SIDE (the src_stream_warc rule): a
-    // stateless per-shard grammar walk, nothing shuffles per batch
+    // stateless per-shard grammar walk, nothing shuffles per batch —
+    // which is exactly WHY latest-wins lives batch-side
     val sp = graft.streaming.StreamingOps.lastStreamPlan
     assert(sp.nonEmpty, "runToMemory captured no plan")
     assert(!sp.contains("Exchange"), s"the robots micro-batch must not shuffle:\n$sp")
@@ -954,6 +968,19 @@ class SourcesSpec extends SparkSpec {
     assert(Robots.robotsHostKey("https://x.org/blog/robots.txt").isEmpty)
     assert(Robots.robotsHostKey("https://x.org/robots.txt/extra").isEmpty)
     assert(Robots.robotsHostKey("not a uri at all ::").isEmpty)
+    // the parse is TOTAL over real-lake spellings java.net.URI
+    // rejects — a compliance plane must not fail open on them (r19)
+    assert(Robots.robotsHostKey("https://B\u00dcCHER.example/robots.txt") ==
+      Some("https://b\u00fccher.example"), "raw IDN hosts must key, not drop")
+    assert(Robots.robotsHostKey("https://user:pw@x.org/robots.txt") ==
+      Some("https://x.org"), "userinfo strips out of the key")
+    assert(Robots.robotsHostKey("http://[2001:DB8::1]:8080/robots.txt") ==
+      Some("http://[2001:db8::1]:8080"))
+    assert(Robots.robotsHostKey("http://[::1]/robots.txt") == Some("http://[::1]"))
+    assert(Robots.robotsHostKey("https://x.org:notaport/robots.txt").isEmpty,
+      "a malformed port rejects rather than mis-keys")
+    assert(Robots.robotsHostKey("https://x.org/robots.txt?crawl=1") ==
+      Some("https://x.org"), "a query string does not change the rules location")
   }
 
   test("robots.txt: rule matching — RFC 9309 §2.2.3 wildcards, end anchor, prefix default") {
@@ -1001,7 +1028,11 @@ class SourcesSpec extends SparkSpec {
       // and the longer wildcard allow outranks the disallow
       ("https://wild.example", "*", "disallow", "/"),
       ("https://wild.example", "bot", "disallow", "/*.php$"),
-      ("https://wild.example", "bot", "allow", "/pub*.php$"))
+      ("https://wild.example", "bot", "allow", "/pub*.php$"),
+      // §2.2.2 ranks by OCTETS: these tie at 3 characters, but the
+      // disallow is 4 UTF-8 octets — it must outrank the allow
+      ("https://uni.example", "bot", "disallow", "/*\u00e9"),
+      ("https://uni.example", "bot", "allow", "/p*"))
       .toDF("host", "user_agent", "directive", "value")
     def docs(rows: (Long, String, String)*) = rows.toDF("doc_id", "host", "path")
     def verdicts(ds: org.apache.spark.sql.DataFrame, ua: String) =
@@ -1019,10 +1050,13 @@ class SourcesSpec extends SparkSpec {
       (20L, "https://wild.example", "/a.php"),        // /*.php$ → blocked
       (21L, "https://wild.example", "/a.php?q=1"),    // $ anchor: no match → allowed
       (22L, "https://wild.example", "/public.php"),   // /pub*.php$ (10) beats /*.php$ (7) → allowed
-      (23L, "https://wild.example", "/a.png")), "bot")// no match → allowed
+      (23L, "https://wild.example", "/a.png"),        // no match → allowed
+      (30L, "https://uni.example", "/p\u00e9"),       // 4-OCTET disallow beats 3-octet allow → blocked
+      (31L, "https://uni.example", "/px")), "bot")    // only the allow matches → allowed
     assert(v == Map(1L -> false, 12L -> true, 123L -> true, 13L -> false,
       2L -> true, 3L -> false, 4L -> true,
-      6L -> true, 20L -> false, 21L -> true, 22L -> true, 23L -> true))
+      6L -> true, 20L -> false, 21L -> true, 22L -> true, 23L -> true,
+      30L -> false, 31L -> true))
     // a UA with no exact group anywhere falls to * everywhere: the
     // h.example `Disallow: /` blocks everything
     val w = verdicts(docs((9L, "https://h.example", "/doc/2")), "otherbot")
@@ -1098,6 +1132,16 @@ class SourcesSpec extends SparkSpec {
       ("*", "disallow", "/"), ("graftbot", "disallow", "/doc/2"),
       ("graftbot", "allow", "/doc/22"), ("graftbot", "crawl-delay", "2")),
       "the decoy must not contribute rows to host 2 either")
+    // latest-capture-wins (r19): both planted OLDER captures lost —
+    // host 4's poison 200 (disallow-all for graftbot) left no trace,
+    // and host 11's 503 synthetic disallow-all did not merge into
+    // the star-only grammar
+    assert(host(4) == Set(("", "sitemap", "https://h4.example.org/sitemap.xml"),
+      ("*", "disallow", "/"), ("graftbot", "disallow", "/doc/4"),
+      ("graftbot", "allow", "/doc/44"), ("graftbot", "crawl-delay", "4")),
+      "the older poison capture must lose to the newer one wholesale")
+    assert(!host(11).contains(("*", "disallow", "/")),
+      "the older 503's synthetic disallow-all must lose to the newer 200")
     val verdicts = Robots.pipeRobotsFilter(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).select($"doc_id").collect().map(_.getLong(0))
     assert(verdicts.length == docs.length)
