@@ -90,6 +90,10 @@ object GraftExtensions {
     "graft_overlap_coeff" -> ((info("graft_overlap_coeff",
       "overlap_coeff(arr, arr) - containment |A∩B|/min(|A|,|B|) over two SORTED long arrays"),
       (es: Seq[Expression]) => OverlapCoeffSorted(es.head, es(1)))),
+    "graft_percent_normalize" -> ((info("graft_percent_normalize",
+      "percent_normalize(str) - RFC 3986 §6.2.2.2 escape normalization (decode unreserved, " +
+        "uppercase retained hex) — the robots-compliance comparison form"),
+      (es: Seq[Expression]) => PercentNormalize(es.head))),
   )
 
   /** Register on an already-built session. */

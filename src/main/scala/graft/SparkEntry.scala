@@ -881,11 +881,24 @@ object SparkEntry {
         |  SELECT host, '*', 'disallow', '/' FROM hosts WHERE k NOT IN (9, 11)
         |  UNION ALL
         |  SELECT host, 'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR)
-        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
+        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,15)
         |  UNION ALL
         |  SELECT host, 'graftbot', 'allow',
         |    '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
-        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,14,15)
+        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,15)
+        |  UNION ALL
+        |  -- percent-encoding arms (r19): host 14's rules are spelled
+        |  -- in unreserved escapes (decode-visible); hosts 10/12/15
+        |  -- carry retention traps (%24 / %2F / %2A must stay encoded)
+        |  SELECT host, 'graftbot', 'disallow', '/doc/%31%34' FROM hosts WHERE k = 14
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'allow', '/doc/%31%34%31%34' FROM hosts WHERE k = 14
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'allow', '/doc/106%24' FROM hosts WHERE k = 10
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'disallow', '/doc%2F140' FROM hosts WHERE k = 12
+        |  UNION ALL
+        |  SELECT host, 'graftbot', 'allow', '/doc/%2A%2A%2A%2A' FROM hosts WHERE k = 15
         |  UNION ALL
         |  SELECT host, 'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR)
         |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,14,15)

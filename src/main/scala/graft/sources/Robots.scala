@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * is treated as unavailable — a static lake cannot follow the
   * redirect chain the RFC asks a live crawler to resolve.
   *
-  * Scope boundary (ledgered in RESULTS.md): matching is on the rule
-  * and path strings AS CAPTURED — the §2.2.2 percent-encoding
-  * normalization (compare on decoded octets except `%2F`) is the
-  * caller's key contract, same as host normalization below.
+  * Percent-encoding (§2.2.2's comparison rule, r19): BOTH sides of
+  * the match pass through
+  * [[graft.functions.UriFunctions.percentNormalize]] — RFC 3986
+  * §6.2.2.2 syntax normalization (decode unreserved-character
+  * escapes, case-normalize the hex of the rest), the safe core of
+  * the canonical form 9309 compares on. `%2F` stays an encoded
+  * slash (the RFC's carve-out), and `%2A`/`%24` stay encoded rather
+  * than fabricating a wildcard or anchor the robots author
+  * explicitly escaped.
   *
   * Scale shape: the rules table is host-proportional (tens of bytes
   * per host — ~10 GB at 10⁸ hosts), so the compliance join shuffles
@@ -250,11 +255,17 @@ object Robots {
   def ruleMatches(path: String, value: String): Boolean =
     if (value.isEmpty) false
     else {
-      val endAnchored = value.endsWith("$")
-      val core = if (endAnchored) value.dropRight(1) else value
+      // §2.2.2 comparison form: both sides percent-normalized by the
+      // SAME kernel the column matcher uses (RFC 3986 §6.2.2.2)
+      def norm(s: String) = graft.functions.UriFunctions
+        .percentNormalize(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      val p = norm(path)
+      val v = norm(value)
+      val endAnchored = v.endsWith("$")
+      val core = if (endAnchored) v.dropRight(1) else v
       val rx = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
         .mkString(".*") + (if (endAnchored) "$" else "")
-      java.util.regex.Pattern.compile(rx).matcher(path).lookingAt()
+      java.util.regex.Pattern.compile(rx).matcher(p).lookingAt()
     }
 
   /** SQL LIKE compilation of an RFC 9309 rule value: LIKE metachars
@@ -319,22 +330,29 @@ object Robots {
     val exact = paths.filter($"user_agent" === ua)
     val star = paths.filter($"user_agent" === "*")
       .join(exactHosts, Seq("host"), "left_anti")
+    // §2.2.2 comparison form: rule values normalize ONCE per rule row
+    // (before the corpus join); paths normalize map-side post-join —
+    // both through the same codegen'd kernel, so the two sides can
+    // never disagree on spelling
     val applicable = exact.unionByName(star)
       .filter(length($"value") > 0) // an empty rule value matches nothing (§2.2.2)
-      .select($"host", $"directive", $"value",
-        ($"value".contains("*") || $"value".endsWith("$")).as("wild"),
-        ruleLikePatternCol($"value").as("pattern"))
+      .withColumn("vnorm", graft.functions.UriFunctions.percentNormalize($"value"))
+      .select($"host", $"directive", $"vnorm",
+        ($"vnorm".contains("*") || $"vnorm".endsWith("$")).as("wild"),
+        ruleLikePatternCol($"vnorm").as("pattern"))
     docs
+      .withColumn("pnorm", graft.functions.UriFunctions.percentNormalize($"path"))
       .join(applicable, Seq("host"), "left")
-      .withColumn("matches", $"value".isNotNull &&
-        when($"wild", like($"path", $"pattern", lit("\\")))
-          .otherwise($"path".startsWith($"value")))
+      .withColumn("matches", $"vnorm".isNotNull &&
+        when($"wild", like($"pnorm", $"pattern", lit("\\")))
+          .otherwise($"pnorm".startsWith($"vnorm")))
       .groupBy($"doc_id", $"host")
       .agg(coalesce(
         max_by($"directive" === "allow",
-          // §2.2.2 ranks by OCTETS, not characters — a non-ASCII rule
-          // octet is longer than its character count shows
-          when($"matches", struct(octet_length($"value"), ($"directive" === "allow").cast("int")))),
+          // §2.2.2 ranks by OCTETS of the canonical form, not
+          // characters — a non-ASCII rule octet is longer than its
+          // character count shows
+          when($"matches", struct(octet_length($"vnorm"), ($"directive" === "allow").cast("int")))),
         lit(true)).as("allowed"))
   }
 
@@ -473,12 +491,13 @@ object Robots {
     * DECIDES verdicts somewhere in the corpus (nothing ships
     * oracle-invisible — the r17/r18 extractor lesson, applied here):
     *
-    *  - base hosts (0,1,2,4,5,8,10,12,14,15): a `*` group disallowing
-    *    everything (group selection must NOT fall through to it), and
-    *    a graftbot group whose `/doc/k` vs `/doc/kk` pair exercises
-    *    literal longest-match, plus `crawl-delay: k%5` and tolerated
-    *    noise (comments, sitemap, mixed case); host 12 ships TWO
-    *    crawl-delay lines (1 then 2) — the dedup-to-max arm;
+    *  - base hosts (0,1,2,4,5,8 — and 10/12/14/15 modulo the arms
+    *    below): a `*` group disallowing everything (group selection
+    *    must NOT fall through to it), and a graftbot group whose
+    *    `/doc/k` vs `/doc/kk` pair exercises literal longest-match,
+    *    plus `crawl-delay: k%5` and tolerated noise (comments,
+    *    sitemap, mixed case); host 12 ships TWO crawl-delay lines
+    *    (1 then 2) — the dedup-to-max arm;
     *  - host 3: wildcard rules (§2.2.3 both specials) — a disallow of
     *    `*3$`-suffixed doc paths vs the one-octet-longer allow
     *    `1*3$`, so wildcard-vs-wildcard length ranking decides
@@ -500,6 +519,18 @@ object Robots {
     *    both rules and crawl-delay;
     *  - host 13: the robots fetch 503s — unreachable ⇒ complete
     *    disallow (§2.3.1.4);
+    *  - host 14: the rules are spelled in percent-encoded digits
+    *    (`%31%34` = `14`) — unreserved escapes MUST decode before
+    *    comparison (§2.2.2 / RFC 3986 §6.2.2.2) or every host-14
+    *    verdict flips to allowed;
+    *  - hosts 10/12/15 carry RETENTION traps — extra rules whose
+    *    escapes must NOT decode: `%24` (host 10 — decoding
+    *    fabricates an end anchor that would allow doc 106), `%2F`
+    *    (host 12 — an encoded slash is not a separator; decoding
+    *    would block doc 140) and `%2A` (host 15 — decoding
+    *    fabricates wildcards that would allow docs 15/159); each
+    *    correct form matches NOTHING, so a wrong decode flips
+    *    specific verdicts;
     *  - plus a DECOY capture at `https://h2.example.org/blog/robots.txt`
     *    whose body disallows everything — not a robots location
     *    (path ≠ `/robots.txt`), must parse to NOTHING. */
@@ -541,15 +572,45 @@ object Robots {
            |Allow: /doc/11
            |Crawl-Delay: 1
            |""".stripMargin
+      case 10 =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Disallow: /doc/10
+           |Allow: /doc/1010
+           |Allow: /doc/106%24
+           |Crawl-Delay: 0
+           |""".stripMargin
       case 12 =>
         s"""User-Agent: *
            |Disallow: /
            |
            |User-Agent: $fixtureUa
            |Disallow: /doc/12
+           |Disallow: /doc%2F140
            |Allow: /doc/1212
            |Crawl-Delay: 1
            |Crawl-Delay: 2
+           |""".stripMargin
+      case 14 =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Disallow: /doc/%31%34
+           |Allow: /doc/%31%34%31%34
+           |Crawl-Delay: 4
+           |""".stripMargin
+      case 15 =>
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: $fixtureUa
+           |Disallow: /doc/15
+           |Allow: /doc/1515
+           |Allow: /doc/%2A%2A%2A%2A
+           |Crawl-Delay: 0
            |""".stripMargin
       case _ =>
         s"""User-Agent: *

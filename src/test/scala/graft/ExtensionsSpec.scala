@@ -95,6 +95,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](1).length == 1) // shorter-than-k → one shingle
   }
 
+  test("percent normalization callable from plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_percent_normalize('/doc/%31%34%2f%2A%zz%C3%a9') AS n").collect().head
+    assert(r.getString(0) == "/doc/14%2F%2A%zz%C3%A9")
+  }
+
   test("register() exposes exactly the builders map, all resolvable") {
     GraftExtensions.register(spark)
     val registered = spark.sessionState.functionRegistry.listFunction()

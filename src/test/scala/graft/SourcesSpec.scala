@@ -1008,6 +1008,17 @@ class SourcesSpec extends SparkSpec {
     assert(!ruleMatches("/fxo/x", "/f.o"))
     // the empty rule matches nothing
     assert(!ruleMatches("/anything", ""))
+    // §2.2.2 percent-normalization (r19): unreserved escapes decode
+    // on BOTH sides; reserved escapes stay, case-normalized; invalid
+    // and multibyte escapes are literal
+    assert(ruleMatches("/doc/14", "/doc/%31%34"))
+    assert(ruleMatches("/doc/%31%34", "/doc/14"))
+    assert(ruleMatches("/a%2Fb/x", "/a%2fb"))
+    assert(!ruleMatches("/doc/140", "/doc%2F140"), "an encoded slash is not a separator")
+    assert(!ruleMatches("/doc/15", "/doc/%2A%2A%2A%2A"), "%2A must not become a wildcard")
+    assert(!ruleMatches("/doc/106", "/doc/106%24"), "%24 must not become an anchor")
+    assert(ruleMatches("/x%zz/y", "/x%zz"))
+    assert(ruleMatches("/x%C3%A9/y", "/x%c3%a9"))
   }
 
   test("robots.txt: compliance semantics — group selection, longest match, allow tie-break, defaults") {
@@ -1103,7 +1114,7 @@ class SourcesSpec extends SparkSpec {
   test("src_warc_robots + pipe_robots_filter: the staged lake parses to the id-keyed grammar arms and the fixture verdicts match the arithmetic") {
     import graft.sources.Robots
     val rules = Robots.srcWarcRobots(spark, sfDir).collect()
-    assert(rules.length == 69, s"the arm grammar parses to 69 directives, got ${rules.length}")
+    assert(rules.length == 72, s"the arm grammar parses to 72 directives, got ${rules.length}")
     def host(k: Int) = rules.filter(_.getString(0) == s"https://h$k.example.org")
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
     // availability arms: the 404 host contributes NOTHING; the 503
@@ -1142,6 +1153,14 @@ class SourcesSpec extends SparkSpec {
       "the older poison capture must lose to the newer one wholesale")
     assert(!host(11).contains(("*", "disallow", "/")),
       "the older 503's synthetic disallow-all must lose to the newer 200")
+    // percent-encoding arms (r19): the rules parse AS WRITTEN (the
+    // normalization is evaluation-side, so the directive table shows
+    // the spellings the robots author used)
+    assert(host(14).contains(("graftbot", "disallow", "/doc/%31%34")) &&
+      host(14).contains(("graftbot", "allow", "/doc/%31%34%31%34")))
+    assert(host(12).contains(("graftbot", "disallow", "/doc%2F140")))
+    assert(host(10).contains(("graftbot", "allow", "/doc/106%24")))
+    assert(host(15).contains(("graftbot", "allow", "/doc/%2A%2A%2A%2A")))
     val verdicts = Robots.pipeRobotsFilter(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).select($"doc_id").collect().map(_.getLong(0))
     assert(verdicts.length == docs.length)
@@ -1165,6 +1184,16 @@ class SourcesSpec extends SparkSpec {
       "host 11's star rules must apply through the fall-through")
     assert(verdicts.filter(_.getLong(0) % 16 == 6).forall(_.getBoolean(2)),
       "the delay-only exact group must select and allow everything")
+    // percent arms decide verdicts: host 14's ENCODED rules must
+    // block its decimal-prefix subset (no decode -> all allowed),
+    // and the retention traps must leave their targets on the base
+    // closed form (%2F decode would block 140; %2A would allow
+    // 15/159; %24 would allow 106)
+    assert(verdicts.exists(r => r.getLong(0) % 16 == 14 && !r.getBoolean(2)),
+      "host 14's percent-encoded disallow must block someone")
+    assert(verdicts.filter(r => Set(140L).contains(r.getLong(0))).forall(_.getBoolean(2)))
+    assert(verdicts.filter(r => Set(15L, 159L, 106L).contains(r.getLong(0)))
+      .forall(!_.getBoolean(2)))
   }
 
   test("pipe_fetch_schedule + sharded twin: politeness slots match the closed form; the two forms are row-identical") {
