@@ -933,16 +933,27 @@ object SparkEntry {
         |SELECT host, user_agent, directive, value FROM r
         |ORDER BY host, user_agent, directive, value""".stripMargin
     // the streamed RAW feed: one row per directive per capture with
-    // its WARC-Date — the arm grammar's rows (all dated at the newer
-    // capture instant) PLUS exactly the two planted older captures
+    // its WARC-Date as written — the arm grammar's rows (host 4's
+    // winning capture carries the sub-second instant, everything
+    // else the whole-second one) PLUS exactly the planted losers:
+    // host 4's half-second-older poison, host 11's older 503
+    // synthetic, host 9's older poison, and host 9's newer 404
+    // TOMBSTONE (the unavailability row the batch resolution
+    // consumes and then hides)
     val streamRobotsSql = robotsDirectivesCtes +
       """
         |SELECT host, user_agent, directive, value,
-        |  '2026-01-01T00:00:00Z' AS fetched_at FROM r
+        |  CASE WHEN host = 'https://h4.example.org'
+        |       THEN '2026-01-01T00:00:00.500Z'
+        |       ELSE '2026-01-01T00:00:00Z' END AS fetched_at FROM r
         |UNION ALL SELECT 'https://h4.example.org', 'graftbot', 'disallow', '/',
-        |  '2025-12-01T00:00:00Z'
+        |  '2026-01-01T00:00:00Z'
         |UNION ALL SELECT 'https://h11.example.org', '*', 'disallow', '/',
         |  '2025-12-01T00:00:00Z'
+        |UNION ALL SELECT 'https://h9.example.org', 'graftbot', 'disallow', '/',
+        |  '2025-12-01T00:00:00Z'
+        |UNION ALL SELECT 'https://h9.example.org', '', 'unavailable', '',
+        |  '2026-01-01T00:00:00Z'
         |ORDER BY host, user_agent, directive, value, fetched_at""".stripMargin
     // shared RFC 9309 fixture verdict (r19 grammar arms): the CASE
     // the compliance filter and both schedule forms build on. The

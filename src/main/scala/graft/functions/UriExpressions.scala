@@ -32,8 +32,22 @@ object UriFunctions {
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
       (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
 
-  /** The kernel: one forward pass, StringBuilder sized to the input. */
+  // RFC 3986 HEXDIG is ASCII-only: a fullwidth or Arabic-Indic
+  // "digit" is NOT a valid escape and must stay literal —
+  // Character.digit would accept it
+  private def asciiHex(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private val Percent = UTF8String.fromString("%")
+
+  /** The kernel: identity fast path when no '%' is present (the
+    * overwhelmingly common case for corpus paths — one byte scan, no
+    * allocation), else one forward pass sized to the input. */
   def percentNormalize(s: UTF8String): UTF8String = {
+    if (!s.contains(Percent)) return s
     val str = s.toString
     val n = str.length
     val sb = new java.lang.StringBuilder(n)
@@ -41,8 +55,8 @@ object UriFunctions {
     while (i < n) {
       val c = str.charAt(i)
       if (c == '%' && i + 2 < n) {
-        val hi = Character.digit(str.charAt(i + 1), 16)
-        val lo = Character.digit(str.charAt(i + 2), 16)
+        val hi = asciiHex(str.charAt(i + 1))
+        val lo = asciiHex(str.charAt(i + 2))
         if (hi >= 0 && lo >= 0) {
           val v = hi * 16 + lo
           if (v < 0x80 && unreserved(v.toChar)) sb.append(v.toChar)
@@ -57,6 +71,10 @@ object UriFunctions {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** String convenience of the kernel (host-key path comparison). */
+  def percentNormalize(s: String): String =
+    percentNormalize(UTF8String.fromString(s)).toString
 
   def percentNormalize(c: Column): Column =
     ColumnBridge.column(PercentNormalize(ColumnBridge.expression(c)))

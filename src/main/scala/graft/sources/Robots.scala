@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * host's crawl-delay under the same group selection.
   *
   * Availability semantics (§2.3.1): a 4xx robots response means "no
-  * rules — everything allowed" (the parse emits nothing); a 5xx
+  * rules — everything allowed" (the parse emits a dated TOMBSTONE so
+  * a newer 404 can still WIN latest-capture resolution and erase
+  * older rules — the RFC's robots.txt-was-deleted case); a 5xx
   * response means "unreachable — assume COMPLETE DISALLOW"
   * (§2.3.1.4: the parse emits a synthetic `*`/disallow-`/` row). 3xx
-  * is treated as unavailable — a static lake cannot follow the
-  * redirect chain the RFC asks a live crawler to resolve.
+  * is treated as unavailable the same way — a static lake cannot
+  * follow the redirect chain the RFC asks a live crawler to resolve.
   *
   * Percent-encoding (§2.2.2's comparison rule, r19): BOTH sides of
   * the match pass through
@@ -117,12 +119,23 @@ object Robots {
     * Userinfo is stripped, bracketed IPv6 authorities keep their
     * brackets, and a malformed port (non-digits, out of range)
     * rejects the capture rather than mis-keying it. */
-  def robotsHostKey(uri: String): Option[String] = {
-    val SchemeRest = "(?s)^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$".r
+  // compiled once — robotsHostKey runs per WARC record on the
+  // ingest's dominant parse path
+  private val SchemeRest = "(?s)^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$".r
+
+  private def asciiDigits(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c >= '0' && c <= '9') // URI ports are ASCII DIGIT only
+
+  def robotsHostKey(uri: String): Option[String] =
     uri match {
-      case SchemeRest(sch, auth0, path) if path == "/robots.txt" && auth0.nonEmpty =>
+      // the path compares in the same §6.2.2.2 normal form as rule
+      // matching, so /robots%2Etxt — a spelling java.net.URI accepted
+      // — still keys instead of failing open
+      case SchemeRest(sch, auth0, path) if auth0.nonEmpty &&
+          graft.functions.UriFunctions.percentNormalize(path) == "/robots.txt" =>
         val scheme = sch.toLowerCase
-        val auth = auth0.substring(auth0.indexOf('@') + 1) // strip userinfo
+        // RFC 3986 delimits userinfo at the LAST '@' of the authority
+        val auth = auth0.substring(auth0.lastIndexOf('@') + 1)
         val hostPort: Option[(String, Option[String])] =
           if (auth.startsWith("[")) {
             val e = auth.indexOf(']')
@@ -139,7 +152,7 @@ object Robots {
         hostPort.flatMap { case (hostRaw, portRaw) =>
           val port: Option[Option[Int]] = portRaw match {
             case None => Some(None)
-            case Some(p) if p.nonEmpty && p.length <= 5 && p.forall(_.isDigit) && p.toInt <= 65535 =>
+            case Some(p) if asciiDigits(p) && p.length <= 5 && p.toInt <= 65535 =>
               val n = p.toInt
               if ((scheme == "http" && n == 80) || (scheme == "https" && n == 443)) Some(None)
               else Some(Some(n))
@@ -153,7 +166,6 @@ object Robots {
         }
       case _ => None
     }
-  }
 
   /** Parse every robots capture in a `.warc.gz` lake into the
     * RESOLVED directive table: raw capture-grain rows
@@ -162,20 +174,26 @@ object Robots {
     * crawl window, and merging their directives is wrong in both
     * directions — a transient 503's synthetic disallow-all would
     * poison a later healthy fetch, and an earlier healthy fetch
-    * would mask a later 5xx the RFC says must blanket-block. Only
-    * the rows of each host's NEWEST capture (by `WARC-Date`, ISO
-    * 8601 so lexicographic = chronological; captures tied to the
-    * second merge) survive into compliance. One window over the
-    * host-partitioned rules table — per-host rows are that host's
-    * directive count, bounded — then the date columns drop. */
+    * would mask a later 5xx the RFC says must blanket-block, and a
+    * newer 404 (robots deleted) must erase older rules — which is
+    * why EVERY capture leaves dated rows, unavailability included
+    * (the tombstone). Only the rows of each host's NEWEST capture
+    * (by `fetched_ord`, the PARSED WARC-Date instant — string order
+    * breaks on mixed second/sub-second precision; instant-tied
+    * captures merge; undated captures lose to any dated one) survive
+    * into compliance, and a winning tombstone then resolves to NO
+    * rows — exactly §2.3.1.3's "unavailable ⇒ allowed". One window
+    * over the host-partitioned rules table — per-host rows are that
+    * host's directive count, bounded — then the bookkeeping columns
+    * drop. */
   def robotsFromWarcFiles(s: SparkSession, lake: String): DataFrame = {
     import s.implicits._
     val raw = robotsRowsFromShardBytes(
       s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"host")
     raw
-      .withColumn("latest", max($"fetched_at").over(w))
-      .filter($"fetched_at" === $"latest")
+      .withColumn("latest", max($"fetched_ord").over(w))
+      .filter($"fetched_ord" === $"latest" && $"directive" =!= "unavailable")
       .select($"host", $"user_agent", $"directive", $"value")
   }
 
@@ -185,13 +203,16 @@ object Robots {
     * envelope decode, status routing, host-key normalization and the
     * RFC grammar all live here once, so the two cannot diverge. One
     * row per directive PER CAPTURE, stamped with the capture's
-    * `WARC-Date` (`fetched_at`; undated captures stamp "" and lose
-    * to any dated one) — the raw feed the stream serves and the
-    * latest-wins resolution above folds. Status routing per §2.3.1:
-    * 2xx parses; 4xx (and unresolvable 3xx, documented) emits
-    * nothing — "unavailable" means no rules, everything allowed; 5xx
-    * emits the synthetic `*`/disallow-`/` row — "unreachable" means
-    * assume complete disallow (§2.3.1.4). */
+    * `WARC-Date` (`fetched_at` as written, plus `fetched_ord` — the
+    * parsed instant in epoch micros, -1 for undated/unparseable so
+    * those captures lose to any dated one) — the raw feed the stream
+    * serves and the latest-wins resolution above folds. Status
+    * routing per §2.3.1: 2xx parses; 4xx and unresolvable 3xx emit
+    * ONE dated `unavailable` TOMBSTONE — "no rules, everything
+    * allowed", but the capture must still be able to win resolution
+    * and erase older rules; 5xx emits the synthetic `*`/disallow-`/`
+    * row — "unreachable" means assume complete disallow
+    * (§2.3.1.4). */
   private[graft] def robotsRowsFromShardBytes(
       shards: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
     val s = shards.sparkSession
@@ -208,14 +229,19 @@ object Robots {
                   case None => Iterator.empty
                   case Some(host) =>
                     val at = r.headers.getOrElse("warc-date", "")
+                    val ord = try {
+                      val inst = java.time.Instant.parse(at)
+                      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                    } catch { case _: Exception => -1L }
                     val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
                     if (status >= 500 && status <= 599)
-                      Iterator.single((host, "*", "disallow", "/", at))
-                    else if (status < 200 || status > 299) Iterator.empty
+                      Iterator.single((host, "*", "disallow", "/", at, ord))
+                    else if (status < 200 || status > 299)
+                      Iterator.single((host, "", "unavailable", "", at, ord))
                     else {
                       val cs = Warc.charsetOf(hh.getOrElse("content-type", ""))
                       parseRobots(host, new String(entity, cs)).iterator
-                        .map(d => (d.host, d.userAgent, d.directive, d.value, at))
+                        .map(d => (d.host, d.userAgent, d.directive, d.value, at, ord))
                     }
                 }
               } catch { case _: Exception => Iterator.empty }
@@ -224,7 +250,7 @@ object Robots {
         } catch { case _: Exception => Vector.empty }
         rows.iterator
       }
-      .toDF("host", "user_agent", "directive", "value", "fetched_at")
+      .toDF("host", "user_agent", "directive", "value", "fetched_at", "fetched_ord")
   }
 
   /** `src_warc_robots`: the directive table, contractually ordered.
@@ -633,15 +659,17 @@ object Robots {
     * and normalization arms: host 9 answers 404, host 13 answers 503,
     * host 5's target URI is uppercase with an explicit default port,
     * a DECOY capture sits at a non-robots path with a poison
-    * disallow-all body, and two hosts carry EARLIER second captures
-    * (the latest-capture-wins arms: a dated-older poison 200 on host
-    * 4, a dated-older 503 on host 11 — each must LOSE to its newer
-    * capture or whole host-classes of verdicts flip). The captures
-    * spread over FOUR `.warc.gz` shards (host k rides shard k mod 4,
-    * extras their target's shard) so the streaming ingest arrives in
-    * real multiple micro-batches. Test scaffolding under the
-    * local-master guard like every other staged lake; 19 records
-    * need no Spark job to write. */
+    * disallow-all body, and three hosts carry second captures — the
+    * latest-capture-wins arms: a half-second-older poison 200 on
+    * host 4 (decisive for PARSED-instant ordering: string order
+    * would pick it), a dated-older 503 on host 11, and a dated-older
+    * poison 200 on host 9 that the newer 404's tombstone must erase
+    * — each must LOSE to its newer capture or whole host-classes of
+    * verdicts flip. The captures spread over FOUR `.warc.gz` shards
+    * (host k rides shard k mod 4, extras their target's shard) so
+    * the streaming ingest arrives in real multiple micro-batches.
+    * Test scaffolding under the local-master guard like every other
+    * staged lake; 20 records need no Spark job to write. */
   def robotsLakeDir(s: SparkSession, dir: String): String =
     robotsLakeDirs.computeIfAbsent(dir, _ => {
       require(s.sparkContext.isLocal,
@@ -664,21 +692,34 @@ object Robots {
         val rec = k match {
           case 9  => capture(uri, 404, "Not Found", "no robots here\n".getBytes("UTF-8"))
           case 13 => capture(uri, 503, "Service Unavailable", "try later\n".getBytes("UTF-8"))
+          // host 4's GOOD capture is dated with SUB-SECOND precision:
+          // lexicographically it sorts BELOW its poison sibling's
+          // whole-second instant ('.' < 'Z'), chronologically it is
+          // half a second later — string-ordered resolution picks the
+          // poison and flips every host-4 verdict
+          case 4  => capture(uri, 200, "OK", fixtureRobotsBody(k).getBytes("UTF-8"),
+            date = "2026-01-01T00:00:00.500Z")
           case _  => capture(uri, 200, "OK", fixtureRobotsBody(k).getBytes("UTF-8"))
         }
         (k % 4) -> rec
       } :+ (2 -> capture("https://h2.example.org/blog/robots.txt", 200, "OK",
         s"User-agent: *\nDisallow: /\n\nUser-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"))
-      // the multi-capture arms (latest-capture-wins, both wrong-merge
-      // directions): host 4 has an EARLIER capture whose poison body
-      // disallows everything for graftbot — merged, it would flip
-      // every host-4 verdict; host 11 has an EARLIER 503 whose
-      // synthetic disallow-all would blanket-block the star-only host
+      // the multi-capture arms (latest-capture-wins, every wrong-merge
+      // direction): host 4 has a half-second-OLDER capture whose
+      // poison body disallows everything for graftbot (merged or
+      // string-ordered, it flips every host-4 verdict); host 11 has
+      // an EARLIER 503 whose synthetic disallow-all would
+      // blanket-block the star-only host; host 9 has an EARLIER
+      // poison 200 that its newer 404 TOMBSTONE must erase (§2.3.1.3
+      // — robots.txt deleted between visits)
       ) :+ (0 -> capture("https://h4.example.org/robots.txt", 200, "OK",
         s"User-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"),
-        date = "2025-12-01T00:00:00Z")
+        date = "2026-01-01T00:00:00Z")
       ) :+ (3 -> capture("https://h11.example.org/robots.txt", 503, "Service Unavailable",
-        "try later\n".getBytes("UTF-8"), date = "2025-12-01T00:00:00Z"))
+        "try later\n".getBytes("UTF-8"), date = "2025-12-01T00:00:00Z")
+      ) :+ (1 -> capture("https://h9.example.org/robots.txt", 200, "OK",
+        s"User-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"),
+        date = "2025-12-01T00:00:00Z"))
       records.groupBy(_._1).foreach { case (shard, recs) =>
         java.nio.file.Files.write(out.resolve(f"robots-$shard%05d.warc.gz"),
           Warc.gzipPerRecord(Warc.encodeRecords(recs.map(_._2))))

@@ -660,6 +660,7 @@ object StreamingOps {
     }
     val rules = graft.sources.Robots.robotsRowsFromShardBytes(
       shards.select(col("content")).as[Array[Byte]])
+      .drop("fetched_ord") // resolution bookkeeping; the feed shows the date as written
     runToMemory(rules, "src_stream_robots_q", OutputMode.Append)
       .orderBy(col("host"), col("user_agent"), col("directive"), col("value"),
         col("fetched_at"))

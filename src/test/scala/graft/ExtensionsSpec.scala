@@ -100,6 +100,11 @@ class ExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT graft_percent_normalize('/doc/%31%34%2f%2A%zz%C3%a9') AS n").collect().head
     assert(r.getString(0) == "/doc/14%2F%2A%zz%C3%A9")
+    // RFC 3986 HEXDIG is ASCII-only: fullwidth digits are NOT a valid
+    // escape and must stay literal (Character.digit would decode them)
+    val fw = spark.sql("SELECT graft_percent_normalize('/doc/%\uFF13\uFF11') AS n")
+      .collect().head.getString(0)
+    assert(fw == "/doc/%\uFF13\uFF11")
   }
 
   test("register() exposes exactly the builders map, all resolvable") {

@@ -883,23 +883,33 @@ class SourcesSpec extends SparkSpec {
       s"expected multiple micro-batches over the four-shard lake, got ${graft.streaming.StreamingOps.lastNumBatches}")
     val batch = Robots.srcWarcRobots(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    // the raw feed carries every capture's rows: the resolved table's
-    // rows (all dated at the newer capture instant) plus EXACTLY the
-    // two planted older captures
-    assert(got.length == batch.length + 2, s"raw feed rows: ${got.length} vs batch ${batch.length}")
-    val planted = got.filter(_.getString(4) == "2025-12-01T00:00:00Z")
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
-    assert(planted == Set(
-      ("https://h4.example.org", "graftbot", "disallow", "/"),
-      ("https://h11.example.org", "*", "disallow", "/")),
-      s"the older captures' rows must appear in the raw feed: $planted")
-    val newer = got.filter(_.getString(4) == "2026-01-01T00:00:00Z")
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    // …and the newer-instant rows are row-for-row the resolved batch
-    // table (shared walk, so divergence is structurally impossible;
-    // this pins it executed)
-    assert(newer.length == batch.length)
-    newer.zip(batch).foreach { case (a, b) => assert(a == b, s"row diverged: $a vs $b") }
+    // the raw feed carries every capture's rows: the resolved
+    // winners PLUS exactly the planted losers — host 4's
+    // half-second-older poison, host 11's older 503 synthetic, host
+    // 9's older poison, and host 9's newer 404 TOMBSTONE (the
+    // unavailability row the batch resolution consumes, then hides)
+    val extras = Set(
+      ("https://h4.example.org", "graftbot", "disallow", "/", "2026-01-01T00:00:00Z"),
+      ("https://h11.example.org", "*", "disallow", "/", "2025-12-01T00:00:00Z"),
+      ("https://h9.example.org", "graftbot", "disallow", "/", "2025-12-01T00:00:00Z"),
+      ("https://h9.example.org", "", "unavailable", "", "2026-01-01T00:00:00Z"))
+    val tuples = got.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(tuples.length == batch.length + 4,
+      s"raw feed rows: ${tuples.length} vs batch ${batch.length}")
+    assert(tuples.filter(extras.contains).toSet == extras,
+      "every planted loser (and the tombstone) must appear in the raw feed")
+    // …and the winner rows are row-for-row the resolved batch table
+    // (shared walk, so divergence is structurally impossible; this
+    // pins it executed) — host 4's winners carrying the sub-second
+    // instant that PARSED-date resolution must rank above the
+    // poison's whole-second one (string order would not)
+    val winners = tuples.filterNot(extras.contains)
+    assert(winners.length == batch.length)
+    winners.map(x => (x._1, x._2, x._3, x._4)).zip(batch)
+      .foreach { case (a, b) => assert(a == b, s"row diverged: $a vs $b") }
+    assert(winners.filter(_._1 == "https://h4.example.org")
+      .forall(_._5 == "2026-01-01T00:00:00.500Z"))
     // the micro-batch plan is MAP-SIDE (the src_stream_warc rule): a
     // stateless per-shard grammar walk, nothing shuffles per batch —
     // which is exactly WHY latest-wins lives batch-side
@@ -981,6 +991,13 @@ class SourcesSpec extends SparkSpec {
       "a malformed port rejects rather than mis-keys")
     assert(Robots.robotsHostKey("https://x.org/robots.txt?crawl=1") ==
       Some("https://x.org"), "a query string does not change the rules location")
+    // r19 review closes: the path compares percent-normalized (an
+    // escaped-dot spelling still keys), userinfo splits at the LAST
+    // '@', and a non-ASCII "digit" port is malformed, not 80
+    assert(Robots.robotsHostKey("https://x.org/robots%2Etxt") == Some("https://x.org"))
+    assert(Robots.robotsHostKey("https://user@mail.com@x.org/robots.txt") ==
+      Some("https://x.org"))
+    assert(Robots.robotsHostKey("https://x.org:\u0668\u0660/robots.txt").isEmpty)
   }
 
   test("robots.txt: rule matching — RFC 9309 §2.2.3 wildcards, end anchor, prefix default") {
@@ -1119,7 +1136,9 @@ class SourcesSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
     // availability arms: the 404 host contributes NOTHING; the 503
     // host ONLY the synthetic complete-disallow (RFC 9309 §2.3.1.4)
-    assert(host(9).isEmpty, "a 404 robots means no rules at all")
+    assert(host(9).isEmpty,
+      "a 404 robots means no rules at all — including the OLDER poison capture its " +
+        "tombstone must erase, and the tombstone itself must not surface")
     assert(host(13) == Set(("*", "disallow", "/")),
       "a 503 robots must surface as the synthetic disallow-all")
     // normalization arm: host 5's capture URI is uppercase with an
