@@ -115,7 +115,10 @@ object Probe {
         // r19: the bucket-sharded frontier twin — its two bounded
         // windows and the counts join-back must show, not a
         // single-host sort
-        "pipe_fetch_schedule_sharded")
+        "pipe_fetch_schedule_sharded",
+        // r19: the governance rollup — one corpus aggregation plus
+        // two small joins, no window
+        "pipe_robots_audit")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")

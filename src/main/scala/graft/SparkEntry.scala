@@ -470,6 +470,11 @@ object SparkEntry {
     // form allowlists, made executable instead of argued
     "pipe_fetch_schedule_sharded" -> ((s, dir) =>
       graft.sources.Robots.pipeFetchScheduleSharded(s, dir)),
+    // the compliance plane's governance rollup (r19): per-host
+    // fetchability, politeness cost, and allowed-by-rule vs
+    // allowed-by-absence
+    "pipe_robots_audit" -> ((s, dir) =>
+      graft.sources.Robots.pipeRobotsAudit(s, dir)),
     // baseline JPEG (r14): block-constant grayscale fixtures through
     // the real ITU-T T.81 encoder+decoder — Huffman entropy coding,
     // DC prediction, MCU interleave, 4:2:0 subsampling and restart
@@ -2626,6 +2631,23 @@ object SparkEntry {
       // pipe_fetch_schedule_sharded: the bucket-sharded twin must
       // reproduce the window form EXACTLY — same oracle
       "pipe_fetch_schedule_sharded" -> fetchScheduleSql,
+      // pipe_robots_audit: the verdict CASE aggregated per host —
+      // host 9 has no rules (404 tombstone resolves to absence) and
+      // no delay; host 13's synthetic disallow-all carries no delay
+      // either
+      "pipe_robots_audit" -> robotsVerdictSql(
+        """WITH v AS (
+          |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS k,
+          |    ALLOWED AS allowed
+          |  FROM documents)
+          |SELECT 'https://h' || CAST(k AS VARCHAR) || '.example.org' AS host,
+          |  COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+          |  CAST(COUNT(*) - SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_blocked,
+          |  CAST(CASE WHEN k IN (9, 13) THEN 0 ELSE k % 5 END AS BIGINT) AS crawl_delay,
+          |  k <> 9 AS has_robots
+          |FROM v GROUP BY k ORDER BY host""".stripMargin),
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc
       "src_warc_serve" ->

@@ -510,6 +510,35 @@ object Robots {
       .orderBy($"doc_id")
   }
 
+  /** `pipe_robots_audit`: the compliance plane's GOVERNANCE rollup —
+    * what a pipeline operator actually reads before a crawl window:
+    * per host, how much of the corpus is fetchable (n_docs /
+    * n_allowed / n_blocked), at what politeness cost (crawl_delay),
+    * and whether the verdicts rest on rules at all (has_robots —
+    * false means "allowed by ABSENCE", a different trust level than
+    * "allowed by rule"). Pure composition of the tested parts: one
+    * compliance pass aggregated per host, the delay table, and a
+    * distinct-host probe of the resolved rules — the directive parse
+    * runs ONCE (the scheduleInputs checkpoint discipline). Full
+    * oracle: the verdict CASE aggregated closed-form per host. */
+  def pipeRobotsAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = robotsFromWarcFiles(s, robotsLakeDir(s, dir)).localCheckpoint()
+    val verdicts = complianceOn(corpusDocs(s, dir), rules, fixtureUa)
+    val hasRules = rules.select($"host").distinct().withColumn("has_robots", lit(true))
+    verdicts
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"))
+      .join(crawlDelays(rules, fixtureUa), Seq("host"), "left")
+      .join(hasRules, Seq("host"), "left")
+      .select($"host", $"n_docs", $"n_allowed",
+        ($"n_docs" - $"n_allowed").as("n_blocked"),
+        coalesce($"delay", lit(0L)).as("crawl_delay"),
+        coalesce($"has_robots", lit(false)).as("has_robots"))
+      .orderBy($"host")
+  }
+
   /** The fixture crawler's user-agent token. */
   val fixtureUa = "graftbot"
 

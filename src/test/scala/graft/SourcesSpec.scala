@@ -1252,6 +1252,32 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("pipe_robots_audit: the per-host governance rollup matches the closed form") {
+    import graft.sources.Robots
+    val rows = Robots.pipeRobotsAudit(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select($"doc_id").collect().map(_.getLong(0))
+    assert(rows.length == 16, "every fixture host appears exactly once")
+    rows.foreach { r =>
+      val host = r.getString(0)
+      val k = host.stripPrefix("https://h").stripSuffix(".example.org").toLong
+      val hostDocs = docs.filter(_ % 16 == k)
+      val allowed = hostDocs.count(robotsFixtureAllowed)
+      assert(r.getLong(1) == hostDocs.length, s"n_docs for h$k")
+      assert(r.getLong(2) == allowed, s"n_allowed for h$k")
+      assert(r.getLong(3) == hostDocs.length - allowed, s"n_blocked for h$k")
+      // host 13's synthetic disallow-all carries no delay; host 9 has
+      // no rules at all (allowed by ABSENCE — has_robots false)
+      val delay = if (k == 13) 0L else robotsFixtureDelay(k)
+      assert(r.getLong(4) == delay, s"crawl_delay for h$k")
+      assert(r.getBoolean(5) == (k != 9), s"has_robots for h$k")
+    }
+    // the rollup's trust distinction is live in the fixture: an
+    // allowed-by-absence host (9), a fully-blocked host (13), and
+    // rule-governed hosts with both verdicts
+    assert(rows.exists(r => !r.getBoolean(5) && r.getLong(3) == 0))
+    assert(rows.exists(r => r.getBoolean(5) && r.getLong(2) == 0))
+  }
+
   test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
     import graft.sources.Warc
     val got = Warc.srcWarcServe(spark, sfDir).collect()
