@@ -885,11 +885,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT host, '*', 'disallow', '/' FROM hosts WHERE k NOT IN (9, 11)
         |  UNION ALL
-        |  SELECT host, 'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR)
+        |  -- host 4's group is NAMED 'GraftBot/1.2' (the §2.2.1
+        |  -- product-token arm); the parse lowercases line values, so its
+        |  -- directive rows carry the versioned token verbatim
+        |  SELECT host, CASE WHEN k = 4 THEN 'graftbot/1.2' ELSE 'graftbot' END,
+        |    'disallow', '/doc/' || CAST(k AS VARCHAR)
         |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,15)
         |  UNION ALL
-        |  SELECT host, 'graftbot', 'allow',
-        |    '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
+        |  SELECT host, CASE WHEN k = 4 THEN 'graftbot/1.2' ELSE 'graftbot' END,
+        |    'allow', '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
         |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,15)
         |  UNION ALL
         |  -- percent-encoding arms (r19): host 14's rules are spelled
@@ -905,7 +909,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT host, 'graftbot', 'allow', '/doc/%2A%2A%2A%2A' FROM hosts WHERE k = 15
         |  UNION ALL
-        |  SELECT host, 'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR)
+        |  SELECT host, CASE WHEN k = 4 THEN 'graftbot/1.2' ELSE 'graftbot' END,
+        |    'crawl-delay', CAST(k % 5 AS VARCHAR)
         |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,14,15)
         |  UNION ALL
         |  SELECT host, 'graftbot', 'crawl-delay', d

@@ -81,12 +81,16 @@ object Robots {
       if (line.nonEmpty) {
         val colon = line.indexOf(':')
         if (colon > 0) {
-          val field = line.substring(0, colon).trim.toLowerCase
+          // Locale.ROOT throughout the plane: locale-default lowering
+          // would key 'I' to dotless ı on a Turkish-locale JVM and
+          // silently drop a host's rules — failing OPEN (r19 advice)
+          val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(colon + 1).trim
           field match {
             case "user-agent" =>
-              if (accumulating) agents :+= value.toLowerCase
-              else { agents = Vector(value.toLowerCase); accumulating = true }
+              val v = value.toLowerCase(java.util.Locale.ROOT)
+              if (accumulating) agents :+= v
+              else { agents = Vector(v); accumulating = true }
             case "allow" | "disallow" | "crawl-delay" =>
               accumulating = false
               agents.foreach(a => out += RobotsDirective(host, a, field, value))
@@ -133,7 +137,7 @@ object Robots {
       // — still keys instead of failing open
       case SchemeRest(sch, auth0, path) if auth0.nonEmpty &&
           graft.functions.UriFunctions.percentNormalize(path) == "/robots.txt" =>
-        val scheme = sch.toLowerCase
+        val scheme = sch.toLowerCase(java.util.Locale.ROOT)
         // RFC 3986 delimits userinfo at the LAST '@' of the authority
         val auth = auth0.substring(auth0.lastIndexOf('@') + 1)
         val hostPort: Option[(String, Option[String])] =
@@ -160,7 +164,7 @@ object Robots {
           }
           if (hostRaw.isEmpty) None
           else port.map { po =>
-            val host = hostRaw.toLowerCase
+            val host = hostRaw.toLowerCase(java.util.Locale.ROOT)
             po.fold(s"$scheme://$host")(n => s"$scheme://$host:$n")
           }
         }
@@ -270,6 +274,25 @@ object Robots {
       .select(col("host"), col("value").as("sitemap"))
       .orderBy(col("host"), col("sitemap"))
 
+  /** Group selection compares PRODUCT TOKENS, case-insensitively
+    * (RFC 9309 §2.2.1): a wild robots line like
+    * `User-agent: GraftBot/1.2` names the same group as `graftbot` —
+    * the version tail after the first `/` is not part of the token
+    * (the RFC's token grammar has no `/`; the spelling is common
+    * anyway, and exact-string matching would silently fall such a
+    * group through to `*`). Applied to BOTH sides: the stored line
+    * value (already lowercased by the parse) and the crawler's own
+    * configured agent string. */
+  def uaToken(userAgent: String): String = {
+    val lower = userAgent.toLowerCase(java.util.Locale.ROOT)
+    val slash = lower.indexOf('/')
+    if (slash >= 0) lower.substring(0, slash) else lower
+  }
+
+  /** Column twin of [[uaToken]] for the stored (already-lowercased)
+    * directive-table values. */
+  private def uaTokenCol(ua: Column): Column = substring_index(ua, "/", 1)
+
   /** Does `path` match an RFC 9309 rule `value` (§2.2.2-2.2.3)? A
     * rule is a PREFIX pattern over the path: literal octets must
     * appear in order from the path's start, `*` matches any octet
@@ -289,9 +312,16 @@ object Robots {
       val v = norm(value)
       val endAnchored = v.endsWith("$")
       val core = if (endAnchored) v.dropRight(1) else v
+      // DOTALL so '*' spans ANY octet sequence — including a raw
+      // newline in a malformed crawl path — exactly as the column
+      // matcher's LIKE '%' does; and \z (true end-of-input), not
+      // regex '$', which would also match before a final newline.
+      // Without both, the twins disagree on newline-carrying paths
+      // (r19 advice).
       val rx = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
-        .mkString(".*") + (if (endAnchored) "$" else "")
-      java.util.regex.Pattern.compile(rx).matcher(p).lookingAt()
+        .mkString(".*") + (if (endAnchored) "\\z" else "")
+      java.util.regex.Pattern.compile(rx, java.util.regex.Pattern.DOTALL)
+        .matcher(p).lookingAt()
     }
 
   /** SQL LIKE compilation of an RFC 9309 rule value: LIKE metachars
@@ -348,12 +378,12 @@ object Robots {
                                     userAgent: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val ua = userAgent.toLowerCase
+    val ua = uaToken(userAgent)
     // §2.2.1 probe on the UNFILTERED table: a host whose exact-UA
     // group carries only crawl-delay still selects that group
-    val exactHosts = all.filter($"user_agent" === ua).select($"host").distinct()
+    val exactHosts = all.filter(uaTokenCol($"user_agent") === ua).select($"host").distinct()
     val paths = all.filter($"directive".isin("allow", "disallow"))
-    val exact = paths.filter($"user_agent" === ua)
+    val exact = paths.filter(uaTokenCol($"user_agent") === ua)
     val star = paths.filter($"user_agent" === "*")
       .join(exactHosts, Seq("host"), "left_anti")
     // §2.2.2 comparison form: rule values normalize ONCE per rule row
@@ -394,10 +424,10 @@ object Robots {
   def crawlDelays(rules: DataFrame, userAgent: String): DataFrame = {
     val s = rules.sparkSession
     import s.implicits._
-    val ua = userAgent.toLowerCase
-    val exactHosts = rules.filter($"user_agent" === ua).select($"host").distinct()
+    val ua = uaToken(userAgent)
+    val exactHosts = rules.filter(uaTokenCol($"user_agent") === ua).select($"host").distinct()
     val d = rules.filter($"directive" === "crawl-delay")
-    val exact = d.filter($"user_agent" === ua)
+    val exact = d.filter(uaTokenCol($"user_agent") === ua)
     val star = d.filter($"user_agent" === "*")
       .join(exactHosts, Seq("host"), "left_anti")
     exact.unionByName(star)
@@ -558,6 +588,10 @@ object Robots {
     *    `1*3$`, so wildcard-vs-wildcard length ranking decides
     *    doc 163 (the rule literals are in the body below — Scala
     *    block comments nest, so a slash-star can't sit here);
+    *  - host 4: grammar as base, but the graftbot group is NAMED
+    *    `GraftBot/1.2` — the §2.2.1 product-token arm: group
+    *    selection must match the token case-insensitively and ignore
+    *    the version tail, or host 4 falls through to `*` disallow-all;
     *  - host 5: grammar as base, but the capture URI is
     *    `HTTPS://H5.EXAMPLE.ORG:443/robots.txt` — the host-key
     *    normalization arm;
@@ -604,6 +638,19 @@ object Robots {
            |Disallow: /doc/*3$$
            |Allow: /doc/1*3$$
            |Crawl-Delay: 3
+           |""".stripMargin
+      case 4 =>
+        // the §2.2.1 product-token arm: the group is named with a
+        // versioned, mixed-case spelling — token matching must still
+        // select it (exact-string matching would fall host 4 through
+        // to the `*` disallow-all and flip every host-4 verdict)
+        s"""User-Agent: *
+           |Disallow: /
+           |
+           |User-Agent: GraftBot/1.2
+           |Disallow: /doc/4
+           |Allow: /doc/44
+           |Crawl-Delay: 4
            |""".stripMargin
       case 6 =>
         s"""User-Agent: *

@@ -572,24 +572,30 @@ object StreamingOps {
     * simulated — and the accumulated documents share `src_warc`'s
     * closed-form oracle end-to-end (scan → gunzip → parse must
     * reproduce `documents` exactly, now continuously). */
+  /** A binaryFile file-source stream over a lake directory with the
+    * format's FIXED schema passed explicitly — the format derives its
+    * schema from nothing in the data, so spelling it out beats the
+    * session-global `schemaInference` toggle the r18 code used (a
+    * concurrently-defined stream could observe the mutated conf — r19
+    * advice). `maxFilesPerTrigger=2` forces real multiple
+    * micro-batches over every staged multi-shard lake. */
+  private def binaryFileStream(s: SparkSession, lake: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    s.readStream.format("binaryFile").schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .load(lake)
+  }
+
   def warcIngestViaStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = graft.sources.Warc.wetLakeDir(s, dir)
-    // binaryFile's schema is fixed by the format; the streaming
-    // reader obtains it via inference (scoped set/restore — the
-    // format rejects user-specified schemas)
-    val prevInf = s.conf.getAll.get("spark.sql.streaming.schemaInference")
-    s.conf.set("spark.sql.streaming.schemaInference", "true")
-    val shards = try
-      s.readStream.format("binaryFile")
-        .option("maxFilesPerTrigger", "2")
-        .load(lake)
-    finally prevInf match {
-      case Some(v) => s.conf.set("spark.sql.streaming.schemaInference", v)
-      case None    => s.conf.unset("spark.sql.streaming.schemaInference")
-    }
     val docs = graft.sources.Warc.docRowsFromShardBytes(
-      shards.select(col("content")).as[Array[Byte]])
+      binaryFileStream(s, lake).select(col("content")).as[Array[Byte]])
     runToMemory(docs, "src_stream_warc_q", OutputMode.Append)
       .select(col("doc_id"), col("uri"),
         length(col("text")).cast("long").as("n_chars"), col("text"))
@@ -611,18 +617,8 @@ object StreamingOps {
   def watViaStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = graft.sources.Warc.rawLakeDir(s, dir)
-    val prevInf = s.conf.getAll.get("spark.sql.streaming.schemaInference")
-    s.conf.set("spark.sql.streaming.schemaInference", "true")
-    val shards = try
-      s.readStream.format("binaryFile")
-        .option("maxFilesPerTrigger", "2")
-        .load(lake)
-    finally prevInf match {
-      case Some(v) => s.conf.set("spark.sql.streaming.schemaInference", v)
-      case None    => s.conf.unset("spark.sql.streaming.schemaInference")
-    }
     val wat = graft.sources.Warc.watRowsFromShardBytes(
-      shards.select(col("content")).as[Array[Byte]])
+      binaryFileStream(s, lake).select(col("content")).as[Array[Byte]])
     runToMemory(wat, "src_stream_wat_q", OutputMode.Append)
       .orderBy(col("doc_id"), col("status"))
   }
@@ -648,18 +644,8 @@ object StreamingOps {
   def robotsViaStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = graft.sources.Robots.robotsLakeDir(s, dir)
-    val prevInf = s.conf.getAll.get("spark.sql.streaming.schemaInference")
-    s.conf.set("spark.sql.streaming.schemaInference", "true")
-    val shards = try
-      s.readStream.format("binaryFile")
-        .option("maxFilesPerTrigger", "2")
-        .load(lake)
-    finally prevInf match {
-      case Some(v) => s.conf.set("spark.sql.streaming.schemaInference", v)
-      case None    => s.conf.unset("spark.sql.streaming.schemaInference")
-    }
     val rules = graft.sources.Robots.robotsRowsFromShardBytes(
-      shards.select(col("content")).as[Array[Byte]])
+      binaryFileStream(s, lake).select(col("content")).as[Array[Byte]])
       .drop("fetched_ord") // resolution bookkeeping; the feed shows the date as written
     runToMemory(rules, "src_stream_robots_q", OutputMode.Append)
       .orderBy(col("host"), col("user_agent"), col("directive"), col("value"),

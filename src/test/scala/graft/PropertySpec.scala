@@ -1229,8 +1229,12 @@ class PropertySpec extends SparkSpec {
     // LIKE metachars (% _ \) and regex metachars (. ?) that MUST stay
     // literal, URI separators — the r18 lesson, one layer up: the
     // matcher semantics cross a gate on inputs the fixture grammar
-    // doesn't enumerate
-    val octet: Gen[Char] = Gen.oneOf('a', 'b', '3', '7', '/', '.', '?', '%', '_', '$', '\\', '\u00e9')
+    // doesn't enumerate. A raw NEWLINE rides the alphabet too
+    // (possible through the public compliance API on malformed crawl
+    // data) \u2014 the pure twin compiles DOTALL + \z so '*' spans it and
+    // the end anchor does not stop before it, exactly as LIKE does
+    // (r19 advice)
+    val octet: Gen[Char] = Gen.oneOf('a', 'b', '3', '7', '/', '.', '?', '%', '_', '$', '\\', '\u00e9', '\n')
     val segGen: Gen[String] = Gen.chooseNum(0, 4)
       .flatMap(n => Gen.listOfN(n, octet)).map(_.mkString)
     val valueGen: Gen[String] = for {

@@ -1060,7 +1060,12 @@ class SourcesSpec extends SparkSpec {
       // §2.2.2 ranks by OCTETS: these tie at 3 characters, but the
       // disallow is 4 UTF-8 octets — it must outrank the allow
       ("https://uni.example", "bot", "disallow", "/*\u00e9"),
-      ("https://uni.example", "bot", "allow", "/p*"))
+      ("https://uni.example", "bot", "allow", "/p*"),
+      // \u00a72.2.1 product tokens: a versioned group name (as the parse
+      // stores it, lowercased) must SELECT for the bare token \u2014 not
+      // fall through to the * disallow-all
+      ("https://vers.example", "*", "disallow", "/"),
+      ("https://vers.example", "bot/2.1", "disallow", "/doc/1"))
       .toDF("host", "user_agent", "directive", "value")
     def docs(rows: (Long, String, String)*) = rows.toDF("doc_id", "host", "path")
     def verdicts(ds: org.apache.spark.sql.DataFrame, ua: String) =
@@ -1080,11 +1085,19 @@ class SourcesSpec extends SparkSpec {
       (22L, "https://wild.example", "/public.php"),   // /pub*.php$ (10) beats /*.php$ (7) → allowed
       (23L, "https://wild.example", "/a.png"),        // no match → allowed
       (30L, "https://uni.example", "/p\u00e9"),       // 4-OCTET disallow beats 3-octet allow → blocked
-      (31L, "https://uni.example", "/px")), "bot")    // only the allow matches → allowed
+      (31L, "https://uni.example", "/px"),            // only the allow matches → allowed
+      (40L, "https://vers.example", "/doc/1"),        // versioned group selects for 'bot' → its rule blocks
+      (41L, "https://vers.example", "/open")), "bot") // …and ONLY its rules apply (not * disallow-all)
     assert(v == Map(1L -> false, 12L -> true, 123L -> true, 13L -> false,
       2L -> true, 3L -> false, 4L -> true,
       6L -> true, 20L -> false, 21L -> true, 22L -> true, 23L -> true,
-      30L -> false, 31L -> true))
+      30L -> false, 31L -> true, 40L -> false, 41L -> true))
+    // …and the crawler's own configured agent string may carry a
+    // version too: 'Bot/9.9' token-matches the same groups (§2.2.1
+    // case-insensitive product-token comparison, both sides)
+    val vv = verdicts(docs((42L, "https://vers.example", "/doc/1"),
+      (43L, "https://vers.example", "/open")), "Bot/9.9")
+    assert(vv == Map(42L -> false, 43L -> true))
     // a UA with no exact group anywhere falls to * everywhere: the
     // h.example `Disallow: /` blocks everything
     val w = verdicts(docs((9L, "https://h.example", "/doc/2")), "otherbot")
@@ -1103,11 +1116,13 @@ class SourcesSpec extends SparkSpec {
       ("hB", "*", "crawl-delay", "7"),      // no bot group → star applies
       ("hC", "bot", "disallow", "/x"),      // exact group SELECTED, no delay → no fall-through
       ("hC", "*", "crawl-delay", "4"),
-      ("hD", "bot", "crawl-delay", "oops")) // non-numeric → null, tolerated
+      ("hD", "bot", "crawl-delay", "oops"), // non-numeric → null, tolerated
+      ("hE", "bot/3.0", "crawl-delay", "6"), // versioned token SELECTS for 'bot' (§2.2.1)
+      ("hE", "*", "crawl-delay", "9"))
       .toDF("host", "user_agent", "directive", "value")
     val d = Robots.crawlDelays(rules, "bot").collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    assert(d == Map("hA" -> 5L, "hB" -> 7L, "hD" -> -1L))
+    assert(d == Map("hA" -> 5L, "hB" -> 7L, "hD" -> -1L, "hE" -> 6L))
   }
 
   /** The fixture grammar's closed-form verdict (mirrors the arms of
@@ -1166,9 +1181,13 @@ class SourcesSpec extends SparkSpec {
     // host 4's poison 200 (disallow-all for graftbot) left no trace,
     // and host 11's 503 synthetic disallow-all did not merge into
     // the star-only grammar
+    // host 4's group is NAMED 'GraftBot/1.2' — the directive table
+    // carries the versioned token as written (lowercased); group
+    // SELECTION must still match it for 'graftbot' (§2.2.1 product
+    // tokens), which the verdict assertions below prove
     assert(host(4) == Set(("", "sitemap", "https://h4.example.org/sitemap.xml"),
-      ("*", "disallow", "/"), ("graftbot", "disallow", "/doc/4"),
-      ("graftbot", "allow", "/doc/44"), ("graftbot", "crawl-delay", "4")),
+      ("*", "disallow", "/"), ("graftbot/1.2", "disallow", "/doc/4"),
+      ("graftbot/1.2", "allow", "/doc/44"), ("graftbot/1.2", "crawl-delay", "4")),
       "the older poison capture must lose to the newer one wholesale")
     assert(!host(11).contains(("*", "disallow", "/")),
       "the older 503's synthetic disallow-all must lose to the newer 200")
