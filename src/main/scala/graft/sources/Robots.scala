@@ -183,8 +183,9 @@ object Robots {
     * why EVERY capture leaves dated rows, unavailability included
     * (the tombstone). Only the rows of each host's NEWEST capture
     * (by `fetched_ord`, the PARSED WARC-Date instant — string order
-    * breaks on mixed second/sub-second precision; instant-tied
-    * captures merge; undated captures lose to any dated one) survive
+    * breaks on mixed second/sub-second precision; instant TIES break
+    * deterministically on the capture fingerprint, never a merge;
+    * undated captures lose to any dated one) survive
     * into compliance, and a winning tombstone then resolves to NO
     * rows — exactly §2.3.1.3's "unavailable ⇒ allowed". One window
     * over the host-partitioned rules table — per-host rows are that
@@ -194,11 +195,29 @@ object Robots {
     import s.implicits._
     val raw = robotsRowsFromShardBytes(
       s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"host")
+    resolveLatest(raw).filter(col("directive") =!= "unavailable")
+      .select(col("host"), col("user_agent"), col("directive"), col("value"))
+  }
+
+  /** LATEST-CAPTURE-WINS over the raw capture-grain feed: per host,
+    * only the rows of the capture with the greatest
+    * `(fetched_ord, capture_fp)` survive — the parsed instant ranks
+    * first, and the capture fingerprint breaks EXACT instant ties
+    * deterministically (two same-instant captures of one host resolve
+    * to the higher-fingerprint capture's rows, never a merge; equal
+    * instant AND equal fingerprint means byte-identical captures —
+    * the same robots file stored twice — whose rows coincide).
+    * Winner rows keep every directive kind, tombstones included: the
+    * caller decides what `unavailable` resolves to. One window over
+    * the host-partitioned raw rows — per-host rows are that host's
+    * directive count across its captures, bounded. */
+  private[graft] def resolveLatest(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
     raw
-      .withColumn("latest", max($"fetched_ord").over(w))
-      .filter($"fetched_ord" === $"latest" && $"directive" =!= "unavailable")
-      .select($"host", $"user_agent", $"directive", $"value")
+      .withColumn("latest", max(struct(col("fetched_ord"), col("capture_fp"))).over(w))
+      .filter(col("fetched_ord") === col("latest.fetched_ord") &&
+        col("capture_fp") === col("latest.capture_fp"))
+      .drop("latest")
   }
 
   /** The shard-grain CAPTURE-GRAIN walk both deployments parse
@@ -209,7 +228,9 @@ object Robots {
     * row per directive PER CAPTURE, stamped with the capture's
     * `WARC-Date` (`fetched_at` as written, plus `fetched_ord` — the
     * parsed instant in epoch micros, -1 for undated/unparseable so
-    * those captures lose to any dated one) — the raw feed the stream
+    * those captures lose to any dated one — and `capture_fp`, the
+    * CRC32 capture fingerprint that breaks exact instant ties in
+    * [[resolveLatest]]) — the raw feed the stream
     * serves and the latest-wins resolution above folds. Status
     * routing per §2.3.1: 2xx parses; 4xx and unresolvable 3xx emit
     * ONE dated `unavailable` TOMBSTONE — "no rules, everything
@@ -237,15 +258,24 @@ object Robots {
                       val inst = java.time.Instant.parse(at)
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     } catch { case _: Exception => -1L }
+                    // the capture FINGERPRINT (CRC32 of the raw
+                    // capture bytes): the deterministic tiebreak when
+                    // two captures of one host carry the SAME parsed
+                    // instant — higher fingerprint wins resolution
+                    // (r19 design note: ties previously MERGED, the
+                    // resolution's only nondeterminism-shaped corner).
+                    // Equal instant AND equal fingerprint means
+                    // byte-identical captures, whose rows coincide.
+                    val fp = { val c = new java.util.zip.CRC32(); c.update(r.body); c.getValue }
                     val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
                     if (status >= 500 && status <= 599)
-                      Iterator.single((host, "*", "disallow", "/", at, ord))
+                      Iterator.single((host, "*", "disallow", "/", at, ord, fp))
                     else if (status < 200 || status > 299)
-                      Iterator.single((host, "", "unavailable", "", at, ord))
+                      Iterator.single((host, "", "unavailable", "", at, ord, fp))
                     else {
                       val cs = Warc.charsetOf(hh.getOrElse("content-type", ""))
                       parseRobots(host, new String(entity, cs)).iterator
-                        .map(d => (d.host, d.userAgent, d.directive, d.value, at, ord))
+                        .map(d => (d.host, d.userAgent, d.directive, d.value, at, ord, fp))
                     }
                 }
               } catch { case _: Exception => Iterator.empty }
@@ -254,7 +284,7 @@ object Robots {
         } catch { case _: Exception => Vector.empty }
         rows.iterator
       }
-      .toDF("host", "user_agent", "directive", "value", "fetched_at", "fetched_ord")
+      .toDF("host", "user_agent", "directive", "value", "fetched_at", "fetched_ord", "capture_fp")
   }
 
   /** `src_warc_robots`: the directive table, contractually ordered.

@@ -646,7 +646,8 @@ object StreamingOps {
     val lake = graft.sources.Robots.robotsLakeDir(s, dir)
     val rules = graft.sources.Robots.robotsRowsFromShardBytes(
       binaryFileStream(s, lake).select(col("content")).as[Array[Byte]])
-      .drop("fetched_ord") // resolution bookkeeping; the feed shows the date as written
+      // resolution bookkeeping; the feed shows the date as written
+      .drop("fetched_ord", "capture_fp")
     runToMemory(rules, "src_stream_robots_q", OutputMode.Append)
       .orderBy(col("host"), col("user_agent"), col("directive"), col("value"),
         col("fetched_at"))

@@ -1125,6 +1125,36 @@ class SourcesSpec extends SparkSpec {
     assert(d == Map("hA" -> 5L, "hB" -> 7L, "hD" -> -1L, "hE" -> 6L))
   }
 
+  test("robots.txt: instant-TIED captures resolve deterministically by capture fingerprint, never a merge") {
+    import graft.sources.{Robots, Warc}
+    // two captures of ONE host stamped the SAME WARC-Date instant but
+    // with different bodies — r19 design note: these previously MERGED
+    // their directives (the resolution's only nondeterminism-shaped
+    // corner); now exactly one capture's rows survive, chosen by the
+    // higher CRC32 capture fingerprint, independent of record order
+    def capture(rule: String) = {
+      val b = s"User-agent: bot\nDisallow: $rule\n".getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes("US-ASCII")
+      Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://tie.example/robots.txt",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response") -> (http ++ b)
+    }
+    val (a, b) = (capture("/a"), capture("/b"))
+    def crc(x: Array[Byte]) = { val c = new java.util.zip.CRC32(); c.update(x); c.getValue }
+    val expected = Set(("bot", "disallow", if (crc(a._2) >= crc(b._2)) "/a" else "/b"))
+    for (recs <- Seq(Seq(a, b), Seq(b, a))) {
+      val shard = Warc.gzipPerRecord(Warc.encodeRecords(recs))
+      val resolved = Robots.resolveLatest(
+        Robots.robotsRowsFromShardBytes(Seq(shard).toDS())).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(resolved == expected,
+        s"an instant tie must resolve to the higher-fingerprint capture alone, got $resolved")
+    }
+  }
+
   /** The fixture grammar's closed-form verdict (mirrors the arms of
     * [[graft.sources.Robots.fixtureRobotsBody]] and the DuckDB
     * oracle's CASE — see SparkEntry.robotsAllowedCase). */
