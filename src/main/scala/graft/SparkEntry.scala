@@ -442,9 +442,12 @@ object SparkEntry {
       graft.streaming.StreamingOps.watViaStream(s, dir)),
     // robots.txt compliance plane (r18, RFC 9309; r19: full §2.2.3
     // wildcard matching, §2.3.1 availability semantics, group-aware
-    // crawl-delay, host-key normalization): parse robots captures
-    // into a directive table; join the corpus against it under
-    // group-selection + longest-match semantics
+    // crawl-delay, host-key normalization; r20: in-lake §2.3.1.2
+    // redirect-chain resolution — ≤5 hops, loops and longer chains ⇒
+    // unavailable — §2.2.1 product-token group selection, and
+    // fractional crawl-delays carried exactly as millisecond slots):
+    // parse robots captures into a directive table; join the corpus
+    // against it under group-selection + longest-match semantics
     "src_warc_robots" -> ((s, dir) =>
       graft.sources.Robots.srcWarcRobots(s, dir)),
     // the compliance plane at ingestion time (r19) — the 20th real
@@ -460,6 +463,14 @@ object SparkEntry {
       graft.sources.Robots.srcRobotsSitemaps(s, dir)),
     "pipe_robots_filter" -> ((s, dir) =>
       graft.sources.Robots.pipeRobotsFilter(s, dir)),
+    // streaming compliance verdicts (r20) — the 21st real streaming
+    // execution, the crawl family's last batch/stream asymmetry
+    // closed: a documents stream stream-static joined against the
+    // resolved per-host rule-set artifact (broadcast static side, the
+    // ann_stream_serve shape), the verdict a scalar expression per
+    // row; oracle shared with pipe_robots_filter
+    "pipe_stream_robots_filter" -> ((s, dir) =>
+      graft.streaming.StreamingOps.robotsVerdictsViaStream(s, dir)),
     // politeness scheduling (r18): allowed fetches spaced by each
     // host's crawl-delay — the compliance plane's closing verb
     "pipe_fetch_schedule" -> ((s, dir) =>
@@ -870,31 +881,40 @@ object SparkEntry {
           |ORDER BY doc_id, status""".stripMargin
     // src_warc_robots / src_stream_robots shared CTEs: the fixture's
     // 16 hosts ship id-keyed grammar ARMS (r19 — wildcards,
-    // availability, group-selection traps), so the directive rows
-    // rebuild from range(16) plus the explicit arm rows; host 9
-    // (404) contributes nothing, host 13 (503) only the synthetic
-    // complete-disallow, and the decoy capture at a non-robots path
-    // must be ABSENT from both forms
+    // availability, group-selection traps; r20 — the §2.3.1.2
+    // redirect arms), so the directive rows rebuild from range(16)
+    // plus the explicit arm rows. Host 9 (404) contributes nothing,
+    // host 13 (503) only the synthetic complete-disallow, the decoy
+    // capture at a non-robots path must be ABSENT from both forms,
+    // and the redirect origins resolve to their FINAL target's rules:
+    //  - rterm: terminal winner rows — hosts whose winning capture is
+    //    a readable body (the 16-host grammar minus the four redirect
+    //    origins 0/1/2/8, plus the alias captures a8/b2/c6);
+    //  - rre:   redirect restamps — each origin adopts its final
+    //    target's rules under its OWN host key (sitemap records stay
+    //    file-scoped and do NOT restamp); the loop (h2↔l2) and the
+    //    six-hop chain (h1→c1→…→c6) resolve to NOTHING, while c1-c5
+    //    reach c6 within the five-hop cap and DO resolve
     val robotsDirectivesCtes =
       """WITH hosts AS (SELECT CAST(range AS INTEGER) AS k,
         |    'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host
         |  FROM range(16)),
-        |r AS (
+        |rterm AS (
         |  SELECT host, '' AS user_agent, 'sitemap' AS directive,
-        |    host || '/sitemap.xml' AS value FROM hosts WHERE k NOT IN (9, 13)
+        |    host || '/sitemap.xml' AS value FROM hosts WHERE k NOT IN (0,1,2,8,9,13)
         |  UNION ALL
-        |  SELECT host, '*', 'disallow', '/' FROM hosts WHERE k NOT IN (9, 11)
+        |  SELECT host, '*', 'disallow', '/' FROM hosts WHERE k NOT IN (0,1,2,8,9,11)
         |  UNION ALL
         |  -- host 4's group is NAMED 'GraftBot/1.2' (the §2.2.1
         |  -- product-token arm); the parse lowercases line values, so its
         |  -- directive rows carry the versioned token verbatim
         |  SELECT host, CASE WHEN k = 4 THEN 'graftbot/1.2' ELSE 'graftbot' END,
         |    'disallow', '/doc/' || CAST(k AS VARCHAR)
-        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,15)
+        |  FROM hosts WHERE k IN (4,5,10,12,15)
         |  UNION ALL
         |  SELECT host, CASE WHEN k = 4 THEN 'graftbot/1.2' ELSE 'graftbot' END,
         |    'allow', '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
-        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,12,15)
+        |  FROM hosts WHERE k IN (4,5,10,12,15)
         |  UNION ALL
         |  -- percent-encoding arms (r19): host 14's rules are spelled
         |  -- in unreserved escapes (decode-visible); hosts 10/12/15
@@ -911,7 +931,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT host, CASE WHEN k = 4 THEN 'graftbot/1.2' ELSE 'graftbot' END,
         |    'crawl-delay', CAST(k % 5 AS VARCHAR)
-        |  FROM hosts WHERE k IN (0,1,2,4,5,8,10,14,15)
+        |  FROM hosts WHERE k IN (4,5,10,14,15)
         |  UNION ALL
         |  SELECT host, 'graftbot', 'crawl-delay', d
         |  FROM hosts, (VALUES ('1'), ('2')) t(d) WHERE k = 12
@@ -934,28 +954,119 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT host, '*', 'allow', '/doc/11' FROM hosts WHERE k = 11
         |  UNION ALL
-        |  SELECT host, '*', 'crawl-delay', '1' FROM hosts WHERE k = 11)""".stripMargin
-    // the batch table: LATEST-CAPTURE-WINS resolution — the planted
-    // older captures (host 4's poison 200, host 11's 503) must have
-    // LOST, so the resolved closed form is exactly the arm grammar
+        |  SELECT host, '*', 'crawl-delay', '1' FROM hosts WHERE k = 11),
+        |aliasrows AS (
+        |  -- the redirect targets' own bodies: a8 carries the
+        |  -- FRACTIONAL 0.5 crawl-delay, a malformed delay line that
+        |  -- must drop without unthrottling, and a sitemap record
+        |  -- that must stay on a8; b2 is a complete graftbot disallow
+        |  -- at delay 2; c6 is the chain terminal's poison
+        |  SELECT * FROM (VALUES
+        |    ('a8', '*', 'disallow', '/'),
+        |    ('a8', 'graftbot', 'disallow', '/doc/88'),
+        |    ('a8', 'graftbot', 'allow', '/doc/888'),
+        |    ('a8', 'graftbot', 'crawl-delay', '0.5'),
+        |    ('a8', 'graftbot', 'crawl-delay', 'soon'),
+        |    ('a8', '', 'sitemap', 'https://a8.example.org/sitemap.xml'),
+        |    ('b2', '*', 'disallow', '/'),
+        |    ('b2', 'graftbot', 'disallow', '/'),
+        |    ('b2', 'graftbot', 'crawl-delay', '2'),
+        |    ('c6', '*', 'disallow', '/')
+        |  ) t(src, user_agent, directive, value)),
+        |term2 AS (
+        |  SELECT 'https://' || src || '.example.org' AS host,
+        |    user_agent, directive, value FROM aliasrows),
+        |rre AS (
+        |  SELECT o.host, a.user_agent, a.directive, a.value
+        |  FROM (VALUES
+        |    ('https://h8.example.org', 'a8'),
+        |    ('https://h0.example.org', 'b2'),
+        |    ('https://b1.example.org', 'b2'),
+        |    ('https://c1.example.org', 'c6'),
+        |    ('https://c2.example.org', 'c6'),
+        |    ('https://c3.example.org', 'c6'),
+        |    ('https://c4.example.org', 'c6'),
+        |    ('https://c5.example.org', 'c6')
+        |  ) o(host, src)
+        |  JOIN aliasrows a USING (src)
+        |  WHERE a.directive <> 'sitemap'),
+        |r AS (SELECT host, user_agent, directive, value FROM rterm
+        |  UNION ALL SELECT host, user_agent, directive, value FROM term2
+        |  UNION ALL SELECT host, user_agent, directive, value FROM rre)""".stripMargin
+    // the batch table: LATEST-CAPTURE-WINS + redirect resolution —
+    // the planted older captures (host 4's poison 200, host 11's 503,
+    // hosts 0/1/2/8's superseded base bodies) must have LOST, the
+    // four 301 winners must have resolved through the chain walk, so
+    // the resolved closed form is the arm grammar + the restamps
     val robotsDirectivesSql = robotsDirectivesCtes +
       """
         |SELECT host, user_agent, directive, value FROM r
         |ORDER BY host, user_agent, directive, value""".stripMargin
     // the streamed RAW feed: one row per directive per capture with
-    // its WARC-Date as written — the arm grammar's rows (host 4's
-    // winning capture carries the sub-second instant, everything
-    // else the whole-second one) PLUS exactly the planted losers:
-    // host 4's half-second-older poison, host 11's older 503
-    // synthetic, host 9's older poison, and host 9's newer 404
-    // TOMBSTONE (the unavailability row the batch resolution
-    // consumes and then hides)
+    // its WARC-Date as written — the terminal winners' rows (host 4's
+    // winning capture carries the sub-second instant, everything else
+    // the whole-second one) PLUS the planted losers (host 4's
+    // half-second-older poison, host 11's older 503 synthetic, host
+    // 9's older poison, hosts 0/1/2/8's superseded base bodies), host
+    // 9's newer 404 TOMBSTONE, and one `redirect` row per 301 capture
+    // (value = the TARGET's canonical host key; the origin 301s are
+    // dated a day after the bodies they supersede). Restamped rows
+    // (rre) are a RESOLUTION product and never appear in the raw feed.
     val streamRobotsSql = robotsDirectivesCtes +
       """
         |SELECT host, user_agent, directive, value,
         |  CASE WHEN host = 'https://h4.example.org'
         |       THEN '2026-01-01T00:00:00.500Z'
-        |       ELSE '2026-01-01T00:00:00Z' END AS fetched_at FROM r
+        |       ELSE '2026-01-01T00:00:00Z' END AS fetched_at FROM rterm
+        |UNION ALL
+        |SELECT host, user_agent, directive, value, '2026-01-01T00:00:00Z'
+        |FROM term2
+        |UNION ALL
+        |-- hosts 0/1/2/8's superseded base bodies (latest-wins losers)
+        |SELECT host, '' , 'sitemap', host || '/sitemap.xml', '2026-01-01T00:00:00Z'
+        |FROM hosts WHERE k IN (0,1,2,8)
+        |UNION ALL
+        |SELECT host, '*', 'disallow', '/', '2026-01-01T00:00:00Z'
+        |FROM hosts WHERE k IN (0,1,2,8)
+        |UNION ALL
+        |SELECT host, 'graftbot', 'disallow', '/doc/' || CAST(k AS VARCHAR),
+        |  '2026-01-01T00:00:00Z'
+        |FROM hosts WHERE k IN (0,1,2,8)
+        |UNION ALL
+        |SELECT host, 'graftbot', 'allow',
+        |  '/doc/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR),
+        |  '2026-01-01T00:00:00Z'
+        |FROM hosts WHERE k IN (0,1,2,8)
+        |UNION ALL
+        |SELECT host, 'graftbot', 'crawl-delay', CAST(k % 5 AS VARCHAR),
+        |  '2026-01-01T00:00:00Z'
+        |FROM hosts WHERE k IN (0,1,2,8)
+        |UNION ALL
+        |-- the 301 captures' redirect rows
+        |SELECT * FROM (VALUES
+        |  ('https://h8.example.org', '', 'redirect', 'https://a8.example.org',
+        |    '2026-01-02T00:00:00Z'),
+        |  ('https://h0.example.org', '', 'redirect', 'https://b1.example.org',
+        |    '2026-01-02T00:00:00Z'),
+        |  ('https://h2.example.org', '', 'redirect', 'https://l2.example.org',
+        |    '2026-01-02T00:00:00Z'),
+        |  ('https://h1.example.org', '', 'redirect', 'https://c1.example.org',
+        |    '2026-01-02T00:00:00Z'),
+        |  ('https://b1.example.org', '', 'redirect', 'https://b2.example.org',
+        |    '2026-01-01T00:00:00Z'),
+        |  ('https://l2.example.org', '', 'redirect', 'https://h2.example.org',
+        |    '2026-01-01T00:00:00Z'),
+        |  ('https://c1.example.org', '', 'redirect', 'https://c2.example.org',
+        |    '2026-01-01T00:00:00Z'),
+        |  ('https://c2.example.org', '', 'redirect', 'https://c3.example.org',
+        |    '2026-01-01T00:00:00Z'),
+        |  ('https://c3.example.org', '', 'redirect', 'https://c4.example.org',
+        |    '2026-01-01T00:00:00Z'),
+        |  ('https://c4.example.org', '', 'redirect', 'https://c5.example.org',
+        |    '2026-01-01T00:00:00Z'),
+        |  ('https://c5.example.org', '', 'redirect', 'https://c6.example.org',
+        |    '2026-01-01T00:00:00Z')
+        |) t(host, user_agent, directive, value, fetched_at)
         |UNION ALL SELECT 'https://h4.example.org', 'graftbot', 'disallow', '/',
         |  '2026-01-01T00:00:00Z'
         |UNION ALL SELECT 'https://h11.example.org', '*', 'disallow', '/',
@@ -965,23 +1076,32 @@ object SparkEntry {
         |UNION ALL SELECT 'https://h9.example.org', '', 'unavailable', '',
         |  '2026-01-01T00:00:00Z'
         |ORDER BY host, user_agent, directive, value, fetched_at""".stripMargin
-    // shared RFC 9309 fixture verdict (r19 grammar arms): the CASE
-    // the compliance filter and both schedule forms build on. The
-    // wildcard arms mirror the rules EXACTLY as LIKE patterns
-    // (* ⇔ %, trailing $ ⇔ no trailing %): host 3's
+    // shared RFC 9309 fixture verdict (r19 grammar arms; r20 redirect
+    // arms): the CASE the compliance filter and both schedule forms
+    // build on. The wildcard arms mirror the rules EXACTLY as LIKE
+    // patterns (* ⇔ %, trailing $ ⇔ no trailing %): host 3's
     // 'Disallow: /doc/*3$' vs the longer 'Allow: /doc/1*3$' is
     // "ends with 3, unless it also starts with 1"; host 7's
     // 'Disallow: /*7' vs 'Allow: /doc/7$' is "contains a 7, except
     // doc 7 itself"; host 13's robots 503s (complete disallow),
     // host 9's 404s (no rules), host 6's exact group is
     // crawl-delay-only (still selects — allowed), host 11 falls
-    // through to its `*` rules, everything else keeps the
-    // decimal-prefix longest-match of the base grammar
+    // through to its `*` rules. The redirect arms (§2.3.1.2): host 0
+    // is governed by b2's complete disallow via the 2-hop chain,
+    // host 8 by a8's 88/888 prefix pair via the 1-hop 301, and hosts
+    // 1 (six-hop chain) and 2 (loop) resolve UNAVAILABLE — allowed.
+    // Everything else keeps the decimal-prefix longest-match of the
+    // base grammar.
     val robotsAllowedCase =
       """CASE CAST(doc_id % 16 AS INTEGER)
         |    WHEN 13 THEN FALSE
+        |    WHEN 0 THEN FALSE
+        |    WHEN 1 THEN TRUE
+        |    WHEN 2 THEN TRUE
         |    WHEN 9 THEN TRUE
         |    WHEN 6 THEN TRUE
+        |    WHEN 8 THEN NOT (starts_with(CAST(doc_id AS VARCHAR), '88')
+        |      AND NOT starts_with(CAST(doc_id AS VARCHAR), '888'))
         |    WHEN 11 THEN NOT (starts_with(CAST(doc_id AS VARCHAR), '1')
         |      AND NOT starts_with(CAST(doc_id AS VARCHAR), '11'))
         |    WHEN 3 THEN NOT (CAST(doc_id AS VARCHAR) LIKE '%3'
@@ -993,13 +1113,16 @@ object SparkEntry {
         |  END""".stripMargin
     def robotsVerdictSql(template: String): String =
       template.replace("ALLOWED", robotsAllowedCase)
-    // politeness slots: rank within the host's allowed set × the
-    // host's delay (k % 5 wherever a readable grammar carries one —
-    // incl. host 6's delay-only exact group, host 11's star
-    // fall-through and host 12's duplicate lines collapsing to
-    // max(1,2) = 2; host 9's 404 means NO delay, and host 13 never
-    // schedules at all). Shared verbatim by the window form and the
-    // bucket-sharded twin — they must be row-identical.
+    // politeness slots in integer MILLISECONDS: rank within the
+    // host's allowed set × the host's delay ((k % 5) × 1000 wherever
+    // a readable grammar carries one — incl. host 6's delay-only
+    // exact group, host 11's star fall-through and host 12's
+    // duplicate lines collapsing to max(1,2) = 2 s; host 8's delay is
+    // a8's FRACTIONAL 0.5 s = 500 ms via the redirect — the
+    // millisecond unit is what keeps it nonzero; hosts 1/2 resolve
+    // unavailable (no delay), host 9's 404 means NO delay, and hosts
+    // 0/13 never schedule at all). Shared verbatim by the window form
+    // and the bucket-sharded twin — they must be row-identical.
     val fetchScheduleSql =
       s"""WITH v AS (
         |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS k FROM documents
@@ -1007,7 +1130,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  'https://h' || CAST(k AS VARCHAR) || '.example.org' AS host,
         |  CAST((ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) - 1)
-        |    * (CASE WHEN k = 9 THEN 0 ELSE k % 5 END) AS BIGINT) AS fetch_slot
+        |    * (CASE WHEN k IN (1, 2, 9) THEN 0 WHEN k = 8 THEN 500
+        |        ELSE (k % 5) * 1000 END) AS BIGINT) AS fetch_slot
         |FROM v ORDER BY doc_id""".stripMargin
     val mmMetaSql =
       s"""$mmBaseCtes
@@ -2606,11 +2730,16 @@ object SparkEntry {
       // captures, each stamped with its capture date
       "src_stream_robots" -> streamRobotsSql,
       // src_robots_sitemaps: file-scoped discovery records of every
-      // READABLE robots body (the 404 and 503 hosts contribute none)
+      // READABLE robots body (the 404 and 503 hosts contribute none;
+      // the redirect origins 0/1/2/8 lost their base bodies to the
+      // 301 winners and sitemap records do NOT restamp — a8's own
+      // sitemap stays under a8's key)
       "src_robots_sitemaps" ->
-        """SELECT 'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host,
-          |  'https://h' || CAST(range AS VARCHAR) || '.example.org/sitemap.xml' AS sitemap
-          |FROM range(16) WHERE range NOT IN (9, 13)
+        """SELECT host, host || '/sitemap.xml' AS sitemap
+          |FROM (
+          |  SELECT 'https://h' || CAST(range AS VARCHAR) || '.example.org' AS host
+          |  FROM range(16) WHERE range NOT IN (0, 1, 2, 8, 9, 13)
+          |  UNION ALL SELECT 'https://a8.example.org')
           |ORDER BY host, sitemap""".stripMargin,
       // pipe_robots_filter: RFC 9309 evaluation over the fixture's
       // grammar arms collapses to string arithmetic — the wildcard
@@ -2622,6 +2751,14 @@ object SparkEntry {
       // decimal-prefix longest-match; the base `*` group disallows
       // `/`, so a wrong group selection flips every verdict
       "pipe_robots_filter" -> robotsVerdictSql(
+        """SELECT doc_id,
+          |  'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.example.org' AS host,
+          |  ALLOWED AS allowed
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      // pipe_stream_robots_filter: the streamed verdicts must
+      // reproduce the batch compliance join exactly — same closed
+      // form, accumulated across micro-batches
+      "pipe_stream_robots_filter" -> robotsVerdictSql(
         """SELECT doc_id,
           |  'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.example.org' AS host,
           |  ALLOWED AS allowed
@@ -2639,7 +2776,10 @@ object SparkEntry {
       // pipe_robots_audit: the verdict CASE aggregated per host —
       // host 9 has no rules (404 tombstone resolves to absence) and
       // no delay; host 13's synthetic disallow-all carries no delay
-      // either
+      // either; hosts 1/2 resolve UNAVAILABLE through the redirect
+      // arms (allowed by absence — has_robots false, no delay); host
+      // 0's delay is b2's 2 s and host 8's is a8's fractional 0.5 s,
+      // both via the chain walk, both in milliseconds
       "pipe_robots_audit" -> robotsVerdictSql(
         """WITH v AS (
           |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS k,
@@ -2650,8 +2790,10 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
           |  CAST(COUNT(*) - SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_blocked,
-          |  CAST(CASE WHEN k IN (9, 13) THEN 0 ELSE k % 5 END AS BIGINT) AS crawl_delay,
-          |  k <> 9 AS has_robots
+          |  CAST(CASE WHEN k IN (1, 2, 9, 13) THEN 0 WHEN k = 0 THEN 2000
+          |    WHEN k = 8 THEN 500 ELSE (k % 5) * 1000 END AS BIGINT)
+          |    AS crawl_delay_ms,
+          |  k NOT IN (1, 2, 9) AS has_robots
           |FROM v GROUP BY k ORDER BY host""".stripMargin),
       // src_warc_serve: the artifact-served fetch must reproduce the
       // pushed range exactly — same closed form as src_warc

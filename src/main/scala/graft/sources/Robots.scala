@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   * a newer 404 can still WIN latest-capture resolution and erase
   * older rules — the RFC's robots.txt-was-deleted case); a 5xx
   * response means "unreachable — assume COMPLETE DISALLOW"
-  * (§2.3.1.4: the parse emits a synthetic `*`/disallow-`/` row). 3xx
-  * is treated as unavailable the same way — a static lake cannot
-  * follow the redirect chain the RFC asks a live crawler to resolve.
+  * (§2.3.1.4: the parse emits a synthetic `*`/disallow-`/` row). A
+  * 3xx robots response is RESOLVED IN-LAKE (§2.3.1.2): the most
+  * common robots response in real crawls is a redirect (http→https,
+  * apex→www), and when the lake captured the target too,
+  * [[resolveRedirects]] follows the Location chain across captures —
+  * at most five hops per the RFC; loops and longer chains resolve to
+  * unavailable, as does a 3xx whose Location is not a robots
+  * location at all.
   *
   * Percent-encoding (§2.2.2's comparison rule, r19): BOTH sides of
   * the match pass through
@@ -195,8 +200,72 @@ object Robots {
     import s.implicits._
     val raw = robotsRowsFromShardBytes(
       s.read.format("binaryFile").load(lake).select($"content").as[Array[Byte]])
-    resolveLatest(raw).filter(col("directive") =!= "unavailable")
+    resolveRedirects(resolveLatest(raw))
+  }
+
+  /** In-lake robots REDIRECT resolution (RFC 9309 §2.3.1.2): a host
+    * whose winning capture is a 3xx is governed by the rules at the
+    * redirect TARGET — and robots redirects (http→https, apex→www)
+    * are the single most common robots response in a real crawl, so
+    * resolving them statically is the difference between "rules
+    * applied" and "allowed by absence" for whole host classes. The
+    * chain is followed ACROSS captures by a bounded iterative join
+    * (the `src_warc_revisit` precedent) keyed by the target's
+    * [[robotsHostKey]]:
+    *
+    *  - each hop joins the redirect frontier against the per-host
+    *    next-hop map (hosts whose winner is itself a redirect);
+    *  - a frontier entry whose current host is NOT a redirect has
+    *    ARRIVED: the origin adopts the target's terminal rows,
+    *    re-stamped under the origin's host key — except `sitemap`
+    *    records, which are FILE-scoped discovery facts and stay with
+    *    the host that actually serves them, and `unavailable`
+    *    tombstones, which resolve to no rules exactly as they do
+    *    for the target itself;
+    *  - an arrival at a host with NO capture at all is
+    *    allowed-by-absence (the join simply finds no rows);
+    *  - the RFC caps the walk at FIVE followed redirects: anything
+    *    still redirecting after five hops — including every loop —
+    *    resolves to `unavailable` (no rules).
+    *
+    * Scale shape: the frontier and next-hop map are
+    * redirecting-host-proportional (a small fraction of the
+    * host-proportional winner table); the five hop joins and the
+    * final rules join all read the ONE materialized winner table
+    * (localCheckpoint — without it each hop would re-execute the
+    * whole robots-lake parse). */
+  private[graft] def resolveRedirects(winners0: DataFrame): DataFrame = {
+    val winners = winners0
       .select(col("host"), col("user_agent"), col("directive"), col("value"))
+      .localCheckpoint()
+    val terminal = winners.filter(col("directive") =!= "redirect")
+    // a redirect winner emits exactly ONE row per host, so this map
+    // has one row per still-redirecting host
+    val next = winners.filter(col("directive") === "redirect")
+      .select(col("host").as("h"), col("value").as("nxt"))
+    var frontier = next.select(col("h").as("origin"), col("nxt").as("cur"))
+    var arrived = Vector.empty[DataFrame]
+    for (hop <- 1 to 5) {
+      // fresh column names per hop: the frontier is itself derived
+      // from `next`, and a repeated self-join on the same attribute
+      // names would be ambiguous
+      val n = next.select(col("h").as(s"h_$hop"), col("nxt").as(s"nxt_$hop"))
+      val j = frontier.join(n, col("cur") === col(s"h_$hop"), "left")
+      arrived :+= j.filter(col(s"nxt_$hop").isNull)
+        .select(col("origin"), col("cur").as("final"))
+      if (hop < 5)
+        frontier = j.filter(col(s"nxt_$hop").isNotNull)
+          .select(col("origin"), col(s"nxt_$hop").as("cur"))
+      // hop-5 leftovers still redirecting: >5 hops ⇒ unavailable (drop)
+    }
+    val followed = arrived.reduce(_ unionByName _)
+      .join(terminal
+        .filter(col("directive") =!= "unavailable" && col("directive") =!= "sitemap")
+        .withColumnRenamed("host", "final"), Seq("final"))
+      .select(col("origin").as("host"), col("user_agent"), col("directive"), col("value"))
+    terminal.filter(col("directive") =!= "unavailable")
+      .select(col("host"), col("user_agent"), col("directive"), col("value"))
+      .unionByName(followed)
   }
 
   /** LATEST-CAPTURE-WINS over the raw capture-grain feed: per host,
@@ -232,12 +301,14 @@ object Robots {
     * CRC32 capture fingerprint that breaks exact instant ties in
     * [[resolveLatest]]) — the raw feed the stream
     * serves and the latest-wins resolution above folds. Status
-    * routing per §2.3.1: 2xx parses; 4xx and unresolvable 3xx emit
-    * ONE dated `unavailable` TOMBSTONE — "no rules, everything
-    * allowed", but the capture must still be able to win resolution
-    * and erase older rules; 5xx emits the synthetic `*`/disallow-`/`
-    * row — "unreachable" means assume complete disallow
-    * (§2.3.1.4). */
+    * routing per §2.3.1: 2xx parses; 3xx whose Location is a robots
+    * location emits ONE dated `redirect` row keyed to the TARGET's
+    * canonical host ([[resolveRedirects]] follows the chain in-lake,
+    * §2.3.1.2); 4xx and unresolvable 3xx emit ONE dated `unavailable`
+    * TOMBSTONE — "no rules, everything allowed", but the capture must
+    * still be able to win resolution and erase older rules; 5xx emits
+    * the synthetic `*`/disallow-`/` row — "unreachable" means assume
+    * complete disallow (§2.3.1.4). */
   private[graft] def robotsRowsFromShardBytes(
       shards: org.apache.spark.sql.Dataset[Array[Byte]]): DataFrame = {
     val s = shards.sparkSession
@@ -270,6 +341,26 @@ object Robots {
                     val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
                     if (status >= 500 && status <= 599)
                       Iterator.single((host, "*", "disallow", "/", at, ord, fp))
+                    else if (status >= 300 && status <= 399) {
+                      // §2.3.1.2: a robots redirect must be FOLLOWED
+                      // (http→https, apex→www — the most common robots
+                      // response in real crawls). The parse emits one
+                      // `redirect` row whose value is the TARGET's
+                      // canonical host key; [[resolveRedirects]] walks
+                      // the chain across captures (≤5 hops). A
+                      // path-relative Location resolves against the
+                      // origin authority; a Location that is not a
+                      // robots.txt location (or is absent/unparseable)
+                      // cannot carry rules — tombstone, as before.
+                      val loc = hh.getOrElse("location", "")
+                      val abs = if (loc.startsWith("/")) host + loc else loc
+                      robotsHostKey(abs) match {
+                        case Some(target) =>
+                          Iterator.single((host, "", "redirect", target, at, ord, fp))
+                        case None =>
+                          Iterator.single((host, "", "unavailable", "", at, ord, fp))
+                      }
+                    }
                     else if (status < 200 || status > 299)
                       Iterator.single((host, "", "unavailable", "", at, ord, fp))
                     else {
@@ -404,9 +495,15 @@ object Robots {
     * `all` must be cheap to read from multiple plan positions (a
     * localCheckpoint or equivalent), or group selection re-executes
     * its whole lineage three times. */
-  private[sources] def complianceOn(docs: DataFrame, all: DataFrame,
-                                    userAgent: String): DataFrame = {
-    val s = docs.sparkSession
+  /** The APPLICABLE path rules of every host for one user agent —
+    * group selection (§2.2.1, product-token matched, exact-else-star,
+    * delay-only exact groups still select) applied, empty rules
+    * dropped (§2.2.2), values percent-normalized ONCE per rule row
+    * and LIKE-compiled. The shared front half of the batch join
+    * ([[complianceOn]]) and the per-host rule-set artifact
+    * ([[ruleSets]]). */
+  private def applicableRules(all: DataFrame, userAgent: String): DataFrame = {
+    val s = all.sparkSession
     import s.implicits._
     val ua = uaToken(userAgent)
     // §2.2.1 probe on the UNFILTERED table: a host whose exact-UA
@@ -420,12 +517,19 @@ object Robots {
     // (before the corpus join); paths normalize map-side post-join —
     // both through the same codegen'd kernel, so the two sides can
     // never disagree on spelling
-    val applicable = exact.unionByName(star)
+    exact.unionByName(star)
       .filter(length($"value") > 0) // an empty rule value matches nothing (§2.2.2)
       .withColumn("vnorm", graft.functions.UriFunctions.percentNormalize($"value"))
       .select($"host", $"directive", $"vnorm",
         ($"vnorm".contains("*") || $"vnorm".endsWith("$")).as("wild"),
         ruleLikePatternCol($"vnorm").as("pattern"))
+  }
+
+  private[sources] def complianceOn(docs: DataFrame, all: DataFrame,
+                                    userAgent: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val applicable = applicableRules(all, userAgent)
     docs
       .withColumn("pnorm", graft.functions.UriFunctions.percentNormalize($"path"))
       .join(applicable, Seq("host"), "left")
@@ -442,15 +546,70 @@ object Robots {
         lit(true)).as("allowed"))
   }
 
+  /** The per-host RULE-SET artifact for one user agent: group
+    * selection, §2.2.2 normalization and LIKE compilation all applied
+    * ONCE batch-side, then each host's applicable rules collected
+    * into ONE bounded array row — robots files are small by protocol
+    * (RFC 9309 §2.5's 500 KiB parse floor), so the array is a few
+    * rules, not a skew risk. This is the serving shape an
+    * INGESTION-TIME verdict join wants: with the rules as a column,
+    * the whole §2.2.2-2.2.3 evaluation becomes a SCALAR expression of
+    * (path, rules) — [[verdictOverRuleSet]] — and a streaming
+    * documents feed gets verdicts from a stateless stream-static
+    * join, no aggregation, no watermark state. */
+  private[graft] def ruleSets(rules: DataFrame, userAgent: String): DataFrame =
+    applicableRules(rules, userAgent)
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("vnorm"), col("wild"), col("pattern"),
+        octet_length(col("vnorm")).as("len"),
+        (col("directive") === "allow").cast("int").as("is_allow"))).as("rules"))
+
+  /** The RFC 9309 verdict as a SCALAR expression over a normalized
+    * path and one host's rule array: filter to matching rules
+    * (codegen'd prefix test for wildcard-free rules, LIKE for the
+    * rest — the same split as the batch join), rank by
+    * (octet length, is-allow) so the longest match wins and allow
+    * wins length ties, and default to ALLOWED when nothing matches —
+    * including a null array from a host with no rules at all. */
+  private[graft] def verdictOverRuleSet(pnorm: Column, rules: Column): Column = {
+    val matches = filter(rules, r =>
+      when(r.getField("wild"), like(pnorm, r.getField("pattern"), lit("\\")))
+        .otherwise(pnorm.startsWith(r.getField("vnorm"))))
+    val best = array_max(transform(matches, r =>
+      struct(r.getField("len").as("len"), r.getField("is_allow").as("is_allow"))))
+    coalesce(best.getField("is_allow") === 1, lit(true))
+  }
+
+  /** Compliance of a (doc_id, host, path) frame — batch OR streaming
+    * — against a pre-aggregated [[ruleSets]] table: one equi-join on
+    * host, the verdict map-side. Must produce row-for-row what
+    * [[complianceOn]] produces from the same directives (the
+    * streaming twin's gate). */
+  def complianceAgainstRuleSets(docs: DataFrame, ruleSets: DataFrame): DataFrame =
+    docs
+      .withColumn("pnorm", graft.functions.UriFunctions.percentNormalize(col("path")))
+      .join(ruleSets, Seq("host"), "left")
+      .select(col("doc_id"), col("host"),
+        verdictOverRuleSet(col("pnorm"), col("rules")).as("allowed"))
+
   /** Crawl-delay under the SAME group selection as path rules
     * (§2.2.1): the exact-UA group's delay when the host HAS an exact
     * group (its absence then means the selected group simply doesn't
     * throttle — no fall-through), else the `*` group's delay.
     * Duplicate crawl-delay lines for one (host, group) — legal and
     * common in the wild — collapse to the MAX (the conservative
-    * read), so the downstream join never fans out. Non-numeric
-    * delays try_cast to null and drop out of the max — a malformed
-    * line in one host's robots must not fail the corpus job. */
+    * read), so the downstream join never fans out.
+    *
+    * The delay is returned in integer MILLISECONDS (`delay_ms`):
+    * the common wild form `Crawl-delay: 0.5` is FRACTIONAL seconds,
+    * and an integral-seconds cast would null it out — dropping the
+    * throttle entirely, the wrong failure direction for a politeness
+    * control (the r19 verdict's one flagged wrong-way tolerance).
+    * `try_cast(decimal)` keeps the arithmetic exact (no float
+    * rounding in an oracle-checked value); genuinely non-numeric
+    * delays still try_cast to null and drop out of the max — a
+    * malformed LINE in one host's robots must not fail the corpus
+    * job, but a parseable fractional value must keep throttling. */
   def crawlDelays(rules: DataFrame, userAgent: String): DataFrame = {
     val s = rules.sparkSession
     import s.implicits._
@@ -462,7 +621,7 @@ object Robots {
       .join(exactHosts, Seq("host"), "left_anti")
     exact.unionByName(star)
       .groupBy($"host")
-      .agg(max($"value".try_cast("long")).as("delay"))
+      .agg((max($"value".try_cast("decimal(18,3)")) * 1000).cast("long").as("delay_ms"))
   }
 
   /** `pipe_robots_filter`: the corpus × robots compliance join for
@@ -482,17 +641,19 @@ object Robots {
       .orderBy($"doc_id")
   }
 
-  /** The fixture corpus projection shared by the compliance verbs:
-    * hosts closed-form on `doc_id % 16`, paths `/doc/<id>` — already
-    * in [[robotsHostKey]] normal form, the join-key contract. */
-  private def corpusDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir).select(
-      $"doc_id",
-      concat(lit("https://h"), ($"doc_id" % 16).cast("string"),
+  /** The fixture corpus projection shared by the compliance verbs —
+    * batch and streaming: hosts closed-form on `doc_id % 16`, paths
+    * `/doc/<id>` — already in [[robotsHostKey]] normal form, the
+    * join-key contract. */
+  private[graft] def corpusProjection(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(lit("https://h"), (col("doc_id") % 16).cast("string"),
         lit(".example.org")).as("host"),
-      concat(lit("/doc/"), $"doc_id".cast("string")).as("path"))
-  }
+      concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    corpusProjection(graft.Tables.documents(s, dir))
 
   /** Shared front half of the two schedule verbs: the allowed corpus
     * and the per-host delay table, off ONE materialized parse. */
@@ -510,7 +671,10 @@ object Robots {
     * politeness scheduling. Allowed fetches to one host must be
     * spaced by that host's `crawl-delay`, so each doc's fetch SLOT is
     * `(rank of the doc among its host's allowed fetches) × delay`
-    * seconds (0-based; hosts without a delay fetch immediately).
+    * in integer MILLISECONDS (0-based; hosts without a delay fetch
+    * immediately) — millisecond slots keep fractional-second delays
+    * exact (`Crawl-delay: 0.5` throttles at 500 ms, it does not
+    * silently drop to zero).
     * One shuffle: the per-host window IS the crawler's frontier
     * queue — partitioned by host, ordered by doc_id. At crawl scale
     * the skew is hot hosts (a million-page host is one partition);
@@ -526,7 +690,7 @@ object Robots {
     allowed
       .join(delays, Seq("host"), "left")
       .select($"doc_id", $"host",
-        ((row_number().over(win) - 1).cast("long") * coalesce($"delay", lit(0L)))
+        ((row_number().over(win) - 1).cast("long") * coalesce($"delay_ms", lit(0L)))
           .as("fetch_slot"))
       .orderBy($"doc_id")
   }
@@ -566,15 +730,17 @@ object Robots {
       .join(offsets, Seq("host", "bucket"))
       .join(delays, Seq("host"), "left")
       .select($"doc_id", $"host",
-        (($"off" + $"local_rank" - 1) * coalesce($"delay", lit(0L))).as("fetch_slot"))
+        (($"off" + $"local_rank" - 1) * coalesce($"delay_ms", lit(0L))).as("fetch_slot"))
       .orderBy($"doc_id")
   }
 
   /** `pipe_robots_audit`: the compliance plane's GOVERNANCE rollup —
     * what a pipeline operator actually reads before a crawl window:
     * per host, how much of the corpus is fetchable (n_docs /
-    * n_allowed / n_blocked), at what politeness cost (crawl_delay),
-    * and whether the verdicts rest on rules at all (has_robots —
+    * n_allowed / n_blocked), at what politeness cost
+    * (crawl_delay_ms — milliseconds, so fractional-second delays
+    * survive), and whether the verdicts rest on rules at all
+    * (has_robots —
     * false means "allowed by ABSENCE", a different trust level than
     * "allowed by rule"). Pure composition of the tested parts: one
     * compliance pass aggregated per host, the delay table, and a
@@ -594,7 +760,7 @@ object Robots {
       .join(hasRules, Seq("host"), "left")
       .select($"host", $"n_docs", $"n_allowed",
         ($"n_docs" - $"n_allowed").as("n_blocked"),
-        coalesce($"delay", lit(0L)).as("crawl_delay"),
+        coalesce($"delay_ms", lit(0L)).as("crawl_delay_ms"),
         coalesce($"has_robots", lit(false)).as("has_robots"))
       .orderBy($"host")
   }
@@ -606,13 +772,20 @@ object Robots {
     * DECIDES verdicts somewhere in the corpus (nothing ships
     * oracle-invisible — the r17/r18 extractor lesson, applied here):
     *
-    *  - base hosts (0,1,2,4,5,8 — and 10/12/14/15 modulo the arms
-    *    below): a `*` group disallowing everything (group selection
-    *    must NOT fall through to it), and a graftbot group whose
-    *    `/doc/k` vs `/doc/kk` pair exercises literal longest-match,
-    *    plus `crawl-delay: k%5` and tolerated noise (comments,
-    *    sitemap, mixed case); host 12 ships TWO crawl-delay lines
-    *    (1 then 2) — the dedup-to-max arm;
+    *  - base hosts (4,5 — and 10/12/14/15 modulo the arms below):
+    *    a `*` group disallowing everything (group selection must NOT
+    *    fall through to it), and a graftbot group whose `/doc/k` vs
+    *    `/doc/kk` pair exercises literal longest-match, plus
+    *    `crawl-delay: k%5` and tolerated noise (comments, sitemap,
+    *    mixed case); host 12 ships TWO crawl-delay lines (1 then 2) —
+    *    the dedup-to-max arm. Hosts 0/1/2/8 ALSO generate base bodies
+    *    here, but their lake captures are latest-wins LOSERS to the
+    *    r20 redirect arms (see [[robotsLakeDir]]): h8 is governed by
+    *    a8's rules via a 1-hop 301 (fractional 0.5 delay), h0 by b2's
+    *    via a 2-hop chain (complete disallow at delay 2), h2 loops ⇒
+    *    unavailable, and h1's chain needs six follows ⇒ unavailable
+    *    (§2.3.1.2's five-hop cap, exercised from both sides — c1
+    *    reaches the same terminal in exactly five and resolves);
     *  - host 3: wildcard rules (§2.2.3 both specials) — a disallow of
     *    `*3$`-suffixed doc paths vs the one-octet-longer allow
     *    `1*3$`, so wildcard-vs-wildcard length ranking decides
@@ -771,11 +944,16 @@ object Robots {
     * would pick it), a dated-older 503 on host 11, and a dated-older
     * poison 200 on host 9 that the newer 404's tombstone must erase
     * — each must LOSE to its newer capture or whole host-classes of
-    * verdicts flip. The captures spread over FOUR `.warc.gz` shards
-    * (host k rides shard k mod 4, extras their target's shard) so
-    * the streaming ingest arrives in real multiple micro-batches.
-    * Test scaffolding under the local-master guard like every other
-    * staged lake; 20 records need no Spark job to write. */
+    * verdicts flip. The r20 REDIRECT arms add twelve more captures
+    * (four 301s superseding hosts 0/1/2/8's base bodies, the a8/b2/c6
+    * terminal bodies, and the b1/l2/c1-c5 intermediate 301s) — the
+    * §2.3.1.2 chain walk's 1-hop, 2-hop, loop and six-hop cases, each
+    * deciding whole host-classes of verdicts. The captures spread
+    * over FOUR `.warc.gz` shards (host k rides shard k mod 4, extras
+    * their target's shard) so the streaming ingest arrives in real
+    * multiple micro-batches. Test scaffolding under the local-master
+    * guard like every other staged lake; 32 records need no Spark job
+    * to write. */
   def robotsLakeDir(s: SparkSession, dir: String): String =
     robotsLakeDirs.computeIfAbsent(dir, _ => {
       require(s.sparkContext.isLocal,
@@ -826,7 +1004,71 @@ object Robots {
       ) :+ (1 -> capture("https://h9.example.org/robots.txt", 200, "OK",
         s"User-agent: $fixtureUa\nDisallow: /\n".getBytes("UTF-8"),
         date = "2025-12-01T00:00:00Z"))
-      records.groupBy(_._1).foreach { case (shard, recs) =>
+      // — the redirect arms (r20, §2.3.1.2): hosts 0/1/2/8's NEWEST
+      // captures are 301s (dated a day after their base bodies, which
+      // stay in the lake as latest-wins losers — redirect resolution
+      // COMPOSES with capture resolution). 1-hop: h8 → a8, whose
+      // rules — including the FRACTIONAL 0.5 crawl-delay, a malformed
+      // delay line that must drop without untrottling, and a sitemap
+      // record that must NOT restamp — govern h8. 2-hop: h0 → b1 →
+      // b2, a complete graftbot disallow at delay 2. Loop: h2 → l2 →
+      // h2 burns the hop budget ⇒ unavailable. >5: h1 → c1 → … → c6
+      // needs SIX follows ⇒ unavailable for h1, while c1 reaches c6's
+      // poison in exactly five ⇒ c1 resolves — the RFC's hop boundary
+      // exercised from BOTH sides.
+      def redirect(uri: String, target: String,
+                   date: String = "2026-01-02T00:00:00Z") = {
+        val http = (s"HTTP/1.1 301 Moved Permanently\r\nLocation: $target\r\n" +
+          "Content-Length: 0\r\n\r\n").getBytes("US-ASCII")
+        Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> uri,
+          "WARC-Date" -> date,
+          "Content-Type" -> "application/http; msgtype=response") -> http
+      }
+      val alias8Body =
+        s"""Sitemap: https://a8.example.org/sitemap.xml
+           |User-agent: *
+           |Disallow: /
+           |
+           |User-agent: $fixtureUa
+           |Disallow: /doc/88
+           |Allow: /doc/888
+           |Crawl-delay: 0.5
+           |Crawl-delay: soon
+           |""".stripMargin
+      val hop2Body =
+        s"""User-agent: *
+           |Disallow: /
+           |
+           |User-agent: $fixtureUa
+           |Disallow: /
+           |Crawl-delay: 2
+           |""".stripMargin
+      val redirectArms = Seq(
+        0 -> redirect("https://h8.example.org/robots.txt",
+          "https://a8.example.org/robots.txt"),
+        0 -> capture("https://a8.example.org/robots.txt", 200, "OK",
+          alias8Body.getBytes("UTF-8")),
+        0 -> redirect("https://h0.example.org/robots.txt",
+          "https://b1.example.org/robots.txt"),
+        1 -> redirect("https://b1.example.org/robots.txt",
+          "https://b2.example.org/robots.txt", date = "2026-01-01T00:00:00Z"),
+        1 -> capture("https://b2.example.org/robots.txt", 200, "OK",
+          hop2Body.getBytes("UTF-8")),
+        2 -> redirect("https://h2.example.org/robots.txt",
+          "https://l2.example.org/robots.txt"),
+        2 -> redirect("https://l2.example.org/robots.txt",
+          "https://h2.example.org/robots.txt", date = "2026-01-01T00:00:00Z"),
+        1 -> redirect("https://h1.example.org/robots.txt",
+          "https://c1.example.org/robots.txt")) ++
+        (1 to 5).map(i =>
+          3 -> redirect(s"https://c$i.example.org/robots.txt",
+            s"https://c${i + 1}.example.org/robots.txt",
+            date = "2026-01-01T00:00:00Z")) :+
+        (3 -> capture("https://c6.example.org/robots.txt", 200, "OK",
+          "User-agent: *\nDisallow: /\n".getBytes("UTF-8")))
+      (records ++ redirectArms).groupBy(_._1).foreach { case (shard, recs) =>
         java.nio.file.Files.write(out.resolve(f"robots-$shard%05d.warc.gz"),
           Warc.gzipPerRecord(Warc.encodeRecords(recs.map(_._2))))
       }

@@ -883,31 +883,59 @@ class SourcesSpec extends SparkSpec {
       s"expected multiple micro-batches over the four-shard lake, got ${graft.streaming.StreamingOps.lastNumBatches}")
     val batch = Robots.srcWarcRobots(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    // the raw feed carries every capture's rows: the resolved
-    // winners PLUS exactly the planted losers — host 4's
-    // half-second-older poison, host 11's older 503 synthetic, host
-    // 9's older poison, and host 9's newer 404 TOMBSTONE (the
-    // unavailability row the batch resolution consumes, then hides)
-    val extras = Set(
-      ("https://h4.example.org", "graftbot", "disallow", "/", "2026-01-01T00:00:00Z"),
-      ("https://h11.example.org", "*", "disallow", "/", "2025-12-01T00:00:00Z"),
-      ("https://h9.example.org", "graftbot", "disallow", "/", "2025-12-01T00:00:00Z"),
-      ("https://h9.example.org", "", "unavailable", "", "2026-01-01T00:00:00Z"))
     val tuples = got.map(r =>
       (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
-    assert(tuples.length == batch.length + 4,
-      s"raw feed rows: ${tuples.length} vs batch ${batch.length}")
+    val older = "2026-01-01T00:00:00Z"
+    // the raw feed carries one `redirect` row per 301 capture — value
+    // is the TARGET's canonical host key, dated as staged (the four
+    // origin 301s a day after the base bodies they supersede)
+    val newer = "2026-01-02T00:00:00Z"
+    val expectRedirects = Set(
+      ("https://h8.example.org", "https://a8.example.org", newer),
+      ("https://h0.example.org", "https://b1.example.org", newer),
+      ("https://h2.example.org", "https://l2.example.org", newer),
+      ("https://h1.example.org", "https://c1.example.org", newer),
+      ("https://b1.example.org", "https://b2.example.org", older),
+      ("https://l2.example.org", "https://h2.example.org", older)) ++
+      (1 to 5).map(i => (s"https://c$i.example.org", s"https://c${i + 1}.example.org", older))
+    val redirects = tuples.filter(_._3 == "redirect")
+    assert(redirects.map(t => (t._1, t._4, t._5)).toSet == expectRedirects &&
+      redirects.length == expectRedirects.size && redirects.forall(_._2 == ""),
+      "every 301 capture must surface exactly one redirect row in the raw feed")
+    // the planted losers are all present: the r19 multi-capture arms
+    // (host 4's half-second-older poison, host 11's older 503
+    // synthetic, host 9's older poison, host 9's newer 404 TOMBSTONE)
+    // and the r20 superseded base bodies of the redirect origins
+    val extras = Set(
+      ("https://h4.example.org", "graftbot", "disallow", "/", older),
+      ("https://h11.example.org", "*", "disallow", "/", "2025-12-01T00:00:00Z"),
+      ("https://h9.example.org", "graftbot", "disallow", "/", "2025-12-01T00:00:00Z"),
+      ("https://h9.example.org", "", "unavailable", "", older))
+    val oldBase = Seq(0, 1, 2, 8).flatMap { k =>
+      val h = s"https://h$k.example.org"
+      Seq((h, "", "sitemap", s"$h/sitemap.xml", older),
+        (h, "*", "disallow", "/", older),
+        (h, "graftbot", "disallow", s"/doc/$k", older),
+        (h, "graftbot", "allow", s"/doc/$k$k", older),
+        (h, "graftbot", "crawl-delay", s"${k % 5}", older))
+    }.toSet
     assert(tuples.filter(extras.contains).toSet == extras,
       "every planted loser (and the tombstone) must appear in the raw feed")
-    // …and the winner rows are row-for-row the resolved batch table
-    // (shared walk, so divergence is structurally impossible; this
-    // pins it executed) — host 4's winners carrying the sub-second
-    // instant that PARSED-date resolution must rank above the
-    // poison's whole-second one (string order would not)
-    val winners = tuples.filterNot(extras.contains)
-    assert(winners.length == batch.length)
-    winners.map(x => (x._1, x._2, x._3, x._4)).zip(batch)
-      .foreach { case (a, b) => assert(a == b, s"row diverged: $a vs $b") }
+    assert(oldBase.subsetOf(tuples.toSet),
+      "the redirect origins' superseded base bodies must still ride the raw feed")
+    // …and the remaining rows are exactly the TERMINAL winners: the
+    // resolved batch table minus the restamped rows, which are a
+    // RESOLUTION product and must never appear in the raw feed.
+    // Host 4's winners carry the sub-second instant that PARSED-date
+    // resolution must rank above the poison's whole-second one
+    // (string order would not).
+    val restampHosts = Set("https://h0.example.org", "https://h8.example.org",
+      "https://b1.example.org") ++ (1 to 5).map(i => s"https://c$i.example.org")
+    val batchTerm = batch.filterNot(r => restampHosts.contains(r._1)).sorted
+    val winners = tuples.filterNot(t =>
+      t._3 == "redirect" || extras.contains(t) || oldBase.contains(t))
+    assert(winners.map(x => (x._1, x._2, x._3, x._4)).sorted.sameElements(batchTerm),
+      "the raw feed's terminal winner rows must be exactly the batch table sans restamps")
     assert(winners.filter(_._1 == "https://h4.example.org")
       .forall(_._5 == "2026-01-01T00:00:00.500Z"))
     // the micro-batch plan is MAP-SIDE (the src_stream_warc rule): a
@@ -916,6 +944,34 @@ class SourcesSpec extends SparkSpec {
     val sp = graft.streaming.StreamingOps.lastStreamPlan
     assert(sp.nonEmpty, "runToMemory captured no plan")
     assert(!sp.contains("Exchange"), s"the robots micro-batch must not shuffle:\n$sp")
+  }
+
+  test("pipe_stream_robots_filter: streamed verdicts ≡ batch row-for-row across REAL micro-batches; broadcast stream-static join, no shuffle") {
+    import graft.sources.Robots
+    val got = graft.streaming.StreamingOps.robotsVerdictsViaStream(spark, sfDir).collect()
+    assert(graft.streaming.StreamingOps.lastNumBatches >= 2,
+      s"expected multiple micro-batches over the four-file docs staging, got ${graft.streaming.StreamingOps.lastNumBatches}")
+    // the streamed verdicts are EXACTLY the batch compliance join's —
+    // the rule-set artifact plus the scalar verdict expression must
+    // reproduce the join + max_by form rule for rule (same grammar
+    // arms: wildcards, percent traps, redirect restamps, all of it)
+    val batch = Robots.pipeRobotsFilter(spark, sfDir).collect()
+    assert(got.length == batch.length && got.nonEmpty)
+    got.zip(batch).foreach { case (g, b) =>
+      assert((g.getLong(0), g.getString(1), g.getBoolean(2)) ==
+        (b.getLong(0), b.getString(1), b.getBoolean(2)),
+        s"streamed verdict diverged for doc ${b.getLong(0)}")
+    }
+    // the micro-batch plan is a BROADCAST stream-static join + scalar
+    // evaluation: no per-batch shuffle (this is how an ingestion-time
+    // crawler gates — rules are a per-worker map, verdicts are pure
+    // compute)
+    val sp = graft.streaming.StreamingOps.lastStreamPlan
+    assert(sp.nonEmpty, "runToMemory captured no plan")
+    assert(sp.contains("BroadcastHashJoin"),
+      s"the rule-set join must broadcast the artifact:\n$sp")
+    assert(!sp.contains("Exchange hashpartitioning"),
+      s"the verdict micro-batch must not shuffle:\n$sp")
   }
 
   test("robots.txt: RFC 9309 parse — groups, multi-agent, comments, case, tolerated noise") {
@@ -1118,11 +1174,13 @@ class SourcesSpec extends SparkSpec {
       ("hC", "*", "crawl-delay", "4"),
       ("hD", "bot", "crawl-delay", "oops"), // non-numeric → null, tolerated
       ("hE", "bot/3.0", "crawl-delay", "6"), // versioned token SELECTS for 'bot' (§2.2.1)
-      ("hE", "*", "crawl-delay", "9"))
+      ("hE", "*", "crawl-delay", "9"),
+      ("hF", "bot", "crawl-delay", "0.5")) // FRACTIONAL seconds survive as ms (r20)
       .toDF("host", "user_agent", "directive", "value")
     val d = Robots.crawlDelays(rules, "bot").collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    assert(d == Map("hA" -> 5L, "hB" -> 7L, "hD" -> -1L, "hE" -> 6L))
+    assert(d == Map("hA" -> 5000L, "hB" -> 7000L, "hD" -> -1L,
+      "hE" -> 6000L, "hF" -> 500L))
   }
 
   test("robots.txt: instant-TIED captures resolve deterministically by capture fingerprint, never a merge") {
@@ -1162,6 +1220,10 @@ class SourcesSpec extends SparkSpec {
     val s = id.toString
     (id % 16) match {
       case 13 => false                                  // 503 → complete disallow
+      case 0  => false                       // 2-hop redirect to b2: disallow-all
+      case 1  => true                        // six-hop redirect chain ⇒ unavailable
+      case 2  => true                        // redirect loop ⇒ unavailable
+      case 8  => !(s.startsWith("88") && !s.startsWith("888")) // a8's rules via the 1-hop 301
       case 9  => true                                   // 404 → no rules
       case 6  => true                                   // delay-only exact group selects
       case 11 => !(s.startsWith("1") && !s.startsWith("11")) // star fall-through rules
@@ -1171,14 +1233,22 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  private def robotsFixtureDelay(k: Long): Long = if (k == 9) 0L else k % 5
+  /** Per-host crawl-delay in MILLISECONDS (the r20 unit: fractional
+    * delays stay exact). */
+  private def robotsFixtureDelayMs(k: Long): Long = k match {
+    case 1 | 2 | 9 => 0L    // unavailable / 404: no rules, no delay
+    case 0         => 2000L // b2's delay via the 2-hop chain
+    case 8         => 500L  // a8's FRACTIONAL 0.5 s via the 1-hop 301
+    case _         => (k % 5) * 1000L
+  }
 
   test("src_warc_robots + pipe_robots_filter: the staged lake parses to the id-keyed grammar arms and the fixture verdicts match the arithmetic") {
     import graft.sources.Robots
     val rules = Robots.srcWarcRobots(spark, sfDir).collect()
-    assert(rules.length == 72, s"the arm grammar parses to 72 directives, got ${rules.length}")
-    def host(k: Int) = rules.filter(_.getString(0) == s"https://h$k.example.org")
+    assert(rules.length == 78, s"the arm grammar parses to 78 directives, got ${rules.length}")
+    def hostByName(name: String) = rules.filter(_.getString(0) == name)
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    def host(k: Int) = hostByName(s"https://h$k.example.org")
     // availability arms: the 404 host contributes NOTHING; the 503
     // host ONLY the synthetic complete-disallow (RFC 9309 §2.3.1.4)
     assert(host(9).isEmpty,
@@ -1203,10 +1273,35 @@ class SourcesSpec extends SparkSpec {
     // the decoy capture at /blog/robots.txt must be ABSENT: not a
     // rules location, its poison disallow-all parses to nothing
     assert(!rules.exists(_.getString(0).contains("/blog")))
-    assert(host(2) == Set(("", "sitemap", "https://h2.example.org/sitemap.xml"),
-      ("*", "disallow", "/"), ("graftbot", "disallow", "/doc/2"),
-      ("graftbot", "allow", "/doc/22"), ("graftbot", "crawl-delay", "2")),
-      "the decoy must not contribute rows to host 2 either")
+    // the redirect arms (r20, §2.3.1.2). Host 8's winning 301 means
+    // a8's rules govern h8 — including the fractional delay and the
+    // malformed delay line, but NOT a8's file-scoped sitemap record
+    val a8rules = Set(("*", "disallow", "/"),
+      ("graftbot", "disallow", "/doc/88"), ("graftbot", "allow", "/doc/888"),
+      ("graftbot", "crawl-delay", "0.5"), ("graftbot", "crawl-delay", "soon"))
+    assert(host(8) == a8rules,
+      "host 8 must adopt its 1-hop redirect target's rules, sans sitemap")
+    assert(hostByName("https://a8.example.org") == a8rules +
+      (("", "sitemap", "https://a8.example.org/sitemap.xml")),
+      "the redirect target keeps its own rows, sitemap included")
+    // 2-hop chain: h0 → b1 → b2; both h0 and the intermediate b1
+    // adopt b2's rules
+    val b2rules = Set(("*", "disallow", "/"), ("graftbot", "disallow", "/"),
+      ("graftbot", "crawl-delay", "2"))
+    assert(host(0) == b2rules && hostByName("https://b1.example.org") == b2rules &&
+      hostByName("https://b2.example.org") == b2rules,
+      "the 2-hop chain must resolve origin AND intermediate to the terminal's rules")
+    // the five-hop boundary, both sides: h1 → c1 → … → c6 needs SIX
+    // follows ⇒ unavailable (no rows), while c1 reaches c6 in exactly
+    // five ⇒ resolves to the poison
+    assert(host(1).isEmpty, "a six-follow chain must resolve unavailable (RFC cap is 5)")
+    for (i <- 1 to 5)
+      assert(hostByName(s"https://c$i.example.org") == Set(("*", "disallow", "/")),
+        s"c$i reaches the terminal within five follows and must resolve")
+    // the loop: h2 ↔ l2 burns the hop budget ⇒ both unavailable (the
+    // decoy must not contribute rows to host 2 either)
+    assert(host(2).isEmpty && hostByName("https://l2.example.org").isEmpty,
+      "a redirect loop must resolve unavailable, not spin or merge")
     // latest-capture-wins (r19): both planted OLDER captures lost —
     // host 4's poison 200 (disallow-all for graftbot) left no trace,
     // and host 11's 503 synthetic disallow-all did not merge into
@@ -1262,6 +1357,23 @@ class SourcesSpec extends SparkSpec {
     assert(verdicts.filter(r => Set(140L).contains(r.getLong(0))).forall(_.getBoolean(2)))
     assert(verdicts.filter(r => Set(15L, 159L, 106L).contains(r.getLong(0)))
       .forall(!_.getBoolean(2)))
+    // the redirect arms DECIDE verdicts (r20): host 0 is blanket-
+    // blocked by its 2-hop target, hosts 1/2 (six-hop chain, loop)
+    // resolve unavailable → allowed — where their superseded base
+    // bodies would have blocked their decimal-prefix subsets — and
+    // host 8 blocks a8's 88-prefix subset instead of its old 8-prefix
+    // one (doc 8 itself flips to ALLOWED)
+    assert(verdicts.filter(_.getLong(0) % 16 == 0).forall(!_.getBoolean(2)),
+      "host 0: the 2-hop redirect target's disallow-all must govern")
+    assert(verdicts.filter(r => r.getLong(0) % 16 == 1 || r.getLong(0) % 16 == 2)
+      .forall(_.getBoolean(2)),
+      "loop and six-hop chains resolve unavailable → everything allowed")
+    assert(verdicts.filter(_.getLong(0) == 8L).forall(_.getBoolean(2)) &&
+      docs.contains(8L),
+      "doc 8: the superseded base disallow must NOT apply through the redirect")
+    assert(verdicts.filter(_.getLong(0) == 88L).forall(!_.getBoolean(2)) &&
+      docs.contains(88L),
+      "doc 88: the redirect target's disallow must apply")
   }
 
   test("pipe_fetch_schedule + sharded twin: politeness slots match the closed form; the two forms are row-identical") {
@@ -1275,7 +1387,7 @@ class SourcesSpec extends SparkSpec {
     slots.foreach { r =>
       val id = r.getLong(0); val k = id % 16
       val rank = allowedByHost(k).indexOf(id)
-      assert(rank >= 0 && r.getLong(2) == rank.toLong * robotsFixtureDelay(k),
+      assert(rank >= 0 && r.getLong(2) == rank.toLong * robotsFixtureDelayMs(k),
         s"slot for doc $id on host h$k")
     }
     // the delay arms really schedule: host 11 (star-group delay) and
@@ -1288,9 +1400,22 @@ class SourcesSpec extends SparkSpec {
     assert(slots.filter(_.getLong(0) % 16 == 9).forall(_.getLong(2) == 0),
       "the 404 host fetches immediately")
     assert(!slots.exists(_.getLong(0) % 16 == 13), "the 503 host never schedules")
-    // host 12's duplicate delay lines collapse to max(1,2)=2 — and to
-    // ONE row: no join fan-out (row count already asserted above)
-    assert(slots.exists(r => r.getLong(0) % 16 == 12 && r.getLong(2) % 2 == 0 && r.getLong(2) > 0))
+    // host 12's duplicate delay lines collapse to max(1,2)=2 s — and
+    // to ONE row: no join fan-out (row count already asserted above)
+    assert(slots.exists(r => r.getLong(0) % 16 == 12 && r.getLong(2) % 2000 == 0 && r.getLong(2) > 0))
+    // the FRACTIONAL arm (r20): host 8's delay is a8's 0.5 s via the
+    // redirect — the rank-1 fetch slots at exactly 500 ms, which an
+    // integral-seconds cast would have dropped to 0 and a
+    // round-to-seconds would have made 1000
+    assert(slots.exists(r => r.getLong(0) % 16 == 8 && r.getLong(2) == 500L),
+      "the fractional 0.5 s crawl-delay must throttle at 500 ms")
+    // the redirect availability arms: hosts 1/2 (unavailable) fetch
+    // immediately; host 0 (blanket-blocked by its target) never
+    // schedules
+    assert(slots.filter(r => r.getLong(0) % 16 == 1 || r.getLong(0) % 16 == 2)
+      .forall(_.getLong(2) == 0))
+    assert(!slots.exists(_.getLong(0) % 16 == 0),
+      "host 0 is blanket-blocked by its redirect target")
     // the sharded twin is row-identical at the default width AND at a
     // width small enough to force multi-bucket offsets per host
     val byId = slots.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
@@ -1314,11 +1439,12 @@ class SourcesSpec extends SparkSpec {
       assert(r.getLong(1) == hostDocs.length, s"n_docs for h$k")
       assert(r.getLong(2) == allowed, s"n_allowed for h$k")
       assert(r.getLong(3) == hostDocs.length - allowed, s"n_blocked for h$k")
-      // host 13's synthetic disallow-all carries no delay; host 9 has
-      // no rules at all (allowed by ABSENCE — has_robots false)
-      val delay = if (k == 13) 0L else robotsFixtureDelay(k)
-      assert(r.getLong(4) == delay, s"crawl_delay for h$k")
-      assert(r.getBoolean(5) == (k != 9), s"has_robots for h$k")
+      // host 13's synthetic disallow-all carries no delay; hosts 9
+      // (404) and 1/2 (redirect loop / six-hop chain) have no rules
+      // at all (allowed by ABSENCE — has_robots false)
+      val delay = if (k == 13) 0L else robotsFixtureDelayMs(k)
+      assert(r.getLong(4) == delay, s"crawl_delay_ms for h$k")
+      assert(r.getBoolean(5) == !Set(1L, 2L, 9L).contains(k), s"has_robots for h$k")
     }
     // the rollup's trust distinction is live in the fixture: an
     // allowed-by-absence host (9), a fully-blocked host (13), and
