@@ -461,6 +461,18 @@ object SparkEntry {
     // Sitemap records, one row per (host, url)
     "src_robots_sitemaps" -> ((s, dir) =>
       graft.sources.Robots.srcRobotsSitemaps(s, dir)),
+    // the sitemap DISCOVERY walk (r20): announced sitemaps resolved
+    // against the capture lake — urlsets emit URLs with lastmod,
+    // sitemapindex files resolve one level (the protocol's nesting
+    // cap), announcements key through the robots normalization
+    "src_sitemap_urls" -> ((s, dir) =>
+      graft.sources.Sitemaps.srcSitemapUrls(s, dir)),
+    // the robots → discovery → politeness composition (r20): each
+    // host's discovered URLs ordered by PARSED lastmod freshness
+    // (undated last) and spaced by the group-selected crawl-delay in
+    // millisecond slots
+    "pipe_sitemap_schedule" -> ((s, dir) =>
+      graft.sources.Sitemaps.pipeSitemapSchedule(s, dir)),
     "pipe_robots_filter" -> ((s, dir) =>
       graft.sources.Robots.pipeRobotsFilter(s, dir)),
     // streaming compliance verdicts (r20) — the 21st real streaming
@@ -2741,6 +2753,43 @@ object SparkEntry {
           |  FROM range(16) WHERE range NOT IN (0, 1, 2, 8, 9, 13)
           |  UNION ALL SELECT 'https://a8.example.org')
           |ORDER BY host, sitemap""".stripMargin,
+      // src_sitemap_urls: the discovery walk's closed form — h3's
+      // urlset (winner of its latest-capture pair), h7's two urlset
+      // children via the index; the nested index must NOT double
+      // page/70-71, the h9 decoy (unannounced) and h3's older poison
+      // (page/666) must be absent, page/72's missing lastmod is NULL
+      "src_sitemap_urls" ->
+        """SELECT * FROM (VALUES
+          |  ('https://h3.example.org', 'https://h3.example.org/sitemap.xml',
+          |   'https://h3.example.org/page/30', '2026-01-02T23:00:00Z'),
+          |  ('https://h3.example.org', 'https://h3.example.org/sitemap.xml',
+          |   'https://h3.example.org/page/31', '2026-01-03T06:00:00Z'),
+          |  ('https://h3.example.org', 'https://h3.example.org/sitemap.xml',
+          |   'https://h3.example.org/page/32', '2026-01-03T06:00:00.500Z'),
+          |  ('https://h7.example.org', 'https://h7.example.org/sitemap-a.xml',
+          |   'https://h7.example.org/page/70', '2026-01-01'),
+          |  ('https://h7.example.org', 'https://h7.example.org/sitemap-a.xml',
+          |   'https://h7.example.org/page/71', '2026-01-04'),
+          |  ('https://h7.example.org', 'https://h7.example.org/sitemap-b.xml',
+          |   'https://h7.example.org/page/72', CAST(NULL AS VARCHAR))
+          |) t(host, sitemap, url, lastmod)
+          |ORDER BY host, sitemap, url""".stripMargin,
+      // pipe_sitemap_schedule: freshness-ranked politeness slots —
+      // h3 (delay 3 s): the sub-second trap decides rank 0 (page/32's
+      // .500Z instant beats page/31's bare second though its string
+      // sorts lower); h7 (delay 2 s): date-only lastmods rank, the
+      // undated page/72 goes LAST
+      "pipe_sitemap_schedule" ->
+        """SELECT host, url, CAST(fetch_slot AS BIGINT) AS fetch_slot
+          |FROM (VALUES
+          |  ('https://h3.example.org', 'https://h3.example.org/page/32', 0),
+          |  ('https://h3.example.org', 'https://h3.example.org/page/31', 3000),
+          |  ('https://h3.example.org', 'https://h3.example.org/page/30', 6000),
+          |  ('https://h7.example.org', 'https://h7.example.org/page/71', 0),
+          |  ('https://h7.example.org', 'https://h7.example.org/page/70', 2000),
+          |  ('https://h7.example.org', 'https://h7.example.org/page/72', 4000)
+          |) t(host, url, fetch_slot)
+          |ORDER BY host, fetch_slot, url""".stripMargin,
       // pipe_robots_filter: RFC 9309 evaluation over the fixture's
       // grammar arms collapses to string arithmetic — the wildcard
       // rules mirror EXACTLY as SQL LIKE patterns (* ⇔ %, trailing $

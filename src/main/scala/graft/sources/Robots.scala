@@ -948,12 +948,16 @@ object Robots {
     * (four 301s superseding hosts 0/1/2/8's base bodies, the a8/b2/c6
     * terminal bodies, and the b1/l2/c1-c5 intermediate 301s) — the
     * §2.3.1.2 chain walk's 1-hop, 2-hop, loop and six-hop cases, each
-    * deciding whole host-classes of verdicts. The captures spread
-    * over FOUR `.warc.gz` shards (host k rides shard k mod 4, extras
-    * their target's shard) so the streaming ingest arrives in real
-    * multiple micro-batches. Test scaffolding under the local-master
-    * guard like every other staged lake; 32 records need no Spark job
-    * to write. */
+    * deciding whole host-classes of verdicts. The sitemap DISCOVERY
+    * arms add seven XML captures (h3's urlset + its older poison,
+    * h7's index → two urlsets + a nested-index child, h9's
+    * unreachable decoy) that the robots parse skips and the
+    * [[Sitemaps]] walk resolves. The captures spread over FOUR
+    * `.warc.gz` shards (host k rides shard k mod 4, extras their
+    * target's shard) so the streaming ingest arrives in real multiple
+    * micro-batches. Test scaffolding under the local-master guard
+    * like every other staged lake; 39 records need no Spark job to
+    * write. */
   def robotsLakeDir(s: SparkSession, dir: String): String =
     robotsLakeDirs.computeIfAbsent(dir, _ => {
       require(s.sparkContext.isLocal,
@@ -1068,7 +1072,52 @@ object Robots {
             date = "2026-01-01T00:00:00Z")) :+
         (3 -> capture("https://c6.example.org/robots.txt", 200, "OK",
           "User-agent: *\nDisallow: /\n".getBytes("UTF-8")))
-      (records ++ redirectArms).groupBy(_._1).foreach { case (shard, recs) =>
+      // — the sitemap DISCOVERY arms (r20): XML captures the robots
+      // parse skips (paths ≠ /robots.txt) and the Sitemaps walk
+      // resolves from the robots announcements. h3's urlset plants
+      // the sub-second-vs-whole-second lastmod trap (page/32's
+      // .500Z instant outranks page/31's bare-second one though its
+      // STRING sorts lower) plus an OLDER poison capture that
+      // latest-wins must erase; h7's sitemap is an INDEX → two
+      // urlset children (date-only lastmods, one missing) plus a
+      // NESTED-index child that the one-level rule must not follow
+      // (following it would double page/70-71); h9's capture is the
+      // unreachable decoy (its robots 404'd ⇒ no announcement).
+      def urlset(entries: (String, String)*): String =
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          entries.map { case (loc, lm) =>
+            if (lm.isEmpty) s"  <url><loc>$loc</loc></url>"
+            else s"  <url><loc>$loc</loc><lastmod>$lm</lastmod></url>"
+          }.mkString("\n") + "\n</urlset>\n"
+      def sitemapindex(locs: String*): String =
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          locs.map(l => s"  <sitemap><loc>$l</loc></sitemap>").mkString("\n") +
+          "\n</sitemapindex>\n"
+      val sitemapArms = Seq(
+        3 -> capture("https://h3.example.org/sitemap.xml", 200, "OK", urlset(
+          ("https://h3.example.org/page/30", "2026-01-02T23:00:00Z"),
+          ("https://h3.example.org/page/31", "2026-01-03T06:00:00Z"),
+          ("https://h3.example.org/page/32", "2026-01-03T06:00:00.500Z"))
+          .getBytes("UTF-8")),
+        2 -> capture("https://h3.example.org/sitemap.xml", 200, "OK", urlset(
+          ("https://h3.example.org/page/666", "2026-01-01"))
+          .getBytes("UTF-8"), date = "2025-12-01T00:00:00Z"),
+        3 -> capture("https://h7.example.org/sitemap.xml", 200, "OK", sitemapindex(
+          "https://h7.example.org/sitemap-a.xml",
+          "https://h7.example.org/sitemap-b.xml",
+          "https://h7.example.org/sitemap-c.xml").getBytes("UTF-8")),
+        0 -> capture("https://h7.example.org/sitemap-a.xml", 200, "OK", urlset(
+          ("https://h7.example.org/page/70", "2026-01-01"),
+          ("https://h7.example.org/page/71", "2026-01-04")).getBytes("UTF-8")),
+        1 -> capture("https://h7.example.org/sitemap-b.xml", 200, "OK", urlset(
+          ("https://h7.example.org/page/72", "")).getBytes("UTF-8")),
+        2 -> capture("https://h7.example.org/sitemap-c.xml", 200, "OK", sitemapindex(
+          "https://h7.example.org/sitemap-a.xml").getBytes("UTF-8")),
+        1 -> capture("https://h9.example.org/sitemap.xml", 200, "OK", urlset(
+          ("https://h9.example.org/page/999", "2026-01-01")).getBytes("UTF-8")))
+      (records ++ redirectArms ++ sitemapArms).groupBy(_._1).foreach { case (shard, recs) =>
         java.nio.file.Files.write(out.resolve(f"robots-$shard%05d.warc.gz"),
           Warc.gzipPerRecord(Warc.encodeRecords(recs.map(_._2))))
       }

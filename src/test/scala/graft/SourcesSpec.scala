@@ -1453,6 +1453,54 @@ class SourcesSpec extends SparkSpec {
     assert(rows.exists(r => r.getBoolean(5) && r.getLong(2) == 0))
   }
 
+  test("src_sitemap_urls + pipe_sitemap_schedule: announced walk, one-level index rule, parsed-lastmod freshness, decoy and poison-capture resolution") {
+    import graft.sources.Sitemaps
+    // unit layer: the tolerant tag scan and the W3C instant parse
+    val (kind, es) = Sitemaps.parseSitemap(
+      "<?xml version=\"1.0\"?><urlset><url><loc> https://x/a </loc>" +
+        "<lastmod>2026-01-01</lastmod></url><url><!-- no loc --></url>" +
+        "<url><loc>https://x/b</loc></url></urlset>")
+    assert(kind == "urlset" &&
+      es == Vector(("https://x/a", "2026-01-01"), ("https://x/b", "")),
+      "loc-less entries skip; whitespace trims; missing lastmod is empty")
+    assert(Sitemaps.parseSitemap("<sitemapindex><sitemap><loc>https://x/s.xml</loc>" +
+      "</sitemap></sitemapindex>")._1 == "sitemapindex")
+    assert(Sitemaps.parseSitemap("not xml at all") == (("", Vector.empty)))
+    // the mixed-precision trap the fixture plants: the sub-second
+    // instant is LATER though its string sorts lower
+    assert(Sitemaps.lastmodOrd("2026-01-03T06:00:00.500Z") >
+      Sitemaps.lastmodOrd("2026-01-03T06:00:00Z"))
+    assert("2026-01-03T06:00:00.500Z" < "2026-01-03T06:00:00Z",
+      "trap precondition: string order must disagree with instant order")
+    assert(Sitemaps.lastmodOrd("2026-01-04") > Sitemaps.lastmodOrd("2026-01-01") &&
+      Sitemaps.lastmodOrd("") == -1L && Sitemaps.lastmodOrd("soon") == -1L)
+    // the walk: exactly the six announced-and-captured URLs — h3's
+    // winning urlset (its older poison page/666 LOST latest-wins),
+    // h7's two urlset children via the index (the nested index child
+    // must not double page/70-71), the h9 decoy absent (no robots ⇒
+    // no announcement ⇒ unreachable), host 6 announced-but-uncaptured
+    // contributes nothing
+    val urls = Sitemaps.srcSitemapUrls(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    val h3 = "https://h3.example.org"; val h7 = "https://h7.example.org"
+    assert(urls.toSeq == Seq(
+      (h3, s"$h3/sitemap.xml", s"$h3/page/30", "2026-01-02T23:00:00Z"),
+      (h3, s"$h3/sitemap.xml", s"$h3/page/31", "2026-01-03T06:00:00Z"),
+      (h3, s"$h3/sitemap.xml", s"$h3/page/32", "2026-01-03T06:00:00.500Z"),
+      (h7, s"$h7/sitemap-a.xml", s"$h7/page/70", "2026-01-01"),
+      (h7, s"$h7/sitemap-a.xml", s"$h7/page/71", "2026-01-04"),
+      (h7, s"$h7/sitemap-b.xml", s"$h7/page/72", null)))
+    // the composition: freshness rank × the robots crawl-delay in ms
+    // — h3's rank 0 is decided by the parsed-instant trap, h7's tail
+    // by NULLS-LAST on the undated URL
+    val slots = graft.sources.Sitemaps.pipeSitemapSchedule(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(slots.toSeq == Seq(
+      (h3, s"$h3/page/32", 0L), (h3, s"$h3/page/31", 3000L), (h3, s"$h3/page/30", 6000L),
+      (h7, s"$h7/page/71", 0L), (h7, s"$h7/page/70", 2000L), (h7, s"$h7/page/72", 4000L)))
+  }
+
   test("src_warc_serve: the persisted cdx artifact serves the pushed range row-identically; built once") {
     import graft.sources.Warc
     val got = Warc.srcWarcServe(spark, sfDir).collect()
