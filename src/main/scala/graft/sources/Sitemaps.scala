@@ -167,21 +167,26 @@ object Sitemaps {
     * uncaptured sitemap contributes nothing; an unannounced capture
     * (the h9 decoy) must never appear. */
   def srcSitemapUrls(s: SparkSession, dir: String): DataFrame =
-    sitemapUrlRows(s, dir)
+    sitemapUrlRowsOn(s, dir,
+      Robots.robotsFromWarcFiles(s, Robots.robotsLakeDir(s, dir)))
       .select(col("host"), col("sitemap"), col("url"), col("lastmod"))
       .orderBy(col("host"), col("sitemap"), col("url"))
 
   /** The walk with the freshness ord kept — shared by the source verb
-    * and the priority schedule. The captures table materializes ONCE
-    * (localCheckpoint) because the index walk reads it from two join
-    * positions. */
-  private def sitemapUrlRows(s: SparkSession, dir: String): DataFrame = {
+    * and the priority schedule, over an ALREADY-RESOLVED directive
+    * table (so [[pipeSitemapSchedule]] pays the robots-lake parse
+    * ONCE for announcements and delays together). The captures table
+    * materializes once (localCheckpoint) because the index walk reads
+    * it from two join positions. */
+  private def sitemapUrlRowsOn(s: SparkSession, dir: String,
+                               rules: DataFrame): DataFrame = {
     import s.implicits._
     val lake = Robots.robotsLakeDir(s, dir)
     val caps = sitemapCapturesFromLake(s, lake).localCheckpoint()
     // announcements normalize through the SAME hand parser as capture
     // URIs (typed map at rules grain — host-proportional, tiny)
-    val announced = Robots.srcRobotsSitemaps(s, dir)
+    val announced = rules.filter($"directive" === "sitemap")
+      .select($"host", $"value")
       .as[(String, String)]
       .flatMap { case (host, url) => sitemapUrlKey(url).map(k => (host, k)) }
       .toDF("host", "url_key")
@@ -216,9 +221,13 @@ object Sitemaps {
     * crawl-delay. */
   def pipeSitemapSchedule(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val urls = sitemapUrlRows(s, dir)
-    val delays = Robots.crawlDelays(
-      Robots.robotsFromWarcFiles(s, Robots.robotsLakeDir(s, dir)), Robots.fixtureUa)
+    // ONE robots parse serves both consumers (the scheduleInputs
+    // discipline): announcements read the resolved table directly,
+    // delays group-select over the same checkpoint
+    val rules = Robots.robotsFromWarcFiles(s, Robots.robotsLakeDir(s, dir))
+      .localCheckpoint()
+    val urls = sitemapUrlRowsOn(s, dir, rules)
+    val delays = Robots.crawlDelays(rules, Robots.fixtureUa)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy($"host").orderBy($"lastmod_ord".desc, $"url")
     urls
