@@ -118,7 +118,13 @@ object Probe {
         "pipe_fetch_schedule_sharded",
         // r19: the governance rollup — one corpus aggregation plus
         // two small joins, no window
-        "pipe_robots_audit")
+        "pipe_robots_audit",
+        // r20: the discovery walk (announcement × capture joins, the
+        // one-level index hop) and its freshness-ranked politeness
+        // composition — the redirect-resolution joins show in every
+        // robots plan above as reads of the ONE materialized winner
+        // table
+        "src_sitemap_urls", "pipe_sitemap_schedule")
       val sb = new StringBuilder
       sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
       sb.append("Generated by `sbt \"runMain graft.Probe <sfDir> plansmd\"`. What to\n")
