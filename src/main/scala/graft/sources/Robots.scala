@@ -135,6 +135,17 @@ object Robots {
   private def asciiDigits(s: String): Boolean =
     s.nonEmpty && s.forall(c => c >= '0' && c <= '9') // URI ports are ASCII DIGIT only
 
+  /** Capture fingerprint for instant-tie resolution: the first eight
+    * bytes of the MD5 of the raw record bytes, as a big-endian long.
+    * 64 bits (not a 32-bit CRC) so "equal instant AND equal
+    * fingerprint" means byte-identical captures for any lake a crawl
+    * can actually produce — the tiebreak must never silently MERGE
+    * two distinct bodies. Shared by the robots and sitemap parses. */
+  private[graft] def captureFp(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   def robotsHostKey(uri: String): Option[String] =
     uri match {
       // the path compares in the same §6.2.2.2 normal form as rule
@@ -298,7 +309,8 @@ object Robots {
     * `WARC-Date` (`fetched_at` as written, plus `fetched_ord` — the
     * parsed instant in epoch micros, -1 for undated/unparseable so
     * those captures lose to any dated one — and `capture_fp`, the
-    * CRC32 capture fingerprint that breaks exact instant ties in
+    * 64-bit capture fingerprint ([[captureFp]]) that breaks exact
+    * instant ties in
     * [[resolveLatest]]) — the raw feed the stream
     * serves and the latest-wins resolution above folds. Status
     * routing per §2.3.1: 2xx parses; 3xx whose Location is a robots
@@ -329,15 +341,15 @@ object Robots {
                       val inst = java.time.Instant.parse(at)
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     } catch { case _: Exception => -1L }
-                    // the capture FINGERPRINT (CRC32 of the raw
-                    // capture bytes): the deterministic tiebreak when
-                    // two captures of one host carry the SAME parsed
-                    // instant — higher fingerprint wins resolution
-                    // (r19 design note: ties previously MERGED, the
-                    // resolution's only nondeterminism-shaped corner).
-                    // Equal instant AND equal fingerprint means
-                    // byte-identical captures, whose rows coincide.
-                    val fp = { val c = new java.util.zip.CRC32(); c.update(r.body); c.getValue }
+                    // the capture FINGERPRINT: the deterministic
+                    // tiebreak when two captures of one host carry the
+                    // SAME parsed instant — higher fingerprint wins
+                    // resolution (r19 design note: ties previously
+                    // MERGED, the resolution's only nondeterminism-
+                    // shaped corner). Equal instant AND equal
+                    // fingerprint means byte-identical captures, whose
+                    // rows coincide.
+                    val fp = captureFp(r.body)
                     val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
                     if (status >= 500 && status <= 599)
                       Iterator.single((host, "*", "disallow", "/", at, ord, fp))
@@ -1050,8 +1062,12 @@ object Robots {
            |Crawl-delay: 2
            |""".stripMargin
       val redirectArms = Seq(
+        // h8's Location is spelled NON-canonically (uppercase, explicit
+        // default port): the parse must key the target through the same
+        // host normalization as capture URIs, or h8 resolves to a host
+        // that does not exist and flips to allowed-by-absence
         0 -> redirect("https://h8.example.org/robots.txt",
-          "https://a8.example.org/robots.txt"),
+          "HTTPS://A8.EXAMPLE.ORG:443/robots.txt"),
         0 -> capture("https://a8.example.org/robots.txt", 200, "OK",
           alias8Body.getBytes("UTF-8")),
         0 -> redirect("https://h0.example.org/robots.txt",

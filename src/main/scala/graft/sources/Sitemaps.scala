@@ -128,7 +128,7 @@ object Sitemaps {
                       val inst = java.time.Instant.parse(at)
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     } catch { case _: Exception => -1L }
-                    val fp = { val c = new java.util.zip.CRC32(); c.update(r.body); c.getValue }
+                    val fp = Robots.captureFp(r.body)
                     val (status, hh, entity) = Warc.decodeHttpResponse(r.body)
                     if (status < 200 || status > 299) Iterator.empty
                     else {

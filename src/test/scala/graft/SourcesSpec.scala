@@ -1183,13 +1183,50 @@ class SourcesSpec extends SparkSpec {
       "hE" -> 6000L, "hF" -> 500L))
   }
 
+  test("robots.txt: 3xx Location routing — non-canonical and relative Locations key through the host normalization; self-loops resolve unavailable") {
+    import graft.sources.{Robots, Warc}
+    def r301(uri: String, loc: String) = {
+      val http = (s"HTTP/1.1 301 Moved Permanently\r\nLocation: $loc\r\n" +
+        "Content-Length: 0\r\n\r\n").getBytes("US-ASCII")
+      Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri,
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response") -> http
+    }
+    val shard = Warc.gzipPerRecord(Warc.encodeRecords(Seq(
+      // mixed-case + explicit default port: must key to the canonical
+      // target host, not a host that doesn't exist
+      r301("https://r1.example/robots.txt", "HTTP://R1-TARGET.EXAMPLE:80/robots.txt"),
+      // path-relative Location resolves against the origin authority —
+      // here the origin itself, a self-loop
+      r301("https://r2.example/robots.txt", "/robots.txt"),
+      // a relative Location that is NOT a robots location carries no
+      // rules: tombstone, as does an unparseable one
+      r301("https://r3.example/robots.txt", "/elsewhere"),
+      r301("https://r4.example/robots.txt", "not a uri"))))
+    val raw = Robots.robotsRowsFromShardBytes(Seq(shard).toDS())
+    val rows = raw.select($"host", $"directive", $"value").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    assert(rows == Set(
+      ("https://r1.example", "redirect", "http://r1-target.example"),
+      ("https://r2.example", "redirect", "https://r2.example"),
+      ("https://r3.example", "unavailable", ""),
+      ("https://r4.example", "unavailable", "")),
+      s"3xx routing produced $rows")
+    // through the walk: r1's target was never captured (allowed by
+    // absence), r2 chases itself until the hop budget burns, r3/r4
+    // are tombstones — ALL resolve to no rules
+    assert(Robots.resolveRedirects(Robots.resolveLatest(raw)).collect().isEmpty)
+  }
+
   test("robots.txt: instant-TIED captures resolve deterministically by capture fingerprint, never a merge") {
     import graft.sources.{Robots, Warc}
     // two captures of ONE host stamped the SAME WARC-Date instant but
     // with different bodies — r19 design note: these previously MERGED
     // their directives (the resolution's only nondeterminism-shaped
     // corner); now exactly one capture's rows survive, chosen by the
-    // higher CRC32 capture fingerprint, independent of record order
+    // higher 64-bit capture fingerprint, independent of record order
     def capture(rule: String) = {
       val b = s"User-agent: bot\nDisallow: $rule\n".getBytes("UTF-8")
       val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
@@ -1201,8 +1238,8 @@ class SourcesSpec extends SparkSpec {
         "Content-Type" -> "application/http; msgtype=response") -> (http ++ b)
     }
     val (a, b) = (capture("/a"), capture("/b"))
-    def crc(x: Array[Byte]) = { val c = new java.util.zip.CRC32(); c.update(x); c.getValue }
-    val expected = Set(("bot", "disallow", if (crc(a._2) >= crc(b._2)) "/a" else "/b"))
+    val expected = Set(("bot", "disallow",
+      if (Robots.captureFp(a._2) >= Robots.captureFp(b._2)) "/a" else "/b"))
     for (recs <- Seq(Seq(a, b), Seq(b, a))) {
       val shard = Warc.gzipPerRecord(Warc.encodeRecords(recs))
       val resolved = Robots.resolveLatest(
