@@ -637,4 +637,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "the host equi-join must never degrade to a product")
   }
+
+  test("pipe_sitemap_schedule: the discovery walk reads materialized captures and one directive parse, never a lake re-scan or a product") {
+    // the captures table is read from TWO join positions (the direct
+    // urlset join and the index-child join) and the directive table
+    // from two consumers (announcements, delays) — all four positions
+    // must read materialized RDDs; a binaryFile scan in this plan
+    // would mean a per-position lake re-parse (the r18 compliance
+    // lesson, applied to the r20 walk)
+    val p = plan(graft.sources.Sitemaps.pipeSitemapSchedule(spark, sfDir))
+    assert(!p.contains("binaryFile"),
+      "the walk must read materialized captures/directives, not re-scan the lake per position")
+    assert(p.contains("Join"), "the walk must join announcements x captures")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the url-key equi-joins must never degrade to a product")
+  }
 }
