@@ -956,7 +956,7 @@ object Robots {
     * would pick it), a dated-older 503 on host 11, and a dated-older
     * poison 200 on host 9 that the newer 404's tombstone must erase
     * — each must LOSE to its newer capture or whole host-classes of
-    * verdicts flip. The r20 REDIRECT arms add twelve more captures
+    * verdicts flip. The r20 REDIRECT arms add fourteen more captures
     * (four 301s superseding hosts 0/1/2/8's base bodies, the a8/b2/c6
     * terminal bodies, and the b1/l2/c1-c5 intermediate 301s) — the
     * §2.3.1.2 chain walk's 1-hop, 2-hop, loop and six-hop cases, each
@@ -968,7 +968,7 @@ object Robots {
     * `.warc.gz` shards (host k rides shard k mod 4, extras their
     * target's shard) so the streaming ingest arrives in real multiple
     * micro-batches. Test scaffolding under the local-master guard
-    * like every other staged lake; 39 records need no Spark job to
+    * like every other staged lake; 41 records need no Spark job to
     * write. */
   def robotsLakeDir(s: SparkSession, dir: String): String =
     robotsLakeDirs.computeIfAbsent(dir, _ => {
