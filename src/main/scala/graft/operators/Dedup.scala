@@ -230,8 +230,17 @@ object Dedup {
   private def bandedSignatures(df: DataFrame, k: Int, numHashes: Int,
                                bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val signed = df.select(col("doc_id"),
+    // Spread + localCheckpoint around the MinHash kernel: the corpus
+    // self-join below reads this frame from TWO plan positions, and
+    // without the materialization each position re-runs the signature
+    // kernel over the whole corpus — on the single-file fixture scan
+    // that is two SERIAL kernel passes (guide §2.5 input skew). The
+    // checkpointed frame is (id, 16 longs) per doc, corpus-row-
+    // proportional metadata, exactly the "shuffle keys and metadata
+    // instead of payloads" shape of guide §2.3.
+    val signed = Spread(df, col("doc_id")).select(col("doc_id"),
       minhashSig(normText(col("text")), k, numHashes).as("sig"))
+      .localCheckpoint()
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
     signed.select(col("doc_id"), col("sig"),
@@ -709,10 +718,29 @@ object Dedup {
     * (DedupSpec recomputes from raw strings, so a 64-bit collision
     * would fail the suite). */
   private def rescoreContainment(s: SparkSession, dir: String, cand: DataFrame,
-                                 k: Int, threshold: Double): DataFrame = {
+                                 k: Int, threshold: Double): DataFrame =
+    rescoreContainmentOn(cand, shingleHashFrame(s, dir, k), threshold)
+
+  /** The corpus's hashed-shingle arrays, kernel run in PARALLEL
+    * ([[Spread]] — the single-file fixture scan is one task) and
+    * MATERIALIZED once (localCheckpoint): every consumer reads it from
+    * ≥2 plan positions (both sides of the pair attach; the posting
+    * index adds two more), and each un-materialized position would
+    * re-run the shingle kernel over the whole corpus serially. */
+  private def shingleHashFrame(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
-    val g = Tables.documents(s, dir)
+    Spread(Tables.documents(s, dir), $"doc_id")
       .select($"doc_id", SketchFunctions.shingleHashes(normText($"text"), k).as("grams"))
+      .localCheckpoint()
+  }
+
+  /** [[rescoreContainment]] against an already-materialized shingle
+    * frame — shared so [[containmentIndexPairs]] can reuse the ONE
+    * checkpointed kernel pass its candidate generation already paid. */
+  private def rescoreContainmentOn(cand: DataFrame, g: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
     cand
       .join(g.select($"doc_id".as("id1"), $"grams".as("g1")), Seq("id1"))
       .join(g.select($"doc_id".as("id2"), $"grams".as("g2")), Seq("id2"))
@@ -772,8 +800,11 @@ object Dedup {
                             probeK: Int = 8, dfCap: Int = 64,
                             threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val g = Tables.documents(s, dir)
-      .select($"doc_id", SketchFunctions.shingleHashes(normText($"text"), k).as("grams"))
+    // ONE materialized kernel pass ([[shingleHashFrame]]) feeds all
+    // four gram positions — posting explode, probe slice, and both
+    // rescore sides; the un-materialized form re-ran the shingle
+    // kernel serially at each position
+    val g = shingleHashFrame(s, dir, k)
     // explode_outer + null check on the GENERATED attribute, not
     // inner explode: InferFiltersFromGenerate would inline the shingle
     // kernel into the pushed-down Filter (the registry-wide guarded
@@ -804,7 +835,7 @@ object Dedup {
       .filter($"pid" =!= $"iid")
       .select(least($"pid", $"iid").as("id1"), greatest($"pid", $"iid").as("id2"))
       .distinct()
-    rescoreContainment(s, dir, cand, k, threshold)
+    rescoreContainmentOn(cand, g, threshold)
   }
 
   /** Incremental exact dedup — the production shape at 100 TB: a new
@@ -936,7 +967,7 @@ object Dedup {
     * instead of exact gram sets; the exact form is the oracle. */
   def sourceOverlap(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import s.implicits._
-    val sets = Tables.documents(s, dir)
+    val sets = Spread(Tables.documents(s, dir), $"doc_id")
       .select($"source", TextFunctions.tokenNgrams(lower($"text"), n).as("grams"))
       .select($"source", explode_outer($"grams").as("gram"))
       .filter($"gram".isNotNull)

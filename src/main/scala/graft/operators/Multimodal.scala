@@ -218,10 +218,15 @@ object Multimodal {
   }
 
   /** Media table from any (doc_id, text) frame — the generation step
-    * is a typed map (real encoders run per row, map-side). */
+    * is a typed map (real encoders run per row, map-side). [[Spread]]
+    * first: the fixture table is one parquet file (a one-task scan),
+    * and the encoder chain is the expensive part — without the spread
+    * every payload encodes serially on one core (guide §2.5 input
+    * skew: repartition immediately after an unsplittable read). */
   def mediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    Spread(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)].map { case (id, text) =>
       val (kind, payload) = genPayload(id, text)
       MediaRow(id, kind, payload)
     }
@@ -668,7 +673,10 @@ object Multimodal {
     * mismatch. */
   def jpegMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    // Spread: JPEG encode+decode per row is the whole query's cost,
+    // and the single-file documents scan would run it on one task
+    Spread(Tables.documents(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         jpegDescribe(id, genJpegPayload(id, text))
       })
@@ -749,10 +757,16 @@ object Multimodal {
     // 4 bands of 16 bits are pigeonhole-complete ONLY for Hamming ≤ 3;
     // a larger radius would silently lose pairs that differ in every band
     require(maxHamming <= 3, s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
+    // localCheckpoint: `hashed` feeds THREE plan positions (both sides
+    // of the band self-join and the final dup-flag join) — without the
+    // materialization each position re-decodes every payload, tripling
+    // the query's dominant cost. The checkpointed frame is (id, hash)
+    // longs, media-count-proportional — tiny at any scale.
     val hashed = media
       .mapPartitions(it => it.map(r =>
         (r.media_id, MediaCodec.aHash64(MediaCodec.decode(r.payload)))))
       .toDF("media_id", "phash")
+      .localCheckpoint()
     val banded = hashed.select($"media_id", $"phash",
       posexplode(array((0 until 4).map(b =>
         shiftright($"phash", b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "chunk")))

@@ -623,7 +623,8 @@ object TextAnalysis {
                             targetFrom: Long): (DataFrame, Double, Double) = {
     import s.implicits._
     val hb = Sampling.hashBucket($"doc_id")
-    val toks = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
+    val toks = Spread(Tables.documents(s, dir), $"doc_id")
+      .select($"doc_id", hb.as("hb"),
         explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("tok"))
       .withColumn("bucket",
         conv(substring(md5($"tok"), 1, 3), 16, 10).cast("long"))
@@ -632,11 +633,17 @@ object TextAnalysis {
     // cardinality bound structural: the registry-wide broadcast guard
     // accepts hints only on sides whose plan PROVES a cap, which is
     // exactly the discipline that keeps "I think it's small" hints
-    // from OOMing at 100 TB
+    // from OOMing at 100 TB.
+    // localCheckpoint: the LM is read by the eager totals action below
+    // AND broadcast into every consumer's scoring join — without the
+    // materialization each position re-runs the corpus tokenize +
+    // bucket aggregation. The frame is ≤4096 rows by construction, a
+    // bounded artifact at any corpus size.
     val lm = toks.groupBy($"bucket").agg(
         sum(when($"hb" >= targetFrom, 1L).otherwise(0L)).as("tgt"),
         sum(when($"hb" < targetFrom, 1L).otherwise(0L)).as("src"))
       .limit(dsirBuckets)
+      .localCheckpoint()
     // coalesce: an empty corpus must degrade to an empty result, not
     // unbox a null total (PropertySpec's empty-corpus battery)
     val tot = lm.agg(coalesce(sum($"tgt"), lit(0L)).cast("double"),
@@ -688,7 +695,8 @@ object TextAnalysis {
            alpha: Double = 0.5): DataFrame = {
     import s.implicits._
     val hb = Sampling.hashBucket($"doc_id")
-    val toks = Tables.documents(s, dir).select($"doc_id", hb.as("hb"),
+    val toks = Spread(Tables.documents(s, dir), $"doc_id")
+      .select($"doc_id", hb.as("hb"),
         explode(TextFunctions.tokenNgrams(lower($"text"), 1)).as("tok"))
       .withColumn("bucket",
         conv(substring(md5($"tok"), 1, 3), 16, 10).cast("long"))
@@ -1124,7 +1132,7 @@ object TextAnalysis {
     * independent group-and-count formulation. */
   def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    withRepetitionSignals(Tables.documents(s, dir))
+    withRepetitionSignals(Spread(Tables.documents(s, dir), $"doc_id"))
       .select($"doc_id" +: $"dup_line_frac" +: $"dup_line_char_frac" +:
         $"top2_frac" +: $"top3_frac" +: $"top4_frac" +:
         (5 to 10).map(n => col(s"dup${n}_frac")) :+ $"rep_keep": _*)
@@ -1210,7 +1218,7 @@ object TextAnalysis {
     val url = "https?://[^ \\t\\n\\r]+"
     val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     val num = "[0-9]{3,}"
-    Tables.documents(s, dir)
+    Spread(Tables.documents(s, dir), $"doc_id")
       .select($"doc_id", $"text")
       .withColumn("n_email",
         size(regexp_extract_all($"text", lit(email), lit(0))).cast("long"))
