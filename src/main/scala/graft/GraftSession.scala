@@ -44,6 +44,17 @@ object GraftSession {
     "spark.sql.legacy.parquet.nanosAsLong"       -> "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.ui.enabled"                           -> "false"
+    // NOT set (measured no-go, r21): AQE byte-size partition
+    // coalescing (`coalescePartitions.parallelismFirst=false` +
+    // 64m advisory) — the guide-§2.2 "fewer, larger reduce
+    // partitions" posture — was benched A/B over a 14-query mixed
+    // set at sf0.1 and lost on 12 of them (q25_lateral 1.14→1.58,
+    // ev_interval_join 1.03→1.13, both fetch schedules +0.2):
+    // in-process local task dispatch is cheap, so collapsing a
+    // KB-scale shuffle to one partition serializes its downstream
+    // compute for no scheduling win. parallelismFirst=true (the
+    // default) is the right trade in local mode; on a real cluster
+    // the advisory-size posture should be revisited per guide §2.2.
   )
 
   /** `local[N]` HARD-CODES maxFailures = 1 inside

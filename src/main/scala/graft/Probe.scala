@@ -30,6 +30,52 @@ object Probe {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("jobs")) {
+      // Per-JOB wall-clock decomposition of one registry query (dev
+      // probe for the r21 optimization pass): run the query three
+      // times through the bench's noop sink, and for the steady-state
+      // third repetition print every Spark job's duration, stage and
+      // task counts. This answers "where do the seconds go" for
+      // queries whose cost is many small jobs (iterative loops,
+      // localCheckpoint materializations, eager scalar actions) that
+      // a single explain() cannot show.
+      val name = args(2)
+      val fn = SparkEntry.queries(name)
+      final case class J(id: Int, ms: Long, stages: Int, tasks: Int)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Int)]
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(js.jobId, js.time)
+          jobs.put(js.jobId, (0L, js.stageInfos.size, js.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = Option(starts.get(je.jobId)).getOrElse(je.time)
+          val prev = Option(jobs.get(je.jobId)).getOrElse((0L, 0, 0))
+          jobs.put(je.jobId, (je.time - st, prev._2, prev._3))
+        }
+      }
+      (1 to 3).foreach { rep =>
+        graft.operators.Dedup.clearLabelCache()
+        jobs.clear(); starts.clear()
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        // listener bus is async: give it a beat to drain before reading
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        val js = jobs.asScala.toSeq.sortBy(_._1)
+        val sum = js.map(_._2._1).sum / 1e3
+        println(f"== $name rep $rep: wall $wall%.3f s, ${js.size} jobs, job-sum $sum%.3f s")
+        if (rep == 3) js.foreach { case (id, (ms, nst, ntk)) =>
+          println(f"  job $id%3d  ${ms / 1e3}%7.3f s  $nst%3d stages $ntk%5d tasks")
+        }
+      }
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("plans")) {
       args.drop(2).foreach { q =>
         println(s"===== $q =====")

@@ -254,22 +254,33 @@ object Robots {
     // has one row per still-redirecting host
     val next = winners.filter(col("directive") === "redirect")
       .select(col("host").as("h"), col("value").as("nxt"))
-    var frontier = next.select(col("h").as("origin"), col("nxt").as("cur"))
-    var arrived = Vector.empty[DataFrame]
+    // ONE chain of five left joins, not five per-hop frontier splits:
+    // the split-and-union form re-evaluated each hop's join-chain
+    // prefix inside every later arrived branch (1+2+…+5 = 15 join
+    // evaluations and a five-way union where five joins suffice —
+    // r21, guide §2.4 "remove duplicate subtrees"). Here p0 is the
+    // first target (one follow already paid by the redirect row) and
+    // p_k the position after k+1 follows; an ARRIVED row's p_k is
+    // null, and a null key joins nothing, so arrived rows ride the
+    // remaining hops unchanged. Fresh column names per hop: the chain
+    // is a repeated self-join on `next`, and reusing attribute names
+    // would be ambiguous.
+    var chain = next.select(col("h").as("origin"), col("nxt").as("p0"))
     for (hop <- 1 to 5) {
-      // fresh column names per hop: the frontier is itself derived
-      // from `next`, and a repeated self-join on the same attribute
-      // names would be ambiguous
-      val n = next.select(col("h").as(s"h_$hop"), col("nxt").as(s"nxt_$hop"))
-      val j = frontier.join(n, col("cur") === col(s"h_$hop"), "left")
-      arrived :+= j.filter(col(s"nxt_$hop").isNull)
-        .select(col("origin"), col("cur").as("final"))
-      if (hop < 5)
-        frontier = j.filter(col(s"nxt_$hop").isNotNull)
-          .select(col("origin"), col(s"nxt_$hop").as("cur"))
-      // hop-5 leftovers still redirecting: >5 hops ⇒ unavailable (drop)
+      val n = next.select(col("h").as(s"h_$hop"), col("nxt").as(s"p$hop"))
+      chain = chain.join(n, col(s"p${hop - 1}") === col(s"h_$hop"), "left")
+        .drop(s"h_$hop")
     }
-    val followed = arrived.reduce(_ unionByName _)
+    // arrival = the first position whose lookup found no further
+    // redirect; a non-null p5 means the walk still redirects after
+    // five follows — the RFC cap — and every loop: unavailable (drop).
+    val fin = when(col("p1").isNull, col("p0"))
+      .when(col("p2").isNull, col("p1"))
+      .when(col("p3").isNull, col("p2"))
+      .when(col("p4").isNull, col("p3"))
+      .when(col("p5").isNull, col("p4"))
+    val followed = chain.select(col("origin"), fin.as("final"))
+      .filter(col("final").isNotNull)
       .join(terminal
         .filter(col("directive") =!= "unavailable" && col("directive") =!= "sitemap")
         .withColumnRenamed("host", "final"), Seq("final"))
