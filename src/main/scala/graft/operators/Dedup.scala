@@ -424,7 +424,15 @@ object Dedup {
     // magnitude below the corpus scale AQE is tuned for.
     val keys = Seq("spark.sql.shuffle.partitions" ->
       math.max(1L, rowScale / 1000000L + 1).toString,
-      "spark.sql.adaptive.enabled" -> "false")
+      "spark.sql.adaptive.enabled" -> "false",
+      // whole-stage codegen scoped OFF with the sizing (r21): each
+      // round re-plans a structurally fresh ~12-operator tree over a
+      // handful of KB, and generating+compiling fused classes per
+      // round is pure driver latency at that scale — interpreted
+      // execution of a few thousand rows is free by comparison. On a
+      // genuinely large graph the loop's per-round data cost dominates
+      // either way; the conf is scoped and restored like the others.
+      "spark.sql.codegen.wholeStage" -> "false")
     // conf.get(key) resolves the SQLConf default, so restoring through
     // it would turn a previously-unset key into an explicitly-set one;
     // getAll holds only explicit settings — None restores by unset
