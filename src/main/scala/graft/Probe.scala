@@ -39,9 +39,9 @@ object Probe {
       // queries whose cost is many small jobs (iterative loops,
       // localCheckpoint materializations, eager scalar actions) that
       // a single explain() cannot show.
-      val name = args(2)
+      val name = args.lift(2).getOrElse(
+        sys.error("usage: Probe <dir> jobs <query>"))
       val fn = SparkEntry.queries(name)
-      final case class J(id: Int, ms: Long, stages: Int, tasks: Int)
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Int)]
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]
       val listener = new org.apache.spark.scheduler.SparkListener {
@@ -62,15 +62,48 @@ object Probe {
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.removeSparkListener(listener)
-        // listener bus is async: give it a beat to drain before reading
+        // listener bus is async: drain BEFORE removing the listener —
+        // events queued at run end are never delivered to a removed
+        // listener (r21 ADVICE: tail jobs reported 0 ms)
         Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
         import scala.jdk.CollectionConverters._
         val js = jobs.asScala.toSeq.sortBy(_._1)
         val sum = js.map(_._2._1).sum / 1e3
         println(f"== $name rep $rep: wall $wall%.3f s, ${js.size} jobs, job-sum $sum%.3f s")
         if (rep == 3) js.foreach { case (id, (ms, nst, ntk)) =>
           println(f"  job $id%3d  ${ms / 1e3}%7.3f s  $nst%3d stages $ntk%5d tasks")
+        }
+      }
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("streamprofile")) {
+      // Per-micro-batch duration breakdown for the stream-stream join
+      // (dev probe, round 22): run purchaseClickJoin through the same
+      // memory-sink drain the registry query uses and print every
+      // batch's StreamingQueryProgress JSON — the durationMs /
+      // stateOperators fields say whether the seconds go to state
+      // commits, offset-log I/O, or planning.
+      val staged = streaming.StreamingOps.stageEventsDir(spark, dir,
+        java.nio.file.Files.createTempDirectory("probe-sjoin").toString + "/events")
+      val parts = args.lift(2).getOrElse("8")
+      args.lift(3).foreach(p => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p))
+      (1 to 3).foreach { rep =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val t0 = System.nanoTime()
+        val q = streaming.StreamingOps.purchaseClickJoin(
+            streaming.StreamingOps.eventsStream(spark, staged))
+          .writeStream.format("memory").queryName(s"probe_sjoin_$rep")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally {
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"== streamprofile rep $rep wall $wall%.3f s")
+          q.recentProgress.foreach(p => println(p.json))
+          q.stop()
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
         }
       }
       spark.stop()

@@ -48,10 +48,19 @@ object VectorFunctions {
   def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
 
+  def pqEncodeBcast(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): Column =
+    ColumnBridge.column(PqEncodeBcast(ColumnBridge.expression(v), bc))
+
   def cosinePqAsym(q: Column, code: Column,
                    codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(CosinePqAsym(
       ColumnBridge.expression(q), ColumnBridge.expression(code), codebooks))
+
+  def cosinePqAsymBcast(q: Column, code: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): Column =
+    ColumnBridge.column(CosinePqAsymBcast(
+      ColumnBridge.expression(q), ColumnBridge.expression(code), bc))
 
   def residualVec(v: Column, cid: Column,
                   centroids: Seq[Seq[Double]]): Column =
@@ -381,30 +390,13 @@ case class CosineSq8Asym(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
-/** Product-quantization encode (Jégou et al. 2011, "Product
-  * Quantization for Nearest Neighbor Search"): the vector is split
-  * into `M = codebooks.length` contiguous subspaces; each subvector is
-  * replaced by the index of its nearest (L2) centroid in that
-  * subspace's codebook. Output is M bytes — at dim 64 / M 8 that is a
-  * 64× smaller resident corpus than array<double> (8 bytes vs 512),
-  * the difference between an in-memory index and none at 100 TB of
-  * embeddings. `codebooks(m)(j)` is centroid j of subspace m; ksub ≤
-  * 256 so a code fits one byte. Ties break toward the lower centroid
-  * index (deterministic). */
-case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
-  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
-  require(codebooks.forall(_.length <= 256), "ksub must fit one byte")
-  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
-  override def prettyName: String = "graft_pq_encode"
-
-  @transient private lazy val books: Array[Array[Array[Double]]] =
-    codebooks.map(_.map(_.toArray).toArray).toArray
-  @transient private lazy val dsub = books(0)(0).length
-
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+/** Shared eval loops for the PQ expressions — ONE kernel behind both
+  * the plan-literal and broadcast-wired variants (the
+  * NearestCentroidKernel discipline), so serialization strategy can
+  * never drift the arithmetic. */
+private[functions] object PqKernel {
+  def encode(a: ArrayData, books: Array[Array[Array[Double]]],
+             dsub: Int): Array[Byte] = {
     val nDims = a.numElements()
     // strict dim contract (mirrors pqTrain's dim % m == 0 check): a
     // short vector must fail the task loudly, not silently truncate
@@ -436,33 +428,13 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     }
     out
   }
-  override protected def withNewChildInternal(c: Expression): PqEncode =
-    copy(child = c)
-}
 
-/** Asymmetric PQ cosine (the ADC of Jégou et al. 2011, on the cosine
-  * metric): the float query against an M-byte PQ code. The dot product
-  * decomposes across subspaces — Σ_m q_m · c_{m,code[m]} — and the
-  * reconstructed corpus norm is a table lookup (per-centroid squared
-  * norms precomputed once per executor), so scoring touches only the
-  * M code bytes plus the query floats. Queries stay exact; only the
-  * corpus is quantized. */
-case class CosinePqAsym(left: Expression, right: Expression,
-                        codebooks: Seq[Seq[Seq[Double]]])
-    extends BinaryExpression with CodegenFallback {
-  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "graft_cosine_pq"
-
-  @transient private lazy val books: Array[Array[Array[Double]]] =
-    codebooks.map(_.map(_.toArray).toArray).toArray
-  @transient private lazy val dsub = books(0)(0).length
-  @transient private lazy val norm2: Array[Array[Double]] =
+  def norm2Of(books: Array[Array[Array[Double]]]): Array[Array[Double]] =
     books.map(_.map(c => c.map(x => x * x).sum))
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val q = l.asInstanceOf[ArrayData]
-    val code = r.asInstanceOf[Array[Byte]]
+  def cosineAsym(q: ArrayData, code: Array[Byte],
+                 books: Array[Array[Array[Double]]],
+                 norm2: Array[Array[Double]], dsub: Int): Double = {
     val nDims = q.numElements()
     // strict contracts: truncating either side would silently skew
     // scores (partial dot against a full-norm lookup) — fail loudly
@@ -491,7 +463,107 @@ case class CosinePqAsym(left: Expression, right: Expression,
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
+}
+
+/** Product-quantization encode (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search"): the vector is split
+  * into `M = codebooks.length` contiguous subspaces; each subvector is
+  * replaced by the index of its nearest (L2) centroid in that
+  * subspace's codebook. Output is M bytes — at dim 64 / M 8 that is a
+  * 64× smaller resident corpus than array<double> (8 bytes vs 512),
+  * the difference between an in-memory index and none at 100 TB of
+  * embeddings. `codebooks(m)(j)` is centroid j of subspace m; ksub ≤
+  * 256 so a code fits one byte. Ties break toward the lower centroid
+  * index (deterministic). */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  require(codebooks.forall(_.length <= 256), "ksub must fit one byte")
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dsub = books(0)(0).length
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernel.encode(v.asInstanceOf[ArrayData], books, dsub)
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** The broadcast-wired twin of [[PqEncode]] — the codebook table rides
+  * a TorrentBroadcast instead of plan literals (the
+  * [[NearestCentroidsBcast]] precedent): the m16×k256 default is
+  * ~128 KB of doubles, which as literals is re-copied through every
+  * plan transform, re-canonicalized and re-shipped with every task on
+  * every plan build — measured as ~0.5-0.7 s of per-repetition driver
+  * gap on ann_pq_topk/ann_ivf_pq. Same eval loop ([[PqKernel]]), same
+  * tie-break; equivalence pinned in SimilaritySpec. */
+case class PqEncodeBcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pq_encode_bcast"
+
+  @transient private lazy val books: Array[Array[Array[Double]]] = bc.value
+  @transient private lazy val dsub = books(0)(0).length
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernel.encode(v.asInstanceOf[ArrayData], books, dsub)
+  override protected def withNewChildInternal(c: Expression): PqEncodeBcast =
+    copy(child = c)
+}
+
+/** Asymmetric PQ cosine (the ADC of Jégou et al. 2011, on the cosine
+  * metric): the float query against an M-byte PQ code. The dot product
+  * decomposes across subspaces — Σ_m q_m · c_{m,code[m]} — and the
+  * reconstructed corpus norm is a table lookup (per-centroid squared
+  * norms precomputed once per executor), so scoring touches only the
+  * M code bytes plus the query floats. Queries stay exact; only the
+  * corpus is quantized. */
+case class CosinePqAsym(left: Expression, right: Expression,
+                        codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_pq"
+
+  @transient private lazy val books: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dsub = books(0)(0).length
+  @transient private lazy val norm2: Array[Array[Double]] =
+    PqKernel.norm2Of(books)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    PqKernel.cosineAsym(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]],
+      books, norm2, dsub)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosinePqAsym =
+    copy(left = l, right = r)
+}
+
+/** The broadcast-wired twin of [[CosinePqAsym]] (see [[PqEncodeBcast]]
+  * for why): codebooks arrive via TorrentBroadcast, the per-centroid
+  * reconstructed-norm table is still precomputed once per executor.
+  * Same eval loop ([[PqKernel]]); equivalence pinned in
+  * SimilaritySpec. */
+case class CosinePqAsymBcast(left: Expression, right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_pq_bcast"
+
+  @transient private lazy val books: Array[Array[Array[Double]]] = bc.value
+  @transient private lazy val dsub = books(0)(0).length
+  @transient private lazy val norm2: Array[Array[Double]] =
+    PqKernel.norm2Of(books)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    PqKernel.cosineAsym(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]],
+      books, norm2, dsub)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosinePqAsymBcast =
     copy(left = l, right = r)
 }
 

@@ -1000,6 +1000,43 @@ object Similarity {
 
   private val centroidBcastMaxEntries = 8
 
+  /** PQ codebook broadcasts memoized per (context, codebooks) — the
+    * centroidBcastCache rule applied to the PQ kernels: the m16×k256
+    * default is 16×256×4 doubles ≈ 128 KB, which as plan LITERALS was
+    * re-copied through every optimizer transform and re-shipped with
+    * every task on EVERY plan build — `Probe jobs` measured
+    * ann_pq_topk at wall 1.01 s / job-sum 0.41 s (r22): ~0.6 s of pure
+    * per-repetition plan-build gap. Broadcast blocks ship once per
+    * executor and the expression carries only the broadcast handle.
+    * Cap-on-miss eviction like centroidBcastCache. */
+  private val pqBooksBcastCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, Seq[Seq[Seq[Double]]]),
+    org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]]
+
+  /** PQ kernel selection shared by the PQ-scoring paths — the
+    * [[centroidAssigner]] twin: below the size threshold the codebooks
+    * ride as plan literals, above it as ONE memoized TorrentBroadcast.
+    * Both variants share one eval loop ([[graft.functions.PqKernel]]),
+    * so the choice is purely a serialization strategy — equivalence is
+    * pinned in SimilaritySpec ("broadcast-wired PQ ≡ literal PQ").
+    * Thresholded on total centroid count (m × ksub), the same scale
+    * the centroid table thresholds on. */
+  private def pqScorers(s: SparkSession, books: Seq[Seq[Seq[Double]]])
+      : (Column => Column, (Column, Column) => Column) =
+    if (books.length * books.head.length >= bcastCentroidThreshold) {
+      val key = (s.sparkContext, books)
+      if (pqBooksBcastCache.size >= centroidBcastMaxEntries &&
+          !pqBooksBcastCache.containsKey(key))
+        pqBooksBcastCache.clear()
+      val bc = pqBooksBcastCache.computeIfAbsent(key, _ =>
+        s.sparkContext.broadcast(books.map(_.map(_.toArray).toArray).toArray))
+      (v => VectorFunctions.pqEncodeBcast(v, bc),
+        (q, code) => VectorFunctions.cosinePqAsymBcast(q, code, bc))
+    } else {
+      (v => VectorFunctions.pqEncode(v, books),
+        (q, code) => VectorFunctions.cosinePqAsym(q, code, books))
+    }
+
   /** Assignment-kernel selection shared by every IVF-shaped path:
     * both kernels share one eval loop (NearestCentroidKernel), so the
     * choice is purely a serialization strategy — equivalence is pinned
@@ -1276,15 +1313,14 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
     val books = pqTrain(s, emb, m, ksub)
-    val coded = emb.select($"vec_id",
-      VectorFunctions.pqEncode($"embedding", books).as("code"))
+    val (encode, score) = pqScorers(s, books)
+    val coded = emb.select($"vec_id", encode($"embedding").as("code"))
     val queries = emb.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     coded.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        round(VectorFunctions.cosinePqAsym($"q", $"code", books), 6)
-          .as("cos_sim"))
+        round(score($"q", $"code"), 6).as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= topK)
       .select($"query_id", $"vec_id", $"cos_sim", $"rk")
@@ -1349,14 +1385,14 @@ object Similarity {
               $"q", $"cid", $"code", cvecs, books), 6).as("cos_sim"))
       } else {
         val books = pqTrain(s, emb, m, ksub)
+        val (encode, score) = pqScorers(s, books)
         val assigned = emb.select($"vec_id",
           nearest($"embedding", 1).getItem(0).as("cid"),
-          VectorFunctions.pqEncode($"embedding", books).as("code"))
+          encode($"embedding").as("code"))
         assigned.join(broadcast(probes), Seq("cid"))
           .filter($"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id",
-            round(VectorFunctions.cosinePqAsym($"q", $"code", books), 6)
-              .as("cos_sim"))
+            round(score($"q", $"code"), 6).as("cos_sim"))
       }
     scored
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -160,6 +160,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("broadcast-wired PQ ≡ literal PQ, and its plan carries no codebook literals") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val books = Similarity.pqTrain(spark, emb, m = 8, ksub = 16, sampleN = 64)
+    val bc = spark.sparkContext.broadcast(books.map(_.map(_.toArray).toArray).toArray)
+    val q = emb.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Double](0)
+    def scored(enc: org.apache.spark.sql.Column,
+               sim: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      emb.select($"vec_id", enc.as("code")).select($"vec_id", sim($"code").as("sim"))
+    val lit = scored(graft.functions.VectorFunctions.pqEncode($"embedding", books),
+      c => graft.functions.VectorFunctions.cosinePqAsym(typedLit(q), c, books))
+    val bcd = scored(graft.functions.VectorFunctions.pqEncodeBcast($"embedding", bc),
+      c => graft.functions.VectorFunctions.cosinePqAsymBcast(typedLit(q), c, bc))
+    // bit-identical: the two variants share ONE eval loop (PqKernel) —
+    // serialization strategy must never drift the arithmetic
+    assert(bcd.collect().toSeq == lit.collect().toSeq)
+    val litPlan = lit.queryExecution.executedPlan.toString
+    val bcPlan = bcd.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("graft_pq_encode_bcast") &&
+      bcPlan.contains("graft_cosine_pq_bcast"), bcPlan.take(500))
+    // the literal path serializes m×ksub×dsub doubles into every task's
+    // plan; the broadcast path must not — that is the point of the
+    // wiring (the registry defaults put ~128 KB of doubles per
+    // expression occurrence)
+    assert(bcPlan.length * 4 < litPlan.length,
+      s"bcast plan ${bcPlan.length} chars vs literal ${litPlan.length}")
+  }
+
+  test("registry PQ queries ride the broadcast-wired kernels (no codebook plan literals)") {
+    // the registry defaults (m16×k256 = 4096 centroids) sit far above
+    // the broadcast threshold, so ann_pq_topk / ann_ivf_pq must plan
+    // the bcast expressions — the r22 optimization this pin guards
+    val pq = Similarity.pqTopK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(pq.contains("graft_pq_encode_bcast") && pq.contains("graft_cosine_pq_bcast"),
+      pq.take(500))
+    val ivfPq = Similarity.ivfPqTopK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(ivfPq.contains("graft_pq_encode_bcast") && ivfPq.contains("graft_cosine_pq_bcast"),
+      ivfPq.take(500))
+  }
+
   test("CosinePqAsym kernel ≡ driver-side decode-and-cosine reconstruction") {
     val emb = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
