@@ -542,6 +542,17 @@ object Dedup {
       var prev = (-1L, 0L)
       var cur = init
       var rounds = 0
+      // MEASURED NO-GO (r22, verdict item 6): batching TWO alternating
+      // rounds per checkpoint + signature action — the loop's cost at
+      // bench scale is per-job gaps (`Probe jobs`: wall 3.6 s, job-sum
+      // 1.8 s over 24 jobs), so halving the convergence actions looked
+      // right — made dd_lsh_clusters ~2× WORSE (solo min-of-6 A/B at
+      // sf0.1: 3.4-4.5 s → 7.0-10 s). Each star half references its
+      // input twice (nbrs feeds both the min rollup and the join-back),
+      // so the INNER round of an un-checkpointed double-round re-executes
+      // under every outer reference — the per-round localCheckpoint is
+      // load-bearing, not overhead. Convergence actions stay 1:1 with
+      // rounds.
       while (cur != prev) {
         prev = cur
         edges = smallStar(largeStar(edges)).localCheckpoint(false)

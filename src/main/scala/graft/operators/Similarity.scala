@@ -373,6 +373,19 @@ object Similarity {
     drifts.agg(coalesce(max(abs($"drift")), lit(0L))).head().getLong(0)
   }
 
+  // MEASURED NO-GO (r22): scoping the withGraphShuffle-style execution
+  // confs around this lifecycle — pipe_ivf_retrain is ~20 driver
+  // actions, 32 jobs/rep, wall 2.5 s vs job-sum 0.9 s on `Probe jobs`,
+  // so the graph-loop treatment looked right — made it WORSE both ways
+  // (solo min-of-N A/B at sf0.1; unchanged-code solo floor ~1.7 s):
+  // AQE off alone → 3.61 s (every tiny exchange runs at the session's
+  // 32 static partitions; AQE's runtime coalescing to 1 is what keeps
+  // the lifecycle's micro-shuffles cheap — and the brute/fit shuffles
+  // scale with the corpus, so a withGraphShuffle-style static downsize
+  // would be wrong at 100 TB anyway), codegen off alone → 2.34 s
+  // (fit/brute score the whole corpus through the codegen'd CosineSim —
+  // unlike the KB-scale contraction loop, the lifecycle's actions DO
+  // real vectorizable work per job). Keep both confs session-default.
   def ivfLifecycle(s: SparkSession, dir: String, nLists: Int = 16,
                    iters: Int = 5, nProbe: Int = 4,
                    numQueries: Int = 10, topK: Int = 5,
@@ -424,11 +437,16 @@ object Similarity {
     }
     def recallPpm(cids: Seq[Long], cvecs: Seq[Seq[Double]]): Long = {
       val got = ivfWithCentroids(s, combined, cids, cvecs, nProbe, numQueries, topK)
-        .select($"query_id", $"vec_id")
-      val r = brute.join(got, Seq("query_id", "vec_id"), "left_semi")
-        .agg(count(lit(1))).head().getLong(0)
-      val total = brute.count()
-      if (total == 0L) 0L else r * 1000000L / total
+        .select($"query_id", $"vec_id", lit(1L).as("hit"))
+      // hits AND total in ONE action (r22: the split semi-join count +
+      // brute.count() was two driver round-trips per call over the same
+      // checkpointed ≤ numQueries·topK frame). got's (query_id, vec_id)
+      // pairs are unique by construction (ranked top-k), so the left
+      // join preserves brute's cardinality and count(hit) equals the
+      // old left-semi count.
+      val r = brute.join(got, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("total"), count($"hit").as("hits")).head()
+      if (r.getLong(0) == 0L) 0L else r.getLong(1) * 1000000L / r.getLong(0)
     }
     // no-retrain branch serves the SAME centroids — reuse the old
     // index's measurements instead of re-running two assignment +

@@ -99,8 +99,26 @@ object TextAnalysis {
              "scan column order"),
            topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
+    // tokenize ONCE, materialized (r22): three consumers read this
+    // frame — the corpus-stats aggregate, the tf leg, and dfreq's
+    // partial-agg leg — and without materialization each planned its
+    // own TokenNgrams pass over the scan (tx_rrf_ann job decomposition:
+    // two ~0.3 s serial single-task tokenize jobs per repetition).
+    // Lazy localCheckpoint: the stats action below materializes it, so
+    // no extra job. Measured (solo min-of-6, sf0.1): tx_bm25
+    // 1.23→1.11, tx_rrf 1.32→1.24, tx_rrf_ann 1.95→1.56. Unlike the
+    // r21 Change-1 checkpoints this frame is corpus-scale (id + token
+    // array ≈ the text itself), which is the deliberate "tokenize
+    // once" trade every retrieval indexer makes; at 100 TB the same
+    // role is played by a STORED tokenized table (frozen-artifact
+    // rule), not an in-memory checkpoint. The in-plan alternative —
+    // attaching the stats as a broadcast 1-row cross join to skip the
+    // driver pull — was measured 2.4-4.6× WORSE across the family
+    // (the stats subtree stops canonicalizing with anything and its
+    // broadcast build serializes ahead of every consumer stage).
     val toks = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokenNgrams(lower($"text"), 1).as("toks"))
+      .localCheckpoint(false)
     // explode_outer + null check on the GENERATED attribute, not inner
     // explode: InferFiltersFromGenerate's inferred guards would inline
     // the tokenizer kernel into the pushed-down Filter (3 evals/row —

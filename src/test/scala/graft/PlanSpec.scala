@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Relational, WordCount}
+import org.apache.spark.sql.functions.{col, lower}
 
 /** Plan-shape assertions: the properties that matter at 100 TB must be
   * visible in the physical plan, not assumed — filter/projection
@@ -77,10 +78,23 @@ class PlanSpec extends SparkSpec {
       "term-partitioned df window is the Zipfian-skew straggler shape — must not come back")
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       s"df branch must reuse the tf exchange (one corpus scan):\n$p")
-    // tokenizer runs once in the tf branch's Project — not re-inlined
-    // into inferred explode guards (r8 caught 3 evals/row here)
-    assert("graft_token_ngrams".r.findAllIn(p).size == 1,
-      "tokenizer kernel must be evaluated exactly once per corpus row")
+    // r22: the tokenized frame is localCheckpointed (one kernel pass
+    // shared by the stats/tf/df consumers), so the kernel must appear
+    // ZERO times in the query's own executed plan — every consumer
+    // reads the materialized RDD scan instead. The exactly-once
+    // property moved to the checkpoint build: assert it structurally
+    // on an un-checkpointed reconstruction of the toks frame (same
+    // expressions bm25 plans before the checkpoint cuts the lineage).
+    assert("graft_token_ngrams".r.findAllIn(p).size == 0,
+      "post-checkpoint plan must read the materialized tokens, not re-tokenize")
+    assert(p.contains("Scan ExistingRDD"),
+      "consumers must scan the checkpointed token frame")
+    val toksPlan = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenNgrams(
+        lower(col("text")), 1).as("toks"))
+      .queryExecution.executedPlan.toString
+    assert("graft_token_ngrams".r.findAllIn(toksPlan).size == 1,
+      "the checkpointed build itself evaluates the tokenizer exactly once")
   }
 
   test("tfidf: df via partial-agg on the reused exchange — no term window, one scan") {
