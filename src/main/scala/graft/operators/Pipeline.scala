@@ -328,6 +328,16 @@ object Pipeline {
     * preserves row cardinality by construction — one output row per
     * document, even fully-excised ones), so no extra pass over the
     * composed frame. */
+  // MEASURED NO-GO (r22, verdict item 3): materializing the cleaned
+  // corpus between the two stages (lazy localCheckpoint on `clean`) to
+  // truncate the 95-node / 28-Exchange plan whose exciseSpans subtree
+  // is PLANNED twice (once under the scorer's tc leg, once under df —
+  // the r21 before-dump shows 12 parquet scans). `Probe jobs` A/B:
+  // jobs/rep 15 → 19 and steady wall 3.3-4.8 → 5.0-6.2 s — AQE's
+  // runtime stage reuse already dedupes the double-planned subtree's
+  // EXECUTION, so the checkpoint only added its own materialization
+  // stages and an extra pass over the RDD boundary. The duplicate
+  // subtree is a planning artifact, not an execution cost; left inlined.
   def cleanThenIndex(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     import s.implicits._
     val clean = Dedup.exciseSpans(s, dir)

@@ -41,6 +41,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Spread {
   def apply(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df
+    // loud guard on the caller contract above (r21 ADVICE #2): probing
+    // a shuffle-derived frame finalizes its adaptive plan eagerly and
+    // the consumer re-runs every upstream stage — a silent 3× regression
+    // when it happened (pipe_index 2.2 → 7.0 s). Fail at build time
+    // instead: a scan-rooted frame contains none of these operators.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.foreach {
+      case p @ (_: Aggregate | _: Join | _: Window | _: Sort |
+                _: RepartitionOperation | _: GlobalLimit | _: Distinct) =>
+        throw new IllegalArgumentException(
+          s"Spread requires a scan-rooted frame (no exchange upstream); " +
+            s"found ${p.nodeName} — spreading here would finalize the " +
+            "adaptive plan and re-run the upstream pipeline")
+      case _ =>
+    }
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)

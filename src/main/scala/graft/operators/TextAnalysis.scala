@@ -666,7 +666,14 @@ object TextAnalysis {
     // unbox a null total (PropertySpec's empty-corpus battery)
     val tot = lm.agg(coalesce(sum($"tgt"), lit(0L)).cast("double"),
       coalesce(sum($"src"), lit(0L)).cast("double")).head()
-    (lm, tot.getDouble(0), tot.getDouble(1))
+    // re-cap the materialized frame (r21 ADVICE #3): localCheckpoint
+    // rewrites the plan to a LogicalRDD, ERASING the GlobalLimit the
+    // registry-wide broadcast guard proves the scoring join's hint
+    // with — the guard would otherwise pass this side vacuously (and
+    // now treats LogicalRDD leaves as unproven). A second limit over
+    // the ≤4096-row RDD is a runtime no-op that keeps the cap
+    // structural.
+    (lm.limit(dsirBuckets), tot.getDouble(0), tot.getDouble(1))
   }
 
   /** The LMs collapsed into the dense per-bucket log-ratio table the

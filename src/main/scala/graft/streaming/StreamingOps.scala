@@ -1058,8 +1058,17 @@ object StreamingOps {
     * yields the complete batch-equivalent result the oracle checks. */
   def joinViaStream(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
+    // statePartitions 2, not the family's 8 (r22): the stream-stream
+    // join runs FOUR state stores per partition per side-pair
+    // (keyToNumValues / keyWithIndexToValue × left/right — 32 store
+    // instances at 8 partitions), so its per-batch fixed cost is 4×
+    // any single-operator stream's at the same partition count.
+    // Measured on this fixture (probe, steady-state wall): 32 → 8.1 s,
+    // 16 → 4.2, 8 → 3.6, 4 → 3.0, 2 → 2.7, 1 → 3.0. Same
+    // state-volume-not-core-count rule documented on runToMemory; at
+    // 100 TB the knob scales the other way.
     val mem = runToMemory(purchaseClickJoin(eventsStream(s, staged)),
-      "ev_stream_join_q", OutputMode.Append, statePartitions = Some(8))
+      "ev_stream_join_q", OutputMode.Append, statePartitions = Some(2))
     mem.select(
         col("user_id"), col("purchase_id"), col("click_id"),
         unix_timestamp(col("p_ts")).as("p_ts_s"),

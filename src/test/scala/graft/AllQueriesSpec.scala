@@ -336,6 +336,15 @@ class AllQueriesSpec extends SparkSpec {
           boundedOk(f.child, newBound)
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           !isFact(r) || r.output.exists(a => bound.contains(a.exprId))
+        // a checkpointed frame is an opaque leaf: whatever structural
+        // bound its ORIGINAL plan carried (a limit, an id-range filter)
+        // was erased by the rewrite to LogicalRDD, so its boundedness
+        // is UNPROVEN here — the builder must re-cap the materialized
+        // frame (a runtime no-op limit) to keep the proof structural
+        // (r21 ADVICE #3: the old children.forall fell through to
+        // vacuous truth on childless leaves and would hide any
+        // fact-scaled side behind a checkpoint)
+        case _: org.apache.spark.sql.execution.LogicalRDD => false
         case other => other.children.forall(c => boundedOk(c, bound))
       }
     // ev_stream_* excluded: their memory-sink result plans cannot carry
